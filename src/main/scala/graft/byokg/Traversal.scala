@@ -1,0 +1,91 @@
+package graft.byokg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph traversal operators over a generic `edges(src, dst, label)` DataFrame —
+ * the Spark re-expression of the reference's adjacency-map traversal
+ * (reference: byokg-rag/src/graphrag_toolkit/byokg_rag/graph_retrievers/graph_traversal.py:14-231).
+ *
+ * Each hop is one join of the frontier against the edge table. The frontier is
+ * tiny relative to the graph, so every join broadcasts the frontier; the edge
+ * table itself is never shuffled. Depths are bounded (k, metapath length), so
+ * the driver loop issues O(depth) jobs, never O(nodes).
+ */
+object Traversal {
+
+  private def undirect(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("label"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("label")))
+
+  /** One-hop expansion: triplets whose src is in `frontier(node)`
+    * (reference graph_traversal.py:14-79). */
+  def oneHop(edges: DataFrame, frontier: DataFrame,
+             undirected: Boolean = false): DataFrame = {
+    val e = if (undirected) undirect(edges) else edges
+    e.join(broadcast(frontier.select(col("node").as("src")).distinct()), Seq("src"))
+  }
+
+  /** k-hop triplet expansion: union of triplets reached within k hops
+    * (reference graph_traversal.py:94-113). */
+  def kHopTriplets(edges: DataFrame, seeds: DataFrame, k: Int,
+                   undirected: Boolean = false): DataFrame = {
+    var frontier = seeds.select(col("node")).distinct()
+    var acc: DataFrame = null
+    for (_ <- 1 to k) {
+      val hop = oneHop(edges, frontier, undirected)
+      acc = if (acc == null) hop else acc.union(hop)
+      frontier = hop.select(col("dst").as("node")).distinct()
+    }
+    acc.distinct()
+  }
+
+  /** Metapath following: from seeds, follow the exact label sequence; returns
+    * the end nodes of complete paths (reference graph_traversal.py:115-154). */
+  def followMetapath(edges: DataFrame, seeds: DataFrame,
+                     metapath: Seq[String],
+                     undirected: Boolean = false): DataFrame = {
+    val e = if (undirected) undirect(edges) else edges
+    var frontier = seeds.select(col("node")).distinct()
+    for (lbl <- metapath) {
+      frontier = e.filter(col("label") === lbl)
+        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+    }
+    frontier
+  }
+
+  /**
+   * Unit-weight single-source shortest distances via frontier BFS with a
+   * visited set, early exit when the frontier drains, bounded by maxDistance
+   * (reference graph_traversal.py:156-231). Returns (node, dist).
+   */
+  def shortestDistances(edges: DataFrame, seeds: DataFrame, maxDistance: Int,
+                        undirected: Boolean = false): DataFrame = {
+    val e = if (undirected) undirect(edges) else edges
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var d = 0
+    while (d < maxDistance && !frontier.isEmpty) {
+      d += 1
+      val next = e
+        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+      // localCheckpoint truncates lineage so the plan stays flat across hops
+      frontier = next.localCheckpoint(true)
+      visited = visited.union(frontier).localCheckpoint(true)
+    }
+    visited
+  }
+
+  /** Triplet verbalization: "src [relation] dst" lines, one string per path
+    * group (reference byokg graph_verbalizer.py:35-233). */
+  def verbalizeTriplets(triplets: DataFrame): DataFrame =
+    triplets.select(
+      concat_ws(" ", col("src"), concat(lit("["), col("label"), lit("]")),
+        col("dst")).as("text"))
+}

@@ -1,0 +1,181 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.model.{Ids, Schemas}
+
+/** The built graph: one DataFrame per node/edge table (SURVEY.md §1.4). */
+final case class GraphTables(
+    sources: DataFrame,
+    chunks: DataFrame,
+    topics: DataFrame,
+    topicMentionedIn: DataFrame,
+    statements: DataFrame,
+    facts: DataFrame,
+    factSupports: DataFrame,
+    entities: DataFrame,
+    entityRelations: DataFrame) {
+
+  def persistAll(): GraphTables = copy(
+    sources = sources.cache(), chunks = chunks.cache(), topics = topics.cache(),
+    topicMentionedIn = topicMentionedIn.cache(), statements = statements.cache(),
+    facts = facts.cache(), factSupports = factSupports.cache(),
+    entities = entities.cache(), entityRelations = entityRelations.cache())
+
+  /** Write every table as parquet under `dir` (the "graph store"). */
+  def write(dir: String): Unit = {
+    sources.write.mode("overwrite").parquet(s"$dir/sources")
+    chunks.write.mode("overwrite").parquet(s"$dir/chunks")
+    topics.write.mode("overwrite").parquet(s"$dir/topics")
+    topicMentionedIn.write.mode("overwrite").parquet(s"$dir/topic_mentioned_in")
+    statements.write.mode("overwrite").parquet(s"$dir/statements")
+    facts.write.mode("overwrite").parquet(s"$dir/facts")
+    factSupports.write.mode("overwrite").parquet(s"$dir/fact_supports")
+    entities.write.mode("overwrite").parquet(s"$dir/entities")
+    entityRelations.write.mode("overwrite").parquet(s"$dir/entity_relations")
+  }
+}
+
+object GraphTables {
+  def read(s: SparkSession, dir: String): GraphTables = GraphTables(
+    s.read.parquet(s"$dir/sources"),
+    s.read.parquet(s"$dir/chunks"),
+    s.read.parquet(s"$dir/topics"),
+    s.read.parquet(s"$dir/topic_mentioned_in"),
+    s.read.parquet(s"$dir/statements"),
+    s.read.parquet(s"$dir/facts"),
+    s.read.parquet(s"$dir/fact_supports"),
+    s.read.parquet(s"$dir/entities"),
+    s.read.parquet(s"$dir/entity_relations"))
+}
+
+/**
+ * Indexing pipeline: documents → chunks → (stub) extraction → graph tables.
+ *
+ * Mirrors the reference's extract-and-build dataflow
+ * (reference: lexical_graph_index.py:572-612 — chunking → proposition/topic
+ * extraction → node builders → graph construction) with the LLM extractor
+ * replaced by a deterministic positional extractor, so the whole DAG is
+ * hash-stable (SURVEY.md §5). Every stage is one narrow transform + explode;
+ * the only shuffles are the final per-table dedups (MERGE semantics —
+ * reference graph_batch_client.py "allow_yield" dedup).
+ *
+ * Stub extraction grammar over each chunk's token array:
+ *  - topic      = first token of the chunk,
+ *  - statements = consecutive 8-token windows,
+ *  - facts      = (first token, "near", last token) per statement,
+ *  - entities   = all fact subjects/objects.
+ */
+object LexicalGraphBuilder {
+
+  val ChunkTokens = 32
+  val ChunkOverlap = 4
+  val StatementTokens = 8
+  val EmbeddingDim = 64
+
+  def fromDocuments(
+      docs: DataFrame,
+      textCol: String,
+      metadataCols: Seq[String],
+      tenant: String = "t0",
+      buildTs: Long = 0L): GraphTables = {
+
+    val tn = lit(tenant)
+    val base = docs.withColumn("source_id",
+      Ids.sourceId(concat_ws("|", metadataCols.map(col): _*), tn))
+
+    val sources = base.select(
+      col("source_id"),
+      map(metadataCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
+        .as("metadata"),
+      lit(Schemas.TimestampLowerBound).as("valid_from"),
+      lit(Schemas.TimestampUpperBound).as("valid_to"),
+      lit(buildTs).as("extract_ts"),
+      lit(buildTs).as("build_ts"),
+      tn.as("tenant_id"))
+
+    // Chunking: sliding token windows, stride = ChunkTokens - ChunkOverlap
+    // (reference default SentenceSplitter 256/25 — lexical_graph_index.py:197).
+    val stride = ChunkTokens - ChunkOverlap
+    val toks = base.select(col("source_id"),
+      split(T.searchStr(col(textCol)), "\\s+").as("toks"))
+    val chunked = toks
+      .withColumn("n", size(col("toks")))
+      .withColumn("starts",
+        sequence(lit(0), greatest(expr(s"((n - 1) div $stride) * $stride"), lit(0)),
+          lit(stride)))
+      .select(col("source_id"),
+        posexplode(expr(s"transform(starts, p -> concat_ws(' ', slice(toks, p + 1, $ChunkTokens)))"))
+          .as(Seq("seq", "chunk_text")))
+      .filter(length(col("chunk_text")) > 0)
+      .withColumn("chunk_id", Ids.chunkId(col("source_id"), col("chunk_text")))
+    val wc = Window.partitionBy(col("source_id")).orderBy(col("seq"))
+    val chunks = chunked
+      .withColumn("prev_id", lag(col("chunk_id"), 1).over(wc))
+      .withColumn("next_id", lead(col("chunk_id"), 1).over(wc))
+      .select(col("chunk_id"), col("source_id"), col("chunk_text").as("text"),
+        col("seq"), col("prev_id"), col("next_id"),
+        V.hashEmbedding(col("chunk_text"), EmbeddingDim).as("embedding"),
+        tn.as("tenant_id"))
+
+    // Stub extraction: topic + statements + facts per chunk.
+    val withTopic = chunks.select(col("chunk_id"), col("text"))
+      .withColumn("ctoks", split(col("text"), " "))
+      .withColumn("topic_value", col("ctoks").getItem(0))
+      .withColumn("topic_id", Ids.topicId(col("topic_value"), tn))
+
+    val topics = withTopic.select(col("topic_id"), col("topic_value").as("value"),
+      tn.as("tenant_id")).dropDuplicates("topic_id")
+    val topicMentionedIn = withTopic.select(col("topic_id"), col("chunk_id")).distinct()
+
+    val stmtRaw = withTopic
+      .withColumn("starts",
+        sequence(lit(0), greatest((size(col("ctoks")) - 1), lit(0)), lit(StatementTokens)))
+      .select(col("chunk_id"), col("topic_id"),
+        posexplode(expr(s"transform(starts, p -> concat_ws(' ', slice(ctoks, p + 1, $StatementTokens)))"))
+          .as(Seq("seq", "stmt_text")))
+      .filter(length(col("stmt_text")) > 0)
+      .withColumn("statement_id", Ids.statementId(col("topic_id"), col("stmt_text")))
+    val ws = Window.partitionBy(col("chunk_id")).orderBy(col("seq"))
+    val statements = stmtRaw
+      .withColumn("prev_statement_id", lag(col("statement_id"), 1).over(ws))
+      .select(col("statement_id"), col("topic_id"), col("chunk_id"),
+        col("stmt_text").as("value"),
+        array().cast("array<string>").as("details"),
+        col("seq"), col("prev_statement_id"),
+        V.hashEmbedding(col("stmt_text"), EmbeddingDim).as("embedding"))
+      .dropDuplicates("statement_id")
+
+    val factRaw = stmtRaw
+      .withColumn("stoks", split(col("stmt_text"), " "))
+      .withColumn("subj", col("stoks").getItem(0))
+      .withColumn("obj", element_at(col("stoks"), -1))
+      .withColumn("subject_entity_id", Ids.entityId(col("subj"), lit("Token"), tn))
+      .withColumn("object_entity_id", Ids.entityId(col("obj"), lit("Token"), tn))
+      .withColumn("fact_id", Ids.factId(col("subj"), lit("near"), col("obj")))
+
+    val facts = factRaw.select(col("fact_id"),
+      concat_ws(" ", col("subj"), lit("near"), col("obj")).as("value"),
+      lit("near").as("relation"),
+      col("subject_entity_id"), col("object_entity_id"))
+      .dropDuplicates("fact_id")
+    val factSupports = factRaw.select(col("fact_id"), col("statement_id")).distinct()
+
+    val entities = factRaw.select(col("subj").as("value"), col("subject_entity_id").as("entity_id"))
+      .union(factRaw.select(col("obj"), col("object_entity_id")))
+      .dropDuplicates("entity_id")
+      .select(col("entity_id"), col("value"), T.searchStr(col("value")).as("search_str"),
+        lit("Token").as("classification"))
+
+    val entityRelations = factRaw
+      .select(col("subject_entity_id").as("src_entity_id"),
+        lit("NEAR").as("relation_value"),
+        col("object_entity_id").as("dst_entity_id"))
+      .distinct()
+
+    GraphTables(sources, chunks, topics, topicMentionedIn, statements,
+      facts, factSupports, entities, entityRelations)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+
+/**
+ * Corpus deduplication operators for large-scale training-data pipelines.
+ *
+ * Scale notes (the 100 TB story):
+ *  - exact dedup is one hash-shuffle on a 32-byte key — the canonical-winner
+ *    window avoids a second join;
+ *  - minhash-LSH and simhash only ever shuffle (band_key | bucket) pairs, so
+ *    candidate generation is linear in corpus size; pair verification happens
+ *    within buckets only (never a cross join);
+ *  - embedding near-dup buckets by LSH sign-projection before the pairwise
+ *    cosine, so the quadratic step is per-bucket.
+ */
+object Dedup {
+
+  /** Exact dedup: canonical row per normalized-text hash. Keeps the lowest
+    * `idCol` per group; emits group size so callers can audit collisions. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withKey = df.withColumn("dup_key", md5(T.searchStr(col(textCol))))
+    val w = Window.partitionBy(col("dup_key")).orderBy(col(idCol))
+    withKey
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("dup_key"))))
+      .filter(col("dup_rank") === 1)
+      .drop("dup_rank")
+  }
+
+  /**
+   * MinHash + LSH near-dup candidate pairs. Signature of `numHashes` minhashes
+   * split into `bands`; docs sharing any full band land in the same bucket and
+   * become a candidate pair. Returns (id_a, id_b, jaccard_est) with id_a < id_b,
+   * jaccard_est = fraction of matching signature positions.
+   */
+  def minhashLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      H.minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    // One row per (doc, band): bucket key = md5 of the band's signature slice.
+    val banded = sig.select(
+      col("id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        md5(concat_ws(",", col("band"),
+          concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows))))))
+    val a = banded.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+          lit(numHashes.toDouble)).as("jaccard_est"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (or as a brute-force
+    * verifier over a pre-filtered pair set). `pairs` has (id_a, id_b). */
+  def ngramJaccard(
+      df: DataFrame,
+      pairs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), H.shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** SimHash near-dup: docs whose 32-bit simhashes differ in ≤ maxHamming bits.
+    * Blocks on 4 x 8-bit sub-keys (pigeonhole: any pair with hamming ≤ 3 shares
+    * at least one exact byte), so no cross join. */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sim = df.select(col(idCol).as("id"), H.simhash32(col(textCol)).as("sh"))
+    val blocked = sim.select(
+      col("id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        concat_ws(":", lit(i), shiftright(col("sh"), i * 8) % 256)): _*)).as("blk"))
+    val a = blocked.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        H.hammingDist32(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding near-dup: pairs with cosine >= threshold. Buckets by the sign
+   * pattern of `planes` random-hyperplane projections (hash-seeded, so
+   * deterministic); near-identical vectors agree on all signs with high
+   * probability. planes=0 degrades to the exact (quadratic) variant.
+   */
+  def embeddingNearDup(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), V.toDouble(col(embCol)).as("emb"))
+    val bucketed =
+      if (planes <= 0) base.withColumn("bucket", lit(0))
+      else {
+        val signs = (0 until planes).map { p =>
+          // plane_p[i] = hash(p,i) in [-1,1]; sign of dot(emb, plane_p)
+          val proj = aggregate(
+            zip_with(col("emb"),
+              transform(sequence(lit(0), size(col("emb")) - 1), i =>
+                H.h60(concat_ws("#", lit("plane"), lit(p), i)).cast("double") /
+                  lit(1.152921504606847e18) * 2.0 - 1.0),
+              (x, w) => x * w),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+        }
+        base.withColumn("bucket", concat_ws("", signs: _*))
+      }
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), V.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{VectorFunctions => V, HashFunctions => H}
+
+/**
+ * Similarity search over an embedding column.
+ *
+ * Brute-force top-k is the exact baseline (the reference's pgvector path is
+ * the same scan: `embedding <-> q ORDER BY score LIMIT k`,
+ * reference pg_vector_indexes.py:539-542). `orderBy(desc).limit(k)` compiles
+ * to TakeOrderedAndProject — a per-partition top-k heap plus a driver merge,
+ * no global sort, so it scales linearly with executors.
+ *
+ * The IVF variant is the 100 TB path: assign every vector to its nearest of
+ * `nlist` deterministic centroids once (one narrow pass), then probe only
+ * `nprobe` cells per query — candidate set shrinks by ~nlist/nprobe.
+ */
+object Similarity {
+
+  /** Exact brute-force cosine top-k. Ties broken by id for determinism. */
+  def topK(index: DataFrame, embCol: String, idCol: String,
+           query: Seq[Double], k: Int): DataFrame = {
+    val q = typedLit(query)
+    index
+      .select(col(idCol).as("id"), V.cosine(col(embCol), q).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
+  /** Cosine top-k with per-group diversity: over-fetch k*diversityFactor, then
+    * round-robin across `groupCol` (reference vector_utils.py:109-172's
+    * get_diverse_vss_elements as a rank-then-sort window, no driver loop). */
+  def diverseTopK(index: DataFrame, embCol: String, idCol: String,
+                  groupCol: String, query: Seq[Double], k: Int,
+                  diversityFactor: Int = 5): DataFrame = {
+    val q = typedLit(query)
+    val fetched = index
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        V.cosine(col(embCol), q).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k * diversityFactor)
+    val w = Window.partitionBy(col("grp")).orderBy(desc("score"), col("id"))
+    fetched
+      .withColumn("rr", row_number().over(w))
+      .orderBy(col("rr"), desc("score"), col("id"))
+      .limit(k)
+  }
+
+  /** Deterministic centroids: hash-projection vectors, unit-normalized. */
+  private def centroid(c: Int, dim: Int): Seq[Double] = {
+    val raw = (0 until dim).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ivf#$c#$i".getBytes("UTF-8"))
+      val v = java.nio.ByteBuffer.wrap(h).getLong & 0x0fffffffffffffffL
+      v.toDouble / 1.152921504606847e18 * 2.0 - 1.0
+    }
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+
+  /** Assign each vector to its nearest centroid cell (one pass, no shuffle). */
+  def ivfAssign(index: DataFrame, embCol: String, nlist: Int, dim: Int): DataFrame = {
+    val cents = (0 until nlist).map(c => typedLit(centroid(c, dim)))
+    val scored = array(cents.zipWithIndex.map { case (ct, i) =>
+      struct(V.dot(col(embCol), ct).as("s"), lit(i).as("cell"))
+    }: _*)
+    val best = aggregate(scored,
+      struct(lit(Double.MinValue).as("s"), lit(-1).as("cell")),
+      (acc, s) => when(s("s") > acc("s"), s).otherwise(acc))
+    index.withColumn("ivf_cell", best("cell"))
+  }
+
+  /** IVF top-k: probe the `nprobe` cells whose centroids best match the query.
+    * Approximate (recall < 1 when the true neighbor lives in an unprobed cell). */
+  def ivfTopK(assigned: DataFrame, embCol: String, idCol: String,
+              query: Seq[Double], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val dim = query.length
+    val probeCells = (0 until nlist)
+      .map(c => c -> centroid(c, dim).zip(query).map { case (a, b) => a * b }.sum)
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    val q = typedLit(query)
+    assigned
+      .filter(col("ivf_cell").isin(probeCells: _*))
+      .select(col(idCol).as("id"), V.cosine(col(embCol), q).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
+  /** Exact k-NN join: for each left row, its k nearest right rows by cosine.
+    * Quadratic — for bounded right sides (broadcast) or verification only. */
+  def knnJoin(left: DataFrame, right: DataFrame, embCol: String, idCol: String,
+              k: Int): DataFrame = {
+    val l = left.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
+    val r = right.select(col(idCol).as("nid"), col(embCol).as("n_emb"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("nid"))
+    l.crossJoin(broadcast(r))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score", V.cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("score"), col("rk"))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+import graft.index.LexicalGraphBuilder
+import graft.retrieve.ChunkBasedRetriever
+
+/**
+ * End-to-end flagship: ingest the documents corpus → build the lexical graph
+ * → answer one retrieval query → formatted per-source context rows.
+ * This is the Spark trace of `LexicalGraphQueryEngine.query` (SURVEY.md §3.1)
+ * with deterministic stub extraction/embedding.
+ */
+object LexicalPipeline {
+
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val g = LexicalGraphBuilder
+      .fromDocuments(docs, "text", Seq("doc_id", "source", "lang"))
+      .persistAll()
+    val queryEmbedding = embedQuery(spark, "spark join stream table")
+    ChunkBasedRetriever.query(g, queryEmbedding)
+  }
+
+  /** Embed a query string with the same deterministic hash embedder the
+    * indexing side uses (reference `to_embedded_query`, vector_index.py:20-45). */
+  def embedQuery(spark: SparkSession, text: String): Seq[Double] = {
+    spark.range(1)
+      .select(V.hashEmbedding(lit(text), LexicalGraphBuilder.EmbeddingDim).as("e"))
+      .head().getSeq[Double](0)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.byokg.Traversal
+
+/**
+ * Graph traversal inventory (SURVEY.md §2.4 var-length joins, §2.13 byokg
+ * operators) over the derived customer→order→part→supplier property graph
+ * (see [[Tables.edges]]). Oracles are plain join chains / recursive CTEs.
+ */
+object GraphQueries {
+  import Tables.{t, edges, edgesSql}
+
+  private def seeds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_nationkey") === 0)
+      .select(concat(lit("c:"), col("c_custkey")).as("node"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.13 byokg k-hop triplet expansion (k=2, directed).
+    "q_khop_triplets" -> ((s, dir) => {
+      Traversal.kHopTriplets(edges(s, dir), seeds(s, dir), 2)
+        .orderBy(col("src"), col("dst"), col("label"))
+    }),
+
+    // §2.13 metapath following: placed / contains / supplied_by.
+    "q_metapath" -> ((s, dir) => {
+      Traversal.followMetapath(edges(s, dir), seeds(s, dir),
+        Seq("placed", "contains", "supplied_by"))
+        .orderBy(col("node"))
+    }),
+
+    // §2.13 BFS shortest distances (undirected, bounded depth).
+    "q_shortest_path" -> ((s, dir) => {
+      val seed = s.createDataFrame(Seq(Tuple1("c:0"))).toDF("node")
+      Traversal.shortestDistances(edges(s, dir), seed, 3, undirected = true)
+        .orderBy(col("node"))
+    }),
+
+    // §2.5 entity relation-count scoring (degree over both directions).
+    "q_entity_degree" -> ((s, dir) => {
+      val e = edges(s, dir)
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .orderBy(col("node"))
+    }),
+
+    // §2.13 triplet verbalization of a bounded expansion.
+    "q_verbalize" -> ((s, dir) => {
+      val hop = Traversal.kHopTriplets(edges(s, dir), seeds(s, dir), 1)
+      Traversal.verbalizeTriplets(hop).orderBy(col("text"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_khop_triplets" ->
+      s"""WITH edges AS ($edgesSql),
+         |seeds AS (SELECT 'c:'||c_custkey AS node FROM customer WHERE c_nationkey = 0),
+         |h1 AS (SELECT e.* FROM edges e JOIN seeds s ON e.src = s.node),
+         |f1 AS (SELECT DISTINCT dst AS node FROM h1),
+         |h2 AS (SELECT e.* FROM edges e JOIN f1 ON e.src = f1.node)
+         |SELECT DISTINCT src, dst, label
+         |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+         |ORDER BY src, dst, label""".stripMargin,
+
+    "q_metapath" ->
+      s"""WITH edges AS ($edgesSql),
+         |seeds AS (SELECT 'c:'||c_custkey AS node FROM customer WHERE c_nationkey = 0),
+         |s1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN seeds s ON e.src = s.node WHERE e.label = 'placed'),
+         |s2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN s1 ON e.src = s1.node WHERE e.label = 'contains'),
+         |s3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN s2 ON e.src = s2.node WHERE e.label = 'supplied_by')
+         |SELECT node FROM s3 ORDER BY node""".stripMargin,
+
+    "q_shortest_path" ->
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |bfs AS (
+         |  SELECT 'c:0' AS node, 0 AS dist
+         |  UNION ALL
+         |  SELECT u.dst, b.dist + 1 FROM bfs b JOIN und u ON u.src = b.node
+         |  WHERE b.dist < 3)
+         |SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs
+         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_entity_degree" ->
+      s"""WITH edges AS ($edgesSql)
+         |SELECT node, count(*) AS degree FROM (
+         |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_verbalize" ->
+      s"""WITH edges AS ($edgesSql),
+         |seeds AS (SELECT 'c:'||c_custkey AS node FROM customer WHERE c_nationkey = 0),
+         |h1 AS (SELECT DISTINCT e.* FROM edges e JOIN seeds s ON e.src = s.node)
+         |SELECT src||' ['||label||'] '||dst AS text FROM h1 ORDER BY text""".stripMargin)
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata table loading + the derived graph used by traversal queries. */
+object Tables {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch millis of a parquet TIMESTAMP_NTZ column (session TZ is UTC). */
+  def epochMs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_millis(c.cast("timestamp"))
+
+  /**
+   * Derived property graph over the TPC-H-ish tables (FIXTURES.md §3):
+   * customer -[placed]-> order -[contains]-> part -[supplied_by]-> supplier.
+   * Node ids are label-prefixed so one generic edges(src, dst, label) frame
+   * can hold the whole graph — the byokg adjacency representation.
+   */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val placed = orders.select(
+      concat(lit("c:"), col("o_custkey")).as("src"),
+      concat(lit("o:"), col("o_orderkey")).as("dst"),
+      lit("placed").as("label"))
+    val contains = lineitem.select(
+      concat(lit("o:"), col("l_orderkey")).as("src"),
+      concat(lit("p:"), col("l_partkey")).as("dst"),
+      lit("contains").as("label")).distinct()
+    val suppliedBy = lineitem.select(
+      concat(lit("p:"), col("l_partkey")).as("src"),
+      concat(lit("s:"), col("l_suppkey")).as("dst"),
+      lit("supplied_by").as("label")).distinct()
+    placed.union(contains).union(suppliedBy)
+  }
+
+  /** The same edge set as DuckDB SQL (for oracle queries). */
+  val edgesSql: String =
+    """SELECT 'c:'||o_custkey AS src, 'o:'||o_orderkey AS dst, 'placed' AS label FROM orders
+      |UNION ALL
+      |SELECT DISTINCT 'o:'||l_orderkey, 'p:'||l_partkey, 'contains' FROM lineitem
+      |UNION ALL
+      |SELECT DISTINCT 'p:'||l_partkey, 's:'||l_suppkey, 'supplied_by' FROM lineitem""".stripMargin
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.model.Ids
+import graft.ops.{Dedup, TextAnalysis}
+
+/**
+ * Text analysis + dedup inventory (SURVEY.md §2.9 scalar functions, extended
+ * training-data ops) over the documents table.
+ *
+ * Every sketch (minhash, simhash, fingerprints) derives from md5, so the
+ * DuckDB oracle recomputes identical signatures from first principles — the
+ * strongest possible cross-engine check.
+ */
+object TextQueries {
+  import Tables.t
+
+  /** DuckDB fragment: the searchStr normalization of a column. */
+  private def normSql(c: String): String =
+    s"lower(trim(regexp_replace(regexp_replace($c,'[[:punct:]]',' ','g'),'\\s+',' ','g')))"
+
+  /** DuckDB fragment: 60-bit positive md5 hash of an expression. */
+  private def h60Sql(e: String): String =
+    s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
+
+  /** DuckDB fragment: distinct 3-token shingles of pre-split tokens `toks`. */
+  private def shinglesSql(toks: String): String =
+    s"list_distinct(list_transform(range(greatest(len($toks)-3,0)+1), i -> array_to_string(list_slice($toks, i+1, i+3),' ')))"
+
+  private def inListSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.9 string normalization trio + §2.12 deterministic md5 ids.
+    "q_search_normalize" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        T.searchStr(col("p_name")).as("search_str"),
+        T.labelFrom(col("p_name")).as("label"),
+        T.relationshipName(col("p_name")).as("rel_name"),
+        Ids.entityId(T.searchStr(col("p_name")), col("p_type"), lit("t0"))
+          .as("entity_id"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // extended: exact dedup via normalized-text hash, canonical-winner window.
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("dup_key"), col("dup_count"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: one-pass text profile (token stats, quality, lang-id, fingerprint).
+    "q_text_profile" -> ((s, dir) => {
+      TextAnalysis.profile(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("token_count"), col("bpe_token_est"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("quality_score"), 6).as("quality_score"),
+          col("lang_pred"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: minhash + LSH banding near-dup candidates.
+    "q_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 16, bands = 8, shingleSize = 3)
+        .select(col("id_a"), col("id_b"), col("jaccard_est"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // extended: 32-bit simhash signatures.
+    "q_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), H.simhash32(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: exact n-gram jaccard over a bounded pair set.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 20)
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.ngramJaccard(t(s, dir, "documents"), pairs, "text", "doc_id", 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // §2.5 TF-IDF scoring (RerankStatements) against a fixed query.
+    "q_tfidf_rerank" -> ((s, dir) => {
+      val terms = Seq("spark", "join", "stream", "table")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(T.searchStr(col("text")), "\\s+").as("toks"))
+      val n = docs.count().toDouble
+      val termsDf = s.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+      val termDf = docs.crossJoin(broadcast(termsDf))
+        .withColumn("tf", size(filter(col("toks"), x => x === col("term"))))
+      val dfCounts = termDf.filter(col("tf") > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      termDf.join(dfCounts, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("tf") * log(lit(n) / col("df"))), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.13 fuzzy string entity linking (levenshtein ratio, top-k per query).
+    "q_fuzzy_link" -> ((s, dir) => {
+      val qs = Seq("small ringg", "red widgit", "blue bolt", "hot gearz")
+      val queries = s.createDataFrame(qs.map(Tuple1(_))).toDF("query")
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val scored = queries.crossJoin(parts)
+        .withColumn("ratio",
+          lit(1.0) - levenshtein(col("query"), col("p_name")).cast("double") /
+            greatest(length(col("query")), length(col("p_name"))).cast("double"))
+      val w = Window.partitionBy(col("query"))
+        .orderBy(desc("ratio"), col("p_name"), col("p_partkey"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("query"), col("p_partkey"), col("p_name"),
+          round(col("ratio"), 6).as("ratio"), col("rk"))
+        .orderBy(col("query"), col("rk"))
+    }))
+
+  private val profileOracle: String = {
+    val stops = inListSql(TextAnalysis.defaultStopwords)
+    val langCases = T.langStopwords.toSeq.sortBy(_._1).map { case (code, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${inListSql(ws)}, t))) AS s_$code"
+    }.mkString(", ")
+    val langCodes = T.langStopwords.keys.toSeq.sorted
+    val maxExpr = s"greatest(${langCodes.map("s_" + _).mkString(",")})"
+    val winner = langCodes.map(c => s"WHEN s_$c = m THEN '$c'")
+      .mkString("CASE WHEN m <= 0 THEN 'und' ", " ", " END")
+    s"""WITH norm AS (
+       |  SELECT doc_id, text, ${normSql("text")} AS nrm FROM documents),
+       |tok AS (
+       |  SELECT doc_id, text, string_split_regex(nrm,'\\s+') AS toks FROM norm),
+       |stats AS (
+       |  SELECT doc_id, text, toks,
+       |    len(toks) AS token_count,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_token_est,
+       |    CAST(length(regexp_replace(text,'[^[:punct:]]','','g')) AS DOUBLE)/length(text) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE)/len(toks) AS stopword_ratio,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)/len(toks) AS mean_word_len,
+       |    $langCases,
+       |    list_min(list_transform(${shinglesSql("toks")}, sh -> ${h60Sql("sh")})) AS fingerprint
+       |  FROM tok),
+       |lang AS (
+       |  SELECT *, $maxExpr AS m FROM stats)
+       |SELECT doc_id, token_count, bpe_token_est,
+       |  round(punct_ratio, 6) AS punct_ratio,
+       |  round(stopword_ratio, 6) AS stopword_ratio,
+       |  round(mean_word_len, 6) AS mean_word_len,
+       |  round((least(CAST(token_count AS DOUBLE)/20.0, 1.0)
+       |       + greatest(0.0, 1.0 - punct_ratio*4.0)
+       |       + least(stopword_ratio*5.0, 1.0))/3.0, 6) AS quality_score,
+       |  $winner AS lang_pred,
+       |  fingerprint
+       |FROM lang ORDER BY doc_id""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val bits = (0 until 32).map { b =>
+      s"(CASE WHEN list_sum(list_transform(toks, t -> ((${h60Sql("t")} >> $b) % 2)*2 - 1)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_distinct(string_split_regex(${normSql("text")},'\\s+')) AS toks
+       |  FROM documents)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM tok ORDER BY doc_id""".stripMargin
+  }
+
+  private val minhashOracle: String = {
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tok),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(16), h ->
+       |    list_min(list_transform(sh, s -> ${h60Sql("h::VARCHAR||'#'||s")}))) AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sig, unnest(range(8)) AS band FROM sig),
+       |buck AS (
+       |  SELECT doc_id, md5(band::VARCHAR||','||array_to_string(list_slice(sig, band*2+1, band*2+2),',')) AS bucket
+       |  FROM banded),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buck a JOIN buck b USING (bucket) WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)/16.0 AS jaccard_est
+       |FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_search_normalize" -> {
+      val norm = normSql("p_name")
+      s"""SELECT p_partkey,
+         |  $norm AS search_str,
+         |  array_to_string(list_transform(string_split($norm,' '), w -> upper(substr(w,1,1))||substr(w,2)),'') AS label,
+         |  upper(regexp_replace($norm,'\\s+','_','g')) AS rel_name,
+         |  'e:'||substr(md5($norm||'|'||p_type||'|'||'t0'),1,8) AS entity_id
+         |FROM part ORDER BY p_partkey""".stripMargin
+    },
+
+    "q_dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id, md5(${normSql("text")}) AS dup_key,
+         |  count(*) AS dup_count
+         |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+
+    "q_text_profile" -> profileOracle,
+    "q_minhash_lsh" -> minhashOracle,
+    "q_simhash" -> simhashOracle,
+
+    "q_ngram_jaccard" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents WHERE doc_id < 20),
+         |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tok)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_tfidf_rerank" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks FROM documents),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS tf
+         |  FROM tok, (SELECT unnest(['spark','join','stream','table']) AS term)),
+         |dfc AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term)
+         |SELECT doc_id, round(sum(tf * ln(n.n / dfc.df)), 6) AS score
+         |FROM tf JOIN dfc USING (term), n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy_link" ->
+      """WITH qs AS (SELECT unnest(['small ringg','red widgit','blue bolt','hot gearz']) AS query),
+        |scored AS (
+        |  SELECT query, p_partkey, p_name,
+        |    1.0 - CAST(levenshtein(query, p_name) AS DOUBLE) /
+        |      greatest(length(query), length(p_name)) AS ratio
+        |  FROM qs, part),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query
+        |    ORDER BY ratio DESC, p_name, p_partkey) AS rk
+        |  FROM scored)
+        |SELECT query, p_partkey, p_name, round(ratio, 6) AS ratio, rk
+        |FROM ranked WHERE rk <= 2 ORDER BY query, rk""".stripMargin)
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/**
+ * Vector search + embedding dedup inventory (SURVEY.md §2.3, extended ops).
+ *
+ * Oracle note: DuckDB's list_cosine_similarity computes in float32, so every
+ * oracle recomputes cosine as an explicit double fold
+ * (list_sum over list_transform) — bit-identical to the engine's
+ * deterministic left-fold in [[graft.functions.VectorFunctions]].
+ */
+object VectorQueries {
+  import Tables.t
+
+  private val Dim = 64
+
+  /** The shared DuckDB double-cosine fragment between columns a/b. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1,${Dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1,${Dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(range(1,${Dim + 1}), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 VectorIndex.top_k: brute-force cosine top-k (TakeOrderedAndProject).
+    "q_vector_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      Similarity.topK(emb, "embedding", "vec_id", queryVec(s, dir), 10)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // §2.3 get_diverse_vss_elements: over-fetch + per-group round-robin.
+    "q_vector_diverse_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      Similarity.diverseTopK(emb, "embedding", "vec_id", "label",
+        queryVec(s, dir), 10, 5)
+        .select(col("id").as("vec_id"), col("grp").as("label"),
+          round(col("score"), 6).as("score"), col("rr"))
+    }),
+
+    // extended: exact k-NN join (per-query top-k neighbors).
+    "q_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val left = emb.filter(col("vec_id") < 5)
+      Similarity.knnJoin(left, emb, "embedding", "vec_id", 3)
+        .select(col("qid"), col("nid"), round(col("score"), 6).as("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // extended: IVF ANN with nprobe = nlist (exact ⇒ must equal brute force;
+    // recall<1 configurations are exercised in ScalaTest instead).
+    "q_ivf_topk_full_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val assigned = Similarity.ivfAssign(emb, "embedding", 8, Dim)
+      Similarity.ivfTopK(assigned, "embedding", "vec_id", queryVec(s, dir),
+        10, 8, 8)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // extended: embedding near-dup pairs (exact pairwise over one bucket).
+    "q_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.3, planes = 0)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_vector_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS score
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY ${cosSql("embedding", "qe")} DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_vector_diverse_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT vec_id, label, ${cosSql("embedding", "qe")} AS score
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY score DESC, vec_id LIMIT 50),
+         |ranked AS (
+         |  SELECT vec_id, label, score,
+         |    row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rr
+         |  FROM scored)
+         |SELECT vec_id, label, round(score, 6) AS score, rr FROM ranked
+         |ORDER BY rr, score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_knn_join" ->
+      s"""SELECT qid, nid, round(score, 6) AS score, rk FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    ${cosSql("a.embedding", "b.embedding")} AS score,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "q_ivf_topk_full_probe" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS score
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY ${cosSql("embedding", "qe")} DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_embedding_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,134 @@
+package graft.retrieve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * The reference's result-processor chain re-expressed as DataFrame transforms.
+ *
+ * The reference runs these as Python list transforms over collected results
+ * (reference: the retrieval/processors modules, chained per
+ * traversal_based_base_retriever.py:24-46). Here each one is a distributed
+ * transform over a flat statements frame with columns
+ * (source_id, topic_id, statement_id, chunk_id, statement, score, ...),
+ * grouped only where the semantics demand it. Keeping the frame flat (instead
+ * of the reference's nested SearchResultCollection) means every step stays a
+ * window or aggregation Catalyst can plan, and re-nesting happens once at
+ * format time.
+ */
+object Processors {
+
+  /** SortResults: global score sort (reference sort_results.py:43-63).
+    * Deterministic tie-break on ids. */
+  def sortResults(df: DataFrame): DataFrame =
+    df.orderBy(desc("score"), col("source_id"), col("topic_id"), col("statement_id"))
+
+  /** TruncateResults: keep the top-n sources by source score
+    * (reference truncate_results.py:36-56). */
+  def truncateResults(df: DataFrame, maxResults: Int = 5): DataFrame = {
+    val srcRank = df.groupBy("source_id").agg(max("score").as("src_score"))
+      .withColumn("src_rank",
+        row_number().over(Window.orderBy(desc("src_score"), col("source_id"))))
+      .filter(col("src_rank") <= maxResults)
+      .select("source_id")
+    df.join(broadcast(srcRank), Seq("source_id"), "left_semi")
+  }
+
+  /** TruncateStatements: top-n statements per topic
+    * (reference truncate_statements.py:41-87). */
+  def truncateStatements(df: DataFrame, maxPerTopic: Int = 10): DataFrame = {
+    val w = Window.partitionBy("topic_id").orderBy(desc("score"), col("statement_id"))
+    df.withColumn("stmt_rank", row_number().over(w))
+      .filter(col("stmt_rank") <= maxPerTopic)
+      .drop("stmt_rank")
+  }
+
+  /** TruncateByTokens: keep highest-scored statements while the running token
+    * total stays within budget (reference truncate_by_tokens.py:74-164).
+    * Token length = whitespace tokens of the statement text. */
+  def truncateByTokens(df: DataFrame, maxTokens: Int,
+                       textCol: String = "statement"): DataFrame = {
+    val w = Window.orderBy(desc("score"), col("statement_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("tok_len", graft.functions.TextFunctions.tokenCount(col(textCol)))
+      .withColumn("tok_running", sum("tok_len").over(w))
+      .filter(col("tok_running") <= maxTokens)
+      .drop("tok_len", "tok_running")
+  }
+
+  /** PruneStatements: drop statements scoring below max_score * factor or an
+    * absolute floor (reference prune_statements.py:16-50). */
+  def pruneStatements(df: DataFrame, pruningFactor: Double = 0.05,
+                      absoluteFloor: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    df.withColumn("max_score", max("score").over(w))
+      .filter(col("score") >= greatest(col("max_score") * pruningFactor,
+        lit(absoluteFloor)))
+      .drop("max_score")
+  }
+
+  /** PruneResults: drop whole sources whose aggregate score is below the
+    * threshold (reference prune_results.py:36-57). */
+  def pruneResults(df: DataFrame, threshold: Double = 0.08): DataFrame = {
+    val srcScores = df.groupBy("source_id").agg(avg("score").as("source_score"))
+      .filter(col("source_score") >= threshold)
+      .select("source_id")
+    df.join(broadcast(srcScores), Seq("source_id"), "left_semi")
+  }
+
+  /** DedupResults: merge duplicate statements across retrievers, keeping the
+    * best score per statement (reference dedup_results.py:45-97). */
+  def dedupResults(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("statement_id").orderBy(desc("score"), col("source_id"))
+    df.withColumn("dup_rank", row_number().over(w))
+      .filter(col("dup_rank") === 1)
+      .drop("dup_rank")
+  }
+
+  /** DisaggregateResults: one result per topic, topic score = max statement
+    * score (reference disaggregate_results.py:39-69). On the flat frame this
+    * is a per-topic score annotation. */
+  def disaggregateResults(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("topic_id")
+    df.withColumn("topic_score", max("score").over(w))
+  }
+
+  /** RescoreResults: source score = mean over its topics of the per-topic mean
+    * statement score (reference rescore_results.py:39-86). */
+  def rescoreResults(df: DataFrame): DataFrame = {
+    val perTopic = df.groupBy("source_id", "topic_id")
+      .agg(avg("score").as("topic_mean"))
+    val perSource = perTopic.groupBy("source_id")
+      .agg(avg("topic_mean").as("result_score"))
+    df.join(broadcast(perSource), Seq("source_id"))
+  }
+
+  /** FilterByMetadata: keep statements whose source metadata passes the filter
+    * AST (reference filter_by_metadata.py:38-62). `sources` must carry the
+    * metadata columns the filter references. */
+  def filterByMetadata(df: DataFrame, sources: DataFrame,
+                       filter: graft.filter.FilterAst.Filter): DataFrame = {
+    val passing = sources.filter(graft.filter.FilterAst.compile(filter))
+      .select("source_id")
+    df.join(broadcast(passing), Seq("source_id"), "left_semi")
+  }
+
+  /** Format the flat frame back into the nested per-source JSON context the
+    * engine hands to the LLM (reference lexical_graph_query_engine.py:388-446). */
+  def formatContext(df: DataFrame): DataFrame = {
+    df.groupBy("source_id", "topic_id")
+      .agg(
+        max("score").as("topic_score"),
+        sort_array(collect_list(struct(col("score"), col("statement_id"),
+          col("statement"))), asc = false).as("statements"))
+      .groupBy("source_id")
+      .agg(
+        max("topic_score").as("score"),
+        sort_array(collect_list(struct(col("topic_score"), col("topic_id"),
+          col("statements"))), asc = false).as("topics"))
+      .select(col("source_id"), col("score"),
+        to_json(struct(col("source_id"), col("topics"))).as("context_json"))
+      .orderBy(desc("score"), col("source_id"))
+  }
+}
