@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.MaintenanceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.GraphQueries.oracles
+      graft.queries.GraphQueries.oracles ++
+      graft.queries.MaintenanceQueries.oracles
 }

@@ -46,9 +46,14 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      H.minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    // Materialize the shingle array once, then derive the signature from the
+    // column: keeps the (expensive) normalize+shingle subtree out of the
+    // 16-way signature expression so codegen computes it once per row.
+    val sig = df
+      .select(col(idCol).as("id"), H.shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("id"), array((0 until numHashes).map { i =>
+        array_min(transform(col("sh"), s => H.h60(i, s)))
+      }: _*).as("sig"))
     // One row per (doc, band): bucket key = md5 of the band's signature slice.
     val banded = sig.select(
       col("id"), col("sig"),

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.index.{Checkpoint, VersionManager}
+import graft.ops.Multimodal
+import graft.streaming.Sessionize
+
+/**
+ * Index-maintenance, sessionization, multitenancy and multimodal inventory
+ * (SURVEY.md §2.1 DeleteSources, §2.8 versioning, §2.10 checkpoint/streaming,
+ * §2.12 multi-tenancy; extended multimodal ops).
+ */
+object MaintenanceQueries {
+  import Tables.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.10 sessionization (gaps-and-islands; the streaming twin lives in
+    // graft.streaming.Sessionize.streamingSessions and is spec-tested).
+    "q_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      Sessionize.batchSessions(ev, gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // §2.8 SCD-2 merge on re-ingest via the VersionManager module: documents
+    // re-keyed so each vid has two versions.
+    "q_version_merge" -> ((s, dir) => {
+      val versions = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 250).as("vid"),
+          (col("doc_id") * 1000).as("valid_from"))
+      VersionManager.mergeVersions(versions, Seq("vid"), "valid_from",
+        tieBreak = Seq("doc_id"))
+        .select(col("vid"), col("doc_id"), col("valid_from"), col("valid_to"))
+        .orderBy(col("vid"), col("valid_from"))
+    }),
+
+    // §2.8 latest-version scan (version_manager latest ORDER BY valid_from DESC).
+    "q_version_latest" -> ((s, dir) => {
+      val versions = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          Tables.epochMs(col("o_orderdate")).as("valid_from"))
+      VersionManager.latestVersions(versions, Seq("o_custkey"), "valid_from",
+        tieBreak = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("valid_from"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // §2.1 DeleteSources cascade + orphan GC on the TPC-H lineage mapping
+    // (customers=sources, orders=chunks, lineitems=statements, parts=entities):
+    // delete nation-0 customers, return the parts that survive GC.
+    "q_delete_cascade" -> ((s, dir) => {
+      val delCustomers = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 0).select(col("c_custkey"))
+      val liveOrders = t(s, dir, "orders")
+        .join(broadcast(delCustomers), col("o_custkey") === col("c_custkey"),
+          "left_anti")
+      val liveParts = t(s, dir, "lineitem")
+        .join(liveOrders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_partkey")).distinct()
+      t(s, dir, "part")
+        .join(liveParts, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.10 checkpoint: anti-join a new batch against processed ids.
+    "q_checkpoint_filter" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val processed = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"))
+      val batch = orders.filter(col("o_orderdate") >= lit("2000-01-01"))
+      Checkpoint.filterNew(batch, processed, "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.12 multi-tenancy: tenant column discipline — scoped aggregate.
+    "q_multitenant_scope" -> ((s, dir) => {
+      val tenant = 3
+      t(s, dir, "customer").filter(col("c_nationkey") === tenant)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // §2.4 var-length 0..1 hop: seed statements union their PREVIOUS neighbor
+    // (entity_based_search's `[:PREVIOUS*0..1]` as union of 0- and 1-hop).
+    "q_varlength_hop01" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+      val withPrev = li.withColumn("prev_ln", lag(col("l_linenumber"), 1).over(w))
+        .withColumn("prev_pk", lag(col("l_partkey"), 1).over(w))
+        .withColumn("prev_price", lag(col("l_extendedprice"), 1).over(w))
+      val seeds = withPrev.join(
+        broadcast(t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val hop0 = seeds.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"))
+      val hop1 = seeds.where(col("prev_ln").isNotNull)
+        .select(col("l_orderkey"), col("prev_ln").as("l_linenumber"),
+          col("prev_pk").as("l_partkey"), col("prev_price").as("l_extendedprice"))
+      hop0.union(hop1).distinct()
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"))
+    }),
+
+    // §2.4 bounded var-length 1..2 paths between entity sets over an
+    // undirected co-occurrence relation (multi-entity path search).
+    "q_varlength_paths" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val co = li.alias("x").join(li.alias("y"), Seq("l_orderkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val starts = li.filter(col("l_orderkey") === 1).select(col("l_partkey").as("a")).distinct()
+      val ends = li.filter(col("l_orderkey") === 2).select(col("l_partkey").as("b")).distinct()
+      val e1 = co.join(broadcast(starts), Seq("a"))
+      val p1 = e1.join(broadcast(ends), Seq("b"))
+        .select(array(col("a"), col("b")).as("nodes"))
+      val p2 = e1.select(col("a"), col("b").as("m"))
+        .join(co.select(col("a").as("m"), col("b")), Seq("m"))
+        .join(broadcast(ends), Seq("b"))
+        .filter(col("a") =!= col("m") && col("m") =!= col("b"))
+        .select(array(col("a"), col("m"), col("b")).as("nodes"))
+      p1.union(p2).select(explode(col("nodes")).as("part_node")).distinct()
+        .orderBy(col("part_node"))
+    }),
+
+    // extended: multimodal binary columns + stub decode via mapPartitions —
+    // the Spark-side plumbing (schema, batching, null passthrough) is real.
+    "q_multimodal_stub" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").withColumn("bytes", encode(col("text"), "UTF-8")),
+        "doc_id", "bytes", "image")
+      Multimodal.decodeFeatures(media, featureDim = 16)
+        .select(col("media_id"), col("n_bytes"),
+          col("features").getItem(0).as("f0"),
+          col("features").getItem(7).as("f7"),
+          col("features").getItem(15).as("f15"))
+        .orderBy(col("media_id").cast("long"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |marked AS (
+        |  SELECT *, lag(ts_us) OVER w AS prev_ts,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq, min(ts_us) AS session_start,
+        |  max(ts_us) AS session_end, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_version_merge" ->
+      """SELECT doc_id % 250 AS vid, doc_id, doc_id * 1000 AS valid_from,
+        |  coalesce(lead(doc_id * 1000) OVER (PARTITION BY doc_id % 250
+        |    ORDER BY doc_id * 1000, doc_id), 32503680000000) AS valid_to
+        |FROM documents
+        |ORDER BY vid, valid_from""".stripMargin,
+
+    "q_version_latest" ->
+      """SELECT o_custkey, o_orderkey, valid_from FROM (
+        |  SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS valid_from,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY epoch_ms(o_orderdate) DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_delete_cascade" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey = p_partkey
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey = 0))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_checkpoint_filter" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |  AND o_orderkey % 3 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_multitenant_scope" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_bal
+        |FROM customer WHERE c_nationkey = 3
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_varlength_hop01" ->
+      """WITH withprev AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+        |    lag(l_linenumber) OVER w AS prev_ln,
+        |    lag(l_partkey) OVER w AS prev_pk,
+        |    lag(l_extendedprice) OVER w AS prev_price
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_extendedprice)),
+        |seeds AS (
+        |  SELECT * FROM withprev WHERE l_orderkey IN
+        |    (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0))
+        |SELECT DISTINCT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice FROM seeds
+        |  UNION ALL
+        |  SELECT l_orderkey, prev_ln, prev_pk, prev_price FROM seeds WHERE prev_ln IS NOT NULL)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
+
+    "q_varlength_paths" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |co AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y USING (l_orderkey) WHERE x.l_partkey <> y.l_partkey),
+        |starts AS (SELECT DISTINCT l_partkey AS a FROM li WHERE l_orderkey = 1),
+        |ends AS (SELECT DISTINCT l_partkey AS b FROM li WHERE l_orderkey = 2),
+        |e1 AS (SELECT co.* FROM co JOIN starts USING (a)),
+        |p1 AS (SELECT a, NULL::BIGINT AS m, b FROM e1 JOIN ends USING (b)),
+        |p2 AS (
+        |  SELECT e1.a, e1.b AS m, co2.b
+        |  FROM e1 JOIN co co2 ON co2.a = e1.b JOIN ends ON ends.b = co2.b
+        |  WHERE e1.a <> e1.b AND e1.b <> co2.b)
+        |SELECT DISTINCT part_node FROM (
+        |  SELECT unnest([a, b]) AS part_node FROM p1
+        |  UNION ALL SELECT unnest([a, m, b]) FROM p2)
+        |ORDER BY part_node""".stripMargin,
+
+    "q_multimodal_stub" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(CAST(('0x'||substr(md5(text), 1, 2)) AS INT)/255.0*2.0-1.0 AS FLOAT) AS f0,
+        |  CAST(CAST(('0x'||substr(md5(text), 11, 2)) AS INT)/255.0*2.0-1.0 AS FLOAT) AS f7,
+        |  CAST(CAST(('0x'||substr(md5(text), 27, 2)) AS INT)/255.0*2.0-1.0 AS FLOAT) AS f15
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,129 @@
+package graft.retrieve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{VectorFunctions => V}
+import graft.index.GraphTables
+
+/**
+ * Topic beam search: starting from seed topics, iteratively expand to
+ * neighbor topics through three join branches — same chunk, adjacent chunk
+ * (prev/next links), entity overlap — score each frontier against the query
+ * embedding, and keep the best `beamWidth` per depth
+ * (reference: retrieval/retrievers/topic_beam_search.py:176-251 — the
+ * reference already batches one graph query per depth; here each depth is
+ * one Spark job over the frontier DataFrame, never a per-node round trip).
+ */
+object TopicBeamSearch {
+
+  /** Topic-level embedding view: the first statement's embedding stands in
+    * for the topic (the reference embeds topics directly and caches them,
+    * topic_beam_search.py:91-105; a dedicated topic index can replace this). */
+  def topicEmbeddings(g: GraphTables): DataFrame =
+    g.statements.select(col("topic_id"), col("embedding"))
+      .dropDuplicates("topic_id")
+
+  /** One expansion step: neighbor topics of the frontier via the three
+    * branches, each capped, deduped against the visited set. */
+  def expandOnce(g: GraphTables, frontier: DataFrame, visited: DataFrame,
+                 capPerBranch: Int = 100): DataFrame = {
+    val f = broadcast(frontier.select(col("topic_id")).distinct())
+
+    // Branch 1: topics mentioned in the same chunks.
+    val frontierChunks = g.topicMentionedIn.join(f, Seq("topic_id"))
+      .select(col("chunk_id"))
+    val sameChunk = g.topicMentionedIn
+      .join(broadcast(frontierChunks.distinct()), Seq("chunk_id"))
+      .select(col("topic_id")).distinct().limit(capPerBranch)
+
+    // Branch 2: topics in adjacent (prev/next) chunks.
+    val adj = g.chunks
+      .join(broadcast(frontierChunks.distinct()), Seq("chunk_id"))
+      .select(explode(array(col("prev_id"), col("next_id"))).as("chunk_id"))
+      .where(col("chunk_id").isNotNull)
+    val adjacent = g.topicMentionedIn
+      .join(broadcast(adj.distinct()), Seq("chunk_id"))
+      .select(col("topic_id")).distinct().limit(capPerBranch)
+
+    // Branch 3: topics sharing entities (via statements -> facts -> entities),
+    // ranked by overlap strength.
+    val topicEntities = g.statements.select(col("topic_id"), col("statement_id"))
+      .join(g.factSupports, Seq("statement_id"))
+      .join(g.facts.select(col("fact_id"), col("subject_entity_id").as("entity_id")),
+        Seq("fact_id"))
+      .select(col("topic_id"), col("entity_id")).distinct()
+    val frontierEntities = topicEntities.join(f, Seq("topic_id"))
+      .select(col("entity_id")).distinct()
+    val entityOverlap = topicEntities
+      .join(broadcast(frontierEntities), Seq("entity_id"))
+      .groupBy(col("topic_id")).agg(count(lit(1)).as("strength"))
+      .orderBy(desc("strength"), col("topic_id"))
+      .select(col("topic_id")).limit(capPerBranch)
+
+    sameChunk.union(adjacent).union(entityOverlap).distinct()
+      .join(visited.select(col("topic_id")), Seq("topic_id"), "left_anti")
+  }
+
+  /** Full beam: `depth` expansion rounds, each scored by cosine against the
+    * query and truncated to `beamWidth`. Returns (topic_id, score, depth). */
+  def search(g: GraphTables, seedTopics: DataFrame, queryEmbedding: Seq[Double],
+             beamWidth: Int = 100, depth: Int = 3): DataFrame = {
+    val topicEmb = topicEmbeddings(g)
+    def score(topics: DataFrame): DataFrame =
+      topics.join(topicEmb, Seq("topic_id"))
+        .select(col("topic_id"),
+          V.cosine(col("embedding"), typedLit(queryEmbedding)).as("score"))
+
+    var frontier = seedTopics.select(col("topic_id")).distinct().localCheckpoint(true)
+    var visited = frontier
+    var acc = score(frontier).withColumn("depth", lit(0))
+    for (d <- 1 to depth) {
+      val next = expandOnce(g, frontier, visited)
+      val scored = score(next)
+        .orderBy(desc("score"), col("topic_id")).limit(beamWidth)
+        .localCheckpoint(true)
+      acc = acc.union(scored.withColumn("depth", lit(d)))
+      frontier = scored.select(col("topic_id"))
+      visited = visited.union(frontier).localCheckpoint(true)
+    }
+    acc
+  }
+}
+
+/**
+ * Entity context tree expansion: iterative relation-frontier growth from
+ * seed entities, bounded depth, exclusion sets, degree-scored
+ * (reference: retrieval/query_context/entity_context_provider.py:40-141).
+ */
+object EntityContextProvider {
+
+  /** Degree score per entity over the relation edges (both directions)
+    * (reference entity_context_provider.py:126-141). */
+  def entityScores(g: GraphTables): DataFrame =
+    g.entityRelations.select(col("src_entity_id").as("entity_id"))
+      .union(g.entityRelations.select(col("dst_entity_id").as("entity_id")))
+      .groupBy("entity_id").agg(count(lit(1)).as("score"))
+
+  /** Expand the relation graph from seeds up to `maxDepth`, excluding
+    * `exclude` ids; returns (entity_id, depth) of the context tree. */
+  def expand(g: GraphTables, seeds: DataFrame, maxDepth: Int = 3,
+             exclude: Option[DataFrame] = None): DataFrame = {
+    val excl = exclude.map(_.select(col("entity_id")).distinct())
+    var frontier = seeds.select(col("entity_id")).distinct()
+    excl.foreach(e => frontier = frontier.join(e, Seq("entity_id"), "left_anti"))
+    frontier = frontier.localCheckpoint(true)
+    var visited = frontier.withColumn("depth", lit(0))
+    for (d <- 1 to maxDepth) {
+      var next = g.entityRelations
+        .join(broadcast(frontier.withColumnRenamed("entity_id", "src_entity_id")),
+          Seq("src_entity_id"))
+        .select(col("dst_entity_id").as("entity_id")).distinct()
+        .join(visited.select("entity_id"), Seq("entity_id"), "left_anti")
+      excl.foreach(e => next = next.join(e, Seq("entity_id"), "left_anti"))
+      frontier = next.localCheckpoint(true)
+      visited = visited.union(frontier.withColumn("depth", lit(d)))
+    }
+    visited
+  }
+}
