@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE QUICK  BROWN FOX jumps over the lazy dog!!"), // same after norm
+    (3L, "a completely different document about spark sql engines"),
+    (4L, "the quick brown fox jumps over the lazy cat")) // near-dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id and counts the group") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds the normalized duplicate with jaccard 1.0") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", 16, 8, 3)
+      .as[(Long, Long, Double)].collect()
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 == 1.0)
+  }
+
+  test("ngram jaccard: identical=1.0, near-dup in (0,1)") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(out(0)._3 == 1.0)
+    assert(out(1)._3 > 0.3 && out(1)._3 < 1.0)
+  }
+
+  test("simhash pairs: normalized duplicate at hamming 0") {
+    val out = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.9f, 0.1f, 0.0f), 1),
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2),
+    (5L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 2))
+    .toDF("vec_id", "embedding", "label")
+
+  test("brute-force topK ranks by cosine") {
+    val out = Similarity.topK(vecs.filter(col("vec_id") =!= 0), "embedding",
+      "vec_id", Seq(1.0, 0.0, 0.0, 0.0), 2)
+      .select("id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L) || out.head == 1L)
+  }
+
+  test("diverseTopK round-robins across groups") {
+    val out = Similarity.diverseTopK(vecs, "embedding", "vec_id", "label",
+      Seq(1.0, 0.0, 0.0, 0.0), 3, 2)
+      .select("grp").as[Int].collect()
+    assert(out.toSet.size == 3) // one per label before any second pick
+  }
+
+  test("IVF with full probe equals brute force; partial probe is a subset") {
+    val assigned = Similarity.ivfAssign(vecs, "embedding", 4, 4)
+    val full = Similarity.ivfTopK(assigned, "embedding", "vec_id",
+      Seq(1.0, 0.0, 0.0, 0.0), 3, 4, 4).select("id").as[Long].collect()
+    val brute = Similarity.topK(vecs, "embedding", "vec_id",
+      Seq(1.0, 0.0, 0.0, 0.0), 3).select("id").as[Long].collect()
+    assert(full.toSeq == brute.toSeq)
+    val partial = Similarity.ivfTopK(assigned, "embedding", "vec_id",
+      Seq(1.0, 0.0, 0.0, 0.0), 3, 4, 2).select("id").as[Long].collect()
+    assert(partial.toSet.subsetOf(vecs.select("vec_id").as[Long].collect().toSet))
+  }
+
+  test("embeddingNearDup with sign-plane buckets keeps true near-dups") {
+    val exact = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", 0.9, planes = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 1L)) && exact.contains((2L, 3L)))
+    val bucketed = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", 0.9, planes = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CosineSimilarity, HashFunctions, TextFunctions, VectorFunctions}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("searchStr normalizes punctuation, whitespace, case") {
+    val out = Seq("  Hello,   World!! ", "a.b-c", "")
+      .toDF("s").select(TextFunctions.searchStr(col("s"))).as[String].collect()
+    assert(out.toSeq == Seq("hello world", "a b c", ""))
+  }
+
+  test("labelFrom / relationshipName match the reference conventions") {
+    val df = Seq("sold to", "works  AT").toDF("s")
+    val labels = df.select(TextFunctions.labelFrom(col("s"))).as[String].collect()
+    val rels = df.select(TextFunctions.relationshipName(col("s"))).as[String].collect()
+    assert(labels.toSeq == Seq("SoldTo", "WorksAt"))
+    assert(rels.toSeq == Seq("SOLD_TO", "WORKS_AT"))
+  }
+
+  test("tokenCount handles empty and multi-space text") {
+    val out = Seq("", "  ", "one", "a  b c").toDF("s")
+      .select(TextFunctions.tokenCount(col("s"))).as[Int].collect()
+    assert(out.toSeq == Seq(0, 0, 1, 3))
+  }
+
+  test("langId votes by stopword hits with deterministic ties") {
+    val out = Seq("the cat sat on the mat", "el gato y la casa", "xyzzy qwerty")
+      .toDF("s").select(TextFunctions.langId(col("s"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("hashEmbedding is deterministic and in [-1,1]") {
+    val a = Seq("doc one").toDF("s")
+      .select(VectorFunctions.hashEmbedding(col("s"), 16)).as[Seq[Double]].head()
+    val b = Seq("doc one").toDF("s")
+      .select(VectorFunctions.hashEmbedding(col("s"), 16)).as[Seq[Double]].head()
+    assert(a == b)
+    assert(a.forall(v => v >= -1.0 && v <= 1.0))
+    assert(a.distinct.size > 1)
+  }
+
+  test("CosineSimilarity expression matches the composed fold bit-for-bit") {
+    CosineSimilarity.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.25f, 0.125f), Array(-0.5f, 0.25f, 0.75f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      CosineSimilarity.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b")).as("composed"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, c) => assert(n == c) }
+  }
+
+  test("CosineSimilarity handles zero vectors and works from SQL") {
+    CosineSimilarity.register(spark)
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(z.select(CosineSimilarity.cosine(col("a"), col("b")))
+      .as[Double].head() == 0.0)
+    z.createOrReplaceTempView("zv")
+    assert(spark.sql("SELECT cosine_sim(a, b) FROM zv").as[Double].head() == 0.0)
+  }
+
+  test("minhash of identical texts is identical; simhash hamming 0") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val sigs = df.select(HashFunctions.minhashSignature(col("text"), 8))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    val sims = df.select(HashFunctions.simhash32(col("text"))).as[Long].collect()
+    assert(sims(0) == sims(1))
+    assert(sims(0) >= 0 && sims(0) < (1L << 32))
+  }
+}

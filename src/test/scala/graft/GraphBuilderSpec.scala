@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.{DeleteSources, GraphTables, LexicalGraphBuilder}
+
+class GraphBuilderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta " * 8, "web"),
+    (2L, "one two three four five six seven eight " * 8, "pdf"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta " * 8, "web2"))
+    .toDF("doc_id", "text", "source")
+
+  private lazy val g: GraphTables =
+    LexicalGraphBuilder.fromDocuments(docs, "text", Seq("doc_id", "source"))
+
+  test("build is deterministic: same input, same ids") {
+    val g2 = LexicalGraphBuilder.fromDocuments(docs, "text", Seq("doc_id", "source"))
+    val a = g.statements.select("statement_id").as[String].collect().sorted
+    val b = g2.statements.select("statement_id").as[String].collect().sorted
+    assert(a.toSeq == b.toSeq)
+    assert(g.sources.count() == 3)
+  }
+
+  test("chunk linked list is consistent per source") {
+    val chunks = g.chunks.select("source_id", "chunk_id", "seq", "prev_id", "next_id")
+      .collect().groupBy(_.getString(0))
+    chunks.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.head.isNullAt(3)) // first has no prev
+      assert(sorted.last.isNullAt(4)) // last has no next
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(4) == b.getString(1)) // a.next == b
+          assert(b.getString(3) == a.getString(1)) // b.prev == a
+        case _ =>
+      }
+    }
+  }
+
+  test("referential integrity across the graph tables") {
+    val chunkIds = g.chunks.select("chunk_id")
+    assert(g.statements.join(chunkIds, Seq("chunk_id"), "left_anti").count() == 0)
+    assert(g.topicMentionedIn.join(chunkIds, Seq("chunk_id"), "left_anti").count() == 0)
+    val topicIds = g.topics.select("topic_id")
+    assert(g.statements.join(topicIds, Seq("topic_id"), "left_anti").count() == 0)
+    val stmtIds = g.statements.select("statement_id")
+    assert(g.factSupports.join(stmtIds, Seq("statement_id"), "left_anti").count() == 0)
+    val factIds = g.facts.select("fact_id")
+    assert(g.factSupports.join(factIds, Seq("fact_id"), "left_anti").count() == 0)
+    val entityIds = g.entities.select(col("entity_id"))
+    assert(g.facts.select(col("subject_entity_id").as("entity_id"))
+      .join(entityIds, Seq("entity_id"), "left_anti").count() == 0)
+  }
+
+  test("identical text under different sources yields distinct chunk ids") {
+    // doc 1 and doc 3 share text; chunk ids are source-scoped so they differ
+    val bySource = g.chunks.groupBy("source_id").count().as[(String, Long)].collect()
+    assert(bySource.length == 3)
+    assert(g.chunks.select("chunk_id").distinct().count() == g.chunks.count())
+  }
+
+  test("DeleteSources cascades and GCs orphans; shared topics survive") {
+    val delId = g.chunks.join(
+      g.sources.filter(element_at(col("metadata"), "doc_id") === "2")
+        .select("source_id"), Seq("source_id"), "left_semi")
+      .select("source_id").distinct()
+    val after = DeleteSources(g, delId)
+    assert(after.sources.count() == 2)
+    // all of doc 2's chunks/statements gone
+    assert(after.chunks.count() < g.chunks.count())
+    assert(after.statements.join(after.chunks.select("chunk_id"),
+      Seq("chunk_id"), "left_anti").count() == 0)
+    // doc 1 == doc 3 text, so their (identical) topics survive
+    assert(after.topics.count() > 0)
+    // no orphan facts: every fact still supports a live statement
+    assert(after.facts.join(after.factSupports.select("fact_id"),
+      Seq("fact_id"), "left_anti").count() == 0)
+    // deleting everything empties every table
+    val none = DeleteSources(g, g.sources.select("source_id"))
+    assert(none.chunks.count() == 0 && none.topics.count() == 0 &&
+      none.facts.count() == 0 && none.entities.count() == 0)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.LexicalGraphBuilder
+import graft.retrieve.{ChunkBasedRetriever, EntityContextProvider, Retrievers, TopicBeamSearch}
+
+class RetrieversSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark joins tables fast spark joins tables fast spark joins " * 6, "a"),
+    (2L, "cats chase mice daily cats chase mice daily cats chase " * 6, "b"),
+    (3L, "query engines scan parquet files query engines scan parquet " * 6, "c"))
+    .toDF("doc_id", "text", "source")
+
+  private lazy val g = LexicalGraphBuilder
+    .fromDocuments(docs, "text", Seq("doc_id", "source")).persistAll()
+
+  private lazy val queryEmb: Seq[Double] = {
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(graft.functions.VectorFunctions
+      .hashEmbedding(lit("spark joins tables"), LexicalGraphBuilder.EmbeddingDim))
+      .as[Seq[Double]].head()
+  }
+
+  test("chunk-based search returns scored flat statements") {
+    val out = ChunkBasedRetriever.search(g, queryEmb, vssTopK = 5)
+    assert(out.count() > 0)
+    assert(out.columns.toSet == Set("source_id", "topic_id", "statement_id",
+      "chunk_id", "statement", "score"))
+  }
+
+  test("full query pipeline produces nested context") {
+    val out = ChunkBasedRetriever.query(g, queryEmb)
+    assert(out.count() > 0 && out.count() <= 5)
+    assert(out.columns.contains("context_json"))
+  }
+
+  test("topic-based search materializes statements for seed topics") {
+    val seed = g.topics.limit(1).select("topic_id")
+    val out = Retrievers.topicBased(g, seed)
+    assert(out.count() > 0)
+  }
+
+  test("entity-based search includes the var-length 0..1 PREVIOUS hop") {
+    val seedEntity = g.facts.limit(1)
+      .select(col("subject_entity_id").as("entity_id"))
+    val out = Retrievers.entityBased(g, seedEntity)
+    assert(out.count() > 0)
+  }
+
+  test("entity path facts finds facts on bounded paths") {
+    val start = g.entities.orderBy("entity_id").limit(1)
+      .select(col("entity_id"))
+    val ends = g.entities.select(col("entity_id")) // all ends -> paths exist
+    val out = Retrievers.entityPathFacts(g, start, ends)
+    assert(out.count() >= 0) // shape check; non-empty depends on fixture graph
+  }
+
+  test("composite union applies weights") {
+    val a = ChunkBasedRetriever.search(g, queryEmb, 3)
+    val out = Retrievers.composite(Seq((a, 2.0), (a, 0.5)))
+    assert(out.count() == a.count() * 2)
+    val maxA = a.agg(max("score")).as[Double].head()
+    val maxOut = out.agg(max("score")).as[Double].head()
+    assert(maxOut == maxA * 2.0)
+  }
+
+  test("topic beam search expands and scores by depth") {
+    val seed = g.topics.orderBy("topic_id").limit(1).select("topic_id")
+    val out = TopicBeamSearch.search(g, seed, queryEmb, beamWidth = 10, depth = 2)
+    assert(out.filter(col("depth") === 0).count() == 1)
+    assert(out.count() >= 1)
+    assert(out.columns.toSet == Set("topic_id", "score", "depth"))
+  }
+
+  test("entity context expansion respects depth and exclusions") {
+    val seed = g.entities.orderBy("entity_id").limit(1).select("entity_id")
+    val tree = EntityContextProvider.expand(g, seed, maxDepth = 2)
+    assert(tree.filter(col("depth") === 0).count() == 1)
+    val excluded = EntityContextProvider.expand(g, seed, maxDepth = 2,
+      exclude = Some(seed))
+    assert(excluded.count() == 0)
+    val scores = EntityContextProvider.entityScores(g)
+    assert(scores.count() > 0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.byokg.Traversal
+
+class TraversalSpec extends SparkSpec {
+  import spark.implicits._
+
+  //   a -r1-> b -r2-> c -r1-> d ;  a -r2-> e ;  e -r1-> c
+  private lazy val edges = Seq(
+    ("a", "b", "r1"), ("b", "c", "r2"), ("c", "d", "r1"),
+    ("a", "e", "r2"), ("e", "c", "r1"))
+    .toDF("src", "dst", "label")
+
+  private def seeds(ns: String*) = ns.toDF("node")
+
+  test("oneHop returns the frontier's out-edges") {
+    val out = Traversal.oneHop(edges, seeds("a"))
+      .select("dst").as[String].collect().sorted
+    assert(out.toSeq == Seq("b", "e"))
+  }
+
+  test("kHopTriplets unions hops without duplicates") {
+    val out = Traversal.kHopTriplets(edges, seeds("a"), 2)
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(("a", "b", "r1"), ("a", "e", "r2"),
+      ("b", "c", "r2"), ("e", "c", "r1")))
+  }
+
+  test("metapath follows the exact label sequence") {
+    val out = Traversal.followMetapath(edges, seeds("a"), Seq("r1", "r2"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("c")) // a-r1->b-r2->c; a-r2->e doesn't match r1 first
+  }
+
+  test("shortestDistances BFS with early exit and bound") {
+    val out = Traversal.shortestDistances(edges, seeds("a"), 3)
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("a" -> 0, "b" -> 1, "e" -> 1, "c" -> 2, "d" -> 3))
+    val bounded = Traversal.shortestDistances(edges, seeds("a"), 1)
+      .as[(String, Int)].collect().toMap
+    assert(bounded == Map("a" -> 0, "b" -> 1, "e" -> 1))
+  }
+
+  test("undirected traversal reaches ancestors") {
+    val out = Traversal.shortestDistances(edges, seeds("d"), 2, undirected = true)
+      .as[(String, Int)].collect().toMap
+    assert(out("c") == 1 && out("b") == 2 && out("e") == 2)
+  }
+
+  test("verbalizeTriplets formats src [label] dst") {
+    val out = Traversal.verbalizeTriplets(Traversal.oneHop(edges, seeds("a")))
+      .as[String].collect().sorted
+    assert(out.toSeq == Seq("a [r1] b", "a [r2] e"))
+  }
+}
