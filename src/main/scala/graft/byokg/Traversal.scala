@@ -28,13 +28,16 @@ object Traversal {
   }
 
   /** k-hop triplet expansion: union of triplets reached within k hops
-    * (reference graph_traversal.py:94-113). */
+    * (reference graph_traversal.py:94-113). The edge frame is cached for the
+    * duration of the loop — each hop re-probes it. */
   def kHopTriplets(edges: DataFrame, seeds: DataFrame, k: Int,
                    undirected: Boolean = false): DataFrame = {
+    val e = (if (undirected) undirect(edges) else edges).cache()
     var frontier = seeds.select(col("node")).distinct()
     var acc: DataFrame = null
     for (_ <- 1 to k) {
-      val hop = oneHop(edges, frontier, undirected)
+      val hop = e.join(
+        broadcast(frontier.select(col("node").as("src")).distinct()), Seq("src"))
       acc = if (acc == null) hop else acc.union(hop)
       frontier = hop.select(col("dst").as("node")).distinct()
     }
@@ -46,7 +49,7 @@ object Traversal {
   def followMetapath(edges: DataFrame, seeds: DataFrame,
                      metapath: Seq[String],
                      undirected: Boolean = false): DataFrame = {
-    val e = if (undirected) undirect(edges) else edges
+    val e = (if (undirected) undirect(edges) else edges).cache()
     var frontier = seeds.select(col("node")).distinct()
     for (lbl <- metapath) {
       frontier = e.filter(col("label") === lbl)
@@ -63,7 +66,7 @@ object Traversal {
    */
   def shortestDistances(edges: DataFrame, seeds: DataFrame, maxDistance: Int,
                         undirected: Boolean = false): DataFrame = {
-    val e = if (undirected) undirect(edges) else edges
+    val e = (if (undirected) undirect(edges) else edges).cache()
     var visited = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = visited

@@ -28,15 +28,21 @@ object HashFunctions {
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** 2^31 - 1, the Mersenne prime used by the minhash affine family. */
+  val MinhashPrime: Long = 2147483647L
+
   /**
-   * MinHash signature: for each of `numHashes` seeded hash functions, the
-   * minimum over the shingle set. Standard shingle→minhash construction
-   * (Broder 1997); banding for LSH happens in [[graft.ops.Dedup]].
+   * MinHash signature: one md5 base hash per shingle, then `numHashes`
+   * affine rehashes ((a*x + b) mod p) and a min per hash function. Standard
+   * shingle→minhash construction (Broder 1997); banding for LSH happens in
+   * [[graft.ops.Dedup]]. All intermediates stay within 2^35 — safe in any
+   * engine's signed 64-bit arithmetic (the SQL oracle replays the formula).
    */
   def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
-    val sh = shingles(text, shingleSize)
+    val bases = transform(shingles(text, shingleSize), s => h60(s))
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => h60(i, s)))
+      array_min(transform(bases,
+        b => ((b % MinhashPrime) * (i + 1) + i) % MinhashPrime))
     }: _*)
   }
 

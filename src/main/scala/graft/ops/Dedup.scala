@@ -46,14 +46,19 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Materialize the shingle array once, then derive the signature from the
-    // column: keeps the (expensive) normalize+shingle subtree out of the
-    // 16-way signature expression so codegen computes it once per row.
+    // One md5 per shingle, then numHashes affine rehashes mod a 31-bit prime
+    // (classic (a*x+b) mod p family): ~16x less hashing than md5-per-seed.
+    // The signature frame is cached because the band self-join below scans it
+    // from both sides.
+    val P = H.MinhashPrime
     val sig = df
       .select(col(idCol).as("id"), H.shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("id"), transform(col("sh"), s => H.h60(s)).as("bases"))
       .select(col("id"), array((0 until numHashes).map { i =>
-        array_min(transform(col("sh"), s => H.h60(i, s)))
+        array_min(transform(col("bases"),
+          b => ((b % P) * (i + 1) + i) % P))
       }: _*).as("sig"))
+      .cache()
     // One row per (doc, band): bucket key = md5 of the band's signature slice.
     val banded = sig.select(
       col("id"), col("sig"),
@@ -124,10 +129,22 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.95,
       planes: Int = 0): DataFrame = {
+    graft.functions.CosineSimilarity.register(df.sparkSession)
+    val cosExpr = graft.functions.CosineSimilarity.cosine(
+      col("emb_a"), col("emb_b"))
     val base = df.select(col(idCol).as("id"), V.toDouble(col(embCol)).as("emb"))
-    val bucketed =
-      if (planes <= 0) base.withColumn("bucket", lit(0))
-      else {
+    if (planes <= 0) {
+      // Exact mode: broadcast nested-loop join — parallelized by the left
+      // side's partitions instead of collapsing onto one shuffle key.
+      val a = base.select(col("id").as("id_a"), col("emb").as("emb_a"))
+      val b = base.select(col("id").as("id_b"), col("emb").as("emb_b"))
+      return a.crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), cosExpr.as("cos"))
+        .filter(col("cos") >= threshold)
+    }
+    val bucketed = {
+      {
         val signs = (0 until planes).map { p =>
           // plane_p[i] = hash(p,i) in [-1,1]; sign of dot(emb, plane_p)
           val proj = aggregate(
@@ -141,11 +158,12 @@ object Dedup {
         }
         base.withColumn("bucket", concat_ws("", signs: _*))
       }
+    }
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), V.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .select(col("id_a"), col("id_b"), cosExpr.as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{VectorFunctions => V, HashFunctions => H}
+import graft.functions.{CosineSimilarity, VectorFunctions => V, HashFunctions => H}
 
 /**
  * Similarity search over an embedding column.
@@ -20,12 +20,19 @@ import graft.functions.{VectorFunctions => V, HashFunctions => H}
  */
 object Similarity {
 
+  /** The codegen'd cosine (bit-identical to the composed fold, no
+    * intermediate arrays); registers the expression on first use. */
+  private def cos(df: DataFrame)(a: Column, b: Column): Column = {
+    CosineSimilarity.register(df.sparkSession)
+    CosineSimilarity.cosine(a, b)
+  }
+
   /** Exact brute-force cosine top-k. Ties broken by id for determinism. */
   def topK(index: DataFrame, embCol: String, idCol: String,
            query: Seq[Double], k: Int): DataFrame = {
     val q = typedLit(query)
     index
-      .select(col(idCol).as("id"), V.cosine(col(embCol), q).as("score"))
+      .select(col(idCol).as("id"), cos(index)(col(embCol), q).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
   }
@@ -39,7 +46,7 @@ object Similarity {
     val q = typedLit(query)
     val fetched = index
       .select(col(idCol).as("id"), col(groupCol).as("grp"),
-        V.cosine(col(embCol), q).as("score"))
+        cos(index)(col(embCol), q).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k * diversityFactor)
     val w = Window.partitionBy(col("grp")).orderBy(desc("score"), col("id"))
@@ -84,7 +91,7 @@ object Similarity {
     val q = typedLit(query)
     assigned
       .filter(col("ivf_cell").isin(probeCells: _*))
-      .select(col(idCol).as("id"), V.cosine(col(embCol), q).as("score"))
+      .select(col(idCol).as("id"), cos(assigned)(col(embCol), q).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
   }
@@ -98,7 +105,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("nid"))
     l.crossJoin(broadcast(r))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("score", V.cosine(col("q_emb"), col("n_emb")))
+      .withColumn("score", cos(l)(col("q_emb"), col("n_emb")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("score"), col("rk"))

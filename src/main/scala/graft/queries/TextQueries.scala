@@ -178,10 +178,12 @@ object TextQueries {
        |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks FROM documents),
        |sh AS (
        |  SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tok),
+       |bases AS (
+       |  SELECT doc_id, list_transform(sh, s -> ${h60Sql("s")}) AS bases FROM sh),
        |sig AS (
        |  SELECT doc_id, list_transform(range(16), h ->
-       |    list_min(list_transform(sh, s -> ${h60Sql("h::VARCHAR||'#'||s")}))) AS sig
-       |  FROM sh),
+       |    list_min(list_transform(bases, b -> ((b % 2147483647) * (h+1) + h) % 2147483647))) AS sig
+       |  FROM bases),
        |banded AS (
        |  SELECT doc_id, sig, unnest(range(8)) AS band FROM sig),
        |buck AS (
