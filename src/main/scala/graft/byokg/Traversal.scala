@@ -19,6 +19,12 @@ object Traversal {
     edges.select(col("src"), col("dst"), col("label"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("label")))
 
+  /** The frame every hop of a loop re-probes: cache only the derived
+    * undirected union — a directed input is the caller's (already cached,
+    * see [[graft.queries.Tables.edges]]) frame and must not be re-cached. */
+  private def loopEdges(edges: DataFrame, undirected: Boolean): DataFrame =
+    if (undirected) undirect(edges).cache() else edges
+
   /** One-hop expansion: triplets whose src is in `frontier(node)`
     * (reference graph_traversal.py:14-79). */
   def oneHop(edges: DataFrame, frontier: DataFrame,
@@ -32,7 +38,7 @@ object Traversal {
     * duration of the loop — each hop re-probes it. */
   def kHopTriplets(edges: DataFrame, seeds: DataFrame, k: Int,
                    undirected: Boolean = false): DataFrame = {
-    val e = (if (undirected) undirect(edges) else edges).cache()
+    val e = loopEdges(edges, undirected)
     var frontier = seeds.select(col("node")).distinct()
     var acc: DataFrame = null
     for (_ <- 1 to k) {
@@ -49,7 +55,7 @@ object Traversal {
   def followMetapath(edges: DataFrame, seeds: DataFrame,
                      metapath: Seq[String],
                      undirected: Boolean = false): DataFrame = {
-    val e = (if (undirected) undirect(edges) else edges).cache()
+    val e = loopEdges(edges, undirected)
     var frontier = seeds.select(col("node")).distinct()
     for (lbl <- metapath) {
       frontier = e.filter(col("label") === lbl)
@@ -66,7 +72,7 @@ object Traversal {
    */
   def shortestDistances(edges: DataFrame, seeds: DataFrame, maxDistance: Int,
                         undirected: Boolean = false): DataFrame = {
-    val e = (if (undirected) undirect(edges) else edges).cache()
+    val e = loopEdges(edges, undirected)
     var visited = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = visited

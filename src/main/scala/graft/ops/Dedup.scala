@@ -46,18 +46,15 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // One md5 per shingle, then numHashes affine rehashes mod a 31-bit prime
-    // (classic (a*x+b) mod p family): ~16x less hashing than md5-per-seed.
-    // The signature frame is cached because the band self-join below scans it
-    // from both sides.
-    val P = H.MinhashPrime
+    // Signature via the compiled MinhashSignature expression (one tight loop
+    // per row — see graft.functions.MinhashSignature for why the composed
+    // higher-order-function form is ~50x slower). The signature frame is
+    // cached because the band self-join below scans it from both sides.
+    graft.functions.MinhashSignature.register(df.sparkSession)
     val sig = df
-      .select(col(idCol).as("id"), H.shingles(col(textCol), shingleSize).as("sh"))
-      .select(col("id"), transform(col("sh"), s => H.h60(s)).as("bases"))
-      .select(col("id"), array((0 until numHashes).map { i =>
-        array_min(transform(col("bases"),
-          b => ((b % P) * (i + 1) + i) % P))
-      }: _*).as("sig"))
+      .select(col(idCol).as("id"),
+        graft.functions.MinhashSignature
+          .signature(col(textCol), numHashes, shingleSize).as("sig"))
       .cache()
     // One row per (doc, band): bucket key = md5 of the band's signature slice.
     val banded = sig.select(

@@ -64,6 +64,27 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT cosine_sim(a, b) FROM zv").as[Double].head() == 0.0)
   }
 
+  test("MinhashSignature expression matches the composed-Column form exactly") {
+    graft.functions.MinhashSignature.register(spark)
+    val texts = Seq(
+      "The quick brown fox, jumps over the lazy dog!",
+      "a b",          // fewer tokens than the shingle size
+      "",             // empty after normalization
+      "  Punct.-only;;;   ",
+      "repeat repeat repeat repeat repeat")
+    val df = texts.toDF("text")
+    val rows = df.select(
+      graft.functions.MinhashSignature.signature(col("text"), 16, 3).as("native"),
+      HashFunctions.minhashSignature(col("text"), 16, 3).as("composed"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (n, c) => assert(n == c) }
+    // and via SQL
+    df.createOrReplaceTempView("mh")
+    val sql = spark.sql("SELECT minhash_sig(text, 16, 3) FROM mh")
+      .as[Seq[Long]].collect()
+    assert(sql.toSeq == rows.map(_._1).toSeq)
+  }
+
   test("minhash of identical texts is identical; simhash hamming 0") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
