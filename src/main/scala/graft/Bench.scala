@@ -26,6 +26,7 @@ object Bench {
     // loads the whole adjacency map before any traversal is timed.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     graft.queries.Tables.edges(spark, sfDir).count()
+    graft.queries.Tables.undirectedEdges(spark, sfDir).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

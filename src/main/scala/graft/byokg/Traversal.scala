@@ -71,24 +71,60 @@ object Traversal {
    * (reference graph_traversal.py:156-231). Returns (node, dist).
    */
   def shortestDistances(edges: DataFrame, seeds: DataFrame, maxDistance: Int,
-                        undirected: Boolean = false): DataFrame = {
+                        undirected: Boolean = false,
+                        eager: Boolean = true): DataFrame = {
+    if (!eager) return shortestDistancesLazy(edges, seeds, maxDistance, undirected)
     val e = loopEdges(edges, undirected)
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(true)
-    var frontier = visited
+    // One eagerly-materialized (localCheckpoint: flat lineage) layer per
+    // depth. The visited set probed by the anti-join is the lazy union of the
+    // checkpointed layers — small, so it broadcasts; re-checkpointing it
+    // every round would double the jobs per hop for nothing.
+    val first = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer(first)
+    var frontier = first
     var d = 0
-    while (d < maxDistance && !frontier.isEmpty) {
+    var drained = frontier.isEmpty
+    while (d < maxDistance && !drained) {
       d += 1
+      val visited = layers.reduce(_ union _)
       val next = e
         .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("dist", lit(d))
-      // localCheckpoint truncates lineage so the plan stays flat across hops
-      frontier = next.localCheckpoint(true)
-      visited = visited.union(frontier).localCheckpoint(true)
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      drained = next.isEmpty
+      if (!drained) { layers += next; frontier = next }
     }
-    visited
+    layers.zipWithIndex
+      .map { case (f, i) => f.withColumn("dist", lit(i)) }
+      .reduce(_ union _)
+  }
+
+  /** Declarative unrolled BFS: no checkpoints, no per-hop driver jobs — one
+    * Catalyst plan, one job at action time. Each layer is `.cache()`d (lazy,
+    * no job) because it appears in later layers' plans twice (probe + anti);
+    * without the cache the recompute is exponential in depth. Right for
+    * small bounded depths where the eager loop's per-hop scheduling overhead
+    * dominates; the eager variant remains the scale path for deep/unknown
+    * frontiers (flat plan, early exit when the frontier drains). */
+  private def shortestDistancesLazy(edges: DataFrame, seeds: DataFrame,
+                                    maxDistance: Int,
+                                    undirected: Boolean): DataFrame = {
+    val e = if (undirected) undirect(edges) else edges
+    var frontier = seeds.select(col("node")).distinct().cache()
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to maxDistance) {
+      val visited = layers.reduce(_ union _)
+      frontier = e
+        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(visited), Seq("node"), "left_anti")
+        .cache()
+      layers += frontier
+    }
+    layers.zipWithIndex
+      .map { case (f, i) => f.withColumn("dist", lit(i)) }
+      .reduce(_ union _)
   }
 
   /** Triplet verbalization: "src [relation] dst" lines, one string per path

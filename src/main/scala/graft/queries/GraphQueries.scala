@@ -30,10 +30,11 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
-    // §2.13 BFS shortest distances (undirected, bounded depth).
+    // §2.13 BFS shortest distances (undirected, bounded depth). Probes the
+    // memoized both-direction edge frame (undirected=false: already swapped).
     "q_shortest_path" -> ((s, dir) => {
       val seed = s.createDataFrame(Seq(Tuple1("c:0"))).toDF("node")
-      Traversal.shortestDistances(edges(s, dir), seed, 3, undirected = true)
+      Traversal.shortestDistances(Tables.undirectedEdges(s, dir), seed, 3)
         .orderBy(col("node"))
     }),
 

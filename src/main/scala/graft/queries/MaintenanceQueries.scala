@@ -116,17 +116,28 @@ object MaintenanceQueries {
     // undirected co-occurrence relation (multi-entity path search).
     "q_varlength_paths" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val co = li.alias("x").join(li.alias("y"), Seq("l_orderkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-      val starts = li.filter(col("l_orderkey") === 1).select(col("l_partkey").as("a")).distinct()
-      val ends = li.filter(col("l_orderkey") === 2).select(col("l_partkey").as("b")).distinct()
-      val e1 = co.join(broadcast(starts), Seq("a"))
+      val starts = li.filter(col("l_orderkey") === 1)
+        .select(col("l_partkey").as("a")).distinct()
+      val ends = li.filter(col("l_orderkey") === 2)
+        .select(col("l_partkey").as("b")).distinct()
+      // Both hops probe the co-occurrence relation only from a known (tiny)
+      // endpoint set, so the endpoint restriction is pushed INTO the
+      // co-occurrence build: the full part-part graph (O(sum deg^2) pairs —
+      // quadratic blowup at 100 TB) is never materialized.
+      val e1 = li.join(broadcast(starts), col("l_partkey") === col("a"))
+        .select(col("l_orderkey"), col("a"))
+        .join(li, Seq("l_orderkey"))
+        .filter(col("a") =!= col("l_partkey"))
+        .select(col("a"), col("l_partkey").as("b")).distinct()
+      val co2End = li.join(broadcast(ends), col("l_partkey") === col("b"))
+        .select(col("l_orderkey"), col("b"))
+        .join(li, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("b"))
+        .select(col("l_partkey").as("m"), col("b")).distinct()
       val p1 = e1.join(broadcast(ends), Seq("b"))
         .select(array(col("a"), col("b")).as("nodes"))
       val p2 = e1.select(col("a"), col("b").as("m"))
-        .join(co.select(col("a").as("m"), col("b")), Seq("m"))
-        .join(broadcast(ends), Seq("b"))
+        .join(co2End, Seq("m"))
         .filter(col("a") =!= col("m") && col("m") =!= col("b"))
         .select(array(col("a"), col("m"), col("b")).as("nodes"))
       p1.union(p2).select(explode(col("nodes")).as("part_node")).distinct()

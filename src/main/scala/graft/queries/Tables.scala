@@ -31,6 +31,19 @@ object Tables {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Both-direction view of [[edges]] (src↔dst swapped union), memoized the
+    * same way — undirected traversals probe this every hop. */
+  def undirectedEdges(s: SparkSession, dir: String): DataFrame =
+    undirectedCache.getOrElseUpdate((s, dir), {
+      val e = edges(s, dir)
+      e.select(col("src"), col("dst"), col("label"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst"), col("label")))
+        .cache()
+    })
+
+  private val undirectedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def buildEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val lineitem = t(s, dir, "lineitem")

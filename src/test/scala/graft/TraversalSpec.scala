@@ -41,6 +41,16 @@ class TraversalSpec extends SparkSpec {
     assert(bounded == Map("a" -> 0, "b" -> 1, "e" -> 1))
   }
 
+  test("lazy (single-plan) shortestDistances matches the eager loop") {
+    for (und <- Seq(false, true); depth <- Seq(1, 2, 3)) {
+      val eager = Traversal.shortestDistances(edges, seeds("a"), depth, und)
+        .as[(String, Int)].collect().toMap
+      val lazee = Traversal.shortestDistances(edges, seeds("a"), depth, und,
+        eager = false).as[(String, Int)].collect().toMap
+      assert(eager == lazee, s"undirected=$und depth=$depth")
+    }
+  }
+
   test("undirected traversal reaches ancestors") {
     val out = Traversal.shortestDistances(edges, seeds("d"), 2, undirected = true)
       .as[(String, Int)].collect().toMap
