@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.MaintenanceQueries.queries
+      graft.queries.MaintenanceQueries.queries ++
+      graft.queries.ProcessorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.VectorQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
-      graft.queries.MaintenanceQueries.oracles
+      graft.queries.MaintenanceQueries.oracles ++
+      graft.queries.ProcessorQueries.oracles
 }

@@ -18,6 +18,22 @@ final case class GraphTables(
     entities: DataFrame,
     entityRelations: DataFrame) {
 
+  /** Topic-level embedding view: first statement's embedding stands in for
+    * the topic; cached once per graph — the reference pre-caches topic
+    * embeddings the same way (topic_beam_search.py:91-105). */
+  lazy val topicEmbeddings: DataFrame =
+    statements.select(col("topic_id"), col("embedding"))
+      .dropDuplicates("topic_id").cache()
+
+  /** Topic→entity projection probed by beam entity-overlap expansion every
+    * depth; cached once per graph. */
+  lazy val topicEntities: DataFrame =
+    statements.select(col("topic_id"), col("statement_id"))
+      .join(factSupports, Seq("statement_id"))
+      .join(facts.select(col("fact_id"),
+        col("subject_entity_id").as("entity_id")), Seq("fact_id"))
+      .select(col("topic_id"), col("entity_id")).distinct().cache()
+
   def persistAll(): GraphTables = copy(
     sources = sources.cache(), chunks = chunks.cache(), topics = topics.cache(),
     topicMentionedIn = topicMentionedIn.cache(), statements = statements.cache(),

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.retrieve.{EntityContextProvider, Processors, TopicBeamSearch}
+
+/**
+ * Result-processor chain, set-op dedups, chunking, and retrieval-graph
+ * operators (SURVEY.md §2.5-§2.7, §2.12, §2.4 beam/context expansion) as
+ * oracle-gated queries.
+ *
+ * q_beam_topic / q_entity_context have no SQL oracle (iterative graph
+ * expansion with score-truncated frontiers is not expressible as one ANSI
+ * query) — the driver records the weaker rows-only check for them; their
+ * semantics are unit-tested in RetrieversSpec against hand-built fixtures.
+ */
+object ProcessorQueries {
+  import Tables.t
+
+  private val ChunkTokens = 32
+  private val ChunkStride = 28
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5/§3.1-step-6 processor chain over a retrieval-shaped frame derived
+    // from TPC-H: statements = lineitems, topics = orders, sources =
+    // customers; two "retrievers" (returnflag-R priced, high-quantity) union
+    // their results, then Dedup -> Prune -> TruncateStatements ->
+    // Disaggregate -> Rescore -> Sort.
+    "q_processor_chain" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val base = t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("source_id"),
+          col("l_orderkey").as("topic_id"),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("statement_id"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      // Integer (cent-scaled) scores: every aggregate downstream stays exact.
+      val retrA = base.filter(col("l_returnflag") === "R")
+        .withColumn("score", (col("l_extendedprice") * 100).cast("long"))
+      val retrB = base.filter(col("l_quantity") > 25)
+        .withColumn("score", (col("l_quantity") * 100000).cast("long"))
+      val unioned = retrA.union(retrB)
+        .select(col("source_id"), col("topic_id"), col("statement_id"),
+          col("score").cast("double").as("score"))
+      val chained = Processors.rescoreResults(
+        Processors.disaggregateResults(
+          Processors.truncateStatements(
+            Processors.pruneStatements(
+              Processors.dedupResults(unioned), 0.05), 3)))
+      Processors.sortResults(
+        chained.select(col("source_id"), col("topic_id"), col("statement_id"),
+          col("score"), col("topic_score"),
+          round(col("result_score"), 6).as("result_score")))
+    }),
+
+    // §2.7 context-prefix dedup: drop values that are proper prefixes of
+    // another value (entity_context_provider.py:187-249). The self-join is
+    // bucketed on the first character — a prefix pair always shares it — so
+    // the quadratic comparison happens per bucket, never across the corpus.
+    "q_prefix_dedup" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name").as("v")).distinct()
+      val keyed = names.withColumn("k", substring(col("v"), 1, 1))
+      val dominated = keyed
+        .join(keyed.select(col("k"), col("v").as("w")), Seq("k"))
+        .filter(col("w") =!= col("v") && col("w").startsWith(col("v")))
+        .select(col("v")).distinct()
+      names.join(dominated, Seq("v"), "left_anti").orderBy(col("v"))
+    }),
+
+    // §2.7 byokg order-preserving dedup: first occurrence per key, output in
+    // first-occurrence order (byokg_query_engine.py:101-116).
+    "q_orderpreserve_dedup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(min(col("event_id")).as("first_seen"))
+        .orderBy(col("first_seen"))
+    }),
+
+    // §2.12 chunking: sliding token windows (size 32, stride 28 — the
+    // reference's SentenceSplitter 256/25 shape, lexical_graph_index.py:197),
+    // one explode, no shuffle until the final order.
+    "q_chunk_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(T.searchStr(col("text")), "\\s+").as("toks"))
+        .withColumn("nt", size(col("toks")))
+        .withColumn("start", explode(sequence(lit(0),
+          greatest(expr(s"((nt - 1) div $ChunkStride) * $ChunkStride"), lit(0)),
+          lit(ChunkStride))))
+        .select(col("doc_id"), col("start"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkTokens)))
+            .as("chunk_text"))
+        .filter(length(col("chunk_text")) > 0)
+        .withColumn("n_chunk_toks", size(split(col("chunk_text"), " ")))
+        .orderBy(col("doc_id"), col("start"))
+    }),
+
+    // §2.4 topic beam search over the built lexical graph (rows-only).
+    "q_beam_topic" -> ((s, dir) => {
+      val g = Tables.lexicalGraph(s, dir)
+      val seeds = g.topics.orderBy(col("topic_id")).limit(3)
+        .select(col("topic_id"))
+      val queryEmb = (0 until graft.index.LexicalGraphBuilder.EmbeddingDim)
+        .map(i => math.sin(i + 1.0))
+      TopicBeamSearch.search(g, seeds, queryEmb, beamWidth = 20, depth = 2)
+        .select(col("topic_id"), round(col("score"), 6).as("score"), col("depth"))
+        .orderBy(col("depth"), desc("score"), col("topic_id"))
+    }),
+
+    // §2.4 entity context tree expansion with degree scores (rows-only).
+    "q_entity_context" -> ((s, dir) => {
+      val g = Tables.lexicalGraph(s, dir)
+      val seeds = g.entities.orderBy(col("entity_id")).limit(5)
+        .select(col("entity_id"))
+      EntityContextProvider.expand(g, seeds, maxDepth = 2)
+        .join(EntityContextProvider.entityScores(g), Seq("entity_id"), "left")
+        .select(col("entity_id"), col("depth"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .orderBy(col("depth"), col("entity_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_processor_chain" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS source_id, l_orderkey AS topic_id,
+        |    l_orderkey||'-'||l_linenumber AS statement_id,
+        |    l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |unioned AS (
+        |  SELECT source_id, topic_id, statement_id,
+        |    CAST(CAST(trunc(l_extendedprice*100) AS BIGINT) AS DOUBLE) AS score
+        |  FROM base WHERE l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT source_id, topic_id, statement_id,
+        |    CAST(CAST(trunc(l_quantity*100000) AS BIGINT) AS DOUBLE)
+        |  FROM base WHERE l_quantity > 25),
+        |dedup AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY statement_id ORDER BY score DESC, source_id) AS rn
+        |    FROM unioned) WHERE rn = 1),
+        |pruned AS (
+        |  SELECT * FROM dedup WHERE score >= (SELECT max(score)*0.05 FROM dedup)),
+        |trunc3 AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY topic_id ORDER BY score DESC, statement_id) AS sr
+        |    FROM pruned) WHERE sr <= 3),
+        |disagg AS (
+        |  SELECT *, max(score) OVER (PARTITION BY topic_id) AS topic_score
+        |  FROM trunc3),
+        |topicmeans AS (
+        |  SELECT source_id, topic_id, sum(score)/count(*) AS topic_mean
+        |  FROM trunc3 GROUP BY 1, 2),
+        |rescored AS (
+        |  SELECT source_id,
+        |    round(list_reduce(list_sort(list(topic_mean)), (a, b) -> a + b)
+        |      / count(*), 6) AS result_score
+        |  FROM topicmeans GROUP BY source_id)
+        |SELECT d.source_id, d.topic_id, d.statement_id, d.score, d.topic_score,
+        |  r.result_score
+        |FROM disagg d JOIN rescored r USING (source_id)
+        |ORDER BY d.score DESC, d.source_id, d.topic_id, d.statement_id""".stripMargin,
+
+    "q_prefix_dedup" ->
+      """WITH names AS (SELECT DISTINCT p_name AS v FROM part)
+        |SELECT v FROM names a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM names b
+        |  WHERE b.v <> a.v AND substr(b.v, 1, length(a.v)) = a.v)
+        |ORDER BY v""".stripMargin,
+
+    "q_orderpreserve_dedup" ->
+      """SELECT event_type, min(event_id) AS first_seen
+        |FROM events GROUP BY event_type ORDER BY first_seen""".stripMargin,
+
+    "q_chunk_split" -> {
+      val norm = TextQueries.normSql("text")
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex($norm,'\\s+') AS toks FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, greatest(((len(toks)-1)//$ChunkStride)*$ChunkStride, 0)+1, $ChunkStride)) AS start
+         |  FROM tok),
+         |ch AS (
+         |  SELECT doc_id, start,
+         |    array_to_string(list_slice(toks, start+1, start+$ChunkTokens), ' ') AS chunk_text
+         |  FROM st)
+         |SELECT doc_id, CAST(start AS INT) AS start, chunk_text,
+         |  len(string_split(chunk_text, ' ')) AS n_chunk_toks
+         |FROM ch WHERE length(chunk_text) > 0
+         |ORDER BY doc_id, start""".stripMargin
+    })
+}

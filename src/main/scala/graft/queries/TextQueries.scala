@@ -19,15 +19,15 @@ object TextQueries {
   import Tables.t
 
   /** DuckDB fragment: the searchStr normalization of a column. */
-  private def normSql(c: String): String =
+  private[queries] def normSql(c: String): String =
     s"lower(trim(regexp_replace(regexp_replace($c,'[[:punct:]]',' ','g'),'\\s+',' ','g')))"
 
   /** DuckDB fragment: 60-bit positive md5 hash of an expression. */
-  private def h60Sql(e: String): String =
+  private[queries] def h60Sql(e: String): String =
     s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
 
   /** DuckDB fragment: distinct 3-token shingles of pre-split tokens `toks`. */
-  private def shinglesSql(toks: String): String =
+  private[queries] def shinglesSql(toks: String): String =
     s"list_distinct(list_transform(range(greatest(len($toks)-3,0)+1), i -> array_to_string(list_slice($toks, i+1, i+3),' ')))"
 
   private def inListSql(words: Seq[String]): String =
@@ -106,6 +106,25 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(round(sum(col("tf") * log(lit(n) / col("df"))), 6).as("score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // §2.11 statement diversity (pairwise-dominance variant of the
+    // reference's tfidf-cosine 0.975 prune, statement_diversity.py:96-240):
+    // drop a document when an earlier-ranked one is >= 0.5 shingle-jaccard
+    // similar. Bounded to doc_id < 300 so the pair set stays quadratic-safe.
+    "q_statement_diversity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), H.shingles(col("text"), 3).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val dominated = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jac",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jac") >= 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      docs.join(dominated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
     // §2.13 fuzzy string entity linking (levenshtein ratio, top-k per query).
@@ -240,6 +259,19 @@ object TextQueries {
          |SELECT doc_id, round(sum(tf * ln(n.n / dfc.df)), 6) AS score
          |FROM tf JOIN dfc USING (term), n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_statement_diversity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents WHERE doc_id < 300),
+         |d AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tok),
+         |dom AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+         |SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dom)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_fuzzy_link" ->
       """WITH qs AS (SELECT unnest(['small ringg','red widgit','blue bolt','hot gearz']) AS query),

@@ -17,17 +17,19 @@ import graft.index.GraphTables
  */
 object TopicBeamSearch {
 
-  /** Topic-level embedding view: the first statement's embedding stands in
-    * for the topic (the reference embeds topics directly and caches them,
-    * topic_beam_search.py:91-105; a dedicated topic index can replace this). */
-  def topicEmbeddings(g: GraphTables): DataFrame =
-    g.statements.select(col("topic_id"), col("embedding"))
-      .dropDuplicates("topic_id")
+  /** Topic-level embedding view — delegates to the graph's cached member. */
+  def topicEmbeddings(g: GraphTables): DataFrame = g.topicEmbeddings
+
+  /** Topic→entity projection — delegates to the graph's cached member. */
+  def topicEntityView(g: GraphTables): DataFrame = g.topicEntities
 
   /** One expansion step: neighbor topics of the frontier via the three
-    * branches, each capped, deduped against the visited set. */
+    * branches, each capped, deduped against the visited set. Pass a cached
+    * `topicEntities` (from [[topicEntityView]]) when expanding in a loop —
+    * rebuilding the three-way join per depth is the slow path. */
   def expandOnce(g: GraphTables, frontier: DataFrame, visited: DataFrame,
-                 capPerBranch: Int = 100): DataFrame = {
+                 capPerBranch: Int = 100,
+                 topicEntities: Option[DataFrame] = None): DataFrame = {
     val f = broadcast(frontier.select(col("topic_id")).distinct())
 
     // Branch 1: topics mentioned in the same chunks.
@@ -46,16 +48,11 @@ object TopicBeamSearch {
       .join(broadcast(adj.distinct()), Seq("chunk_id"))
       .select(col("topic_id")).distinct().limit(capPerBranch)
 
-    // Branch 3: topics sharing entities (via statements -> facts -> entities),
-    // ranked by overlap strength.
-    val topicEntities = g.statements.select(col("topic_id"), col("statement_id"))
-      .join(g.factSupports, Seq("statement_id"))
-      .join(g.facts.select(col("fact_id"), col("subject_entity_id").as("entity_id")),
-        Seq("fact_id"))
-      .select(col("topic_id"), col("entity_id")).distinct()
-    val frontierEntities = topicEntities.join(f, Seq("topic_id"))
+    // Branch 3: topics sharing entities, ranked by overlap strength.
+    val te = topicEntities.getOrElse(topicEntityView(g))
+    val frontierEntities = te.join(f, Seq("topic_id"))
       .select(col("entity_id")).distinct()
-    val entityOverlap = topicEntities
+    val entityOverlap = te
       .join(broadcast(frontierEntities), Seq("entity_id"))
       .groupBy(col("topic_id")).agg(count(lit(1)).as("strength"))
       .orderBy(desc("strength"), col("topic_id"))
@@ -69,23 +66,29 @@ object TopicBeamSearch {
     * query and truncated to `beamWidth`. Returns (topic_id, score, depth). */
   def search(g: GraphTables, seedTopics: DataFrame, queryEmbedding: Seq[Double],
              beamWidth: Int = 100, depth: Int = 3): DataFrame = {
-    val topicEmb = topicEmbeddings(g)
+    val topicEmb = g.topicEmbeddings
+    val topicEntities = Some(g.topicEntities)
     def score(topics: DataFrame): DataFrame =
       topics.join(topicEmb, Seq("topic_id"))
         .select(col("topic_id"),
           V.cosine(col("embedding"), typedLit(queryEmbedding)).as("score"))
 
     var frontier = seedTopics.select(col("topic_id")).distinct().localCheckpoint(true)
-    var visited = frontier
+    // visited = lazy union of the checkpointed per-depth layers: each layer
+    // is already materialized, so re-checkpointing the union every round
+    // would only add driver jobs.
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
     var acc = score(frontier).withColumn("depth", lit(0))
     for (d <- 1 to depth) {
-      val next = expandOnce(g, frontier, visited)
+      val visited = layers.reduce(_ union _)
+      val next = expandOnce(g, frontier, visited, topicEntities = topicEntities)
       val scored = score(next)
         .orderBy(desc("score"), col("topic_id")).limit(beamWidth)
         .localCheckpoint(true)
       acc = acc.union(scored.withColumn("depth", lit(d)))
+      // scored is already checkpointed; the projection stays flat for free
       frontier = scored.select(col("topic_id"))
-      visited = visited.union(frontier).localCheckpoint(true)
+      layers += frontier
     }
     acc
   }

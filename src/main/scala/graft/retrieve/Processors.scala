@@ -58,11 +58,13 @@ object Processors {
   }
 
   /** PruneStatements: drop statements scoring below max_score * factor or an
-    * absolute floor (reference prune_statements.py:16-50). */
+    * absolute floor (reference prune_statements.py:16-50). The global max is
+    * a scalar aggregate broadcast back, NOT a whole-frame window — a window
+    * over lit(1) would funnel every row through one partition. */
   def pruneStatements(df: DataFrame, pruningFactor: Double = 0.05,
                       absoluteFloor: Double = 0.0): DataFrame = {
-    val w = Window.partitionBy(lit(1))
-    df.withColumn("max_score", max("score").over(w))
+    val mx = df.agg(max("score").as("max_score"))
+    df.crossJoin(broadcast(mx))
       .filter(col("score") >= greatest(col("max_score") * pruningFactor,
         lit(absoluteFloor)))
       .drop("max_score")
@@ -95,12 +97,17 @@ object Processors {
   }
 
   /** RescoreResults: source score = mean over its topics of the per-topic mean
-    * statement score (reference rescore_results.py:39-86). */
+    * statement score (reference rescore_results.py:39-86). The outer mean is a
+    * sorted sequential fold, not a plain double sum: float addition isn't
+    * associative, so an order-dependent sum differs run to run under Spark's
+    * nondeterministic partition merge order (and across engines). Sorting the
+    * addends first makes the score bit-reproducible everywhere. */
   def rescoreResults(df: DataFrame): DataFrame = {
     val perTopic = df.groupBy("source_id", "topic_id")
       .agg(avg("score").as("topic_mean"))
     val perSource = perTopic.groupBy("source_id")
-      .agg(avg("topic_mean").as("result_score"))
+      .agg((aggregate(sort_array(collect_list(col("topic_mean"))),
+        lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("result_score"))
     df.join(broadcast(perSource), Seq("source_id"))
   }
 
