@@ -19,7 +19,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.CosineSimilarity.register(spark)
+    GraftExtensions.registerAll(spark)
 
     // Warm the JVM/codegen paths outside any timed region, and materialize
     // the shared derived edge graph — the reference's LocalKGStore likewise
