@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.StreamingIngest
+
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  test("JSONL stream ingests per-file micro-batches with checkpoint dedup") {
+    val srcDir = Files.createTempDirectory("jsonl_src").toFile
+    val ckDir = Files.createTempDirectory("jsonl_ck").toFile
+    def writeFile(name: String, docs: Seq[(Long, String)]): Unit = {
+      val f = new java.io.File(srcDir, name)
+      val w = new java.io.PrintWriter(f)
+      docs.foreach { case (id, t) => w.println(s"""{"doc_id":$id,"text":"$t"}""") }
+      w.close()
+    }
+    writeFile("a.jsonl", Seq((1L, "alpha doc"), (2L, "beta doc")))
+    writeFile("b.jsonl", Seq((2L, "beta doc again"), (3L, "gamma doc")))
+
+    // doc 2 is already built — the checkpoint anti-join must drop BOTH its
+    // re-deliveries even though they arrive in different micro-batches.
+    val processed = Seq(Tuple1(2L)).toDF("doc_id")
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stream = StreamingIngest.jsonlStream(
+      spark, srcDir.getAbsolutePath, schema, filesPerTrigger = 1)
+    val q = StreamingIngest.ingest(stream, processed, "doc_id",
+      ckDir.getAbsolutePath) { (batch, batchId) =>
+      batch.select(col("doc_id")).as[Long](spark.implicits.newLongEncoder)
+        .collect().foreach(id => seen.add((batchId, id)))
+    }
+    q.awaitTermination(60000)
+
+    val ids = seen.toArray.map(_.asInstanceOf[(Long, Long)]._2).toSet
+    assert(ids == Set(1L, 3L))
+    // per-file micro-batching: the two fresh ids arrived in different batches
+    val batches = seen.toArray.map(_.asInstanceOf[(Long, Long)]._1).toSet
+    assert(batches.size == 2)
+  }
+}
