@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
-      graft.queries.ProcessorQueries.queries
+      graft.queries.ProcessorQueries.queries ++
+      graft.queries.LexicalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
-      graft.queries.ProcessorQueries.oracles
+      graft.queries.ProcessorQueries.oracles ++
+      graft.queries.LexicalQueries.oracles
 }

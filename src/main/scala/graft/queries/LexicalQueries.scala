@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Oracle gates for the indexing pipeline itself (SURVEY.md §2.12): the
+ * DuckDB oracle replays the deterministic extraction grammar — normalize →
+ * chunk windows → statement windows → subject/object entities — INCLUDING
+ * the md5 id scheme (graft.model.Ids), against the engine's actual built
+ * tables from [[Tables.lexicalGraph]]. A drift anywhere in the build DAG
+ * (normalization, window arithmetic, id hashing, dedup) breaks the hash
+ * match.
+ *
+ * Output columns are restricted to the id-determined ones (the builder's
+ * dropDuplicates keeps an arbitrary row per id; columns like chunk_id that
+ * vary across duplicate statement ids are excluded so results stay
+ * deterministic).
+ */
+object LexicalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lexical_statements" -> ((s, dir) => {
+      Tables.lexicalGraph(s, dir).statements
+        .select(col("statement_id"), col("topic_id"), col("value"))
+        .orderBy(col("statement_id"), col("topic_id"), col("value"))
+    }),
+
+    "q_lexical_entities" -> ((s, dir) => {
+      Tables.lexicalGraph(s, dir).entities
+        .select(col("entity_id"), col("value"), col("search_str"),
+          col("classification"))
+        .orderBy(col("entity_id"))
+    }),
+
+    "q_lexical_relations" -> ((s, dir) => {
+      Tables.lexicalGraph(s, dir).entityRelations
+        .select(col("src_entity_id"), col("relation_value"), col("dst_entity_id"))
+        .orderBy(col("src_entity_id"), col("dst_entity_id"))
+    }))
+
+  /** Shared oracle prefix: documents → chunk windows → statement windows,
+    * with ids (tenant t0; chunk 32/stride 28, statement windows of 8 —
+    * LexicalGraphBuilder constants). */
+  private val stmtCte: String = {
+    val norm = TextQueries.normSql("text")
+    s"""base AS (
+       |  SELECT doc_id, source, $norm AS nrm FROM documents),
+       |tok AS (
+       |  SELECT doc_id, source, string_split_regex(nrm,'\\s+') AS toks FROM base),
+       |ch AS (
+       |  SELECT doc_id, source, toks,
+       |    unnest(range(0, greatest(((len(toks)-1)//28)*28, 0)+1, 28)) AS cstart
+       |  FROM tok),
+       |chunks AS (
+       |  SELECT doc_id, source,
+       |    array_to_string(list_slice(toks, cstart+1, cstart+32), ' ') AS chunk_text
+       |  FROM ch),
+       |chunks2 AS (
+       |  SELECT *, string_split(chunk_text, ' ') AS ctoks,
+       |    't:'||substr(md5(lower(trim(string_split(chunk_text,' ')[1]))||'|'||'t0'),1,8) AS topic_id
+       |  FROM chunks WHERE length(chunk_text) > 0),
+       |st AS (
+       |  SELECT *, unnest(range(0, greatest(len(ctoks)-1, 0)+1, 8)) AS sstart
+       |  FROM chunks2),
+       |stmts AS (
+       |  SELECT topic_id,
+       |    array_to_string(list_slice(ctoks, sstart+1, sstart+8), ' ') AS stmt_text
+       |  FROM st),
+       |stmts2 AS (
+       |  SELECT topic_id, stmt_text,
+       |    's:'||substr(md5(topic_id||'|'||stmt_text),1,8) AS statement_id,
+       |    string_split(stmt_text, ' ') AS stoks
+       |  FROM stmts WHERE length(stmt_text) > 0)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_lexical_statements" ->
+      s"""WITH $stmtCte
+         |SELECT DISTINCT statement_id, topic_id, stmt_text AS value
+         |FROM stmts2
+         |ORDER BY statement_id, topic_id, value""".stripMargin,
+
+    "q_lexical_entities" ->
+      s"""WITH $stmtCte,
+         |vals AS (
+         |  SELECT stoks[1] AS value FROM stmts2
+         |  UNION ALL
+         |  SELECT stoks[len(stoks)] FROM stmts2)
+         |SELECT DISTINCT
+         |  'e:'||substr(md5(value||'|'||'Token'||'|'||'t0'),1,8) AS entity_id,
+         |  value, value AS search_str, 'Token' AS classification
+         |FROM vals ORDER BY entity_id""".stripMargin,
+
+    "q_lexical_relations" ->
+      s"""WITH $stmtCte
+         |SELECT DISTINCT
+         |  'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8) AS src_entity_id,
+         |  'NEAR' AS relation_value,
+         |  'e:'||substr(md5(stoks[len(stoks)]||'|'||'Token'||'|'||'t0'),1,8) AS dst_entity_id
+         |FROM stmts2
+         |ORDER BY src_entity_id, dst_entity_id""".stripMargin)
+}
