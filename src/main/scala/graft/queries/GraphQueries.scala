@@ -47,6 +47,16 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // §2.13 agentic retrieval loop (relation selection via stub LLM) —
+    // rows-only: the per-iteration relation-selection turn is a driver
+    // round-trip, not a single ANSI query.
+    "q_agentic" -> ((s, dir) => {
+      graft.byokg.AgenticRetriever.retrieve(
+        edges(s, dir), seeds(s, dir), "parts placed in orders",
+        new graft.llm.StubLLM, iterations = 2)
+        .orderBy(col("src"), col("dst"), col("label"))
+    }),
+
     // §2.13 triplet verbalization of a bounded expansion.
     "q_verbalize" -> ((s, dir) => {
       val hop = Traversal.kHopTriplets(edges(s, dir), seeds(s, dir), 1)

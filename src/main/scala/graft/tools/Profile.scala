@@ -54,6 +54,16 @@ object Profile {
         time("minhashLsh end-to-end") {
           graft.ops.Dedup.minhashLsh(docs, "text", "doc_id").count()
         }
+      case "explain" =>
+        // plan audit: dump formatted physical plans for selected queries
+        val names = if (args.length > 2) args(2).split(",").toSeq
+          else Seq("q_metadata_filter", "q_vector_topk", "q_join_chain",
+            "q_agg_sums", "q_central_materialization", "q_minhash_lsh")
+        graft.GraftExtensions.registerAll(spark)
+        names.foreach { n =>
+          println(s"===== $n =====")
+          graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+        }
       case _ => sys.error(s"unknown profile target $what")
     }
     spark.stop()
