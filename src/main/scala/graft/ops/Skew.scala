@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-resilient joins (the 100 TB story, SURVEY.md §4 spill/shuffle row):
+ * when a join key is heavily skewed (one entity mentioned in millions of
+ * statements), a plain shuffle join funnels the hot key through one task.
+ * Salting scatters the big side across `salt` sub-keys and replicates the
+ * small side once per sub-key, so the hot key's rows spread over `salt`
+ * tasks. AQE's skew-join handles sort-merge cases adaptively; this explicit
+ * form covers aggregations and joins where the salt must survive into
+ * downstream grouping.
+ */
+object Skew {
+
+  /**
+   * Salted inner equi-join on `key`: big side salted deterministically by
+   * spreading rows across `salt` buckets, small side exploded `salt` ways.
+   * Result equals `big.join(small, key)` row-for-row.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    // deterministic scatter: partition id + a per-row offset folded mod salt
+    val salted = big.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val exploded = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /**
+   * Two-phase (salted partial, then final) count aggregation per key —
+   * the map-side-combine shape made explicit for skewed groupBys whose
+   * per-key state is large (collect_set and friends).
+   */
+  def saltedCount(df: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("count"))
+  }
+}

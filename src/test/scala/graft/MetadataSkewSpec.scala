@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.filter.MetadataTypes
+import graft.ops.Skew
+
+class MetadataSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typeNameForKeyValue infers int/float/timestamp/text") {
+    val df = Seq(
+      ("count", "42"), ("ratio", "3.14"), ("ratio2", "1e-3"),
+      ("pub_date", "2024-01-15"), ("pub_date", "not a date"),
+      ("title", "hello world"), ("neg", "-7"))
+      .toDF("k", "v")
+    val out = df.select(col("k"), col("v"),
+      MetadataTypes.typeNameForKeyValue(col("k"), col("v")).as("t"))
+      .as[(String, String, String)].collect().toSeq
+    assert(out.contains(("count", "42", "int")))
+    assert(out.contains(("ratio", "3.14", "float")))
+    assert(out.contains(("ratio2", "1e-3", "float")))
+    assert(out.contains(("pub_date", "2024-01-15", "timestamp")))
+    assert(out.contains(("pub_date", "not a date", "text")))
+    assert(out.contains(("title", "hello world", "text")))
+    assert(out.contains(("neg", "-7", "int")))
+  }
+
+  test("datetime normalization to ISO-8601 across input shapes") {
+    val out = Seq("2024-01-15", "01/15/2024", "2024/01/15",
+      "2024-01-15 10:30:00", "garbage")
+      .toDF("v").select(MetadataTypes.toIso8601(col("v"))).as[String].collect()
+    assert(out(0) == "2024-01-15T00:00:00")
+    assert(out(1) == "2024-01-15T00:00:00")
+    assert(out(2) == "2024-01-15T00:00:00")
+    assert(out(3) == "2024-01-15T10:30:00")
+    assert(out(4) == null)
+  }
+
+  test("isDateTimeKey follows the suffix convention") {
+    assert(MetadataTypes.isDateTimeKey("published_date"))
+    assert(MetadataTypes.isDateTimeKey("CREATED_DATETIME"))
+    assert(!MetadataTypes.isDateTimeKey("date_of_birth_text"))
+  }
+
+  test("saltedJoin equals the plain join") {
+    // skewed: key 1 dominates
+    val big = ((1 to 500).map(_ => (1L, "x")) ++ Seq((2L, "y"), (3L, "z")))
+      .toDF("k", "payload").repartition(8)
+    val small = Seq((1L, "dim1"), (2L, "dim2"), (4L, "dim4")).toDF("k", "dim")
+    val salted = Skew.saltedJoin(big, small, "k", salt = 4)
+      .groupBy("k").count().as[(Long, Long)].collect().toMap
+    val plain = big.join(small, Seq("k"))
+      .groupBy("k").count().as[(Long, Long)].collect().toMap
+    assert(salted == plain)
+    assert(salted(1L) == 500)
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    val df = ((1 to 300).map(_ => Tuple1("hot")) ++ Seq(Tuple1("cold")))
+      .toDF("k").repartition(8)
+    val out = Skew.saltedCount(df, "k", salt = 4)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("hot" -> 300L, "cold" -> 1L))
+  }
+}
