@@ -34,6 +34,15 @@ final case class GraphTables(
         col("subject_entity_id").as("entity_id")), Seq("fact_id"))
       .select(col("topic_id"), col("entity_id")).distinct().cache()
 
+  /** Same tables with every frame coalesced to `n` partitions — size cached
+    * partitions to the data before persisting (see Tables.cachePartitions). */
+  def coalesced(n: Int): GraphTables = copy(
+    sources = sources.coalesce(n), chunks = chunks.coalesce(n),
+    topics = topics.coalesce(n), topicMentionedIn = topicMentionedIn.coalesce(n),
+    statements = statements.coalesce(n), facts = facts.coalesce(n),
+    factSupports = factSupports.coalesce(n), entities = entities.coalesce(n),
+    entityRelations = entityRelations.coalesce(n))
+
   def persistAll(): GraphTables = copy(
     sources = sources.cache(), chunks = chunks.cache(), topics = topics.cache(),
     topicMentionedIn = topicMentionedIn.cache(), statements = statements.cache(),

@@ -26,7 +26,16 @@ object Tables {
    * becomes a bucketed-by-src parquet table instead of an in-memory cache.
    */
   def edges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, dir), buildEdges(s, dir).cache())
+    edgeCache.getOrElseUpdate((s, dir),
+      buildEdges(s, dir).coalesce(cachePartitions(s)).cache())
+
+  /** Partition count for cached derived frames: at test scale the frames
+    * are a few tens of MB, so parallelism/4 keeps partitions near the
+    * 10-100 MB sweet spot instead of scattering 1-2 MB slivers across every
+    * core — the same partition-sizing rule that picks `buckets` at 100 TB
+    * (size / target-partition-bytes), applied downward. */
+  private def cachePartitions(s: SparkSession): Int =
+    math.max(4, s.sparkContext.defaultParallelism / 4)
 
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -52,7 +61,8 @@ object Tables {
   def lexicalGraph(s: SparkSession, dir: String): graft.index.GraphTables =
     graphCache.getOrElseUpdate((s, dir),
       graft.index.LexicalGraphBuilder.fromDocuments(
-        t(s, dir, "documents"), "text", Seq("doc_id", "source")).persistAll())
+          t(s, dir, "documents"), "text", Seq("doc_id", "source"))
+        .coalesced(cachePartitions(s)).persistAll())
 
   private val graphCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.index.GraphTables]
