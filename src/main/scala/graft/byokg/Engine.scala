@@ -76,12 +76,12 @@ object AgenticRetriever {
       val filtered = hop.filter(col("label").isin(chosen: _*))
         .localCheckpoint(true)
       acc = if (acc == null) filtered else acc.union(filtered)
-      // Next entities: strongest by in-frontier degree, capped.
+      // Next entities: strongest by in-frontier degree, capped. `filtered`
+      // is already checkpointed, so this projection stays flat lazily.
       frontier = filtered.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
         .orderBy(desc("deg"), col("dst"))
         .limit(topEntities)
         .select(col("dst").as("node"))
-        .localCheckpoint(true)
     }
     acc.distinct()
   }

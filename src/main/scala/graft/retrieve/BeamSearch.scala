@@ -32,16 +32,18 @@ object TopicBeamSearch {
                  topicEntities: Option[DataFrame] = None): DataFrame = {
     val f = broadcast(frontier.select(col("topic_id")).distinct())
 
-    // Branch 1: topics mentioned in the same chunks.
-    val frontierChunks = g.topicMentionedIn.join(f, Seq("topic_id"))
-      .select(col("chunk_id"))
+    // Branches 1 and 2 both probe the frontier's chunk set — build (and
+    // broadcast) it once.
+    val frontierChunks = broadcast(
+      g.topicMentionedIn.join(f, Seq("topic_id"))
+        .select(col("chunk_id")).distinct())
     val sameChunk = g.topicMentionedIn
-      .join(broadcast(frontierChunks.distinct()), Seq("chunk_id"))
+      .join(frontierChunks, Seq("chunk_id"))
       .select(col("topic_id")).distinct().limit(capPerBranch)
 
     // Branch 2: topics in adjacent (prev/next) chunks.
     val adj = g.chunks
-      .join(broadcast(frontierChunks.distinct()), Seq("chunk_id"))
+      .join(frontierChunks, Seq("chunk_id"))
       .select(explode(array(col("prev_id"), col("next_id"))).as("chunk_id"))
       .where(col("chunk_id").isNotNull)
     val adjacent = g.topicMentionedIn
