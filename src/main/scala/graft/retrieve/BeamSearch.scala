@@ -112,7 +112,8 @@ object EntityContextProvider {
 
   /** Expand the relation graph from seeds up to `maxDepth`, excluding
     * `exclude` ids; returns (entity_id, depth) of the context tree. */
-  def expand(g: GraphTables, seeds: DataFrame, maxDepth: Int = 3,
+  def expand(g: GraphTables, seeds: DataFrame,
+             maxDepth: Int = graft.model.Defaults.EcMaxDepth,
              exclude: Option[DataFrame] = None): DataFrame = {
     val excl = exclude.map(_.select(col("entity_id")).distinct())
     var frontier = seeds.select(col("entity_id")).distinct()

@@ -21,8 +21,8 @@ object ChunkBasedRetriever {
   def search(
       g: GraphTables,
       queryEmbedding: Seq[Double],
-      vssTopK: Int = 10,
-      diversityFactor: Int = 5): DataFrame = {
+      vssTopK: Int = graft.model.Defaults.VssTopK,
+      diversityFactor: Int = graft.model.Defaults.VssDiversityFactor): DataFrame = {
 
     // Seed: diverse vector top-k over chunks (§2.3).
     val seedChunks = Similarity.diverseTopK(
@@ -52,9 +52,9 @@ object ChunkBasedRetriever {
   def query(
       g: GraphTables,
       queryEmbedding: Seq[Double],
-      vssTopK: Int = 10,
-      maxStatementsPerTopic: Int = 10,
-      maxResults: Int = 5): DataFrame = {
+      vssTopK: Int = graft.model.Defaults.VssTopK,
+      maxStatementsPerTopic: Int = graft.model.Defaults.MaxStatementsPerTopic,
+      maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame = {
     val raw = search(g, queryEmbedding, vssTopK)
     val processed = Seq[DataFrame => DataFrame](
       Processors.dedupResults,

@@ -26,7 +26,8 @@ object Processors {
 
   /** TruncateResults: keep the top-n sources by source score
     * (reference truncate_results.py:36-56). */
-  def truncateResults(df: DataFrame, maxResults: Int = 5): DataFrame = {
+  def truncateResults(df: DataFrame,
+                      maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame = {
     val srcRank = df.groupBy("source_id").agg(max("score").as("src_score"))
       .withColumn("src_rank",
         row_number().over(Window.orderBy(desc("src_score"), col("source_id"))))
@@ -37,7 +38,8 @@ object Processors {
 
   /** TruncateStatements: top-n statements per topic
     * (reference truncate_statements.py:41-87). */
-  def truncateStatements(df: DataFrame, maxPerTopic: Int = 10): DataFrame = {
+  def truncateStatements(df: DataFrame,
+                         maxPerTopic: Int = graft.model.Defaults.MaxStatementsPerTopic): DataFrame = {
     val w = Window.partitionBy("topic_id").orderBy(desc("score"), col("statement_id"))
     df.withColumn("stmt_rank", row_number().over(w))
       .filter(col("stmt_rank") <= maxPerTopic)
@@ -61,7 +63,8 @@ object Processors {
     * absolute floor (reference prune_statements.py:16-50). The global max is
     * a scalar aggregate broadcast back, NOT a whole-frame window — a window
     * over lit(1) would funnel every row through one partition. */
-  def pruneStatements(df: DataFrame, pruningFactor: Double = 0.05,
+  def pruneStatements(df: DataFrame,
+                      pruningFactor: Double = graft.model.Defaults.StatementPruningFactor,
                       absoluteFloor: Double = 0.0): DataFrame = {
     val mx = df.agg(max("score").as("max_score"))
     df.crossJoin(broadcast(mx))
@@ -72,7 +75,8 @@ object Processors {
 
   /** PruneResults: drop whole sources whose aggregate score is below the
     * threshold (reference prune_results.py:36-57). */
-  def pruneResults(df: DataFrame, threshold: Double = 0.08): DataFrame = {
+  def pruneResults(df: DataFrame,
+                   threshold: Double = graft.model.Defaults.ResultsPruningThreshold): DataFrame = {
     val srcScores = df.groupBy("source_id").agg(avg("score").as("source_score"))
       .filter(col("source_score") >= threshold)
       .select("source_id")

@@ -38,7 +38,7 @@ object Retrievers {
     * to the given topics — the fact double-hop
     * (reference topic_based_search.py:98-114). */
   def topicBased(g: GraphTables, topicIds: DataFrame,
-                 intermediateLimit: Int = 50): DataFrame = {
+                 intermediateLimit: Int = graft.model.Defaults.IntermediateLimit): DataFrame = {
     val tids = broadcast(topicIds.select("topic_id").distinct())
     val topicStatements = g.statements.join(tids, Seq("topic_id"), "left_semi")
       .select("statement_id")
@@ -56,7 +56,7 @@ object Retrievers {
     * each one's previous statement
     * (reference entity_based_search.py:191-206). */
   def entityBased(g: GraphTables, entityIds: DataFrame,
-                  intermediateLimit: Int = 50): DataFrame = {
+                  intermediateLimit: Int = graft.model.Defaults.IntermediateLimit): DataFrame = {
     val eids = broadcast(entityIds.select("entity_id").distinct())
     val entityFacts = g.facts
       .join(eids.withColumnRenamed("entity_id", "subject_entity_id"),
@@ -106,7 +106,7 @@ object Retrievers {
   /** EntityNetworkSearch: statements of topics reachable from the entity
     * context (reference entity_network_search.py:62-85). */
   def entityNetwork(g: GraphTables, entityIds: DataFrame,
-                    intermediateLimit: Int = 50): DataFrame = {
+                    intermediateLimit: Int = graft.model.Defaults.IntermediateLimit): DataFrame = {
     val facts = g.facts.join(
       broadcast(entityIds.select(col("entity_id").as("subject_entity_id"))),
       Seq("subject_entity_id"), "left_semi")
