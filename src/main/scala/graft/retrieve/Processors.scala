@@ -125,9 +125,9 @@ object Processors {
     df.join(broadcast(passing), Seq("source_id"), "left_semi")
   }
 
-  /** Format the flat frame back into the nested per-source JSON context the
-    * engine hands to the LLM (reference lexical_graph_query_engine.py:388-446). */
-  def formatContext(df: DataFrame): DataFrame = {
+  /** The nested per-source context frame (topics with sorted statements)
+    * that every output format renders from. */
+  private def nestedContext(df: DataFrame): DataFrame =
     df.groupBy("source_id", "topic_id")
       .agg(
         max("score").as("topic_score"),
@@ -138,8 +138,42 @@ object Processors {
         max("topic_score").as("score"),
         sort_array(collect_list(struct(col("topic_score"), col("topic_id"),
           col("statements"))), asc = false).as("topics"))
+
+  /** Format the flat frame back into the nested per-source JSON context the
+    * engine hands to the LLM (reference lexical_graph_query_engine.py:388-446;
+    * the reference also renders yaml/xml/text/bedrock_xml from the same
+    * nesting — see [[formatContextText]] / [[formatContextXml]]). */
+  def formatContext(df: DataFrame): DataFrame =
+    nestedContext(df)
       .select(col("source_id"), col("score"),
         to_json(struct(col("source_id"), col("topics"))).as("context_json"))
       .orderBy(desc("score"), col("source_id"))
-  }
+
+  /** Plain-text rendering: one indented block per source, statements in
+    * score order (reference text format, lexical_graph_query_engine.py:410-446). */
+  def formatContextText(df: DataFrame): DataFrame =
+    nestedContext(df)
+      .select(col("source_id"), col("score"),
+        concat(
+          lit("source: "), col("source_id"), lit("\n"),
+          concat_ws("\n", transform(col("topics"), t =>
+            concat(lit("  topic: "), t("topic_id"), lit("\n"),
+              concat_ws("\n", transform(t("statements"), st =>
+                concat(lit("    - "), st("statement")))))))).as("context_text"))
+      .orderBy(desc("score"), col("source_id"))
+
+  /** XML rendering (reference xml / bedrock_xml formats). */
+  def formatContextXml(df: DataFrame): DataFrame =
+    nestedContext(df)
+      .select(col("source_id"), col("score"),
+        concat(
+          lit("<source id=\""), col("source_id"), lit("\">"),
+          concat_ws("", transform(col("topics"), t =>
+            concat(lit("<topic id=\""), t("topic_id"), lit("\">"),
+              concat_ws("", transform(t("statements"), st =>
+                concat(lit("<statement>"), st("statement"),
+                  lit("</statement>")))),
+              lit("</topic>")))),
+          lit("</source>")).as("context_xml"))
+      .orderBy(desc("score"), col("source_id"))
 }

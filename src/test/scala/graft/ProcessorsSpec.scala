@@ -71,4 +71,21 @@ class ProcessorsSpec extends SparkSpec {
       .select("context_json").as[String].head()
     assert(json.contains("\"topics\"") && json.contains("st1"))
   }
+
+  test("formatContextText renders indented blocks in score order") {
+    val txt = Processors.formatContextText(df)
+      .filter(col("source_id") === "s1")
+      .select("context_text").as[String].head()
+    assert(txt.startsWith("source: s1\n  topic: t1\n    - alpha one"))
+    assert(txt.contains("  topic: t2\n    - beta one"))
+  }
+
+  test("formatContextXml nests source/topic/statement tags") {
+    val xml = Processors.formatContextXml(df)
+      .filter(col("source_id") === "s2")
+      .select("context_xml").as[String].head()
+    assert(xml ==
+      "<source id=\"s2\"><topic id=\"t3\"><statement>gamma one</statement>" +
+        "<statement>gamma two</statement></topic></source>")
+  }
 }
