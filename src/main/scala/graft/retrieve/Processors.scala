@@ -48,15 +48,31 @@ object Processors {
 
   /** TruncateByTokens: keep highest-scored statements while the running token
     * total stays within budget (reference truncate_by_tokens.py:74-164).
-    * Token length = whitespace tokens of the statement text. */
+    * Token length = whitespace tokens of the statement text.
+    *
+    * The global running sum is a two-pass prefix sum — range-partition on the
+    * rank order, local prefix sums, then broadcast per-partition offsets — so
+    * no single task ever sees the whole frame (a bare `Window.orderBy` would
+    * funnel every row through one partition). */
   def truncateByTokens(df: DataFrame, maxTokens: Int,
                        textCol: String = "statement"): DataFrame = {
-    val w = Window.orderBy(desc("score"), col("statement_id"))
+    val withLen = df.withColumn("tok_len",
+      graft.functions.TextFunctions.tokenCount(col(textCol)))
+      .repartitionByRange(col("score").desc, col("statement_id"))
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy("_pid")
+      .orderBy(desc("score"), col("statement_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("tok_len", graft.functions.TextFunctions.tokenCount(col(textCol)))
-      .withColumn("tok_running", sum("tok_len").over(w))
-      .filter(col("tok_running") <= maxTokens)
-      .drop("tok_len", "tok_running")
+    val local = withLen.withColumn("_local", sum("tok_len").over(wLocal))
+    // per-partition totals: a few rows, so the tiny global window is fine
+    val wOffset = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("_pid").agg(sum("tok_len").as("_psum"))
+      .withColumn("_offset", coalesce(sum("_psum").over(wOffset), lit(0L)))
+      .select("_pid", "_offset")
+    local.join(broadcast(offsets), Seq("_pid"))
+      .filter(col("_local") + col("_offset") <= maxTokens)
+      .drop("tok_len", "_pid", "_local", "_offset")
   }
 
   /** PruneStatements: drop statements scoring below max_score * factor or an

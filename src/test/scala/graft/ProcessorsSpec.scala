@@ -63,6 +63,25 @@ class ProcessorsSpec extends SparkSpec {
     assert(out.toSeq == Seq("st1", "st2", "st4"))
   }
 
+  test("truncateByTokens two-pass prefix sum matches the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val big = (1 to 200).map(i =>
+      ("s" + i % 7, "t" + i % 13, f"st$i%03d", "c1",
+        Seq.fill(i % 5 + 1)("w").mkString(" "), (i * 37 % 100).toDouble))
+      .toDF("source_id", "topic_id", "statement_id", "chunk_id", "statement", "score")
+      .repartition(8)
+    val naive = big
+      .withColumn("tok_len", graft.functions.TextFunctions.tokenCount(col("statement")))
+      .withColumn("run", sum("tok_len").over(
+        Window.orderBy(desc("score"), col("statement_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("run") <= 150)
+      .select("statement_id").as[String].collect().sorted.toSeq
+    val scalable = Processors.truncateByTokens(big, 150)
+      .select("statement_id").as[String].collect().sorted.toSeq
+    assert(scalable == naive)
+  }
+
   test("formatContext nests topics and statements, ordered by score") {
     val out = Processors.formatContext(df)
     val first = out.select("source_id").as[String].head()
