@@ -109,7 +109,8 @@ final class ByoKGQueryEngine(edges: DataFrame, llm: LLM,
     val khop = Traversal.kHopTriplets(edges, linked, iterations)
     val context = Traversal.verbalizeTriplets(agentic.union(khop).distinct())
     // order-preserving dedup (byokg_query_engine.py:101-116): stable rank by
-    // text, first occurrence wins
+    // text, first occurrence wins. The global window is safe here: this is
+    // the final LLM context, bounded by the retrieval caps to O(100) lines.
     context.groupBy(col("text"))
       .agg(min(lit(1)).as("one")).drop("one")
       .withColumn("first_seen",

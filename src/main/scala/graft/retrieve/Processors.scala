@@ -28,10 +28,11 @@ object Processors {
     * (reference truncate_results.py:36-56). */
   def truncateResults(df: DataFrame,
                       maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame = {
+    // top-n via orderBy+limit (TakeOrderedAndProject): per-partition top-n,
+    // merged on the driver — never a global single-partition window rank
     val srcRank = df.groupBy("source_id").agg(max("score").as("src_score"))
-      .withColumn("src_rank",
-        row_number().over(Window.orderBy(desc("src_score"), col("source_id"))))
-      .filter(col("src_rank") <= maxResults)
+      .orderBy(desc("src_score"), col("source_id"))
+      .limit(maxResults)
       .select("source_id")
     df.join(broadcast(srcRank), Seq("source_id"), "left_semi")
   }
