@@ -63,6 +63,18 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // extended: MLlib KMeans-IVF ANN (learned centroids, nprobe cells) —
+    // rows-only: the trained centroids are not replayable in ANSI SQL;
+    // full-probe == brute-force equality is asserted in MlAnnSpec.
+    "q_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val (assigned, centers) =
+        graft.ops.MlAnn.kmeansIvf(emb, "embedding", "vec_id", nlist = 8)
+      graft.ops.MlAnn.ivfTopK(assigned, centers, queryVec(s, dir),
+        k = 10, nprobe = 2)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // extended: embedding near-dup pairs (exact pairwise over one bucket).
     "q_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
