@@ -49,7 +49,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout under sbt is decorated with an "[info] " prefix, so also write
+    // the line to a file the harness can parse directly.
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -173,7 +173,7 @@ object MaintenanceQueries {
         |  FROM marked)
         |SELECT user_id, session_seq, min(ts_us) AS session_start,
         |  max(ts_us) AS session_end, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM numbered GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 

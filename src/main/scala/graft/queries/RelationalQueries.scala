@@ -26,15 +26,17 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.5 aggregation with decimal-exact sums (pushdown-friendly scan agg).
+    // Money emitted as BIGINT cents (revenue at 1e-4 scale): decimal math is
+    // exact internally, but DECIMAL output renders differently across engines.
     "q_agg_sums" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(D)).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(D)).cast(DecimalType(38, 2)).as("sum_price"),
-          sum(col("l_extendedprice").cast(D) *
+          (sum(col("l_quantity").cast(D)) * 100).cast("long").as("sum_qty_cents"),
+          (sum(col("l_extendedprice").cast(D)) * 100).cast("long").as("sum_price_cents"),
+          (sum(col("l_extendedprice").cast(D) *
             (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
-            .cast(DecimalType(38, 4)).as("revenue"),
+            * 10000).cast("long").as("revenue_e4"),
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -61,7 +63,7 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(D)).cast(DecimalType(38, 2)).as("total"))
+          (sum(col("o_totalprice").cast(D)) * 100).cast("long").as("total_cents"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -116,9 +118,9 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_extendedprice"), col("l_quantity"))
-        .withColumn("running",
-          sum(col("l_quantity").cast(D)).over(w).cast(DecimalType(38, 2)))
-        .filter(col("running") <= 100)
+        .withColumn("running_cents",
+          (sum(col("l_quantity").cast(D)).over(w) * 100).cast("long"))
+        .filter(col("running_cents") <= 10000)
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_extendedprice"))
     }),
@@ -233,7 +235,7 @@ object RelationalQueries {
         .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(D)).cast(DecimalType(38, 2)).as("total_value"),
+          (sum(col("value").cast(D)) * 100).cast("long").as("total_value_cents"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("day"), col("event_type"))
     }))
@@ -241,9 +243,9 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q_agg_sums" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT) AS revenue_e4,
         |  count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
@@ -256,7 +258,7 @@ object RelationalQueries {
 
     "q_join_chain" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_cents
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         |JOIN customer ON n_nationkey = c_nationkey
         |JOIN orders ON c_custkey = o_custkey
@@ -287,13 +289,13 @@ object RelationalQueries {
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
 
     "q_cumsum_budget" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_quantity, running FROM (
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_quantity, running_cents FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_quantity,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY l_orderkey
         |      ORDER BY l_linenumber, l_partkey, l_extendedprice
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS running_cents
         |  FROM lineitem)
-        |WHERE running <= 100
+        |WHERE running_cents <= 10000
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
 
     "q_nested_collect" ->
@@ -355,7 +357,7 @@ object RelationalQueries {
 
     "q_events_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_value_cents,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
 }

@@ -39,8 +39,8 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2))
-          .as("total_value"))
+        (sum(col("value").cast(DecimalType(12, 2))) * 100).cast("long")
+          .as("total_value_cents"))
   }
 
   final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)

@@ -28,7 +28,7 @@ class SessionizeSpec extends SparkSpec {
     val row = Sessionize.batchSessions(events, 30).collect().head
     assert(row.getAs[Long]("session_start") == us(0))
     assert(row.getAs[Long]("session_end") == us(1))
-    assert(row.getAs[java.math.BigDecimal]("total_value").doubleValue() == 4.0)
+    assert(row.getAs[Long]("total_value_cents") == 400L)
   }
 
   test("streaming sessions match batch semantics on the same events") {
