@@ -2,16 +2,20 @@ package graft.byokg
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Joins.gatedBroadcast
 
 /**
  * Graph traversal operators over a generic `edges(src, dst, label)` DataFrame —
  * the Spark re-expression of the reference's adjacency-map traversal
  * (reference: byokg-rag/src/graphrag_toolkit/byokg_rag/graph_retrievers/graph_traversal.py:14-231).
  *
- * Each hop is one join of the frontier against the edge table. The frontier is
- * tiny relative to the graph, so every join broadcasts the frontier; the edge
- * table itself is never shuffled. Depths are bounded (k, metapath length), so
- * the driver loop issues O(depth) jobs, never O(nodes).
+ * Each hop is one join of the frontier against the edge table. Every loop
+ * materializes its frontier per hop (localCheckpoint: flat lineage) and
+ * broadcasts it only while the counted size stays under
+ * [[graft.ops.Joins.BroadcastRowCap]] — a dense graph's layer-2 frontier is
+ * not broadcastable, and an unconditional hint would OOM the driver at scale.
+ * Depths are bounded (k, metapath length), so the driver loop issues
+ * O(depth) jobs, never O(nodes).
  */
 object Traversal {
 
@@ -19,11 +23,12 @@ object Traversal {
     edges.select(col("src"), col("dst"), col("label"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("label")))
 
-  /** The frame every hop of a loop re-probes: cache only the derived
-    * undirected union — a directed input is the caller's (already cached,
-    * see [[graft.queries.Tables.edges]]) frame and must not be re-cached. */
+  /** The frame every hop of a loop re-probes. Not cached here: loop callers
+    * with repeated undirected traversals should pass an already-cached
+    * undirected frame (see [[graft.queries.Tables.undirectedEdges]]) —
+    * caching per invocation leaked storage until the session died. */
   private def loopEdges(edges: DataFrame, undirected: Boolean): DataFrame =
-    if (undirected) undirect(edges).cache() else edges
+    if (undirected) undirect(edges) else edges
 
   /** One-hop expansion: triplets whose src is in `frontier(node)`
     * (reference graph_traversal.py:14-79). */
@@ -34,20 +39,29 @@ object Traversal {
   }
 
   /** k-hop triplet expansion: union of triplets reached within k hops
-    * (reference graph_traversal.py:94-113). The edge frame is cached for the
-    * duration of the loop — each hop re-probes it. */
+    * (reference graph_traversal.py:94-113). Each hop's frontier is
+    * checkpointed and counted; the count both gates the broadcast and
+    * early-exits the loop when the frontier drains. k <= 0 yields an empty
+    * triplet frame. */
   def kHopTriplets(edges: DataFrame, seeds: DataFrame, k: Int,
                    undirected: Boolean = false): DataFrame = {
     val e = loopEdges(edges, undirected)
-    var frontier = seeds.select(col("node")).distinct()
+    if (k <= 0) return e.limit(0)
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint(true)
+    var n = frontier.count()
     var acc: DataFrame = null
-    for (_ <- 1 to k) {
+    var hops = 0
+    while (hops < k && n > 0) {
+      hops += 1
       val hop = e.join(
-        broadcast(frontier.select(col("node").as("src")).distinct()), Seq("src"))
+        gatedBroadcast(frontier.select(col("node").as("src")), n), Seq("src"))
       acc = if (acc == null) hop else acc.union(hop)
-      frontier = hop.select(col("dst").as("node")).distinct()
+      if (hops < k) {
+        frontier = hop.select(col("dst").as("node")).distinct().localCheckpoint(true)
+        n = frontier.count()
+      }
     }
-    acc.distinct()
+    if (acc == null) e.limit(0) else acc.distinct()
   }
 
   /** Metapath following: from seeds, follow the exact label sequence; returns
@@ -56,11 +70,13 @@ object Traversal {
                      metapath: Seq[String],
                      undirected: Boolean = false): DataFrame = {
     val e = loopEdges(edges, undirected)
-    var frontier = seeds.select(col("node")).distinct()
-    for (lbl <- metapath) {
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint(true)
+    var n = frontier.count()
+    for (lbl <- metapath if n > 0) {
       frontier = e.filter(col("label") === lbl)
-        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
-        .select(col("dst").as("node")).distinct()
+        .join(gatedBroadcast(frontier.select(col("node").as("src")), n), Seq("src"))
+        .select(col("dst").as("node")).distinct().localCheckpoint(true)
+      n = frontier.count()
     }
     frontier
   }
@@ -82,18 +98,18 @@ object Traversal {
     val first = seeds.select(col("node")).distinct().localCheckpoint(true)
     val layers = scala.collection.mutable.ArrayBuffer(first)
     var frontier = first
+    var n = frontier.count()
     var d = 0
-    var drained = frontier.isEmpty
-    while (d < maxDistance && !drained) {
+    while (d < maxDistance && n > 0) {
       d += 1
       val visited = layers.reduce(_ union _)
       val next = e
-        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+        .join(gatedBroadcast(frontier.select(col("node").as("src")), n), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint(true)
-      drained = next.isEmpty
-      if (!drained) { layers += next; frontier = next }
+      n = next.count()
+      if (n > 0) { layers += next; frontier = next }
     }
     layers.zipWithIndex
       .map { case (f, i) => f.withColumn("dist", lit(i)) }
@@ -115,10 +131,12 @@ object Traversal {
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     for (_ <- 1 to maxDistance) {
       val visited = layers.reduce(_ union _)
+      // fully lazy: no counts available, so no broadcast hints — AQE decides
+      // per hop from the measured shuffle sizes
       frontier = e
-        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+        .join(frontier.select(col("node").as("src")), Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(broadcast(visited), Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .cache()
       layers += frontier
     }

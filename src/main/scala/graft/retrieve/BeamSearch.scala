@@ -26,7 +26,11 @@ object TopicBeamSearch {
   /** One expansion step: neighbor topics of the frontier via the three
     * branches, each capped, deduped against the visited set. Pass a cached
     * `topicEntities` (from [[topicEntityView]]) when expanding in a loop —
-    * rebuilding the three-way join per depth is the slow path. */
+    * rebuilding the three-way join per depth is the slow path.
+    *
+    * Broadcast hints here are bounded by construction: the frontier is
+    * beamWidth-capped by [[search]], and the derived chunk/entity sets are
+    * frontier-sized fan-outs, never whole-table frames. */
   def expandOnce(g: GraphTables, frontier: DataFrame, visited: DataFrame,
                  capPerBranch: Int = 100,
                  topicEntities: Option[DataFrame] = None): DataFrame = {
@@ -119,16 +123,24 @@ object EntityContextProvider {
     var frontier = seeds.select(col("entity_id")).distinct()
     excl.foreach(e => frontier = frontier.join(e, Seq("entity_id"), "left_anti"))
     frontier = frontier.localCheckpoint(true)
+    // unlike the topic beam there is no width cap, so the frontier can grow
+    // with graph density: gate the broadcast on the counted layer size and
+    // stop early once a layer drains
+    var n = frontier.count()
     var visited = frontier.withColumn("depth", lit(0))
-    for (d <- 1 to maxDepth) {
+    var d = 0
+    while (d < maxDepth && n > 0) {
+      d += 1
       var next = g.entityRelations
-        .join(broadcast(frontier.withColumnRenamed("entity_id", "src_entity_id")),
+        .join(graft.ops.Joins.gatedBroadcast(
+          frontier.withColumnRenamed("entity_id", "src_entity_id"), n),
           Seq("src_entity_id"))
         .select(col("dst_entity_id").as("entity_id")).distinct()
         .join(visited.select("entity_id"), Seq("entity_id"), "left_anti")
       excl.foreach(e => next = next.join(e, Seq("entity_id"), "left_anti"))
       frontier = next.localCheckpoint(true)
-      visited = visited.union(frontier.withColumn("depth", lit(d)))
+      n = frontier.count()
+      if (n > 0) visited = visited.union(frontier.withColumn("depth", lit(d)))
     }
     visited
   }

@@ -91,13 +91,15 @@ object Processors {
   }
 
   /** PruneResults: drop whole sources whose aggregate score is below the
-    * threshold (reference prune_results.py:36-57). */
+    * threshold (reference prune_results.py:36-57). The passing-source set
+    * grows with the data, so no broadcast hint — AQE picks the join strategy
+    * from the measured size. */
   def pruneResults(df: DataFrame,
                    threshold: Double = graft.model.Defaults.ResultsPruningThreshold): DataFrame = {
     val srcScores = df.groupBy("source_id").agg(avg("score").as("source_score"))
       .filter(col("source_score") >= threshold)
       .select("source_id")
-    df.join(broadcast(srcScores), Seq("source_id"), "left_semi")
+    df.join(srcScores, Seq("source_id"), "left_semi")
   }
 
   /** DedupResults: merge duplicate statements across retrievers, keeping the
@@ -129,7 +131,8 @@ object Processors {
     val perSource = perTopic.groupBy("source_id")
       .agg((aggregate(sort_array(collect_list(col("topic_mean"))),
         lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("result_score"))
-    df.join(broadcast(perSource), Seq("source_id"))
+    // one row per source — unbounded at scale, so let AQE pick the strategy
+    df.join(perSource, Seq("source_id"))
   }
 
   /** FilterByMetadata: keep statements whose source metadata passes the filter
@@ -139,7 +142,9 @@ object Processors {
                        filter: graft.filter.FilterAst.Filter): DataFrame = {
     val passing = sources.filter(graft.filter.FilterAst.compile(filter))
       .select("source_id")
-    df.join(broadcast(passing), Seq("source_id"), "left_semi")
+    // the passing set is a filtered scan of all sources — not broadcastable
+    // by contract; AQE converts to broadcast when the measured size allows
+    df.join(passing, Seq("source_id"), "left_semi")
   }
 
   /** The nested per-source context frame (topics with sorted statements)
