@@ -54,6 +54,83 @@ object ProcessorQueries {
           round(col("result_score"), 6).as("result_score")))
     }),
 
+    // §2.5/§2.6 FULL default chain (reference traversal_based_base_retriever
+    // DEFAULT_PROCESSORS + DEFAULT_FORMATTING_PROCESSORS, 18 steps) over the
+    // same TPC-H retrieval shape as q_processor_chain, now with statement
+    // text, per-statement facts, chunk values, and source metadata so the
+    // tail processors (PopulateStatementStrs, RemoveVersioningMetadata,
+    // FilterByMetadata, UpdateChunkMetadata, ClearScores, StatementsToStrings,
+    // SimplifySingleTopicResults, FormatSources, ClearChunks, ClearTopicIds,
+    // TruncateResults) all do real work.
+    "q_full_chain" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      // statement_id = md5 over the full line tuple: (orderkey, linenumber)
+      // collides in the synthetic data, and a collision-keyed side join
+      // (facts, chunks) would fan out. Cents-scaled numerics keep the md5
+      // input string engine-stable.
+      val base = t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("source_id"),
+          col("l_orderkey").as("topic_id"),
+          md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * 100).cast("long"),
+            (col("l_quantity") * 100).cast("long"),
+            col("l_shipdate").cast("string"))).as("statement_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate").cast("string")).as("statement"),
+          col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      val facts = base.select(col("statement_id"),
+          concat(lit("part:"), col("l_partkey")).as("fact_value"))
+        .union(base.select(col("statement_id"),
+          concat(lit("supp:"), col("l_suppkey")).as("fact_value")))
+        .distinct()
+      val chunks = base.select(col("statement_id").as("chunk_id"),
+        col("l_shipdate").cast("string").as("text")).distinct()
+      val sources = t(s, dir, "customer").select(
+        col("c_custkey").as("source_id"),
+        map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"),
+          lit("__graft__versioning__valid_from__"), lit("0"),
+          lit("__graft__versioning__build_timestamp__"), lit("0")).as("metadata"),
+        col("c_mktsegment").as("segment"))
+      val cleanSources = Processors.removeVersioningMetadata(sources)
+      val retrA = base.filter(col("l_returnflag") === "R")
+        .withColumn("score", (col("l_extendedprice") * 100).cast("long"))
+      val retrB = base.filter(col("l_quantity") > 25)
+        .withColumn("score", (col("l_quantity") * 100000).cast("long"))
+      val unioned = retrA.union(retrB)
+        .select(col("source_id"), col("topic_id"), col("statement_id"),
+          col("statement_id").as("chunk_id"), col("statement"),
+          col("score").cast("double").as("score"))
+      val processed = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        Processors.dedupResults,
+        Processors.disaggregateResults,
+        df => Processors.filterByMetadata(df, cleanSources,
+          graft.filter.FilterAst.Pred("segment", graft.filter.FilterAst.Ne, "FURNITURE")),
+        df => Processors.populateStatementStrs(df, facts),
+        df => Processors.rerankStatements(df, None),
+        df => Processors.pruneStatements(df, 0.05),
+        Processors.rescoreResults,
+        df => Processors.truncateStatements(df, 3),
+        df => Processors.truncateRankResults(df, 10),
+        df => Processors.updateChunkMetadata(df, chunks),
+        df => Processors.clearScores(df),
+        df => Processors.statementsToStrings(df, includeFacts = true),
+        df => Processors.simplifySingleTopicResults(df),
+        Processors.clearChunks,
+        df => df.withColumn("topic", concat(lit("order-"), col("topic_id"))),
+        Processors.clearTopicIds
+      ).foldLeft(unioned)((df, p) => p(df))
+      processed
+        .join(Processors.formatSources(cleanSources)
+          .select("source_id", "source_str"), Seq("source_id"), "left")
+        .select(col("source_rank").cast("long").as("source_rank"),
+          col("source_str"), col("single_topic").cast("int").as("single_topic"),
+          col("topic"), col("statement"), col("score"), col("result_score"))
+        .orderBy(col("source_rank"), col("topic"), desc("score"), col("statement"))
+    }),
+
     // §2.7 context-prefix dedup: drop values that are proper prefixes of
     // another value (entity_context_provider.py:187-249). The self-join is
     // bucketed on the first character — a prefix pair always shares it — so
@@ -159,6 +236,82 @@ object ProcessorQueries {
         |  r.result_score
         |FROM disagg d JOIN rescored r USING (source_id)
         |ORDER BY d.score DESC, d.source_id, d.topic_id, d.statement_id""".stripMargin,
+
+    "q_full_chain" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS source_id, l_orderkey AS topic_id,
+        |    md5(l_orderkey||'-'||l_linenumber||'-'||l_partkey||'-'||l_suppkey||'-'||
+        |      CAST(trunc(l_extendedprice*100) AS BIGINT)||'-'||
+        |      CAST(trunc(l_quantity*100) AS BIGINT)||'-'||
+        |      CAST(l_shipdate AS VARCHAR)) AS statement_id,
+        |    l_returnflag||' '||l_linestatus||' '||CAST(l_shipdate AS VARCHAR) AS statement,
+        |    l_partkey, l_suppkey, l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |unioned AS (
+        |  SELECT source_id, topic_id, statement_id, statement,
+        |    CAST(CAST(trunc(l_extendedprice*100) AS BIGINT) AS DOUBLE) AS score
+        |  FROM base WHERE l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT source_id, topic_id, statement_id, statement,
+        |    CAST(CAST(trunc(l_quantity*100000) AS BIGINT) AS DOUBLE)
+        |  FROM base WHERE l_quantity > 25),
+        |dedup AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY statement_id ORDER BY score DESC, source_id) AS rn
+        |    FROM unioned) WHERE rn = 1),
+        |disagg AS (
+        |  SELECT *, max(score) OVER (PARTITION BY topic_id) AS topic_score
+        |  FROM dedup),
+        |filt AS (
+        |  SELECT d.* FROM disagg d
+        |  WHERE EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = d.source_id AND c.c_mktsegment <> 'FURNITURE')),
+        |factarr AS (
+        |  SELECT statement_id, list_sort(list(DISTINCT fact_value)) AS fl
+        |  FROM (SELECT statement_id, 'part:'||l_partkey AS fact_value FROM base
+        |        UNION ALL
+        |        SELECT statement_id, 'supp:'||l_suppkey FROM base)
+        |  GROUP BY statement_id),
+        |pop AS (
+        |  SELECT f.*,
+        |    f.statement||' (details: '||array_to_string(fa.fl, ', ')||')' AS statement_str
+        |  FROM filt f LEFT JOIN factarr fa USING (statement_id)),
+        |pruned AS (
+        |  SELECT * FROM pop WHERE score >= (SELECT max(score)*0.05 FROM pop)),
+        |topicmeans AS (
+        |  SELECT source_id, topic_id, sum(score)/count(*) AS topic_mean
+        |  FROM pruned GROUP BY 1, 2),
+        |rescored AS (
+        |  SELECT source_id,
+        |    list_reduce(list_sort(list(topic_mean)), (a, b) -> a + b)
+        |      / count(*) AS result_score
+        |  FROM topicmeans GROUP BY source_id),
+        |resc AS (
+        |  SELECT p.*, r.result_score FROM pruned p JOIN rescored r USING (source_id)),
+        |trunc3 AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY topic_id ORDER BY score DESC, statement_id) AS sr
+        |    FROM resc) WHERE sr <= 3),
+        |ranked AS (
+        |  SELECT source_id, row_number() OVER (ORDER BY _rs DESC, source_id) AS source_rank
+        |  FROM (SELECT source_id, max(result_score) AS _rs FROM trunc3
+        |        GROUP BY source_id ORDER BY _rs DESC, source_id LIMIT 10)),
+        |single AS (
+        |  SELECT t.source_id FROM trunc3 t JOIN ranked USING (source_id)
+        |  GROUP BY t.source_id HAVING count(DISTINCT t.topic_id) = 1),
+        |srcstr AS (
+        |  SELECT c_custkey AS source_id,
+        |    c_name||' ('||c_mktsegment||')' AS source_str
+        |  FROM customer)
+        |SELECT rk.source_rank, s.source_str,
+        |  CASE WHEN sg.source_id IS NOT NULL THEN 1 ELSE 0 END AS single_topic,
+        |  'order-'||t.topic_id AS topic, t.statement_str AS statement, t.score,
+        |  CAST(NULL AS DOUBLE) AS result_score
+        |FROM trunc3 t
+        |JOIN ranked rk USING (source_id)
+        |LEFT JOIN single sg ON sg.source_id = t.source_id
+        |LEFT JOIN srcstr s ON s.source_id = t.source_id
+        |ORDER BY rk.source_rank, topic, t.score DESC, statement""".stripMargin,
 
     "q_prefix_dedup" ->
       """WITH names AS (SELECT DISTINCT p_name AS v FROM part)

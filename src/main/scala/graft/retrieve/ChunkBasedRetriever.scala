@@ -64,4 +64,66 @@ object ChunkBasedRetriever {
     ).foldLeft(raw)((df, p) => p(df))
     Processors.formatContext(processed)
   }
+
+  /** The reference's complete DEFAULT_PROCESSORS + DEFAULT_FORMATTING_PROCESSORS
+    * chain (traversal_based_base_retriever.py:24-46), end-to-end over the flat
+    * frame: Dedup → Disaggregate → RemoveVersioningMetadata → FilterByMetadata
+    * → PopulateStatementStrs → RerankStatements → PruneStatements → Rescore →
+    * Sort → TruncateStatements → UpdateChunkMetadata → ClearScores, then
+    * StatementsToStrings → SimplifySingleTopicResults → FormatSources →
+    * ClearChunks → ClearTopicIds → TruncateResults. Returns the final flat
+    * formatted frame (source_rank, source_str, topic value, statement string);
+    * feed it to Processors.formatContext* for a rendered context. */
+  def fullQuery(
+      g: GraphTables,
+      queryEmbedding: Seq[Double],
+      metadataFilter: Option[graft.filter.FilterAst.Filter] = None,
+      reranker: Option[DataFrame => DataFrame] = None,
+      includeFacts: Boolean = true,
+      vssTopK: Int = graft.model.Defaults.VssTopK,
+      maxStatementsPerTopic: Int = graft.model.Defaults.MaxStatementsPerTopic,
+      maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame = {
+    val factValues = g.factSupports
+      .join(g.facts.select(col("fact_id"), col("value").as("fact_value")),
+        Seq("fact_id"))
+      .select("statement_id", "fact_value")
+    val cleanSources = Processors.removeVersioningMetadata(g.sources)
+    val raw = search(g, queryEmbedding, vssTopK)
+    // graph sources carry metadata as a map column — resolve filter keys
+    // through it (reference FilterConfig applies to source metadata dicts)
+    val filtered = metadataFilter.fold(raw)(f =>
+      Processors.filterByMetadata(raw, cleanSources
+        .select(col("source_id"), col("metadata")), f,
+        k => col("metadata")(k)))
+    val processed = Seq[DataFrame => DataFrame](
+      Processors.dedupResults,
+      Processors.disaggregateResults,
+      df => Processors.populateStatementStrs(df, factValues),
+      df => Processors.rerankStatements(df, reranker),
+      df => Processors.pruneStatements(df),
+      Processors.rescoreResults,
+      df => Processors.truncateStatements(df, maxStatementsPerTopic),
+      // rank-and-truncate binds to result_score here, while it still exists —
+      // the reference's formatting-time TruncateResults keeps the list head
+      // whose order SortResults established before ClearScores nulled scores
+      df => Processors.truncateRankResults(df, maxResults),
+      df => Processors.updateChunkMetadata(df, g.chunks),
+      df => Processors.clearScores(df)
+    ).foldLeft(filtered)((df, p) => p(df))
+    val formatted = Seq[DataFrame => DataFrame](
+      df => Processors.statementsToStrings(df, includeFacts),
+      df => Processors.simplifySingleTopicResults(df),
+      Processors.clearChunks,
+      df => df.join(
+        g.topics.select(col("topic_id"), col("value").as("topic")),
+        Seq("topic_id"), "left"),
+      Processors.clearTopicIds
+    ).foldLeft(processed)((df, p) => p(df))
+    formatted
+      .join(Processors.formatSources(cleanSources)
+        .select("source_id", "source_str"), Seq("source_id"), "left")
+      .select(col("source_rank"), col("source_str"), col("single_topic"),
+        col("topic"), col("statement"), col("score"))
+      .orderBy(col("source_rank"), col("topic"), desc("score"), col("statement"))
+  }
 }

@@ -139,12 +139,167 @@ object Processors {
     * AST (reference filter_by_metadata.py:38-62). `sources` must carry the
     * metadata columns the filter references. */
   def filterByMetadata(df: DataFrame, sources: DataFrame,
-                       filter: graft.filter.FilterAst.Filter): DataFrame = {
-    val passing = sources.filter(graft.filter.FilterAst.compile(filter))
+                       filter: graft.filter.FilterAst.Filter,
+                       resolve: String => org.apache.spark.sql.Column = col): DataFrame = {
+    val passing = sources.filter(graft.filter.FilterAst.compile(filter, resolve))
       .select("source_id")
     // the passing set is a filtered scan of all sources — not broadcastable
     // by contract; AQE converts to broadcast when the measured size allows
     df.join(passing, Seq("source_id"), "left_semi")
+  }
+
+  // ---------------------------------------------------------------------
+  // Default-chain tail (reference traversal_based_base_retriever.py:24-46:
+  // DEFAULT_PROCESSORS + DEFAULT_FORMATTING_PROCESSORS). On the flat frame
+  // most of these are narrow column transforms — no shuffle at all.
+  // ---------------------------------------------------------------------
+
+  /** Metadata keys the versioning layer injects into source metadata
+    * (reference versioning.py:13-20). */
+  val VersioningMetadataKeys: Seq[String] = Seq(
+    "__graft__versioning__valid_from__",
+    "__graft__versioning__valid_to__",
+    "__graft__versioning__extract_timestamp__",
+    "__graft__versioning__build_timestamp__",
+    "__graft__versioning__version_independent_id_fields__",
+    "__graft__versioning__prev_versions__")
+
+  /** RemoveVersioningMetadata: strip versioning keys from each source's
+    * metadata map (reference remove_versioning_metadata.py:10-17). Narrow
+    * `map_filter` — no shuffle. */
+  def removeVersioningMetadata(sources: DataFrame,
+                               metadataCol: String = "metadata"): DataFrame = {
+    val keys = VersioningMetadataKeys.map(lit(_))
+    sources.withColumn(metadataCol,
+      map_filter(col(metadataCol), (k, _) => !k.isin(keys: _*)))
+  }
+
+  /** PopulateStatementStrs: statement_str = statement plus its supporting
+    * facts and details (reference populate_statement_strs.py:36-60:
+    * `"{statement} (details: {facts..., details...})"`). `facts` carries one
+    * (statement_id, fact_value) row per supporting fact. The reference keeps
+    * store-iteration fact order; here facts sort lexicographically so the
+    * string is reproducible under any partitioning. */
+  def populateStatementStrs(df: DataFrame, facts: DataFrame): DataFrame = {
+    val factArr = facts.groupBy("statement_id")
+      .agg(sort_array(collect_list(col("fact_value"))).as("_facts"))
+    val withDetails =
+      if (df.columns.contains("details")) df
+      else df.withColumn("details", array().cast("array<string>"))
+    withDetails.join(factArr, Seq("statement_id"), "left")
+      .withColumn("_all", concat(
+        coalesce(col("_facts"), array().cast("array<string>")),
+        coalesce(col("details"), array().cast("array<string>"))))
+      .withColumn("statement_str",
+        when(size(col("_all")) > 0,
+          concat(col("statement"), lit(" (details: "),
+            concat_ws(", ", col("_all")), lit(")")))
+          .otherwise(col("statement")))
+      .drop("_facts", "_all")
+  }
+
+  /** RerankStatements: reranker seam (reference rerank_statements.py:60-118).
+    * The default configuration is `reranker='none'` → identity; a supplied
+    * scorer replaces statement scores (e.g. the TF-IDF rerank in
+    * [[graft.queries.TextQueries]], or a cross-encoder behind the
+    * [[graft.llm.Llm]] seam). */
+  def rerankStatements(df: DataFrame,
+                       scorer: Option[DataFrame => DataFrame] = None): DataFrame =
+    scorer.fold(df)(_(df))
+
+  /** UpdateChunkMetadata: promote each chunk's stored value into the result
+    * (reference update_chunk_metadata.py:10-22: `chunk.value =
+    * metadata.pop('value')`). Flat-frame form: join the chunk text in as
+    * `chunk_value`. */
+  def updateChunkMetadata(df: DataFrame, chunks: DataFrame,
+                          valueCol: String = "text"): DataFrame =
+    df.join(chunks.select(col("chunk_id"), col(valueCol).as("chunk_value")),
+      Seq("chunk_id"), "left")
+
+  /** ClearScores: null the result-level score, keeping statement scores
+    * (reference clear_scores.py:36-40 nulls `search_result.score` only). */
+  def clearScores(df: DataFrame,
+                  resultScoreCol: String = "result_score"): DataFrame =
+    df.withColumn(resultScoreCol, lit(null).cast("double"))
+
+  /** ZeroScores: zero result AND statement scores
+    * (reference zero_scores.py — both levels). */
+  def zeroScores(df: DataFrame,
+                 resultScoreCol: String = "result_score"): DataFrame = {
+    val zeroed = df.withColumn("score", lit(0.0))
+    if (zeroed.columns.contains(resultScoreCol))
+      zeroed.withColumn(resultScoreCol, lit(0.0))
+    else zeroed
+  }
+
+  /** StatementsToStrings: collapse each statement to its final string —
+    * the fact-enriched statement_str when include_facts, else the bare
+    * statement (reference statements_to_strings.py:40-55). */
+  def statementsToStrings(df: DataFrame,
+                          includeFacts: Boolean = true): DataFrame = {
+    val out =
+      if (includeFacts && df.columns.contains("statement_str"))
+        df.withColumn("statement",
+          coalesce(col("statement_str"), col("statement")))
+      else df
+    out.drop("statement_str")
+  }
+
+  /** FormatSources: render each source's metadata into one display string —
+    * longest value first, the rest in parentheses, bare source_id when the
+    * map is empty (reference format_sources.py default_source_formatter_fn).
+    * The reference's stable sort keeps map order on equal lengths; here ties
+    * break on the value itself so the output is partition-independent. */
+  def formatSources(sources: DataFrame,
+                    metadataCol: String = "metadata"): DataFrame = {
+    val sortedVals = transform(
+      sort_array(transform(map_values(col(metadataCol)),
+        v => struct((-length(v)).as("nl"), v.as("v")))),
+      s => s("v"))
+    sources.withColumn("source_str",
+      when(size(sortedVals) === 0, col("source_id").cast("string"))
+        .when(size(sortedVals) === 1, element_at(sortedVals, 1))
+        .otherwise(concat(element_at(sortedVals, 1), lit(" ("),
+          concat_ws(", ", slice(sortedVals, lit(2), size(sortedVals))), lit(")"))))
+  }
+
+  /** ClearChunks: drop chunk linkage from the formatted output
+    * (reference clear_chunks.py). */
+  def clearChunks(df: DataFrame): DataFrame =
+    df.drop("chunk_id", "chunk_value")
+
+  /** ClearTopicIds: drop internal topic ids, keeping the topic value
+    * (reference clear_topic_ids.py). */
+  def clearTopicIds(df: DataFrame): DataFrame =
+    df.drop("topic_id")
+
+  /** SimplifySingleTopicResults: flag sources whose results collapsed to one
+    * topic — the reference promotes that topic's statements to the result
+    * level and clears the topic list (simplify_single_topic_results.py:29-56);
+    * on the flat frame the promotion is a boolean the renderers consume. */
+  def simplifySingleTopicResults(df: DataFrame,
+                                 topicCol: String = "topic_id"): DataFrame = {
+    val w = Window.partitionBy("source_id")
+    df.withColumn("single_topic",
+      size(collect_set(col(topicCol)).over(w)) === 1)
+  }
+
+  /** Rank the surviving sources by result score and keep the top
+    * `maxResults`, assigning `source_rank` — the formatting-time
+    * TruncateResults (reference truncate_results.py) fused with the order
+    * SortResults established. Top-n via orderBy+limit
+    * (TakeOrderedAndProject); the rank window runs over ≤ maxResults rows. */
+  def truncateRankResults(df: DataFrame, maxResults: Int,
+                          resultScoreCol: String = "result_score"): DataFrame = {
+    val ranked = df.groupBy("source_id")
+      .agg(max(col(resultScoreCol)).as("_rs"))
+      .orderBy(desc("_rs"), col("source_id"))
+      .limit(maxResults)
+      .withColumn("source_rank",
+        row_number().over(Window.orderBy(desc("_rs"), col("source_id"))))
+      .select("source_id", "source_rank")
+    // ranked is ≤ maxResults rows — genuinely bounded, broadcast is safe
+    df.join(broadcast(ranked), Seq("source_id"))
   }
 
   /** The nested per-source context frame (topics with sorted statements)
@@ -198,4 +353,52 @@ object Processors {
               lit("</topic>")))),
           lit("</source>")).as("context_xml"))
       .orderBy(desc("score"), col("source_id"))
+
+  /** YAML rendering — block-style list mirroring the reference's
+    * `yaml.dump(json_results, sort_keys=False)` shape
+    * (lexical_graph_query_engine.py:437-438). */
+  def formatContextYaml(df: DataFrame): DataFrame =
+    nestedContext(df)
+      .select(col("source_id"), col("score"),
+        concat(
+          lit("- source: "), col("source_id"), lit("\n  topics:\n"),
+          concat_ws("\n", transform(col("topics"), t =>
+            concat(lit("  - topic: "), t("topic_id"), lit("\n    statements:\n"),
+              concat_ws("\n", transform(t("statements"), st =>
+                concat(lit("    - "), st("statement")))))))).as("context_yaml"))
+      .orderBy(desc("score"), col("source_id"))
+
+  /** bedrock_xml rendering: numbered `<source_N>` blocks with a sorted
+    * metadata element and `<statement_N.M>` children (reference
+    * bedrock_context_format.py:64-90). Renders POST-truncation frames — the
+    * global numbering window runs over ≤ maxResults sources, so the
+    * single-partition sort is bounded by construction. `sources` supplies
+    * the metadata map. */
+  def formatContextBedrock(df: DataFrame, sources: DataFrame,
+                           metadataCol: String = "metadata"): DataFrame = {
+    val metaXml = concat_ws("\n", transform(
+      map_entries(col(metadataCol)),
+      e => concat(lit("\t<"), e("key"), lit(">"), e("value"),
+        lit("</"), e("key"), lit(">"))))
+    val nested = nestedContext(df)
+      .join(sources.select(col("source_id"), metaXml.as("_meta")),
+        Seq("source_id"), "left")
+      .withColumn("_n", row_number().over(
+        Window.orderBy(desc("score"), col("source_id"))))
+    val stmts = flatten(transform(col("topics"), t =>
+      transform(t("statements"), st => st("statement"))))
+    nested.select(col("source_id"), col("score"),
+      concat(
+        lit("<source_"), col("_n"), lit(">\n"),
+        lit("<source_"), col("_n"), lit("_metadata>\n"),
+        coalesce(col("_meta"), lit("")),
+        lit("\n</source_"), col("_n"), lit("_metadata>\n"),
+        concat_ws("\n", zip_with(stmts,
+          sequence(lit(1), greatest(size(stmts), lit(1))),
+          (s, i) => concat(lit("<statement_"), col("_n"), lit("."), i,
+            lit(">"), s, lit("</statement_"), col("_n"), lit("."), i,
+            lit(">")))),
+        lit("\n</source_"), col("_n"), lit(">")).as("context_bedrock"))
+      .orderBy(desc("score"), col("source_id"))
+  }
 }

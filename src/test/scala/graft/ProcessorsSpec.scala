@@ -107,4 +107,121 @@ class ProcessorsSpec extends SparkSpec {
       "<source id=\"s2\"><topic id=\"t3\"><statement>gamma one</statement>" +
         "<statement>gamma two</statement></topic></source>")
   }
+
+  // ----- default-chain tail (traversal_based_base_retriever.py:24-46) -----
+
+  test("removeVersioningMetadata strips only versioning keys") {
+    val src = Seq(("s1", Map("title" -> "Doc",
+      "__graft__versioning__valid_from__" -> "0",
+      "__graft__versioning__build_timestamp__" -> "1")))
+      .toDF("source_id", "metadata")
+    val out = Processors.removeVersioningMetadata(src)
+      .select("metadata").as[Map[String, String]].head()
+    assert(out == Map("title" -> "Doc"))
+  }
+
+  test("populateStatementStrs appends sorted facts and details") {
+    val facts = Seq(("st1", "b-fact"), ("st1", "a-fact"))
+      .toDF("statement_id", "fact_value")
+    val out = Processors.populateStatementStrs(df, facts)
+      .select("statement_id", "statement_str")
+      .as[(String, String)].collect().toMap
+    assert(out("st1") == "alpha one (details: a-fact, b-fact)")
+    assert(out("st3") == "beta one") // no facts -> bare statement
+  }
+
+  test("statementsToStrings collapses to statement_str when includeFacts") {
+    val facts = Seq(("st1", "f1")).toDF("statement_id", "fact_value")
+    val pop = Processors.populateStatementStrs(df, facts)
+    val withFacts = Processors.statementsToStrings(pop, includeFacts = true)
+    assert(withFacts.filter(col("statement_id") === "st1")
+      .select("statement").as[String].head() == "alpha one (details: f1)")
+    assert(!withFacts.columns.contains("statement_str"))
+    val without = Processors.statementsToStrings(pop, includeFacts = false)
+    assert(without.filter(col("statement_id") === "st1")
+      .select("statement").as[String].head() == "alpha one")
+  }
+
+  test("updateChunkMetadata joins chunk values; clearChunks removes them") {
+    val chunks = Seq(("c1", "chunk text one")).toDF("chunk_id", "text")
+    val out = Processors.updateChunkMetadata(df, chunks)
+    assert(out.filter(col("statement_id") === "st1")
+      .select("chunk_value").as[String].head() == "chunk text one")
+    assert(out.filter(col("statement_id") === "st4" &&
+      col("chunk_value").isNull).count() == 1) // null for missing chunk
+    val cleared = Processors.clearChunks(out)
+    assert(!cleared.columns.contains("chunk_value") &&
+      !cleared.columns.contains("chunk_id"))
+  }
+
+  test("clearScores nulls result score only; zeroScores zeroes both") {
+    val rescored = Processors.rescoreResults(df)
+    val cleared = Processors.clearScores(rescored)
+    assert(cleared.filter(col("result_score").isNotNull).isEmpty)
+    assert(cleared.filter(col("score").isNull).isEmpty)
+    val zeroed = Processors.zeroScores(rescored)
+    assert(zeroed.agg(sum("score"), sum("result_score"))
+      .as[(Double, Double)].head() == ((0.0, 0.0)))
+  }
+
+  test("formatSources: longest metadata value first, rest parenthesized") {
+    val src = Seq(
+      ("s1", Map("a" -> "Very Long Title Value", "b" -> "short", "c" -> "mid-size")),
+      ("s2", Map("a" -> "only")),
+      ("s3", Map.empty[String, String]))
+      .toDF("source_id", "metadata")
+    val out = Processors.formatSources(src)
+      .select("source_id", "source_str").as[(String, String)].collect().toMap
+    assert(out("s1") == "Very Long Title Value (mid-size, short)")
+    assert(out("s2") == "only")
+    assert(out("s3") == "s3")
+  }
+
+  test("simplifySingleTopicResults flags single-topic sources") {
+    val out = Processors.simplifySingleTopicResults(df)
+      .select("source_id", "single_topic").distinct()
+      .as[(String, Boolean)].collect().toMap
+    assert(!out("s1")) // t1 + t2
+    assert(out("s2") && out("s3"))
+  }
+
+  test("truncateRankResults ranks by result score and keeps top-n") {
+    val rescored = Processors.rescoreResults(df)
+    val out = Processors.truncateRankResults(rescored, 2)
+    val ranks = out.select("source_id", "source_rank").distinct()
+      .as[(String, Int)].collect().toMap
+    // result scores: s1 -> 2.0, s2 -> 1.55, s3 -> 0.05
+    assert(ranks == Map("s1" -> 1, "s2" -> 2))
+  }
+
+  test("rerankStatements: None is identity, Some applies the scorer") {
+    assert(Processors.rerankStatements(df, None).collect().toSeq ==
+      df.collect().toSeq)
+    val doubled = Processors.rerankStatements(df,
+      Some(d => d.withColumn("score", col("score") * 2)))
+    assert(doubled.agg(max("score")).as[Double].head() == 8.0)
+  }
+
+  test("formatContextYaml renders block lists in score order") {
+    val yaml = Processors.formatContextYaml(df)
+      .filter(col("source_id") === "s1")
+      .select("context_yaml").as[String].head()
+    assert(yaml.startsWith("- source: s1\n  topics:\n  - topic: t1\n    statements:\n    - alpha one"))
+  }
+
+  test("formatContextBedrock numbers sources and statements") {
+    val sources = Seq(
+      ("s1", Map("title" -> "Doc A")), ("s2", Map("title" -> "Doc B")),
+      ("s3", Map("title" -> "Doc C")))
+      .toDF("source_id", "metadata")
+    val out = Processors.formatContextBedrock(df, sources)
+      .select("source_id", "context_bedrock").as[(String, String)]
+      .collect().toMap
+    // s1 has the best score -> source_1
+    assert(out("s1").startsWith(
+      "<source_1>\n<source_1_metadata>\n\t<title>Doc A</title>\n</source_1_metadata>\n"))
+    assert(out("s1").contains("<statement_1.1>alpha one</statement_1.1>"))
+    assert(out("s1").endsWith("</source_1>"))
+    assert(out("s2").contains("<statement_2.1>gamma one</statement_2.1>"))
+  }
 }

@@ -36,6 +36,30 @@ class RetrieversSpec extends SparkSpec {
     assert(out.columns.contains("context_json"))
   }
 
+  test("fullQuery runs the complete default + formatting chain") {
+    val out = ChunkBasedRetriever.fullQuery(g, queryEmb, maxResults = 2)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(out.columns.toSeq == Seq("source_rank", "source_str", "single_topic",
+      "topic", "statement", "score"))
+    // truncateRankResults caps sources; ranks are 1-based and dense
+    val ranks = rows.map(_.getInt(0)).distinct.sorted
+    assert(ranks.head == 1 && ranks.length <= 2)
+    // PopulateStatementStrs + StatementsToStrings: facts folded into the text
+    assert(rows.exists(_.getString(4).contains("(details: ")))
+    // FormatSources: metadata-derived display string, not a bare id
+    assert(rows.forall(r => r.getString(1) != null && r.getString(1).nonEmpty))
+    // topic value joined in, ids cleared
+    assert(rows.forall(r => r.getString(3) != null))
+  }
+
+  test("fullQuery honors a metadata filter") {
+    import graft.filter.FilterAst
+    val none = ChunkBasedRetriever.fullQuery(g, queryEmb,
+      metadataFilter = Some(FilterAst.Pred("source", FilterAst.Eq, "zzz")))
+    assert(none.isEmpty)
+  }
+
   test("topic-based search materializes statements for seed topics") {
     val seed = g.topics.limit(1).select("topic_id")
     val out = Retrievers.topicBased(g, seed)
