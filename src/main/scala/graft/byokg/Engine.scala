@@ -97,7 +97,14 @@ object AgenticRetriever {
 final class ByoKGQueryEngine(edges: DataFrame, llm: LLM,
                              iterations: Int = 2) {
 
-  /** Returns (context_line, first_seen) in stable first-seen order. */
+  /** Returns (text, first_seen) in true first-seen order: the agentic
+    * retriever's context arrives before the k-hop context (the order
+    * _add_to_context appends in, byokg_query_engine.py:101-116 + 173-178),
+    * and a line seen by both keeps its earliest position. Each source frame
+    * carries an arrival-order column; dedup takes min(order) per text and
+    * ranks by it — the q_orderpreserve_dedup pattern, NOT an alphabetical
+    * window. The global windows are safe: this is the final LLM context,
+    * bounded by the retrieval caps to O(100) lines. */
   def retrieveContext(question: String, mentions: Seq[String]): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
@@ -107,13 +114,118 @@ final class ByoKGQueryEngine(edges: DataFrame, llm: LLM,
     val agentic = AgenticRetriever.retrieve(edges, linked, question, llm,
       iterations)
     val khop = Traversal.kHopTriplets(edges, linked, iterations)
-    val context = Traversal.verbalizeTriplets(agentic.union(khop).distinct())
-    // order-preserving dedup (byokg_query_engine.py:101-116): stable rank by
-    // text, first occurrence wins. The global window is safe here: this is
-    // the final LLM context, bounded by the retrieval caps to O(100) lines.
+    // arrival order: retriever priority, then a stable within-retriever rank
+    // (the reference's store-iteration order isn't reproducible on a
+    // distributed frame, so each retriever's lines rank deterministically)
+    def ordered(df: DataFrame, priority: Int): DataFrame =
+      Traversal.verbalizeTriplets(df).withColumn("ord",
+        lit(priority.toLong * 1000000L) +
+          row_number().over(Window.orderBy(col("text"))))
+    val context = ordered(agentic, 0).union(ordered(khop.distinct(), 1))
     context.groupBy(col("text"))
-      .agg(min(lit(1)).as("one")).drop("one")
+      .agg(min(col("ord")).as("min_ord"))
       .withColumn("first_seen",
-        row_number().over(Window.orderBy(col("text"))))
+        row_number().over(Window.orderBy(col("min_ord"))))
+      .drop("min_ord")
+  }
+}
+
+/**
+ * The full byokg iterate loop (reference byokg_query_engine.py:151-188):
+ * each iteration runs one KGLinker turn, links the emitted entity/answer
+ * artifacts into the graph, retrieves triplet context (agentic), path context
+ * (metapaths from the artifact's `a -> b -> c` lines), and graph-query
+ * context (safety-gated SQL), appending to an order-preserving context list.
+ * `FINISH` in `<task-completion>` ends the loop early.
+ *
+ * The context list lives on the driver — it IS the next prompt, and every
+ * retriever bounds its output (top-k links, capped expansions), mirroring the
+ * reference's List[str] accumulation.
+ */
+final class ByoKGIterativeEngine(edges: DataFrame, llm: graft.llm.LLM,
+                                 queryRetriever: Option[GraphQueryRetriever] = None,
+                                 reranker: Option[Reranker] = None,
+                                 maxContextLines: Int = 200) {
+
+  private val linker = new KGLinker(llm)
+
+  /** Graph schema string for the linker prompt: the sorted relation labels
+    * (reference graph_store.get_schema()). One tiny distinct aggregation. */
+  def schema(): String =
+    edges.select(col("label")).distinct().orderBy(col("label"))
+      .collect().map(_.getString(0)).mkString("Relations: ", ", ", "")
+
+  private def addToContext(ctx: scala.collection.mutable.LinkedHashSet[String],
+                           items: Seq[String]): Unit =
+    items.foreach(ctx.add) // LinkedHashSet = insertion-ordered seen-set
+
+  def query(question: String, iterations: Int = 2): Seq[String] = {
+    val ctx = scala.collection.mutable.LinkedHashSet.empty[String]
+    val explored = scala.collection.mutable.LinkedHashSet.empty[String]
+    val sch = schema()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint(true)
+    var done = false
+    for (it <- 0 until iterations if !done) {
+      val response = linker.generateResponse(question, sch,
+        ctx.mkString("\n"), iterative = it > 0)
+      val artifacts = KGLinker.parseResponse(response)
+
+      val mentions = artifacts("entity-extraction")
+        .filterNot(_.contains("FINISH"))
+      val linked =
+        if (mentions.nonEmpty)
+          EntityLinker.fuzzyLink(nodes, "node", mentions, k = 1)
+            .select(col("node")).collect().map(_.getString(0)).toSeq
+        else Seq.empty
+      explored ++= linked
+      val answerMentions = artifacts("draft-answer-generation")
+      val linkedAnswers =
+        if (answerMentions.nonEmpty)
+          EntityLinker.fuzzyLink(nodes, "node", answerMentions, k = 1)
+            .select(col("node")).collect().map(_.getString(0)).toSeq
+        else Seq.empty
+
+      val sources = (linked ++ linkedAnswers).distinct
+      if (sources.nonEmpty) {
+        val s = edges.sparkSession
+        val seedDf = s.createDataFrame(sources.map(Tuple1(_))).toDF("node")
+        val triplets = AgenticRetriever.retrieve(edges, seedDf, question, llm)
+        val lines = Traversal.verbalizeTriplets(triplets)
+          .orderBy(col("text")).limit(maxContextLines)
+          .collect().map(_.getString(0)).toSeq
+        val kept = reranker.fold(lines) { r =>
+          val df = s.createDataFrame(lines.zipWithIndex.map(_.swap))
+            .toDF("ord", "text")
+          r.rerankTopK(question, df, "text", maxContextLines, "ord")
+            .select(col("text")).collect().map(_.getString(0)).toSeq
+        }
+        addToContext(ctx, kept)
+      }
+
+      val metapaths = artifacts("path-extraction")
+        .map(_.split("->").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+      if (metapaths.nonEmpty && explored.nonEmpty) {
+        val s = edges.sparkSession
+        val seedDf = s.createDataFrame(explored.toSeq.map(Tuple1(_))).toDF("node")
+        metapaths.foreach { mp =>
+          val paths = Traversal.metapathPaths(edges, seedDf, mp)
+          val lines = Traversal.verbalizePaths(paths)
+            .orderBy(col("text")).limit(maxContextLines)
+            .collect().map(_.getString(0)).toSeq
+          addToContext(ctx, lines)
+        }
+      }
+
+      artifacts("opencypher") match {
+        case qs if qs.nonEmpty && queryRetriever.isDefined =>
+          addToContext(ctx, queryRetriever.get.retrieve(qs.mkString(" ")))
+        case _ =>
+      }
+
+      done = KGLinker.taskCompletion(response).exists(_.contains("FINISH"))
+    }
+    ctx.toSeq
   }
 }

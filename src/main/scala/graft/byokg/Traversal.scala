@@ -151,4 +151,71 @@ object Traversal {
     triplets.select(
       concat_ws(" ", col("src"), concat(lit("["), col("label"), lit("]")),
         col("dst")).as("text"))
+
+  /** Merged triplet verbalization: group triplets sharing (head, relation)
+    * and join the tails — "head -> rel -> t1 | t2" (reference
+    * graph_verbalizer.py verbalize_merge_triplets:108-135). The reference
+    * keeps store-iteration tail order and an optional retain cap; tails here
+    * sort lexicographically so the line is partition-independent, and the cap
+    * applies post-sort. One hash aggregation — never a collect. */
+  def verbalizeTripletsMerged(triplets: DataFrame,
+                              maxRetain: Int = -1): DataFrame = {
+    val tails0 = sort_array(collect_set(col("dst")))
+    val tails = if (maxRetain > 0) slice(tails0, 1, maxRetain) else tails0
+    triplets.groupBy(col("src"), col("label"))
+      .agg(concat_ws(" | ", tails).as("tails"))
+      .select(concat_ws(" -> ", col("src"), col("label"), col("tails")).as("text"))
+  }
+
+  /** Metapath following that keeps the FULL paths, not just the reached
+    * frontier: each hop appends its triplet to an array column, so the result
+    * is one row per complete path with `path: array<struct<src,label,dst>>`
+    * plus the terminal node. `maxPaths` caps the per-hop fan-out (top paths
+    * by endpoint order) — the combinatorial blow-up guard at scale. */
+  def metapathPaths(edges: DataFrame, seeds: DataFrame,
+                    metapath: Seq[String],
+                    undirected: Boolean = false,
+                    maxPaths: Int = 10000): DataFrame = {
+    val e = loopEdges(edges, undirected)
+    var acc = seeds.select(col("node"),
+      array().cast("array<struct<src:string,label:string,dst:string>>").as("path"))
+      .localCheckpoint(true)
+    var n = acc.count()
+    for (lbl <- metapath if n > 0) {
+      acc = e.filter(col("label") === lbl)
+        .join(gatedBroadcast(
+          acc.select(col("node").as("src"), col("path")), n), Seq("src"))
+        .select(col("dst").as("node"),
+          concat(col("path"),
+            array(struct(col("src"), col("label"), col("dst")))).as("path"))
+        .orderBy(col("node"), col("path").cast("string"))
+        .limit(maxPaths)
+        .localCheckpoint(true)
+      n = acc.count()
+    }
+    acc
+  }
+
+  /** Path verbalization (reference graph_verbalizer.py PathVerbalizer:144-254):
+    * a path's triplets chain into "start -> mid -> end" where multi-hop mids
+    * join with " > "; paths sharing (start, mid) then merge their ends with
+    * " | " (verbalize_merge_triplets on the components). Input is the
+    * `metapathPaths` shape. Pure array expressions + one aggregation. */
+  def verbalizePaths(paths: DataFrame): DataFrame = {
+    val p = col("path")
+    val nonEmpty = paths.filter(size(p) > 0)
+    val start = element_at(p, 1)("src")
+    val end = element_at(p, -1)("dst")
+    // single hop: mid = the one relation; multi hop: rel/dst chain minus the
+    // final dst, joined with " > "
+    val mid = when(size(p) === 1, element_at(p, 1)("label"))
+      .otherwise(concat_ws(" > ",
+        flatten(transform(p, (t, i) =>
+          when(i < size(p) - 1, array(t("label"), t("dst")))
+            .otherwise(array(t("label")))))))
+    nonEmpty.select(start.as("start"), mid.as("mid"), end.as("end"))
+      .groupBy(col("start"), col("mid"))
+      .agg(concat_ws(" | ", sort_array(collect_set(col("end")))).as("ends"))
+      .select(concat_ws(" -> ", col("start"), col("mid"), col("ends")).as("text"))
+  }
 }

@@ -61,6 +61,23 @@ object GraphQueries {
     "q_verbalize" -> ((s, dir) => {
       val hop = Traversal.kHopTriplets(edges(s, dir), seeds(s, dir), 1)
       Traversal.verbalizeTriplets(hop).orderBy(col("text"))
+    }),
+
+    // §2.13 merged triplet verbalization: tails grouped per (head, relation)
+    // and |-joined (reference graph_verbalizer.py verbalize_merge_triplets).
+    "q_verbalize_merged" -> ((s, dir) => {
+      val hop = Traversal.kHopTriplets(edges(s, dir), seeds(s, dir), 1)
+      Traversal.verbalizeTripletsMerged(hop).orderBy(col("text"))
+    }),
+
+    // §2.13 full-path retrieval + PathVerbalizer: 2-hop placed/contains
+    // metapath from one customer, paths kept whole and verbalized as
+    // "start -> rel > node > rel -> end1 | end2" (graph_verbalizer.py:144-254).
+    "q_metapath_paths" -> ((s, dir) => {
+      val seed = s.createDataFrame(Seq(Tuple1("c:0"))).toDF("node")
+      val paths = Traversal.metapathPaths(edges(s, dir), seed,
+        Seq("placed", "contains"))
+      Traversal.verbalizePaths(paths).orderBy(col("text"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -103,5 +120,22 @@ object GraphQueries {
       s"""WITH edges AS ($edgesSql),
          |seeds AS (SELECT 'c:'||c_custkey AS node FROM customer WHERE c_nationkey = 0),
          |h1 AS (SELECT DISTINCT e.* FROM edges e JOIN seeds s ON e.src = s.node)
-         |SELECT src||' ['||label||'] '||dst AS text FROM h1 ORDER BY text""".stripMargin)
+         |SELECT src||' ['||label||'] '||dst AS text FROM h1 ORDER BY text""".stripMargin,
+
+    "q_verbalize_merged" ->
+      s"""WITH edges AS ($edgesSql),
+         |seeds AS (SELECT 'c:'||c_custkey AS node FROM customer WHERE c_nationkey = 0),
+         |h1 AS (SELECT DISTINCT e.* FROM edges e JOIN seeds s ON e.src = s.node)
+         |SELECT src||' -> '||label||' -> '||
+         |  array_to_string(list_sort(list(DISTINCT dst)), ' | ') AS text
+         |FROM h1 GROUP BY src, label ORDER BY text""".stripMargin,
+
+    "q_metapath_paths" ->
+      s"""WITH edges AS ($edgesSql),
+         |p1 AS (SELECT e.src, e.dst FROM edges e WHERE e.label = 'placed' AND e.src = 'c:0'),
+         |p2 AS (SELECT p1.src AS start, p1.dst AS mid_node, e.dst AS "end"
+         |       FROM p1 JOIN edges e ON e.src = p1.dst AND e.label = 'contains')
+         |SELECT start||' -> placed > '||mid_node||' > contains -> '||
+         |  array_to_string(list_sort(list(DISTINCT "end")), ' | ') AS text
+         |FROM p2 GROUP BY start, mid_node ORDER BY text""".stripMargin)
 }

@@ -1,8 +1,20 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.byokg.{AgenticRetriever, ByoKGQueryEngine, EntityLinker}
-import graft.llm.StubLLM
+import graft.byokg.{AgenticRetriever, ByoKGIterativeEngine, ByoKGQueryEngine,
+  EntityLinker, GraphQueryRetriever, GraphQuerySafety, KGLinker,
+  TokenOverlapReranker, Traversal}
+import graft.llm.{LLM, StubLLM}
+
+/** Replays canned responses in order — the deterministic stand-in for the
+  * multi-turn KGLinker protocol. */
+final class ScriptedLLM(responses: Seq[String]) extends LLM {
+  private var i = -1
+  override def complete(prompt: String): String = {
+    i = math.min(i + 1, responses.length - 1)
+    responses(i)
+  }
+}
 
 class ByokgEngineSpec extends SparkSpec {
   import spark.implicits._
@@ -57,5 +69,165 @@ class ByokgEngineSpec extends SparkSpec {
     assert(lines.contains("acme [founded_by] alice"))
     assert(lines.distinct.length == lines.length)
     assert(lines.nonEmpty)
+  }
+
+  test("retrieveContext preserves first-seen order: agentic before khop-only") {
+    val engine = new ByoKGQueryEngine(edges, new StubLLM, iterations = 1)
+    val ctx = engine.retrieveContext("who founded acme", Seq("acmee"))
+      .orderBy(col("first_seen")).select("text").as[String].collect().toSeq
+    // agentic (priority 0) keeps only founded_by for this question; the
+    // khop context (priority 1) adds located_in. first-seen order must put
+    // every agentic line before any khop-only line — NOT alphabetical order,
+    // which would interleave them.
+    val agenticLine = ctx.indexOf("acme [founded_by] alice")
+    val khopOnly = ctx.indexOf("acme [located_in] berlin")
+    assert(agenticLine >= 0 && khopOnly >= 0 && agenticLine < khopOnly)
+  }
+
+  // ----- KGLinker artifact protocol (kg_linker.py:15-140) -----
+
+  test("KGLinker parses per-task artifacts and task completion") {
+    val resp =
+      """<entities>
+        |acme corp
+        |alice
+        |</entities>
+        |<paths>
+        |acme -> founded_by
+        |</paths>
+        |<opencypher>SELECT 1</opencypher>
+        |<answers>alice</answers>
+        |<task-completion>FINISH</task-completion>""".stripMargin
+    val a = KGLinker.parseResponse(resp)
+    assert(a("entity-extraction") == Seq("acme corp", "alice"))
+    assert(a("path-extraction") == Seq("acme -> founded_by"))
+    assert(a("opencypher") == Seq("SELECT 1"))
+    assert(a("draft-answer-generation") == Seq("alice"))
+    assert(KGLinker.taskCompletion(resp) == Seq("FINISH"))
+    assert(KGLinker.parseTag("no tags here", "entities").isEmpty)
+  }
+
+  test("KGLinker prompt embeds question, schema, context and task tags") {
+    val p = KGLinker.buildPrompt("who?", "Relations: a, b", "ctx line",
+      iterative = true)
+    assert(p.contains("who?") && p.contains("Relations: a, b") &&
+      p.contains("ctx line") && p.contains("<entities>") &&
+      p.contains("iterative"))
+    val p0 = KGLinker.buildPrompt("q", "s", "")
+    assert(p0.contains("No graph context provided"))
+  }
+
+  // ----- read-only query gate (graph_retrievers.py:376-414) -----
+
+  test("isQuerySafe blocks modification keywords through evasion tricks") {
+    assert(GraphQuerySafety.isQuerySafe("MATCH (n) RETURN n"))
+    assert(GraphQuerySafety.isQuerySafe("SELECT src, dst FROM edges"))
+    assert(!GraphQuerySafety.isQuerySafe("CREATE (n:Node)"))
+    assert(!GraphQuerySafety.isQuerySafe("match (n) delete n"))
+    // keyword hidden behind a block comment
+    assert(!GraphQuerySafety.isQuerySafe("/* x */ DROP TABLE edges"))
+    // keyword only inside a comment is fine
+    assert(GraphQuerySafety.isQuerySafe("SELECT 1 // DELETE nothing"))
+    assert(GraphQuerySafety.isQuerySafe("SELECT 1 -- DROP nothing"))
+    // fullwidth lookalikes collapse under NFKC
+    assert(!GraphQuerySafety.isQuerySafe("ＤＥＬＥＴＥ x"))
+    // substring inside a word is not a keyword
+    assert(GraphQuerySafety.isQuerySafe("SELECT created_at FROM edges"))
+    assert(GraphQuerySafety.isQuerySafe("DROP ANYTHING", blockModification = false))
+  }
+
+  test("GraphQueryRetriever executes safe SQL and verbalizes rows") {
+    edges.createOrReplaceTempView("kg_edges")
+    val r = new GraphQueryRetriever(spark)
+    val ok = r.retrieve(
+      "SELECT src, label FROM kg_edges WHERE dst = 'alice' ORDER BY src")
+    assert(ok == Seq("src: acme, label: founded_by"))
+    val blocked = r.retrieve("DELETE FROM kg_edges")
+    assert(blocked.head.startsWith("Error executing query"))
+    val bad = r.retrieve("SELECT nope FROM kg_edges")
+    assert(bad.head.startsWith("Error executing query"))
+  }
+
+  // ----- reranker seam (graph_reranker.py:32-133) -----
+
+  test("TokenOverlapReranker keeps top-k by query overlap, stable on ties") {
+    val in = Seq((0L, "acme founded by alice"), (1L, "berlin capital"),
+      (2L, "alice founded acme today")).toDF("ord", "text")
+    val out = new TokenOverlapReranker()
+      .rerankTopK("who founded acme", in, "text", 2, "ord")
+      .select("ord").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 2L)) // both mention founded+acme; 0 is shorter
+  }
+
+  // ----- path verbalizer parity (graph_verbalizer.py:108-254) -----
+
+  test("verbalizeTripletsMerged groups tails per (head, relation)") {
+    val t = Seq(("a", "x", "r"), ("a", "y", "r"), ("b", "z", "s"))
+      .toDF("src", "dst", "label")
+    val out = Traversal.verbalizeTripletsMerged(t)
+      .select("text").as[String].collect().sorted
+    assert(out.toSeq == Seq("a -> r -> x | y", "b -> s -> z"))
+  }
+
+  test("metapathPaths keeps full paths; verbalizePaths merges ends") {
+    val paths = Traversal.metapathPaths(edges, Seq("acme").toDF("node"),
+      Seq("located_in", "capital_of"))
+    assert(paths.count() == 1)
+    val lines = Traversal.verbalizePaths(paths).select("text").as[String].collect()
+    assert(lines.toSeq ==
+      Seq("acme -> located_in > berlin > capital_of -> germany"))
+    val single = Traversal.verbalizePaths(
+      Traversal.metapathPaths(edges, Seq("acme").toDF("node"), Seq("founded_by")))
+      .select("text").as[String].collect()
+    assert(single.toSeq == Seq("acme -> founded_by -> alice"))
+  }
+
+  // ----- full iterate loop (byokg_query_engine.py:151-188) -----
+
+  test("ByoKGIterativeEngine runs the artifact-driven loop and stops on FINISH") {
+    edges.createOrReplaceTempView("kg_edges")
+    val turn1 =
+      """<entities>
+        |acmee
+        |</entities>
+        |<paths>
+        |located_in -> capital_of
+        |</paths>
+        |<opencypher>SELECT 'extra: line' AS note</opencypher>""".stripMargin
+    val turn2 = "<entities>\nFINISH\n</entities>" +
+      "<task-completion>FINISH</task-completion>"
+    val engine = new ByoKGIterativeEngine(edges,
+      new ScriptedLLM(Seq(turn1, turn2)),
+      queryRetriever = Some(new GraphQueryRetriever(spark)))
+    val ctx = engine.query("who founded acme", iterations = 3)
+    // triplet context from the linked entity, path context from the metapath,
+    // query context from the safe SQL — in arrival order, deduped
+    assert(ctx.exists(_.contains("founded_by")))
+    assert(ctx.contains("acme -> located_in > berlin > capital_of -> germany"))
+    assert(ctx.exists(_.startsWith("note:")))
+    assert(ctx.distinct.length == ctx.length)
+    // second turn FINISHed: the scripted LLM would replay turn2 forever, so
+    // reaching here without a 3rd-iteration context change proves the break
+    val engine2 = new ByoKGIterativeEngine(edges,
+      new ScriptedLLM(Seq(turn1, turn2)),
+      queryRetriever = Some(new GraphQueryRetriever(spark)))
+    assert(engine2.query("who founded acme", iterations = 10) == ctx)
+  }
+
+  test("ByoKGIterativeEngine applies the reranker to triplet context") {
+    val turn =
+      """<entities>
+        |acmee
+        |</entities><task-completion>FINISH</task-completion>""".stripMargin
+    val engine = new ByoKGIterativeEngine(edges, new ScriptedLLM(Seq(turn)),
+      reranker = Some(new TokenOverlapReranker))
+    val ctx = engine.query("who founded acme", iterations = 1)
+    assert(ctx.nonEmpty)
+  }
+
+  test("engine schema lists sorted relation labels") {
+    val engine = new ByoKGIterativeEngine(edges, new StubLLM)
+    assert(engine.schema() ==
+      "Relations: capital_of, founded_by, located_in, works_at")
   }
 }
