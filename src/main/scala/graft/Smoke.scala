@@ -16,6 +16,9 @@ object Smoke {
     val df = SparkEntry.entry(spark)
     df.show(5, truncate = 120)
     println(s"[smoke] entry rows = ${df.count()}")
+    val mp = graft.pipeline.LexicalPipeline
+      .flagshipMultipart(spark, "/root/testdata/sf0.001")
+    println(s"[smoke] multipart rows = ${mp.count()}")
     spark.stop()
   }
 }

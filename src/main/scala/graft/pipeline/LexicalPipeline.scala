@@ -23,6 +23,21 @@ object LexicalPipeline {
     ChunkBasedRetriever.query(g, queryEmbedding)
   }
 
+  /** Multipart flagship: a conjunction question shards into keywords, each
+    * shard drives the full default chain with a shrunken budget, results
+    * union (query_mode_retriever.py:28-68 over the real retriever). */
+  def flagshipMultipart(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val g = LexicalGraphBuilder
+      .fromDocuments(docs, "text", Seq("doc_id", "source", "lang"))
+      .persistAll()
+    graft.retrieve.QueryModeRetriever.retrieve(
+      new graft.llm.StubLLM,
+      "spark join tables and stream batch rows",
+      (q, max) => ChunkBasedRetriever.fullQuery(
+        g, embedQuery(spark, q), maxResults = max))
+  }
+
   /** Embed a query string with the same deterministic hash embedder the
     * indexing side uses (reference `to_embedded_query`, vector_index.py:20-45). */
   def embedQuery(spark: SparkSession, text: String): Seq[Double] = {

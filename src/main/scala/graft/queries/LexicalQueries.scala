@@ -37,6 +37,17 @@ object LexicalQueries {
       Tables.lexicalGraph(s, dir).entityRelations
         .select(col("src_entity_id"), col("relation_value"), col("dst_entity_id"))
         .orderBy(col("src_entity_id"), col("dst_entity_id"))
+    }),
+
+    // §2.4 keyword → entity lookup (entity_provider.py:30-110): exact
+    // search_str match with optional `kw|Class` filter, fact-degree scores,
+    // STARTS WITH fallback for unmatched keywords. 'join' and 'hash|Token'
+    // hit exactly; 'fil' only as a prefix; 'row|Zzz' matches nothing.
+    "q_keyword_entity" -> ((s, dir) => {
+      graft.retrieve.EntityProvider.entitiesForKeywords(
+        Tables.lexicalGraph(s, dir),
+        Seq("join", "hash|Token", "fil", "row|Zzz"))
+        .orderBy(col("keyword"), desc("score"), col("entity_id"))
     }))
 
   /** Shared oracle prefix: documents → chunk windows → statement windows,
@@ -99,5 +110,43 @@ object LexicalQueries {
          |  'NEAR' AS relation_value,
          |  'e:'||substr(md5(stoks[len(stoks)]||'|'||'Token'||'|'||'t0'),1,8) AS dst_entity_id
          |FROM stmts2
-         |ORDER BY src_entity_id, dst_entity_id""".stripMargin)
+         |ORDER BY src_entity_id, dst_entity_id""".stripMargin,
+
+    "q_keyword_entity" ->
+      s"""WITH $stmtCte,
+         |facts AS (
+         |  SELECT DISTINCT stoks[1] AS subj, stoks[len(stoks)] AS obj FROM stmts2),
+         |ents AS (
+         |  SELECT stoks[1] AS value FROM stmts2
+         |  UNION
+         |  SELECT stoks[len(stoks)] FROM stmts2),
+         |degree AS (
+         |  SELECT e AS value, count(*) AS score FROM (
+         |    SELECT subj AS e FROM facts UNION ALL SELECT obj FROM facts)
+         |  GROUP BY e),
+         |scored AS (
+         |  SELECT 'e:'||substr(md5(value||'|'||'Token'||'|'||'t0'),1,8) AS entity_id,
+         |    value, value AS search_str, 'Token' AS classification, score
+         |  FROM ents JOIN degree USING (value)),
+         |kws(keyword, kw_norm, kw_class) AS (VALUES
+         |  ('join','join',NULL), ('hash|Token','hash','Token'),
+         |  ('fil','fil',NULL), ('row|Zzz','row','Zzz')),
+         |exact AS (
+         |  SELECT k.keyword, s.entity_id, s.value, s.classification, s.score
+         |  FROM kws k JOIN scored s ON s.search_str = k.kw_norm
+         |  AND (CASE WHEN k.kw_class IS NOT NULL THEN s.classification = k.kw_class
+         |       ELSE s.classification <> '__Local_Entity__' END)),
+         |unmatched AS (
+         |  SELECT * FROM kws WHERE keyword NOT IN (SELECT keyword FROM exact)),
+         |prefix AS (
+         |  SELECT k.keyword, s.entity_id, s.value, s.classification, s.score
+         |  FROM unmatched k JOIN scored s ON starts_with(s.search_str, k.kw_norm)
+         |  AND (CASE WHEN k.kw_class IS NOT NULL THEN starts_with(s.classification, k.kw_class)
+         |       ELSE s.classification <> '__Local_Entity__' END))
+         |SELECT keyword, entity_id, value, classification, score,
+         |  'exact' AS matched FROM exact
+         |UNION ALL
+         |SELECT keyword, entity_id, value, classification, score, 'prefix'
+         |FROM prefix
+         |ORDER BY keyword, score DESC, entity_id""".stripMargin)
 }

@@ -60,6 +60,42 @@ class RetrieversSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("entitiesForKeywords: exact match, class filter, prefix fallback") {
+    val out = graft.retrieve.EntityProvider
+      .entitiesForKeywords(g, Seq("spark", "spark|Token", "spar", "spark|Nope"))
+      .select("keyword", "matched").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    assert(out("spark") == Seq("exact"))
+    assert(out("spark|Token") == Seq("exact"))
+    assert(out("spar") == Seq("prefix")) // no exact hit -> STARTS WITH
+    assert(!out.contains("spark|Nope")) // wrong class: nothing
+  }
+
+  test("multipart query mode shards keywords with shrunken budgets") {
+    val llm = new graft.llm.StubLLM
+    var calls = Seq.empty[(String, Int)]
+    def fn(q: String, max: Int) = {
+      calls = calls :+ ((q, max))
+      Seq((q, max)).toDF("q", "max")
+    }
+    // simple question: single retriever, full budget
+    val simple = graft.retrieve.QueryModeRetriever
+      .retrieve(llm, "who founded acme", fn, maxResults = 10)
+    assert(simple.count() == 1 && calls == Seq(("who founded acme", 10)))
+    // conjunction: one shard per keyword, budget max/shards + 1
+    calls = Seq.empty
+    val multi = graft.retrieve.QueryModeRetriever
+      .retrieve(llm, "who founded acme and where is berlin", fn,
+        maxResults = 10, maxKeywords = 2)
+    assert(calls.size == 2 && calls.forall(_._2 == 6)) // 10/2 + 1
+    assert(multi.count() == 2)
+    // disabled: always single
+    calls = Seq.empty
+    graft.retrieve.QueryModeRetriever.retrieve(llm,
+      "a and b", fn, maxResults = 10, enableMultipartQueries = false).count()
+    assert(calls.map(_._1) == Seq("a and b"))
+  }
+
   test("topic-based search materializes statements for seed topics") {
     val seed = g.topics.limit(1).select("topic_id")
     val out = Retrievers.topicBased(g, seed)
