@@ -184,6 +184,35 @@ object ProcessorQueries {
         .orderBy(col("depth"), desc("score"), col("topic_id"))
     }),
 
+    // §2.4 semantic chunk beam (width 10 / depth 3, path_weighted scoring —
+    // rows-only: iterative width-truncated expansion isn't one ANSI query;
+    // mode semantics are fixture-tested in RetrieversSpec).
+    "q_beam_chunk" -> ((s, dir) => {
+      val g = Tables.lexicalGraph(s, dir)
+      val seeds = g.chunks.orderBy(col("chunk_id")).limit(3).select("chunk_id")
+      val queryEmb = (0 until graft.index.LexicalGraphBuilder.EmbeddingDim)
+        .map(i => math.sin(i + 1.0))
+      graft.retrieve.ChunkBeamSearch.search(g, seeds, queryEmb,
+        beamWidth = 10, depth = 3, scoringMode = "path_weighted")
+        .select(col("chunk_id"), round(col("score"), 6).as("score"), col("depth"))
+        .orderBy(col("depth"), desc("score"), col("chunk_id"))
+    }),
+
+    // §2.4 statement beam (fact-sharing + prev-link neighbors, attention
+    // scoring — rows-only).
+    "q_beam_statement" -> ((s, dir) => {
+      val g = Tables.lexicalGraph(s, dir)
+      val seeds = g.statements.orderBy(col("statement_id")).limit(3)
+        .select("statement_id")
+      val queryEmb = (0 until graft.index.LexicalGraphBuilder.EmbeddingDim)
+        .map(i => math.cos(i + 1.0))
+      graft.retrieve.StatementBeamSearch.search(g, seeds, queryEmb,
+        beamWidth = 10, depth = 3, scoringMode = "attention")
+        .select(col("statement_id"), round(col("score"), 6).as("score"),
+          col("depth"))
+        .orderBy(col("depth"), desc("score"), col("statement_id"))
+    }),
+
     // §2.4 entity context tree expansion with degree scores (rows-only).
     "q_entity_context" -> ((s, dir) => {
       val g = Tables.lexicalGraph(s, dir)

@@ -101,6 +101,203 @@ object TopicBeamSearch {
 }
 
 /**
+ * The four beam scoring modes (reference beam_search_base.py:46-92 /
+ * processor_args.py ec_scoring_mode): candidates arrive as
+ * (id, embedding, parent_id, parent_embedding) pairs — a node reached from
+ * several beam parents is scored per pair and keeps its best score, the
+ * DataFrame equivalent of the reference's priority queue taking the highest
+ * re-queued entry.
+ */
+object BeamScoring {
+
+  val Modes = Seq("cosine", "path_weighted", "path_propagated", "attention")
+
+  /** Score candidate pairs against the query; returns (id, score) with the
+    * max over parents. All four modes are single-pass column expressions;
+    * `attention` adds one window (softmax over each parent's candidate
+    * batch — the reference normalizes over exactly that batch). */
+  def score(pairs: DataFrame, queryEmbedding: Seq[Double],
+            mode: String = "cosine"): DataFrame = {
+    require(Modes.contains(mode), s"unknown scoring mode $mode")
+    val q = typedLit(queryEmbedding)
+    val qCos = V.cosine(col("embedding"), q)
+    val scored = mode match {
+      case "cosine" =>
+        pairs.withColumn("pair_score", qCos)
+      case "path_weighted" => // cos(q,n) * (1 + cos(p,n)) / 2
+        pairs.withColumn("pair_score",
+          qCos * (lit(1.0) + V.cosine(col("embedding"), col("parent_embedding"))) / 2)
+      case "path_propagated" => // cos(q,p) * cos(p,n)
+        pairs.withColumn("pair_score",
+          V.cosine(col("parent_embedding"), q) *
+            V.cosine(col("embedding"), col("parent_embedding")))
+      case "attention" => // cos(q,n) * (1 + softmax_parent(dot(n,p)/sqrt(d)))
+        val dim = queryEmbedding.size
+        val logit = V.dot(col("embedding"), col("parent_embedding")) /
+          math.sqrt(dim.toDouble)
+        val w = Window.partitionBy(col("parent_id"))
+        val centered = logit - max(logit).over(w)
+        pairs.withColumn("_attn",
+            exp(centered) / sum(exp(centered)).over(w))
+          .withColumn("pair_score", qCos * (lit(1.0) + col("_attn")))
+          .drop("_attn")
+    }
+    scored.groupBy(col("id")).agg(max(col("pair_score")).as("score"))
+  }
+}
+
+/**
+ * Semantic chunk beam search (reference semantic_chunk_beam_search.py:13-120:
+ * width 10, depth 3): chunk neighbors are chunks sharing the frontier
+ * chunk's strongest entities — chunk → statements → supporting facts →
+ * entities (top per chunk by global degree) → other chunks mentioning those
+ * entities, ranked by shared-entity count. Each depth is one Spark job over
+ * the (beamWidth-bounded) frontier; candidates carry their beam parent so
+ * every [[BeamScoring]] mode can score the (parent, candidate) pair.
+ */
+object ChunkBeamSearch {
+
+  /** chunk → entity projection (the SUBJECT|OBJECT ... MENTIONED_IN chain). */
+  def chunkEntities(g: GraphTables): DataFrame =
+    g.statements.select(col("chunk_id"), col("statement_id"))
+      .join(g.factSupports, Seq("statement_id"))
+      .join(g.facts.select(col("fact_id"),
+        col("subject_entity_id").as("entity_id")), Seq("fact_id"))
+      .select(col("chunk_id"), col("entity_id")).distinct()
+
+  /** One expansion: per frontier chunk take its `topEntities` strongest
+    * entities (global degree — the reference's per-chunk entity score
+    * query), find chunks sharing them, rank by shared count, cap, drop
+    * visited. Returns (parent_id, chunk_id, strength). */
+  def expandOnce(g: GraphTables, frontier: DataFrame, visited: DataFrame,
+                 ce: DataFrame, topEntities: Int = 5,
+                 cap: Int = 20): DataFrame = {
+    val f = broadcast(frontier.select(col("chunk_id").as("parent_id")).distinct())
+    val degree = EntityContextProvider.entityScores(g)
+    val frontierEntities = ce.join(f, col("chunk_id") === col("parent_id"))
+      .join(degree, Seq("entity_id"), "left")
+      .withColumn("erank", row_number().over(
+        Window.partitionBy(col("parent_id"))
+          .orderBy(desc("score"), col("entity_id"))))
+      .filter(col("erank") <= topEntities)
+      .select(col("parent_id"), col("entity_id"))
+    val candidates = ce
+      .join(broadcast(frontierEntities), Seq("entity_id"))
+      .filter(col("chunk_id") =!= col("parent_id"))
+      .groupBy(col("parent_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("strength"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("parent_id"))
+          .orderBy(desc("strength"), col("chunk_id"))))
+      .filter(col("crank") <= cap)
+      .drop("crank")
+    candidates.join(visited.select(col("chunk_id")), Seq("chunk_id"), "left_anti")
+  }
+
+  /** Full beam: (chunk_id, score, depth), width-bounded per depth. */
+  def search(g: GraphTables, seedChunks: DataFrame, queryEmbedding: Seq[Double],
+             beamWidth: Int = graft.model.Defaults.ChunkBeamWidth,
+             depth: Int = graft.model.Defaults.ChunkBeamDepth,
+             scoringMode: String = "cosine"): DataFrame = {
+    val ce = chunkEntities(g).localCheckpoint(true)
+    val emb = g.chunks.select(col("chunk_id"), col("embedding"))
+    var frontier = seedChunks.select(col("chunk_id")).distinct().localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
+    var acc = frontier.join(emb, Seq("chunk_id"))
+      .select(col("chunk_id"),
+        V.cosine(col("embedding"), typedLit(queryEmbedding)).as("score"))
+      .withColumn("depth", lit(0))
+    for (d <- 1 to depth) {
+      val visited = layers.reduce(_ union _)
+      val cands = expandOnce(g, frontier, visited, ce)
+        .join(emb, Seq("chunk_id"))
+        .join(broadcast(emb.join(frontier, Seq("chunk_id"))
+          .select(col("chunk_id").as("parent_id"),
+            col("embedding").as("parent_embedding"))), Seq("parent_id"))
+        .select(col("chunk_id").as("id"), col("embedding"),
+          col("parent_id"), col("parent_embedding"))
+      val scored = BeamScoring.score(cands, queryEmbedding, scoringMode)
+        .orderBy(desc("score"), col("id")).limit(beamWidth)
+        .select(col("id").as("chunk_id"), col("score"))
+        .localCheckpoint(true)
+      acc = acc.union(scored.withColumn("depth", lit(d)))
+      frontier = scored.select(col("chunk_id"))
+      layers += frontier
+    }
+    acc
+  }
+}
+
+/**
+ * Statement beam search (the reference's semantic statement beam family,
+ * retrieval/retrievers/deprecated/semantic_beam_search.py): statement
+ * neighbors are statements supported by a shared fact, plus the intra-topic
+ * PREVIOUS linked-list neighbors. Same width/depth/scoring contract as the
+ * chunk beam.
+ */
+object StatementBeamSearch {
+
+  /** One expansion: fact-sharing statements + prev/next linked statements.
+    * Returns (parent_id, statement_id). */
+  def expandOnce(g: GraphTables, frontier: DataFrame,
+                 visited: DataFrame, cap: Int = 20): DataFrame = {
+    val f = broadcast(frontier.select(col("statement_id").as("parent_id")).distinct())
+    val viaFacts = g.factSupports
+      .join(f, col("statement_id") === col("parent_id"))
+      .select(col("parent_id"), col("fact_id"))
+      .join(g.factSupports, Seq("fact_id"))
+      .filter(col("statement_id") =!= col("parent_id"))
+      .select(col("parent_id"), col("statement_id"))
+    val linked = g.statements
+      .join(f, col("prev_statement_id") === col("parent_id"))
+      .select(col("parent_id"), col("statement_id"))
+      .union(g.statements
+        .join(f, col("statement_id") === col("parent_id"))
+        .select(col("parent_id"), col("prev_statement_id").as("statement_id"))
+        .filter(col("statement_id").isNotNull))
+    viaFacts.union(linked).distinct()
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("parent_id"))
+          .orderBy(col("statement_id"))))
+      .filter(col("crank") <= cap).drop("crank")
+      .join(visited.select(col("statement_id")), Seq("statement_id"), "left_anti")
+  }
+
+  /** Full beam: (statement_id, score, depth). */
+  def search(g: GraphTables, seedStatements: DataFrame,
+             queryEmbedding: Seq[Double],
+             beamWidth: Int = 10, depth: Int = 3,
+             scoringMode: String = "cosine"): DataFrame = {
+    val emb = g.statements.select(col("statement_id"), col("embedding"))
+    var frontier = seedStatements.select(col("statement_id")).distinct()
+      .localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
+    var acc = frontier.join(emb, Seq("statement_id"))
+      .select(col("statement_id"),
+        V.cosine(col("embedding"), typedLit(queryEmbedding)).as("score"))
+      .withColumn("depth", lit(0))
+    for (d <- 1 to depth) {
+      val visited = layers.reduce(_ union _)
+      val cands = expandOnce(g, frontier, visited)
+        .join(emb, Seq("statement_id"))
+        .join(broadcast(emb.join(frontier, Seq("statement_id"))
+          .select(col("statement_id").as("parent_id"),
+            col("embedding").as("parent_embedding"))), Seq("parent_id"))
+        .select(col("statement_id").as("id"), col("embedding"),
+          col("parent_id"), col("parent_embedding"))
+      val scored = BeamScoring.score(cands, queryEmbedding, scoringMode)
+        .orderBy(desc("score"), col("id")).limit(beamWidth)
+        .select(col("id").as("statement_id"), col("score"))
+        .localCheckpoint(true)
+      acc = acc.union(scored.withColumn("depth", lit(d)))
+      frontier = scored.select(col("statement_id"))
+      layers += frontier
+    }
+    acc
+  }
+}
+
+/**
  * Entity context tree expansion: iterative relation-frontier growth from
  * seed entities, bounded depth, exclusion sets, degree-scored
  * (reference: retrieval/query_context/entity_context_provider.py:40-141).

@@ -134,6 +134,70 @@ class RetrieversSpec extends SparkSpec {
     assert(out.columns.toSet == Set("topic_id", "score", "depth"))
   }
 
+  test("BeamScoring modes produce the reference orderings on a fixture") {
+    import graft.retrieve.BeamScoring
+    // query along +x; parent along +y; candidates: a=+x (query-aligned),
+    // b=+y (parent-aligned), c=diagonal
+    val q = Seq(1.0, 0.0)
+    val pairs = Seq(
+      ("a", Array(1.0, 0.0), "p", Array(0.0, 1.0)),
+      ("b", Array(0.0, 1.0), "p", Array(0.0, 1.0)),
+      ("c", Array(0.7071067811865476, 0.7071067811865476), "p", Array(0.0, 1.0)))
+      .toDF("id", "embedding", "parent_id", "parent_embedding")
+    def ranks(mode: String): Seq[String] =
+      BeamScoring.score(pairs, q, mode)
+        .orderBy(desc("score"), col("id")).select("id").as[String].collect().toSeq
+    // cosine: pure query similarity
+    assert(ranks("cosine") == Seq("a", "c", "b"))
+    // path_weighted: c overtakes a — cos(q,c)=.707 * (1+.707)/2 = .604 >
+    // a's 1 * (1+0)/2 = .5; b scores 0 * anything = 0
+    assert(ranks("path_weighted") == Seq("c", "a", "b"))
+    // path_propagated: cos(q,p)=0 -> every score 0; tie-break by id desc
+    val pp = BeamScoring.score(pairs, q, "path_propagated")
+      .select("score").as[Double].collect()
+    assert(pp.forall(math.abs(_) < 1e-12))
+    // attention: softmax boosts parent-aligned candidates but the qCos
+    // factor keeps b at 0; a (qCos 1) still beats c
+    assert(ranks("attention") == Seq("a", "c", "b"))
+    // best-over-parents: duplicate candidate keeps its max pair score
+    val dup = Seq(
+      ("a", Array(1.0, 0.0), "p1", Array(1.0, 0.0)),
+      ("a", Array(1.0, 0.0), "p2", Array(0.0, 1.0)))
+      .toDF("id", "embedding", "parent_id", "parent_embedding")
+    val s = BeamScoring.score(dup, q, "path_weighted")
+      .select("score").as[Double].head()
+    assert(math.abs(s - 1.0) < 1e-12) // via p1: 1*(1+1)/2 = 1
+    intercept[IllegalArgumentException] {
+      BeamScoring.score(pairs, q, "nope")
+    }
+  }
+
+  test("chunk beam search expands via shared entities, width-bounded") {
+    import graft.retrieve.ChunkBeamSearch
+    val seeds = g.chunks.orderBy(col("chunk_id")).limit(1).select("chunk_id")
+    for (mode <- graft.retrieve.BeamScoring.Modes) {
+      val out = ChunkBeamSearch.search(g, seeds, queryEmb,
+        beamWidth = 5, depth = 2, scoringMode = mode)
+      val byDepth = out.groupBy("depth").count()
+        .as[(Int, Long)].collect().toMap
+      assert(byDepth(0) == 1)
+      assert(byDepth.getOrElse(1, 0L) <= 5)
+      // no chunk revisited across depths
+      val n = out.select("chunk_id").distinct().count()
+      assert(n == out.count())
+    }
+  }
+
+  test("statement beam search expands via shared facts and prev links") {
+    import graft.retrieve.StatementBeamSearch
+    val seeds = g.statements.orderBy(col("statement_id")).limit(2)
+      .select("statement_id")
+    val out = StatementBeamSearch.search(g, seeds, queryEmb,
+      beamWidth = 5, depth = 2)
+    assert(out.filter(col("depth") === 1).count() > 0)
+    assert(out.select("statement_id").distinct().count() == out.count())
+  }
+
   test("entity context expansion respects depth and exclusions") {
     val seed = g.entities.orderBy("entity_id").limit(1).select("entity_id")
     val tree = EntityContextProvider.expand(g, seed, maxDepth = 2)
