@@ -82,13 +82,43 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int = 3): DataFrame = {
+    // both sides of the pair join probe the shingle frame: restrict it to
+    // ids the pair set references, then materialize once — shingling is the
+    // expensive transform and must run neither twice nor over unreferenced
+    // rows
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b"))).distinct()
     val sh = df.select(col(idCol).as("id"), H.shingles(col(textCol), n).as("sh"))
+      .join(ids, Seq("id"), "left_semi")
+      .localCheckpoint(true)
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** Statement diversity at scale (reference statement_diversity.py:96-240,
+    * which prunes near-duplicate statements above a similarity threshold):
+    * LSH-banded candidates → exact shingle-jaccard verification → dominance
+    * (the later id of each too-similar pair drops). Never materializes the
+    * all-pairs matrix — the candidate set is the banded bucket join from
+    * [[minhashLsh]], so the quadratic work happens per bucket only. */
+  def diversityFilter(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    val cands = minhashLsh(df, textCol, idCol, numHashes, bands, shingleSize)
+      .select("id_a", "id_b")
+    val dominated = ngramJaccard(df, cands, textCol, idCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.select(col(idCol)).join(dominated, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup: docs whose 32-bit simhashes differ in ≤ maxHamming bits.

@@ -68,6 +68,8 @@ object ProcessorQueries {
       // collides in the synthetic data, and a collision-keyed side join
       // (facts, chunks) would fan out. Cents-scaled numerics keep the md5
       // input string engine-stable.
+      // base feeds 5 branches (two retrievers, facts, chunks) — checkpoint
+      // it once so the lineitem join + md5 ids aren't recomputed per branch
       val base = t(s, dir, "lineitem")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("source_id"),
@@ -81,11 +83,12 @@ object ProcessorQueries {
             col("l_shipdate").cast("string")).as("statement"),
           col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
           col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .localCheckpoint(true)
+      // no .distinct(): populateStatementStrs dedups in its collect_set
       val facts = base.select(col("statement_id"),
           concat(lit("part:"), col("l_partkey")).as("fact_value"))
         .union(base.select(col("statement_id"),
           concat(lit("supp:"), col("l_suppkey")).as("fact_value")))
-        .distinct()
       val chunks = base.select(col("statement_id").as("chunk_id"),
         col("l_shipdate").cast("string").as("text")).distinct()
       val sources = t(s, dir, "customer").select(

@@ -67,6 +67,23 @@ object Tables {
   private val graphCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.index.GraphTables]
 
+  /** KMeans-IVF index over the embeddings table (vec_id != 0), trained ONCE
+    * per (session, dir) and cached — index training belongs with index
+    * build, not inside the query path: at scale you train on ingest and
+    * every lookup only ranks the tiny centroid array + scans nprobe cells.
+    * Mirrors how [[lexicalGraph]] pre-builds the graph store. */
+  def kmeansIvfIndex(s: SparkSession, dir: String,
+                     nlist: Int = 8): (DataFrame, Array[Array[Double]]) =
+    ivfCache.getOrElseUpdate((s, dir, nlist), {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val (assigned, centers) =
+        graft.ops.MlAnn.kmeansIvf(emb, "embedding", "vec_id", nlist)
+      (assigned.coalesce(cachePartitions(s)).cache(), centers)
+    })
+
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (DataFrame, Array[Array[Double]])]
+
   private def buildEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val lineitem = t(s, dir, "lineitem")

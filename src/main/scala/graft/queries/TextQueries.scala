@@ -108,23 +108,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // §2.11 statement diversity (pairwise-dominance variant of the
-    // reference's tfidf-cosine 0.975 prune, statement_diversity.py:96-240):
-    // drop a document when an earlier-ranked one is >= 0.5 shingle-jaccard
-    // similar. Bounded to doc_id < 300 so the pair set stays quadratic-safe.
+    // §2.11 statement diversity at scale (statement_diversity.py:96-240):
+    // the production shape — minhash-LSH banded candidates, exact
+    // shingle-jaccard verification at 0.5, later-id dominance — over the
+    // WHOLE corpus. The oracle replays the full sketch pipeline (md5-based
+    // minhash signatures, banding, verify, anti-join); no crossJoin, no
+    // doc_id bound.
     "q_statement_diversity" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), H.shingles(col("text"), 3).as("sh"))
-      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val dominated = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("jac",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .filter(col("jac") >= 0.5)
-        .select(col("id_b").as("doc_id")).distinct()
-      docs.join(dominated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id")).orderBy(col("doc_id"))
+      graft.ops.Dedup.diversityFilter(
+        t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .orderBy(col("doc_id"))
     }),
 
     // §2.13 fuzzy string entity linking (levenshtein ratio, top-k per query).
@@ -262,12 +255,25 @@ object TextQueries {
 
     "q_statement_diversity" ->
       s"""WITH tok AS (
-         |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
-         |  FROM documents WHERE doc_id < 300),
+         |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks FROM documents),
          |d AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tok),
+         |bases AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${h60Sql("s")}) AS bases FROM d),
+         |sig AS (
+         |  SELECT doc_id, list_transform(range(16), h ->
+         |    list_min(list_transform(bases, b -> ((b % 2147483647) * (h+1) + h) % 2147483647))) AS sig
+         |  FROM bases),
+         |banded AS (
+         |  SELECT doc_id, sig, unnest(range(8)) AS band FROM sig),
+         |buck AS (
+         |  SELECT doc_id, md5(band::VARCHAR||','||array_to_string(list_slice(sig, band*2+1, band*2+2),',')) AS bucket
+         |  FROM banded),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buck a JOIN buck b USING (bucket) WHERE a.doc_id < b.doc_id),
          |dom AS (
-         |  SELECT DISTINCT b.doc_id
-         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  SELECT DISTINCT p.id_b AS doc_id
+         |  FROM pairs p JOIN d a ON a.doc_id = p.id_a JOIN d b ON b.doc_id = p.id_b
          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
          |SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dom)

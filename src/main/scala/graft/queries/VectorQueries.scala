@@ -65,11 +65,11 @@ object VectorQueries {
 
     // extended: MLlib KMeans-IVF ANN (learned centroids, nprobe cells) —
     // rows-only: the trained centroids are not replayable in ANSI SQL;
-    // full-probe == brute-force equality is asserted in MlAnnSpec.
+    // full-probe == brute-force equality is asserted in MlAnnSpec. The
+    // index is trained once in the warmed Tables layer (like lexicalGraph);
+    // the timed query only probes it.
     "q_ivf_kmeans" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
-      val (assigned, centers) =
-        graft.ops.MlAnn.kmeansIvf(emb, "embedding", "vec_id", nlist = 8)
+      val (assigned, centers) = Tables.kmeansIvfIndex(s, dir, nlist = 8)
       graft.ops.MlAnn.ivfTopK(assigned, centers, queryVec(s, dir),
         k = 10, nprobe = 2)
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
@@ -79,6 +79,18 @@ object VectorQueries {
     "q_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.3, planes = 0)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // extended: the SCALE path — hyperplane sign-bucketed near-dup. The
+    // oracle replays the md5-seeded plane weights and the ordered projection
+    // fold bit-exactly (list_reduce, not list_sum: a sign near zero must not
+    // flip under a different summation order), then the same-bucket pair
+    // join. No crossJoin anywhere.
+    "q_embedding_neardup_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.3, planes = 4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     }))
@@ -125,5 +137,24 @@ object VectorQueries {
          |FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embedding_neardup_lsh" -> {
+      // sign of the md5-seeded hyperplane projection, ordered fold
+      def signSql(p: Int): String =
+        s"""(CASE WHEN list_reduce(list_transform(range(0, $Dim), i ->
+           |  CAST(embedding[i+1] AS DOUBLE) *
+           |  (CAST(('0x'||substr(md5('plane#'||$p||'#'||i),1,15)) AS BIGINT)
+           |     / 1.152921504606847e18 * 2.0 - 1.0)),
+           |  (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END)""".stripMargin
+      val bucket = (0 until 4).map(signSql).mkString("||")
+      s"""WITH buck AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM buck a JOIN buck b USING (bucket)
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    })
 }

@@ -171,9 +171,12 @@ object ChunkBeamSearch {
     * visited. Returns (parent_id, chunk_id, strength). */
   def expandOnce(g: GraphTables, frontier: DataFrame, visited: DataFrame,
                  ce: DataFrame, topEntities: Int = 5,
-                 cap: Int = 20): DataFrame = {
+                 cap: Int = 20,
+                 degrees: Option[DataFrame] = None): DataFrame = {
     val f = broadcast(frontier.select(col("chunk_id").as("parent_id")).distinct())
-    val degree = EntityContextProvider.entityScores(g)
+    // pass precomputed degrees when looping — recomputing the global degree
+    // aggregation every depth is the slow path
+    val degree = degrees.getOrElse(EntityContextProvider.entityScores(g))
     val frontierEntities = ce.join(f, col("chunk_id") === col("parent_id"))
       .join(degree, Seq("entity_id"), "left")
       .withColumn("erank", row_number().over(
@@ -200,6 +203,7 @@ object ChunkBeamSearch {
              depth: Int = graft.model.Defaults.ChunkBeamDepth,
              scoringMode: String = "cosine"): DataFrame = {
     val ce = chunkEntities(g).localCheckpoint(true)
+    val degrees = Some(EntityContextProvider.entityScores(g).localCheckpoint(true))
     val emb = g.chunks.select(col("chunk_id"), col("embedding"))
     var frontier = seedChunks.select(col("chunk_id")).distinct().localCheckpoint(true)
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
@@ -209,7 +213,7 @@ object ChunkBeamSearch {
       .withColumn("depth", lit(0))
     for (d <- 1 to depth) {
       val visited = layers.reduce(_ union _)
-      val cands = expandOnce(g, frontier, visited, ce)
+      val cands = expandOnce(g, frontier, visited, ce, degrees = degrees)
         .join(emb, Seq("chunk_id"))
         .join(broadcast(emb.join(frontier, Seq("chunk_id"))
           .select(col("chunk_id").as("parent_id"),

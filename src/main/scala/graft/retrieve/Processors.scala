@@ -179,10 +179,12 @@ object Processors {
     * `"{statement} (details: {facts..., details...})"`). `facts` carries one
     * (statement_id, fact_value) row per supporting fact. The reference keeps
     * store-iteration fact order; here facts sort lexicographically so the
-    * string is reproducible under any partitioning. */
+    * string is reproducible under any partitioning. Fact values dedup in
+    * the aggregation itself (collect_set) — callers must NOT pre-distinct
+    * the fact frame; that would only add a second full shuffle. */
   def populateStatementStrs(df: DataFrame, facts: DataFrame): DataFrame = {
     val factArr = facts.groupBy("statement_id")
-      .agg(sort_array(collect_list(col("fact_value"))).as("_facts"))
+      .agg(sort_array(collect_set(col("fact_value"))).as("_facts"))
     val withDetails =
       if (df.columns.contains("details")) df
       else df.withColumn("details", array().cast("array<string>"))

@@ -54,6 +54,59 @@ object Profile {
         time("minhashLsh end-to-end") {
           graft.ops.Dedup.minhashLsh(docs, "text", "doc_id").count()
         }
+      case "fullchain" =>
+        // stage timing for q_full_chain's processor pipeline
+        import graft.retrieve.Processors
+        val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        var base: org.apache.spark.sql.DataFrame = null
+        time("base checkpoint") {
+          base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("source_id"),
+              col("l_orderkey").as("topic_id"),
+              md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey"), col("l_suppkey"),
+                (col("l_extendedprice") * 100).cast("long"),
+                (col("l_quantity") * 100).cast("long"),
+                col("l_shipdate").cast("string"))).as("statement_id"),
+              concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+                col("l_shipdate").cast("string")).as("statement"),
+              col("l_partkey"), col("l_suppkey"),
+              col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+            .localCheckpoint(true)
+          base.count()
+        }
+        val facts = base.select(col("statement_id"),
+            concat(lit("part:"), col("l_partkey")).as("fact_value"))
+          .union(base.select(col("statement_id"),
+            concat(lit("supp:"), col("l_suppkey")).as("fact_value")))
+        val unioned = base.filter(col("l_returnflag") === "R")
+          .withColumn("score", (col("l_extendedprice") * 100).cast("long"))
+          .union(base.filter(col("l_quantity") > 25)
+            .withColumn("score", (col("l_quantity") * 100000).cast("long")))
+          .select(col("source_id"), col("topic_id"), col("statement_id"),
+            col("statement_id").as("chunk_id"), col("statement"),
+            col("score").cast("double").as("score"))
+        var cur: org.apache.spark.sql.DataFrame = null
+        time("dedup+disagg") {
+          cur = Processors.disaggregateResults(Processors.dedupResults(unioned))
+            .localCheckpoint(true); cur.count()
+        }
+        time("populateStatementStrs") {
+          cur = Processors.populateStatementStrs(cur, facts)
+            .localCheckpoint(true); cur.count()
+        }
+        time("prune+rescore") {
+          cur = Processors.rescoreResults(Processors.pruneStatements(cur, 0.05))
+            .localCheckpoint(true); cur.count()
+        }
+        time("truncStmts+rank") {
+          cur = Processors.truncateRankResults(
+            Processors.truncateStatements(cur, 3), 10)
+            .localCheckpoint(true); cur.count()
+        }
+
       case "explain" =>
         // plan audit: dump formatted physical plans for selected queries
         val names = if (args.length > 2) args(2).split(",").toSeq

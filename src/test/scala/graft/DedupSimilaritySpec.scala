@@ -26,6 +26,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.isDefined && exact.get._3 == 1.0)
   }
 
+  test("diversityFilter drops the later id of each too-similar pair") {
+    val kept = Dedup.diversityFilter(docs, "text", "doc_id", threshold = 0.5)
+      .as[Long].collect().sorted
+    // 2 is an exact dup of 1 (jaccard 1.0); 4 is a near-dup above 0.5;
+    // both drop, the earliest id and the distinct doc survive
+    assert(kept.toSeq == Seq(1L, 3L))
+    // at an unreachable threshold nothing drops
+    val all = Dedup.diversityFilter(docs, "text", "doc_id", threshold = 1.1)
+      .as[Long].collect().sorted
+    assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("ngram jaccard: identical=1.0, near-dup in (0,1)") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", 3)
