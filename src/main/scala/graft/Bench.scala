@@ -36,6 +36,8 @@ object Bench {
       g.topicEmbeddings, g.topicEntities).foreach(_.count())
     // ANN index training happens at build time too — queries only probe.
     graft.queries.Tables.kmeansIvfIndex(spark, sfDir)._1.count()
+    val gc = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)
+    Seq(gc.entities, gc.entityRelations, gc.facts).foreach(_.count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

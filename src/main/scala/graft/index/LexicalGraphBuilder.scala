@@ -100,12 +100,20 @@ object LexicalGraphBuilder {
   val StatementTokens = 8
   val EmbeddingDim = 64
 
+  /** `classifications`: the (inferred or default) entity classification
+    * list, typically from [[InferClassifications.infer]]. With one element
+    * every entity gets it; with several, each entity value hash-picks one —
+    * the deterministic stand-in for the reference's LLM choosing a class
+    * from the inferred list per extraction
+    * (infer_classifications.py feeding the extraction prompt). The list is
+    * a bounded driver-side literal baked into the plan — the "broadcast". */
   def fromDocuments(
       docs: DataFrame,
       textCol: String,
       metadataCols: Seq[String],
       tenant: String = "t0",
-      buildTs: Long = 0L): GraphTables = {
+      buildTs: Long = 0L,
+      classifications: Seq[String] = Seq("Token")): GraphTables = {
 
     val tn = lit(tenant)
     val base = docs.withColumn("source_id",
@@ -173,12 +181,18 @@ object LexicalGraphBuilder {
         V.hashEmbedding(col("stmt_text"), EmbeddingDim).as("embedding"))
       .dropDuplicates("statement_id")
 
+    def cls(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (classifications.size == 1) lit(classifications.head)
+      else element_at(typedLit(classifications),
+        (pmod(graft.functions.HashFunctions.h60(v),
+          lit(classifications.size.toLong)) + 1).cast("int"))
+
     val factRaw = stmtRaw
       .withColumn("stoks", split(col("stmt_text"), " "))
       .withColumn("subj", col("stoks").getItem(0))
       .withColumn("obj", element_at(col("stoks"), -1))
-      .withColumn("subject_entity_id", Ids.entityId(col("subj"), lit("Token"), tn))
-      .withColumn("object_entity_id", Ids.entityId(col("obj"), lit("Token"), tn))
+      .withColumn("subject_entity_id", Ids.entityId(col("subj"), cls(col("subj")), tn))
+      .withColumn("object_entity_id", Ids.entityId(col("obj"), cls(col("obj")), tn))
       .withColumn("fact_id", Ids.factId(col("subj"), lit("near"), col("obj")))
 
     val facts = factRaw.select(col("fact_id"),
@@ -192,7 +206,7 @@ object LexicalGraphBuilder {
       .union(factRaw.select(col("obj"), col("object_entity_id")))
       .dropDuplicates("entity_id")
       .select(col("entity_id"), col("value"), T.searchStr(col("value")).as("search_str"),
-        lit("Token").as("classification"))
+        cls(col("value")).as("classification"))
 
     val entityRelations = factRaw
       .select(col("subject_entity_id").as("src_entity_id"),

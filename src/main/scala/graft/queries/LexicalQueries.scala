@@ -39,6 +39,25 @@ object LexicalQueries {
         .orderBy(col("src_entity_id"), col("dst_entity_id"))
     }),
 
+    // §2.12 InferClassifications → builder wiring: entities built against
+    // the inferred classification list hash-pick their class (md5-replayable
+    // stand-in for the LLM choosing from the inferred list per extraction);
+    // the classification participates in the entity id.
+    "q_lexical_classified" -> ((s, dir) => {
+      Tables.lexicalGraphClassified(s, dir).entities
+        .select(col("entity_id"), col("value"), col("classification"))
+        .orderBy(col("entity_id"))
+    }),
+
+    // §2.5 lexical graph summary: dominant class-level paths over the BUILT
+    // classified graph — the __SYS_Class__ aggregation
+    // (graph_summary.py:75-91) as one groupBy.
+    "q_lexical_summary" -> ((s, dir) => {
+      graft.retrieve.GraphSummary.classPaths(
+        Tables.lexicalGraphClassified(s, dir), k = 100)
+        .orderBy(desc("score"), col("path"))
+    }),
+
     // §2.4 keyword → entity lookup (entity_provider.py:30-110): exact
     // search_str match with optional `kw|Class` filter, fact-degree scores,
     // STARTS WITH fallback for unmatched keywords. 'join' and 'hash|Token'
@@ -111,6 +130,39 @@ object LexicalQueries {
          |  'e:'||substr(md5(stoks[len(stoks)]||'|'||'Token'||'|'||'t0'),1,8) AS dst_entity_id
          |FROM stmts2
          |ORDER BY src_entity_id, dst_entity_id""".stripMargin,
+
+    "q_lexical_classified" -> {
+      val clsList = Tables.InferredClassifications
+        .map(c => s"'$c'").mkString("[", ",", "]")
+      def clsSql(v: String) =
+        s"list_extract($clsList, CAST(${TextQueries.h60Sql(v)} % ${Tables.InferredClassifications.size} AS INT) + 1)"
+      s"""WITH $stmtCte,
+         |vals AS (
+         |  SELECT stoks[1] AS value FROM stmts2
+         |  UNION ALL
+         |  SELECT stoks[len(stoks)] FROM stmts2),
+         |cl AS (
+         |  SELECT DISTINCT value, ${clsSql("value")} AS classification FROM vals)
+         |SELECT 'e:'||substr(md5(value||'|'||classification||'|'||'t0'),1,8) AS entity_id,
+         |  value, classification
+         |FROM cl ORDER BY entity_id""".stripMargin
+    },
+
+    "q_lexical_summary" -> {
+      val clsList = Tables.InferredClassifications
+        .map(c => s"'$c'").mkString("[", ",", "]")
+      def clsSql(v: String) =
+        s"list_extract($clsList, CAST(${TextQueries.h60Sql(v)} % ${Tables.InferredClassifications.size} AS INT) + 1)"
+      s"""WITH $stmtCte,
+         |rel AS (
+         |  SELECT DISTINCT stoks[1] AS sv, stoks[len(stoks)] AS ov FROM stmts2),
+         |cp AS (
+         |  SELECT ${clsSql("sv")} AS sc, ${clsSql("ov")} AS dc,
+         |    count(*) AS score
+         |  FROM rel GROUP BY 1, 2)
+         |SELECT '('||sc||')-[NEAR]->('||dc||')' AS path, score
+         |FROM cp ORDER BY score DESC, path LIMIT 100""".stripMargin
+    },
 
     "q_keyword_entity" ->
       s"""WITH $stmtCte,

@@ -67,6 +67,22 @@ object Tables {
   private val graphCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.index.GraphTables]
 
+  /** Classification list the classified graph build hash-picks from —
+    * stands in for an InferClassifications result. */
+  val InferredClassifications: Seq[String] = Seq("Concept", "System", "Metric")
+
+  /** Lexical graph built with the inferred classification list (the
+    * InferClassifications → builder wiring), memoized like [[lexicalGraph]]. */
+  def lexicalGraphClassified(s: SparkSession, dir: String): graft.index.GraphTables =
+    classifiedCache.getOrElseUpdate((s, dir),
+      graft.index.LexicalGraphBuilder.fromDocuments(
+          t(s, dir, "documents"), "text", Seq("doc_id", "source"),
+          classifications = InferredClassifications)
+        .coalesced(cachePartitions(s)).persistAll())
+
+  private val classifiedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.index.GraphTables]
+
   /** KMeans-IVF index over the embeddings table (vec_id != 0), trained ONCE
     * per (session, dir) and cached — index training belongs with index
     * build, not inside the query path: at scale you train on ingest and

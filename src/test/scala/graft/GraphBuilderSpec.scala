@@ -82,4 +82,60 @@ class GraphBuilderSpec extends SparkSpec {
     assert(none.chunks.count() == 0 && none.topics.count() == 0 &&
       none.facts.count() == 0 && none.entities.count() == 0)
   }
+
+  test("classified build hash-picks entity classes from the inferred list") {
+    val docs = Seq((1L, "alpha beta gamma delta " * 10, "x"))
+      .toDF("doc_id", "text", "source")
+    val cls = Seq("Concept", "System", "Metric")
+    val g = graft.index.LexicalGraphBuilder
+      .fromDocuments(docs, "text", Seq("doc_id", "source"), classifications = cls)
+    val classes = g.entities.select("classification").distinct()
+      .as[String].collect().toSet
+    assert(classes.subsetOf(cls.toSet) && classes.nonEmpty)
+    // same value always maps to the same class, and the class is baked into
+    // the entity id (rebuild-stable)
+    val g2 = graft.index.LexicalGraphBuilder
+      .fromDocuments(docs, "text", Seq("doc_id", "source"), classifications = cls)
+    assert(g.entities.select("entity_id", "classification").collect().toSet ==
+      g2.entities.select("entity_id", "classification").collect().toSet)
+    // single-element list degrades to the constant class
+    val g1 = graft.index.LexicalGraphBuilder
+      .fromDocuments(docs, "text", Seq("doc_id", "source"))
+    assert(g1.entities.select("classification").distinct()
+      .as[String].collect().toSeq == Seq("Token"))
+  }
+
+  test("InferClassifications: propose -> rank -> top-n, defaults on failure") {
+    import graft.index.InferClassifications
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"))
+      .toDF("chunk_id", "text")
+    val propose = "<entity_classifications>\nwidget\nGadget\n</entity_classifications>"
+    val rank = "<entity_classifications>\nGadget\nWidget\n</entity_classifications>"
+    val out = InferClassifications.infer(docs, "text",
+      new ScriptedLLM(Seq(propose, rank)), numSamples = 2,
+      numClassifications = 1)
+    assert(out == Seq("Gadget")) // ranked, capped at 1
+    // LLM yields nothing -> defaults
+    val fallback = InferClassifications.infer(docs, "text",
+      new ScriptedLLM(Seq("no tags")), numSamples = 2)
+    assert(fallback == InferClassifications.DefaultClassifications)
+    assert(InferClassifications.parseClassifications(propose) ==
+      Seq("widget", "Gadget"))
+  }
+
+  test("GraphSummary renders entity and class-path lines and summarizes") {
+    import graft.retrieve.GraphSummary
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta " * 8, "x"))
+      .toDF("doc_id", "text", "source")
+    val g = graft.index.LexicalGraphBuilder
+      .fromDocuments(docs, "text", Seq("doc_id", "source"),
+        classifications = Seq("Concept", "System"))
+    val ents = GraphSummary.entityLines(g, 10).select("entity").as[String].collect()
+    assert(ents.nonEmpty && ents.forall(e => e.contains(" [") && e.endsWith("]")))
+    val paths = GraphSummary.classPaths(g, 10).select("path").as[String].collect()
+    assert(paths.nonEmpty &&
+      paths.forall(p => p.matches("""\(.+\)-\[NEAR\]->\(.+\)""")))
+    val summary = GraphSummary.summarize(g, new graft.llm.StubLLM)
+    assert(summary.nonEmpty)
+  }
 }
