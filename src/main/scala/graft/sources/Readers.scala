@@ -64,6 +64,54 @@ object Readers {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Database reader (database_reader_provider.py): a SQL query against any
+    * JDBC source, pushed down to the database — Spark's JDBC source
+    * partitions the read when bounds are supplied. Rows land as documents
+    * via [[rowsToDocuments]], mirroring the reference's row→Document
+    * verbalization. */
+  def jdbc(spark: SparkSession, url: String, query: String,
+           properties: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url).option("query", query)
+    properties.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /** Structured-data reader (structured_data_reader_provider.py): any
+    * tabular frame (csv/json/parquet/jdbc) becomes documents — one per row,
+    * text = "col: value" pairs, id from `idCols` (or a row hash when empty).
+    * One narrow projection; the reference loops pandas rows. */
+  def rowsToDocuments(df: DataFrame, idCols: Seq[String] = Seq.empty): DataFrame = {
+    val cols = df.columns.toSeq
+    val text = concat_ws(", ",
+      cols.map(c => concat_ws(": ", lit(c), col(c).cast("string"))): _*)
+    val id =
+      if (idCols.nonEmpty) concat_ws("|", idCols.map(col(_).cast("string")): _*)
+      else md5(text)
+    df.select(id.as("doc_id"), text.as("text"),
+      map(cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("metadata"))
+  }
+
+  /** Web reader (web_reader_provider.py): URLs → fetched pages → text. The
+    * HTTP fetch is an injected seam (this engine keeps network effects out
+    * of the dataflow the same way the LLM sits behind [[graft.llm.LLM]]);
+    * the fetch runs distributed via mapPartitions — one client per
+    * partition — and the HTML strip is the shared [[htmlToText]] column. */
+  def web(spark: SparkSession, urls: Seq[String],
+          fetch: String => String = defaultFetch): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val enc: Encoder[(String, String)] = Encoders.product[(String, String)]
+    val fetched = spark.createDataFrame(urls.map(Tuple1(_))).toDF("url")
+      .select(col("url").cast("string")).as[String](Encoders.STRING)
+      .mapPartitions(it => it.map(u => (u, fetch(u))))
+      .toDF("doc_id", "html")
+    fetched.select(col("doc_id"), htmlToText(col("html")).as("text"))
+  }
+
+  private def defaultFetch(url: String): String =
+    throw new UnsupportedOperationException(
+      "no HTTP client wired: pass fetch = (url => body) to Readers.web " +
+        "(this environment has no egress)")
+
   /** Binary document formats: require an external codec (PDFBox/POI
     * equivalents), not available here — fail loudly rather than silently
     * mis-parse. */
@@ -79,4 +127,28 @@ object Readers {
       s"$fmt reading requires an external codec; wire a parser into " +
         "binaryFiles + mapPartitions (see graft.ops.Multimodal for the " +
         "batching shape)")
+}
+
+/**
+ * Extraction artifact tee (reference indexing/extract/file_system_tap.py):
+ * persists the pipeline's intermediate frames (raw sources, chunks,
+ * processed sources) under an output directory while passing the frame
+ * through unchanged — a debugging/audit tap. Each tee is one parquet write;
+ * the returned frame is the input, so the tap composes inside a pipeline
+ * without changing its plan.
+ */
+final class FileSystemTap(outputDir: String, subdirectory: String) {
+  private def dir(name: String) = s"$outputDir/$subdirectory/$name"
+
+  def tapRawSources(docs: DataFrame): DataFrame = tee(docs, "raw_sources")
+  def tapChunks(chunks: DataFrame): DataFrame = tee(chunks, "chunks")
+  def tapSources(sources: DataFrame): DataFrame = tee(sources, "sources")
+
+  private def tee(df: DataFrame, name: String): DataFrame = {
+    df.write.mode("overwrite").parquet(dir(name))
+    // re-read the written copy: downstream reuse scans the materialized tap
+    // instead of recomputing the upstream plan (same role as the reference
+    // writing then re-listing its tap directories)
+    df.sparkSession.read.parquet(dir(name))
+  }
 }

@@ -48,6 +48,60 @@ class ReadersSpec extends SparkSpec {
     assert(out == "Tom & Jerry <3")
   }
 
+  test("jdbc reader round-trips through embedded Derby") {
+    val db = Files.createTempDirectory("derby").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE docs (id INT, body VARCHAR(100))")
+    st.execute("INSERT INTO docs VALUES (1, 'alpha'), (2, 'beta')")
+    st.close(); conn.close()
+    val out = Readers.jdbc(spark, s"jdbc:derby:$db",
+      "SELECT id, body FROM docs",
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(out.orderBy(col("ID")).select("BODY").as[String].collect().toSeq ==
+      Seq("alpha", "beta"))
+  }
+
+  test("rowsToDocuments verbalizes rows onto the document contract") {
+    val df = Seq((1, "alice", 9.5), (2, "bob", 7.0))
+      .toDF("id", "name", "score")
+    val out = Readers.rowsToDocuments(df, idCols = Seq("id"))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "metadata"))
+    val row = out.filter(col("doc_id") === "1").head()
+    assert(row.getString(1) == "id: 1, name: alice, score: 9.5")
+    assert(row.getMap[String, String](2)("name") == "alice")
+    // no id columns: deterministic content hash
+    val hashed = Readers.rowsToDocuments(df)
+    assert(hashed.select("doc_id").distinct().count() == 2)
+  }
+
+  test("web reader maps urls through the fetch seam and strips html") {
+    val out = Readers.web(spark, Seq("http://a", "http://b"),
+      fetch = u => s"<html><script>x()</script><p>page of $u</p></html>")
+    val m = out.as[(String, String)].collect().toMap
+    assert(m("http://a") == "page of http://a")
+    assert(m.size == 2)
+    // default fetch fails loudly (no egress here)
+    intercept[org.apache.spark.SparkException] {
+      Readers.web(spark, Seq("http://x")).collect()
+    }
+  }
+
+  test("FileSystemTap tees frames to parquet and passes them through") {
+    val dir = Files.createTempDirectory("tap").toString
+    val tap = new graft.sources.FileSystemTap(dir, "run1")
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    val through = tap.tapRawSources(docs)
+    assert(through.collect().toSeq == docs.collect().toSeq)
+    // the tee is on disk and independently readable
+    val reread = spark.read.parquet(s"$dir/run1/raw_sources")
+    assert(reread.count() == 1)
+    tap.tapChunks(docs); tap.tapSources(docs)
+    assert(new java.io.File(s"$dir/run1").listFiles().map(_.getName).toSet ==
+      Set("raw_sources", "chunks", "sources"))
+  }
+
   test("binary document formats fail loudly") {
     intercept[UnsupportedOperationException](Readers.pdf(spark, "/tmp/x.pdf"))
     intercept[UnsupportedOperationException](Readers.docx(spark, "/tmp/x.docx"))
