@@ -40,6 +40,18 @@ final class StubLLM extends LLM {
   }
 }
 
+/** Deterministic statement-enhancement stub: echoes the prompt's statement
+  * uppercased inside the `<modified_statement>` protocol tag — replayable in
+  * SQL (upper), so the distributed enhancement plumbing can be oracle-gated
+  * end to end. */
+final class UppercaseEnhancerStub extends LLM {
+  override def complete(prompt: String): String = {
+    val m = "(?s)Statement: (.*?)\nContext:".r.findFirstMatchIn(prompt)
+    m.map(x => s"<modified_statement>${x.group(1).toUpperCase}</modified_statement>")
+      .getOrElse("no tag")
+  }
+}
+
 /** Driver-side twin of graft.functions.VectorFunctions.hashEmbedding: a
   * deterministic hash-projection embedding for tests and local runs. */
 final class HashEmbedder(val dim: Int) extends Embedder {

@@ -134,6 +134,41 @@ object ProcessorQueries {
         .orderBy(col("source_rank"), col("topic"), desc("score"), col("statement"))
     }),
 
+    // §2.11 StatementEnhancement post-processor: per-statement LLM turn via
+    // mapPartitions (one client per partition), tag-parsed, original kept on
+    // miss. The deterministic uppercase stub makes the whole distributed
+    // plumbing — prompt build, partition fan-out, response join — DuckDB-
+    // replayable as upper(statement).
+    "q_statement_enhance" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .select(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * 100).cast("long"),
+            (col("l_quantity") * 100).cast("long"),
+            col("l_shipdate").cast("string"))).as("statement_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus")).as("statement"),
+          col("l_shipdate").cast("string").as("chunk_value"))
+      graft.retrieve.PostProcessors.statementEnhancement(
+          base, () => new graft.llm.UppercaseEnhancerStub)
+        .orderBy(col("statement_id"))
+    }),
+
+    // §2.6 RerankStatements with a live scorer: statement score := 4dp
+    // token-set Jaccard against the query (rerank_statements.py:60-118 with
+    // the deterministic scorer standing in for the cross-encoder).
+    "q_rerank_statements" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .select(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * 100).cast("long"),
+            (col("l_quantity") * 100).cast("long"),
+            col("l_shipdate").cast("string"))).as("statement_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus")).as("statement"))
+      Processors.rerankStatements(base,
+          Some(Processors.tokenOverlapScorer("r o")))
+        .orderBy(desc("score"), col("statement_id"))
+    }),
+
     // §2.7 context-prefix dedup: drop values that are proper prefixes of
     // another value (entity_context_provider.py:187-249). The self-join is
     // bucketed on the first character — a prefix pair always shares it — so
@@ -344,6 +379,34 @@ object ProcessorQueries {
         |LEFT JOIN single sg ON sg.source_id = t.source_id
         |LEFT JOIN srcstr s ON s.source_id = t.source_id
         |ORDER BY rk.source_rank, topic, t.score DESC, statement""".stripMargin,
+
+    "q_statement_enhance" ->
+      """SELECT md5(l_orderkey||'-'||l_linenumber||'-'||l_partkey||'-'||l_suppkey||'-'||
+        |    CAST(trunc(l_extendedprice*100) AS BIGINT)||'-'||
+        |    CAST(trunc(l_quantity*100) AS BIGINT)||'-'||
+        |    CAST(l_shipdate AS VARCHAR)) AS statement_id,
+        |  upper(l_returnflag||' '||l_linestatus) AS statement,
+        |  CAST(l_shipdate AS VARCHAR) AS chunk_value
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY statement_id""".stripMargin,
+
+    "q_rerank_statements" ->
+      """WITH base AS (
+        |  SELECT md5(l_orderkey||'-'||l_linenumber||'-'||l_partkey||'-'||l_suppkey||'-'||
+        |      CAST(trunc(l_extendedprice*100) AS BIGINT)||'-'||
+        |      CAST(trunc(l_quantity*100) AS BIGINT)||'-'||
+        |      CAST(l_shipdate AS VARCHAR)) AS statement_id,
+        |    l_returnflag||' '||l_linestatus AS statement
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |toks AS (
+        |  SELECT *, list_distinct(string_split_regex(lower(statement), '[^a-z0-9]+')) AS t,
+        |    ['r', 'o'] AS q
+        |  FROM base)
+        |SELECT statement_id, statement,
+        |  round(CAST(len(list_intersect(t, q)) AS DOUBLE) /
+        |    (len(t) + len(q) - len(list_intersect(t, q))), 4) AS score
+        |FROM toks
+        |ORDER BY score DESC, statement_id""".stripMargin,
 
     "q_prefix_dedup" ->
       """WITH names AS (SELECT DISTINCT p_name AS v FROM part)

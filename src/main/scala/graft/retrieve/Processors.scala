@@ -209,6 +209,22 @@ object Processors {
                        scorer: Option[DataFrame => DataFrame] = None): DataFrame =
     scorer.fold(df)(_(df))
 
+  /** A deterministic rerank scorer: statement score := token-set Jaccard
+    * against the query, rounded at 4dp (the reference rounds relevance the
+    * same way, rerank_statements.py:104). Plug into [[rerankStatements]];
+    * the model-backed path implements the same contract behind
+    * [[graft.byokg.Reranker]]. */
+  def tokenOverlapScorer(query: String,
+                         textCol: String = "statement"): DataFrame => DataFrame = {
+    df =>
+      val q = array_distinct(split(lower(lit(query)), "[^a-z0-9]+"))
+      val t = array_distinct(split(lower(col(textCol)), "[^a-z0-9]+"))
+      df.withColumn("score",
+        round(when(size(array_union(q, t)) === 0, lit(0.0))
+          .otherwise(size(array_intersect(q, t)).cast("double") /
+            size(array_union(q, t)).cast("double")), 4))
+  }
+
   /** UpdateChunkMetadata: promote each chunk's stored value into the result
     * (reference update_chunk_metadata.py:10-22: `chunk.value =
     * metadata.pop('value')`). Flat-frame form: join the chunk text in as

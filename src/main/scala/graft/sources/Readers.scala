@@ -112,6 +112,42 @@ object Readers {
       "no HTTP client wired: pass fetch = (url => body) to Readers.web " +
         "(this environment has no egress)")
 
+  /** Wikipedia reader (wikipedia_reader_provider.py): page titles → the
+    * per-language article URL → the shared web fetch seam. */
+  def wikipedia(spark: SparkSession, titles: Seq[String], lang: String = "en",
+                fetch: String => String = defaultFetch): DataFrame =
+    web(spark, titles.map(t =>
+      s"https://$lang.wikipedia.org/wiki/${t.replace(' ', '_')}"), fetch)
+
+  /** GitHub reader (github_reader_provider.py): repo file paths → raw
+    * content URLs → fetch seam. Returns (doc_id=url, text=raw content) —
+    * raw files are not HTML, so no tag strip. */
+  def github(spark: SparkSession, owner: String, repo: String, ref: String,
+             paths: Seq[String],
+             fetch: String => String = defaultFetch): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val urls = paths.map(p =>
+      s"https://raw.githubusercontent.com/$owner/$repo/$ref/$p")
+    spark.createDataFrame(urls.map(Tuple1(_))).toDF("url")
+      .select(col("url").cast("string")).as[String](Encoders.STRING)
+      .mapPartitions(it => it.map(u => (u, fetch(u))))(
+        org.apache.spark.sql.Encoders.product[(String, String)])
+      .toDF("doc_id", "text")
+  }
+
+  /** YouTube transcript reader (youtube_reader_provider.py): video ids →
+    * the transcript fetch seam (the reference wraps a transcript API; the
+    * seam returns the transcript text per id). */
+  def youtube(spark: SparkSession, videoIds: Seq[String],
+              fetchTranscript: String => String = defaultFetch): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    spark.createDataFrame(videoIds.map(Tuple1(_))).toDF("video_id")
+      .select(col("video_id").cast("string")).as[String](Encoders.STRING)
+      .mapPartitions(it => it.map(v => (v, fetchTranscript(v))))(
+        org.apache.spark.sql.Encoders.product[(String, String)])
+      .toDF("doc_id", "text")
+  }
+
   /** Binary document formats: require an external codec (PDFBox/POI
     * equivalents), not available here — fail loudly rather than silently
     * mis-parse. */

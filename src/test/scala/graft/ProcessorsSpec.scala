@@ -209,6 +209,54 @@ class ProcessorsSpec extends SparkSpec {
     assert(yaml.startsWith("- source: s1\n  topics:\n  - topic: t1\n    statements:\n    - alpha one"))
   }
 
+  test("enrichSourceDetails: template, key-list, and fallback accessors") {
+    import graft.retrieve.PostProcessors
+    val results = Seq(("s1", "x"), ("s2", "y"), ("s3", "z"))
+      .toDF("source_id", "statement")
+    val sources = Seq(
+      ("s1", Map("title" -> "Doc One", "author" -> "Ada")),
+      ("s2", Map("author" -> "Bob")))
+      .toDF("source_id", "metadata")
+    // $key template; unknown keys stay as-is (safe_substitute)
+    val templ = PostProcessors.enrichSourceDetails(results, sources,
+      m => PostProcessors.sourceInfoTemplate("$title by ${author} ($nope)", m))
+      .select("source_id", "source_str").as[(String, String)].collect().toMap
+    assert(templ("s1") == "Doc One by Ada ($nope)")
+    assert(templ("s3") == "s3") // no metadata row -> source id fallback
+    // first-present key
+    val keyed = PostProcessors.enrichSourceDetails(results, sources,
+      m => PostProcessors.sourceInfoKeys(Seq("title", "author"), m))
+      .select("source_id", "source_str").as[(String, String)].collect().toMap
+    assert(keyed("s1") == "Doc One" && keyed("s2") == "Bob")
+  }
+
+  test("rerankResults wraps the reranker seam; tokenOverlapScorer rescores") {
+    import graft.retrieve.PostProcessors
+    val frame = Seq(("st1", "alpha beta"), ("st2", "alpha query match"))
+      .toDF("statement_id", "statement")
+    val top = PostProcessors.rerankResults(frame, "query match",
+      new graft.byokg.TokenOverlapReranker, topN = 1)
+      .select("statement_id").as[String].collect()
+    assert(top.toSeq == Seq("st2"))
+    val scored = Processors.rerankStatements(frame,
+      Some(Processors.tokenOverlapScorer("alpha beta")))
+      .orderBy(desc("score")).select("statement_id").as[String].collect()
+    assert(scored.head == "st1") // exact token match outranks partial
+  }
+
+  test("statementEnhancement keeps the original on a tag-less response") {
+    import graft.retrieve.PostProcessors
+    val df = Seq(("st1", "alpha", "ctx")).toDF("statement_id", "statement", "chunk_value")
+    val enhanced = PostProcessors.statementEnhancement(df,
+      () => new graft.llm.UppercaseEnhancerStub)
+      .select("statement").as[String].head()
+    assert(enhanced == "ALPHA")
+    val kept = PostProcessors.statementEnhancement(df,
+      () => new graft.llm.StubLLM) // never emits the protocol tag
+      .select("statement").as[String].head()
+    assert(kept == "alpha")
+  }
+
   test("formatContextBedrock numbers sources and statements") {
     val sources = Seq(
       ("s1", Map("title" -> "Doc A")), ("s2", Map("title" -> "Doc B")),

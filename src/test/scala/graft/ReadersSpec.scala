@@ -88,6 +88,22 @@ class ReadersSpec extends SparkSpec {
     }
   }
 
+  test("wikipedia/github/youtube readers build urls through their seams") {
+    val wiki = Readers.wikipedia(spark, Seq("Apache Spark"),
+      fetch = u => s"<p>body of $u</p>")
+    assert(wiki.as[(String, String)].collect().toSeq == Seq(
+      ("https://en.wikipedia.org/wiki/Apache_Spark",
+        "body of https://en.wikipedia.org/wiki/Apache_Spark")))
+    val gh = Readers.github(spark, "apache", "spark", "master",
+      Seq("README.md"), fetch = u => s"raw: $u")
+    assert(gh.as[(String, String)].head() ==
+      (("https://raw.githubusercontent.com/apache/spark/master/README.md",
+        "raw: https://raw.githubusercontent.com/apache/spark/master/README.md")))
+    val yt = Readers.youtube(spark, Seq("abc123"),
+      fetchTranscript = v => s"transcript of $v")
+    assert(yt.as[(String, String)].head() == (("abc123", "transcript of abc123")))
+  }
+
   test("FileSystemTap tees frames to parquet and passes them through") {
     val dir = Files.createTempDirectory("tap").toString
     val tap = new graft.sources.FileSystemTap(dir, "run1")

@@ -45,4 +45,40 @@ class StreamingIngestSpec extends SparkSpec {
     val batches = seen.toArray.map(_.asInstanceOf[(Long, Long)]._1).toSet
     assert(batches.size == 2)
   }
+
+  test("micro-batch pipeline: graph build inside foreachBatch, MERGE across batches") {
+    val srcDir = Files.createTempDirectory("mb_src").toFile
+    val ckDir = Files.createTempDirectory("mb_ck").toFile
+    val outDir = Files.createTempDirectory("mb_out").toString
+    def writeFile(name: String, docs: Seq[(Long, String)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(srcDir, name))
+      docs.foreach { case (id, t) => w.println(s"""{"doc_id":$id,"text":"$t"}""") }
+      w.close()
+    }
+    // identical text in both batches: the per-table append + dedup-on-read
+    // must converge to one topic/statement set (MERGE semantics)
+    writeFile("a.jsonl", Seq((1L, "spark joins tables fast " * 8)))
+    writeFile("b.jsonl", Seq((2L, "spark joins tables fast " * 8)))
+
+    val stream = StreamingIngest.jsonlStream(
+      spark, srcDir.getAbsolutePath, schema, filesPerTrigger = 1)
+    val q = StreamingIngest.ingest(stream,
+      Seq.empty[Tuple1[Long]].toDF("doc_id"), "doc_id",
+      ckDir.getAbsolutePath) { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val g = graft.index.LexicalGraphBuilder.fromDocuments(
+          batch.withColumn("source", lit(s"b$batchId")),
+          "text", Seq("doc_id", "source"))
+        g.statements.write.mode("append").parquet(s"$outDir/statements")
+      }
+    }
+    q.awaitTermination(120000)
+
+    val all = spark.read.parquet(s"$outDir/statements")
+    // two per-batch builds appended; the dedup-on-read (MERGE) collapses the
+    // identical statement ids to one row each
+    assert(all.count() > all.dropDuplicates("statement_id").count())
+    val merged = all.dropDuplicates("statement_id")
+    assert(merged.count() > 0)
+  }
 }
