@@ -64,4 +64,11 @@ object MetadataTypes {
     when(isDateTimeKeyCol(key) && parseTimestamp(value).isNotNull,
       toIso8601(value))
       .otherwise(value)
+
+  /** DefaultSourceMetadataFormatter (reference metadata.py:135-172): apply
+    * the per-type formatter to every entry of a metadata map, keeping the
+    * original value where formatting fails — one `transform_values`, no
+    * UDF. */
+  def formatMetadata(metadataCol: Column): Column =
+    transform_values(metadataCol, (k, v) => normalizedValue(k, v))
 }

@@ -91,20 +91,23 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // §2.5 TF-IDF scoring (RerankStatements) against a fixed query.
+    // §2.5 TF-IDF scoring (RerankStatements) against a fixed query. The
+    // corpus size n is a scalar aggregate folded into the plan — no
+    // driver-side count() during plan build.
     "q_tfidf_rerank" -> ((s, dir) => {
       val terms = Seq("spark", "join", "stream", "table")
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(T.searchStr(col("text")), "\\s+").as("toks"))
-      val n = docs.count().toDouble
+      val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
       val termsDf = s.createDataFrame(terms.map(Tuple1(_))).toDF("term")
       val termDf = docs.crossJoin(broadcast(termsDf))
         .withColumn("tf", size(filter(col("toks"), x => x === col("term"))))
       val dfCounts = termDf.filter(col("tf") > 0)
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       termDf.join(dfCounts, Seq("term"))
+        .crossJoin(broadcast(nDf))
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("tf") * log(lit(n) / col("df"))), 6).as("score"))
+        .agg(round(sum(col("tf") * log(col("n") / col("df"))), 6).as("score"))
         .orderBy(col("doc_id"))
     }),
 

@@ -225,6 +225,21 @@ class ByokgEngineSpec extends SparkSpec {
     assert(ctx.nonEmpty)
   }
 
+  test("GraphScoringRetriever composes k-hop, relation pruning, and rerank") {
+    import graft.byokg.GraphScoringRetriever
+    val out = GraphScoringRetriever.retrieve(edges,
+      Seq("acme").toDF("node"), "who founded acme",
+      new TokenOverlapReranker, hops = 2, topk = 3, maxRelations = 2)
+    val lines = out.select("text").as[String].collect()
+    assert(lines.nonEmpty && lines.length <= 3)
+    // merged verbalization shape, query-relevant relation survives pruning
+    assert(lines.exists(_.contains("-> founded_by ->")))
+    assert(lines.forall(_.contains(" -> ")))
+    // maxRelations=2 prunes the vocabulary: at most 2 distinct relations
+    val relCount = lines.map(_.split(" -> ")(1)).distinct.length
+    assert(relCount <= 2)
+  }
+
   test("engine schema lists sorted relation labels") {
     val engine = new ByoKGIterativeEngine(edges, new StubLLM)
     assert(engine.schema() ==

@@ -36,6 +36,18 @@ class MetadataSkewSpec extends SparkSpec {
     assert(out(4) == null)
   }
 
+  test("formatMetadata normalizes date-keyed map values, keeps the rest") {
+    val out = Seq(Tuple1(Map(
+      "published_date" -> "01/15/2024",
+      "title" -> "Doc",
+      "broken_date" -> "not a date")))
+      .toDF("m").select(MetadataTypes.formatMetadata(col("m")))
+      .as[Map[String, String]].head()
+    assert(out("published_date") == "2024-01-15T00:00:00")
+    assert(out("title") == "Doc")
+    assert(out("broken_date") == "not a date") // unformattable -> original
+  }
+
   test("isDateTimeKey follows the suffix convention") {
     assert(MetadataTypes.isDateTimeKey("published_date"))
     assert(MetadataTypes.isDateTimeKey("CREATED_DATETIME"))
