@@ -40,5 +40,6 @@ object GraftExtensions {
   def registerAll(spark: SparkSession): Unit = {
     functions.CosineSimilarity.register(spark)
     functions.MinhashSignature.register(spark)
+    functions.WordShingles.register(spark)
   }
 }

@@ -135,3 +135,79 @@ object MinhashSignature {
   def signature(text: Column, numHashes: Int, shingleSize: Int = 3): Column =
     call_function(FnName, text, lit(numHashes), lit(shingleSize))
 }
+
+/**
+ * Distinct word shingles as one compiled pass — the materialized-set sibling
+ * of [[MinhashSignature]] for consumers that need the actual shingles
+ * (exact jaccard verification), not the sketch. Semantically identical to
+ * [[HashFunctions.shingles]] (array_distinct keeps first-occurrence order),
+ * but one tight loop per row instead of the interpreted
+ * `transform`/`slice`/`concat_ws` chain — the HOF form measured 6.4 s for
+ * 5k docs at sf0.1 where this runs in well under a second.
+ */
+case class WordShingles(child: Expression, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires STRING input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WordShingles.compute(input.asInstanceOf[UTF8String], shingleSize)
+        .map(UTF8String.fromString))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+
+  val FnName = "word_shingles"
+
+  private val PunctRe = Pattern.compile("\\p{Punct}")
+  private val WsRe = Pattern.compile("\\s+")
+
+  private def normalize(text: UTF8String): String = {
+    val noPunct = PunctRe.matcher(text.toString).replaceAll(" ")
+    val collapsed = WsRe.matcher(noPunct).replaceAll(" ").trim
+    UTF8String.fromString(collapsed).toLowerCase.toString
+  }
+
+  def compute(text: UTF8String, shingleSize: Int): Array[String] = {
+    val toks = WsRe.split(normalize(text), -1)
+    val nShingles = math.max(toks.length - shingleSize, 0) + 1
+    val out = new java.util.LinkedHashSet[String](nShingles * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      val end = math.min(i + shingleSize, toks.length)
+      var t = i
+      while (t < end) {
+        if (t > i) sb.append(' ')
+        sb.append(toks(t))
+        t += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName,
+      exprs => WordShingles(
+        exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+
+  /** Column API ([[register]] first). */
+  def shingles(text: Column, shingleSize: Int = 3): Column =
+    call_function(FnName, text, lit(shingleSize))
+}

@@ -83,12 +83,13 @@ object Dedup {
       idCol: String,
       n: Int = 3): DataFrame = {
     // both sides of the pair join probe the shingle frame: restrict it to
-    // ids the pair set references, then materialize once — shingling is the
-    // expensive transform and must run neither twice nor over unreferenced
-    // rows
+    // ids the pair set references, shingle with the COMPILED expression
+    // (the interpreted HOF chain costs ~6 s / 5k docs), and materialize once
+    graft.functions.WordShingles.register(df.sparkSession)
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b"))).distinct()
-    val sh = df.select(col(idCol).as("id"), H.shingles(col(textCol), n).as("sh"))
+    val sh = df.select(col(idCol).as("id"),
+        graft.functions.WordShingles.shingles(col(textCol), n).as("sh"))
       .join(ids, Seq("id"), "left_semi")
       .localCheckpoint(true)
     pairs
@@ -113,8 +114,11 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8,
       shingleSize: Int = 3): DataFrame = {
+    // materialize the candidate set once: the verify stage scans it three
+    // times (both id projections + the pair join), and re-running the
+    // banded self-join per scan tripled the operator's cost
     val cands = minhashLsh(df, textCol, idCol, numHashes, bands, shingleSize)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").localCheckpoint(true)
     val dominated = ngramJaccard(df, cands, textCol, idCol, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()

@@ -79,4 +79,76 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("compiled WordShingles == composed HashFunctions.shingles") {
+    graft.functions.WordShingles.register(spark)
+    val samples = Gen.listOfN(60, textGen).sample.get.distinct
+    val df = samples.toDF("t")
+    val both = df.select(
+      graft.functions.WordShingles.shingles(col("t"), 3).as("compiled"),
+      graft.functions.HashFunctions.shingles(col("t"), 3).as("composed"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("BeamScoring invariants: max-over-parents, cosine order, mode bounds") {
+    import graft.retrieve.BeamScoring
+    val vecGen = Gen.listOfN(4, Gen.choose(-1.0, 1.0))
+    (1 to 10).foreach { _ =>
+      val q = vecGen.sample.get
+      val ids = ('a' to 'f').map(_.toString)
+      val rows = for {
+        id <- ids
+        p <- Seq("p1", "p2")
+      } yield (id, vecGen.sample.get.toArray, p, vecGen.sample.get.toArray)
+      val pairs = rows.toDF("id", "embedding", "parent_id", "parent_embedding")
+      // every mode yields exactly one score per id (max over parents)
+      for (mode <- BeamScoring.Modes) {
+        val out = BeamScoring.score(pairs, q, mode)
+        assert(out.count() == ids.length)
+        // and that score is >= any per-pair score of the same id computed by
+        // re-scoring each pair alone
+        if (mode == "cosine") {
+          val single = BeamScoring.score(pairs.limit(1), q, mode)
+            .as[(String, Double)].head()
+          val merged = out.filter(col("id") === single._1)
+            .as[(String, Double)].head()
+          assert(merged._2 >= single._2 - 1e-12)
+        }
+      }
+    }
+  }
+
+  test("diversityFilter output is a subset containing each dup-group's min id") {
+    val docGen = Gen.oneOf(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy cat again and again",
+      "an entirely different corpus sentence about query engines at scale",
+      "spark shuffles partitions across the cluster during wide stages")
+    (1 to 5).foreach { _ =>
+      val docs = (1L to 12L).map(i => (i, docGen.sample.get)).toDF("doc_id", "text")
+      val kept = graft.ops.Dedup.diversityFilter(docs, "text", "doc_id", 0.9)
+        .as[Long].collect().toSet
+      val all = docs.as[(Long, String)].collect()
+      assert(kept.subsetOf(all.map(_._1).toSet))
+      // exact duplicates: only the smallest id of each text group survives
+      all.groupBy(_._2).values.foreach { grp =>
+        val ids = grp.map(_._1).sorted
+        assert(kept.contains(ids.head))
+        ids.tail.foreach(id => assert(!kept.contains(id)))
+      }
+    }
+  }
+
+  test("GraphQuerySafety never passes a query containing a blocked keyword") {
+    val kwGen = Gen.oneOf(graft.byokg.GraphQuerySafety.ModificationKeywords)
+    val padGen = Gen.oneOf("", " ", "\n", "\t", "/* c */ ", "(", ")")
+    (1 to 50).foreach { _ =>
+      val kw = kwGen.sample.get
+      val q = s"${padGen.sample.get}SELECT 1 ${padGen.sample.get}$kw${padGen.sample.get} x"
+      assert(!graft.byokg.GraphQuerySafety.isQuerySafe(q), s"passed: $q")
+      // lowercase and mixed case are equally blocked
+      assert(!graft.byokg.GraphQuerySafety.isQuerySafe(q.toLowerCase))
+    }
+  }
 }
