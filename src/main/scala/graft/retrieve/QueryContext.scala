@@ -105,4 +105,18 @@ object QueryModeRetriever {
       keywords.map(k => retrieverFn(k, perShard)).reduce(_ unionByName _)
     }
   }
+
+  /** The composite retriever's derive_subqueries path (reference
+    * composite_traversal_based_retriever.py:205-229): decompose the question
+    * into subqueries, run the retriever per subquery at full budget, and
+    * aggregate — the thread-pool fan-out becomes one unioned lazy plan. */
+  def retrieveComposite(llm: LLM, question: String,
+                        retrieverFn: (String, Int) => DataFrame,
+                        maxResults: Int = graft.model.Defaults.MaxSearchResults,
+                        deriveSubqueries: Boolean = true): DataFrame = {
+    val subqueries =
+      if (deriveSubqueries) QueryOps.decompose(llm, question)
+      else Seq(question)
+    subqueries.map(q => retrieverFn(q, maxResults)).reduce(_ unionByName _)
+  }
 }

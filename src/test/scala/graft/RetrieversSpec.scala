@@ -96,6 +96,21 @@ class RetrieversSpec extends SparkSpec {
     assert(calls.map(_._1) == Seq("a and b"))
   }
 
+  test("composite retrieval decomposes subqueries at full budget") {
+    val llm = new graft.llm.StubLLM
+    var calls = Seq.empty[(String, Int)]
+    def fn(q: String, max: Int) = {
+      calls = calls :+ ((q, max)); Seq((q, max)).toDF("q", "max")
+    }
+    graft.retrieve.QueryModeRetriever.retrieveComposite(llm,
+      "who founded acme and where is berlin", fn, maxResults = 7).count()
+    assert(calls == Seq(("who founded acme", 7), ("where is berlin", 7)))
+    calls = Seq.empty
+    graft.retrieve.QueryModeRetriever.retrieveComposite(llm,
+      "a and b", fn, maxResults = 7, deriveSubqueries = false).count()
+    assert(calls == Seq(("a and b", 7)))
+  }
+
   test("topic-based search materializes statements for seed topics") {
     val seed = g.topics.limit(1).select("topic_id")
     val out = Retrievers.topicBased(g, seed)
