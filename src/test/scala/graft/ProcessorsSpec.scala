@@ -108,6 +108,23 @@ class ProcessorsSpec extends SparkSpec {
         "<statement>gamma two</statement></topic></source>")
   }
 
+  test("no broadcast hints on unbounded per-source aggregate frames") {
+    // rescoreResults / pruneResults / filterByMetadata join frames whose
+    // cardinality grows with the data — a forced broadcast() would OOM the
+    // driver at scale, so the plans must leave the strategy to AQE
+    def hints(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(!hints(Processors.rescoreResults(df)))
+    assert(!hints(Processors.pruneResults(df, 1.0)))
+    val sources = Seq(("s1", "x")).toDF("source_id", "seg")
+    assert(!hints(Processors.filterByMetadata(df, sources,
+      graft.filter.FilterAst.Pred("seg", graft.filter.FilterAst.Eq, "x"))))
+    // but genuinely bounded frames DO keep the hint: truncateResults'
+    // top-n id set is limit'd
+    assert(Processors.truncateResults(df, 2)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
   // ----- default-chain tail (traversal_based_base_retriever.py:24-46) -----
 
   test("removeVersioningMetadata strips only versioning keys") {
