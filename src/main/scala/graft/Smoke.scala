@@ -19,6 +19,9 @@ object Smoke {
     val mp = graft.pipeline.LexicalPipeline
       .flagshipMultipart(spark, "/root/testdata/sf0.001")
     println(s"[smoke] multipart rows = ${mp.count()}")
+    val fc = graft.pipeline.LexicalPipeline
+      .flagshipFullChain(spark, "/root/testdata/sf0.001")
+    println(s"[smoke] full-chain rows = ${fc.count()}")
     spark.stop()
   }
 }

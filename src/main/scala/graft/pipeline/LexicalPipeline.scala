@@ -23,6 +23,17 @@ object LexicalPipeline {
     ChunkBasedRetriever.query(g, queryEmbedding)
   }
 
+  /** The reference's complete `query()` trace: search → full 18-step
+    * DEFAULT_PROCESSORS + formatting chain → final flat context rows. */
+  def flagshipFullChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val g = LexicalGraphBuilder
+      .fromDocuments(docs, "text", Seq("doc_id", "source", "lang"))
+      .persistAll()
+    ChunkBasedRetriever.fullQuery(
+      g, embedQuery(spark, "spark join stream table"))
+  }
+
   /** Multipart flagship: a conjunction question shards into keywords, each
     * shard drives the full default chain with a shrunken budget, results
     * union (query_mode_retriever.py:28-68 over the real retriever). */

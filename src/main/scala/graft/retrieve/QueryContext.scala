@@ -72,6 +72,47 @@ object EntityProvider {
 }
 
 /**
+ * Keyword providers (reference retrieval/query_context/keyword_provider.py,
+ * keyword_vss_provider.py, keyword_provider_base.py): the three modes that
+ * seed entity lookup. SIMPLE asks the LLM for the question's keywords; VSS
+ * first pulls diverse vector-search context and asks the LLM to pick the
+ * most relevant entities from question + context
+ * (IDENTIFY_RELEVANT_ENTITIES_PROMPT); PASSTHRU returns the query itself
+ * (the multipart shards arrive pre-extracted).
+ */
+object KeywordProviders {
+
+  def simple(llm: LLM, question: String, maxKeywords: Int = 5): Seq[String] =
+    QueryOps.keywords(llm, question, maxKeywords)
+
+  def passthru(question: String): Seq[String] = Seq(question)
+
+  def vss(g: GraphTables, llm: LLM, question: String,
+          queryEmbedding: Seq[Double], maxKeywords: Int = 5,
+          topK: Int = graft.model.Defaults.VssTopK): Seq[String] = {
+    val ctxIds = graft.ops.Similarity.diverseTopK(
+      g.chunks, "embedding", "chunk_id", "source_id",
+      queryEmbedding, topK, graft.model.Defaults.VssDiversityFactor)
+      .select(col("id").as("chunk_id"))
+    val context = g.chunks.join(broadcast(ctxIds), Seq("chunk_id"))
+      .orderBy(col("chunk_id")).select("text")
+      .collect().map(_.getString(0)).mkString("\n")
+    val prompt =
+      s"""Identify up to $maxKeywords of the most relevant named entities from
+         |the question and keywords from the context, most relevant first,
+         |one per line.
+         |<question>
+         |$question
+         |</question>
+         |<context>
+         |$context
+         |</context>""".stripMargin
+    llm.complete(prompt).split("\n").map(_.trim).filter(_.nonEmpty)
+      .take(maxKeywords).toSeq
+  }
+}
+
+/**
  * Multipart query mode (reference retrieval/retrievers/
  * query_mode_retriever.py:28-68): a complex question shards into its
  * keywords, each shard runs the underlying retriever with a shrunken

@@ -45,4 +45,14 @@ object StreamingIngest {
         onBatch(fresh, batchId)
       }
       .start()
+
+  /** Streaming exact-dedup twin of `ops.Dedup.exact`: watermark-bounded
+    * `dropDuplicates` on the id — re-delivered documents inside the
+    * watermark window emit once, and the dedup state is GC'd past it, so
+    * state size stays bounded by the window's arrival volume (the streaming
+    * requirement the batch dedup doesn't have). */
+  def dedupStream(stream: DataFrame, idCol: String,
+                  eventTimeCol: String, watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(idCol, eventTimeCol)
 }

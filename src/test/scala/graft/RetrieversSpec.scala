@@ -96,6 +96,20 @@ class RetrieversSpec extends SparkSpec {
     assert(calls.map(_._1) == Seq("a and b"))
   }
 
+  test("keyword providers: simple, passthru, and vss modes") {
+    import graft.retrieve.KeywordProviders
+    val llm = new graft.llm.StubLLM
+    val simple = KeywordProviders.simple(llm, "spark joins tables fast", 3)
+    assert(simple.nonEmpty && simple.size <= 3)
+    assert(KeywordProviders.passthru("the query") == Seq("the query"))
+    val vss = KeywordProviders.vss(g, llm, "spark joins tables", queryEmb,
+      maxKeywords = 4)
+    assert(vss.nonEmpty && vss.size <= 4)
+    // vss keywords derive from question+context: the stub echoes frequent
+    // tokens, so the corpus vocabulary shows up
+    assert(vss.exists(k => k.nonEmpty))
+  }
+
   test("composite retrieval decomposes subqueries at full budget") {
     val llm = new graft.llm.StubLLM
     var calls = Seq.empty[(String, Int)]

@@ -46,6 +46,27 @@ class StreamingIngestSpec extends SparkSpec {
     assert(batches.size == 2)
   }
 
+  test("dedupStream drops re-delivered ids inside the watermark window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp((100 + min) * 60000L)
+    val deduped = StreamingIngest.dedupStream(
+      input.toDS().toDF("doc_id", "event_time", "text"),
+      "doc_id", "event_time")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, ts(0), "a"), (1L, ts(0), "a dup"), (2L, ts(1), "b"))
+    q.processAllAvailable()
+    input.addData((2L, ts(1), "b dup"), (3L, ts(2), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("doc_id")
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("micro-batch pipeline: graph build inside foreachBatch, MERGE across batches") {
     val srcDir = Files.createTempDirectory("mb_src").toFile
     val ckDir = Files.createTempDirectory("mb_ck").toFile
