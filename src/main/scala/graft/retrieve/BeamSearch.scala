@@ -24,9 +24,18 @@ object TopicBeamSearch {
   def topicEntityView(g: GraphTables): DataFrame = g.topicEntities
 
   /** One expansion step: neighbor topics of the frontier via the three
-    * branches, each capped, deduped against the visited set. Pass a cached
+    * branches, deduped against the visited set. Pass a cached
     * `topicEntities` (from [[topicEntityView]]) when expanding in a loop —
     * rebuilding the three-way join per depth is the slow path.
+    *
+    * The same-chunk and adjacent-chunk branches share one probe of
+    * `topicMentionedIn` (frontier chunks ∪ their prev/next neighbors) and
+    * are naturally bounded by per-chunk topic fan-out; only the
+    * entity-overlap branch — where a hub entity can touch an unbounded
+    * topic set — carries an explicit strength-ranked `capPerBranch`. The
+    * single `distinct` after the union is the only candidate-set shuffle:
+    * per-branch distinct/limit chains cost one exchange each per depth and
+    * only re-deduped what the union dedup already does.
     *
     * Broadcast hints here are bounded by construction: the frontier is
     * beamWidth-capped by [[search]], and the derived chunk/entity sets are
@@ -36,23 +45,20 @@ object TopicBeamSearch {
                  topicEntities: Option[DataFrame] = None): DataFrame = {
     val f = broadcast(frontier.select(col("topic_id")).distinct())
 
-    // Branches 1 and 2 both probe the frontier's chunk set — build (and
-    // broadcast) it once.
     val frontierChunks = broadcast(
       g.topicMentionedIn.join(f, Seq("topic_id"))
         .select(col("chunk_id")).distinct())
-    val sameChunk = g.topicMentionedIn
-      .join(frontierChunks, Seq("chunk_id"))
-      .select(col("topic_id")).distinct().limit(capPerBranch)
 
-    // Branch 2: topics in adjacent (prev/next) chunks.
-    val adj = g.chunks
+    // Branches 1+2: topics mentioned in the frontier's chunks or their
+    // prev/next-linked neighbors — one probe over the unioned chunk set.
+    val probeChunks = g.chunks
       .join(frontierChunks, Seq("chunk_id"))
-      .select(explode(array(col("prev_id"), col("next_id"))).as("chunk_id"))
+      .select(explode(array(col("chunk_id"), col("prev_id"), col("next_id")))
+        .as("chunk_id"))
       .where(col("chunk_id").isNotNull)
-    val adjacent = g.topicMentionedIn
-      .join(broadcast(adj.distinct()), Seq("chunk_id"))
-      .select(col("topic_id")).distinct().limit(capPerBranch)
+    val viaChunks = g.topicMentionedIn
+      .join(broadcast(probeChunks), Seq("chunk_id"))
+      .select(col("topic_id"))
 
     // Branch 3: topics sharing entities, ranked by overlap strength.
     val te = topicEntities.getOrElse(topicEntityView(g))
@@ -64,14 +70,15 @@ object TopicBeamSearch {
       .orderBy(desc("strength"), col("topic_id"))
       .select(col("topic_id")).limit(capPerBranch)
 
-    sameChunk.union(adjacent).union(entityOverlap).distinct()
+    viaChunks.union(entityOverlap).distinct()
       .join(visited.select(col("topic_id")), Seq("topic_id"), "left_anti")
   }
 
   /** Full beam: `depth` expansion rounds, each scored by cosine against the
     * query and truncated to `beamWidth`. Returns (topic_id, score, depth). */
   def search(g: GraphTables, seedTopics: DataFrame, queryEmbedding: Seq[Double],
-             beamWidth: Int = 100, depth: Int = 3): DataFrame = {
+             beamWidth: Int = 100, depth: Int = 3): DataFrame =
+   graft.ops.Joins.boundedLoop(seedTopics.sparkSession) {
     val topicEmb = g.topicEmbeddings
     val topicEntities = Some(g.topicEntities)
     def score(topics: DataFrame): DataFrame =
@@ -79,25 +86,24 @@ object TopicBeamSearch {
         .select(col("topic_id"),
           V.cosine(col("embedding"), typedLit(queryEmbedding)).as("score"))
 
-    var frontier = seedTopics.select(col("topic_id")).distinct().localCheckpoint(true)
-    // visited = lazy union of the checkpointed per-depth layers: each layer
-    // is already materialized, so re-checkpointing the union every round
-    // would only add driver jobs.
+    var frontier = graft.ops.Joins.localize(
+      seedTopics.select(col("topic_id")).distinct())
+    // visited = union of the driver-local per-depth layers: a union of
+    // LocalRelations stays local, so the visited anti-join broadcasts
+    // without launching a job.
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     var acc = score(frontier).withColumn("depth", lit(0))
     for (d <- 1 to depth) {
       val visited = layers.reduce(_ union _)
       val next = expandOnce(g, frontier, visited, topicEntities = topicEntities)
-      val scored = score(next)
-        .orderBy(desc("score"), col("topic_id")).limit(beamWidth)
-        .localCheckpoint(true)
+      val scored = graft.ops.Joins.localize(score(next)
+        .orderBy(desc("score"), col("topic_id")).limit(beamWidth))
       acc = acc.union(scored.withColumn("depth", lit(d)))
-      // scored is already checkpointed; the projection stays flat for free
       frontier = scored.select(col("topic_id"))
       layers += frontier
     }
     acc
-  }
+   }
 }
 
 /**
@@ -201,11 +207,13 @@ object ChunkBeamSearch {
   def search(g: GraphTables, seedChunks: DataFrame, queryEmbedding: Seq[Double],
              beamWidth: Int = graft.model.Defaults.ChunkBeamWidth,
              depth: Int = graft.model.Defaults.ChunkBeamDepth,
-             scoringMode: String = "cosine"): DataFrame = {
+             scoringMode: String = "cosine"): DataFrame =
+   graft.ops.Joins.boundedLoop(seedChunks.sparkSession) {
     val ce = chunkEntities(g).localCheckpoint(true)
     val degrees = Some(EntityContextProvider.entityScores(g).localCheckpoint(true))
     val emb = g.chunks.select(col("chunk_id"), col("embedding"))
-    var frontier = seedChunks.select(col("chunk_id")).distinct().localCheckpoint(true)
+    var frontier = graft.ops.Joins.localize(
+      seedChunks.select(col("chunk_id")).distinct())
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     var acc = frontier.join(emb, Seq("chunk_id"))
       .select(col("chunk_id"),
@@ -220,16 +228,16 @@ object ChunkBeamSearch {
             col("embedding").as("parent_embedding"))), Seq("parent_id"))
         .select(col("chunk_id").as("id"), col("embedding"),
           col("parent_id"), col("parent_embedding"))
-      val scored = BeamScoring.score(cands, queryEmbedding, scoringMode)
-        .orderBy(desc("score"), col("id")).limit(beamWidth)
-        .select(col("id").as("chunk_id"), col("score"))
-        .localCheckpoint(true)
+      val scored = graft.ops.Joins.localize(
+        BeamScoring.score(cands, queryEmbedding, scoringMode)
+          .orderBy(desc("score"), col("id")).limit(beamWidth)
+          .select(col("id").as("chunk_id"), col("score")))
       acc = acc.union(scored.withColumn("depth", lit(d)))
       frontier = scored.select(col("chunk_id"))
       layers += frontier
     }
     acc
-  }
+   }
 }
 
 /**
@@ -271,10 +279,11 @@ object StatementBeamSearch {
   def search(g: GraphTables, seedStatements: DataFrame,
              queryEmbedding: Seq[Double],
              beamWidth: Int = 10, depth: Int = 3,
-             scoringMode: String = "cosine"): DataFrame = {
+             scoringMode: String = "cosine"): DataFrame =
+   graft.ops.Joins.boundedLoop(seedStatements.sparkSession) {
     val emb = g.statements.select(col("statement_id"), col("embedding"))
-    var frontier = seedStatements.select(col("statement_id")).distinct()
-      .localCheckpoint(true)
+    var frontier = graft.ops.Joins.localize(
+      seedStatements.select(col("statement_id")).distinct())
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     var acc = frontier.join(emb, Seq("statement_id"))
       .select(col("statement_id"),
@@ -289,16 +298,16 @@ object StatementBeamSearch {
             col("embedding").as("parent_embedding"))), Seq("parent_id"))
         .select(col("statement_id").as("id"), col("embedding"),
           col("parent_id"), col("parent_embedding"))
-      val scored = BeamScoring.score(cands, queryEmbedding, scoringMode)
-        .orderBy(desc("score"), col("id")).limit(beamWidth)
-        .select(col("id").as("statement_id"), col("score"))
-        .localCheckpoint(true)
+      val scored = graft.ops.Joins.localize(
+        BeamScoring.score(cands, queryEmbedding, scoringMode)
+          .orderBy(desc("score"), col("id")).limit(beamWidth)
+          .select(col("id").as("statement_id"), col("score")))
       acc = acc.union(scored.withColumn("depth", lit(d)))
       frontier = scored.select(col("statement_id"))
       layers += frontier
     }
     acc
-  }
+   }
 }
 
 /**

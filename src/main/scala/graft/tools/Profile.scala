@@ -107,6 +107,68 @@ object Profile {
             .localCheckpoint(true); cur.count()
         }
 
+      case "beamjobs" =>
+        // job/stage/task counts per beam query (where scheduling overhead is)
+        graft.GraftExtensions.registerAll(spark)
+        val gj = graft.queries.Tables.lexicalGraph(spark, sfDir)
+        Seq(gj.chunks, gj.topics, gj.topicMentionedIn, gj.statements,
+          gj.facts, gj.factSupports, gj.entities, gj.entityRelations,
+          gj.topicEmbeddings, gj.topicEntities).foreach(_.count())
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val stages = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              stages.incrementAndGet()
+              tasks.addAndGet(s.stageInfo.numTasks)
+            }
+          })
+        for (q <- Seq("q_beam_topic", "q_beam_chunk", "q_beam_statement")) {
+          jobs.set(0); stages.set(0); tasks.set(0)
+          time(q) { graft.SparkEntry.queries(q)(spark, sfDir).count() }
+          println(s"[profile]   $q jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+        }
+
+      case "beam" =>
+        // where beam time goes: graph warm, seeds, then per-query totals
+        graft.GraftExtensions.registerAll(spark)
+        val g = graft.queries.Tables.lexicalGraph(spark, sfDir)
+        time("warm graph") {
+          Seq(g.chunks, g.topics, g.topicMentionedIn, g.statements, g.facts,
+            g.factSupports, g.entities, g.entityRelations,
+            g.topicEmbeddings, g.topicEntities).map(_.count()).sum
+        }
+        for (q <- Seq("q_beam_topic", "q_beam_chunk", "q_beam_statement");
+             rep <- 1 to 2)
+          time(s"$q#$rep") { graft.SparkEntry.queries(q)(spark, sfDir).count() }
+
+      case "beamconf" =>
+        // config levers for driver-loop queries: AQE + shuffle partitions
+        graft.GraftExtensions.registerAll(spark)
+        val g2 = graft.queries.Tables.lexicalGraph(spark, sfDir)
+        time("warm graph") {
+          Seq(g2.chunks, g2.topics, g2.topicMentionedIn, g2.statements,
+            g2.facts, g2.factSupports, g2.entities, g2.entityRelations,
+            g2.topicEmbeddings, g2.topicEntities).map(_.count()).sum
+        }
+        // the beams now pin their own loop conf; sweep the loop partition
+        // count via the system property override
+        for (parts <- Seq(8, 4, 2, 1); rep <- 1 to 2) {
+          System.setProperty("graft.loop.partitions", parts.toString)
+          time(s"topic loopP=$parts#$rep") {
+            graft.SparkEntry.queries("q_beam_topic")(spark, sfDir).count()
+          }
+          time(s"chunk loopP=$parts#$rep") {
+            graft.SparkEntry.queries("q_beam_chunk")(spark, sfDir).count()
+          }
+        }
+        System.clearProperty("graft.loop.partitions")
+
       case "explain" =>
         // plan audit: dump formatted physical plans for selected queries
         val names = if (args.length > 2) args(2).split(",").toSeq
