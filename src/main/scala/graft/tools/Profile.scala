@@ -134,6 +134,104 @@ object Profile {
           println(s"[profile]   $q jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
         }
 
+      case "qjobs" =>
+        // per-stage durations of one query (args(2)), slowest first
+        graft.GraftExtensions.registerAll(spark)
+        val qn = if (args.length > 2) args(2) else "q_full_chain"
+        val infos = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val dur = (for (a <- si.completionTime; b <- si.submissionTime)
+                yield a - b).getOrElse(-1L)
+              infos.add((si.stageId, si.name.takeWhile(_ != '\n').take(60),
+                dur, si.numTasks))
+            }
+          })
+        time(s"$qn cold") { graft.SparkEntry.queries(qn)(spark, sfDir).count() }
+        infos.clear()
+        time(s"$qn warm") { graft.SparkEntry.queries(qn)(spark, sfDir).count() }
+        Thread.sleep(500)
+        infos.toArray.map(_.asInstanceOf[(Int, String, Long, Int)])
+          .sortBy(-_._3).take(25).foreach { case (id, nm, dur, nt) =>
+            println(f"[profile]   stage $id%4d ${dur / 1000.0}%7.2f s tasks=$nt%3d  $nm")
+          }
+
+      case "chainsteps" =>
+        // cumulative cost of q_full_chain's processor prefix: rebuild the
+        // chain inline, count() after each appended step
+        graft.GraftExtensions.registerAll(spark)
+        import graft.retrieve.Processors
+        import graft.queries.{Tables => T2}
+        val ordC = T2.t(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val baseC = T2.t(spark, sfDir, "lineitem")
+          .join(ordC, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("source_id"),
+            col("l_orderkey").as("topic_id"),
+            md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"),
+              (col("l_extendedprice") * 100).cast("long"),
+              (col("l_quantity") * 100).cast("long"),
+              col("l_shipdate").cast("string"))).as("statement_id"),
+            concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+              col("l_shipdate").cast("string")).as("statement"),
+            col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+            col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          .localCheckpoint(true)
+        val factsC = baseC.select(col("statement_id"),
+            concat(lit("part:"), col("l_partkey")).as("fact_value"))
+          .union(baseC.select(col("statement_id"),
+            concat(lit("supp:"), col("l_suppkey")).as("fact_value")))
+        val chunksC = baseC.select(col("statement_id").as("chunk_id"),
+          col("l_shipdate").cast("string").as("text")).distinct()
+        val sourcesC = T2.t(spark, sfDir, "customer").select(
+          col("c_custkey").as("source_id"),
+          map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"))
+            .as("metadata"),
+          col("c_mktsegment").as("segment"))
+        val unionedC = baseC.filter(col("l_returnflag") === "R")
+          .withColumn("score", (col("l_extendedprice") * 100).cast("long"))
+          .union(baseC.filter(col("l_quantity") > 25)
+            .withColumn("score", (col("l_quantity") * 100000).cast("long")))
+          .select(col("source_id"), col("topic_id"), col("statement_id"),
+            col("statement_id").as("chunk_id"), col("statement"),
+            col("score").cast("double").as("score"))
+        val steps: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+          "dedup" -> Processors.dedupResults,
+          "disagg" -> Processors.disaggregateResults,
+          "filterMeta" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.filterByMetadata(df, sourcesC,
+              graft.filter.FilterAst.Pred("segment",
+                graft.filter.FilterAst.Ne, "FURNITURE"))),
+          "populateStrs" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.populateStatementStrs(df, factsC)),
+          "rerank" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.rerankStatements(df, None)),
+          "prune" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.pruneStatements(df, 0.05)),
+          "rescore" -> Processors.rescoreResults,
+          "truncStmts" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.truncateStatements(df, 3)),
+          "truncRank" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.truncateRankResults(df, 10)),
+          "updChunkMeta" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.updateChunkMetadata(df, chunksC)),
+          "clearScores" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.clearScores(df)),
+          "stmtsToStrings" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.statementsToStrings(df, includeFacts = true)),
+          "simplify" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.simplifySingleTopicResults(df)),
+          "clearChunks" -> Processors.clearChunks
+        )
+        for (rep <- 1 to 2; k <- 1 to steps.length) {
+          val out = steps.take(k).foldLeft(unionedC)((df, p) => p._2(df))
+          time(s"rep$rep +${steps(k - 1)._1}") { out.count() }
+        }
+
       case "beam" =>
         // where beam time goes: graph warm, seeds, then per-query totals
         graft.GraftExtensions.registerAll(spark)
