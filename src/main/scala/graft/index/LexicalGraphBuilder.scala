@@ -18,12 +18,18 @@ final case class GraphTables(
     entities: DataFrame,
     entityRelations: DataFrame) {
 
-  /** Topic-level embedding view: first statement's embedding stands in for
-    * the topic; cached once per graph — the reference pre-caches topic
-    * embeddings the same way (topic_beam_search.py:91-105). */
-  lazy val topicEmbeddings: DataFrame =
-    statements.select(col("topic_id"), col("embedding"))
-      .dropDuplicates("topic_id").cache()
+  /** Topic-level embedding view: one statement's embedding stands in for
+    * the topic — the lexicographically-first statement id, so the pick is
+    * deterministic and oracle-replayable (a bare dropDuplicates would keep
+    * a partition-order-dependent row); cached once per graph — the
+    * reference pre-caches topic embeddings the same way
+    * (topic_beam_search.py:91-105). */
+  lazy val topicEmbeddings: DataFrame = {
+    val w = Window.partitionBy(col("topic_id")).orderBy(col("statement_id"))
+    statements
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("topic_id"), col("embedding")).cache()
+  }
 
   /** Topic→entity projection probed by beam entity-overlap expansion every
     * depth; cached once per graph. */
@@ -172,6 +178,12 @@ object LexicalGraphBuilder {
       .filter(length(col("stmt_text")) > 0)
       .withColumn("statement_id", Ids.statementId(col("topic_id"), col("stmt_text")))
     val ws = Window.partitionBy(col("chunk_id")).orderBy(col("seq"))
+    // MERGE dedup keeps the first occurrence by (chunk_id, seq) — a bare
+    // dropDuplicates would keep a partition-order-dependent row, making the
+    // occurrence-dependent columns (chunk_id, prev link) non-deterministic
+    // and the traversal retrievers non-replayable.
+    val wDedup = Window.partitionBy(col("statement_id"))
+      .orderBy(col("chunk_id"), col("seq"))
     val statements = stmtRaw
       .withColumn("prev_statement_id", lag(col("statement_id"), 1).over(ws))
       .select(col("statement_id"), col("topic_id"), col("chunk_id"),
@@ -179,7 +191,8 @@ object LexicalGraphBuilder {
         array().cast("array<string>").as("details"),
         col("seq"), col("prev_statement_id"),
         V.hashEmbedding(col("stmt_text"), EmbeddingDim).as("embedding"))
-      .dropDuplicates("statement_id")
+      .withColumn("_rn", row_number().over(wDedup))
+      .filter(col("_rn") === 1).drop("_rn")
 
     def cls(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (classifications.size == 1) lit(classifications.head)

@@ -69,6 +69,75 @@ object LexicalQueries {
         .orderBy(col("keyword"), desc("score"), col("entity_id"))
     }))
 
+  /** Extended oracle prefix for graph-store replays (beam / context
+    * expansion): chunk ids with prev/next links, topic→chunk mentions,
+    * statement ids, the deterministic per-topic embedding (64-dim md5 hash
+    * embedding of the lexicographically-first statement), and the
+    * topic→entity projection — the full surface the traversal retrievers
+    * probe, ids included (graft.model.Ids / LexicalGraphBuilder). */
+  private[queries] val graphCte: String = {
+    val norm = TextQueries.normSql("text")
+    s"""gbase AS MATERIALIZED (
+       |  SELECT doc_id, source, $norm AS nrm FROM documents),
+       |gtok AS MATERIALIZED (
+       |  SELECT
+       |    'g::'||substr(md5(doc_id||'|'||source||'|'||'t0'),1,8)||':'||
+       |      substr(md5('t0'||'|'||doc_id||'|'||source),1,4) AS source_id,
+       |    string_split_regex(nrm,'\\s+') AS toks FROM gbase),
+       |gch AS MATERIALIZED (
+       |  SELECT source_id, toks,
+       |    unnest(range(0, greatest(((len(toks)-1)//28)*28, 0)+1, 28)) AS cstart
+       |  FROM gtok),
+       |gchunk AS MATERIALIZED (
+       |  SELECT source_id, cstart//28 AS cseq,
+       |    array_to_string(list_slice(toks, cstart+1, cstart+32), ' ') AS chunk_text
+       |  FROM gch),
+       |gchunk2 AS MATERIALIZED (
+       |  SELECT *,
+       |    source_id||':'||substr(md5(source_id||'|'||chunk_text),1,8) AS chunk_id,
+       |    string_split(chunk_text,' ') AS ctoks,
+       |    't:'||substr(md5(lower(trim(string_split(chunk_text,' ')[1]))||'|'||'t0'),1,8) AS topic_id
+       |  FROM gchunk WHERE length(chunk_text) > 0),
+       |gchl AS MATERIALIZED (
+       |  SELECT *,
+       |    lag(chunk_id) OVER (PARTITION BY source_id ORDER BY cseq) AS prev_id,
+       |    lead(chunk_id) OVER (PARTITION BY source_id ORDER BY cseq) AS next_id
+       |  FROM gchunk2),
+       |gtmi AS MATERIALIZED (SELECT DISTINCT topic_id, chunk_id FROM gchunk2),
+       |gst AS MATERIALIZED (
+       |  SELECT chunk_id, topic_id, ctoks,
+       |    unnest(range(0, greatest(len(ctoks)-1, 0)+1, 8)) AS sstart
+       |  FROM gchunk2),
+       |gsm AS MATERIALIZED (
+       |  SELECT chunk_id, topic_id, sstart//8 AS sseq,
+       |    array_to_string(list_slice(ctoks, sstart+1, sstart+8), ' ') AS stmt_text
+       |  FROM gst),
+       |gsm2 AS MATERIALIZED (
+       |  SELECT *, 's:'||substr(md5(topic_id||'|'||stmt_text),1,8) AS statement_id,
+       |    string_split(stmt_text,' ') AS stoks
+       |  FROM gsm WHERE length(stmt_text) > 0),
+       |gsd AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT *, lag(statement_id) OVER (
+       |      PARTITION BY chunk_id ORDER BY sseq) AS prev_statement_id
+       |    FROM gsm2)
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY statement_id ORDER BY chunk_id, sseq) = 1),
+       |gtemb AS MATERIALIZED (
+       |  SELECT topic_id,
+       |    list_transform(range(0, 64), i ->
+       |      ('0x'||substr(md5(i::VARCHAR||'#'||stmt_text),1,15))::BIGINT
+       |        / 1.152921504606847e18 * 2.0 - 1.0) AS emb
+       |  FROM (SELECT DISTINCT topic_id, statement_id, stmt_text FROM gsm2)
+       |  QUALIFY row_number() OVER (PARTITION BY topic_id ORDER BY statement_id) = 1),
+       |gte AS MATERIALIZED (
+       |  SELECT DISTINCT topic_id,
+       |    'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8) AS entity_id
+       |  FROM gsm2),
+       |gqv AS MATERIALIZED (SELECT list_transform(range(0, 64), i -> sin((i+1)::DOUBLE)) AS emb)"""
+      .stripMargin
+  }
+
   /** Shared oracle prefix: documents → chunk windows → statement windows,
     * with ids (tenant t0; chunk 32/stride 28, statement windows of 8 —
     * LexicalGraphBuilder constants). */

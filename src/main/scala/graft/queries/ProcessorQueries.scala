@@ -10,10 +10,12 @@ import graft.retrieve.{EntityContextProvider, Processors, TopicBeamSearch}
  * operators (SURVEY.md §2.5-§2.7, §2.12, §2.4 beam/context expansion) as
  * oracle-gated queries.
  *
- * q_beam_topic / q_entity_context have no SQL oracle (iterative graph
- * expansion with score-truncated frontiers is not expressible as one ANSI
- * query) — the driver records the weaker rows-only check for them; their
- * semantics are unit-tested in RetrieversSpec against hand-built fixtures.
+ * The beam/context expansions are fixed-depth, so their oracles unroll the
+ * loop: LexicalQueries.graphCte rebuilds the graph store in DuckDB, then
+ * one CTE block per depth replays expand -> visited anti-join -> score ->
+ * width truncation (MATERIALIZED, or DuckDB re-inlines the whole prefix per
+ * reference and the plan grows exponentially with depth). Their semantics
+ * are additionally unit-tested in RetrieversSpec on hand-built fixtures.
  */
 object ProcessorQueries {
   import Tables.t
@@ -436,5 +438,252 @@ object ProcessorQueries {
          |  len(string_split(chunk_text, ' ')) AS n_chunk_toks
          |FROM ch WHERE length(chunk_text) > 0
          |ORDER BY doc_id, start""".stripMargin
-    })
+    },
+
+    // The topic beam replayed end-to-end: LexicalQueries.graphCte rebuilds
+    // the graph store (ids, links, deterministic per-topic embeddings),
+    // then each depth unrolls to seeds -> expand (shared-chunk/adjacent +
+    // strength-capped entity overlap) -> visited anti -> cosine top-20.
+    "q_beam_topic" -> {
+      def cos(t: String) =
+        s"""(list_sum(list_transform(range(1,65), i -> $t.emb[i]*q.emb[i]))
+           | / (sqrt(list_sum(list_transform(range(1,65), i -> $t.emb[i]*$t.emb[i])))
+           |  * sqrt(list_sum(list_transform(range(1,65), i -> q.emb[i]*q.emb[i])))))""".stripMargin
+      def expand(frontier: String, visited: String, d: Int) =
+        s"""f${d}c AS (SELECT DISTINCT m.chunk_id FROM gtmi m JOIN $frontier USING (topic_id)),
+           |p$d AS MATERIALIZED (
+           |  SELECT unnest([c.chunk_id, c.prev_id, c.next_id]) AS chunk_id
+           |  FROM gchl c JOIN f${d}c USING (chunk_id)),
+           |v$d AS MATERIALIZED (
+           |  SELECT m.topic_id FROM gtmi m
+           |  JOIN (SELECT DISTINCT chunk_id FROM p$d WHERE chunk_id IS NOT NULL) p
+           |    USING (chunk_id)),
+           |e$d AS MATERIALIZED (SELECT DISTINCT entity_id FROM gte JOIN $frontier USING (topic_id)),
+           |o$d AS MATERIALIZED (
+           |  SELECT topic_id FROM (
+           |    SELECT g.topic_id, count(*) AS strength
+           |    FROM gte g JOIN e$d USING (entity_id)
+           |    GROUP BY 1 ORDER BY strength DESC, topic_id LIMIT 100)),
+           |c$d AS MATERIALIZED (
+           |  SELECT DISTINCT topic_id FROM (
+           |    SELECT topic_id FROM v$d UNION ALL SELECT topic_id FROM o$d)
+           |  WHERE topic_id NOT IN (SELECT topic_id FROM $visited)),
+           |b$d AS MATERIALIZED (
+           |  SELECT topic_id, score FROM (
+           |    SELECT c.topic_id, ${cos("t")} AS score
+           |    FROM c$d c JOIN gtemb t USING (topic_id), gqv q)
+           |  ORDER BY score DESC, topic_id LIMIT 20)""".stripMargin
+      s"""WITH ${LexicalQueries.graphCte},
+         |seeds AS MATERIALIZED (
+         |  SELECT topic_id FROM (SELECT DISTINCT topic_id FROM gchunk2)
+         |  ORDER BY topic_id LIMIT 3),
+         |d0 AS MATERIALIZED (
+         |  SELECT s.topic_id, ${cos("t")} AS score, 0 AS depth
+         |  FROM seeds s JOIN gtemb t USING (topic_id), gqv q),
+         |${expand("seeds", "seeds", 1)},
+         |vis2 AS MATERIALIZED (
+         |  SELECT topic_id FROM seeds UNION ALL SELECT topic_id FROM b1),
+         |${expand("b1", "vis2", 2)}
+         |SELECT topic_id, round(score, 6) AS score, depth FROM (
+         |  SELECT * FROM d0
+         |  UNION ALL SELECT topic_id, score, 1 FROM b1
+         |  UNION ALL SELECT topic_id, score, 2 FROM b2)
+         |ORDER BY depth, round(score, 6) DESC, topic_id""".stripMargin
+    },
+
+    // Chunk beam (width 10 / depth 3, path_weighted): chunk embeddings from
+    // chunk text, per-parent top-5 entities by degree, shared-entity
+    // candidates capped 20/parent, pair-scored with max-over-parents.
+    "q_beam_chunk" -> {
+      def cosL(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1,65), i -> $a[i]*$b[i]))
+           | / (sqrt(list_sum(list_transform(range(1,65), i -> $a[i]*$a[i])))
+           |  * sqrt(list_sum(list_transform(range(1,65), i -> $b[i]*$b[i])))))""".stripMargin
+      def emb(t: String) =
+        s"""list_transform(range(0, 64), i ->
+           |      ('0x'||substr(md5(i::VARCHAR||'#'||$t),1,15))::BIGINT
+           |        / 1.152921504606847e18 * 2.0 - 1.0)""".stripMargin
+      def expand(frontier: String, visited: String, d: Int) =
+        s"""fe$d AS (
+           |  SELECT parent_id, entity_id FROM (
+           |    SELECT f.chunk_id AS parent_id, ce.entity_id,
+           |      row_number() OVER (PARTITION BY f.chunk_id
+           |        ORDER BY dg.score DESC, ce.entity_id) AS erank
+           |    FROM $frontier f JOIN gce ce USING (chunk_id)
+           |    LEFT JOIN deg dg USING (entity_id))
+           |  WHERE erank <= 5),
+           |cn$d AS MATERIALIZED (
+           |  SELECT parent_id, chunk_id FROM (
+           |    SELECT fe.parent_id, ce.chunk_id, count(*) AS strength
+           |    FROM gce ce JOIN fe$d fe USING (entity_id)
+           |    WHERE ce.chunk_id <> fe.parent_id
+           |    GROUP BY 1, 2
+           |    QUALIFY row_number() OVER (PARTITION BY fe.parent_id
+           |      ORDER BY count(*) DESC, ce.chunk_id) <= 20)
+           |  WHERE chunk_id NOT IN (SELECT chunk_id FROM $visited)),
+           |sc$d AS MATERIALIZED (
+           |  SELECT chunk_id,
+           |    max(${cosL("e.emb", "q.emb")}
+           |      * (1.0 + ${cosL("e.emb", "p.emb")}) / 2) AS score
+           |  FROM cn$d cn JOIN gcemb e USING (chunk_id)
+           |  JOIN gcemb p ON p.chunk_id = cn.parent_id, gqv q
+           |  GROUP BY chunk_id),
+           |b$d AS MATERIALIZED (
+           |  SELECT chunk_id, score FROM sc$d
+           |  ORDER BY score DESC, chunk_id LIMIT 10)""".stripMargin
+      s"""WITH ${LexicalQueries.graphCte},
+         |gce AS MATERIALIZED (
+         |  SELECT DISTINCT chunk_id,
+         |    'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8) AS entity_id
+         |  FROM gsd),
+         |rels AS MATERIALIZED (
+         |  SELECT DISTINCT
+         |    'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8) AS src,
+         |    'e:'||substr(md5(stoks[len(stoks)]||'|'||'Token'||'|'||'t0'),1,8) AS dst
+         |  FROM gsm2),
+         |deg AS MATERIALIZED (
+         |  SELECT e AS entity_id, count(*) AS score FROM (
+         |    SELECT src AS e FROM rels UNION ALL SELECT dst FROM rels)
+         |  GROUP BY 1),
+         |gcemb AS MATERIALIZED (
+         |  SELECT chunk_id, ${emb("chunk_text")} AS emb
+         |  FROM (SELECT DISTINCT chunk_id, chunk_text FROM gchunk2)),
+         |seeds AS MATERIALIZED (
+         |  SELECT DISTINCT chunk_id FROM (
+         |    SELECT chunk_id FROM gchl ORDER BY chunk_id LIMIT 3)),
+         |d0 AS MATERIALIZED (
+         |  SELECT c.chunk_id, ${cosL(s"(${emb("c.chunk_text")})", "q.emb")} AS score,
+         |    0 AS depth
+         |  FROM gchunk2 c JOIN seeds USING (chunk_id), gqv q),
+         |${expand("seeds", "seeds", 1)},
+         |vis2 AS MATERIALIZED (SELECT chunk_id FROM seeds UNION ALL SELECT chunk_id FROM b1),
+         |${expand("b1", "vis2", 2)},
+         |vis3 AS MATERIALIZED (SELECT chunk_id FROM vis2 UNION ALL SELECT chunk_id FROM b2),
+         |${expand("b2", "vis3", 3)}
+         |SELECT chunk_id, round(score, 6) AS score, depth FROM (
+         |  SELECT * FROM d0
+         |  UNION ALL SELECT chunk_id, score, 1 FROM b1
+         |  UNION ALL SELECT chunk_id, score, 2 FROM b2
+         |  UNION ALL SELECT chunk_id, score, 3 FROM b3)
+         |ORDER BY depth, round(score, 6) DESC, chunk_id""".stripMargin
+    },
+
+    // Statement beam (width 10 / depth 3, attention): fact-sharing +
+    // prev-link neighbors capped 20/parent, attention-softmaxed per parent
+    // batch with a sorted-fold denominator (= the engine's deterministic
+    // fold), max over parents.
+    "q_beam_statement" -> {
+      def cosL(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1,65), i -> $a[i]*$b[i]))
+           | / (sqrt(list_sum(list_transform(range(1,65), i -> $a[i]*$a[i])))
+           |  * sqrt(list_sum(list_transform(range(1,65), i -> $b[i]*$b[i])))))""".stripMargin
+      def expand(frontier: String, visited: String, d: Int) =
+        s"""vf$d AS (
+           |  SELECT pf.parent_id, s.statement_id
+           |  FROM (SELECT a.statement_id AS parent_id, a.fact_id
+           |        FROM gfs a JOIN $frontier f USING (statement_id)) pf
+           |  JOIN gfs s USING (fact_id)
+           |  WHERE s.statement_id <> pf.parent_id),
+           |lk$d AS MATERIALIZED (
+           |  SELECT f.statement_id AS parent_id, s.statement_id
+           |  FROM gsd s JOIN $frontier f ON s.prev_statement_id = f.statement_id
+           |  UNION ALL
+           |  SELECT f.statement_id, s.prev_statement_id
+           |  FROM gsd s JOIN $frontier f USING (statement_id)
+           |  WHERE s.prev_statement_id IS NOT NULL),
+           |cn$d AS MATERIALIZED (
+           |  SELECT parent_id, statement_id FROM (
+           |    SELECT DISTINCT parent_id, statement_id FROM (
+           |      SELECT * FROM vf$d UNION ALL SELECT * FROM lk$d)
+           |    QUALIFY row_number() OVER (PARTITION BY parent_id
+           |      ORDER BY statement_id) <= 20)
+           |  WHERE statement_id NOT IN (SELECT statement_id FROM $visited)),
+           |pr$d AS MATERIALIZED (
+           |  SELECT cn.parent_id, cn.statement_id,
+           |    ${cosL("e.emb", "q.emb")} AS qc,
+           |    list_sum(list_transform(range(1,65), i -> e.emb[i]*p.emb[i])) / 8.0
+           |      AS logit
+           |  FROM cn$d cn JOIN gsemb e USING (statement_id)
+           |  JOIN gsemb p ON p.statement_id = cn.parent_id, gqv2 q),
+           |at$d AS MATERIALIZED (
+           |  SELECT *, exp(logit - max(logit)
+           |    OVER (PARTITION BY parent_id)) AS ex FROM pr$d),
+           |dn$d AS MATERIALIZED (
+           |  SELECT parent_id,
+           |    list_reduce(list_sort(list(ex)), (a, b) -> a + b) AS denom
+           |  FROM at$d GROUP BY parent_id),
+           |sc$d AS MATERIALIZED (
+           |  SELECT statement_id, max(qc * (1.0 + ex / denom)) AS score
+           |  FROM at$d JOIN dn$d USING (parent_id) GROUP BY statement_id),
+           |b$d AS MATERIALIZED (
+           |  SELECT statement_id, score FROM sc$d
+           |  ORDER BY score DESC, statement_id LIMIT 10)""".stripMargin
+      s"""WITH ${LexicalQueries.graphCte},
+         |gfs AS MATERIALIZED (
+         |  SELECT DISTINCT
+         |    'f:'||substr(md5(stoks[1]||'|'||'near'||'|'||stoks[len(stoks)]),1,8)
+         |      AS fact_id,
+         |    statement_id
+         |  FROM gsm2),
+         |gsemb AS MATERIALIZED (
+         |  SELECT statement_id,
+         |    list_transform(range(0, 64), i ->
+         |      ('0x'||substr(md5(i::VARCHAR||'#'||stmt_text),1,15))::BIGINT
+         |        / 1.152921504606847e18 * 2.0 - 1.0) AS emb
+         |  FROM (SELECT DISTINCT statement_id, stmt_text FROM gsm2)),
+         |gqv2 AS MATERIALIZED (SELECT list_transform(range(0, 64), i -> cos((i+1)::DOUBLE)) AS emb),
+         |seeds AS MATERIALIZED (
+         |  SELECT statement_id FROM gsd ORDER BY statement_id LIMIT 3),
+         |d0 AS MATERIALIZED (
+         |  SELECT s.statement_id, ${cosL("e.emb", "q.emb")} AS score, 0 AS depth
+         |  FROM seeds s JOIN gsemb e USING (statement_id), gqv2 q),
+         |${expand("seeds", "seeds", 1)},
+         |vis2 AS MATERIALIZED (
+         |  SELECT statement_id FROM seeds UNION ALL SELECT statement_id FROM b1),
+         |${expand("b1", "vis2", 2)},
+         |vis3 AS MATERIALIZED (
+         |  SELECT statement_id FROM vis2 UNION ALL SELECT statement_id FROM b2),
+         |${expand("b2", "vis3", 3)}
+         |SELECT statement_id, round(score, 6) AS score, depth FROM (
+         |  SELECT * FROM d0
+         |  UNION ALL SELECT statement_id, score, 1 FROM b1
+         |  UNION ALL SELECT statement_id, score, 2 FROM b2
+         |  UNION ALL SELECT statement_id, score, 3 FROM b3)
+         |ORDER BY depth, round(score, 6) DESC, statement_id""".stripMargin
+    },
+
+    // Entity context tree: 2 unrolled relation hops (src -> dst) from the 5
+    // lexicographically-first entities, visited-excluded per layer, with
+    // both-direction degree scores joined on the result.
+    "q_entity_context" ->
+      s"""WITH ${LexicalQueries.graphCte},
+         |ents AS MATERIALIZED (
+         |  SELECT DISTINCT 'e:'||substr(md5(v||'|'||'Token'||'|'||'t0'),1,8) AS entity_id
+         |  FROM (SELECT stoks[1] AS v FROM gsm2
+         |        UNION ALL SELECT stoks[len(stoks)] FROM gsm2)),
+         |rels AS MATERIALIZED (
+         |  SELECT DISTINCT
+         |    'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8) AS src,
+         |    'e:'||substr(md5(stoks[len(stoks)]||'|'||'Token'||'|'||'t0'),1,8) AS dst
+         |  FROM gsm2),
+         |deg AS MATERIALIZED (
+         |  SELECT e AS entity_id, count(*) AS score FROM (
+         |    SELECT src AS e FROM rels UNION ALL SELECT dst FROM rels)
+         |  GROUP BY 1),
+         |seeds AS MATERIALIZED (SELECT entity_id FROM ents ORDER BY entity_id LIMIT 5),
+         |l0 AS MATERIALIZED (SELECT entity_id, 0 AS depth FROM seeds),
+         |l1 AS MATERIALIZED (
+         |  SELECT DISTINCT dst AS entity_id, 1 AS depth
+         |  FROM rels JOIN l0 ON rels.src = l0.entity_id
+         |  WHERE dst NOT IN (SELECT entity_id FROM l0)),
+         |l2 AS MATERIALIZED (
+         |  SELECT DISTINCT dst AS entity_id, 2 AS depth
+         |  FROM rels JOIN l1 ON rels.src = l1.entity_id
+         |  WHERE dst NOT IN (SELECT entity_id FROM l0
+         |                    UNION ALL SELECT entity_id FROM l1))
+         |SELECT v.entity_id, v.depth, coalesce(d.score, 0) AS score
+         |FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+         |      UNION ALL SELECT * FROM l2) v
+         |LEFT JOIN deg d USING (entity_id)
+         |ORDER BY depth, entity_id""".stripMargin)
 }

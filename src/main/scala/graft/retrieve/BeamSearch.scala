@@ -143,8 +143,13 @@ object BeamScoring {
           math.sqrt(dim.toDouble)
         val w = Window.partitionBy(col("parent_id"))
         val centered = logit - max(logit).over(w)
-        pairs.withColumn("_attn",
-            exp(centered) / sum(exp(centered)).over(w))
+        // softmax denominator as a sorted fold: a plain window sum adds in
+        // partition order, which is run- and engine-dependent; batches are
+        // candidate-cap bounded, so the per-row list is small
+        val denom = aggregate(
+          sort_array(collect_list(exp(centered)).over(w)),
+          lit(0.0), (acc, v) => acc + v)
+        pairs.withColumn("_attn", exp(centered) / denom)
           .withColumn("pair_score", qCos * (lit(1.0) + col("_attn")))
           .drop("_attn")
     }
