@@ -59,7 +59,8 @@ object EntityLinker {
 object AgenticRetriever {
 
   def retrieve(edges: DataFrame, seeds: DataFrame, question: String, llm: LLM,
-               iterations: Int = 2, topEntities: Int = 8): DataFrame = {
+               iterations: Int = 2, topEntities: Int = 8): DataFrame =
+   graft.ops.Joins.boundedLoop(edges.sparkSession) {
     val qTokens = QueryOps.keywords(llm, question, maxKeywords = 8).toSet
     var frontier = seeds.select(col("node")).distinct().localCheckpoint(true)
     var acc: DataFrame = null
@@ -84,7 +85,7 @@ object AgenticRetriever {
         .select(col("dst").as("node"))
     }
     acc.distinct()
-  }
+   }
 }
 
 /**
