@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.filter.FilterAst
+import graft.index.{DeleteSources, GraphTables, LexicalGraphBuilder}
+import graft.llm.{LLM, StubLLM}
+import graft.retrieve.{ChunkBasedRetriever, Processors, QueryModeRetriever}
+
+/**
+ * The reference's primary user API as one facade (SURVEY.md §3.1/§3.2):
+ * `LexicalGraphIndex.extract_and_build(docs)` then
+ * `LexicalGraphQueryEngine.query("…")` → formatted context
+ * (reference lexical_graph_query_engine.py:119-446,
+ * lexical_graph_index.py:572-612). A user of the reference maps their two
+ * entry objects onto [[LexicalGraphQueryEngine.fromDocuments]] and this
+ * class; everything else (processors, filters, formats, multipart /
+ * composite modes) hangs off it with the reference's defaults.
+ *
+ * State is the [[GraphTables]] bundle of cached DataFrames; the LLM is a
+ * pluggable seam (deterministic stub by default). Query embeddings use the
+ * same hash embedder the index side used, so retrieval is end-to-end
+ * deterministic (reference to_embedded_query, vector_index.py:20-45).
+ */
+final class LexicalGraphQueryEngine(
+    val graph: GraphTables,
+    spark: SparkSession,
+    llm: LLM = new StubLLM) {
+
+  /** Retrieve for one question through the full DEFAULT_PROCESSORS +
+    * formatting chain — the reference's `engine.query(question)`. */
+  def query(question: String,
+            metadataFilter: Option[FilterAst.Filter] = None,
+            maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame =
+    ChunkBasedRetriever.fullQuery(
+      graph, embed(question),
+      metadataFilter = metadataFilter, maxResults = maxResults)
+
+  /** Multipart mode: keyword shards with shrunken per-shard budgets
+    * (reference query_mode_retriever.py:28-68). */
+  def queryMultipart(question: String,
+                     maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame =
+    QueryModeRetriever.retrieve(llm, question,
+      (q, max) => ChunkBasedRetriever.fullQuery(graph, embed(q), maxResults = max),
+      maxResults = maxResults)
+
+  /** Composite mode: LLM decomposition into subqueries, each retrieved at
+    * full budget, results unioned (composite_traversal_based_retriever.py). */
+  def queryComposite(question: String,
+                     maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame =
+    QueryModeRetriever.retrieveComposite(llm, question,
+      (q, max) => ChunkBasedRetriever.fullQuery(graph, embed(q), maxResults = max),
+      maxResults = maxResults)
+
+  /** Render the lighter default-chain context for one question in any of
+    * the reference's five formats (lexical_graph_query_engine.py:410-446). */
+  def context(question: String, format: String = "json"): DataFrame = {
+    val results = ChunkBasedRetriever.processedResults(graph, embed(question))
+    format match {
+      case "json" => Processors.formatContext(results)
+      case "text" => Processors.formatContextText(results)
+      case "xml" => Processors.formatContextXml(results)
+      case "yaml" => Processors.formatContextYaml(results)
+      case "bedrock_xml" =>
+        Processors.formatContextBedrock(results, graph.sources)
+      case other => throw new IllegalArgumentException(
+        s"unknown context format '$other' " +
+          "(expected json|text|xml|yaml|bedrock_xml)")
+    }
+  }
+
+  /** Class-level dominant-path summary over the built graph
+    * (reference retrieval/summary/graph_summary.py:60-160). */
+  def summary(k: Int = 100): DataFrame =
+    graft.retrieve.GraphSummary.classPaths(graph, k)
+
+  /** Cascade-delete sources and their orphaned dependents; returns the new
+    * engine over the pruned graph (reference DeleteSources sink). */
+  def deleteSources(sourceIds: DataFrame): LexicalGraphQueryEngine =
+    new LexicalGraphQueryEngine(DeleteSources(graph, sourceIds), spark, llm)
+
+  /** Question → 64-dim deterministic hash embedding, computed by the same
+    * expression the builder embedded chunks/statements with. */
+  def embed(question: String): Seq[Double] =
+    LexicalPipeline.embedQuery(spark, question)
+}
+
+object LexicalGraphQueryEngine {
+
+  /** `LexicalGraphIndex.extract_and_build`: documents frame → chunking →
+    * deterministic extraction → cached graph tables → engine. */
+  def fromDocuments(spark: SparkSession,
+                    docs: DataFrame,
+                    textCol: String,
+                    metadataCols: Seq[String],
+                    tenant: String = "t0",
+                    classifications: Seq[String] = Seq("Token"),
+                    llm: LLM = new StubLLM): LexicalGraphQueryEngine =
+    new LexicalGraphQueryEngine(
+      LexicalGraphBuilder
+        .fromDocuments(docs, textCol, metadataCols, tenant = tenant,
+          classifications = classifications)
+        .persistAll(),
+      spark, llm)
+}

@@ -54,15 +54,25 @@ object ChunkBasedRetriever {
       queryEmbedding: Seq[Double],
       vssTopK: Int = graft.model.Defaults.VssTopK,
       maxStatementsPerTopic: Int = graft.model.Defaults.MaxStatementsPerTopic,
+      maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame =
+    Processors.formatContext(processedResults(
+      g, queryEmbedding, vssTopK, maxStatementsPerTopic, maxResults))
+
+  /** The default chain's flat scored frame before context formatting —
+    * feed to any Processors.formatContext* renderer. */
+  def processedResults(
+      g: GraphTables,
+      queryEmbedding: Seq[Double],
+      vssTopK: Int = graft.model.Defaults.VssTopK,
+      maxStatementsPerTopic: Int = graft.model.Defaults.MaxStatementsPerTopic,
       maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame = {
     val raw = search(g, queryEmbedding, vssTopK)
-    val processed = Seq[DataFrame => DataFrame](
+    Seq[DataFrame => DataFrame](
       Processors.dedupResults,
       Processors.rescoreResults,
       df => Processors.truncateStatements(df, maxStatementsPerTopic),
       df => Processors.truncateResults(df, maxResults)
     ).foldLeft(raw)((df, p) => p(df))
-    Processors.formatContext(processed)
   }
 
   /** The reference's complete DEFAULT_PROCESSORS + DEFAULT_FORMATTING_PROCESSORS

@@ -23,6 +23,22 @@ class RetrieversSpec extends SparkSpec {
       .as[Seq[Double]].head()
   }
 
+  test("LexicalGraphQueryEngine facade: build, query modes, formats, delete") {
+    import graft.pipeline.LexicalGraphQueryEngine
+    val eng = LexicalGraphQueryEngine.fromDocuments(
+      spark, docs, "text", Seq("doc_id", "source"))
+    assert(eng.query("spark joins tables").count() > 0)
+    assert(eng.queryMultipart("spark joins and parquet scans").count() > 0)
+    assert(eng.queryComposite("spark joins tables").count() > 0)
+    for (fmt <- Seq("json", "text", "xml", "yaml", "bedrock_xml"))
+      assert(eng.context("spark joins tables", fmt).count() > 0, fmt)
+    intercept[IllegalArgumentException](eng.context("q", "toml"))
+    assert(eng.summary().count() > 0)
+    val pruned = eng.deleteSources(
+      eng.graph.sources.select("source_id").limit(1))
+    assert(pruned.graph.sources.count() == eng.graph.sources.count() - 1)
+  }
+
   test("chunk-based search returns scored flat statements") {
     val out = ChunkBasedRetriever.search(g, queryEmb, vssTopK = 5)
     assert(out.count() > 0)
