@@ -67,6 +67,19 @@ object LexicalQueries {
         Tables.lexicalGraph(s, dir),
         Seq("join", "hash|Token", "fil", "row|Zzz"))
         .orderBy(col("keyword"), desc("score"), col("entity_id"))
+    }),
+
+    // §2.4 vector-seeded entity provider (entity_vss_provider.py:44-77):
+    // entities mentioned under the picked topics, fact-degree-scored, top
+    // 20. Topic seeds are deterministic (lexicographically-first) so the
+    // whole statement→fact→entity→degree pipeline hash-replays; the
+    // cosine top-k seeding path is gated separately (q_vector_topk).
+    "q_entity_for_topics" -> ((s, dir) => {
+      val g = Tables.lexicalGraph(s, dir)
+      val seeds = g.topics.orderBy(col("topic_id")).limit(3)
+        .select("topic_id")
+      graft.retrieve.EntityVSSProvider.entitiesForTopics(g, seeds, limit = 20)
+        .orderBy(desc("score"), col("entity_id"))
     }))
 
   /** Extended oracle prefix for graph-store replays (beam / context
@@ -269,5 +282,46 @@ object LexicalQueries {
          |UNION ALL
          |SELECT keyword, entity_id, value, classification, score, 'prefix'
          |FROM prefix
-         |ORDER BY keyword, score DESC, entity_id""".stripMargin)
+         |ORDER BY keyword, score DESC, entity_id""".stripMargin,
+
+    // Vector-seeded entity provider: seeds -> statements -> facts ->
+    // mentioned entities, degree scored over the GLOBAL deduped fact table
+    // (scoredEntities counts one row per fact_id), top 20.
+    "q_entity_for_topics" ->
+      s"""WITH $graphCte,
+         |seeds AS MATERIALIZED (
+         |  SELECT topic_id FROM (SELECT DISTINCT topic_id FROM gchunk2)
+         |  ORDER BY topic_id LIMIT 3),
+         |fstmt AS MATERIALIZED (
+         |  SELECT DISTINCT statement_id FROM gsm2 JOIN seeds USING (topic_id)),
+         |allf AS MATERIALIZED (
+         |  SELECT DISTINCT
+         |    'f:'||substr(md5(stoks[1]||'|'||'near'||'|'||stoks[len(stoks)]),1,8) AS fact_id,
+         |    'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8) AS subj_eid,
+         |    'e:'||substr(md5(stoks[len(stoks)]||'|'||'Token'||'|'||'t0'),1,8) AS obj_eid
+         |  FROM gsm2),
+         |fsel AS MATERIALIZED (
+         |  SELECT DISTINCT
+         |    'f:'||substr(md5(stoks[1]||'|'||'near'||'|'||stoks[len(stoks)]),1,8) AS fact_id
+         |  FROM gsm2 WHERE statement_id IN (SELECT statement_id FROM fstmt)),
+         |ment AS MATERIALIZED (
+         |  SELECT DISTINCT e AS entity_id FROM (
+         |    SELECT subj_eid AS e FROM allf JOIN fsel USING (fact_id)
+         |    UNION ALL
+         |    SELECT obj_eid FROM allf JOIN fsel USING (fact_id))),
+         |deg AS MATERIALIZED (
+         |  SELECT e AS entity_id, count(*) AS score FROM (
+         |    SELECT subj_eid AS e FROM allf UNION ALL SELECT obj_eid FROM allf)
+         |  GROUP BY 1),
+         |ev AS MATERIALIZED (
+         |  SELECT DISTINCT
+         |    'e:'||substr(md5(v||'|'||'Token'||'|'||'t0'),1,8) AS entity_id,
+         |    v AS value
+         |  FROM (SELECT stoks[1] AS v FROM gsm2
+         |        UNION ALL SELECT stoks[len(stoks)] FROM gsm2))
+         |SELECT m.entity_id, ev.value, 'Token' AS classification, d.score
+         |FROM ment m
+         |JOIN deg d USING (entity_id)
+         |JOIN ev USING (entity_id)
+         |ORDER BY d.score DESC, m.entity_id LIMIT 20""".stripMargin)
 }

@@ -87,6 +87,32 @@ object KeywordProviders {
 
   def passthru(question: String): Seq[String] = Seq(question)
 
+  /** NLP mode: named-entity keywords from the question text alone
+    * (reference keyword_nlp_provider.py:30-37 — spaCy NER feeding a
+    * lowercase-keyed dict). The model is an external dependency there; the
+    * deterministic stand-in tags maximal runs of capitalized tokens, skips
+    * interrogative/stopword-only spans, and dedups case-insensitively with
+    * first-occurrence order + last-occurrence casing — the reference's
+    * exact dict semantics. */
+  def nlp(question: String): Seq[String] = {
+    val stop = Set("what", "who", "whom", "where", "when", "why", "how",
+      "which", "the", "a", "an", "is", "are", "was", "were", "do", "does",
+      "did", "in", "of", "and", "or", "to", "list", "name", "tell", "give")
+    val spans = scala.collection.mutable.ListBuffer.empty[List[String]]
+    var cur = List.empty[String]
+    for (t <- question.split("\\s+")) {
+      val w = t.replaceAll("^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$", "")
+      if (w.nonEmpty && w.head.isUpper) cur = cur :+ w
+      else { if (cur.nonEmpty) spans += cur; cur = Nil }
+    }
+    if (cur.nonEmpty) spans += cur
+    val ents = spans.toList.map(_.mkString(" "))
+      .filter(sp => !sp.split(" ").forall(w => stop.contains(w.toLowerCase)))
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    ents.foreach(e => m.put(e.toLowerCase, e))
+    m.values.toList
+  }
+
   def vss(g: GraphTables, llm: LLM, question: String,
           queryEmbedding: Seq[Double], maxKeywords: Int = 5,
           topK: Int = graft.model.Defaults.VssTopK): Seq[String] = {
@@ -109,6 +135,106 @@ object KeywordProviders {
          |</context>""".stripMargin
     llm.complete(prompt).split("\n").map(_.trim).filter(_.nonEmpty)
       .take(maxKeywords).toSeq
+  }
+}
+
+/**
+ * Vector-seeded entity providers (reference retrieval/query_context/
+ * entity_vss_provider.py, entity_from_top_statement_provider.py): instead of
+ * resolving LLM keywords against `search_str`, seed from vector search —
+ * either all entities mentioned under the top-k topics (VSS provider), or
+ * only the entities of the single statement that best TF-IDF-matches the
+ * question among those topics (top-statement provider).
+ */
+object EntityVSSProvider {
+
+  /** Entities mentioned by statements of the given topics, excluding the
+    * local-entity class, scored by fact-participation degree, top `limit`
+    * (entity_vss_provider.py:44-77's topic-variant cypher). `topicIds` is a
+    * vss top-k — bounded, so its joins broadcast; the statement/fact hops
+    * are left to AQE. */
+  def entitiesForTopics(g: GraphTables, topicIds: DataFrame,
+                        limit: Int = graft.model.Defaults.IntermediateLimit): DataFrame = {
+    val tids = broadcast(topicIds.select("topic_id").distinct())
+    val stmts = g.statements.join(tids, Seq("topic_id"))
+      .select("statement_id").distinct()
+    val factIds = g.factSupports
+      .join(stmts, Seq("statement_id"), "left_semi")
+      .select("fact_id").distinct()
+    val mentioned = g.facts.join(factIds, Seq("fact_id"), "left_semi")
+      .select(col("subject_entity_id").as("entity_id"))
+      .union(g.facts.join(factIds, Seq("fact_id"), "left_semi")
+        .select(col("object_entity_id").as("entity_id")))
+      .filter(col("entity_id").isNotNull)
+      .distinct()
+    EntityProvider.scoredEntities(g)
+      .join(mentioned, Seq("entity_id"), "left_semi")
+      .filter(col("classification") =!= lit(EntityProvider.LocalEntityClass))
+      .select("entity_id", "value", "classification", "score")
+      .orderBy(desc("score"), col("entity_id"))
+      .limit(limit)
+  }
+
+  /** EntityVSSProvider: top-k topics by query-embedding cosine, then their
+    * mentioned entities (entity_vss_provider.py:32-42 + :44-77). */
+  def fromVss(g: GraphTables, queryEmbedding: Seq[Double], topK: Int = 3,
+              limit: Int = graft.model.Defaults.IntermediateLimit): DataFrame = {
+    val topTopics = graft.ops.Similarity
+      .topK(g.topicEmbeddings, "embedding", "topic_id", queryEmbedding, topK)
+      .select(col("id").as("topic_id"))
+    entitiesForTopics(g, topTopics, limit)
+  }
+
+  /** EntityFromTopStatementProvider: top-k topics by embedding, TF-IDF-score
+    * their statements against the question, keep the single best statement,
+    * return that statement's entities degree-scored
+    * (entity_from_top_statement_provider.py:28-120). */
+  def fromTopStatement(g: GraphTables, queryEmbedding: Seq[Double],
+                       question: String, topK: Int = 3,
+                       limit: Int = graft.model.Defaults.IntermediateLimit): DataFrame = {
+    val topTopics = broadcast(graft.ops.Similarity
+      .topK(g.topicEmbeddings, "embedding", "topic_id", queryEmbedding, topK)
+      .select(col("id").as("topic_id")))
+    val stmts = g.statements.join(topTopics, Seq("topic_id"))
+      .select(col("statement_id"), col("value"))
+      .dropDuplicates("statement_id")
+    // TF-IDF of question terms over the candidate statements (the
+    // reference's score_values_with_tfidf, rerank top-1): tf from each
+    // statement's tokens, df over the candidate set, n folded in as a
+    // scalar aggregate — no driver-side count during plan build.
+    val qTerms = question.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .distinct.toSeq
+    val termsDf = broadcast(g.statements.sparkSession
+      .createDataFrame(qTerms.map(Tuple1(_))).toDF("term"))
+    val toks = stmts.withColumn("toks",
+      split(graft.functions.TextFunctions.searchStr(col("value")), "\\s+"))
+    val nDf = toks.agg(count(lit(1)).cast("double").as("n"))
+    val tf = toks.crossJoin(termsDf)
+      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))))
+    val dfCounts = tf.filter(col("tf") > 0)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val best = tf.join(dfCounts, Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .groupBy("statement_id")
+      .agg(sum(col("tf") * log(col("n") / col("df"))).as("score"))
+      .orderBy(desc("score"), col("statement_id"))
+      .limit(1)
+      .select("statement_id")
+    val factIds = g.factSupports
+      .join(broadcast(best), Seq("statement_id"), "left_semi")
+      .select("fact_id").distinct()
+    val mentioned = g.facts.join(factIds, Seq("fact_id"), "left_semi")
+      .select(col("subject_entity_id").as("entity_id"))
+      .union(g.facts.join(factIds, Seq("fact_id"), "left_semi")
+        .select(col("object_entity_id").as("entity_id")))
+      .filter(col("entity_id").isNotNull)
+      .distinct()
+    EntityProvider.scoredEntities(g)
+      .join(mentioned, Seq("entity_id"), "left_semi")
+      .filter(col("classification") =!= lit(EntityProvider.LocalEntityClass))
+      .select("entity_id", "value", "classification", "score")
+      .orderBy(desc("score"), col("entity_id"))
+      .limit(limit)
   }
 }
 

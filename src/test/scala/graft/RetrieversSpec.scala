@@ -253,4 +253,47 @@ class RetrieversSpec extends SparkSpec {
     val scores = EntityContextProvider.entityScores(g)
     assert(scores.count() > 0)
   }
+
+  test("nlp keyword provider tags capitalized spans, dict-dedups") {
+    import graft.retrieve.KeywordProviders
+    assert(KeywordProviders.nlp(
+      "Where did Marie Curie meet Pierre Curie?") ==
+      Seq("Marie Curie", "Pierre Curie"))
+    // interrogative-only spans dropped; case-insensitive dedup keeps
+    // first-occurrence order with last-occurrence casing (dict semantics)
+    assert(KeywordProviders.nlp(
+      "What is Spark? is SPARK fast, and is Flink like Spark?") ==
+      Seq("Spark", "Flink"))
+    assert(KeywordProviders.nlp("all lowercase question") == Seq.empty)
+  }
+
+  test("vector-seeded entity providers: topic entities and top statement") {
+    import graft.retrieve.{EntityProvider, EntityVSSProvider}
+    val seeds = g.topics.orderBy("topic_id").limit(1).select("topic_id")
+    val forTopics = EntityVSSProvider.entitiesForTopics(g, seeds, limit = 10)
+    assert(forTopics.count() > 0 && forTopics.count() <= 10)
+    // every returned entity is mentioned by a fact of the seed topic
+    val seedEnts = g.statements.join(seeds, Seq("topic_id"))
+      .join(g.factSupports, Seq("statement_id"))
+      .join(g.facts, Seq("fact_id"))
+    val ids = seedEnts.select(col("subject_entity_id").as("e"))
+      .union(seedEnts.select(col("object_entity_id")))
+      .as[String].collect().toSet
+    assert(forTopics.select("entity_id").as[String].collect().forall(ids))
+    // scores match the global degree table
+    val deg = EntityProvider.scoredEntities(g)
+      .select("entity_id", "score").as[(String, Long)].collect().toMap
+    forTopics.select("entity_id", "score").as[(String, Long)].collect()
+      .foreach { case (e, s) => assert(deg(e) == s) }
+
+    val vss = EntityVSSProvider.fromVss(g, queryEmb, topK = 2, limit = 10)
+    assert(vss.count() > 0 && vss.count() <= 10)
+
+    val top = EntityVSSProvider.fromTopStatement(g, queryEmb,
+      "spark joins tables", topK = 2, limit = 10)
+    // one statement's entities: subject + object of its facts (<= 2 here)
+    assert(top.count() >= 1 && top.count() <= 2)
+    assert(top.select("entity_id").as[String].collect().forall(ids ++
+      g.entities.select("entity_id").as[String].collect().toSet))
+  }
 }
