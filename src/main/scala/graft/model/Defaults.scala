@@ -23,6 +23,7 @@ object Defaults {
   val MaxSearchResults = 5
   val MaxStatementsPerTopic = 10
   val MaxStatements = 200
+  val MaxTopics = 40 // rerank_topics.py (processor_args.py:112)
   val StatementPruningFactor = 0.05
   val ResultsPruningThreshold = 0.08
 

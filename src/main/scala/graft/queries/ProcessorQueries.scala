@@ -171,6 +171,34 @@ object ProcessorQueries {
         .orderBy(desc("score"), col("statement_id"))
     }),
 
+    // §2.6 RerankTopics: per-topic documents (name + score-desc statement
+    // text, 4000-char cap) tfidf-scored against the query, top-5 topics
+    // kept, topic relevance propagated onto zero-scored statements
+    // (rerank_topics.py:36-124). 'F'-linestatus statements arrive score-0
+    // so propagation does real work.
+    "q_rerank_topics" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey").as("topic_id"),
+          md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * 100).cast("long"),
+            (col("l_quantity") * 100).cast("long"),
+            col("l_shipdate").cast("string"))).as("statement_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate").cast("string")).as("statement"),
+          when(col("l_linestatus") === "F", lit(0.0))
+            .otherwise((col("l_quantity") * 100).cast("long").cast("double"))
+            .as("score"))
+      val topics = base.select(col("topic_id")).distinct()
+        .withColumn("value", concat(lit("order-"), col("topic_id")))
+      Processors.rerankTopics(base, "1994 r o", maxTopics = 5,
+          topics = Some(topics))
+        .select(col("topic_id"), col("statement_id"),
+          round(col("score"), 6).as("score"),
+          round(col("topic_rr_score"), 6).as("topic_rr_score"))
+        .orderBy(desc("topic_rr_score"), col("topic_id"), col("statement_id"))
+    }),
+
     // §2.7 context-prefix dedup: drop values that are proper prefixes of
     // another value (entity_context_provider.py:187-249). The self-join is
     // bucketed on the first character — a prefix pair always shares it — so
@@ -409,6 +437,49 @@ object ProcessorQueries {
         |    (len(t) + len(q) - len(list_intersect(t, q))), 4) AS score
         |FROM toks
         |ORDER BY score DESC, statement_id""".stripMargin,
+
+    "q_rerank_topics" -> {
+      val norm = TextQueries.normSql("doc")
+      s"""WITH base AS (
+         |  SELECT l_orderkey AS topic_id,
+         |    md5(l_orderkey||'-'||l_linenumber||'-'||l_partkey||'-'||l_suppkey||'-'||
+         |      CAST(trunc(l_extendedprice*100) AS BIGINT)||'-'||
+         |      CAST(trunc(l_quantity*100) AS BIGINT)||'-'||
+         |      CAST(l_shipdate AS VARCHAR)) AS statement_id,
+         |    l_returnflag||' '||l_linestatus||' '||CAST(l_shipdate AS VARCHAR) AS statement,
+         |    CASE WHEN l_linestatus = 'F' THEN 0.0
+         |      ELSE CAST(CAST(trunc(l_quantity*100) AS BIGINT) AS DOUBLE)
+         |    END AS score
+         |  FROM lineitem WHERE l_orderkey < 1000),
+         |docs AS (
+         |  SELECT topic_id,
+         |    substr('order-'||topic_id||chr(10)||
+         |      string_agg(statement, ' ' ORDER BY score DESC, statement_id),
+         |      1, 4000) AS doc
+         |  FROM base GROUP BY topic_id),
+         |toks AS (
+         |  SELECT topic_id, string_split_regex($norm, '\\s+') AS toks FROM docs),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+         |terms(term) AS (VALUES ('1994'), ('r'), ('o')),
+         |tf AS (
+         |  SELECT topic_id, term, len(list_filter(toks, t -> t = term)) AS tf
+         |  FROM toks, terms),
+         |dfc AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+         |ts AS (
+         |  SELECT topic_id, sum(tf * ln(nn.n / dfc.df)) AS s
+         |  FROM tf JOIN dfc USING (term), nn WHERE tf > 0 GROUP BY topic_id),
+         |kept AS (
+         |  SELECT d.topic_id, coalesce(ts.s, 0.0) AS topic_rr_score
+         |  FROM docs d LEFT JOIN ts USING (topic_id)
+         |  ORDER BY topic_rr_score DESC, d.topic_id LIMIT 5)
+         |SELECT b.topic_id, b.statement_id,
+         |  round(CASE WHEN b.score = 0.0 THEN k.topic_rr_score ELSE b.score END, 6)
+         |    AS score,
+         |  round(k.topic_rr_score, 6) AS topic_rr_score
+         |FROM base b JOIN kept k USING (topic_id)
+         |ORDER BY round(k.topic_rr_score, 6) DESC, b.topic_id, b.statement_id"""
+        .stripMargin
+    },
 
     "q_prefix_dedup" ->
       """WITH names AS (SELECT DISTINCT p_name AS v FROM part)

@@ -47,6 +47,59 @@ object ChunkBasedRetriever {
         coalesce(col("n_facts"), lit(0L)).cast("double").as("score"))
   }
 
+  /** ChunkCosineSearch (reference chunk_cosine_search.py:40-93): prefetch a
+    * small candidate set from the vector store, rescore those candidates by
+    * cosine, keep topK. The reference's two stages exist because prefetch is
+    * an OpenSearch RPC and the rescore runs on cached embeddings; here both
+    * are one plan — prefetch = TakeOrderedAndProject, rescore a semi-join. */
+  def chunkCosineSearch(
+      g: GraphTables,
+      queryEmbedding: Seq[Double],
+      topK: Int = 100,
+      prefetch: Int = 5): DataFrame = {
+    val seeds = Similarity.topK(
+      g.chunks, "embedding", "chunk_id", queryEmbedding, prefetch)
+      .select(col("id").as("chunk_id"))
+    Similarity.topK(
+      g.chunks.join(broadcast(seeds), Seq("chunk_id"), "left_semi"),
+      "embedding", "chunk_id", queryEmbedding, topK)
+      .select(col("id").as("chunk_id"), col("score"))
+  }
+
+  /** ChunkBasedSemanticSearch (reference chunk_based_semantic_search.py:
+    * 94-207): cosine-seeded chunk ids expanded by the semantic chunk beam,
+    * then statements of topics mentioned in the expanded chunk set — the
+    * `(l)-[:BELONGS_TO]->()-[:MENTIONED_IN]->(c)` traversal — scored by
+    * supporting-fact count like the base search. */
+  def semanticSearch(
+      g: GraphTables,
+      queryEmbedding: Seq[Double],
+      beamWidth: Int = graft.model.Defaults.ChunkBeamWidth,
+      beamDepth: Int = graft.model.Defaults.ChunkBeamDepth,
+      prefetch: Int = 5,
+      scoringMode: String = "cosine"): DataFrame = {
+    val seeds = chunkCosineSearch(g, queryEmbedding, prefetch = prefetch)
+      .select("chunk_id")
+    val expanded = ChunkBeamSearch
+      .search(g, seeds, queryEmbedding, beamWidth, beamDepth, scoringMode)
+      .select("chunk_id")
+    // beam output is width*depth-bounded — broadcast is safe
+    val topicIds = g.topicMentionedIn
+      .join(broadcast(expanded), Seq("chunk_id"))
+      .select("topic_id").distinct()
+    val stmts = g.statements.join(broadcast(topicIds), Seq("topic_id"))
+    val factCounts = g.factSupports
+      .join(stmts.select("statement_id"), Seq("statement_id"), "left_semi")
+      .groupBy("statement_id").agg(count(lit(1)).as("n_facts"))
+    stmts
+      .join(factCounts, Seq("statement_id"), "left")
+      .join(g.chunks.select(col("chunk_id"), col("source_id")), Seq("chunk_id"))
+      .select(
+        col("source_id"), col("topic_id"), col("statement_id"), col("chunk_id"),
+        col("value").as("statement"),
+        coalesce(col("n_facts"), lit(0L)).cast("double").as("score"))
+  }
+
   /** Full flagship dataflow: search → processor chain → formatted context
     * (reference DEFAULT_PROCESSORS order, traversal_base:24-46). */
   def query(
@@ -89,6 +142,7 @@ object ChunkBasedRetriever {
       queryEmbedding: Seq[Double],
       metadataFilter: Option[graft.filter.FilterAst.Filter] = None,
       reranker: Option[DataFrame => DataFrame] = None,
+      topicReranker: Option[DataFrame => DataFrame] = None,
       includeFacts: Boolean = true,
       vssTopK: Int = graft.model.Defaults.VssTopK,
       maxStatementsPerTopic: Int = graft.model.Defaults.MaxStatementsPerTopic,
@@ -110,6 +164,9 @@ object ChunkBasedRetriever {
       Processors.disaggregateResults,
       df => Processors.populateStatementStrs(df, factValues),
       df => Processors.rerankStatements(df, reranker),
+      // optional [RerankTopics] slot between the statement reranker and
+      // pruning (reference traversal_base chain position)
+      df => topicReranker.fold(df)(f => f(df).drop("topic_rr_score")),
       df => Processors.pruneStatements(df),
       Processors.rescoreResults,
       df => Processors.truncateStatements(df, maxStatementsPerTopic),

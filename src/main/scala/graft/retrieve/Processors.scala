@@ -225,6 +225,67 @@ object Processors {
             size(array_union(q, t)).cast("double")), 4))
   }
 
+  /** RerankTopics: score whole topics against the query — each topic's
+    * document is its name plus all statement strings — keep the top
+    * `maxTopics` globally, and propagate the topic relevance onto statements
+    * that carry no score yet (reference rerank_topics.py:36-124, tfidf
+    * strategy; the bedrock strategy is the same contract behind a model
+    * seam). The per-topic document caps at 4000 chars like the reference;
+    * statement order inside it is score-desc/statement-id — deterministic
+    * under any partitioning. */
+  def rerankTopics(df: DataFrame, query: String,
+                   maxTopics: Int = graft.model.Defaults.MaxTopics,
+                   topics: Option[DataFrame] = None,
+                   textCol: String = "statement"): DataFrame = {
+    val stmtText =
+      if (df.columns.contains("statement_str"))
+        coalesce(col("statement_str"), col(textCol))
+      else col(textCol)
+    val perTopic = df.groupBy("topic_id").agg(
+      array_join(transform(sort_array(collect_list(struct(
+        (-col("score")).as("ns"), col("statement_id").as("id"),
+        stmtText.as("v")))), s => s("v")), " ").as("_stmts"))
+    val named = topics match {
+      case Some(t) => perTopic
+        .join(t.select(col("topic_id"), col("value").as("_tname")),
+          Seq("topic_id"), "left")
+      case None => perTopic
+        .withColumn("_tname", col("topic_id").cast("string"))
+    }
+    val docs = named.withColumn("_doc", substring(
+      concat(coalesce(col("_tname"), col("topic_id").cast("string")),
+        lit("\n"), col("_stmts")), 1, 4000))
+    // TF-IDF of query terms over the candidate topic documents; topics
+    // matching no term score 0.0 (they can still survive when fewer than
+    // maxTopics topics exist — reference scored.get(t, 0.0)).
+    val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .distinct.toSeq
+    val termsDf = broadcast(df.sparkSession
+      .createDataFrame(qTerms.map(Tuple1(_))).toDF("term"))
+    val toks = docs.withColumn("toks",
+      split(graft.functions.TextFunctions.searchStr(col("_doc")), "\\s+"))
+    val nDf = toks.agg(count(lit(1)).cast("double").as("n"))
+    val tf = toks.crossJoin(termsDf)
+      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))))
+    val termScores = tf.filter(col("tf") > 0)
+      .join(tf.filter(col("tf") > 0).groupBy("term")
+        .agg(count(lit(1)).as("df")), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .groupBy("topic_id")
+      .agg(sum(col("tf") * log(col("n") / col("df"))).as("_ts"))
+    val kept = docs.select("topic_id")
+      .join(termScores, Seq("topic_id"), "left")
+      .withColumn("topic_rr_score", coalesce(col("_ts"), lit(0.0)))
+      .orderBy(desc("topic_rr_score"), col("topic_id"))
+      .limit(maxTopics)
+      .select("topic_id", "topic_rr_score")
+    // kept is <= maxTopics rows — genuinely bounded, broadcast is safe
+    df.join(broadcast(kept), Seq("topic_id"))
+      .withColumn("score",
+        when(col("score").isNull || col("score") === 0.0,
+          col("topic_rr_score")).otherwise(col("score")))
+  }
+
   /** UpdateChunkMetadata: promote each chunk's stored value into the result
     * (reference update_chunk_metadata.py:10-22: `chunk.value =
     * metadata.pop('value')`). Flat-frame form: join the chunk text in as

@@ -289,4 +289,31 @@ class ProcessorsSpec extends SparkSpec {
     assert(out("s1").endsWith("</source_1>"))
     assert(out("s2").contains("<statement_2.1>gamma one</statement_2.1>"))
   }
+
+  test("rerankTopics keeps top topics by tfidf and propagates to unscored") {
+    val df = Seq(
+      // t1: matches "spark" twice; one zero-scored statement
+      ("s1", "t1", "a1", "spark joins spark tables", 3.0),
+      ("s1", "t1", "a2", "more rows here", 0.0),
+      // t2: one "spark" match
+      ("s1", "t2", "b1", "spark streams", 2.0),
+      // t3: no match at all
+      ("s2", "t3", "c1", "cats and dogs", 9.0))
+      .toDF("source_id", "topic_id", "statement_id", "statement", "score")
+    val top2 = Processors.rerankTopics(df, "spark", maxTopics = 2)
+    // t3 never matches -> dropped; t1 outscores t2 (higher tf)
+    assert(top2.select("topic_id").distinct().as[String].collect().toSet ==
+      Set("t1", "t2"))
+    val t1Score = top2.filter($"topic_id" === "t1")
+      .select("topic_rr_score").as[Double].head()
+    // zero-scored a2 inherits t1's topic relevance; scored rows keep theirs
+    assert(top2.filter($"statement_id" === "a2")
+      .select("score").as[Double].head() == t1Score)
+    assert(top2.filter($"statement_id" === "a1")
+      .select("score").as[Double].head() == 3.0)
+    // with maxTopics = 3 the zero-relevance topic survives (scored 0.0)
+    val top3 = Processors.rerankTopics(df, "spark", maxTopics = 3)
+    assert(top3.filter($"topic_id" === "t3")
+      .select("topic_rr_score").as[Double].head() == 0.0)
+  }
 }

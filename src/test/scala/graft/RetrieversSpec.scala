@@ -254,6 +254,24 @@ class RetrieversSpec extends SparkSpec {
     assert(scores.count() > 0)
   }
 
+  test("chunk cosine search and semantic search produce scored statements") {
+    import graft.retrieve.ChunkBasedRetriever
+    val cos = ChunkBasedRetriever.chunkCosineSearch(g, queryEmb, prefetch = 3)
+    assert(cos.count() > 0 && cos.count() <= 3)
+    assert(cos.columns.toSeq == Seq("chunk_id", "score"))
+    val sem = ChunkBasedRetriever.semanticSearch(g, queryEmb,
+      beamWidth = 5, beamDepth = 1, prefetch = 2)
+    assert(sem.count() > 0)
+    assert(sem.columns.toSet == Set("source_id", "topic_id", "statement_id",
+      "chunk_id", "statement", "score"))
+    // fullQuery accepts the optional topic reranker slot
+    val out = ChunkBasedRetriever.fullQuery(g, queryEmb,
+      topicReranker = Some(df =>
+        graft.retrieve.Processors.rerankTopics(df, "spark joins", maxTopics = 5)),
+      maxResults = 2)
+    assert(out.count() > 0)
+  }
+
   test("nlp keyword provider tags capitalized spans, dict-dedups") {
     import graft.retrieve.KeywordProviders
     assert(KeywordProviders.nlp(
