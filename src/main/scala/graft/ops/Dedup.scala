@@ -125,6 +125,42 @@ object Dedup {
     df.select(col(idCol)).join(dominated, Seq(idCol), "left_anti")
   }
 
+  /** Connected components of the near-duplicate pair graph: every node gets
+    * the minimum id reachable from it. Cluster canonicalization is the step
+    * after pair generation in every large-scale dedup pipeline — pick one
+    * representative per duplicate cluster, drop the rest. Iterative
+    * min-label propagation: one join + one aggregation per round, each round
+    * localCheckpoint'd so the loop's lineage stays flat; rounds needed =
+    * cluster diameter, and near-dup clusters are shallow (pairs are
+    * transitive at high thresholds). At 100 TB both sides shuffle on the
+    * node id — no driver-side state beyond the converged flag. */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "id_a", bCol: String = "id_b",
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("_dc")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("_dc")).as("_nc"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nc"), col("comp"))).as("comp"),
+          (col("comp") > col("_nc")).as("_chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("_chg") === true).limit(1).isEmpty
+      labels = next.select("id", "comp")
+      it += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup: docs whose 32-bit simhashes differ in ≤ maxHamming bits.
     * Blocks on 4 x 8-bit sub-keys (pigeonhole: any pair with hamming ≤ 3 shares
     * at least one exact byte), so no cross join. */

@@ -73,6 +73,15 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // extended: duplicate-cluster canonicalization — connected components
+    // (min reachable id) over the minhash-LSH pair graph.
+    "q_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 16, bands = 8, shingleSize = 3)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
+    }),
+
     // extended: 32-bit simhash signatures.
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -188,8 +197,10 @@ object TextQueries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM tok ORDER BY doc_id""".stripMargin
   }
 
-  private val minhashOracle: String = {
-    s"""WITH tok AS (
+  /** The minhash→banding→bucket-join pipeline up to the candidate `pairs`
+    * CTE — shared by the pair gate and the components gate. */
+  private val minhashCte: String = {
+    s"""tok AS (
        |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks FROM documents),
        |sh AS (
        |  SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tok),
@@ -206,12 +217,30 @@ object TextQueries {
        |  FROM banded),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM buck a JOIN buck b USING (bucket) WHERE a.doc_id < b.doc_id)
+       |  FROM buck a JOIN buck b USING (bucket) WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val minhashOracle: String =
+    s"""WITH $minhashCte
        |SELECT id_a, id_b,
        |  CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)/16.0 AS jaccard_est
        |FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Components = min reachable id; the recursive closure is exact and
+    * bounded by cluster sizes (tiny at high similarity thresholds). */
+  private val componentsOracle: String =
+    s"""WITH RECURSIVE $minhashCte,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, m) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m)
+       |SELECT id, least(id, min(m)) AS comp
+       |FROM reach GROUP BY id
+       |ORDER BY id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_search_normalize" -> {
@@ -231,6 +260,7 @@ object TextQueries {
 
     "q_text_profile" -> profileOracle,
     "q_minhash_lsh" -> minhashOracle,
+    "q_dedup_components" -> componentsOracle,
     "q_simhash" -> simhashOracle,
 
     "q_ngram_jaccard" ->

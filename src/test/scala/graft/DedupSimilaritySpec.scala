@@ -87,6 +87,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(partial.toSet.subsetOf(vecs.select("vec_id").as[Long].collect().toSet))
   }
 
+  test("connectedComponents: min reachable id, chains and singleton pairs") {
+    // two clusters: a chain 1-2-3-4 (transitive closure through the chain)
+    // and a lone pair 10-11; node 4 only reaches 1 via two hops
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // a long path converges too (diameter > 2 needs several rounds)
+    val path = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val pc = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+    assert(pc.values.toSet == Set(1L) && pc.size == 9)
+  }
+
   test("embeddingNearDup with sign-plane buckets keeps true near-dups") {
     val exact = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", 0.9, planes = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
