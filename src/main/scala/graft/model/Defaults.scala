@@ -29,6 +29,7 @@ object Defaults {
 
   // entity context expansion
   val EcMaxDepth = 3
+  val EcMaxContexts = 3 // entity_context_search (processor_args.py:86)
 
   // beam searches
   val TopicBeamWidth = 100

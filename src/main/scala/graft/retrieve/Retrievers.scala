@@ -129,4 +129,24 @@ object Retrievers {
     results.map { case (df, w) =>
       df.withColumn("score", col("score") * w)
     }.reduce(_ union _)
+
+  /** EntityContextSearch (reference entity_context_search.py:109-153): each
+    * entity-context string re-queries a shrunken sub-retriever
+    * (vss_top_k = 2, max 2 results) and the per-context results union. The
+    * context list is ec_max_contexts-bounded, so the loop is a handful of
+    * lazy plan branches — one Spark job total, like the composite. */
+  def entityContextSearch(
+      g: GraphTables,
+      contexts: Seq[String],
+      embed: String => Seq[Double],
+      maxContexts: Int = graft.model.Defaults.EcMaxContexts,
+      vssTopK: Int = 2,
+      maxResults: Int = 2): DataFrame = {
+    val branches = contexts.take(maxContexts).filter(_.nonEmpty).map { c =>
+      Processors.truncateResults(
+        ChunkBasedRetriever.search(g, embed(c), vssTopK), maxResults)
+    }
+    require(branches.nonEmpty, "entityContextSearch: no non-empty contexts")
+    branches.reduce(_ unionByName _)
+  }
 }

@@ -272,6 +272,22 @@ class RetrieversSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("entityContextSearch unions per-context sub-retrievals") {
+    import graft.retrieve.Retrievers
+    val embed: String => Seq[Double] = s => {
+      val d = spark.range(1).select(graft.functions.VectorFunctions
+        .hashEmbedding(lit(s), LexicalGraphBuilder.EmbeddingDim))
+      d.as[Seq[Double]].head()
+    }
+    val out = Retrievers.entityContextSearch(g,
+      Seq("spark joins tables", "cats chase mice", ""), embed)
+    assert(out.count() > 0)
+    // per-context truncation: <= 2 sources per context branch
+    assert(out.select("source_id").distinct().count() <= 4)
+    intercept[IllegalArgumentException](
+      Retrievers.entityContextSearch(g, Seq(""), embed))
+  }
+
   test("nlp keyword provider tags capitalized spans, dict-dedups") {
     import graft.retrieve.KeywordProviders
     assert(KeywordProviders.nlp(
