@@ -140,6 +140,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    (1 to 8).foreach { _ =>
+      val edges = edgeGen.sample.get.filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+      if (edges.nonEmpty) {
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = nodes.map(n => n -> find(n)).toMap
+        val got = graft.ops.Dedup
+          .connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expect, s"edges=$edges")
+      }
+    }
+  }
+
   test("GraphQuerySafety never passes a query containing a blocked keyword") {
     val kwGen = Gen.oneOf(graft.byokg.GraphQuerySafety.ModificationKeywords)
     val padGen = Gen.oneOf("", " ", "\n", "\t", "/* c */ ", "(", ")")
