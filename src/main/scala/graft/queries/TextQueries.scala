@@ -82,6 +82,36 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // extended: deterministic stratified hash sampling — the training-mix
+    // rebalancing step; per-row hash decisions replay in any engine.
+    "q_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratified(
+        t(s, dir, "documents"), "doc_id", "source",
+        rates = Map("src0" -> 0.8, "src1" -> 0.4), defaultRate = 0.1,
+        salt = "mix1")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: the composed curation pipeline — quality/length gate →
+    // exact dedup (canonical min-id winner + group size) → minhash-LSH
+    // near-dup components → keep only cluster representatives. The whole
+    // chain is one lazy plan except the component loop.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val filtered = TextAnalysis.qualityFilter(docs, "text",
+        minScore = 0.3, minTokens = 10, maxTokens = 10000)
+      val canon = Dedup.exact(filtered, "text", "doc_id")
+      val pairs = Dedup.minhashLsh(canon, "text", "doc_id",
+        numHashes = 16, bands = 8, shingleSize = 3)
+      val losers = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      canon.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("dup_count"))
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: 32-bit simhash signatures.
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -198,10 +228,11 @@ object TextQueries {
   }
 
   /** The minhash→banding→bucket-join pipeline up to the candidate `pairs`
-    * CTE — shared by the pair gate and the components gate. */
-  private val minhashCte: String = {
+    * CTE — shared by the pair gate, the components gate, and the curation
+    * pipeline (which runs it over a filtered doc set). */
+  private def minhashCteFor(table: String): String = {
     s"""tok AS (
-       |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks FROM documents),
+       |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks FROM $table),
        |sh AS (
        |  SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tok),
        |bases AS (
@@ -221,7 +252,7 @@ object TextQueries {
   }
 
   private val minhashOracle: String =
-    s"""WITH $minhashCte
+    s"""WITH ${minhashCteFor("documents")}
        |SELECT id_a, id_b,
        |  CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)/16.0 AS jaccard_est
        |FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
@@ -230,7 +261,7 @@ object TextQueries {
   /** Components = min reachable id; the recursive closure is exact and
     * bounded by cluster sizes (tiny at high similarity thresholds). */
   private val componentsOracle: String =
-    s"""WITH RECURSIVE $minhashCte,
+    s"""WITH RECURSIVE ${minhashCteFor("documents")},
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
@@ -262,6 +293,55 @@ object TextQueries {
     "q_minhash_lsh" -> minhashOracle,
     "q_dedup_components" -> componentsOracle,
     "q_simhash" -> simhashOracle,
+
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE CAST(${h60Sql("'mix1'||'#'||doc_id")} AS DOUBLE)
+         |    / 1.152921504606847e18
+         |  < (CASE WHEN source = 'src0' THEN 0.8
+         |          WHEN source = 'src1' THEN 0.4 ELSE 0.1 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_curation_pipeline" -> {
+      val stops = inListSql(TextAnalysis.defaultStopwords)
+      s"""WITH RECURSIVE q0 AS (
+         |  SELECT doc_id, text,
+         |    len(string_split_regex(trim(text),'\\s+')) AS tc,
+         |    CAST(length(regexp_replace(text,'[^[:punct:]]','','g')) AS DOUBLE)
+         |      / length(text) AS pr,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)),'\\s+'),
+         |        t -> list_contains($stops, t))) AS DOUBLE)
+         |      / len(string_split_regex(lower(trim(text)),'\\s+')) AS sr
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id, text FROM q0
+         |  WHERE (least(CAST(tc AS DOUBLE)/20.0, 1.0)
+         |       + greatest(0.0, 1.0 - pr*4.0)
+         |       + least(sr*5.0, 1.0))/3.0 >= 0.3
+         |    AND tc BETWEEN 10 AND 10000),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         |  FROM (SELECT doc_id, md5(${normSql("text")}) AS k FROM qual)
+         |  GROUP BY k),
+         |cdocs AS (
+         |  SELECT c.doc_id, c.dup_count, q.text
+         |  FROM canon c JOIN qual q USING (doc_id)),
+         |${minhashCteFor("cdocs")},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, m) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |losers AS (
+         |  SELECT id FROM (
+         |    SELECT id, least(id, min(m)) AS comp FROM reach GROUP BY id)
+         |  WHERE id <> comp)
+         |SELECT doc_id, dup_count FROM cdocs
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_ngram_jaccard" ->
       s"""WITH tok AS (

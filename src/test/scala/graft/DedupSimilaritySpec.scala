@@ -87,6 +87,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(partial.toSet.subsetOf(vecs.select("vec_id").as[Long].collect().toSet))
   }
 
+  test("hash sampling is deterministic, monotone in rate, and stratified") {
+    import graft.ops.Sampling
+    val df = spark.range(1000).toDF("id")
+      .withColumn("grp", (col("id") % 2 === 0).cast("string"))
+    val s10 = Sampling.hashSample(df, "id", 0.1).select("id").as[Long].collect().toSet
+    val s10b = Sampling.hashSample(df, "id", 0.1).select("id").as[Long].collect().toSet
+    val s20 = Sampling.hashSample(df, "id", 0.2).select("id").as[Long].collect().toSet
+    assert(s10 == s10b)                  // deterministic
+    assert(s10.subsetOf(s20))            // monotone in rate
+    assert(s10.size > 50 && s10.size < 150) // roughly the rate
+    // different salt -> a different (independent) sample
+    val salted = Sampling.hashSample(df, "id", 0.1, salt = "x")
+      .select("id").as[Long].collect().toSet
+    assert(salted != s10)
+    // stratified: listed stratum at high rate, default near zero
+    val strat = Sampling.stratified(df, "id", "grp",
+      rates = Map("true" -> 0.5), defaultRate = 0.0)
+    assert(strat.filter(col("grp") === "false").count() == 0)
+    val kept = strat.count()
+    assert(kept > 150 && kept < 350)
+    intercept[IllegalArgumentException](
+      Sampling.hashSample(df, "id", 1.5))
+  }
+
   test("connectedComponents: min reachable id, chains and singleton pairs") {
     // two clusters: a chain 1-2-3-4 (transitive closure through the chain)
     // and a lone pair 10-11; node 4 only reaches 1 via two hops
