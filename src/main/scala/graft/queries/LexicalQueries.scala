@@ -69,6 +69,19 @@ object LexicalQueries {
         .orderBy(col("keyword"), desc("score"), col("entity_id"))
     }),
 
+    // §2.4 entity reranking (entity_utils.py:15-105): every graph entity's
+    // "value (classification)" token tfidf-scored against query + keywords
+    // at 4dp, all entities kept (unmatched at 0.0), ordered by
+    // (reranking_score, degree score).
+    "q_entity_rerank" -> ((s, dir) => {
+      val g = Tables.lexicalGraph(s, dir)
+      graft.retrieve.EntityProvider.rerankEntities(
+        graft.retrieve.EntityProvider.scoredEntities(g),
+        "parquet files", Seq("spark", "join"))
+        .select(col("entity_id"), col("value"), col("score"),
+          col("reranking_score"))
+    }),
+
     // §2.4 vector-seeded entity provider (entity_vss_provider.py:44-77):
     // entities mentioned under the picked topics, fact-degree-scored, top
     // 20. Topic seeds are deterministic (lexicographically-first) so the
@@ -283,6 +296,39 @@ object LexicalQueries {
          |SELECT keyword, entity_id, value, classification, score, 'prefix'
          |FROM prefix
          |ORDER BY keyword, score DESC, entity_id""".stripMargin,
+
+    "q_entity_rerank" ->
+      s"""WITH $stmtCte,
+         |facts AS (
+         |  SELECT DISTINCT stoks[1] AS subj, stoks[len(stoks)] AS obj FROM stmts2),
+         |ents AS (
+         |  SELECT stoks[1] AS value FROM stmts2
+         |  UNION
+         |  SELECT stoks[len(stoks)] FROM stmts2),
+         |degree AS (
+         |  SELECT e AS value, count(*) AS score FROM (
+         |    SELECT subj AS e FROM facts UNION ALL SELECT obj FROM facts)
+         |  GROUP BY e),
+         |scored AS (
+         |  SELECT 'e:'||substr(md5(value||'|'||'Token'||'|'||'t0'),1,8) AS entity_id,
+         |    value, score
+         |  FROM ents JOIN degree USING (value)),
+         |toks AS (
+         |  SELECT *, string_split_regex(lower(value)||' token', '[^a-z0-9]+') AS toks
+         |  FROM scored),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+         |terms(term) AS (VALUES ('parquet'), ('files'), ('spark'), ('join')),
+         |tf AS (
+         |  SELECT entity_id, term, len(list_filter(toks, t -> t = term)) AS tf
+         |  FROM toks, terms),
+         |dfc AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+         |ts AS (
+         |  SELECT entity_id, round(sum(tf * ln(nn.n / dfc.df)), 4) AS rr
+         |  FROM tf JOIN dfc USING (term), nn WHERE tf > 0 GROUP BY entity_id)
+         |SELECT s.entity_id, s.value, s.score,
+         |  coalesce(ts.rr, 0.0) AS reranking_score
+         |FROM scored s LEFT JOIN ts USING (entity_id)
+         |ORDER BY reranking_score DESC, s.score DESC, s.entity_id""".stripMargin,
 
     // Vector-seeded entity provider: seeds -> statements -> facts ->
     // mentioned entities, degree scored over the GLOBAL deduped fact table

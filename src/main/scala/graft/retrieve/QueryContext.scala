@@ -35,6 +35,38 @@ object EntityProvider {
     g.entities.join(degree, Seq("entity_id"), "inner") // score=0 rows excluded
   }
 
+  /** rerank_entities (reference retrieval/utils/entity_utils.py:15-105):
+    * each entity's token is `"value (classification)"` lowercased; tokens
+    * are tfidf-scored against query + keywords (the char-ngram matcher
+    * library stands in as the repo's deterministic token-tfidf, same
+    * contract), rounded at 4dp like the reference, and every entity is kept
+    * — unmatched ones at 0.0 — ordered by (reranking_score desc,
+    * degree score desc). */
+  def rerankEntities(entities: DataFrame, query: String,
+                     keywords: Seq[String]): DataFrame = {
+    val terms = (query +: keywords)
+      .flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty)
+      .distinct.toSeq
+    val termsDf = broadcast(entities.sparkSession
+      .createDataFrame(terms.map(Tuple1(_))).toDF("term"))
+    val toks = entities.withColumn("toks",
+      split(concat(lower(col("value")), lit(" "),
+        lower(col("classification"))), "[^a-z0-9]+"))
+    val nDf = toks.agg(count(lit(1)).cast("double").as("n"))
+    val tf = toks.crossJoin(termsDf)
+      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))))
+    val termScores = tf.filter(col("tf") > 0)
+      .join(tf.filter(col("tf") > 0).groupBy("term")
+        .agg(count(lit(1)).as("df")), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .groupBy("entity_id")
+      .agg(round(sum(col("tf") * log(col("n") / col("df"))), 4).as("_rr"))
+    entities.join(termScores, Seq("entity_id"), "left")
+      .withColumn("reranking_score", coalesce(col("_rr"), lit(0.0)))
+      .drop("_rr")
+      .orderBy(desc("reranking_score"), desc("score"), col("entity_id"))
+  }
+
   /** Resolve a keyword batch. Keywords use the reference's
     * `word` / `word|Classification` syntax. Returns
     * (keyword, entity_id, value, classification, score, matched) where
