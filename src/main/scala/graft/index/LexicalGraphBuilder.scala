@@ -99,6 +99,19 @@ object GraphTables {
  *  - facts      = (first token, "near", last token) per statement,
  *  - entities   = all fact subjects/objects.
  */
+/** Build-time filters (reference indexing/build/build_filters.py:14-100):
+  * predicates returning TRUE for topics/statements to IGNORE during build,
+  * plus a source-metadata filter — applied before node construction, so
+  * filtered content never reaches the graph or the vector indexes.
+  * Column-predicate form keeps them inside the build plan (pushdown-able),
+  * instead of the reference's per-node Python callbacks. */
+final case class BuildFilters(
+    ignoreTopic: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => org.apache.spark.sql.functions.lit(false),
+    ignoreStatement: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => org.apache.spark.sql.functions.lit(false),
+    sourceFilter: Option[graft.filter.FilterAst.Filter] = None)
+
 object LexicalGraphBuilder {
 
   val ChunkTokens = 32
@@ -119,10 +132,13 @@ object LexicalGraphBuilder {
       metadataCols: Seq[String],
       tenant: String = "t0",
       buildTs: Long = 0L,
-      classifications: Seq[String] = Seq("Token")): GraphTables = {
+      classifications: Seq[String] = Seq("Token"),
+      buildFilters: BuildFilters = BuildFilters()): GraphTables = {
 
     val tn = lit(tenant)
-    val base = docs.withColumn("source_id",
+    val sourceDocs = buildFilters.sourceFilter
+      .fold(docs)(f => docs.filter(graft.filter.FilterAst.compile(f, col)))
+    val base = sourceDocs.withColumn("source_id",
       Ids.sourceId(concat_ws("|", metadataCols.map(col): _*), tn))
 
     val sources = base.select(
@@ -159,10 +175,13 @@ object LexicalGraphBuilder {
         V.hashEmbedding(col("chunk_text"), EmbeddingDim).as("embedding"),
         tn.as("tenant_id"))
 
-    // Stub extraction: topic + statements + facts per chunk.
+    // Stub extraction: topic + statements + facts per chunk. Ignored topics
+    // drop here — before statement fan-out — so nothing downstream of a
+    // filtered topic is ever built (build_filters.py topic_filter_fn).
     val withTopic = chunks.select(col("chunk_id"), col("text"))
       .withColumn("ctoks", split(col("text"), " "))
       .withColumn("topic_value", col("ctoks").getItem(0))
+      .filter(!buildFilters.ignoreTopic(col("topic_value")))
       .withColumn("topic_id", Ids.topicId(col("topic_value"), tn))
 
     val topics = withTopic.select(col("topic_id"), col("topic_value").as("value"),
@@ -176,6 +195,7 @@ object LexicalGraphBuilder {
         posexplode(expr(s"transform(starts, p -> concat_ws(' ', slice(ctoks, p + 1, $StatementTokens)))"))
           .as(Seq("seq", "stmt_text")))
       .filter(length(col("stmt_text")) > 0)
+      .filter(!buildFilters.ignoreStatement(col("stmt_text")))
       .withColumn("statement_id", Ids.statementId(col("topic_id"), col("stmt_text")))
     val ws = Window.partitionBy(col("chunk_id")).orderBy(col("seq"))
     // MERGE dedup keeps the first occurrence by (chunk_id, seq) — a bare
@@ -229,5 +249,37 @@ object LexicalGraphBuilder {
 
     GraphTables(sources, chunks, topics, topicMentionedIn, statements,
       facts, factSupports, entities, entityRelations)
+  }
+
+  val LocalEntityClass = "__Local_Entity__"
+
+  /** Local-entity rewrite (reference indexing/build/
+    * local_entity_rewrites_graph_builder.py:23-75): facts and relation edges
+    * that reference a `__Local_Entity__` re-point to the non-local entity
+    * sharing its `search_str` when one exists; rewritten locals drop from
+    * the entity table. One mapping join (local → lexicographically-first
+    * non-local twin, deterministic) remapped through the referencing
+    * tables — the MERGE-per-node loop becomes three hash joins. */
+  def rewriteLocalEntities(g: GraphTables): GraphTables = {
+    val w = Window.partitionBy(col("local_id")).orderBy(col("target_id"))
+    val mapping = g.entities.filter(col("classification") === LocalEntityClass)
+      .select(col("entity_id").as("local_id"), col("search_str"))
+      .join(g.entities.filter(col("classification") =!= LocalEntityClass)
+        .select(col("entity_id").as("target_id"), col("search_str")),
+        Seq("search_str"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select("local_id", "target_id")
+    def remap(df: DataFrame, c: String): DataFrame =
+      df.join(mapping.withColumnRenamed("local_id", c), Seq(c), "left")
+        .withColumn(c, coalesce(col("target_id"), col(c)))
+        .drop("target_id")
+        .select(df.columns.map(col): _*) // keep the table's column order
+    val facts = remap(remap(g.facts, "subject_entity_id"), "object_entity_id")
+    val rels = remap(remap(g.entityRelations, "src_entity_id"), "dst_entity_id")
+      .distinct()
+    val entities = g.entities
+      .join(mapping.withColumnRenamed("local_id", "entity_id"),
+        Seq("entity_id"), "left_anti")
+    g.copy(facts = facts, entityRelations = rels, entities = entities)
   }
 }

@@ -138,4 +138,53 @@ class GraphBuilderSpec extends SparkSpec {
     val summary = GraphSummary.summarize(g, new graft.llm.StubLLM)
     assert(summary.nonEmpty)
   }
+
+  test("build filters drop ignored topics/statements/sources before build") {
+    import graft.index.BuildFilters
+    import graft.filter.FilterAst
+    val filtered = LexicalGraphBuilder.fromDocuments(docs, "text",
+      Seq("doc_id", "source"),
+      buildFilters = BuildFilters(
+        ignoreTopic = _ === "one",
+        ignoreStatement = _.startsWith("alpha"),
+        sourceFilter = Some(FilterAst.Pred("source", FilterAst.Ne, "web2"))))
+    // source web2 never ingested
+    assert(filtered.sources.count() == 2)
+    // topic "one" (doc 2's chunks start with "one") gone with its statements
+    assert(filtered.topics.filter(col("value") === "one").count() == 0)
+    val oneTopicStmts = g.topics.filter(col("value") === "one")
+      .join(g.statements, Seq("topic_id"))
+    assert(oneTopicStmts.count() > 0) // existed unfiltered
+    // no surviving statement text starts with alpha
+    assert(filtered.statements.filter(col("value").startsWith("alpha")).count() == 0)
+    assert(g.statements.filter(col("value").startsWith("alpha")).count() > 0)
+    // filtered build remains referentially intact
+    val orphan = filtered.factSupports.join(filtered.statements,
+      Seq("statement_id"), "left_anti")
+    assert(orphan.count() == 0)
+  }
+
+  test("local-entity rewrite re-points facts and drops rewritten locals") {
+    import LexicalGraphBuilder.LocalEntityClass
+    val entities = Seq(
+      ("e1", "spark", "spark", "System"),
+      ("eL", "spark", "spark", LocalEntityClass),   // local twin of e1
+      ("eX", "flink", "flink", LocalEntityClass))   // local, no twin
+      .toDF("entity_id", "value", "search_str", "classification")
+    val facts = Seq(("f1", "v", "near", "eL", "eX"))
+      .toDF("fact_id", "value", "relation", "subject_entity_id", "object_entity_id")
+    val rels = Seq(("eL", "NEAR", "e1")).toDF(
+      "src_entity_id", "relation_value", "dst_entity_id")
+    val empty = spark.emptyDataFrame
+    val g0 = GraphTables(empty, empty, empty, empty, empty,
+      facts, empty, entities, rels)
+    val out = LexicalGraphBuilder.rewriteLocalEntities(g0)
+    val f = out.facts.select("subject_entity_id", "object_entity_id")
+      .as[(String, String)].head()
+    assert(f == (("e1", "eX"))) // eL -> e1; eX keeps (no non-local twin)
+    assert(out.entityRelations.as[(String, String, String)].collect().toSeq ==
+      Seq(("e1", "NEAR", "e1")))
+    assert(out.entities.select("entity_id").as[String].collect().toSet ==
+      Set("e1", "eX")) // rewritten local dropped, unmatched local kept
+  }
 }
