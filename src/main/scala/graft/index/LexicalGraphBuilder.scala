@@ -253,6 +253,138 @@ object LexicalGraphBuilder {
 
   val LocalEntityClass = "__Local_Entity__"
 
+  /** Build the nine graph tables from REAL extraction output: one row per
+    * chunk carrying the LLM's delimited extraction text, parsed by
+    * [[TopicParser.parseExtractedTopics]] and fanned out exactly like the
+    * reference's node builders (indexing/build per-label node_builder dispatch
+    * over the parsed TopicCollection). This is the production twin of
+    * [[fromDocuments]] — same ids, same MERGE dedup discipline, but the
+    * grammar is the model's, not the stub's.
+    *
+    * `chunks` columns: the `metadataCols` identifying the source, `seqCol`
+    * (chunk order within its source), `textCol` (chunk text), `rawCol`
+    * (the extraction text). */
+  def fromExtractions(
+      chunksRaw: DataFrame,
+      textCol: String,
+      rawCol: String,
+      metadataCols: Seq[String],
+      seqCol: String = "seq",
+      tenant: String = "t0",
+      buildTs: Long = 0L): GraphTables = {
+    import org.apache.spark.sql.functions.udf
+    val tn = lit(tenant)
+    val parse = udf((raw: String) =>
+      TopicParser.parseExtractedTopics(Option(raw).getOrElse(""))._1)
+
+    val base = chunksRaw
+      .withColumn("source_id",
+        Ids.sourceId(concat_ws("|", metadataCols.map(col): _*), tn))
+      .withColumn("chunk_id", Ids.chunkId(col("source_id"), col(textCol)))
+      .withColumn("_parsed", parse(col(rawCol)))
+
+    val sources = base.select(
+      col("source_id"),
+      map(metadataCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
+        .as("metadata"),
+      lit(Schemas.TimestampLowerBound).as("valid_from"),
+      lit(Schemas.TimestampUpperBound).as("valid_to"),
+      lit(buildTs).as("extract_ts"),
+      lit(buildTs).as("build_ts"),
+      tn.as("tenant_id")).dropDuplicates("source_id")
+
+    val wc = Window.partitionBy(col("source_id")).orderBy(col(seqCol))
+    val chunks = base
+      .withColumn("prev_id", lag(col("chunk_id"), 1).over(wc))
+      .withColumn("next_id", lead(col("chunk_id"), 1).over(wc))
+      .select(col("chunk_id"), col("source_id"), col(textCol).as("text"),
+        col(seqCol).as("seq"), col("prev_id"), col("next_id"),
+        V.hashEmbedding(col(textCol), EmbeddingDim).as("embedding"),
+        tn.as("tenant_id"))
+      .dropDuplicates("chunk_id")
+
+    // topic fan-out; tpos/spos order statements within the chunk
+    val topicRows = base.select(col("chunk_id"),
+        posexplode(col("_parsed")).as(Seq("tpos", "t")))
+      .withColumn("topic_value", col("t.value"))
+      .withColumn("topic_id", Ids.topicId(col("topic_value"), tn))
+
+    val topics = topicRows
+      .select(col("topic_id"), col("topic_value").as("value"),
+        tn.as("tenant_id"))
+      .dropDuplicates("topic_id")
+    val topicMentionedIn = topicRows
+      .select(col("topic_id"), col("chunk_id")).distinct()
+
+    val stmtRaw = topicRows.select(col("chunk_id"), col("topic_id"),
+        col("tpos"), posexplode(col("t.statements")).as(Seq("spos", "st")))
+      .withColumn("stmt_text", col("st.value"))
+      .withColumn("statement_id",
+        Ids.statementId(col("topic_id"), col("stmt_text")))
+
+    val ws = Window.partitionBy(col("chunk_id"))
+      .orderBy(col("tpos"), col("spos"))
+    val wDedup = Window.partitionBy(col("statement_id"))
+      .orderBy(col("chunk_id"), col("tpos"), col("spos"))
+    val statements = stmtRaw
+      .withColumn("prev_statement_id", lag(col("statement_id"), 1).over(ws))
+      .withColumn("_rn", row_number().over(wDedup))
+      .filter(col("_rn") === 1)
+      .select(col("statement_id"), col("topic_id"), col("chunk_id"),
+        col("stmt_text").as("value"),
+        col("st.details").as("details"),
+        (col("tpos") * 10000 + col("spos")).as("seq"),
+        col("prev_statement_id"),
+        V.hashEmbedding(col("stmt_text"), EmbeddingDim).as("embedding"))
+
+    val factRows = stmtRaw.select(col("statement_id"),
+        explode(col("st.facts")).as("f"))
+      .select(col("statement_id"),
+        col("f.subject.value").as("subj_value"),
+        col("f.subject.classification").as("subj_class"),
+        col("f.predicate").as("predicate"),
+        coalesce(col("f.obj.value"), col("f.complement.value")).as("obj_value"),
+        coalesce(col("f.obj.classification"), col("f.complement.classification"))
+          .as("obj_class"))
+      .filter(col("obj_value").isNotNull)
+      .withColumn("subject_entity_id",
+        Ids.entityId(T.searchStr(col("subj_value")), col("subj_class"), tn))
+      .withColumn("object_entity_id",
+        Ids.entityId(T.searchStr(col("obj_value")), col("obj_class"), tn))
+      .withColumn("fact_id",
+        Ids.factId(col("subj_value"), col("predicate"), col("obj_value")))
+
+    val facts = factRows.select(col("fact_id"),
+        concat_ws(" ", col("subj_value"), col("predicate"), col("obj_value"))
+          .as("value"),
+        col("predicate").as("relation"),
+        col("subject_entity_id"), col("object_entity_id"))
+      .dropDuplicates("fact_id")
+    val factSupports = factRows
+      .select(col("fact_id"), col("statement_id")).distinct()
+
+    val entities = topicRows
+      .select(explode(col("t.entities")).as("e"))
+      .select(col("e.value").as("value"),
+        col("e.classification").as("classification"))
+      .union(factRows.select(col("subj_value"), col("subj_class")))
+      .union(factRows.select(col("obj_value"), col("obj_class")))
+      .withColumn("search_str", T.searchStr(col("value")))
+      .withColumn("entity_id",
+        Ids.entityId(col("search_str"), col("classification"), tn))
+      .select("entity_id", "value", "search_str", "classification")
+      .dropDuplicates("entity_id")
+
+    val entityRelations = factRows
+      .select(col("subject_entity_id").as("src_entity_id"),
+        T.relationshipName(col("predicate")).as("relation_value"),
+        col("object_entity_id").as("dst_entity_id"))
+      .distinct()
+
+    GraphTables(sources, chunks, topics, topicMentionedIn, statements,
+      facts, factSupports, entities, entityRelations)
+  }
+
   /** Local-entity rewrite (reference indexing/build/
     * local_entity_rewrites_graph_builder.py:23-75): facts and relation edges
     * that reference a `__Local_Entity__` re-point to the non-local entity
