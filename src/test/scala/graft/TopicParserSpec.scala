@@ -95,6 +95,56 @@ class TopicParserSpec extends SparkSpec {
     assert(parseExtractedTopics("")._1.isEmpty)
   }
 
+  test("two-turn extraction pipeline: prompts -> parser -> graph tables") {
+    import graft.index.ExtractionPipeline
+    // deterministic stand-ins emitting the reference response formats:
+    // turn 1 returns "title\nproposition..." from the <text> section;
+    // turn 2 renders <propositions> into the delimited topic format
+    class PropStub extends graft.llm.LLM {
+      override def complete(prompt: String): String = {
+        val text = prompt.split("<text>\n")(1).split("\n</text>")(0)
+        val toks = text.trim.split("\\s+")
+        val props = toks.grouped(4).map(_.mkString(" ")).toSeq
+        (toks.head +: props).mkString("\n")
+      }
+    }
+    class TopicStub extends graft.llm.LLM {
+      override def complete(prompt: String): String = {
+        val lines = prompt.split("<propositions>\n")(1)
+          .split("\n</propositions>")(0).split("\n").filter(_.nonEmpty)
+        val (title, props) = (lines.head, lines.tail)
+        val ents = props.flatMap(p => {
+          val w = p.split(" "); Seq(w.head, w.last)
+        }).distinct
+        (Seq(s"topic: $title", "entities:") ++
+          ents.map(e => s"$e|Token") ++
+          props.flatMap(p => {
+            val w = p.split(" ")
+            Seq(s"proposition: $p", s"${w.head}|NEAR|${w.last}")
+          })).mkString("\n")
+      }
+    }
+    val chunks = Seq(
+      (1L, "w", 0, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "w", 1, "one two three four five six seven eight"),
+      (2L, "x", 0, "red green blue cyan magenta yellow black white"))
+      .toDF("doc_id", "source", "seq", "text")
+    val g = ExtractionPipeline.extract(chunks, "text",
+      Seq("doc_id", "source"), () => new PropStub, () => new TopicStub)
+    assert(g.sources.count() == 2)
+    assert(g.chunks.count() == 3)
+    assert(g.topics.select("value").as[String].collect().toSet ==
+      Set("alpha", "one", "red"))
+    assert(g.statements.count() == 6) // two 4-token propositions per chunk
+    assert(g.facts.count() == 6)
+    assert(g.entities.filter(col("classification") === "Token").count() > 0)
+    // deterministic end to end
+    val g2 = ExtractionPipeline.extract(chunks, "text",
+      Seq("doc_id", "source"), () => new PropStub, () => new TopicStub)
+    assert(g2.statements.select("statement_id").as[String].collect().sorted.toSeq ==
+      g.statements.select("statement_id").as[String].collect().sorted.toSeq)
+  }
+
   test("fromExtractions builds consistent graph tables from raw text") {
     val raw1 =
       """topic: Databases
