@@ -37,8 +37,12 @@ object ExtractionPipeline {
   /** Topic-extraction prompt (EXTRACT_TOPICS_PROMPT shape: organize
     * propositions into topics, extract entities `value|classification` and
     * relationships `entity|RELATIONSHIP|entity` under `proposition:` lines;
-    * response format is exactly what [[TopicParser]] parses). */
-  def topicsPrompt(classifications: Seq[String], propositions: String): String =
+    * response format is exactly what [[TopicParser]] parses).
+    * `preferredTopics` seeds topic reuse across chunks — the reference's
+    * PreferredValuesProvider (indexing/extract/preferred_values.py) feeding
+    * the prompt's Preferred Topics list. */
+  def topicsPrompt(classifications: Seq[String], propositions: String,
+                   preferredTopics: Seq[String] = Nil): String =
     s"""Organize the propositions into topics. For each topic emit:
        |topic: <topic>
        |entities:
@@ -46,6 +50,7 @@ object ExtractionPipeline {
        |proposition: <exact proposition text>
        |entity|RELATIONSHIP|entity
        |Preferred classifications: ${classifications.mkString(", ")}
+       |Preferred topics: ${preferredTopics.mkString(", ")}
        |<propositions>
        |$propositions
        |</propositions>""".stripMargin
