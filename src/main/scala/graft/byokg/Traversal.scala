@@ -19,6 +19,26 @@ import graft.ops.Joins.gatedBroadcast
  */
 object Traversal {
 
+  /** Load a triplet CSV (`source,relation,target` columns, extra columns
+    * ignored, short rows skipped) into the edges frame — the reference's
+    * LocalKGStore.read_from_csv (graphstore.py:106-150) as one distributed
+    * CSV scan instead of a driver-side adjacency dict. */
+  def edgesFromCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+                   delimiter: String = ",",
+                   hasHeader: Boolean = true): DataFrame = {
+    val raw = spark.read
+      .option("delimiter", delimiter)
+      .option("header", hasHeader.toString)
+      .csv(path)
+    require(raw.columns.length >= 3,
+      s"triplet csv needs >= 3 columns, found ${raw.columns.length}")
+    val Array(s, r, t) = raw.columns.take(3)
+    raw.select(col(s).as("src"), col(r).as("label"), col(t).as("dst"))
+      .filter(col("src").isNotNull && col("label").isNotNull &&
+        col("dst").isNotNull)
+      .select("src", "dst", "label")
+  }
+
   private def undirect(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"), col("label"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("label")))

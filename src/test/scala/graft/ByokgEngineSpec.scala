@@ -245,4 +245,22 @@ class ByokgEngineSpec extends SparkSpec {
     assert(engine.schema() ==
       "Relations: capital_of, founded_by, located_in, works_at")
   }
+
+  test("edgesFromCsv loads triplets, skips short rows, ignores extras") {
+    val dir = java.nio.file.Files.createTempDirectory("kgcsv").toFile
+    val f = new java.io.File(dir, "kg.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("source,relation,target,weight")
+    w.println("a,knows,b,3")
+    w.println("b,likes,c,1")
+    w.println("broken,row")
+    w.close()
+    val e = graft.byokg.Traversal.edgesFromCsv(spark, f.getAbsolutePath)
+    assert(e.columns.toSeq == Seq("src", "dst", "label"))
+    assert(e.as[(String, String, String)].collect().toSet ==
+      Set(("a", "b", "knows"), ("b", "c", "likes")))
+    // loaded edges drive the traversals directly
+    val hop = graft.byokg.Traversal.oneHop(e, Seq("a").toDF("node"))
+    assert(hop.select("dst").as[String].collect().toSeq == Seq("b"))
+  }
 }
