@@ -17,6 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // tenant isolation as a plan rewrite (active only when the session sets
+    // graft.tenant) — see graft.plans.TenantScopingRule
+    ext.injectOptimizerRule(plans.TenantScopingRule(_))
     ext.injectFunction((
       FunctionIdentifier(functions.CosineSimilarity.FnName),
       new ExpressionInfo(classOf[functions.CosineSimilarity].getName,
