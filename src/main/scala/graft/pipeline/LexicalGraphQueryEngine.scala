@@ -68,6 +68,41 @@ final class LexicalGraphQueryEngine(
     }
   }
 
+  /** Semantic mode: beam-expanded chunk seeds → topic statements, through
+    * the full chain (reference chunk_based_semantic_search.py). */
+  def querySemantic(question: String,
+                    scoringMode: String = "cosine",
+                    maxResults: Int = graft.model.Defaults.MaxSearchResults): DataFrame = {
+    val raw = ChunkBasedRetriever.semanticSearch(graph, embed(question),
+      scoringMode = scoringMode)
+    Processors.truncateResults(
+      Processors.truncateStatements(
+        Processors.rescoreResults(Processors.dedupResults(raw))), maxResults)
+  }
+
+  /** Entity-context mode: expand the question's entities into context
+    * strings, re-query per context with shrunken budgets, union
+    * (reference entity_context_search.py:109-153). */
+  def queryEntityContexts(question: String,
+                          maxContexts: Int = graft.model.Defaults.EcMaxContexts): DataFrame = {
+    val kws = graft.retrieve.KeywordProviders.nlp(question) match {
+      case Seq() => graft.llm.QueryOps.keywords(llm, question)
+      case spans => spans
+    }
+    val seeds = graft.retrieve.EntityProvider
+      .entitiesForKeywords(graph, kws)
+      .select(org.apache.spark.sql.functions.col("entity_id"))
+    val tree = graft.retrieve.EntityContextProvider.expand(graph, seeds)
+    val contexts = tree
+      .join(graph.entities, Seq("entity_id"))
+      .orderBy(org.apache.spark.sql.functions.col("depth"),
+        org.apache.spark.sql.functions.col("entity_id"))
+      .select("value").collect().map(_.getString(0)).toSeq
+    graft.retrieve.Retrievers.entityContextSearch(graph,
+      if (contexts.isEmpty) Seq(question) else contexts,
+      embed, maxContexts = maxContexts)
+  }
+
   /** Class-level dominant-path summary over the built graph
     * (reference retrieval/summary/graph_summary.py:60-160). */
   def summary(k: Int = 100): DataFrame =

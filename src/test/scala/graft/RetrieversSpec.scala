@@ -33,6 +33,8 @@ class RetrieversSpec extends SparkSpec {
     for (fmt <- Seq("json", "text", "xml", "yaml", "bedrock_xml"))
       assert(eng.context("spark joins tables", fmt).count() > 0, fmt)
     intercept[IllegalArgumentException](eng.context("q", "toml"))
+    assert(eng.querySemantic("spark joins tables").count() > 0)
+    assert(eng.queryEntityContexts("spark joins tables").count() > 0)
     assert(eng.summary().count() > 0)
     val pruned = eng.deleteSources(
       eng.graph.sources.select("source_id").limit(1))
