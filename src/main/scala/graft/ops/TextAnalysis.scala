@@ -30,6 +30,33 @@ object TextAnalysis {
       .withColumn("fingerprint", T.fingerprint(t))
   }
 
+  /** Corpus n-gram frequency table: normalized tokens (n=1) or word
+    * shingles (n>1), counted corpus-wide, top `k` with a deterministic
+    * rank. The vocabulary-statistics pass of tokenizer training — one
+    * explode + one map-side-combined aggregation, top-k via
+    * TakeOrderedAndProject, so the only full shuffle is the count. */
+  def ngramFrequencies(docs: DataFrame, textCol: String,
+                       n: Int = 1, k: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be >= 1, got $n")
+    // every occurrence counts, so no shingle dedup (WordShingles is a
+    // set-sketch primitive): raw sliding windows over the token array
+    val toks = split(T.searchStr(col(textCol)), "\\s+")
+    val grams =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    docs.select(explode(grams).as("gram"))
+      .filter(length(col("gram")) > 0)
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("gram"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), col("gram"))))
+  }
+
   /** Corpus quality filter: keep docs above a score threshold and within a
     * token-length band — the standard pre-training corpus gate. */
   def qualityFilter(docs: DataFrame, textCol: String,

@@ -82,6 +82,14 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // extended: corpus vocabulary stats — bigram frequency top-200 (the
+    // tokenizer-training counting pass; every occurrence counts).
+    "q_ngram_freq" -> ((s, dir) => {
+      TextAnalysis.ngramFrequencies(t(s, dir, "documents"), "text",
+        n = 2, k = 200)
+        .orderBy(col("rank"))
+    }),
+
     // extended: deterministic stratified hash sampling — the training-mix
     // rebalancing step; per-row hash decisions replay in any engine.
     "q_stratified_sample" -> ((s, dir) => {
@@ -293,6 +301,22 @@ object TextQueries {
     "q_minhash_lsh" -> minhashOracle,
     "q_dedup_components" -> componentsOracle,
     "q_simhash" -> simhashOracle,
+
+    "q_ngram_freq" ->
+      s"""WITH toks AS (
+         |  SELECT string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents),
+         |grams AS (
+         |  SELECT unnest(list_transform(range(0, greatest(len(toks)-2, -1)+1),
+         |    i -> toks[i+1]||' '||toks[i+2])) AS gram
+         |  FROM toks WHERE len(toks) >= 2),
+         |freq AS (
+         |  SELECT gram, count(*) AS freq FROM grams
+         |  WHERE length(gram) > 0 GROUP BY gram
+         |  ORDER BY freq DESC, gram LIMIT 200)
+         |SELECT gram, freq,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, gram) AS INT) AS rank
+         |FROM freq ORDER BY rank""".stripMargin,
 
     "q_stratified_sample" ->
       s"""SELECT doc_id, source FROM documents

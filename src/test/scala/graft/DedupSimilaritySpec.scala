@@ -87,6 +87,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(partial.toSet.subsetOf(vecs.select("vec_id").as[Long].collect().toSet))
   }
 
+  test("ngramFrequencies counts every occurrence, ranks deterministically") {
+    import graft.ops.TextAnalysis
+    val docs = Seq("a b a b c", "a b x", "z").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val uni = TextAnalysis.ngramFrequencies(docs, "text", n = 1, k = 10)
+      .select("gram", "freq").as[(String, Long)].collect().toMap
+    assert(uni("a") == 3 && uni("b") == 3 && uni("c") == 1 && uni("z") == 1)
+    val bi = TextAnalysis.ngramFrequencies(docs, "text", n = 2, k = 10)
+      .select("gram", "freq", "rank").as[(String, Long, Int)].collect()
+    assert(bi.head == (("a b", 3L, 1))) // occurrences, not distinct-per-doc
+    assert(bi.map(_._1).toSet.contains("b a"))
+    // single-token doc contributes no bigrams; short docs don't blow up
+    assert(!bi.map(_._1).exists(_.contains("z")))
+  }
+
   test("hash sampling is deterministic, monotone in rate, and stratified") {
     import graft.ops.Sampling
     val df = spark.range(1000).toDF("id")
