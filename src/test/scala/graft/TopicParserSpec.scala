@@ -95,6 +95,46 @@ class TopicParserSpec extends SparkSpec {
     assert(parseExtractedTopics("")._1.isEmpty)
   }
 
+  test("render -> parse round-trips arbitrary well-formed extractions") {
+    import org.scalacheck.Gen
+    // values chosen fixed-point under the parser's normalization (no
+    // underscores/articles/parens/colons/pipes, classifications Title-case)
+    val word = Gen.choose(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val cls = word.map(w => w.capitalize)
+    val entGen = Gen.zip(word, cls)
+      .map { case (v, c) => TopicParser.ParsedEntity(v, c) }
+    (1 to 10).foreach { _ =>
+      val nTopics = Gen.choose(1, 3).sample.get
+      val topics = (1 to nTopics).map { ti =>
+        val ents = Gen.listOfN(Gen.choose(2, 4).sample.get, entGen).sample.get
+          .distinctBy(_.value)
+        val stmts = (1 to Gen.choose(1, 3).sample.get).map { si =>
+          val s = ents(Gen.choose(0, ents.size - 1).sample.get)
+          val o = ents(Gen.choose(0, ents.size - 1).sample.get)
+          val pred = word.sample.get
+          TopicParser.ParsedStatement(
+            s"stmt $ti $si ${word.sample.get}", Seq.empty,
+            Seq(TopicParser.ParsedFact(s, pred, Some(o), None)))
+        }
+        TopicParser.ParsedTopic(s"topic $ti ${word.sample.get}", ents, stmts)
+      }
+      // render in the reference's response format
+      val raw = topics.map { t =>
+        (Seq(s"topic: ${t.value}", "entities:") ++
+          t.entities.map(e => s"${e.value}|${e.classification}") ++
+          t.statements.flatMap(st =>
+            s"proposition: ${st.value}" +:
+              st.facts.map(f =>
+                s"${f.subject.value}|${f.predicate}|${f.obj.get.value}"))
+          ).mkString("\n")
+      }.mkString("\n")
+      val (parsed, garbage) = TopicParser.parseExtractedTopics(raw)
+      assert(garbage.isEmpty, s"garbage=$garbage\nraw=$raw")
+      assert(parsed == topics, s"raw=$raw")
+    }
+  }
+
   test("two-turn extraction pipeline: prompts -> parser -> graph tables") {
     import graft.index.ExtractionPipeline
     // deterministic stand-ins emitting the reference response formats:
