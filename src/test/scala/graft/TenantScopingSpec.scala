@@ -35,4 +35,25 @@ class TenantScopingSpec extends SparkSpec {
     // conf unset -> rule inert again
     assert(spark.read.parquet(s"$dir/chunks").count() == 3)
   }
+
+  test("FilterAst predicates reach the parquet scan as pushed filters") {
+    import graft.filter.FilterAst
+    val dir = Files.createTempDirectory("pushdown").toString + "/t"
+    Seq(("a", 5, "web", "pad"), ("b", 9, "pdf", "pad"), ("c", 2, "web", "pad"))
+      .toDF("id", "score", "source", "unused").write.parquet(dir)
+    val pred = FilterAst.And(Seq(
+      FilterAst.Pred("source", FilterAst.Eq, "web"),
+      FilterAst.Pred("score", FilterAst.Gt, 3)))
+    val q = spark.read.parquet(dir)
+      .filter(FilterAst.compile(pred, col)).select("id")
+    assert(q.as[String].collect().toSeq == Seq("a"))
+    // the compiled Column lands in the scan's PushedFilters, not a
+    // post-scan Filter-only plan — the §4 pushdown guarantee
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:"), scan)
+    assert(scan.contains("EqualTo(source,web)") &&
+      scan.contains("GreaterThan(score,3)"), scan)
+    // and column pruning: the unreferenced column never reaches the scan
+    assert(scan.contains("ReadSchema") && !scan.contains("unused"), scan)
+  }
 }
