@@ -105,6 +105,20 @@ object TextFunctions {
    * Document fingerprint: min-of-shingle-hashes (a 1-row minhash), stable
    * across whitespace differences. 60-bit positive value from md5.
    */
+  /** PII redaction: emails → `<EMAIL>`, phone-shaped sequences → `<PHONE>`,
+    * long bare digit runs → `<NUMBER>`. Pure regex columns (codegen'd, one
+    * narrow pass — viable as a first scrub over raw corpora); patterns are
+    * deliberately RE2-compatible so the same rules replay in any engine. */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    // a phone shape needs at least one separator after the prefix digits,
+    // else every long digit run would claim <PHONE> and <NUMBER> never fires
+    val phone = regexp_replace(email,
+      "\\+?[0-9]{1,3}[ ().\\-][0-9().\\- ]{5,}[0-9]", "<PHONE>")
+    regexp_replace(phone, "\\b[0-9]{9,}\\b", "<NUMBER>")
+  }
+
   def fingerprint(c: Column, shingle: Int = 3): Column = {
     val toks = split(searchStr(c), "\\s+")
     val n = size(toks)

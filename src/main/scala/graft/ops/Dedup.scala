@@ -74,6 +74,43 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Cross-corpus near-dup candidates: corpus rows whose minhash bands
+   * collide with any benchmark row — the decontamination sweep every
+   * training-data pipeline runs before a release (drop training documents
+   * that leak evaluation data). Same banded shape as [[minhashLsh]], but
+   * the join is corpus × benchmark instead of a self-join, so cost is
+   * linear in each side and the (small) benchmark side's banded buckets
+   * broadcast. Returns (corpus_id, bench_id, jaccard_est).
+   */
+  def crossCorpusNearDup(
+      corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    graft.functions.MinhashSignature.register(corpus.sparkSession)
+    def banded(df: DataFrame, textCol: String, idCol: String) = df
+      .select(col(idCol).as("id"),
+        graft.functions.MinhashSignature
+          .signature(col(textCol), numHashes, shingleSize).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        md5(concat_ws(",", col("band"),
+          concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows))))))
+    val c = banded(corpus, corpusTextCol, corpusIdCol)
+      .select(col("bucket"), col("id").as("corpus_id"), col("sig").as("sig_c"))
+    val b = banded(bench, benchTextCol, benchIdCol)
+      .select(col("bucket"), col("id").as("bench_id"), col("sig").as("sig_b"))
+    c.join(b, Seq("bucket"))
+      .select(col("corpus_id"), col("bench_id"),
+        (size(filter(zip_with(col("sig_c"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+          lit(numHashes.toDouble)).as("jaccard_est"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs (or as a brute-force
     * verifier over a pre-filtered pair set). `pairs` has (id_a, id_b). */
   def ngramJaccard(

@@ -82,6 +82,28 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // extended: decontamination sweep — corpus docs whose minhash bands
+    // collide with a benchmark set (here: the first 10 docs standing in for
+    // an eval set; every true member collides with itself at jaccard 1).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusNearDup(
+        docs, "text", "doc_id",
+        docs.filter(col("doc_id") < 10), "text", "doc_id",
+        numHashes = 16, bands = 8, shingleSize = 3)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
+    // extended: PII scrub — emails/phones/long digit runs redacted in one
+    // narrow regex pass over synthesized contact lines.
+    "q_redact_pii" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1 (555) 123-4567 ref 123456789012")))
+        .select(col("doc_id"), T.redactPii(col("dirty")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: corpus vocabulary stats — bigram frequency top-200 (the
     // tokenizer-training counting pass; every occurrence counts).
     "q_ngram_freq" -> ((s, dir) => {
@@ -301,6 +323,34 @@ object TextQueries {
     "q_minhash_lsh" -> minhashOracle,
     "q_dedup_components" -> componentsOracle,
     "q_simhash" -> simhashOracle,
+
+    // bench side = corpus subset, so the banded-bucket CTEs are shared and
+    // the cross join restricts one side.
+    "q_decontaminate" ->
+      s"""WITH ${minhashCteFor("documents")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS bench_id
+         |  FROM buck a JOIN buck b USING (bucket)
+         |  WHERE b.doc_id < 10)
+         |SELECT corpus_id, bench_id,
+         |  CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)/16.0
+         |    AS jaccard_est
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = corpus_id
+         |JOIN sig sb ON sb.doc_id = bench_id
+         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q_redact_pii" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        text || ' contact user' || doc_id ||
+         |          '@example.com or +1 (555) 123-4567 ref 123456789012',
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\+?[0-9]{1,3}[ ().\\-][0-9().\\- ]{5,}[0-9]', '<PHONE>', 'g'),
+         |    '\\b[0-9]{9,}\\b', '<NUMBER>', 'g') AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ngram_freq" ->
       s"""WITH toks AS (

@@ -87,6 +87,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(partial.toSet.subsetOf(vecs.select("vec_id").as[Long].collect().toSet))
   }
 
+  test("crossCorpusNearDup flags corpus docs colliding with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about spark dataframes and joins here"),
+      (3L, "THE QUICK BROWN FOX jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("bench_id", "text")
+    val hits = Dedup.crossCorpusNearDup(corpus, "text", "doc_id",
+      bench, "text", "bench_id")
+      .as[(Long, Long, Double)].collect()
+    // doc 1 exact and doc 3 case-variant both collide at jaccard 1.0
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((1L, 100L), (3L, 100L)))
+    assert(hits.forall(_._3 == 1.0))
+  }
+
   test("ngramFrequencies counts every occurrence, ranks deterministically") {
     import graft.ops.TextAnalysis
     val docs = Seq("a b a b c", "a b x", "z").toDF("text")

@@ -95,4 +95,17 @@ class FunctionsSpec extends SparkSpec {
     assert(sims(0) == sims(1))
     assert(sims(0) >= 0 && sims(0) < (1L << 32))
   }
+
+  test("redactPii scrubs emails, phones, and long digit runs") {
+    import graft.functions.TextFunctions
+    def red(s: String): String =
+      Seq(s).toDF("t").select(TextFunctions.redactPii(col("t")))
+        .as[String].head()
+    assert(red("mail a.b+c@ex-ample.co.uk now") == "mail <EMAIL> now")
+    assert(red("call +1 (555) 123-4567 today") == "call <PHONE> today")
+    assert(red("ssn-ish 123456789012 ok") == "ssn-ish <NUMBER> ok")
+    // short numbers and plain words survive
+    assert(red("version 4.1.2 port 8080") == "version 4.1.2 port 8080")
+    assert(red("a@b") == "a@b") // not a full email
+  }
 }
