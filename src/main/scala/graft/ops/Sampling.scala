@@ -45,4 +45,34 @@ object Sampling {
     }
     df.filter(uniform01(col(idCol), salt) < rateCol)
   }
+
+  /** Rebalance a corpus to target mixture proportions: compute the largest
+    * feasible output size given per-stratum availability, derive each
+    * stratum's keep rate from it, and hash-filter — the data-mixture
+    * assembly step ("X% web, Y% code, Z% academic") done without ever
+    * over-drawing a stratum. Strata not in `targets` are dropped.
+    *
+    * The stratum-count aggregate is one map-side-combined pass; the rate
+    * frame has one row per target stratum (bounded by the map you pass), so
+    * its broadcast is safe at any corpus size. Rates are plain IEEE double
+    * arithmetic on exact counts, so DuckDB replays the decision bit-for-bit. */
+  def targetMix(df: DataFrame, idCol: String, strataCol: String,
+                targets: Map[String, Double], salt: String = ""): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0), "target shares must be positive")
+    val shareCol = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(strataCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_share", shareCol)
+    // max feasible total = min over strata of n_s / share_s
+    val feasible = counts.agg(min(col("_n") / col("_share")).as("_t"))
+    val rates = counts.crossJoin(broadcast(feasible))
+      .withColumn("_rate", least(lit(1.0), col("_share") * col("_t") / col("_n")))
+      .select(col(strataCol), col("_rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(uniform01(col(idCol), salt) < col("_rate"))
+      .drop("_rate")
+  }
 }

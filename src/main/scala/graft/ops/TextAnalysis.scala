@@ -68,4 +68,65 @@ object TextAnalysis {
       T.qualityScore(t, defaultStopwords) >= minScore &&
         T.tokenCount(t).between(minTokens, maxTokens))
   }
+
+  /** Per-document n-gram repetition metrics — the Gopher-style repetition
+    * rules (fraction of duplicate n-grams, most-frequent-n-gram share) that
+    * gate machine-generated or boilerplate text out of a pre-training mix.
+    *
+    * Emits one row per document having at least one n-gram:
+    * (id, total_grams, distinct_grams, dup_gram_frac, top_gram_frac,
+    * repetitive). The explode feeds a two-level aggregation whose first
+    * level is map-side combined on (id, gram) — the shuffle carries one row
+    * per distinct gram per document, never the raw token stream. */
+  def repetitionProfile(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int = 2,
+                        maxDupFrac: Double = 0.3,
+                        maxTopFrac: Double = 0.2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = split(T.searchStr(col(textCol)), "\\s+")
+    val grams =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), explode(grams).as("gram"))
+      .filter(length(col("gram")) > 0)
+      .groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol).agg(
+        sum("cnt").as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max("cnt").as("_top"))
+      .withColumn("dup_gram_frac",
+        lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
+      .withColumn("top_gram_frac",
+        col("_top").cast("double") / col("total_grams"))
+      .withColumn("repetitive",
+        col("dup_gram_frac") > maxDupFrac || col("top_gram_frac") > maxTopFrac)
+      .drop("_top")
+  }
+
+  /** Deterministic stand-in for a fasttext-style linear quality classifier:
+    * every token gets an integer pseudo-weight in [-1000, 1000] derived from
+    * its md5 hash, the document score is the mean weight scaled to [-1, 1],
+    * and the label is the sign. The integer sum makes the score exact under
+    * any partitioning (and DuckDB-replayable); a trained model plugs in by
+    * replacing the hash weight with a broadcast vocabulary lookup — the
+    * Spark-side shape (one narrow in-row pass, no shuffle) is identical. */
+  def hashClassifierScore(docs: DataFrame, textCol: String,
+                          salt: String = "clf"): DataFrame = {
+    val toks = filter(split(T.searchStr(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    val raw = aggregate(toks, lit(0L), (acc, t) =>
+      acc + (graft.functions.HashFunctions.h60(
+        concat_ws("#", lit(salt), t)) % 2001L - 1000L))
+    docs
+      .withColumn("_n", size(toks))
+      .withColumn("clf_score",
+        when(col("_n") === 0, lit(0.0))
+          .otherwise(round(raw / (lit(1000.0) * col("_n")), 6)))
+      .withColumn("clf_keep", when(col("_n") === 0, lit(false))
+        .otherwise(raw > 0))
+      .drop("_n")
+  }
 }

@@ -123,6 +123,47 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: target-mixture rebalance — per-stratum keep rates derived
+    // from the largest feasible total, decided per row by content hash.
+    "q_target_mix" -> ((s, dir) => {
+      graft.ops.Sampling.targetMix(
+        t(s, dir, "documents"), "doc_id", "source",
+        targets = Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+        salt = "mix2")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: sequence packing — deterministic (pack_id, offset) slots in
+    // fixed-token-budget training sequences via a two-pass prefix sum.
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.ops.Packing.packSequences(t(s, dir, "documents"), "doc_id",
+        "text", budget = 2048)
+        .select(col("doc_id"), col("tok_len"), col("start_tok"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: Gopher-style repetition metrics — duplicate-bigram and
+    // top-bigram fractions per document, with the repetition gate flag.
+    "q_repetition_profile" -> ((s, dir) => {
+      TextAnalysis.repetitionProfile(t(s, dir, "documents"), "text",
+        "doc_id", n = 2)
+        .select(col("doc_id"), col("total_grams"), col("distinct_grams"),
+          round(col("dup_gram_frac"), 6).as("dup_gram_frac"),
+          round(col("top_gram_frac"), 6).as("top_gram_frac"),
+          col("repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: fasttext-style quality-classifier seam — deterministic
+    // hash-weight linear scorer, exact integer accumulation.
+    "q_quality_classifier" -> ((s, dir) => {
+      TextAnalysis.hashClassifierScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("clf_score"), col("clf_keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: the composed curation pipeline — quality/length gate →
     // exact dedup (canonical min-id winner + group size) → minhash-LSH
     // near-dup components → keep only cluster representatives. The whole
@@ -375,6 +416,75 @@ object TextQueries {
          |  < (CASE WHEN source = 'src0' THEN 0.8
          |          WHEN source = 'src1' THEN 0.4 ELSE 0.1 END)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_target_mix" ->
+      s"""WITH c AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    CAST(CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
+         |         WHEN 'src2' THEN 0.1 END AS DOUBLE) AS share
+         |  FROM documents WHERE source IN ('src0','src1','src2')
+         |  GROUP BY source),
+         |f AS (SELECT MIN(n/share) AS t FROM c),
+         |r AS (SELECT source,
+         |        LEAST(CAST(1.0 AS DOUBLE), share * f.t / n) AS rate
+         |      FROM c, f)
+         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+         |WHERE CAST(${h60Sql("'mix2'||'#'||doc_id")} AS DOUBLE)
+         |    / 1.152921504606847e18 < rate
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text),'\\s+')) END
+         |      AS BIGINT) AS tok_len
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, tok_len,
+         |    COALESCE(SUM(tok_len) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS start_tok
+         |  FROM t)
+         |SELECT doc_id, tok_len, start_tok,
+         |  start_tok // 2048 AS pack_id,
+         |  start_tok % 2048 AS pack_offset
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_repetition_profile" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, UNNEST(list_transform(range(len(toks)-1),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS gram
+         |  FROM toks WHERE len(toks) >= 2),
+         |c AS (
+         |  SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+         |  WHERE length(gram) > 0 GROUP BY doc_id, gram)
+         |SELECT doc_id, SUM(cnt) AS total_grams, COUNT(*) AS distinct_grams,
+         |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE)/SUM(cnt), 6) AS dup_gram_frac,
+         |  ROUND(CAST(MAX(cnt) AS DOUBLE)/SUM(cnt), 6) AS top_gram_frac,
+         |  ((1.0 - CAST(COUNT(*) AS DOUBLE)/SUM(cnt)) > 0.3
+         |    OR (CAST(MAX(cnt) AS DOUBLE)/SUM(cnt)) > 0.2) AS repetitive
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_quality_classifier" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(${normSql("text")},'\\s+'),
+         |      x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(toks) AS n,
+         |    list_sum(list_transform(toks,
+         |      x -> (${h60Sql("'clf'||'#'||x")} % 2001) - 1000)) AS raw
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE ROUND(raw / (CAST(1000.0 AS DOUBLE) * n), 6) END AS clf_score,
+         |  CASE WHEN n = 0 THEN FALSE ELSE raw > 0 END AS clf_keep
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_curation_pipeline" -> {
       val stops = inListSql(TextAnalysis.defaultStopwords)

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Packing, Sampling, TextAnalysis}
+
+/** Specs for the round-2 training-data curation operators: sequence
+  * packing, target-mixture rebalance, repetition metrics, classifier stub. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences assigns contiguous offsets in id order") {
+    // token lengths: 3, 5, 4, 6 → starts 0, 3, 8, 12; budget 8
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "d e f g h"),
+      (3L, "i j k l"),
+      (4L, "m n o p q r")).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id", "text", budget = 8)
+      .select("doc_id", "tok_len", "start_tok", "pack_id", "pack_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L),
+      (2L, 5L, 3L, 0L, 3L),
+      (3L, 4L, 8L, 1L, 0L),
+      (4L, 6L, 12L, 1L, 4L)))
+    // invariant on a larger frame: starts are the exclusive prefix sum in
+    // id order regardless of partitioning
+    val big = (1L to 500L).map(i => (i, ("w " * ((i % 7) + 1).toInt).trim)).toDF("doc_id", "text")
+      .repartition(7)
+    val rows = Packing.packSequences(big, "doc_id", "text", 64)
+      .select("doc_id", "tok_len", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    rows.foreach { case (_, len, start) =>
+      assert(start == run); run += len
+    }
+  }
+
+  test("targetMix matches requested proportions without over-drawing") {
+    // 600/300/100 available; targets 1:1:2 → src2 is the binding stratum
+    val docs = ((1 to 600).map(i => (i.toLong, "a")) ++
+      (601 to 900).map(i => (i.toLong, "b")) ++
+      (901 to 1000).map(i => (i.toLong, "c")) ++
+      (1001 to 1010).map(i => (i.toLong, "other"))).toDF("doc_id", "src")
+    val out = Sampling.targetMix(docs, "doc_id", "src",
+      Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.5), salt = "s")
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // feasible total = min(600/.25, 300/.25, 100/.5) = 200
+    // expected kept ≈ 50 / 50 / 100 (hash sampling is exact only in
+    // expectation for a<1 rates; c's rate is exactly 1.0 → exactly 100)
+    assert(bySrc("c") == 100L)
+    assert(!bySrc.contains("other"))
+    assert(math.abs(bySrc("a") - 50L) < 25)
+    assert(math.abs(bySrc("b") - 50L) < 25)
+    // monotone determinism: same salt → identical set
+    val again = Sampling.targetMix(docs, "doc_id", "src",
+      Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.5), salt = "s")
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
+
+  test("repetitionProfile computes duplicate and top bigram fractions") {
+    val docs = Seq(
+      (1L, "a b a b a b"),      // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "u v w x y z"),      // 5 distinct bigrams, no repetition
+      (3L, "q")).toDF("doc_id", "text") // no bigram → absent from output
+    val out = TextAnalysis.repetitionProfile(docs, "text", "doc_id", n = 2)
+      .select("doc_id", "total_grams", "distinct_grams", "dup_gram_frac",
+        "top_gram_frac", "repetitive")
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    val d1 = out(0)
+    assert(d1._2 == 5L && d1._3 == 2L)
+    assert(math.abs(d1._4 - 0.6) < 1e-9)       // 1 - 2/5
+    assert(math.abs(d1._5 - 0.6) < 1e-9)       // 3/5
+    assert(d1._6)                               // repetitive
+    val d2 = out(1)
+    assert(d2._4 == 0.0 && !d2._6)
+  }
+
+  test("hashClassifierScore is deterministic, bounded, and sign-labelled") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashClassifierScore(docs, "text")
+      .select("doc_id", "clf_score", "clf_keep")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out(0)._2 == out(2)._2 && out(0)._3 == out(2)._3)
+    assert(out.forall(r => r._2 >= -1.0 && r._2 <= 1.0))
+    assert(out(1)._2 == 0.0 && !out(1)._3) // empty text → score 0, dropped
+    assert(out(0)._3 == (out(0)._2 > 0))
+  }
+}
