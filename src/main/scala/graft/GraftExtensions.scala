@@ -44,5 +44,6 @@ object GraftExtensions {
     functions.CosineSimilarity.register(spark)
     functions.MinhashSignature.register(spark)
     functions.WordShingles.register(spark)
+    functions.WordGrams.register(spark)
   }
 }

@@ -211,3 +211,78 @@ object WordShingles {
   def shingles(text: Column, shingleSize: Int = 3): Column =
     call_function(FnName, text, lit(shingleSize))
 }
+
+/**
+ * All-occurrence word n-grams as one compiled pass — the counting sibling of
+ * [[WordShingles]] (which dedups, set semantics) for frequency passes where
+ * every occurrence counts: corpus vocabulary statistics, repetition metrics.
+ * Matches the interpreted `transform`/`slice`/`concat_ws` construction
+ * exactly, including yielding NO grams when the document has fewer than `n`
+ * tokens (the sketch expression instead emits one short shingle there).
+ */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"word_grams requires STRING input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WordGrams.compute(input.asInstanceOf[UTF8String], n)
+        .map(UTF8String.fromString))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGrams {
+
+  val FnName = "word_grams"
+
+  private val PunctRe = Pattern.compile("\\p{Punct}")
+  private val WsRe = Pattern.compile("\\s+")
+
+  private def normalize(text: UTF8String): String = {
+    val noPunct = PunctRe.matcher(text.toString).replaceAll(" ")
+    val collapsed = WsRe.matcher(noPunct).replaceAll(" ").trim
+    UTF8String.fromString(collapsed).toLowerCase.toString
+  }
+
+  def compute(text: UTF8String, n: Int): Array[String] = {
+    val toks = WsRe.split(normalize(text), -1)
+    if (toks.length < n) return Array.empty
+    val nGrams = toks.length - n + 1
+    val out = new Array[String](nGrams)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var t = i
+      while (t < i + n) {
+        if (t > i) sb.append(' ')
+        sb.append(toks(t))
+        t += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName,
+      exprs => WordGrams(
+        exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+
+  /** Column API ([[register]] first). */
+  def grams(text: Column, n: Int): Column =
+    call_function(FnName, text, lit(n))
+}

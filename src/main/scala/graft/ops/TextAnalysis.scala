@@ -40,14 +40,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"n must be >= 1, got $n")
     // every occurrence counts, so no shingle dedup (WordShingles is a
-    // set-sketch primitive): raw sliding windows over the token array
-    val toks = split(T.searchStr(col(textCol)), "\\s+")
-    val grams =
-      if (n == 1) toks
-      else when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+    // set-sketch primitive): the compiled all-occurrence gram pass — one
+    // tight loop per row instead of the interpreted transform/slice chain
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val grams = graft.functions.WordGrams.grams(col(textCol), n)
     docs.select(explode(grams).as("gram"))
       .filter(length(col("gram")) > 0)
       .groupBy("gram").agg(count(lit(1)).as("freq"))
@@ -83,13 +79,8 @@ object TextAnalysis {
                         maxDupFrac: Double = 0.3,
                         maxTopFrac: Double = 0.2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val toks = split(T.searchStr(col(textCol)), "\\s+")
-    val grams =
-      if (n == 1) toks
-      else when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val grams = graft.functions.WordGrams.grams(col(textCol), n)
     docs.select(col(idCol), explode(grams).as("gram"))
       .filter(length(col("gram")) > 0)
       .groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))

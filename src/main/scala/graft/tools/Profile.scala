@@ -54,6 +54,20 @@ object Profile {
         time("minhashLsh end-to-end") {
           graft.ops.Dedup.minhashLsh(docs, "text", "doc_id").count()
         }
+      case "ngram" =>
+        time("ngramFrequencies (compiled)") {
+          graft.ops.TextAnalysis.ngramFrequencies(docs, "text", 2, 200).count()
+        }
+        time("repetitionProfile (compiled)") {
+          graft.ops.TextAnalysis.repetitionProfile(docs, "text", "doc_id", 2).count()
+        }
+        time("hashClassifierScore") {
+          graft.ops.TextAnalysis.hashClassifierScore(docs, "text").count()
+        }
+        time("packSequences") {
+          graft.ops.Packing.packSequences(docs, "doc_id", "text", 2048).count()
+        }
+
       case "fullchain" =>
         // stage timing for q_full_chain's processor pipeline
         import graft.retrieve.Processors

@@ -77,6 +77,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(d2._4 == 0.0 && !d2._6)
   }
 
+  test("compiled WordGrams matches the interpreted HOF gram construction") {
+    graft.functions.WordGrams.register(spark)
+    val docs = Seq("the quick brown fox", "a", "", "x  y!! z", "one two",
+      "Repeat repeat REPEAT repeat").toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val toks = split(graft.functions.TextFunctions.searchStr(col("text")), "\\s+")
+      val hof =
+        if (n == 1) toks
+        else when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      val rows = docs.select(
+        graft.functions.WordGrams.grams(col("text"), n).as("fast"),
+        hof.as("slow")).as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (fast, slow) => assert(fast == slow, s"n=$n") }
+    }
+  }
+
   test("hashClassifierScore is deterministic, bounded, and sign-labelled") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha beta gamma"))
       .toDF("doc_id", "text")
