@@ -45,5 +45,7 @@ object GraftExtensions {
     functions.MinhashSignature.register(spark)
     functions.WordShingles.register(spark)
     functions.WordGrams.register(spark)
+    functions.TextStats.register(spark)
+    functions.FingerprintHash.register(spark)
   }
 }

@@ -16,18 +16,44 @@ object TextAnalysis {
     Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "that", "it",
       "for", "on", "with", "as", "at", "by", "this")
 
+  /** The metric columns derived from one compiled [[graft.functions.TextStats]]
+    * scan — bit-identical to the composed [[graft.functions.TextFunctions]]
+    * forms (spec-tested), at one scan + one split per row instead of five. */
+  private def derived(st: org.apache.spark.sql.Column): Map[String, org.apache.spark.sql.Column] = {
+    val tokenCount = st("token_count")
+    val punctRatio = when(st("char_len") === 0, 0.0)
+      .otherwise(st("punct_count").cast("double") / st("char_len").cast("double"))
+    val stopRatio = when(st("trimmed_empty"), 0.0)
+      .otherwise(st("stop_count").cast("double") / st("token_count").cast("double"))
+    val meanWordLen = when(st("trimmed_empty"), 0.0)
+      .otherwise(st("word_len_sum").cast("double") / st("token_count").cast("double"))
+    val lenScore = least(tokenCount.cast("double") / 20.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 4.0)
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    Map(
+      "token_count" -> tokenCount,
+      "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopRatio,
+      "mean_word_len" -> meanWordLen,
+      "quality_score" -> ((lenScore + punctScore + stopScore) / 3.0),
+      "lang_pred" -> st("lang"))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(docs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.TextStats.register(docs.sparkSession)
+    graft.functions.FingerprintHash.register(docs.sparkSession)
     val t = col(textCol)
+    val d = derived(graft.functions.TextStats.stats(t))
     docs
-      .withColumn("token_count", T.tokenCount(t))
+      .withColumn("token_count", d("token_count"))
       .withColumn("bpe_token_est", T.bpeTokenEstimate(t))
-      .withColumn("punct_ratio", T.punctRatio(t))
-      .withColumn("stopword_ratio", T.stopwordRatio(t, defaultStopwords))
-      .withColumn("mean_word_len", T.meanWordLen(t))
-      .withColumn("quality_score", T.qualityScore(t, defaultStopwords))
-      .withColumn("lang_pred", T.langId(t))
-      .withColumn("fingerprint", T.fingerprint(t))
+      .withColumn("punct_ratio", d("punct_ratio"))
+      .withColumn("stopword_ratio", d("stopword_ratio"))
+      .withColumn("mean_word_len", d("mean_word_len"))
+      .withColumn("quality_score", d("quality_score"))
+      .withColumn("lang_pred", d("lang_pred"))
+      .withColumn("fingerprint", graft.functions.FingerprintHash.fingerprint(t))
   }
 
   /** Corpus n-gram frequency table: normalized tokens (n=1) or word
@@ -59,10 +85,11 @@ object TextAnalysis {
                     minScore: Double = 0.5,
                     minTokens: Int = 5,
                     maxTokens: Int = 1000000): DataFrame = {
-    val t = col(textCol)
+    graft.functions.TextStats.register(docs.sparkSession)
+    val d = derived(graft.functions.TextStats.stats(col(textCol)))
     docs.filter(
-      T.qualityScore(t, defaultStopwords) >= minScore &&
-        T.tokenCount(t).between(minTokens, maxTokens))
+      d("quality_score") >= minScore &&
+        d("token_count").between(minTokens, maxTokens))
   }
 
   /** Per-document n-gram repetition metrics — the Gopher-style repetition

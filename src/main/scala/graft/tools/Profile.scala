@@ -68,6 +68,30 @@ object Profile {
           graft.ops.Packing.packSequences(docs, "doc_id", "text", 2048).count()
         }
 
+      case "curation" =>
+        import graft.ops.{Dedup, TextAnalysis}
+        var filtered: DataFrame = null
+        time("qualityFilter") {
+          filtered = TextAnalysis.qualityFilter(docs, "text",
+            minScore = 0.3, minTokens = 10, maxTokens = 10000)
+            .localCheckpoint(true)
+          filtered.count()
+        }
+        var canon: DataFrame = null
+        time("exact dedup") {
+          canon = Dedup.exact(filtered, "text", "doc_id").localCheckpoint(true)
+          canon.count()
+        }
+        var pairs: DataFrame = null
+        time("minhashLsh pairs") {
+          pairs = Dedup.minhashLsh(canon, "text", "doc_id",
+            numHashes = 16, bands = 8, shingleSize = 3).localCheckpoint(true)
+          pairs.count()
+        }
+        time("connectedComponents") {
+          Dedup.connectedComponents(pairs).count()
+        }
+
       case "fullchain" =>
         // stage timing for q_full_chain's processor pipeline
         import graft.retrieve.Processors

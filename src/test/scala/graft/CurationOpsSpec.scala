@@ -96,6 +96,32 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("compiled TextStats-derived profile matches the composed Column forms") {
+    import graft.functions.{TextFunctions => T}
+    val tricky = Seq(
+      "the quick brown fox", "", "   ", "\t", "a  b\tc\nd", " leading",
+      "trailing ", "all punct !!! ???", "der die das und ist",
+      "le la de et un est", "x", "ümläut ÜBER straße",
+      "the the the the the", "no stop words here whatsoever",
+      "mixed 123 numbers 456 and, punct; everywhere!").toDF("text")
+    val compiled = graft.ops.TextAnalysis.profile(tricky, "text")
+      .select("text", "token_count", "punct_ratio", "stopword_ratio",
+        "mean_word_len", "quality_score", "lang_pred", "fingerprint")
+    val composed = tricky.select(col("text"),
+      T.tokenCount(col("text")).as("token_count"),
+      T.punctRatio(col("text")).as("punct_ratio"),
+      T.stopwordRatio(col("text"), graft.ops.TextAnalysis.defaultStopwords)
+        .as("stopword_ratio"),
+      T.meanWordLen(col("text")).as("mean_word_len"),
+      T.qualityScore(col("text"), graft.ops.TextAnalysis.defaultStopwords)
+        .as("quality_score"),
+      T.langId(col("text")).as("lang_pred"),
+      T.fingerprint(col("text")).as("fingerprint"))
+    val a = compiled.collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = composed.collect().map(_.toSeq).sortBy(_.head.toString)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
+  }
+
   test("hashClassifierScore is deterministic, bounded, and sign-labelled") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha beta gamma"))
       .toDF("doc_id", "text")
