@@ -14,7 +14,10 @@ import graft.llm.{LLM, QueryOps}
 object EntityLinker {
 
   /** Fuzzy linking: normalized-levenshtein ratio with the reference's
-    * length-difference gate, top-k per mention via a window. */
+    * length-difference gate, top-k per mention as a k-bounded heap aggregate
+    * (TopKAgg) — the node side is the whole entity vocabulary, so the scored
+    * pairs pre-reduce to ≤ k per mention per partition instead of
+    * shuffle-sorting every (mention, node) score. */
   def fuzzyLink(nodes: DataFrame, nodeCol: String, mentions: Seq[String],
                 k: Int = 3, maxLenDiff: Int = 10): DataFrame = {
     val s = nodes.sparkSession
@@ -25,9 +28,8 @@ object EntityLinker {
         lit(1.0) - levenshtein(lower(col("mention")), lower(col("node")))
           .cast("double") /
           greatest(length(col("mention")), length(col("node"))).cast("double"))
-    val w = Window.partitionBy(col("mention"))
-      .orderBy(desc("score"), col("node"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    graft.functions.TopKAgg.topKPerKeyRanked(scored, Seq("mention"),
+      Seq(negate(col("score")), col("node")), k, "rk")
   }
 
   /** Dense linking: cosine top-k of the query embedding against node

@@ -102,12 +102,15 @@ object Similarity {
               k: Int): DataFrame = {
     val l = left.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
     val r = right.select(col(idCol).as("nid"), col(embCol).as("n_emb"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("nid"))
-    l.crossJoin(broadcast(r))
+    // per-query top-k as a k-bounded heap aggregate (TopKAgg): the scored
+    // pairs reduce map-side to ≤ k rows per query before any shuffle —
+    // a window rank here would shuffle+sort the full |L|×|R| score matrix
+    val scored = l.crossJoin(broadcast(r))
       .filter(col("qid") =!= col("nid"))
       .withColumn("score", cos(l)(col("q_emb"), col("n_emb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("score"))
+    graft.functions.TopKAgg.topKPerKeyRanked(scored, Seq("qid"),
+      Seq(negate(col("score")), col("nid")), k, "rk")
       .select(col("qid"), col("nid"), col("score"), col("rk"))
   }
 }

@@ -38,14 +38,18 @@ object Processors {
   }
 
   /** TruncateStatements: top-n statements per topic
-    * (reference truncate_statements.py:41-87). */
+    * (reference truncate_statements.py:41-87).
+    *
+    * Physical shape: a heap-bounded hash aggregate
+    * ([[graft.functions.TopKAgg]]), not a window rank — the window shuffles
+    * and sorts every statement to its topic's partition before discarding
+    * all but n, while the bounded aggregate pre-reduces to ≤ n rows per
+    * topic per map partition and shuffles only those. Same rows out
+    * (score desc, statement_id tiebreak). */
   def truncateStatements(df: DataFrame,
-                         maxPerTopic: Int = graft.model.Defaults.MaxStatementsPerTopic): DataFrame = {
-    val w = Window.partitionBy("topic_id").orderBy(desc("score"), col("statement_id"))
-    df.withColumn("stmt_rank", row_number().over(w))
-      .filter(col("stmt_rank") <= maxPerTopic)
-      .drop("stmt_rank")
-  }
+                         maxPerTopic: Int = graft.model.Defaults.MaxStatementsPerTopic): DataFrame =
+    graft.functions.TopKAgg.topKPerKey(df, Seq("topic_id"),
+      Seq(negate(col("score")), col("statement_id")), maxPerTopic)
 
   /** TruncateByTokens: keep highest-scored statements while the running token
     * total stays within budget (reference truncate_by_tokens.py:74-164).
@@ -104,12 +108,12 @@ object Processors {
 
   /** DedupResults: merge duplicate statements across retrievers, keeping the
     * best score per statement (reference dedup_results.py:45-97). */
-  def dedupResults(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("statement_id").orderBy(desc("score"), col("source_id"))
-    df.withColumn("dup_rank", row_number().over(w))
-      .filter(col("dup_rank") === 1)
-      .drop("dup_rank")
-  }
+  def dedupResults(df: DataFrame): DataFrame =
+    // best-score winner per statement: a k=1 heap aggregate (map-side
+    // pre-reduce to one row per statement per partition), not a window rank
+    // that shuffles and sorts every duplicate — see TopKAgg
+    graft.functions.TopKAgg.topKPerKey(df, Seq("statement_id"),
+      Seq(negate(col("score")), col("source_id")), 1)
 
   /** DisaggregateResults: one result per topic, topic score = max statement
     * score (reference disaggregate_results.py:39-69). On the flat frame this
