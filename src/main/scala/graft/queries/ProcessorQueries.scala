@@ -119,6 +119,13 @@ object ProcessorQueries {
         Processors.rescoreResults,
         df => Processors.truncateStatements(df, 3),
         df => Processors.truncateRankResults(df, 10),
+        // materialization boundary: rank-truncation bounds the frame to
+        // ≤ max_results sources × topics × 3 statements (the reference's
+        // SearchResultCollection is likewise a materialized list after
+        // retrieval, before formatting). Checkpointing here caps the plan
+        // the formatting tail compiles — without it the whole 16-step
+        // lineage re-enters codegen for every tail step.
+        df => df.localCheckpoint(true),
         df => Processors.updateChunkMetadata(df, chunks),
         df => Processors.clearScores(df),
         df => Processors.statementsToStrings(df, includeFacts = true),
