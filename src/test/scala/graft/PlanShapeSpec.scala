@@ -1,0 +1,79 @@
+package graft
+
+/**
+ * Scale-discipline gate over the physical plans of the declarative query
+ * inventory: nothing in the headline set may plan a CartesianProduct, and
+ * a BroadcastNestedLoopJoin is tolerated only where the build side is
+ * bounded by construction (a scalar aggregate, a literal frame, or a
+ * limit'd top-k) — those are the sites 100×-ing the data cannot blow up.
+ *
+ * Driver-loop queries (beams, BFS, agentic) are excluded: they execute
+ * jobs at plan-construction time and their per-hop join shapes are
+ * asserted by their own specs + the no-unbounded-broadcast spec.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Declarative inventory entries whose full physical plan must be free of
+    * unbounded cross products. */
+  private val declarative = Seq(
+    "q_agg_sums", "q_join_chain", "q_central_materialization",
+    "q_nested_collect", "q_window_topn", "q_window_lag_chain",
+    "q_dedup_window", "q_dedup_exact", "q_minhash_lsh", "q_simhash",
+    "q_union_distinct", "q_anti_join", "q_semi_join", "q_metadata_filter",
+    "q_scd2_intervals", "q_version_merge", "q_version_latest",
+    "q_asof_snapshot", "q_delete_cascade", "q_checkpoint_filter",
+    "q_chunk_split", "q_search_normalize", "q_multitenant_scope",
+    "q_processor_chain", "q_full_chain", "q_lexical_statements",
+    "q_lexical_entities", "q_lexical_relations", "q_text_profile",
+    "q_stratified_sample", "q_redact_pii", "q_decontaminate",
+    "q_ngram_freq", "q_dedup_components", "q_curation_pipeline",
+    "q_embedding_neardup_lsh", "q_cumsum_budget", "q_orderpreserve_dedup")
+
+  /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
+    * (prune), single-row tf-idf corpus stats, literal query vectors. */
+  private val boundedBnlj = Set(
+    "q_processor_chain", "q_full_chain", "q_curation_pipeline",
+    "q_prune_threshold", "q_tfidf_rerank", "q_vector_topk",
+    "q_vector_diverse_topk", "q_ivf_topk_full_probe", "q_statement_diversity")
+
+  test("no CartesianProduct anywhere in the declarative inventory") {
+    val offenders = declarative.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin only on bounded build sides") {
+    val offenders = declarative.filterNot(boundedBnlj).flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected BroadcastNestedLoopJoin in: $offenders")
+  }
+
+  test("parquet scans prune columns: no q_* scan reads the full lineitem row") {
+    // column pruning must reach the file scan (required schema strictly
+    // narrower than the table) for the agg/window inventory entries over
+    // lineitem. AQE off so the scan nodes are reachable in the plan tree.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("q_agg_sums", "q_cumsum_budget", "q_window_topn")) {
+        val reads = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.requiredSchema.fieldNames.toSeq
+          }
+        assert(reads.nonEmpty, s"$name: no file scan found")
+        // full lineitem is 16 columns; every scan in these plans needs < 10
+        assert(reads.forall(_.length < 10),
+          s"$name reads too many columns: $reads")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
