@@ -95,6 +95,22 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // §2.6 top-k per key, scale path: the same rows as a window rank but as
+    // a heap-bounded hash aggregate (graft.functions.TopKAgg /
+    // CollectTopK) — map-side pre-reduction to ≤ k rows per key per
+    // partition instead of shuffle-sorting the corpus. The window twin
+    // above (q_window_topn) stays as the §2.6 window-inventory gate.
+    // (l_orderkey, l_linenumber) is not unique, so the sort key adds
+    // partkey + price to stay total (same rule as q_window_lag_chain).
+    "q_topk_per_key" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+      graft.functions.TopKAgg.topKPerKeyRanked(li, Seq("l_orderkey"),
+        Seq(negate(col("l_extendedprice")), col("l_linenumber"),
+          col("l_partkey")), 2, "rk")
+        .orderBy(col("l_orderkey"), col("rk"))
+    }),
+
     // §2.6 lag/lead linked-list construction (statement/chunk PREVIOUS/NEXT).
     // (l_orderkey, l_linenumber) is not unique in the data, so the window
     // order includes partkey + price to stay total.
@@ -279,6 +295,13 @@ object RelationalQueries {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_topk_per_key" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, rk FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber, l_partkey) AS rk
+        |  FROM lineitem) WHERE rk <= 2 ORDER BY l_orderkey, rk""".stripMargin,
 
     "q_window_lag_chain" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
