@@ -20,15 +20,21 @@ import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions 
 object Dedup {
 
   /** Exact dedup: canonical row per normalized-text hash. Keeps the lowest
-    * `idCol` per group; emits group size so callers can audit collisions. */
+    * `idCol` per group; emits group size so callers can audit collisions.
+    *
+    * One hash aggregate (min_by winner + count), with map-side partial
+    * combine — not a window rank, which would shuffle-sort every duplicate
+    * to its hash's partition. At 100 TB the duplicates ARE the data, so the
+    * pre-reduction to one candidate row per key per map partition is the
+    * difference between shuffling the corpus and shuffling its distinct
+    * keys. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withKey = df.withColumn("dup_key", md5(T.searchStr(col(textCol))))
-    val w = Window.partitionBy(col("dup_key")).orderBy(col(idCol))
-    withKey
-      .withColumn("dup_rank", row_number().over(w))
-      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("dup_key"))))
-      .filter(col("dup_rank") === 1)
-      .drop("dup_rank")
+    val payload = struct(withKey.columns.map(col): _*)
+    withKey.groupBy(col("dup_key"))
+      .agg(min_by(payload, col(idCol)).as("_row"),
+        count(lit(1)).as("dup_count"))
+      .select(col("_row.*") +: Seq(col("dup_count")): _*)
   }
 
   /**
