@@ -15,9 +15,9 @@ object EntityLinker {
 
   /** Fuzzy linking: normalized-levenshtein ratio with the reference's
     * length-difference gate, top-k per mention as a k-bounded heap aggregate
-    * (TopKAgg) — the node side is the whole entity vocabulary, so the scored
-    * pairs pre-reduce to ≤ k per mention per partition instead of
-    * shuffle-sorting every (mention, node) score. */
+    * (TopKAgg) — the node side is the whole entity vocabulary, so the
+    * (mention, node) score set heaps down to k rows per mention in
+    * O(n log k) without the two full sorts of the window-rank plan. */
   def fuzzyLink(nodes: DataFrame, nodeCol: String, mentions: Seq[String],
                 k: Int = 3, maxLenDiff: Int = 10): DataFrame = {
     val s = nodes.sparkSession

@@ -8,15 +8,20 @@ import org.apache.spark.sql.functions.{col, explode, posexplode, struct}
  * (spark-catalyst collect.scala) — a heap-bounded Collect whose partial
  * (map-side) aggregation keeps at most k rows per key per partition.
  *
- * The windowed alternative (`row_number() over (partition by key order by
- * ...) <= k`) shuffles EVERY row to its key's partition and sorts the whole
- * partition before discarding all but k rows. At 100 TB that is the
- * difference between shuffling the corpus and shuffling at most
- * k × |keys| × |map partitions| pre-reduced rows: the per-key truncations in
- * the retrieval chain (top-3 statements per topic, top-10 sources per
- * result — reference truncate_statements.py / truncate_results.py) are
- * bounded-k operators, so the heap aggregate is the right physical shape,
- * with the same rows out.
+ * Relation to the window pattern (`row_number() over (...) <= k`): Spark 4
+ * already bounds THAT shuffle too, via the partial `WindowGroupLimit`
+ * below the exchange — both shapes move O(k × |keys| × |map partitions|)
+ * rows. What the heap aggregate removes is the two SORTS the window plan
+ * keeps (a map-side sort of the full input feeding the partial group
+ * limit, and a reduce-side sort under the final Window): candidates heap
+ * in O(n log k) with no sort at all. The trade: the aggregation buffer
+ * carries the sort-key struct alongside the payload, so shuffled bytes
+ * run wider than the window's plain rows (measured in
+ * `tools.Profile shufflebytes`). Use it where rows-per-key is large and
+ * the sort is the cost (kNN candidates, fuzzy-link scoring, per-key
+ * truncation over wide retrieval rows); for k = 1 prefer a codegen'd
+ * `min_by`/`max_by` winner (half the window's bytes, no object
+ * aggregation — see Dedup.exact, Processors.dedupResults).
  *
  * Ordering: rows rank by the BINARY ascending order of a packed sort-key
  * struct; k smallest survive. Descending numeric keys enter negated (the

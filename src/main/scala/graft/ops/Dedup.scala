@@ -22,12 +22,12 @@ object Dedup {
   /** Exact dedup: canonical row per normalized-text hash. Keeps the lowest
     * `idCol` per group; emits group size so callers can audit collisions.
     *
-    * One hash aggregate (min_by winner + count), with map-side partial
-    * combine — not a window rank, which would shuffle-sort every duplicate
-    * to its hash's partition. At 100 TB the duplicates ARE the data, so the
-    * pre-reduction to one candidate row per key per map partition is the
-    * difference between shuffling the corpus and shuffling its distinct
-    * keys. */
+    * One codegen'd hash aggregate (min_by winner + count) with map-side
+    * partial combine: one candidate row per key per partition crosses the
+    * shuffle and nothing is ever sorted. The window-rank formulation also
+    * pre-reduces on Spark 4 (WindowGroupLimit), but sorts its full input
+    * on both sides of the shuffle and moves ~2× the bytes
+    * (tools.Profile shufflebytes: 0.86 vs 1.84 MB on sf0.1 lineitem). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withKey = df.withColumn("dup_key", md5(T.searchStr(col(textCol))))
     val payload = struct(withKey.columns.map(col): _*)

@@ -102,9 +102,10 @@ object Similarity {
               k: Int): DataFrame = {
     val l = left.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
     val r = right.select(col(idCol).as("nid"), col(embCol).as("n_emb"))
-    // per-query top-k as a k-bounded heap aggregate (TopKAgg): the scored
-    // pairs reduce map-side to ≤ k rows per query before any shuffle —
-    // a window rank here would shuffle+sort the full |L|×|R| score matrix
+    // per-query top-k as a k-bounded heap aggregate (TopKAgg): the |L|×|R|
+    // scored pairs heap down to ≤ k rows per query in O(n log k) with no
+    // sort — the window formulation sorts the full score matrix map-side
+    // before its group limit, and again after the shuffle
     val scored = l.crossJoin(broadcast(r))
       .filter(col("qid") =!= col("nid"))
       .withColumn("score", cos(l)(col("q_emb"), col("n_emb")))

@@ -97,9 +97,10 @@ object RelationalQueries {
 
     // §2.6 top-k per key, scale path: the same rows as a window rank but as
     // a heap-bounded hash aggregate (graft.functions.TopKAgg /
-    // CollectTopK) — map-side pre-reduction to ≤ k rows per key per
-    // partition instead of shuffle-sorting the corpus. The window twin
-    // above (q_window_topn) stays as the §2.6 window-inventory gate.
+    // CollectTopK) — sort-free on both sides of the shuffle, where the
+    // window plan sorts its full input map-side and re-sorts post-shuffle
+    // (both pre-reduce to k rows/key/partition on Spark 4). The window
+    // twin above (q_window_topn) stays as the §2.6 window-inventory gate.
     // (l_orderkey, l_linenumber) is not unique, so the sort key adds
     // partkey + price to stay total (same rule as q_window_lag_chain).
     "q_topk_per_key" -> ((s, dir) => {

@@ -41,11 +41,13 @@ object Processors {
     * (reference truncate_statements.py:41-87).
     *
     * Physical shape: a heap-bounded hash aggregate
-    * ([[graft.functions.TopKAgg]]), not a window rank — the window shuffles
-    * and sorts every statement to its topic's partition before discarding
-    * all but n, while the bounded aggregate pre-reduces to ≤ n rows per
-    * topic per map partition and shuffles only those. Same rows out
-    * (score desc, statement_id tiebreak). */
+    * ([[graft.functions.TopKAgg]]) instead of a window rank. Both
+    * pre-reduce map-side on Spark 4 (WindowGroupLimit bounds the window's
+    * shuffle too); the aggregate additionally drops the map- and
+    * reduce-side sorts of the window plan — the statements frame is wide
+    * (statement text), so sorting it twice costs more than the aggregate's
+    * wider shuffle rows. Same rows out (score desc, statement_id
+    * tiebreak). */
   def truncateStatements(df: DataFrame,
                          maxPerTopic: Int = graft.model.Defaults.MaxStatementsPerTopic): DataFrame =
     graft.functions.TopKAgg.topKPerKey(df, Seq("topic_id"),
@@ -108,12 +110,16 @@ object Processors {
 
   /** DedupResults: merge duplicate statements across retrievers, keeping the
     * best score per statement (reference dedup_results.py:45-97). */
-  def dedupResults(df: DataFrame): DataFrame =
-    // best-score winner per statement: a k=1 heap aggregate (map-side
-    // pre-reduce to one row per statement per partition), not a window rank
-    // that shuffles and sorts every duplicate — see TopKAgg
-    graft.functions.TopKAgg.topKPerKey(df, Seq("statement_id"),
-      Seq(negate(col("score")), col("source_id")), 1)
+  def dedupResults(df: DataFrame): DataFrame = {
+    // best-score winner per statement: one min_by hash aggregate (declarative,
+    // codegen'd, map-side pre-reduce to one row per statement per partition),
+    // not a window rank that shuffles and sorts every duplicate
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy("statement_id")
+      .agg(min_by(payload,
+        struct(negate(col("score")), col("source_id"))).as("_r"))
+      .select(col("_r.*"))
+  }
 
   /** DisaggregateResults: one result per topic, topic score = max statement
     * score (reference disaggregate_results.py:39-69). On the flat frame this

@@ -92,6 +92,104 @@ object Profile {
           Dedup.connectedComponents(pairs).count()
         }
 
+      case "shufflebytes" =>
+        // host-independent evidence for the heap-vs-window top-k: total
+        // shuffle bytes written per job, window rank vs TopKAgg on the
+        // same per-key truncation
+        val written = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+              written.addAndGet(
+                s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          })
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_extendedprice"))
+        li.count()
+        def run(name: String)(f: => Long): Unit = {
+          Thread.sleep(1500)
+          written.set(0)
+          val n = f
+          Thread.sleep(2500)
+          println(f"[profile] $name%-28s shuffleMB=${written.get / 1e6}%8.2f rows=$n")
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey")
+          .orderBy(desc("l_extendedprice"), col("l_linenumber"), col("l_partkey"))
+        run("window rank top-2/key") {
+          li.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2).count()
+        }
+        run("TopKAgg top-2/key") {
+          graft.functions.TopKAgg.topKPerKey(li, Seq("l_orderkey"),
+            Seq(negate(col("l_extendedprice")), col("l_linenumber"),
+              col("l_partkey")), 2).count()
+        }
+        run("window dedup-winner/key") {
+          val wd = org.apache.spark.sql.expressions.Window
+            .partitionBy("l_orderkey").orderBy(col("l_linenumber"), col("l_partkey"))
+          li.withColumn("rk", row_number().over(wd)).filter(col("rk") === 1).count()
+        }
+        run("min_by dedup-winner/key") {
+          li.groupBy("l_orderkey")
+            .agg(min_by(struct(li.columns.map(col): _*),
+              struct(col("l_linenumber"), col("l_partkey"))).as("_r"))
+            .select(col("_r.*")).count()
+        }
+        // many-rows-per-key regime (the fuzzyLink/knnJoin shape: thousands
+        // of candidates per key, k kept) — where the heap pre-reduction
+        // actually pays
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag", "l_linestatus")
+          .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val lif = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+        run("window top-5/flag (100k rows/key)") {
+          lif.withColumn("rk", row_number().over(wf)).filter(col("rk") <= 5).count()
+        }
+        run("TopKAgg top-5/flag (100k rows/key)") {
+          graft.functions.TopKAgg.topKPerKey(lif,
+            Seq("l_returnflag", "l_linestatus"),
+            Seq(negate(col("l_extendedprice")), col("l_orderkey"),
+              col("l_linenumber"), col("l_partkey")), 5).count()
+        }
+
+      case "scaleprobe" =>
+        // would-it-scale probe: documents replicated xN with perturbed ids
+        // and text; per-row cost of the dedup path should stay ~flat
+        val n = if (args.length > 2) args(2).toInt else 16
+        import graft.ops.Dedup
+        val reps = spark.range(0, n).select(col("id").cast("int").as("rep"))
+        val big = docs.crossJoin(reps)
+          .select(concat(col("doc_id"), lit("#"), col("rep")).as("doc_id"),
+            concat(col("text"), lit(" rep"), col("rep")).as("text"))
+          .repartition(32)
+          .localCheckpoint(true)
+        val rows = big.count()
+        println(s"[profile] scaleprobe rows=$rows (${n}x)")
+        time(s"exact dedup ${n}x") {
+          Dedup.exact(big, "text", "doc_id").count()
+        }
+        time(s"minhashLsh pairs ${n}x") {
+          Dedup.minhashLsh(big, "text", "doc_id",
+            numHashes = 16, bands = 8, shingleSize = 3).count()
+        }
+        time(s"text profile ${n}x") {
+          graft.ops.TextAnalysis.profile(big, "text").count()
+        }
+        time("exact dedup 1x") {
+          Dedup.exact(docs, "text", "doc_id").count()
+        }
+        time("minhashLsh pairs 1x") {
+          Dedup.minhashLsh(docs, "text", "doc_id",
+            numHashes = 16, bands = 8, shingleSize = 3).count()
+        }
+        time("text profile 1x") {
+          graft.ops.TextAnalysis.profile(docs, "text").count()
+        }
+
       case "fullchain" =>
         // stage timing for q_full_chain's processor pipeline
         import graft.retrieve.Processors
