@@ -54,14 +54,15 @@ object Dedup {
     val rows = numHashes / bands
     // Signature via the compiled MinhashSignature expression (one tight loop
     // per row — see graft.functions.MinhashSignature for why the composed
-    // higher-order-function form is ~50x slower). The signature frame is
-    // cached because the band self-join below scans it from both sides.
+    // higher-order-function form is ~50x slower). No .cache() for the band
+    // self-join: both sides shuffle the SAME banded subtree, so the second
+    // side resolves to a ReusedExchange and the signature computes once —
+    // a per-call cache here leaked storage until the session died.
     graft.functions.MinhashSignature.register(df.sparkSession)
     val sig = df
       .select(col(idCol).as("id"),
         graft.functions.MinhashSignature
           .signature(col(textCol), numHashes, shingleSize).as("sig"))
-      .cache()
     // One row per (doc, band): bucket key = md5 of the band's signature slice.
     val banded = sig.select(
       col("id"), col("sig"),
