@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions.{col, explode, posexplode, struct}
  * Ordering: rows rank by the BINARY ascending order of a packed sort-key
  * struct; k smallest survive. Descending numeric keys enter negated (the
  * caller builds the key columns), exactly like a sort key list.
+ *
+ * Sort-key columns must be NON-NULL: struct ordering ranks a null field
+ * first (ascending), where the window pattern's `desc` ranks nulls last —
+ * a null score would silently win here and lose there. Every current call
+ * site computes its score, so the contract holds by construction.
  */
 object TopKAgg {
 
