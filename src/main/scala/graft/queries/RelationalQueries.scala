@@ -67,6 +67,21 @@ object RelationalQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // §4/ext. skew-resilient salted join: result must equal the plain
+    // shuffle join row-for-row — the salt only scatters the hot key's rows
+    // across tasks (ops.Skew.saltedJoin; big side lineitem, small side
+    // orders projected to the join key's name).
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(li, ord, "l_orderkey", 8)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+    }),
+
     // §2.4 semi-join (id-set probe, as in `WHERE id IN $list`).
     "q_semi_join" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
@@ -280,6 +295,12 @@ object RelationalQueries {
         |JOIN customer ON n_nationkey = c_nationkey
         |JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  o_custkey, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
