@@ -44,6 +44,24 @@ object VectorQueries {
           round(col("score"), 6).as("score"), col("rr"))
     }),
 
+    // extended: int8-quantized cosine top-k — the 100 TB storage path
+    // (1 byte/dim, 4x less scan bandwidth; per-vector scales cancel in the
+    // cosine so the scan is pure integer math). floor(x+0.5) quantization
+    // replays bit-identically in DuckDB.
+    "q_vector_quantized" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(V.quantizeInt8(col("embedding")).getField("q").as("qq"))
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          V.quantizeInt8(col("embedding")).getField("q").as("q"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), V.cosine(col("q"), col("qq")).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // extended: exact k-NN join (per-query top-k neighbors).
     "q_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -114,6 +132,23 @@ object VectorQueries {
          |  FROM scored)
          |SELECT vec_id, label, round(score, 6) AS score, rr FROM ranked
          |ORDER BY rr, score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_vector_quantized" ->
+      s"""WITH mx AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT e.vec_id,
+         |    list_transform(e.embedding, x -> floor(
+         |      CAST(x AS DOUBLE) *
+         |        (CASE WHEN mx.m = 0.0 THEN 1.0 ELSE 127.0 / mx.m END) + 0.5))
+         |      AS q
+         |  FROM embeddings e JOIN mx USING (vec_id)),
+         |qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosSql("q", "qq")}, 6) AS score
+         |FROM qz, qv WHERE vec_id <> 0
+         |ORDER BY ${cosSql("q", "qq")} DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_knn_join" ->
       s"""SELECT qid, nid, round(score, 6) AS score, rk FROM (

@@ -108,4 +108,38 @@ class FunctionsSpec extends SparkSpec {
     assert(red("version 4.1.2 port 8080") == "version 4.1.2 port 8080")
     assert(red("a@b") == "a@b") // not a full email
   }
+
+  test("int8 quantization: bounds, zero vector, cosine within 1% of fp32") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => V}
+    val r = new scala.util.Random(11)
+    val vecs = (0 until 50).map(i =>
+      (i, Seq.fill(64)(r.nextDouble() * 2 - 1))) :+ (99, Seq.fill(64)(0.0))
+    val df = spark.createDataFrame(vecs).toDF("id", "v")
+      .withColumn("qz", V.quantizeInt8(col("v")))
+    // every quantized component in [-127, 127]
+    val bounds = df.select(
+      min(array_min(col("qz.q"))).as("lo"),
+      max(array_max(col("qz.q"))).as("hi")).head()
+    assert(bounds.getByte(0) >= -127 && bounds.getByte(1) <= 127)
+    // zero vector: scale 1.0, all-zero q
+    val z = df.filter(col("id") === 99)
+      .select(col("qz.scale"), array_max(col("qz.q"))).head()
+    assert(z.getDouble(0) == 1.0 && z.getByte(1) == 0)
+    // quantized cosine tracks fp32 cosine within 1% absolute
+    val q0 = df.filter(col("id") === 0)
+      .select(col("v").as("v0"), col("qz.q").as("q0")).head()
+    val err = df.filter(col("id") =!= 99 && col("id") =!= 0)
+      .select(abs(
+        V.cosine(col("v"), typedLit(q0.getSeq[Double](0))) -
+          V.cosine(col("qz.q"), typedLit(q0.getSeq[Byte](1)))).as("e"))
+      .agg(max("e")).head().getDouble(0)
+    assert(err < 0.01, s"max |cos_fp32 - cos_int8| = $err")
+    // round trip: dequantized values within half a quantization step
+    val rt = df.filter(col("id") === 0).select(
+      array_max(zip_with(col("v"), V.dequantizeInt8(col("qz")),
+        (a, b) => abs(a - b))).as("d"),
+      (lit(0.5) / col("qz.scale")).as("step")).head()
+    assert(rt.getDouble(0) <= rt.getDouble(1) + 1e-12)
+  }
 }
