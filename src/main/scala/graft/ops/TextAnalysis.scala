@@ -108,6 +108,11 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     graft.functions.WordGrams.register(docs.sparkSession)
     val grams = graft.functions.WordGrams.grams(col(textCol), n)
+    // Thresholds as integer micro-units so the gate is exact integer
+    // arithmetic (no IEEE division in the comparison path) — engine- and
+    // partitioning-independent, and replayable bit-for-bit by any SQL oracle.
+    val dupE6 = math.round(maxDupFrac * 1e6)
+    val topE6 = math.round(maxTopFrac * 1e6)
     docs.select(col(idCol), explode(grams).as("gram"))
       .filter(length(col("gram")) > 0)
       .groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
@@ -119,8 +124,17 @@ object TextAnalysis {
         lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
       .withColumn("top_gram_frac",
         col("_top").cast("double") / col("total_grams"))
+      // Exact BIGINT micro-unit twins of the fractions (floor division) —
+      // the canonical output for hash-compared pipelines, since a rounded
+      // DOUBLE can render differently across engines while the underlying
+      // values are equal.
+      .withColumn("dup_gram_e6",
+        expr("(1000000L * (total_grams - distinct_grams)) div total_grams"))
+      .withColumn("top_gram_e6", expr("(1000000L * _top) div total_grams"))
       .withColumn("repetitive",
-        col("dup_gram_frac") > maxDupFrac || col("top_gram_frac") > maxTopFrac)
+        (col("total_grams") - col("distinct_grams")) * lit(1000000L) >
+          lit(dupE6) * col("total_grams") ||
+        col("_top") * lit(1000000L) > lit(topE6) * col("total_grams"))
       .drop("_top")
   }
 

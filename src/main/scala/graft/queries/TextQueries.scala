@@ -150,9 +150,7 @@ object TextQueries {
       TextAnalysis.repetitionProfile(t(s, dir, "documents"), "text",
         "doc_id", n = 2)
         .select(col("doc_id"), col("total_grams"), col("distinct_grams"),
-          round(col("dup_gram_frac"), 6).as("dup_gram_frac"),
-          round(col("top_gram_frac"), 6).as("top_gram_frac"),
-          col("repetitive"))
+          col("dup_gram_e6"), col("top_gram_e6"), col("repetitive"))
         .orderBy(col("doc_id"))
     }),
 
@@ -462,11 +460,13 @@ object TextQueries {
          |c AS (
          |  SELECT doc_id, gram, COUNT(*) AS cnt FROM g
          |  WHERE length(gram) > 0 GROUP BY doc_id, gram)
-         |SELECT doc_id, SUM(cnt) AS total_grams, COUNT(*) AS distinct_grams,
-         |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE)/SUM(cnt), 6) AS dup_gram_frac,
-         |  ROUND(CAST(MAX(cnt) AS DOUBLE)/SUM(cnt), 6) AS top_gram_frac,
-         |  ((1.0 - CAST(COUNT(*) AS DOUBLE)/SUM(cnt)) > 0.3
-         |    OR (CAST(MAX(cnt) AS DOUBLE)/SUM(cnt)) > 0.2) AS repetitive
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total_grams,
+         |  COUNT(*) AS distinct_grams,
+         |  CAST((1000000*(SUM(cnt)-COUNT(*))) // SUM(cnt) AS BIGINT)
+         |    AS dup_gram_e6,
+         |  CAST((1000000*MAX(cnt)) // SUM(cnt) AS BIGINT) AS top_gram_e6,
+         |  ((SUM(cnt)-COUNT(*))*1000000 > 300000*SUM(cnt)
+         |    OR MAX(cnt)*1000000 > 200000*SUM(cnt)) AS repetitive
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_quality_classifier" ->

@@ -75,6 +75,12 @@ class CurationOpsSpec extends SparkSpec {
     assert(d1._6)                               // repetitive
     val d2 = out(1)
     assert(d2._4 == 0.0 && !d2._6)
+    // integer micro-unit twins: exact floor division, no IEEE rounding
+    val e6 = TextAnalysis.repetitionProfile(docs, "text", "doc_id", n = 2)
+      .select("doc_id", "dup_gram_e6", "top_gram_e6")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(e6(0) == ((1L, 600000L, 600000L)))  // (5-2)/5, 3/5
+    assert(e6(1) == ((2L, 0L, 200000L)))       // 0/5, 1/5
   }
 
   test("compiled WordGrams matches the interpreted HOF gram construction") {
