@@ -239,17 +239,26 @@ object Dedup {
       embCol: String,
       idCol: String,
       threshold: Double = 0.95,
-      planes: Int = 0): DataFrame = {
+      planes: Int = 0,
+      exactModeCap: Long = 100000L): DataFrame = {
     graft.functions.CosineSimilarity.register(df.sparkSession)
     val cosExpr = graft.functions.CosineSimilarity.cosine(
       col("emb_a"), col("emb_b"))
     val base = df.select(col(idCol).as("id"), V.toDouble(col(embCol)).as("emb"))
     if (planes <= 0) {
       // Exact mode: broadcast nested-loop join — parallelized by the left
-      // side's partitions instead of collapsing onto one shuffle key.
+      // side's partitions instead of collapsing onto one shuffle key. The
+      // O(n²) contract is enforced, not just documented: an unbounded frame
+      // here would OOM the driver at scale, so refuse loudly and point the
+      // caller at the LSH path.
+      val n = base.count()
+      require(n <= exactModeCap,
+        s"embeddingNearDup exact mode (planes=0) is quadratic: $n rows " +
+          s"exceeds exactModeCap=$exactModeCap; use planes>0 (LSH buckets) " +
+          "or raise the cap explicitly for a verification run")
       val a = base.select(col("id").as("id_a"), col("emb").as("emb_a"))
       val b = base.select(col("id").as("id_b"), col("emb").as("emb_b"))
-      return a.crossJoin(broadcast(b))
+      return a.crossJoin(Joins.gatedBroadcast(b, n))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), cosExpr.as("cos"))
         .filter(col("cos") >= threshold)

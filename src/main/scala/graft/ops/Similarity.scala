@@ -97,16 +97,24 @@ object Similarity {
   }
 
   /** Exact k-NN join: for each left row, its k nearest right rows by cosine.
-    * Quadratic — for bounded right sides (broadcast) or verification only. */
+    * Quadratic — for bounded right sides (broadcast) or verification only;
+    * the bound is enforced via `maxRightRows` (an unbounded right side
+    * would OOM the driver's broadcast at scale). Route large right sides
+    * through [[ivfTopK]] instead. */
   def knnJoin(left: DataFrame, right: DataFrame, embCol: String, idCol: String,
-              k: Int): DataFrame = {
+              k: Int, maxRightRows: Long = 100000L): DataFrame = {
     val l = left.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
     val r = right.select(col(idCol).as("nid"), col(embCol).as("n_emb"))
+    val n = r.count()
+    require(n <= maxRightRows,
+      s"knnJoin is exact-quadratic: right side has $n rows, over " +
+        s"maxRightRows=$maxRightRows; use ivfTopK or raise the cap " +
+        "explicitly for a verification run")
     // per-query top-k as a k-bounded heap aggregate (TopKAgg): the |L|×|R|
     // scored pairs heap down to ≤ k rows per query in O(n log k) with no
     // sort — the window formulation sorts the full score matrix map-side
     // before its group limit, and again after the shuffle
-    val scored = l.crossJoin(broadcast(r))
+    val scored = l.crossJoin(Joins.gatedBroadcast(r, n))
       .filter(col("qid") =!= col("nid"))
       .withColumn("score", cos(l)(col("q_emb"), col("n_emb")))
       .select(col("qid"), col("nid"), col("score"))

@@ -167,4 +167,22 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(bucketed.subsetOf(exact))
   }
+
+  test("quadratic exact modes refuse unbounded inputs (enforced contracts)") {
+    // embeddingNearDup planes=0 trips its row cap before any cross join
+    val e = intercept[IllegalArgumentException](
+      Dedup.embeddingNearDup(vecs, "embedding", "vec_id", 0.9,
+        planes = 0, exactModeCap = 2L))
+    assert(e.getMessage.contains("quadratic"))
+    // knnJoin trips its right-side cap
+    val k = intercept[IllegalArgumentException](
+      graft.ops.Similarity.knnJoin(vecs, vecs, "embedding", "vec_id",
+        k = 2, maxRightRows = 2L))
+    assert(k.getMessage.contains("quadratic"))
+    // and both still work under the cap (the guard is a gate, not a break)
+    assert(Dedup.embeddingNearDup(vecs, "embedding", "vec_id", 0.9,
+      planes = 0).count() >= 2)
+    assert(graft.ops.Similarity.knnJoin(vecs, vecs, "embedding", "vec_id",
+      k = 2).count() > 0)
+  }
 }
