@@ -172,37 +172,71 @@ object Dedup {
   /** Connected components of the near-duplicate pair graph: every node gets
     * the minimum id reachable from it. Cluster canonicalization is the step
     * after pair generation in every large-scale dedup pipeline — pick one
-    * representative per duplicate cluster, drop the rest. Iterative
-    * min-label propagation: one join + one aggregation per round, each round
-    * localCheckpoint'd so the loop's lineage stays flat; rounds needed =
-    * cluster diameter, and near-dup clusters are shallow (pairs are
-    * transitive at high thresholds). At 100 TB both sides shuffle on the
-    * node id — no driver-side state beyond the converged flag. */
+    * representative per duplicate cluster, drop the rest.
+    *
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round contracts
+    * every node's larger neighbors (large-star) then its smaller ones
+    * (small-star) onto the local minimum, halving star depth, so the loop
+    * converges in O(log n) rounds — where plain min-label propagation needs
+    * O(diameter) rounds and an adversarial near-dup chain makes that O(n).
+    * Per round: two grouped mins + two joins, all shuffling on node id;
+    * each round localCheckpoint'd so lineage stays flat. No driver-side
+    * state beyond the converged flag. */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds executed — exposed
+    * so specs can assert the O(log n) bound on chain fixtures. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical orientation u > v; self-pairs dropped
+    val raw = pairs.select(
+        greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct().localCheckpoint(true)
+
+    var edges = raw
     var it = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && it < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("_dc")),
-          Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("_dc")).as("_nc"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("_nc"), col("comp"))).as("comp"),
-          (col("comp") > col("_nc")).as("_chg"))
-        .localCheckpoint(true)
-      converged = next.filter(col("_chg") === true).limit(1).isEmpty
-      labels = next.select("id", "comp")
+      // large-star: each neighbor y > x re-links to min(N(x) ∪ {x})
+      val adj = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val lmin = adj.groupBy("x").agg(min("y").as("m0"))
+        .select(col("x"), least(col("m0"), col("x")).as("m"))
+      val large = adj.join(lmin, Seq("x"))
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: x and all its (smaller) neighbors link to the min
+      val smin = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smin, Seq("u"))
+        .select(col("v").as("n"), col("m"))
+        .union(smin.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      // exact fixpoint test: both sides are distinct sets, so equal counts
+      // plus an empty one-sided except means set equality
+      converged = small.count() == edges.count() &&
+        small.except(edges).limit(1).isEmpty
+      edges = small
       it += 1
     }
-    labels
+    // converged state is a star forest rooted at each component's min;
+    // roots (and any isolated canonicalized-away nodes) label themselves
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("_c")), Seq("id"),
+        "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("comp"))
+    (labels, it)
   }
 
   /** SimHash near-dup: docs whose 32-bit simhashes differ in ≤ maxHamming bits.

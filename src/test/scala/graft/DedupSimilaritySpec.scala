@@ -159,6 +159,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pc.values.toSet == Set(1L) && pc.size == 9)
   }
 
+  test("connectedComponents: O(log n) rounds on an adversarial chain") {
+    // a 128-node path has diameter 127: min-label propagation would need
+    // ~127 rounds; large-star/small-star must stay logarithmic
+    val path = (1L to 128L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(path)
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.size == 128 && m.values.toSet == Set(1L))
+    assert(rounds <= 10, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
   test("embeddingNearDup with sign-plane buckets keeps true near-dups") {
     val exact = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", 0.9, planes = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
