@@ -148,21 +148,58 @@ object Readers {
       .toDF("doc_id", "text")
   }
 
-  /** Binary document formats: require an external codec (PDFBox/POI
-    * equivalents), not available here — fail loudly rather than silently
-    * mis-parse. */
+  /** Pluggable binary-parser registry: `(format, bytes => text)`. The
+    * external codecs the reference wraps (pdf/docx/pptx provider classes)
+    * are not in this container, so the parse step is an injected seam —
+    * same discipline as the LLM and HTTP-fetch seams. A registered parser
+    * runs distributed inside mapPartitions over Spark's `binaryFile`
+    * source (which already does listing, splitting, and file-size
+    * metadata); with no parser registered the format readers keep failing
+    * loudly instead of silently mis-parsing. */
+  private val parsers =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Byte] => String]
+
+  def registerParser(format: String, parse: Array[Byte] => String): Unit =
+    parsers.put(format.toLowerCase, parse)
+
+  def unregisterParser(format: String): Unit =
+    parsers.remove(format.toLowerCase)
+
+  /** Binary files under `path` with extension `format`, parsed to the
+    * (doc_id, text) contract by the registered parser. The parser function
+    * is captured by value into the task closure — executors never consult
+    * the driver-side registry. Files stream through `binaryFile`'s lazy
+    * content column, one parse call per file, partitioned by the source's
+    * file-splitting (binary content never enters a shuffle). */
+  def binaryDocuments(spark: SparkSession, path: String,
+                      format: String): DataFrame = {
+    val parse = parsers.getOrElse(format.toLowerCase, unsupported(format))
+    import org.apache.spark.sql.Encoders
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.${format.toLowerCase}")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](Encoders.product[(String, Array[Byte])])
+      .mapPartitions(it => it.map { case (p, bytes) => (p, parse(bytes)) })(
+        Encoders.product[(String, String)])
+      .toDF("doc_id", "text")
+  }
+
+  /** Binary document formats: route through the parser seam; without a
+    * registered codec they fail loudly rather than silently mis-parse. */
   def pdf(spark: SparkSession, path: String): DataFrame =
-    unsupported("pdf")
+    binaryDocuments(spark, path, "pdf")
   def docx(spark: SparkSession, path: String): DataFrame =
-    unsupported("docx")
+    binaryDocuments(spark, path, "docx")
   def pptx(spark: SparkSession, path: String): DataFrame =
-    unsupported("pptx")
+    binaryDocuments(spark, path, "pptx")
 
   private def unsupported(fmt: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$fmt reading requires an external codec; wire a parser into " +
-        "binaryFiles + mapPartitions (see graft.ops.Multimodal for the " +
-        "batching shape)")
+      s"$fmt reading requires an external codec: register one with " +
+        s"Readers.registerParser(\"$fmt\", bytes => text) — it runs " +
+        "distributed via binaryFile + mapPartitions (see " +
+        "graft.ops.Multimodal for the batching shape)")
 }
 
 /**

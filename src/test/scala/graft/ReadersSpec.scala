@@ -118,8 +118,38 @@ class ReadersSpec extends SparkSpec {
       Set("raw_sources", "chunks", "sources"))
   }
 
-  test("binary document formats fail loudly") {
-    intercept[UnsupportedOperationException](Readers.pdf(spark, "/tmp/x.pdf"))
+  test("binary document formats fail loudly when no parser is registered") {
+    val e = intercept[UnsupportedOperationException](
+      Readers.pdf(spark, "/tmp/x.pdf"))
+    assert(e.getMessage.contains("registerParser"))
     intercept[UnsupportedOperationException](Readers.docx(spark, "/tmp/x.docx"))
+  }
+
+  test("binary parser seam: registered codec parses golden files distributed") {
+    // golden fixture: a fake "pdf" whose body is a GOLD1 header + UTF-8
+    // payload; the registered parser validates the header and extracts the
+    // payload — standing in for a PDFBox-style codec behind the same seam
+    val dir = Files.createTempDirectory("bindocs").toFile
+    def put(name: String, text: String): Unit = {
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      out.write(("GOLD1" + text).getBytes("UTF-8")); out.close()
+    }
+    put("a.pdf", "alpha body")
+    put("b.pdf", "beta body")
+    put("ignored.txt", "not a pdf")
+    Readers.registerParser("pdf", bytes => {
+      val s = new String(bytes, "UTF-8")
+      require(s.startsWith("GOLD1"), "bad magic")
+      s.drop(5)
+    })
+    try {
+      val out = Readers.pdf(spark, dir.getAbsolutePath)
+        .select(col("doc_id"), col("text")).as[(String, String)]
+        .collect().sortBy(_._1)
+      assert(out.map(_._2).toSeq == Seq("alpha body", "beta body"))
+      assert(out.forall(_._1.endsWith(".pdf")))  // glob filtered the .txt
+    } finally Readers.unregisterParser("pdf")
+    // seam is per-format: registering pdf does not unlock docx
+    intercept[UnsupportedOperationException](Readers.docx(spark, dir.getAbsolutePath))
   }
 }
