@@ -58,6 +58,30 @@ object LexicalQueries {
         .orderBy(desc("score"), col("path"))
     }),
 
+    // §2.12 include_domain_labels (entity_graph_builder.py:115-127 +
+    // graph_utils.py label_from): each classified entity's domain label
+    // projected from its classification; local entities carry none. The
+    // messy-input label grammar (punct/underscore collapse, capwords,
+    // `__...__` passthrough) is spec-gated with adversarial fixtures in
+    // GraphBuilderSpec; this oracle gates the graph wiring end-to-end.
+    "q_domain_labels" -> ((s, dir) => {
+      graft.index.DomainLabels.withDomainLabels(
+        Tables.lexicalGraphClassified(s, dir).entities)
+        .select(col("entity_id"), col("value"), col("classification"),
+          col("label"))
+        .orderBy(col("entity_id"))
+    }),
+
+    // §2.5 tenant-axis graph summary (graph_summary.py:83-138): per-tenant
+    // dominant class paths over two coexisting tenants — t0 = full corpus,
+    // t1 = the src0 subset — ranked per tenant by the TopKAgg heap.
+    "q_tenant_summary" -> ((s, dir) => {
+      graft.retrieve.GraphSummary.tenantClassPaths(
+        Seq("t0" -> Tables.lexicalGraphClassified(s, dir),
+            "t1" -> Tables.lexicalGraphClassifiedT1(s, dir)), k = 10)
+        .orderBy(col("tenant_id"), col("rk"))
+    }),
+
     // §2.4 keyword → entity lookup (entity_provider.py:30-110): exact
     // search_str match with optional `kw|Class` filter, fact-degree scores,
     // STARTS WITH fallback for unmatched keywords. 'join' and 'hash|Token'
@@ -189,11 +213,11 @@ object LexicalQueries {
        |  SELECT *, unnest(range(0, greatest(len(ctoks)-1, 0)+1, 8)) AS sstart
        |  FROM chunks2),
        |stmts AS (
-       |  SELECT topic_id,
+       |  SELECT source, topic_id,
        |    array_to_string(list_slice(ctoks, sstart+1, sstart+8), ' ') AS stmt_text
        |  FROM st),
        |stmts2 AS (
-       |  SELECT topic_id, stmt_text,
+       |  SELECT source, topic_id, stmt_text,
        |    's:'||substr(md5(topic_id||'|'||stmt_text),1,8) AS statement_id,
        |    string_split(stmt_text, ' ') AS stoks
        |  FROM stmts WHERE length(stmt_text) > 0)""".stripMargin
@@ -257,6 +281,63 @@ object LexicalQueries {
          |  FROM rel GROUP BY 1, 2)
          |SELECT '('||sc||')-[NEAR]->('||dc||')' AS path, score
          |FROM cp ORDER BY score DESC, path LIMIT 100""".stripMargin
+    },
+
+    "q_domain_labels" -> {
+      val clsList = Tables.InferredClassifications
+        .map(c => s"'$c'").mkString("[", ",", "]")
+      def clsSql(v: String) =
+        s"list_extract($clsList, CAST(${TextQueries.h60Sql(v)} % ${Tables.InferredClassifications.size} AS INT) + 1)"
+      // label_from replicated: punct/underscore collapse, capwords, join
+      val labelSql =
+        """CASE WHEN starts_with(classification,'__') AND ends_with(classification,'__')
+          |  THEN classification
+          |  ELSE array_to_string(list_transform(
+          |    list_filter(string_split_regex(trim(regexp_replace(
+          |      classification, '([^\s\w]|_)+', ' ', 'g')), '\s+'),
+          |      w -> length(w) > 0),
+          |    w -> upper(substr(w,1,1))||lower(substr(w,2))), '')
+          |END""".stripMargin
+      s"""WITH $stmtCte,
+         |vals AS (
+         |  SELECT stoks[1] AS value FROM stmts2
+         |  UNION ALL
+         |  SELECT stoks[len(stoks)] FROM stmts2),
+         |cl AS (
+         |  SELECT DISTINCT value, ${clsSql("value")} AS classification FROM vals)
+         |SELECT 'e:'||substr(md5(value||'|'||classification||'|'||'t0'),1,8) AS entity_id,
+         |  value, classification, $labelSql AS label
+         |FROM cl WHERE classification <> '__Local_Entity__'
+         |ORDER BY entity_id""".stripMargin
+    },
+
+    "q_tenant_summary" -> {
+      val clsList = Tables.InferredClassifications
+        .map(c => s"'$c'").mkString("[", ",", "]")
+      def clsSql(v: String) =
+        s"list_extract($clsList, CAST(${TextQueries.h60Sql(v)} % ${Tables.InferredClassifications.size} AS INT) + 1)"
+      s"""WITH $stmtCte,
+         |relall AS (
+         |  SELECT DISTINCT sv, ov FROM (
+         |    SELECT stoks[1] AS sv, stoks[len(stoks)] AS ov FROM stmts2)),
+         |rel1 AS (
+         |  SELECT DISTINCT stoks[1] AS sv, stoks[len(stoks)] AS ov
+         |  FROM stmts2 WHERE source = 'src0'),
+         |cp AS (
+         |  SELECT 't0' AS tenant_id, ${clsSql("sv")} AS sc, ${clsSql("ov")} AS dc,
+         |    count(*) AS score
+         |  FROM relall GROUP BY 2, 3
+         |  UNION ALL
+         |  SELECT 't1', ${clsSql("sv")}, ${clsSql("ov")}, count(*)
+         |  FROM rel1 GROUP BY 2, 3),
+         |p AS (
+         |  SELECT tenant_id, '('||sc||')-[NEAR]->('||dc||')' AS path, score
+         |  FROM cp)
+         |SELECT tenant_id, path, score, rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY tenant_id ORDER BY score DESC, path) AS rk
+         |  FROM p) WHERE rk <= 10
+         |ORDER BY tenant_id, rk""".stripMargin
     },
 
     "q_keyword_entity" ->

@@ -83,6 +83,21 @@ object Tables {
   private val classifiedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.index.GraphTables]
 
+  /** A second tenant's classified graph — tenant "t1" built over the src0
+    * subset of the corpus — for the per-tenant summary listing. Tenant
+    * participates in every id hash, so the two builds coexist without id
+    * collisions. Memoized like the others. */
+  def lexicalGraphClassifiedT1(s: SparkSession, dir: String): graft.index.GraphTables =
+    classifiedT1Cache.getOrElseUpdate((s, dir),
+      graft.index.LexicalGraphBuilder.fromDocuments(
+          t(s, dir, "documents").filter(col("source") === "src0"),
+          "text", Seq("doc_id", "source"), tenant = "t1",
+          classifications = InferredClassifications)
+        .coalesced(cachePartitions(s)).persistAll())
+
+  private val classifiedT1Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.index.GraphTables]
+
   /** KMeans-IVF index over the embeddings table (vec_id != 0), trained ONCE
     * per (session, dir) and cached — index training belongs with index
     * build, not inside the query path: at scale you train on ingest and

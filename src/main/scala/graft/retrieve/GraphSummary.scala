@@ -51,6 +51,42 @@ object GraphSummary {
       .limit(k)
   }
 
+  /** Per-tenant summary listing (the `__SYS_Tenant__` axis,
+    * graph_summary.py:83-138): dominant class-level paths for every tenant
+    * in one pass — relations of all tenants unioned (each tagged with its
+    * tenant id), endpoint classifications joined within tenant (entity ids
+    * embed the tenant hash, so cross-tenant id collisions cannot occur),
+    * and the per-tenant top-k ranked by the TopKAgg heap aggregate rather
+    * than a per-tenant loop or a full window sort. Output: (tenant_id,
+    * path, score, rk) with rk starting at 1. */
+  def tenantClassPaths(gs: Seq[(String, GraphTables)],
+                       k: Int = 10): DataFrame = {
+    val ents = gs.map { case (tn, g) =>
+      g.entities.select(lit(tn).as("tenant_id"), col("entity_id"),
+        col("classification"))
+    }.reduce(_ union _)
+    val rels = gs.map { case (tn, g) =>
+      g.entityRelations.select(lit(tn).as("tenant_id"), col("src_entity_id"),
+        col("relation_value"), col("dst_entity_id"))
+    }.reduce(_ union _)
+    val src = ents.select(col("tenant_id"),
+      col("entity_id").as("src_entity_id"), col("classification").as("src_class"))
+    val dst = ents.select(col("tenant_id"),
+      col("entity_id").as("dst_entity_id"), col("classification").as("dst_class"))
+    val paths = rels
+      .join(src, Seq("tenant_id", "src_entity_id"))
+      .join(dst, Seq("tenant_id", "dst_entity_id"))
+      .groupBy(col("tenant_id"), col("src_class"), col("relation_value"),
+        col("dst_class"))
+      .agg(count(lit(1)).as("score"))
+      .select(col("tenant_id"),
+        concat(lit("("), col("src_class"), lit(")-["), col("relation_value"),
+          lit("]->("), col("dst_class"), lit(")")).as("path"),
+        col("score"))
+    graft.functions.TopKAgg.topKPerKeyRanked(paths, Seq("tenant_id"),
+      Seq(negate(col("score")), col("path")), k, "rk")
+  }
+
   /** Assemble the summary prompt from the two bounded top-k line sets and
     * run the LLM turn (graph_summary.py:93-100 + 160-173). */
   def summarize(g: GraphTables, llm: LLM, k: Int = 100,

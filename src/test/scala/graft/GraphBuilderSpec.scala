@@ -187,4 +187,53 @@ class GraphBuilderSpec extends SparkSpec {
     assert(out.entities.select("entity_id").as[String].collect().toSet ==
       Set("e1", "eX")) // rewritten local dropped, unmatched local kept
   }
+
+  test("domain labels: label_from grammar + local-entity exclusion") {
+    import graft.index.DomainLabels
+    // the adversarial label inputs the oracle's clean class list never
+    // exercises: multi-word, punctuation, underscores, mixed case, dunder
+    // passthrough, null → default
+    val fixtures = Seq(
+      ("e1", "a", "a", "data engineer"),
+      ("e2", "b", "b", "half-baked  idea"),
+      ("e3", "c", "c", "metric_v2"),
+      ("e4", "d", "d", "SYS metric"),
+      ("e5", "e", "e", "__SYS_Class__"),
+      ("e6", "f", "f", LexicalGraphBuilder.LocalEntityClass),
+      ("e7", "g", "g", null))
+      .toDF("entity_id", "value", "search_str", "classification")
+    val out = DomainLabels.withDomainLabels(fixtures)
+      .select("entity_id", "label").as[(String, String)].collect().toMap
+    assert(out == Map(
+      "e1" -> "DataEngineer",
+      "e2" -> "HalfBakedIdea",
+      "e3" -> "MetricV2",
+      "e4" -> "SysMetric",
+      "e5" -> "__SYS_Class__",   // reserved dunder passes through
+      "e7" -> "Unknown"))        // null → DEFAULT_CLASSIFICATION
+    assert(!out.contains("e6"))  // local entities carry no domain label
+  }
+
+  test("tenantClassPaths keeps tenants separate and ranks per tenant") {
+    import graft.index.GraphTables
+    val empty = spark.emptyDataFrame
+    def g(ids: Seq[(String, String)], rels: Seq[(String, String)]) = {
+      val ents = ids.map { case (id, c) => (id, id, id, c) }
+        .toDF("entity_id", "value", "search_str", "classification")
+      val r = rels.map { case (a, b) => (a, "NEAR", b) }
+        .toDF("src_entity_id", "relation_value", "dst_entity_id")
+      GraphTables(empty, empty, empty, empty, empty, empty, empty, ents, r)
+    }
+    val g0 = g(Seq("a" -> "A", "b" -> "B", "c" -> "A"),
+      Seq("a" -> "b", "c" -> "b", "a" -> "c"))
+    val g1 = g(Seq("x" -> "X", "y" -> "Y"), Seq("x" -> "y"))
+    val out = graft.retrieve.GraphSummary
+      .tenantClassPaths(Seq("t0" -> g0, "t1" -> g1), k = 2)
+      .select("tenant_id", "path", "score", "rk")
+      .as[(String, String, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(out.toSeq == Seq(
+      ("t0", "(A)-[NEAR]->(B)", 2L, 1),   // a->b and c->b collapse by class
+      ("t0", "(A)-[NEAR]->(A)", 1L, 2),
+      ("t1", "(X)-[NEAR]->(Y)", 1L, 1)))
+  }
 }
