@@ -23,13 +23,22 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // deterministic scatter: partition id + a per-row offset folded mod salt
-    val salted = big.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    // content-hash scatter: the salt is a pure function of the row, so the
+    // assignment is identical under any partition layout — salted
+    // intermediates stay oracle-replayable. Exact duplicate rows share a
+    // bucket (they hash alike); skew relief comes from spreading the hot
+    // key's DISTINCT rows, which is the realistic shape (same entity,
+    // different statements).
+    val salted = big.withColumn("_salt", contentSalt(big, salt))
     val exploded = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Layout-independent salt in [0, salt): xxhash64 over every column — a
+    * pure row function, so repartitioning never changes the assignment. */
+  def contentSalt(df: DataFrame, salt: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong))
 
   /**
    * Two-phase (salted partial, then final) count aggregation per key —
@@ -38,8 +47,7 @@ object Skew {
    */
   def saltedCount(df: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    df.withColumn("_salt", contentSalt(df, salt))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))

@@ -74,4 +74,16 @@ class MetadataSkewSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out == Map("hot" -> 300L, "cold" -> 1L))
   }
+
+  test("content-hash salt is layout-independent and spreads distinct rows") {
+    val base = (1L to 200L).map(i => (i % 5, s"p$i")).toDF("k", "payload")
+    def assignments(parts: Int) = base.repartition(parts)
+      .withColumn("_s", Skew.contentSalt(base, 4))
+      .as[(Long, String, Long)].collect().toSet
+    // same (row -> salt) mapping under 1, 8, and 13 partitions
+    val one = assignments(1)
+    assert(assignments(8) == one && assignments(13) == one)
+    // the hot key's distinct rows actually scatter across buckets
+    assert(one.filter(_._1 == 0L).map(_._3).size > 1)
+  }
 }
