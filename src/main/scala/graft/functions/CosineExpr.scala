@@ -96,8 +96,8 @@ object CosineSimilarity {
     * session). Makes the expression usable from both the Column API below
     * and plain SQL. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    Registry.registerOnce(spark, FnName,
+      exprs => CosineSimilarity(exprs.head, exprs(1)))
 
   /** Column API: cosine(a, b) with native codegen ([[register]] first). */
   def cosine(a: Column, b: Column): Column = call_function(FnName, a, b)

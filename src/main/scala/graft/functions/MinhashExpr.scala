@@ -123,13 +123,11 @@ object MinhashSignature {
   /** Register `minhash_sig(text, numHashes, shingleSize)` (args 2-3 must be
     * integer literals) in the session's function registry. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
+    Registry.registerOnce(spark, FnName,
       exprs => MinhashSignature(
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+        exprs(2).eval().asInstanceOf[Number].intValue()))
 
   /** Column API ([[register]] first). */
   def signature(text: Column, numHashes: Int, shingleSize: Int = 3): Column =
@@ -200,12 +198,10 @@ object WordShingles {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
+    Registry.registerOnce(spark, FnName,
       exprs => WordShingles(
         exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+        exprs(1).eval().asInstanceOf[Number].intValue()))
 
   /** Column API ([[register]] first). */
   def shingles(text: Column, shingleSize: Int = 3): Column =
@@ -275,12 +271,10 @@ object WordGrams {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
+    Registry.registerOnce(spark, FnName,
       exprs => WordGrams(
         exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+        exprs(1).eval().asInstanceOf[Number].intValue()))
 
   /** Column API ([[register]] first). */
   def grams(text: Column, n: Int): Column =

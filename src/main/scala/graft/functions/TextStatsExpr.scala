@@ -147,12 +147,10 @@ object TextStats {
   /** Register `text_stats(text)` with the canonical stopword/language lists
     * (graft.ops.TextAnalysis.defaultStopwords, TextFunctions.langStopwords). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
+    Registry.registerOnce(spark, FnName,
       exprs => TextStats(exprs.head,
         graft.ops.TextAnalysis.defaultStopwords,
-        TextFunctions.langStopwords.toSeq),
-      "built-in")
+        TextFunctions.langStopwords.toSeq))
 
   /** Column API ([[register]] first). */
   def stats(text: Column): Column = call_function(FnName, text)
@@ -214,12 +212,10 @@ object FingerprintHash {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
+    Registry.registerOnce(spark, FnName,
       exprs => FingerprintHash(
         exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+        exprs(1).eval().asInstanceOf[Number].intValue()))
 
   /** Column API ([[register]] first). */
   def fingerprint(text: Column, shingleSize: Int = 3): Column =

@@ -29,8 +29,17 @@ import org.apache.spark.sql.functions.{col, explode, posexplode, struct}
  *
  * Sort-key columns must be NON-NULL: struct ordering ranks a null field
  * first (ascending), where the window pattern's `desc` ranks nulls last —
- * a null score would silently win here and lose there. Every current call
- * site computes its score, so the contract holds by construction.
+ * a null score would silently win here and lose there. Likewise they must
+ * be FINITE: `negate(score)` ascending ranks NaN last where `desc(score)`
+ * ranks NaN first, so winners differ if a score is ever NaN. Every current
+ * call site computes its score from finite inputs (and cosine guards
+ * zero norms), so both contracts hold by construction.
+ *
+ * The whole input frame must also be ORDERABLE: the sort-key struct embeds
+ * the full payload row as its final tiebreak field, so a MapType column
+ * anywhere in the frame throws AnalysisException here where the window
+ * formulation (which never orders the payload) worked. Project map-typed
+ * metadata out (or serialize it) before a topKPerKey/truncate call.
  */
 object TopKAgg {
 

@@ -113,11 +113,16 @@ object Processors {
   def dedupResults(df: DataFrame): DataFrame = {
     // best-score winner per statement: one min_by hash aggregate (declarative,
     // codegen'd, map-side pre-reduce to one row per statement per partition),
-    // not a window rank that shuffles and sorts every duplicate
+    // not a window rank that shuffles and sorts every duplicate.
+    // Scores must be NON-NULL (TopKAgg contract): a null would sort first in
+    // the ascending struct and silently win where the old desc(score) window
+    // ranked it last — coalesce to -Inf so a scoreless row can never beat a
+    // scored one.
     val payload = struct(df.columns.map(col): _*)
     df.groupBy("statement_id")
       .agg(min_by(payload,
-        struct(negate(col("score")), col("source_id"))).as("_r"))
+        struct(negate(coalesce(col("score"), lit(Double.NegativeInfinity))),
+          col("source_id"))).as("_r"))
       .select(col("_r.*"))
   }
 

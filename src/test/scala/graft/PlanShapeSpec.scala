@@ -10,6 +10,13 @@ package graft
  * Driver-loop queries (beams, BFS, agentic) are excluded: they execute
  * jobs at plan-construction time and their per-hop join shapes are
  * asserted by their own specs + the no-unbounded-broadcast spec.
+ *
+ * Known coverage gap: q_processor_chain and q_full_chain localCheckpoint
+ * (eagerly) after their 10-step head pipeline, which truncates lineage —
+ * this gate only inspects their post-checkpoint tail. The head's operator
+ * shapes are covered indirectly via the other q_* entries that share those
+ * operators (dedup/rescore/prune/truncate each have their own gated entry
+ * here).
  */
 class PlanShapeSpec extends SparkSpec {
 
