@@ -38,13 +38,19 @@ object ProcessorQueries {
           concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("statement_id"),
           col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
       // Integer (cent-scaled) scores: every aggregate downstream stays exact.
-      val retrA = base.filter(col("l_returnflag") === "R")
-        .withColumn("score", (col("l_extendedprice") * 100).cast("long"))
-      val retrB = base.filter(col("l_quantity") > 25)
-        .withColumn("score", (col("l_quantity") * 100000).cast("long"))
-      val unioned = retrA.union(retrB)
-        .select(col("source_id"), col("topic_id"), col("statement_id"),
-          col("score").cast("double").as("score"))
+      // Both retrievers read the same base, so the union is fused into one
+      // pass: each row explodes into 0-2 scored rows (same multiset as
+      // filter-A union filter-B) — one scan of the join instead of two.
+      val unioned = base.select(col("source_id"), col("topic_id"),
+          col("statement_id"),
+          explode(concat(
+            when(col("l_returnflag") === "R",
+              array((col("l_extendedprice") * 100).cast("long")))
+              .otherwise(array().cast("array<long>")),
+            when(col("l_quantity") > 25,
+              array((col("l_quantity") * 100000).cast("long")))
+              .otherwise(array().cast("array<long>")))).as("score"))
+        .withColumn("score", col("score").cast("double"))
       val chained = Processors.rescoreResults(
         Processors.disaggregateResults(
           Processors.truncateStatements(
@@ -86,13 +92,15 @@ object ProcessorQueries {
           col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
           col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
         .localCheckpoint(true)
-      // no .distinct(): populateStatementStrs dedups in its collect_set
+      // no .distinct(): populateStatementStrs dedups in its collect_set.
+      // explode = the part:/supp: union in one checkpoint scan, not two
       val facts = base.select(col("statement_id"),
-          concat(lit("part:"), col("l_partkey")).as("fact_value"))
-        .union(base.select(col("statement_id"),
-          concat(lit("supp:"), col("l_suppkey")).as("fact_value")))
-      val chunks = base.select(col("statement_id").as("chunk_id"),
-        col("l_shipdate").cast("string").as("text")).distinct()
+        explode(array(concat(lit("part:"), col("l_partkey")),
+          concat(lit("supp:"), col("l_suppkey")))).as("fact_value"))
+      // raw (chunk_id, text) pairs; the updateChunkMetadata step bounds
+      // this to the surviving statements before paying the distinct
+      val chunksRaw = base.select(col("statement_id").as("chunk_id"),
+        col("l_shipdate").cast("string").as("text"))
       val sources = t(s, dir, "customer").select(
         col("c_custkey").as("source_id"),
         map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"),
@@ -100,14 +108,19 @@ object ProcessorQueries {
           lit("__graft__versioning__build_timestamp__"), lit("0")).as("metadata"),
         col("c_mktsegment").as("segment"))
       val cleanSources = Processors.removeVersioningMetadata(sources)
-      val retrA = base.filter(col("l_returnflag") === "R")
-        .withColumn("score", (col("l_extendedprice") * 100).cast("long"))
-      val retrB = base.filter(col("l_quantity") > 25)
-        .withColumn("score", (col("l_quantity") * 100000).cast("long"))
-      val unioned = retrA.union(retrB)
-        .select(col("source_id"), col("topic_id"), col("statement_id"),
-          col("statement_id").as("chunk_id"), col("statement"),
-          col("score").cast("double").as("score"))
+      // fused two-retriever pass (see q_processor_chain): one checkpoint
+      // scan, each row explodes into its 0-2 retriever scores
+      val unioned = base.select(col("source_id"), col("topic_id"),
+          col("statement_id"), col("statement_id").as("chunk_id"),
+          col("statement"),
+          explode(concat(
+            when(col("l_returnflag") === "R",
+              array((col("l_extendedprice") * 100).cast("long")))
+              .otherwise(array().cast("array<long>")),
+            when(col("l_quantity") > 25,
+              array((col("l_quantity") * 100000).cast("long")))
+              .otherwise(array().cast("array<long>")))).as("score"))
+        .withColumn("score", col("score").cast("double"))
       val processed = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
         Processors.dedupResults,
         Processors.disaggregateResults,
@@ -126,7 +139,13 @@ object ProcessorQueries {
         // the formatting tail compiles — without it the whole 16-step
         // lineage re-enters codegen for every tail step.
         df => df.localCheckpoint(true),
-        df => Processors.updateChunkMetadata(df, chunks),
+        // df is rank-truncated and checkpointed (≤ 10 sources × topics × 3
+        // statements), so its chunk ids are a bounded broadcast: restrict
+        // the 600k-row chunk frame semi-join-first and pay distinct on the
+        // survivors instead of the whole table
+        df => Processors.updateChunkMetadata(df,
+          chunksRaw.join(broadcast(df.select("chunk_id").distinct()),
+            Seq("chunk_id"), "left_semi").distinct()),
         df => Processors.clearScores(df),
         df => Processors.statementsToStrings(df, includeFacts = true),
         df => Processors.simplifySingleTopicResults(df),

@@ -21,6 +21,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Bench's partition sizing — profiles must see the same plans
+      // the bench times (128 MB splits would serialize the scan-side work)
+      .config("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (1 << 18).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
