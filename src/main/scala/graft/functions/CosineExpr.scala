@@ -26,30 +26,40 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   private def okType(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(ByteType, _) => true // int8-quantized store (1 byte/dim)
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity requires ARRAY<FLOAT|DOUBLE> inputs, " +
+      s"cosine_similarity requires ARRAY<FLOAT|DOUBLE|TINYINT> inputs, " +
         s"got ${left.dataType.sql} / ${right.dataType.sql}")
 
   override def dataType: DataType = DoubleType
 
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def getter(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case ByteType  => "getByte"
+      case _         => "getDouble"
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val lg = getter(left); val rg = getter(right)
+    def get(d: ArrayData, g: String, i: Int): Double = g match {
+      case "getFloat" => d.getFloat(i).toDouble
+      case "getByte"  => d.getByte(i).toDouble
+      case _          => d.getDouble(i)
+    }
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv = get(x, lg, i)
+      val yv = get(y, rg, i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -58,8 +68,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
-    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val lGet = getter(left)
+    val rGet = getter(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -86,6 +96,87 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Codegen'd dot product over two ARRAY<FLOAT|DOUBLE|TINYINT> columns — the
+ * sibling of [[CosineSimilarity]] for callers that need the raw projection
+ * (LSH hyperplane signs, attention logits). Bit-identical to the
+ * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` composition: one sequential
+ * double fold in index order.
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(ByteType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires ARRAY<FLOAT|DOUBLE|TINYINT> inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+
+  private def getter(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case ByteType  => "getByte"
+      case _         => "getDouble"
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    def get(d: ArrayData, g: String, i: Int): Double = g match {
+      case "getFloat" => d.getFloat(i).toDouble
+      case "getByte"  => d.getByte(i).toDouble
+      case _          => d.getDouble(i)
+    }
+    val lg = getter(left); val rg = getter(right)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += get(x, lg, i) * get(y, rg, i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = getter(left)
+    val rGet = getter(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+
+  val FnName = "dot_product"
+
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, FnName,
+      exprs => DotProduct(exprs.head, exprs(1)))
+
+  def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
 }
 
 object CosineSimilarity {

@@ -49,15 +49,20 @@ object VectorQueries {
     // cosine so the scan is pure integer math). floor(x+0.5) quantization
     // replays bit-identically in DuckDB.
     "q_vector_quantized" -> ((s, dir) => {
-      import graft.functions.{VectorFunctions => V}
+      import graft.functions.{CosineSimilarity, VectorFunctions => V}
+      CosineSimilarity.register(s)
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0)
         .select(V.quantizeInt8(col("embedding")).getField("q").as("qq"))
+      // compiled cosine over the tinyint arrays: bit-identical to the
+      // composed fold (same sequential double accumulation), single fused
+      // loop inside whole-stage codegen
       emb.filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           V.quantizeInt8(col("embedding")).getField("q").as("q"))
         .crossJoin(broadcast(qv))
-        .select(col("vec_id"), V.cosine(col("q"), col("qq")).as("score"))
+        .select(col("vec_id"),
+          CosineSimilarity.cosine(col("q"), col("qq")).as("score"))
         .orderBy(desc("score"), col("vec_id")).limit(10)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),

@@ -3,7 +3,7 @@ package graft.retrieve
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{VectorFunctions => V}
+import graft.functions.{CosineSimilarity, VectorFunctions => V}
 import graft.index.GraphTables
 
 /**
@@ -15,6 +15,19 @@ import graft.index.GraphTables
  * reference already batches one graph query per depth; here each depth is
  * one Spark job over the frontier DataFrame, never a per-node round trip).
  */
+/** Compiled cosine for the beam scorers — bit-identical to the
+  * [[graft.functions.VectorFunctions.cosine]] fold (same sequential double
+  * accumulation per term, same zero-norm guard) but a single fused codegen
+  * loop with no intermediate arrays, and it keeps the scoring projection
+  * inside whole-stage codegen (higher-order functions break the span). */
+private[retrieve] object BeamCos {
+  def apply(spark: org.apache.spark.sql.SparkSession)(
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    CosineSimilarity.register(spark)
+    CosineSimilarity.cosine(a, b)
+  }
+}
+
 object TopicBeamSearch {
 
   /** Topic-level embedding view — delegates to the graph's cached member. */
@@ -84,7 +97,8 @@ object TopicBeamSearch {
     def score(topics: DataFrame): DataFrame =
       topics.join(topicEmb, Seq("topic_id"))
         .select(col("topic_id"),
-          V.cosine(col("embedding"), typedLit(queryEmbedding)).as("score"))
+          BeamCos(topics.sparkSession)(
+            col("embedding"), typedLit(queryEmbedding)).as("score"))
 
     var frontier = graft.ops.Joins.localize(
       seedTopics.select(col("topic_id")).distinct())
@@ -126,17 +140,18 @@ object BeamScoring {
             mode: String = "cosine"): DataFrame = {
     require(Modes.contains(mode), s"unknown scoring mode $mode")
     val q = typedLit(queryEmbedding)
-    val qCos = V.cosine(col("embedding"), q)
+    val cosC = BeamCos(pairs.sparkSession) _
+    val qCos = cosC(col("embedding"), q)
     val scored = mode match {
       case "cosine" =>
         pairs.withColumn("pair_score", qCos)
       case "path_weighted" => // cos(q,n) * (1 + cos(p,n)) / 2
         pairs.withColumn("pair_score",
-          qCos * (lit(1.0) + V.cosine(col("embedding"), col("parent_embedding"))) / 2)
+          qCos * (lit(1.0) + cosC(col("embedding"), col("parent_embedding"))) / 2)
       case "path_propagated" => // cos(q,p) * cos(p,n)
         pairs.withColumn("pair_score",
-          V.cosine(col("parent_embedding"), q) *
-            V.cosine(col("embedding"), col("parent_embedding")))
+          cosC(col("parent_embedding"), q) *
+            cosC(col("embedding"), col("parent_embedding")))
       case "attention" => // cos(q,n) * (1 + softmax_parent(dot(n,p)/sqrt(d)))
         val dim = queryEmbedding.size
         val logit = V.dot(col("embedding"), col("parent_embedding")) /
@@ -222,7 +237,8 @@ object ChunkBeamSearch {
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     var acc = frontier.join(emb, Seq("chunk_id"))
       .select(col("chunk_id"),
-        V.cosine(col("embedding"), typedLit(queryEmbedding)).as("score"))
+        BeamCos(frontier.sparkSession)(
+          col("embedding"), typedLit(queryEmbedding)).as("score"))
       .withColumn("depth", lit(0))
     for (d <- 1 to depth) {
       val visited = layers.reduce(_ union _)
@@ -292,7 +308,8 @@ object StatementBeamSearch {
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     var acc = frontier.join(emb, Seq("statement_id"))
       .select(col("statement_id"),
-        V.cosine(col("embedding"), typedLit(queryEmbedding)).as("score"))
+        BeamCos(frontier.sparkSession)(
+          col("embedding"), typedLit(queryEmbedding)).as("score"))
       .withColumn("depth", lit(0))
     for (d <- 1 to depth) {
       val visited = layers.reduce(_ union _)
