@@ -297,21 +297,31 @@ object Dedup {
         .select(col("id_a"), col("id_b"), cosExpr.as("cos"))
         .filter(col("cos") >= threshold)
     }
+    // plane_p[i] = hash(p,i) in [-1,1]; sign of dot(emb, plane_p). The
+    // weights depend only on (plane, index), so they are computed ONCE on
+    // the driver instead of 'planes × dim' md5 calls per row, and the
+    // projection is the compiled dot_product expression — bit-identical to
+    // the per-row zip_with/aggregate fold this replaces (same md5 → first
+    // 15 hex chars → long → double weight derivation, same ascending-index
+    // double accumulation) but a single codegen loop over a literal array.
+    // Fixed-dim contract: weights use the first row's dimension (embedding
+    // tables are fixed-dim; rows shorter than dim fold their own length,
+    // matching the old per-row-sized weight arrays).
+    val dimRow = base.select(size(col("emb"))).head(1)
+    if (dimRow.isEmpty)
+      return base.sparkSession.emptyDataFrame
+        .withColumn("id_a", lit(null).cast("long"))
+        .withColumn("id_b", lit(null).cast("long"))
+        .withColumn("cos", lit(null).cast("double"))
+    val dim = dimRow.head.getInt(0)
+    graft.functions.DotProduct.register(df.sparkSession)
     val bucketed = {
-      {
-        val signs = (0 until planes).map { p =>
-          // plane_p[i] = hash(p,i) in [-1,1]; sign of dot(emb, plane_p)
-          val proj = aggregate(
-            zip_with(col("emb"),
-              transform(sequence(lit(0), size(col("emb")) - 1), i =>
-                H.h60(concat_ws("#", lit("plane"), lit(p), i)).cast("double") /
-                  lit(1.152921504606847e18) * 2.0 - 1.0),
-              (x, w) => x * w),
-            lit(0.0), (acc, v) => acc + v)
-          when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
-        }
-        base.withColumn("bucket", concat_ws("", signs: _*))
+      val signs = (0 until planes).map { p =>
+        val weights = Array.tabulate(dim)(i => planeWeight(p, i))
+        val proj = graft.functions.DotProduct.dot(col("emb"), typedLit(weights))
+        when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
       }
+      base.withColumn("bucket", concat_ws("", signs: _*))
     }
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
@@ -320,5 +330,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), cosExpr.as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
+  }
+
+  /** Driver-side replica of `H.h60("plane#p#i")` mapped into [-1, 1]:
+    * md5 hex → first 15 chars → parse base-16 → long → double, identical
+    * IEEE steps to the Column expression it replaces (and to the DuckDB
+    * oracle's `CAST(('0x'||substr(md5(...),1,15)) AS BIGINT)` replay). */
+  private def planeWeight(plane: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane#$plane#$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / 1.152921504606847e18 * 2.0 - 1.0
   }
 }
