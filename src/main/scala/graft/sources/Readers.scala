@@ -173,7 +173,11 @@ object Readers {
     * file-splitting (binary content never enters a shuffle). */
   def binaryDocuments(spark: SparkSession, path: String,
                       format: String): DataFrame = {
-    val parse = parsers.getOrElse(format.toLowerCase, unsupported(format))
+    // explicit registration overrides the JDK-only built-ins (pdf/docx/
+    // pptx, BinaryParsers.scala); unknown formats stay loud
+    val parse = parsers.get(format.toLowerCase)
+      .orElse(BinaryParsers.builtin(format))
+      .getOrElse(unsupported(format))
     import org.apache.spark.sql.Encoders
     spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*.${format.toLowerCase}")
@@ -185,8 +189,9 @@ object Readers {
       .toDF("doc_id", "text")
   }
 
-  /** Binary document formats: route through the parser seam; without a
-    * registered codec they fail loudly rather than silently mis-parse. */
+  /** Binary document formats: parsed by the JDK-only built-in extractors
+    * (BinaryParsers) unless a codec is registered to override them;
+    * formats with neither fail loudly rather than silently mis-parse. */
   def pdf(spark: SparkSession, path: String): DataFrame =
     binaryDocuments(spark, path, "pdf")
   def docx(spark: SparkSession, path: String): DataFrame =

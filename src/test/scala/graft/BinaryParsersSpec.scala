@@ -1,0 +1,154 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
+
+import graft.sources.{BinaryParsers, Readers}
+import org.apache.spark.sql.functions.col
+
+/** Golden-file tests for the JDK-only binary document extractors. The
+  * fixtures are synthesized here byte-for-byte (a spec-conformant OOXML
+  * zip, a spec-conformant two-object PDF) — no binary blobs in the repo,
+  * and the construction doubles as documentation of exactly which subset
+  * of each format the built-ins cover. */
+class BinaryParsersSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- OOXML
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private val wNs = "xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\""
+  private val aNs = "xmlns:a=\"http://schemas.openxmlformats.org/drawingml/2006/main\""
+
+  private def docxBytes: Array[Byte] = zip(
+    "[Content_Types].xml" ->
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""",
+    "word/document.xml" ->
+      s"""<?xml version="1.0"?><w:document $wNs><w:body>
+         |<w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>World</w:t></w:r></w:p>
+         |<w:p><w:r><w:t>Tab</w:t><w:tab/><w:t>separated</w:t></w:r></w:p>
+         |</w:body></w:document>""".stripMargin)
+
+  test("docx: runs concatenate, paragraphs break, tabs survive") {
+    assert(BinaryParsers.docxText(docxBytes) == "Hello World\nTab\tseparated")
+  }
+
+  test("docx: non-docx zip fails loudly") {
+    val e = intercept[IllegalArgumentException](
+      BinaryParsers.docxText(zip("other.xml" -> "<x/>")))
+    assert(e.getMessage.contains("word/document.xml"))
+  }
+
+  private def slideXml(texts: String*): String =
+    s"""<?xml version="1.0"?><p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" $aNs><p:cSld>
+       |${texts.map(t => s"<a:p><a:r><a:t>$t</a:t></a:r></a:p>").mkString}
+       |</p:cSld></p:sld>""".stripMargin
+
+  test("pptx: slides in numeric order, blank line between slides") {
+    // slide10 after slide2 proves numeric (not lexicographic) ordering
+    val bytes = zip(
+      "ppt/slides/slide10.xml" -> slideXml("Last slide"),
+      "ppt/slides/slide1.xml" -> slideXml("Title", "Subtitle"),
+      "ppt/slides/slide2.xml" -> slideXml("Middle"))
+    assert(BinaryParsers.pptxText(bytes) ==
+      "Title\nSubtitle\n\nMiddle\n\nLast slide")
+  }
+
+  // ------------------------------------------------------------------ PDF
+
+  /** Minimal one-page PDF whose content stream is `content`, optionally
+    * Flate-compressed — header, one stream object, trailer. */
+  private def pdfBytes(content: String, flate: Boolean): Array[Byte] = {
+    val body: Array[Byte] =
+      if (flate) {
+        val d = new Deflater()
+        d.setInput(content.getBytes("ISO-8859-1")); d.finish()
+        val buf = new Array[Byte](content.length * 2 + 64)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      } else content.getBytes("ISO-8859-1")
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    w(s"1 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+    bos.write(body)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf: Tj and TJ strings extracted, Td breaks lines") {
+    val content =
+      "BT /F1 12 Tf 72 712 Td (Hello PDF) Tj 0 -14 Td [(frag) -250 (mented)] TJ ET"
+    assert(BinaryParsers.pdfText(pdfBytes(content, flate = false)) ==
+      "Hello PDF\nfragmented")
+  }
+
+  test("pdf: FlateDecode stream inflates; escapes and hex strings decode") {
+    val content =
+      "BT (paren \\(x\\) octal \\101 line one) Tj T* <48692E> Tj ET"
+    assert(BinaryParsers.pdfText(pdfBytes(content, flate = true)) ==
+      "paren (x) octal A line one\nHi.")
+  }
+
+  test("pdf: ' operator breaks line; non-text operators don't leak strings") {
+    // the (skipme) string is an argument to a non-text operator (Tf here
+    // takes a name+number, but any op clears pending args)
+    val content = "BT (first) Tj (skipme) Tf (second)' ET"
+    assert(BinaryParsers.pdfText(pdfBytes(content, flate = false)) ==
+      "first\nsecond")
+  }
+
+  test("pdf: non-pdf bytes fail loudly") {
+    val e = intercept[IllegalArgumentException](
+      BinaryParsers.pdfText("not a pdf".getBytes("UTF-8")))
+    assert(e.getMessage.contains("%PDF-"))
+  }
+
+  // ------------------------------------------- distributed via the seam
+
+  test("Readers.docx/pptx/pdf parse real files distributed by default") {
+    val dir = java.nio.file.Files.createTempDirectory("builtindocs").toFile
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val out = new FileOutputStream(new File(dir, name))
+      out.write(bytes); out.close()
+    }
+    put("a.docx", docxBytes)
+    put("deck.pptx", zip("ppt/slides/slide1.xml" -> slideXml("One slide")))
+    put("doc.pdf", pdfBytes("BT (From pdf) Tj ET", flate = true))
+
+    def text(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("text")).collect().map(_.getString(0)).toSeq
+
+    assert(text(Readers.docx(spark, dir.getAbsolutePath)) ==
+      Seq("Hello World\nTab\tseparated"))
+    assert(text(Readers.pptx(spark, dir.getAbsolutePath)) == Seq("One slide"))
+    assert(text(Readers.pdf(spark, dir.getAbsolutePath)) == Seq("From pdf"))
+  }
+
+  test("registered parser overrides the built-in; unknown format stays loud") {
+    Readers.registerParser("pdf", _ => "override wins")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("overridedocs").toFile
+      val out = new FileOutputStream(new File(dir, "x.pdf"))
+      out.write(pdfBytes("BT (builtin) Tj ET", flate = false)); out.close()
+      val got = Readers.pdf(spark, dir.getAbsolutePath)
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+      assert(got == Seq("override wins"))
+    } finally Readers.unregisterParser("pdf")
+    val e = intercept[UnsupportedOperationException](
+      Readers.binaryDocuments(spark, "/tmp/x", "epub"))
+    assert(e.getMessage.contains("registerParser"))
+  }
+}

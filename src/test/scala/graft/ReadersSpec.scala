@@ -118,11 +118,12 @@ class ReadersSpec extends SparkSpec {
       Set("raw_sources", "chunks", "sources"))
   }
 
-  test("binary document formats fail loudly when no parser is registered") {
+  test("binary formats without a built-in or registered parser fail loudly") {
+    // pdf/docx/pptx now have JDK-only built-ins (BinaryParsersSpec); the
+    // loud-failure contract remains for everything else
     val e = intercept[UnsupportedOperationException](
-      Readers.pdf(spark, "/tmp/x.pdf"))
+      Readers.binaryDocuments(spark, "/tmp/x", "epub"))
     assert(e.getMessage.contains("registerParser"))
-    intercept[UnsupportedOperationException](Readers.docx(spark, "/tmp/x.docx"))
   }
 
   test("binary parser seam: registered codec parses golden files distributed") {
@@ -149,7 +150,9 @@ class ReadersSpec extends SparkSpec {
       assert(out.map(_._2).toSeq == Seq("alpha body", "beta body"))
       assert(out.forall(_._1.endsWith(".pdf")))  // glob filtered the .txt
     } finally Readers.unregisterParser("pdf")
-    // seam is per-format: registering pdf does not unlock docx
-    intercept[UnsupportedOperationException](Readers.docx(spark, dir.getAbsolutePath))
+    // seam is per-format: registering pdf does not unlock formats that
+    // also lack a built-in
+    intercept[UnsupportedOperationException](
+      Readers.binaryDocuments(spark, dir.getAbsolutePath, "epub"))
   }
 }
