@@ -333,7 +333,7 @@ object LexicalQueries {
          |p AS (
          |  SELECT tenant_id, '('||sc||')-[NEAR]->('||dc||')' AS path, score
          |  FROM cp)
-         |SELECT tenant_id, path, score, rk FROM (
+         |SELECT tenant_id, path, score, CAST(rk AS INT) AS rk FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY tenant_id ORDER BY score DESC, path) AS rk
          |  FROM p) WHERE rk <= 10

@@ -258,7 +258,7 @@ object ProcessorQueries {
         .withColumn("start", explode(sequence(lit(0),
           greatest(expr(s"((nt - 1) div $ChunkStride) * $ChunkStride"), lit(0)),
           lit(ChunkStride))))
-        .select(col("doc_id"), col("start"),
+        .select(col("doc_id"), col("start").cast("int").as("start"),
           concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkTokens)))
             .as("chunk_text"))
         .filter(length(col("chunk_text")) > 0)
@@ -532,7 +532,7 @@ object ProcessorQueries {
          |    array_to_string(list_slice(toks, start+1, start+$ChunkTokens), ' ') AS chunk_text
          |  FROM st)
          |SELECT doc_id, CAST(start AS INT) AS start, chunk_text,
-         |  len(string_split(chunk_text, ' ')) AS n_chunk_toks
+         |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_chunk_toks
          |FROM ch WHERE length(chunk_text) > 0
          |ORDER BY doc_id, start""".stripMargin
     },

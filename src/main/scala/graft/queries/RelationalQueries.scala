@@ -313,13 +313,13 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_window_topn" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
     "q_topk_per_key" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, rk FROM (
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, CAST(rk AS INT) AS rk FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_orderkey
         |      ORDER BY l_extendedprice DESC, l_linenumber, l_partkey) AS rk

@@ -274,7 +274,8 @@ object TextQueries {
        |  FROM tok),
        |lang AS (
        |  SELECT *, $maxExpr AS m FROM stats)
-       |SELECT doc_id, token_count, bpe_token_est,
+       |SELECT doc_id, CAST(token_count AS INT) AS token_count,
+       |  CAST(bpe_token_est AS INT) AS bpe_token_est,
        |  round(punct_ratio, 6) AS punct_ratio,
        |  round(stopword_ratio, 6) AS stopword_ratio,
        |  round(mean_word_len, 6) AS mean_word_len,
@@ -444,9 +445,10 @@ object TextQueries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS start_tok
          |  FROM t)
-         |SELECT doc_id, tok_len, start_tok,
-         |  start_tok // 2048 AS pack_id,
-         |  start_tok % 2048 AS pack_offset
+         |SELECT doc_id, tok_len,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(start_tok // 2048 AS BIGINT) AS pack_id,
+         |  CAST(start_tok % 2048 AS BIGINT) AS pack_offset
          |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_repetition_profile" ->
@@ -587,6 +589,7 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query
         |    ORDER BY ratio DESC, p_name, p_partkey) AS rk
         |  FROM scored)
-        |SELECT query, p_partkey, p_name, round(ratio, 6) AS ratio, rk
+        |SELECT query, p_partkey, p_name, round(ratio, 6) AS ratio,
+        |  CAST(rk AS INT) AS rk
         |FROM ranked WHERE rk <= 2 ORDER BY query, rk""".stripMargin)
 }

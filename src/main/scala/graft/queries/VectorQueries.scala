@@ -135,7 +135,7 @@ object VectorQueries {
          |  SELECT vec_id, label, score,
          |    row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rr
          |  FROM scored)
-         |SELECT vec_id, label, round(score, 6) AS score, rr FROM ranked
+         |SELECT vec_id, label, round(score, 6) AS score, CAST(rr AS INT) AS rr FROM ranked
          |ORDER BY rr, score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_vector_quantized" ->
@@ -156,7 +156,7 @@ object VectorQueries {
          |ORDER BY ${cosSql("q", "qq")} DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_knn_join" ->
-      s"""SELECT qid, nid, round(score, 6) AS score, rk FROM (
+      s"""SELECT qid, nid, round(score, 6) AS score, CAST(rk AS INT) AS rk FROM (
          |  SELECT a.vec_id AS qid, b.vec_id AS nid,
          |    ${cosSql("a.embedding", "b.embedding")} AS score,
          |    row_number() OVER (PARTITION BY a.vec_id
