@@ -173,7 +173,7 @@ object DotProduct {
   val FnName = "dot_product"
 
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, FnName,
+    Registry.registerOnce(spark, FnName, classOf[DotProduct],
       exprs => DotProduct(exprs.head, exprs(1)))
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
@@ -187,7 +187,7 @@ object CosineSimilarity {
     * session). Makes the expression usable from both the Column API below
     * and plain SQL. */
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, FnName,
+    Registry.registerOnce(spark, FnName, classOf[CosineSimilarity],
       exprs => CosineSimilarity(exprs.head, exprs(1)))
 
   /** Column API: cosine(a, b) with native codegen ([[register]] first). */

@@ -123,7 +123,7 @@ object MinhashSignature {
   /** Register `minhash_sig(text, numHashes, shingleSize)` (args 2-3 must be
     * integer literals) in the session's function registry. */
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, FnName,
+    Registry.registerOnce(spark, FnName, classOf[MinhashSignature],
       exprs => MinhashSignature(
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
@@ -198,7 +198,7 @@ object WordShingles {
   }
 
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, FnName,
+    Registry.registerOnce(spark, FnName, classOf[WordShingles],
       exprs => WordShingles(
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))
@@ -271,7 +271,7 @@ object WordGrams {
   }
 
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, FnName,
+    Registry.registerOnce(spark, FnName, classOf[WordGrams],
       exprs => WordGrams(
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))

@@ -147,7 +147,7 @@ object TextStats {
   /** Register `text_stats(text)` with the canonical stopword/language lists
     * (graft.ops.TextAnalysis.defaultStopwords, TextFunctions.langStopwords). */
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, FnName,
+    Registry.registerOnce(spark, FnName, classOf[TextStats],
       exprs => TextStats(exprs.head,
         graft.ops.TextAnalysis.defaultStopwords,
         TextFunctions.langStopwords.toSeq))
@@ -212,7 +212,7 @@ object FingerprintHash {
   }
 
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, FnName,
+    Registry.registerOnce(spark, FnName, classOf[FingerprintHash],
       exprs => FingerprintHash(
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))

@@ -304,16 +304,20 @@ object Dedup {
     // the per-row zip_with/aggregate fold this replaces (same md5 → first
     // 15 hex chars → long → double weight derivation, same ascending-index
     // double accumulation) but a single codegen loop over a literal array.
-    // Fixed-dim contract: weights use the first row's dimension (embedding
-    // tables are fixed-dim; rows shorter than dim fold their own length,
-    // matching the old per-row-sized weight arrays).
-    val dimRow = base.select(size(col("emb"))).head(1)
-    if (dimRow.isEmpty)
-      return base.sparkSession.emptyDataFrame
-        .withColumn("id_a", lit(null).cast("long"))
-        .withColumn("id_b", lit(null).cast("long"))
-        .withColumn("cos", lit(null).cast("double"))
-    val dim = dimRow.head.getInt(0)
+    // Fixed-dim contract is ENFORCED (min(size)==max(size)): a ragged table
+    // would silently fold only the first `dim` elements of longer rows and
+    // make bucket assignment depend on which row supplied the dimension.
+    // The empty frame derives from `base` so id_a/id_b keep idCol's actual
+    // type (string-id callers get a schema consistent with non-empty runs).
+    val mm = base.agg(min(size(col("emb"))).as("mn"),
+      max(size(col("emb"))).as("mx")).head()
+    if (mm.isNullAt(0))
+      return base.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cos")).limit(0)
+    require(mm.getInt(0) == mm.getInt(1),
+      s"embeddingNearDup LSH requires fixed-dimension embeddings; found " +
+        s"sizes in [${mm.getInt(0)}, ${mm.getInt(1)}]")
+    val dim = mm.getInt(0)
     graft.functions.DotProduct.register(df.sparkSession)
     val bucketed = {
       val signs = (0 until planes).map { p =>

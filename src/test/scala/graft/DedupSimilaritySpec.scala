@@ -196,4 +196,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graft.ops.Similarity.knnJoin(vecs, vecs, "embedding", "vec_id",
       k = 2).count() > 0)
   }
+
+  test("embeddingNearDup LSH: empty input keeps the caller's id type") {
+    // string-id caller on an empty frame must get string id_a/id_b back
+    // (a hardcoded LONG would break downstream unions with non-empty runs)
+    val empty = Seq.empty[(String, Array[Double])].toDF("doc", "embedding")
+    val out = Dedup.embeddingNearDup(empty, "embedding", "doc", 0.9, planes = 2)
+    assert(out.count() == 0)
+    assert(out.schema("id_a").dataType.typeName == "string")
+    assert(out.schema("id_b").dataType.typeName == "string")
+  }
+
+  test("embeddingNearDup LSH enforces the fixed-dimension contract") {
+    // ragged embeddings would silently fold only the first `dim` elements
+    // of longer rows — refuse loudly instead
+    val ragged = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0, 0.5)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Dedup.embeddingNearDup(ragged, "embedding", "vec_id", 0.9, planes = 2))
+    assert(e.getMessage.contains("fixed-dimension"))
+  }
 }

@@ -26,6 +26,25 @@ class FunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(0, 0, 1, 3))
   }
 
+  test("registerOnce replaces a foreign binding, keeps graft's own") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+    val reg = spark.sessionState.functionRegistry
+    // simulate a user session that already bound its own cosine_sim
+    reg.registerFunction(FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo("com.example.ForeignCosine", "cosine_sim"),
+      _ => Literal(42.0))
+    CosineSimilarity.register(spark)
+    val out = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+      .head.getDouble(0)
+    assert(out == 1.0, "graft's semantics must win over a foreign binding")
+    // and graft's binding is not churned on repeat registration
+    val info = reg.lookupFunction(FunctionIdentifier("cosine_sim")).get
+    CosineSimilarity.register(spark)
+    assert(reg.lookupFunction(FunctionIdentifier("cosine_sim")).get eq info)
+  }
+
   test("langId votes by stopword hits with deterministic ties") {
     val out = Seq("the cat sat on the mat", "el gato y la casa", "xyzzy qwerty")
       .toDF("s").select(TextFunctions.langId(col("s"))).as[String].collect()

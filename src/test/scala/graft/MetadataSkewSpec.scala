@@ -68,11 +68,43 @@ class MetadataSkewSpec extends SparkSpec {
   }
 
   test("saltedCount equals plain groupBy count") {
-    val df = ((1 to 300).map(_ => Tuple1("hot")) ++ Seq(Tuple1("cold")))
-      .toDF("k").repartition(8)
+    val df = ((1 to 300).map(i => ("hot", i)) ++ Seq(("cold", 0)))
+      .toDF("k", "row_id").repartition(8)
     val out = Skew.saltedCount(df, "k", salt = 4)
       .as[(String, Long)].collect().toMap
     assert(out == Map("hot" -> 300L, "cold" -> 1L))
+  }
+
+  test("salting refuses a frame with no distinguishing column") {
+    // key-only: every duplicate of the hot key hashes to ONE bucket, so
+    // salting cannot relieve the skew — refuse loudly instead of silently
+    // degrading to the unsalted shape.
+    val keyOnly = Seq(Tuple1("hot"), Tuple1("cold")).toDF("k")
+    val eKc = intercept[IllegalArgumentException] {
+      Skew.saltedCount(keyOnly, "k", salt = 4)
+    }
+    assert(eKc.getMessage.contains("no non-map column besides key"))
+    // key + map metadata only: maps are unhashable, so still degenerate
+    val keyMap = Seq(("hot", Map("a" -> "1"))).toDF("k", "metadata")
+    val eKm = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(keyMap, Seq(("hot", 1)).toDF("k", "d"), "k", salt = 4)
+    }
+    assert(eKm.getMessage.contains("no non-map column besides key"))
+  }
+
+  test("contentSalt skips map columns instead of throwing") {
+    // this repo's metadata columns are MapType; xxhash64 rejects maps, so
+    // the salt must hash only the hashable columns
+    val withMap = Seq(
+      ("k1", 1, Map("m" -> "x")), ("k1", 2, Map("m" -> "y")))
+      .toDF("k", "row_id", "metadata")
+    val salts = withMap.select(Skew.contentSalt(withMap, 8).as("s"))
+      .as[Long].collect()
+    assert(salts.forall(s => s >= 0 && s < 8))
+    // and the full salted join works on a map-carrying big side
+    val joined = Skew.saltedJoin(withMap,
+      Seq(("k1", "dim")).toDF("k", "d"), "k", salt = 4)
+    assert(joined.count() == 2)
   }
 
   test("content-hash salt is layout-independent and spreads distinct rows") {
