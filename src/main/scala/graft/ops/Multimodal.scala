@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
  * with typed metadata, plus decode / feature-extract / resize / frame-sample
  * stages.
  *
- * The Spark-side plumbing (schemas, batched mapPartitions, partition sizing)
- * is real; the codec step is a clearly-marked deterministic STUB — the
- * image/audio libraries are not in this container, and in production the stub
- * body is the only thing that changes (swap in the real decoder; signature,
- * batching and schema stay).
+ * The IMAGE path is real: [[decodeImage]] decodes png/jpeg bytes with
+ * `javax.imageio` (JDK-only, no new dependencies) into width / height /
+ * channels / per-channel means / luminance, and [[resizeImages]] rewrites
+ * the bytes through a deterministic nearest-neighbor rescale. Audio/video
+ * codecs are not in the JDK, so [[decodeFeatures]] remains the
+ * clearly-marked deterministic stub for those modalities — the per-partition
+ * batching, output schema and null passthrough around it are the real
+ * plumbing and identical to the image path's.
  *
  * Scale notes: media rows are large and skewed, so every stage (a) keeps the
  * binary column out of shuffles (features are extracted first, bytes dropped
@@ -81,7 +84,153 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB resize: records the target dims; a real impl rewrites content. */
+  /** Real image decode (javax.imageio: png/jpeg/gif/bmp). One decoder pass
+    * per partition; bytes are consumed here and DROPPED from the output, so
+    * nothing downstream shuffles the binary column. Undecodable rows pass
+    * through with null features and a `decode_error` — at corpus scale a
+    * corrupt image must quarantine the row, not kill the job. Sums are
+    * integer-exact (long accumulators); means are one double division at
+    * the end, so results replay bit-identically anywhere. */
+  def decodeImage(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true),
+      StructField("mean_luma", DoubleType, nullable = true),
+      StructField("decode_error", StringType, nullable = true)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty)
+          Row(id, null, null, null, null, null, null, null, "empty content")
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null)
+            Row(id, null, null, null, null, null, null, null,
+              "unreadable image bytes")
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            val (mr, mg, mb) =
+              (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+            Row(id, w, h, img.getRaster.getNumBands,
+              mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb, null)
+          }
+        } catch {
+          case e: Exception =>
+            Row(id, null, null, null, null, null, null, null,
+              s"decode failed: ${e.getMessage}")
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic PNG corpus: REAL encoded bytes whose decoded
+    * features are analytically computable, so the real decoder can be
+    * oracle-gated. Per row, an md5 of `seedCol` drives a checkerboard:
+    *   width  = 4 + digest[0] % 13, height = 3 + digest[1] % 7,
+    *   color1 = digest[2..4], color2 = digest[5..7],
+    *   pixel(x,y) = if ((x+y) even) color1 else color2
+    * — the same derivation a SQL oracle replays from `md5(seed)` hex. */
+  def synthPngMedia(df: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("string"), col(seedCol).cast("string"))
+      .rdd.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val (id, seed) = (r.getString(0), r.getString(1))
+          val d = md.digest(seed.getBytes("UTF-8"))
+          val w = 4 + ((d(0) & 0xff) % 13)
+          val h = 3 + ((d(1) & 0xff) % 7)
+          val c1 = ((d(2) & 0xff) << 16) | ((d(3) & 0xff) << 8) | (d(4) & 0xff)
+          val c2 = ((d(5) & 0xff) << 16) | ((d(6) & 0xff) << 8) | (d(7) & 0xff)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, if (((x + y) & 1) == 0) c1 else c2)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, "image", bos.toByteArray, w: Integer, h: Integer,
+            null, "png")
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Real resize: decode, nearest-neighbor rescale (deterministic — no
+    * interpolation rounding to chase across platforms), re-encode png.
+    * Content is rewritten; width/height metadata updated; undecodable rows
+    * pass through unchanged with their original bytes. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "media_type", "content",
+      "duration_ms", "codec").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val decoded =
+          if (bytes == null || bytes.isEmpty) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (decoded == null)
+          Row(r.getString(0), r.getString(1), bytes, null, null,
+            if (r.isNullAt(3)) null else r.getLong(3): java.lang.Long,
+            if (r.isNullAt(4)) null else r.getString(4))
+        else {
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * decoded.getHeight / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              val sx = (x.toLong * decoded.getWidth / targetW).toInt
+              out.setRGB(x, y, decoded.getRGB(sx, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(r.getString(0), r.getString(1), bos.toByteArray,
+            targetW: Integer, targetH: Integer,
+            if (r.isNullAt(3)) null else r.getLong(3): java.lang.Long, "png")
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Metadata-only resize plan: records the target dims without touching
+    * bytes (the cheap path when downstream only needs the plan); use
+    * [[resizeImages]] to actually rewrite content. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("width", lit(w)).withColumn("height", lit(h))
 

@@ -156,6 +156,22 @@ object MaintenanceQueries {
           col("features").getItem(7).as("f7"),
           col("features").getItem(15).as("f15"))
         .orderBy(col("media_id").cast("long"))
+    }),
+
+    // / extended: REAL image decode — synthPngMedia writes actual PNG bytes
+    // (javax.imageio) from md5-derived checkerboard parameters, decodeImage
+    // reads them back; the oracle recomputes every feature analytically from
+    // the same md5, so a wrong pixel walk / channel order / dimension parse
+    // hash-fails.
+    "q_multimodal_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Multimodal.decodeImage(Multimodal.synthPngMedia(docs, "doc_id", "text"))
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy(col("media_id").cast("long"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -252,5 +268,35 @@ object MaintenanceQueries {
         |  CAST(CAST(('0x'||substr(md5(text), 1, 2)) AS INT)/255.0*2.0-1.0 AS FLOAT) AS f0,
         |  CAST(CAST(('0x'||substr(md5(text), 11, 2)) AS INT)/255.0*2.0-1.0 AS FLOAT) AS f7,
         |  CAST(CAST(('0x'||substr(md5(text), 27, 2)) AS INT)/255.0*2.0-1.0 AS FLOAT) AS f15
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // analytic replay of the checkerboard PNG corpus: same md5-hex byte
+    // derivation as Multimodal.synthPngMedia, means in closed form
+    // (ce = count of (x+y)-even pixels = (w*h + (w%2)*(h%2)) / 2)
+    "q_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    4 + CAST(('0x'||substr(h,1,2)) AS INT) % 13 AS w,
+        |    3 + CAST(('0x'||substr(h,3,2)) AS INT) % 7 AS ht,
+        |    CAST(('0x'||substr(h,5,2)) AS INT) AS r1,
+        |    CAST(('0x'||substr(h,7,2)) AS INT) AS g1,
+        |    CAST(('0x'||substr(h,9,2)) AS INT) AS b1,
+        |    CAST(('0x'||substr(h,11,2)) AS INT) AS r2,
+        |    CAST(('0x'||substr(h,13,2)) AS INT) AS g2,
+        |    CAST(('0x'||substr(h,15,2)) AS INT) AS b2
+        |  FROM m),
+        |c AS (SELECT *, w*ht AS npx, (w*ht + (w%2)*(ht%2))//2 AS ce FROM p),
+        |f AS (
+        |  SELECT doc_id, w, ht,
+        |    CAST(ce*r1 + (npx-ce)*r2 AS DOUBLE)/npx AS mr,
+        |    CAST(ce*g1 + (npx-ce)*g2 AS DOUBLE)/npx AS mg,
+        |    CAST(ce*b1 + (npx-ce)*b2 AS DOUBLE)/npx AS mb
+        |  FROM c)
+        |SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(w AS INT) AS width,
+        |  CAST(ht AS INT) AS height, CAST(3 AS INT) AS channels,
+        |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+        |  round(mb, 6) AS mean_b,
+        |  round(0.299*mr + 0.587*mg + 0.114*mb, 6) AS mean_luma
+        |FROM f ORDER BY doc_id""".stripMargin)
 }

@@ -44,4 +44,58 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions >= 2)
     assert(out.count() == 3)
   }
+
+  test("synthPngMedia -> decodeImage roundtrip matches the analytic oracle") {
+    val docs = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val out = Multimodal.decodeImage(
+      Multimodal.synthPngMedia(docs, "doc_id", "text"))
+      .orderBy("media_id").collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(8))) // no decode_error
+    // replay the derivation for row 1 directly
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha doc".getBytes("UTF-8"))
+    val (w, h) = (4 + ((d(0) & 0xff) % 13), 3 + ((d(1) & 0xff) % 7))
+    val ce = (w * h + (w % 2) * (h % 2)) / 2
+    val npx = w * h
+    val r = out.head
+    assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == 3)
+    val expMeanR = (ce.toLong * (d(2) & 0xff) +
+      (npx - ce).toLong * (d(5) & 0xff)).toDouble / npx
+    assert(r.getDouble(4) == expMeanR)
+  }
+
+  test("decodeImage quarantines undecodable rows instead of failing") {
+    val bad = Multimodal.asMedia(
+      Seq((9L, "not an image")).toDF("id", "payload")
+        .withColumn("payload", encode(col("payload"), "UTF-8")),
+      "id", "payload", "image")
+    val row = Multimodal.decodeImage(bad).head()
+    assert(row.isNullAt(1) && row.isNullAt(4))
+    assert(row.getString(8) != null)
+    // and a null-content row reports empty, not a crash
+    val nullRow = Multimodal.decodeImage(
+      Multimodal.asMedia(Seq((10L, null: Array[Byte])).toDF("id", "b"),
+        "id", "b", "image")).head()
+    assert(nullRow.getString(8) == "empty content")
+  }
+
+  test("resizeImages rewrites bytes with deterministic nearest-neighbor") {
+    val docs = Seq((5L, "resize seed")).toDF("doc_id", "text")
+    val src = Multimodal.synthPngMedia(docs, "doc_id", "text")
+    val resized = Multimodal.resizeImages(src, 6, 4)
+    val decoded = Multimodal.decodeImage(resized).head()
+    assert(decoded.getInt(1) == 6 && decoded.getInt(2) == 4)
+    // deterministic: byte-identical across two runs
+    val b1 = resized.select("content").head().getAs[Array[Byte]](0)
+    val b2 = Multimodal.resizeImages(src, 6, 4)
+      .select("content").head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, b2))
+    // undecodable content passes through unchanged
+    val bad = Multimodal.asMedia(
+      Seq((1L, "junk")).toDF("id", "p")
+        .withColumn("p", encode(col("p"), "UTF-8")),
+      "id", "p", "image")
+    val kept = Multimodal.resizeImages(bad, 6, 4).head()
+    assert(new String(kept.getAs[Array[Byte]](2), "UTF-8") == "junk")
+  }
 }
