@@ -22,13 +22,19 @@ import org.xml.sax.{Attributes, InputSource}
  *  - pdf: objects are scanned for `stream…endstream` bodies; FlateDecode
  *    streams are inflated (java.util.zip.Inflater); content streams are
  *    tokenized for the text-showing operators Tj / ' / " / TJ between
- *    BT…ET, decoding literal `(…)` escapes and `<…>` hex strings.
+ *    BT…ET, decoding literal `(…)` escapes and `<…>` hex strings. Type0
+ *    (CID-keyed) fonts are decoded through their embedded /ToUnicode CMap
+ *    (bfchar + bfrange), resolved per content-stream font via the
+ *    /Resources /Font name bindings and the document's object table.
  *
  * Coverage contract (documented, loud): this handles single-byte-encoded
- * PDFs (the overwhelmingly common case for machine-generated text PDFs)
- * and any spec-conformant docx/pptx. PDFs using CID/CMap font encodings
- * need a real codec — register one via `Readers.registerParser` to
- * override these defaults; the seam takes precedence over the built-ins.
+ * PDFs (the overwhelmingly common case for machine-generated text PDFs),
+ * CID-keyed PDFs that carry a ToUnicode CMap (what office-suite exporters
+ * emit), and any spec-conformant docx/pptx. A CID-keyed font WITHOUT a
+ * ToUnicode CMap cannot be mapped to text at all — text shown with one
+ * throws a loud unsupported-format error instead of emitting garbage.
+ * Register a full codec via `Readers.registerParser` to override these
+ * defaults; the seam takes precedence over the built-ins.
  *
  * All three functions are pure `Array[Byte] => String` and serialize into
  * task closures, so parsing runs distributed inside `binaryFile` +
@@ -121,6 +127,11 @@ object BinaryParsers {
                        want: String => Boolean): Option[Array[Byte]] =
     zipEntries(bytes, want).headOption.map(_._2)
 
+  /** Cap on a single zip entry's INFLATED size: untrusted docs can carry
+    * decompression bombs (a few KB inflating to GBs); a real OOXML text
+    * part never approaches this. */
+  private val MaxZipEntryBytes: Long = 64L << 20
+
   private def zipEntries(bytes: Array[Byte],
                          want: String => Boolean): Seq[(String, Array[Byte])] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -128,7 +139,22 @@ object BinaryParsers {
     try {
       var e: ZipEntry = zin.getNextEntry
       while (e != null) {
-        if (want(e.getName)) out += ((e.getName, zin.readAllBytes()))
+        if (want(e.getName)) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          var n = zin.read(buf)
+          while (n >= 0) {
+            total += n
+            if (total > MaxZipEntryBytes)
+              throw new IllegalArgumentException(
+                s"zip entry ${e.getName} inflates past $MaxZipEntryBytes " +
+                  "bytes — refusing (decompression bomb guard)")
+            bos.write(buf, 0, n)
+            n = zin.read(buf)
+          }
+          out += ((e.getName, bos.toByteArray))
+        }
         e = zin.getNextEntry
       }
     } finally zin.close()
@@ -143,37 +169,276 @@ object BinaryParsers {
     val raw = new String(bytes, "ISO-8859-1")
     if (!raw.startsWith("%PDF-"))
       throw new IllegalArgumentException("not a pdf: missing %PDF- header")
+    val objs = scanObjects(raw)
+    val fonts = fontResources(raw, bytes, objs)
     val out = new java.lang.StringBuilder
-    var from = 0
-    var streamAt = raw.indexOf("stream", from)
-    while (streamAt >= 0) {
-      // the dict preceding this `stream` keyword decides the filter
-      val dictStart = raw.lastIndexOf("<<", streamAt)
-      val dict = if (dictStart >= 0) raw.substring(dictStart, streamAt) else ""
-      // stream data starts after the keyword's EOL (CRLF or LF per spec)
-      var dataStart = streamAt + "stream".length
-      if (raw.startsWith("\r\n", dataStart)) dataStart += 2
-      else if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
-      val end = raw.indexOf("endstream", dataStart)
-      if (end < 0) { streamAt = -1 }
-      else {
-        var dataEnd = end
-        if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-        if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-        val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-        val decoded =
-          if (dict.contains("/FlateDecode")) inflate(data)
-          else if (dict.contains("/Filter")) null // unsupported filter: skip
-          else data
-        if (decoded != null) {
-          val content = new String(decoded, "ISO-8859-1")
-          if (content.contains("BT")) out.append(contentText(content))
-        }
-        from = end + "endstream".length
-        streamAt = raw.indexOf("stream", from)
+    var at = 0
+    var st = nextStream(raw, bytes, at, objs)
+    while (st.isDefined) {
+      val (dict, data, after) = st.get
+      val decoded =
+        if (dict.contains("/FlateDecode")) inflate(data)
+        else if (dict.contains("/Filter")) null // unsupported filter: skip
+        else data
+      if (decoded != null) {
+        val content = new String(decoded, "ISO-8859-1")
+        if (content.contains("BT")) out.append(contentText(content, fonts))
       }
+      at = after
+      st = nextStream(raw, bytes, at, objs)
     }
     out.toString.stripLineEnd
+  }
+
+  /** All `N G obj … endobj` bodies, by object number (first wins: updated
+    * PDFs append replacements, but without xref parsing the first body is
+    * the linear-scan convention and matches how streams are walked). */
+  private def scanObjects(raw: String): Map[Int, (Int, Int)] = {
+    val m = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+      .matcher(raw)
+    val out = Map.newBuilder[Int, (Int, Int)]
+    val seen = scala.collection.mutable.Set[Int]()
+    while (m.find()) {
+      val num = m.group(1).toInt
+      val end = raw.indexOf("endobj", m.end)
+      if (end >= 0 && seen.add(num)) out += (num -> ((m.end, end)))
+    }
+    out.result()
+  }
+
+  /** The stream at/after `from`: (owning dict text, data bytes, index past
+    * `endstream`). Two hardening rules over a naive scan: the dict is found
+    * by BALANCED backward matching (a nested /DecodeParms dict must not
+    * shadow the owner's /Filter), and a parseable /Length wins over the
+    * first literal `endstream` byte sequence (uncompressed data may contain
+    * those bytes). */
+  private def nextStream(raw: String, bytes: Array[Byte], from: Int,
+                         objs: Map[Int, (Int, Int)])
+      : Option[(String, Array[Byte], Int)] = {
+    var streamAt = raw.indexOf("stream", from)
+    // "endstream" contains "stream": skip keyword hits that are its tail
+    while (streamAt >= 3 && raw.regionMatches(streamAt - 3, "end", 0, 3))
+      streamAt = raw.indexOf("stream", streamAt + 6)
+    if (streamAt < 0) return None
+    val dict = owningDict(raw, streamAt)
+    var dataStart = streamAt + "stream".length
+    if (raw.startsWith("\r\n", dataStart)) dataStart += 2
+    else if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+    // honor /Length when it parses and lands on an endstream keyword
+    val byLength = streamLength(dict, objs, raw).flatMap { len =>
+      val e = dataStart.toLong + len
+      if (e <= raw.length) {
+        val k = raw.indexOf("endstream", e.toInt)
+        if (k >= 0 && k - e <= 2) Some((e.toInt, k)) else None
+      } else None
+    }
+    val (dataEnd, endKeyword) = byLength.getOrElse {
+      val end = raw.indexOf("endstream", dataStart)
+      if (end < 0) return None
+      var de = end
+      if (de > dataStart && raw.charAt(de - 1) == '\n') de -= 1
+      if (de > dataStart && raw.charAt(de - 1) == '\r') de -= 1
+      (de, end)
+    }
+    Some((dict, java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd),
+      endKeyword + "endstream".length))
+  }
+
+  /** The dict that OWNS the `stream` keyword: match the `>>` immediately
+    * before it backward through nested `<< … >>` pairs to its opening
+    * `<<` (lastIndexOf("<<") would pick a nested dict like /DecodeParms). */
+  private def owningDict(raw: String, streamAt: Int): String = {
+    val close = raw.lastIndexOf(">>", streamAt)
+    if (close < 0) return ""
+    var depth = 1
+    var i = close - 1
+    while (i > 0 && depth > 0) {
+      if (raw.charAt(i) == '<' && raw.charAt(i - 1) == '<') {
+        depth -= 1; i -= 2
+      } else if (raw.charAt(i) == '>' && raw.charAt(i - 1) == '>') {
+        depth += 1; i -= 2
+      } else i -= 1
+    }
+    if (depth == 0) raw.substring(math.max(0, i), streamAt) else ""
+  }
+
+  private val LengthRe =
+    """/Length\s+(\d+)(\s+\d+\s+R)?""".r
+
+  /** /Length as a long: direct integer, or an indirect reference resolved
+    * against the object table (`/Length 7 0 R` → object 7's integer body). */
+  private def streamLength(dict: String, objs: Map[Int, (Int, Int)],
+                           raw: String): Option[Long] =
+    LengthRe.findFirstMatchIn(dict).flatMap { m =>
+      if (m.group(2) == null) Some(m.group(1).toLong)
+      else objs.get(m.group(1).toInt).flatMap { case (s, e) =>
+        val body = raw.substring(s, e).trim
+        if (body.nonEmpty && body.forall(_.isDigit)) Some(body.toLong)
+        else None
+      }
+    }
+
+  // ----------------------------------------------------- fonts / ToUnicode
+
+  /** One font binding visible to content streams: resource name (`/F1`),
+    * whether it is CID-keyed (Type0), and its ToUnicode CMap if present. */
+  private final case class FontInfo(name: String, isType0: Boolean,
+                                    cmap: Option[CMap])
+
+  /** code → unicode from a ToUnicode CMap; codes are `codeLen` bytes. */
+  private final case class CMap(codeLen: Int, map: Map[Int, String]) {
+    def decode(byteStr: String): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + codeLen <= byteStr.length) {
+        var code = 0
+        var j = 0
+        while (j < codeLen) {
+          code = (code << 8) | (byteStr.charAt(i + j) & 0xff); j += 1
+        }
+        sb.append(map.getOrElse(code, "�"))
+        i += codeLen
+      }
+      sb.toString
+    }
+  }
+
+  private val FontPairRe =
+    """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+
+  /** Every `/Font` resource binding in the document, name → FontInfo.
+    * Handles both inline dicts (`/Font << /F1 5 0 R >>`) and indirect
+    * resource dicts (`/Font 9 0 R`). First binding of a name wins —
+    * single-generator PDFs use document-unique names. */
+  private def fontResources(raw: String, bytes: Array[Byte],
+                            objs: Map[Int, (Int, Int)]): Map[String, FontInfo] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, FontInfo]()
+    def addPairs(dictText: String): Unit =
+      FontPairRe.findAllMatchIn(dictText).foreach { m =>
+        val name = m.group(1)
+        if (!out.contains(name)) objs.get(m.group(2).toInt).foreach {
+          case (s, e) =>
+            val body = raw.substring(s, e)
+            val cmap = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+              .findFirstMatchIn(body)
+              .flatMap(r => objectStream(raw, bytes, objs, r.group(1).toInt))
+              .map(parseCMap)
+            out += name -> FontInfo(name, body.contains("/Type0"), cmap)
+        }
+      }
+    var at = raw.indexOf("/Font")
+    while (at >= 0) {
+      var i = at + "/Font".length
+      while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
+      if (raw.startsWith("<<", i)) addPairs(balancedDict(raw, i))
+      else {
+        // `/Font 9 0 R`: the resource dict lives in its own object
+        val ref = """^(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw.substring(i,
+          math.min(raw.length, i + 24)))
+        ref.flatMap(m => objs.get(m.group(1).toInt)).foreach { case (s, e) =>
+          addPairs(raw.substring(s, e))
+        }
+      }
+      at = raw.indexOf("/Font", at + 5)
+    }
+    out.toMap
+  }
+
+  /** The balanced `<< … >>` dict starting at `open` (nested dicts kept). */
+  private def balancedDict(raw: String, open: Int): String = {
+    var depth = 0
+    var i = open
+    while (i + 1 < raw.length) {
+      if (raw.charAt(i) == '<' && raw.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (raw.charAt(i) == '>' && raw.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return raw.substring(open, i)
+      }
+      else i += 1
+    }
+    raw.substring(open)
+  }
+
+  /** Decoded stream data of object `num`, if that object holds a stream. */
+  private def objectStream(raw: String, bytes: Array[Byte],
+                           objs: Map[Int, (Int, Int)],
+                           num: Int): Option[Array[Byte]] =
+    objs.get(num).flatMap { case (s, e) =>
+      nextStream(raw, bytes, s, objs) match {
+        case Some((dict, data, after)) if after <= e + 1 =>
+          if (dict.contains("/FlateDecode")) Option(inflate(data))
+          else if (dict.contains("/Filter")) None
+          else Some(data)
+        case _ => None
+      }
+    }
+
+  private val BfCharSecRe = java.util.regex.Pattern.compile(
+    "beginbfchar(.*?)endbfchar", java.util.regex.Pattern.DOTALL)
+  private val BfRangeSecRe = java.util.regex.Pattern.compile(
+    "beginbfrange(.*?)endbfrange", java.util.regex.Pattern.DOTALL)
+  private val HexPairRe = java.util.regex.Pattern.compile(
+    "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>")
+  private val RangeRe = java.util.regex.Pattern.compile(
+    "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*(?:<([0-9A-Fa-f]+)>|\\[(.*?)\\])",
+    java.util.regex.Pattern.DOTALL)
+  private val HexTokenRe = java.util.regex.Pattern.compile("<([0-9A-Fa-f]+)>")
+
+  /** Entry cap: a hostile bfrange like `<0000> <FFFFFFFF>` must not
+    * materialize billions of map entries. */
+  private val MaxCMapEntries = 1 << 20
+
+  /** Parse a ToUnicode CMap: codespace length, bfchar pairs, bfranges
+    * (both `<lo> <hi> <dstStart>` and `<lo> <hi> [<d0> <d1> …]` forms).
+    * Destination hex is UTF-16BE code units. */
+  private def parseCMap(data: Array[Byte]): CMap = {
+    val s = new String(data, "ISO-8859-1")
+    val codeLen = """begincodespacerange\s*<([0-9A-Fa-f]+)>""".r
+      .findFirstMatchIn(s).map(m => math.max(1, m.group(1).length / 2))
+      .getOrElse(2)
+    val map = scala.collection.mutable.HashMap[Int, String]()
+    def hexUtf16(h: String): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) {
+        sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+        i += 4
+      }
+      if (i < h.length) sb.append(Integer.parseInt(h.substring(i), 16).toChar)
+      sb.toString
+    }
+    val bc = BfCharSecRe.matcher(s)
+    while (bc.find()) {
+      val p = HexPairRe.matcher(bc.group(1))
+      while (p.find() && map.size < MaxCMapEntries)
+        map.put(Integer.parseInt(p.group(1), 16), hexUtf16(p.group(2)))
+    }
+    val br = BfRangeSecRe.matcher(s)
+    while (br.find()) {
+      val r = RangeRe.matcher(br.group(1))
+      while (r.find() && map.size < MaxCMapEntries) {
+        val lo = Integer.parseInt(r.group(1), 16)
+        val hi = Integer.parseInt(r.group(2), 16)
+        if (r.group(3) != null) {
+          val base = hexUtf16(r.group(3))
+          var k = 0
+          while (lo + k <= hi && map.size < MaxCMapEntries) {
+            val arr = base.toCharArray
+            arr(arr.length - 1) = (arr(arr.length - 1) + k).toChar
+            map.put(lo + k, new String(arr))
+            k += 1
+          }
+        } else {
+          val t = HexTokenRe.matcher(r.group(4))
+          var k = 0
+          while (t.find() && lo + k <= hi && map.size < MaxCMapEntries) {
+            map.put(lo + k, hexUtf16(t.group(1)))
+            k += 1
+          }
+        }
+      }
+    }
+    CMap(codeLen, map.toMap)
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -194,22 +459,41 @@ object BinaryParsers {
 
   /** Walk a content stream, collecting the strings shown by Tj / ' / " /
     * TJ. Line-positioning operators (Td TD T* ' ") break lines — enough to
-    * keep reading order for linearly laid-out text. */
-  private def contentText(s: String): String = {
+    * keep reading order for linearly laid-out text. `Tf` tracks the active
+    * font: strings shown with a Type0 (CID-keyed) font decode through its
+    * ToUnicode CMap, and throw loudly when it has none — glyph codes
+    * without a CMap are not text in any recoverable sense. */
+  private def contentText(s: String, fonts: Map[String, FontInfo]): String = {
     val out = new java.lang.StringBuilder
     val pending = new java.lang.StringBuilder // strings since last operator
+    var lastName: String = null // most recent /Name token (Tf operand)
+    var font: FontInfo = null
     var i = 0
     def newline(): Unit =
       if (out.length > 0 && out.charAt(out.length - 1) != '\n') out.append('\n')
+    def emit(byteStr: String): Unit =
+      if (font != null && font.isType0) font.cmap match {
+        case Some(cm) => pending.append(cm.decode(byteStr))
+        case None => throw new IllegalArgumentException(
+          s"pdf: text shown with CID-keyed font /${font.name} that has no " +
+            "ToUnicode CMap — glyph codes cannot be mapped to text; " +
+            "register a full PDF codec via Readers.registerParser")
+      } else pending.append(byteStr)
     while (i < s.length) {
       s.charAt(i) match {
         case '(' =>
           val (str, next) = literalString(s, i)
-          pending.append(str); i = next
+          emit(str); i = next
         case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
           val end = s.indexOf('>', i)
           if (end < 0) i = s.length
-          else { pending.append(hexString(s.substring(i + 1, end))); i = end + 1 }
+          else { emit(hexString(s.substring(i + 1, end))); i = end + 1 }
+        case '/' =>
+          var j = i + 1
+          while (j < s.length && !s.charAt(j).isWhitespace &&
+            "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+          lastName = s.substring(i + 1, j)
+          i = j
         case '%' => // comment to EOL
           val eol = s.indexWhere(c => c == '\n' || c == '\r', i)
           i = if (eol < 0) s.length else eol
@@ -221,6 +505,10 @@ object BinaryParsers {
             case "'" | "\""  => newline(); out.append(pending); pending.setLength(0)
             case "Td" | "TD" | "T*" => newline(); pending.setLength(0)
             case "BT" | "ET" => pending.setLength(0)
+            case "Tf" =>
+              font = if (lastName != null) fonts.getOrElse(lastName, null)
+                     else null
+              pending.setLength(0)
             case _           => pending.setLength(0) // other op: args weren't text
           }
           i = j

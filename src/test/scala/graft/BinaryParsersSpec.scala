@@ -116,6 +116,97 @@ class BinaryParsersSpec extends SparkSpec {
     assert(e.getMessage.contains("%PDF-"))
   }
 
+  // ------------------------------------------------------- PDF: CID/CMap
+
+  /** Multi-object PDF: catalog → page tree → page with /Resources /Font
+    * bindings → Type0 font (optionally carrying a /ToUnicode CMap stream)
+    * → content stream showing 2-byte glyph codes. */
+  private def cidPdfBytes(withToUnicode: Boolean): Array[Byte] = {
+    // 0048→H 0065→e via bfchar; 006C..006F→l.. via bfrange increment;
+    // 0040..0041→[X Y] via bfrange array form
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0048> <0048>
+        |<0065> <0065>
+        |endbfchar
+        |2 beginbfrange
+        |<006C> <006F> <006C>
+        |<0040> <0041> [<0058> <0059>]
+        |endbfrange
+        |endcmap
+        |end""".stripMargin
+    val content = "BT /F1 12 Tf <00480065006C006C006F> Tj <0041> Tj ET"
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    val toUni = if (withToUnicode) " /ToUnicode 6 0 R" else ""
+    w(s"4 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Test " +
+      s"/Encoding /Identity-H$toUni >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    if (withToUnicode)
+      w(s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf: Type0 font decodes 2-byte codes through its ToUnicode CMap") {
+    // bfchar, bfrange-increment, and bfrange-array entries all exercised
+    assert(BinaryParsers.pdfText(cidPdfBytes(withToUnicode = true)) ==
+      "HelloY")
+  }
+
+  test("pdf: CID font without ToUnicode fails loudly, not silent-garbage") {
+    val e = intercept[IllegalArgumentException](
+      BinaryParsers.pdfText(cidPdfBytes(withToUnicode = false)))
+    assert(e.getMessage.contains("ToUnicode"))
+    assert(e.getMessage.contains("F1"))
+  }
+
+  test("pdf: /Length protects stream data containing 'endstream' bytes") {
+    // the literal string holds the endstream keyword — a first-occurrence
+    // scan would truncate the stream mid-string
+    val content = "BT (before endstream after) Tj ET"
+    assert(BinaryParsers.pdfText(pdfBytes(content, flate = false)) ==
+      "before endstream after")
+  }
+
+  test("pdf: nested /DecodeParms dict doesn't hide the owning /Filter") {
+    val content = "BT (nested dict ok) Tj ET"
+    val d = new Deflater()
+    d.setInput(content.getBytes("ISO-8859-1")); d.finish()
+    val buf = new Array[Byte](content.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    val body = java.util.Arrays.copyOf(buf, n)
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    // /Filter BEFORE the nested dict: a lastIndexOf("<<") dict scan sees
+    // only "<< /Predictor 1 >> /Length ... >>" and misses /FlateDecode
+    w(s"1 0 obj\n<< /Filter /FlateDecode /DecodeParms << /Predictor 1 >> " +
+      s"/Length ${body.length} >>\nstream\n")
+    bos.write(body)
+    w("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    assert(BinaryParsers.pdfText(bos.toByteArray) == "nested dict ok")
+  }
+
+  test("zip entries are capped against decompression bombs") {
+    // ~70 MB of NULs deflates to ~70 KB; inflating it must trip the cap,
+    // not balloon the heap
+    val big = new String(new Array[Char](70 << 20))
+    val e = intercept[IllegalArgumentException](
+      BinaryParsers.docxText(zip("word/document.xml" -> big)))
+    assert(e.getMessage.contains("bomb"))
+  }
+
   // ------------------------------------------- distributed via the seam
 
   test("Readers.docx/pptx/pdf parse real files distributed by default") {
