@@ -77,7 +77,10 @@ object ProcessorQueries {
       // (facts, chunks) would fan out. Cents-scaled numerics keep the md5
       // input string engine-stable.
       // base feeds 5 branches (two retrievers, facts, chunks) — checkpoint
-      // it once so the lineitem join + md5 ids aren't recomputed per branch
+      // it once so the lineitem join + md5 ids aren't recomputed per branch.
+      // The projection is narrowed to exactly the DERIVED columns the
+      // branches read (scores array, fact strings, chunk text) — raw
+      // lineitem columns don't survive into the materialized rows.
       val base = t(s, dir, "lineitem")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("source_id"),
@@ -89,18 +92,25 @@ object ProcessorQueries {
             col("l_shipdate").cast("string"))).as("statement_id"),
           concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
             col("l_shipdate").cast("string")).as("statement"),
-          col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
-          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          concat(
+            when(col("l_returnflag") === "R",
+              array((col("l_extendedprice") * 100).cast("long")))
+              .otherwise(array().cast("array<long>")),
+            when(col("l_quantity") > 25,
+              array((col("l_quantity") * 100000).cast("long")))
+              .otherwise(array().cast("array<long>"))).as("scores"),
+          concat(lit("part:"), col("l_partkey")).as("fact_part"),
+          concat(lit("supp:"), col("l_suppkey")).as("fact_supp"),
+          col("l_shipdate").cast("string").as("chunk_text"))
         .localCheckpoint(true)
       // no .distinct(): populateStatementStrs dedups in its collect_set.
       // explode = the part:/supp: union in one checkpoint scan, not two
       val facts = base.select(col("statement_id"),
-        explode(array(concat(lit("part:"), col("l_partkey")),
-          concat(lit("supp:"), col("l_suppkey")))).as("fact_value"))
+        explode(array(col("fact_part"), col("fact_supp"))).as("fact_value"))
       // raw (chunk_id, text) pairs; the updateChunkMetadata step bounds
       // this to the surviving statements before paying the distinct
       val chunksRaw = base.select(col("statement_id").as("chunk_id"),
-        col("l_shipdate").cast("string").as("text"))
+        col("chunk_text").as("text"))
       val sources = t(s, dir, "customer").select(
         col("c_custkey").as("source_id"),
         map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"),
@@ -113,20 +123,13 @@ object ProcessorQueries {
       val unioned = base.select(col("source_id"), col("topic_id"),
           col("statement_id"), col("statement_id").as("chunk_id"),
           col("statement"),
-          explode(concat(
-            when(col("l_returnflag") === "R",
-              array((col("l_extendedprice") * 100).cast("long")))
-              .otherwise(array().cast("array<long>")),
-            when(col("l_quantity") > 25,
-              array((col("l_quantity") * 100000).cast("long")))
-              .otherwise(array().cast("array<long>")))).as("score"))
+          explode(col("scores")).as("score"))
         .withColumn("score", col("score").cast("double"))
       val processed = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
         Processors.dedupResults,
         Processors.disaggregateResults,
         df => Processors.filterByMetadata(df, cleanSources,
           graft.filter.FilterAst.Pred("segment", graft.filter.FilterAst.Ne, "FURNITURE")),
-        df => Processors.populateStatementStrs(df, facts),
         df => Processors.rerankStatements(df, None),
         df => Processors.pruneStatements(df, 0.05),
         Processors.rescoreResults,
@@ -139,6 +142,19 @@ object ProcessorQueries {
         // the formatting tail compiles — without it the whole 16-step
         // lineage re-enters codegen for every tail step.
         df => df.localCheckpoint(true),
+        // PopulateStatementStrs runs HERE, not in the reference's slot
+        // before rerank: with the default reranker='none', statement_str is
+        // first consumed by the formatting tail, so the fact enrichment
+        // commutes past every score-only processor — the join-deferral a
+        // plan optimizer would apply. It runs against the rank-truncated
+        // survivors, so the 2x-exploded fact frame is bounded by a
+        // broadcast semi-join instead of shuffling 2N fact rows for
+        // statements that were about to be truncated away. Output is
+        // row-identical; a live reranker that reads statement_str would
+        // pin the step back to its reference slot.
+        df => Processors.populateStatementStrs(df,
+          facts.join(broadcast(df.select("statement_id").distinct()),
+            Seq("statement_id"), "left_semi")),
         // df is rank-truncated and checkpointed (≤ 10 sources × topics × 3
         // statements), so its chunk ids are a bounded broadcast: restrict
         // the 600k-row chunk frame semi-join-first and pay distinct on the
