@@ -68,7 +68,7 @@ object Bench {
       g.factSupports, g.entities, g.entityRelations,
       g.topicEmbeddings, g.topicEntities).foreach(_.count())
     // ANN index training happens at build time too — queries only probe.
-    graft.queries.Tables.kmeansIvfIndex(spark, sfDir)._1.count()
+    graft.queries.Tables.detKmeansIvfIndex(spark, sfDir)._1.count()
     val gc = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)
     Seq(gc.entities, gc.entityRelations, gc.facts).foreach(_.count())
 

@@ -41,6 +41,68 @@ object MlAnn {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Deterministic Lloyd's KMeans for the IVF index. Unlike [[kmeansIvf]],
+    * whose k-means|| init draws from MLlib-internal RNG streams, every step
+    * here is engine-replayable arithmetic:
+    *
+    *  - init: the centroids are the embeddings of the `nlist` smallest ids;
+    *  - assignment: argmin of squared distance, computed as a sequential
+    *    left fold in array-index order, ties to the lower cell index;
+    *  - update: per-cell mean via an id-ordered elementwise fold (so the
+    *    summation order never depends on partitioning), empty cells keep
+    *    their previous centroid.
+    *
+    * The same iterations unroll into ANSI SQL with ordered list folds, which
+    * is what lets q_ivf_kmeans carry a full hash oracle instead of a
+    * rows-only gate. Each iteration collects only the `nlist` centroid sums
+    * driver-side (O(nlist*dim)); the per-cell collect_list bounds training
+    * to an ingest-time sample at scale — which is how IVF indexes are
+    * trained anyway (probing stays fully distributed).
+    * Reference contract: vector-store ivfflat indexing
+    * (pgvector ivfflat / OpenSearch knn in graphrag-toolkit
+    * lexical-graph storage backends). */
+  def detKmeansIvf(index: DataFrame, embCol: String, idCol: String,
+                   nlist: Int, iters: Int = 2): (DataFrame, Array[Array[Double]]) = {
+    require(nlist >= 1 && iters >= 0, s"need nlist>=1, iters>=0; got $nlist/$iters")
+    val base = index.select(col(idCol).as("id"), V.toDouble(col(embCol)).as("emb"))
+    var centers: Array[Array[Double]] = base.orderBy("id").limit(nlist)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    require(centers.length == nlist, s"index has fewer than $nlist rows")
+    val dim = centers.head.length
+    val zero = typedlit(Seq.fill(dim)(0.0))
+    for (_ <- 1 to iters) {
+      val sums = base.withColumn("cell", nearestCell(col("emb"), centers))
+        .groupBy("cell").agg(count(lit(1)).as("n"),
+          aggregate(array_sort(collect_list(struct(col("id"), col("emb")))),
+            zero, (acc, m) => zip_with(acc, m.getField("emb"), _ + _)).as("s"))
+        .collect()
+      val next = centers.map(_.clone()) // empty cells keep their centroid
+      sums.foreach { r =>
+        val n = r.getLong(1).toDouble
+        next(r.getInt(0)) = r.getSeq[Double](2).map(_ / n).toArray
+      }
+      centers = next
+    }
+    val assigned = base.select(col("id"), col("emb"),
+      nearestCell(col("emb"), centers).as("ivf_cell"))
+    (assigned, centers)
+  }
+
+  /** Argmin-of-sqdist cell id as a single codegen'd expression: the
+    * centroids ride along as one array<array<double>> literal, each sqdist
+    * is an ordered fold evaluated exactly once, and
+    * array_position(_, array_min(_)) takes the FIRST minimum — ties to the
+    * lower cell index, matching the oracle's `ORDER BY dist, cell` rank.
+    * (sqdists are sums of non-negative products, so -0.0 can never appear
+    * and the position lookup's value equality is safe.) */
+  private def nearestCell(emb: Column, centers: Array[Array[Double]]): Column = {
+    val cArr = typedlit(centers.map(_.toSeq).toSeq)
+    val dists = transform(cArr, c =>
+      aggregate(zip_with(emb, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
   /** IVF probe: scan the `nprobe` cells nearest the query (centroid ranking
     * happens driver-side over the tiny centroid array), cosine top-k inside. */
   def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],

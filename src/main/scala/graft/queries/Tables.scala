@@ -115,6 +115,21 @@ object Tables {
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), (DataFrame, Array[Array[Double]])]
 
+  /** Deterministic-KMeans IVF index (MlAnn.detKmeansIvf): same warm-layer
+    * contract as [[kmeansIvfIndex]], but the centroids are engine-replayable
+    * so the probing query carries a full hash oracle. */
+  def detKmeansIvfIndex(s: SparkSession, dir: String, nlist: Int = 8,
+                        iters: Int = 2): (DataFrame, Array[Array[Double]]) =
+    detIvfCache.getOrElseUpdate((s, dir, nlist, iters), {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val (assigned, centers) =
+        graft.ops.MlAnn.detKmeansIvf(emb, "embedding", "vec_id", nlist, iters)
+      (assigned.coalesce(cachePartitions(s)).cache(), centers)
+    })
+
+  private val detIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), (DataFrame, Array[Array[Double]])]
+
   private def buildEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val lineitem = t(s, dir, "lineitem")

@@ -86,13 +86,16 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
     }),
 
-    // extended: MLlib KMeans-IVF ANN (learned centroids, nprobe cells) —
-    // rows-only: the trained centroids are not replayable in ANSI SQL;
-    // full-probe == brute-force equality is asserted in MlAnnSpec. The
-    // index is trained once in the warmed Tables layer (like lexicalGraph);
-    // the timed query only probes it.
+    // extended: KMeans-IVF ANN (learned centroids, nprobe=2 of 8 cells —
+    // real pruning, not full probe). Uses the deterministic Lloyd's trainer
+    // (MlAnn.detKmeansIvf: smallest-id init, ordered-fold means), so the
+    // whole train→probe path replays in SQL and the gate is a full hash
+    // oracle — the RNG-seeded MLlib variant stays spec-covered in MlAnnSpec.
+    // The index is trained once in the warmed Tables layer (like
+    // lexicalGraph); the timed query only probes it.
     "q_ivf_kmeans" -> ((s, dir) => {
-      val (assigned, centers) = Tables.kmeansIvfIndex(s, dir, nlist = 8)
+      val (assigned, centers) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
       graft.ops.MlAnn.ivfTopK(assigned, centers, queryVec(s, dir),
         k = 10, nprobe = 2)
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
@@ -118,7 +121,67 @@ object VectorQueries {
         .orderBy(col("id_a"), col("id_b"))
     }))
 
+  /**
+   * Unrolled deterministic-KMeans IVF oracle: replays MlAnn.detKmeansIvf's
+   * exact arithmetic — smallest-id init, per-iteration (argmin assign →
+   * id-ordered fold mean), centroid probe ranking, cosine top-k — as a CTE
+   * chain. Every fold is an ordered list_reduce/list_sum, which DuckDB
+   * evaluates left-to-right like the engine's sequential aggregates, so the
+   * hashes are bit-exact, not approximately equal.
+   */
+  private def detKmeansOracle(nlist: Int, iters: Int, nprobe: Int,
+                              k: Int): String = {
+    val R = s"range(1,${Dim + 1})"
+    val zero = s"list_transform($R, i -> 0.0)"
+    // squared distance between double-list columns: sequential left fold
+    def sq(a: String, b: String): String =
+      s"list_reduce(list_transform($R, i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x, y) -> x + y)"
+    // argmin-of-sqdist assignment against centroid CTE `cN`
+    def assign(aName: String, cName: String): String =
+      s"""$aName AS (
+         |  SELECT id, emb, cell FROM (
+         |    SELECT p.id, p.emb, c.cell,
+         |      row_number() OVER (PARTITION BY p.id
+         |        ORDER BY ${sq("p.emb", "c.c")}, c.cell) AS rn
+         |    FROM pts p CROSS JOIN $cName c) WHERE rn = 1)""".stripMargin
+    // id-ordered elementwise mean per cell; empty cells keep prev centroid
+    def update(aName: String, prevC: String, cName: String): String =
+      s"""${cName}_s AS (
+         |  SELECT cell, count(*) AS n,
+         |    list_reduce(list_prepend($zero, list(emb ORDER BY id)),
+         |      (x, y) -> list_transform($R, i -> x[i] + y[i])) AS s
+         |  FROM $aName GROUP BY cell),
+         |$cName AS (
+         |  SELECT p.cell,
+         |    CASE WHEN s.n IS NULL THEN p.c
+         |         ELSE list_transform($R, i -> s.s[i] / s.n) END AS c
+         |  FROM $prevC p LEFT JOIN ${cName}_s s USING (cell))""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      assign(s"a$it", s"c${it - 1}") + ",\n" +
+        update(s"a$it", s"c${it - 1}", s"c$it")
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id <> 0),
+       |q AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |  FROM embeddings WHERE vec_id = 0),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, emb AS c
+       |  FROM pts ORDER BY id LIMIT $nlist),
+       |$iterCtes,
+       |probe AS (
+       |  SELECT cell FROM c$iters c CROSS JOIN q
+       |  ORDER BY ${sq("c.c", "q.qe")}, cell LIMIT $nprobe),
+       |${assign("af", s"c$iters")}
+       |SELECT id AS vec_id, round(${cosSql("af.emb", "q.qe")}, 6) AS score
+       |FROM af JOIN probe USING (cell) CROSS JOIN q
+       |ORDER BY ${cosSql("af.emb", "q.qe")} DESC, id LIMIT $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ivf_kmeans" -> detKmeansOracle(nlist = 8, iters = 2, nprobe = 2, k = 10),
     "q_vector_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS score

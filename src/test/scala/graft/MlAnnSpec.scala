@@ -38,6 +38,37 @@ class MlAnnSpec extends SparkSpec {
     assert(ids.forall(_ % 3 == 0)) // cluster 0 members are i % 3 == 0
   }
 
+  test("deterministic KMeans IVF: full probe equals brute force") {
+    val (assigned, centers) =
+      MlAnn.detKmeansIvf(index, "embedding", "vec_id", nlist = 3, iters = 2)
+    val ivf = MlAnn.ivfTopK(assigned, centers, query, k = 5, nprobe = 3)
+      .select("id").as[Long].collect().toSeq
+    val brute = Similarity.topK(index, "embedding", "vec_id", query, 5)
+      .select("id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("deterministic KMeans is partition-layout-independent") {
+    val (a1, c1) =
+      MlAnn.detKmeansIvf(index, "embedding", "vec_id", nlist = 3, iters = 2)
+    val (a2, c2) = MlAnn.detKmeansIvf(index.repartition(7), "embedding",
+      "vec_id", nlist = 3, iters = 2)
+    // bit-equal centroids and identical cell assignments: the ordered-fold
+    // means never see partitioning, which is the whole oracle contract
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(a1.orderBy("id").select("id", "ivf_cell").collect().toSeq ==
+      a2.orderBy("id").select("id", "ivf_cell").collect().toSeq)
+  }
+
+  test("deterministic KMeans separates the three planted clusters") {
+    val (assigned, _) =
+      MlAnn.detKmeansIvf(index, "embedding", "vec_id", nlist = 3, iters = 2)
+    // every planted cluster (id % 3) maps to exactly one learned cell
+    val m = assigned.select((col("id") % 3).as("truth"), col("ivf_cell"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(m.size == 3 && m.map(_._2).distinct.size == 3)
+  }
+
   test("LSH top-k finds the true nearest neighbors on separated clusters") {
     val out = MlAnn.lshTopK(index, "embedding", "vec_id", query, k = 5)
       .select("id").as[Long].collect().toSeq
