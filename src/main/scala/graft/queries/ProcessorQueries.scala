@@ -120,9 +120,16 @@ object ProcessorQueries {
       val cleanSources = Processors.removeVersioningMetadata(sources)
       // fused two-retriever pass (see q_processor_chain): one checkpoint
       // scan, each row explodes into its 0-2 retriever scores
+      // The scored frame enters the chain WITHOUT statement text or the
+      // chunk_id copy: no processor before the rank-truncation boundary
+      // reads either (dedup keys on statement_id, windows on topic_id,
+      // scores are numeric), so carrying them would widen every chain
+      // shuffle by ~60 B/row for columns only the ~100 survivors need.
+      // They're reattached from the checkpointed base right after the
+      // truncation boundary — the projection deferral a columnar optimizer
+      // would apply if the processors weren't black-box row transforms.
       val unioned = base.select(col("source_id"), col("topic_id"),
-          col("statement_id"), col("statement_id").as("chunk_id"),
-          col("statement"),
+          col("statement_id"),
           explode(col("scores")).as("score"))
         .withColumn("score", col("score").cast("double"))
       val processed = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
@@ -133,8 +140,18 @@ object ProcessorQueries {
         df => Processors.rerankStatements(df, None),
         df => Processors.pruneStatements(df, 0.05),
         Processors.rescoreResults,
-        df => Processors.truncateStatements(df, 3),
+        // Rank-truncation runs BEFORE statement truncation (reference order
+        // is statements-first): the two commute row-identically here —
+        // truncateRankResults ranks sources by result_score, a per-source
+        // constant rescoreResults already materialized (statement-level
+        // truncation can't change it), and each topic_id (orderkey) belongs
+        // to exactly one source, so the per-topic top-3 sees the same
+        // candidate rows either way. Ordering it rank-first means the
+        // top-3-per-topic heap aggregates the ~400 surviving rows of the 10
+        // ranked sources instead of all 300k+ scored statements — the
+        // single most expensive step of the chain in stage profiles.
         df => Processors.truncateRankResults(df, 10),
+        df => Processors.truncateStatements(df, 3),
         // materialization boundary: rank-truncation bounds the frame to
         // ≤ max_results sources × topics × 3 statements (the reference's
         // SearchResultCollection is likewise a materialized list after
@@ -142,6 +159,18 @@ object ProcessorQueries {
         // the formatting tail compiles — without it the whole 16-step
         // lineage re-enters codegen for every tail step.
         df => df.localCheckpoint(true),
+        // reattach the deferred statement text + chunk_id copy onto the
+        // bounded survivors: statement_id determines the statement string
+        // (it hashes the full source tuple), so the semi-join + distinct
+        // lookup is exact, and at ≤ ~100 rows both sides broadcast
+        df => {
+          val surv = broadcast(df.select("statement_id").distinct())
+          val stmtText = base.select(col("statement_id"), col("statement"))
+            .join(surv, Seq("statement_id"), "left_semi")
+            .dropDuplicates("statement_id")
+          df.join(broadcast(stmtText), Seq("statement_id"))
+            .withColumn("chunk_id", col("statement_id"))
+        },
         // PopulateStatementStrs runs HERE, not in the reference's slot
         // before rerank: with the default reranker='none', statement_str is
         // first consumed by the formatting tail, so the fact enrichment

@@ -300,45 +300,54 @@ object Profile {
           }
 
       case "chainsteps" =>
-        // cumulative cost of q_full_chain's processor prefix: rebuild the
-        // chain inline, count() after each appended step
+        // cumulative cost of q_full_chain's committed shape: the narrowed
+        // checkpoint base, fused retriever explode, rank-first truncation,
+        // deferred populateStatementStrs, and the formatting tail — kept in
+        // sync with queries/ProcessorQueries.scala q_full_chain.
         graft.GraftExtensions.registerAll(spark)
         import graft.retrieve.Processors
         import graft.queries.{Tables => T2}
         val ordC = T2.t(spark, sfDir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
-        val baseC = T2.t(spark, sfDir, "lineitem")
-          .join(ordC, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("source_id"),
-            col("l_orderkey").as("topic_id"),
-            md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
-              col("l_partkey"), col("l_suppkey"),
-              (col("l_extendedprice") * 100).cast("long"),
-              (col("l_quantity") * 100).cast("long"),
-              col("l_shipdate").cast("string"))).as("statement_id"),
-            concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
-              col("l_shipdate").cast("string")).as("statement"),
-            col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
-            col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-          .localCheckpoint(true)
+        var baseC: org.apache.spark.sql.DataFrame = null
+        time("base checkpoint") {
+          baseC = T2.t(spark, sfDir, "lineitem")
+            .join(ordC, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("source_id"),
+              col("l_orderkey").as("topic_id"),
+              md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey"), col("l_suppkey"),
+                (col("l_extendedprice") * 100).cast("long"),
+                (col("l_quantity") * 100).cast("long"),
+                col("l_shipdate").cast("string"))).as("statement_id"),
+              concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+                col("l_shipdate").cast("string")).as("statement"),
+              concat(
+                when(col("l_returnflag") === "R",
+                  array((col("l_extendedprice") * 100).cast("long")))
+                  .otherwise(array().cast("array<long>")),
+                when(col("l_quantity") > 25,
+                  array((col("l_quantity") * 100000).cast("long")))
+                  .otherwise(array().cast("array<long>"))).as("scores"),
+              concat(lit("part:"), col("l_partkey")).as("fact_part"),
+              concat(lit("supp:"), col("l_suppkey")).as("fact_supp"),
+              col("l_shipdate").cast("string").as("chunk_text"))
+            .localCheckpoint(true)
+          baseC.count()
+        }
         val factsC = baseC.select(col("statement_id"),
-            concat(lit("part:"), col("l_partkey")).as("fact_value"))
-          .union(baseC.select(col("statement_id"),
-            concat(lit("supp:"), col("l_suppkey")).as("fact_value")))
-        val chunksC = baseC.select(col("statement_id").as("chunk_id"),
-          col("l_shipdate").cast("string").as("text")).distinct()
+          explode(array(col("fact_part"), col("fact_supp"))).as("fact_value"))
+        val chunksRawC = baseC.select(col("statement_id").as("chunk_id"),
+          col("chunk_text").as("text"))
         val sourcesC = T2.t(spark, sfDir, "customer").select(
           col("c_custkey").as("source_id"),
           map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"))
             .as("metadata"),
           col("c_mktsegment").as("segment"))
-        val unionedC = baseC.filter(col("l_returnflag") === "R")
-          .withColumn("score", (col("l_extendedprice") * 100).cast("long"))
-          .union(baseC.filter(col("l_quantity") > 25)
-            .withColumn("score", (col("l_quantity") * 100000).cast("long")))
-          .select(col("source_id"), col("topic_id"), col("statement_id"),
-            col("statement_id").as("chunk_id"), col("statement"),
-            col("score").cast("double").as("score"))
+        val unionedC = baseC.select(col("source_id"), col("topic_id"),
+            col("statement_id"), col("statement_id").as("chunk_id"),
+            col("statement"), explode(col("scores")).as("score"))
+          .withColumn("score", col("score").cast("double"))
         val steps: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
           "dedup" -> Processors.dedupResults,
           "disagg" -> Processors.disaggregateResults,
@@ -346,26 +355,40 @@ object Profile {
             Processors.filterByMetadata(df, sourcesC,
               graft.filter.FilterAst.Pred("segment",
                 graft.filter.FilterAst.Ne, "FURNITURE"))),
-          "populateStrs" -> ((df: org.apache.spark.sql.DataFrame) =>
-            Processors.populateStatementStrs(df, factsC)),
           "rerank" -> ((df: org.apache.spark.sql.DataFrame) =>
             Processors.rerankStatements(df, None)),
           "prune" -> ((df: org.apache.spark.sql.DataFrame) =>
             Processors.pruneStatements(df, 0.05)),
           "rescore" -> Processors.rescoreResults,
-          "truncStmts" -> ((df: org.apache.spark.sql.DataFrame) =>
-            Processors.truncateStatements(df, 3)),
           "truncRank" -> ((df: org.apache.spark.sql.DataFrame) =>
             Processors.truncateRankResults(df, 10)),
+          "truncStmts" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.truncateStatements(df, 3)),
+          "checkpoint" -> ((df: org.apache.spark.sql.DataFrame) =>
+            df.localCheckpoint(true)),
+          "populateStrs" -> ((df: org.apache.spark.sql.DataFrame) =>
+            Processors.populateStatementStrs(df,
+              factsC.join(broadcast(df.select("statement_id").distinct()),
+                Seq("statement_id"), "left_semi"))),
           "updChunkMeta" -> ((df: org.apache.spark.sql.DataFrame) =>
-            Processors.updateChunkMetadata(df, chunksC)),
+            Processors.updateChunkMetadata(df,
+              chunksRawC.join(broadcast(df.select("chunk_id").distinct()),
+                Seq("chunk_id"), "left_semi").distinct())),
           "clearScores" -> ((df: org.apache.spark.sql.DataFrame) =>
             Processors.clearScores(df)),
           "stmtsToStrings" -> ((df: org.apache.spark.sql.DataFrame) =>
             Processors.statementsToStrings(df, includeFacts = true)),
           "simplify" -> ((df: org.apache.spark.sql.DataFrame) =>
             Processors.simplifySingleTopicResults(df)),
-          "clearChunks" -> Processors.clearChunks
+          "clearChunks" -> Processors.clearChunks,
+          "formatTail" -> ((df: org.apache.spark.sql.DataFrame) => {
+            val cleanC = Processors.removeVersioningMetadata(sourcesC)
+            df.withColumn("topic", concat(lit("order-"), col("topic_id")))
+              .transform(Processors.clearTopicIds)
+              .join(Processors.formatSources(cleanC)
+                .select("source_id", "source_str"), Seq("source_id"), "left")
+              .orderBy(col("source_rank"), col("topic"))
+          })
         )
         for (rep <- 1 to 2; k <- 1 to steps.length) {
           val out = steps.take(k).foldLeft(unionedC)((df, p) => p._2(df))
