@@ -47,9 +47,12 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
-    // §2.13 agentic retrieval loop (relation selection via stub LLM) —
-    // rows-only: the per-iteration relation-selection turn is a driver
-    // round-trip, not a single ANSI query.
+    // §2.13 agentic retrieval loop (relation selection via stub LLM). The
+    // per-iteration relation-selection turn is a driver round-trip, but with
+    // the deterministic stub every turn is replayable: the oracle bakes the
+    // stub's keyword set (computed through the same QueryOps.keywords path
+    // at oracle-build time) and unrolls both iterations — hop, label-match
+    // with keep-all fallback, top-8-by-degree frontier — in SQL.
     "q_agentic" -> ((s, dir) => {
       graft.byokg.AgenticRetriever.retrieve(
         edges(s, dir), seeds(s, dir), "parts placed in orders",
@@ -81,6 +84,37 @@ object GraphQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Agentic loop replay. The keyword set comes from the very code path the
+    // engine runs (StubLLM summary -> keywords), evaluated here at
+    // oracle-build time; the SQL then unrolls the two iterations. Edge
+    // multiplicity matters (the frontier ranks dst by count(*)), so the hop
+    // CTEs deliberately do NOT dedup — Tables.edges and edgesSql agree on
+    // multiplicity (placed raw, contains/supplied_by distinct).
+    "q_agentic" -> {
+      val qTokens = graft.llm.QueryOps.keywords(new graft.llm.StubLLM,
+        "parts placed in orders", maxKeywords = 8).map(_.toLowerCase)
+      val toks = qTokens.distinct.sorted.map(t => s"'$t'")
+        .mkString("[", ", ", "]")
+      def m(c: String) =
+        s"list_has_any(string_split_regex(lower($c), '[^a-z0-9]+'), $toks)"
+      s"""WITH edges AS ($edgesSql),
+         |seeds AS (SELECT 'c:'||c_custkey AS node FROM customer WHERE c_nationkey = 0),
+         |hop1 AS (SELECT e.src, e.dst, e.label FROM edges e JOIN seeds s ON e.src = s.node),
+         |kept1 AS (SELECT * FROM hop1 WHERE CASE
+         |  WHEN EXISTS (SELECT 1 FROM hop1 h WHERE ${m("h.label")})
+         |  THEN ${m("label")} ELSE TRUE END),
+         |f2 AS (SELECT dst AS node FROM (
+         |  SELECT dst, count(*) AS deg FROM kept1 GROUP BY dst
+         |  ORDER BY deg DESC, dst LIMIT 8)),
+         |hop2 AS (SELECT e.src, e.dst, e.label FROM edges e JOIN f2 f ON e.src = f.node),
+         |kept2 AS (SELECT * FROM hop2 WHERE CASE
+         |  WHEN EXISTS (SELECT 1 FROM hop2 h WHERE ${m("h.label")})
+         |  THEN ${m("label")} ELSE TRUE END)
+         |SELECT DISTINCT src, dst, label
+         |FROM (SELECT * FROM kept1 UNION ALL SELECT * FROM kept2)
+         |ORDER BY src, dst, label""".stripMargin
+    },
+
     "q_khop_triplets" ->
       s"""WITH edges AS ($edgesSql),
          |seeds AS (SELECT 'c:'||c_custkey AS node FROM customer WHERE c_nationkey = 0),
