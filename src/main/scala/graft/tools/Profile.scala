@@ -195,56 +195,37 @@ object Profile {
         }
 
       case "fullchain" =>
-        // stage timing for q_full_chain's processor pipeline
-        import graft.retrieve.Processors
-        val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        // decompose q_full_chain's base-checkpoint cost: scan+join, +ids,
+        // +derived cols, +checkpoint materialization
+        import org.apache.spark.sql.DataFrame
+        val ordF = spark.read.parquet(s"$sfDir/orders.parquet")
           .select(col("o_orderkey"), col("o_custkey"))
-        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        var base: org.apache.spark.sql.DataFrame = null
-        time("base checkpoint") {
-          base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-            .select(col("o_custkey").as("source_id"),
-              col("l_orderkey").as("topic_id"),
-              md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
-                col("l_partkey"), col("l_suppkey"),
-                (col("l_extendedprice") * 100).cast("long"),
-                (col("l_quantity") * 100).cast("long"),
-                col("l_shipdate").cast("string"))).as("statement_id"),
-              concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
-                col("l_shipdate").cast("string")).as("statement"),
-              col("l_partkey"), col("l_suppkey"),
-              col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-            .localCheckpoint(true)
-          base.count()
-        }
-        val facts = base.select(col("statement_id"),
-            concat(lit("part:"), col("l_partkey")).as("fact_value"))
-          .union(base.select(col("statement_id"),
-            concat(lit("supp:"), col("l_suppkey")).as("fact_value")))
-        val unioned = base.filter(col("l_returnflag") === "R")
-          .withColumn("score", (col("l_extendedprice") * 100).cast("long"))
-          .union(base.filter(col("l_quantity") > 25)
-            .withColumn("score", (col("l_quantity") * 100000).cast("long")))
-          .select(col("source_id"), col("topic_id"), col("statement_id"),
-            col("statement_id").as("chunk_id"), col("statement"),
-            col("score").cast("double").as("score"))
-        var cur: org.apache.spark.sql.DataFrame = null
-        time("dedup+disagg") {
-          cur = Processors.disaggregateResults(Processors.dedupResults(unioned))
-            .localCheckpoint(true); cur.count()
-        }
-        time("populateStatementStrs") {
-          cur = Processors.populateStatementStrs(cur, facts)
-            .localCheckpoint(true); cur.count()
-        }
-        time("prune+rescore") {
-          cur = Processors.rescoreResults(Processors.pruneStatements(cur, 0.05))
-            .localCheckpoint(true); cur.count()
-        }
-        time("truncStmts+rank") {
-          cur = Processors.truncateRankResults(
-            Processors.truncateStatements(cur, 3), 10)
-            .localCheckpoint(true); cur.count()
+        val liF = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        def joined: DataFrame = liF.join(ordF, col("l_orderkey") === col("o_orderkey"))
+        def withId(df: DataFrame): DataFrame = df.select(
+          col("o_custkey").as("source_id"), col("l_orderkey").as("topic_id"),
+          md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * 100).cast("long"),
+            (col("l_quantity") * 100).cast("long"),
+            col("l_shipdate").cast("string"))).as("statement_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate").cast("string")).as("statement"),
+          concat(
+            when(col("l_returnflag") === "R",
+              array((col("l_extendedprice") * 100).cast("long")))
+              .otherwise(array().cast("array<long>")),
+            when(col("l_quantity") > 25,
+              array((col("l_quantity") * 100000).cast("long")))
+              .otherwise(array().cast("array<long>"))).as("scores"),
+          concat(lit("part:"), col("l_partkey")).as("fact_part"),
+          concat(lit("supp:"), col("l_suppkey")).as("fact_supp"),
+          col("l_shipdate").cast("string").as("chunk_text"))
+        for (rep <- 1 to 2) {
+          time(s"rep$rep scan+join") { joined.count() }
+          time(s"rep$rep +projection") {
+            withId(joined).select(sum(length(col("statement_id")))).collect(); 1L }
+          time(s"rep$rep +checkpoint") { withId(joined).localCheckpoint(true).count() }
         }
 
       case "beamjobs" =>
