@@ -100,17 +100,21 @@ object Bench {
             -1.0
         }
       }
-      val good = times.filter(_ >= 0)
-      name -> (if (good.isEmpty) -1.0 else median(good))
+      // any failed rep poisons the entry: an intermittent failure must stay
+      // visible as -1.0, not vanish into the median of the surviving reps
+      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"reps":$reps}"""
     // stdout under sbt is decorated with an "[info] " prefix, so also write
-    // the line to a file the harness can parse directly.
+    // the line to a file the harness can parse directly. Subset runs
+    // (SPARK_GRAFT_BENCH_ONLY) are A/B scratch work — never let them
+    // overwrite the round's committed full snapshot.
     println(line)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_subset.json" else "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

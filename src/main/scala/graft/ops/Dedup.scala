@@ -304,28 +304,38 @@ object Dedup {
     // the per-row zip_with/aggregate fold this replaces (same md5 → first
     // 15 hex chars → long → double weight derivation, same ascending-index
     // double accumulation) but a single codegen loop over a literal array.
-    // Fixed-dim contract is ENFORCED (min(size)==max(size)): a ragged table
-    // would silently fold only the first `dim` elements of longer rows and
-    // make bucket assignment depend on which row supplied the dimension.
+    // Fixed-dim contract is ENFORCED: a ragged table would silently fold
+    // only the first `dim` elements of longer rows. The reference dimension
+    // comes from a one-row probe (cheap — reads a single row group, not a
+    // full scan like the old min/max aggregate), and every row is guarded
+    // IN the bucketing projection with raise_error, so the check rides the
+    // scan the query pays anyway. Outcome stays deterministic: fixed-dim
+    // tables bucket identically whichever row supplied `dim`; ragged tables
+    // always throw. Null embeddings keep their historical flow (all-zero
+    // sign bucket) rather than newly erroring.
     // The empty frame derives from `base` so id_a/id_b keep idCol's actual
     // type (string-id callers get a schema consistent with non-empty runs).
-    val mm = base.agg(min(size(col("emb"))).as("mn"),
-      max(size(col("emb"))).as("mx")).head()
-    if (mm.isNullAt(0))
+    val probe = base.select(size(col("emb")).as("sz"))
+      .filter(col("sz").isNotNull).head(1)
+    if (probe.isEmpty)
       return base.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cos")).limit(0)
-    require(mm.getInt(0) == mm.getInt(1),
-      s"embeddingNearDup LSH requires fixed-dimension embeddings; found " +
-        s"sizes in [${mm.getInt(0)}, ${mm.getInt(1)}]")
-    val dim = mm.getInt(0)
+    val dim = probe(0).getInt(0)
     graft.functions.DotProduct.register(df.sparkSession)
     val bucketed = {
+      val guarded = when(col("emb").isNull || size(col("emb")) === dim,
+          col("emb"))
+        .otherwise(raise_error(concat(
+          lit("embeddingNearDup LSH requires fixed-dimension embeddings; " +
+            s"expected $dim, found "), size(col("emb")).cast("string"))))
       val signs = (0 until planes).map { p =>
         val weights = Array.tabulate(dim)(i => planeWeight(p, i))
-        val proj = graft.functions.DotProduct.dot(col("emb"), typedLit(weights))
+        val proj = graft.functions.DotProduct.dot(col("_emb_g"), typedLit(weights))
         when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
       }
-      base.withColumn("bucket", concat_ws("", signs: _*))
+      base.withColumn("_emb_g", guarded)
+        .withColumn("bucket", concat_ws("", signs: _*))
+        .drop("_emb_g")
     }
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))

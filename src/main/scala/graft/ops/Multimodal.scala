@@ -160,29 +160,38 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val (id, seed) = (r.getString(0), r.getString(1))
-          val d = md.digest(seed.getBytes("UTF-8"))
-          val w = 4 + ((d(0) & 0xff) % 13)
-          val h = 3 + ((d(1) & 0xff) % 7)
-          val c1 = ((d(2) & 0xff) << 16) | ((d(3) & 0xff) << 8) | (d(4) & 0xff)
-          val c2 = ((d(5) & 0xff) << 16) | ((d(6) & 0xff) << 8) | (d(7) & 0xff)
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.setRGB(x, y, if (((x + y) & 1) == 0) c1 else c2)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Row(id, "image", bos.toByteArray, w: Integer, h: Integer,
-            null, "png")
+          if (seed == null) {
+            // mirror SQL's md5(NULL) = NULL: a null seed yields a null-byte
+            // row instead of killing the task (decodeImage then quarantines
+            // it like any other undecodable row)
+            Row(id, "image", null, null, null, null, null)
+          } else synthRow(md, id, seed)
         }
       }
     spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private def synthRow(md: java.security.MessageDigest, id: String,
+                       seed: String): Row = {
+    val d = md.digest(seed.getBytes("UTF-8"))
+    val w = 4 + ((d(0) & 0xff) % 13)
+    val h = 3 + ((d(1) & 0xff) % 7)
+    val c1 = ((d(2) & 0xff) << 16) | ((d(3) & 0xff) << 8) | (d(4) & 0xff)
+    val c2 = ((d(5) & 0xff) << 16) | ((d(6) & 0xff) << 8) | (d(7) & 0xff)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (((x + y) & 1) == 0) c1 else c2)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Row(id, "image", bos.toByteArray, w: Integer, h: Integer, null, "png")
   }
 
   /** Real resize: decode, nearest-neighbor rescale (deterministic — no
@@ -192,17 +201,21 @@ object Multimodal {
   def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, "target dimensions must be positive")
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "media_type", "content",
-      "duration_ms", "codec").rdd.mapPartitions { rows =>
+    val rdd = media.select("media_id", "media_type", "content", "width",
+      "height", "duration_ms", "codec").rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         val decoded =
           if (bytes == null || bytes.isEmpty) null
           else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (decoded == null)
-          Row(r.getString(0), r.getString(1), bytes, null, null,
-            if (r.isNullAt(3)) null else r.getLong(3): java.lang.Long,
-            if (r.isNullAt(4)) null else r.getString(4))
+          // undecodable rows really do pass through unchanged — including
+          // their original width/height metadata, not nulled copies
+          Row(r.getString(0), r.getString(1), bytes,
+            if (r.isNullAt(3)) null else r.getInt(3): Integer,
+            if (r.isNullAt(4)) null else r.getInt(4): Integer,
+            if (r.isNullAt(5)) null else r.getLong(5): java.lang.Long,
+            if (r.isNullAt(6)) null else r.getString(6))
         else {
           val out = new java.awt.image.BufferedImage(
             targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -221,7 +234,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           Row(r.getString(0), r.getString(1), bos.toByteArray,
             targetW: Integer, targetH: Integer,
-            if (r.isNullAt(3)) null else r.getLong(3): java.lang.Long, "png")
+            if (r.isNullAt(5)) null else r.getLong(5): java.lang.Long, "png")
         }
       }
     }

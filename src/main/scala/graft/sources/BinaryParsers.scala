@@ -288,6 +288,10 @@ object BinaryParsers {
   /** code → unicode from a ToUnicode CMap; codes are `codeLen` bytes. */
   private final case class CMap(codeLen: Int, map: Map[Int, String]) {
     def decode(byteStr: String): String = {
+      if (byteStr.length % codeLen != 0)
+        throw new IllegalArgumentException(
+          s"pdf: ${byteStr.length}-byte string is not a whole number of " +
+            s"$codeLen-byte CID codes — refusing to drop trailing bytes")
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i + codeLen <= byteStr.length) {
@@ -393,9 +397,21 @@ object BinaryParsers {
     * Destination hex is UTF-16BE code units. */
   private def parseCMap(data: Array[Byte]): CMap = {
     val s = new String(data, "ISO-8859-1")
-    val codeLen = """begincodespacerange\s*<([0-9A-Fa-f]+)>""".r
-      .findFirstMatchIn(s).map(m => math.max(1, m.group(1).length / 2))
-      .getOrElse(2)
+    // every codespace range's byte width, across every codespacerange
+    // section — a mixed-width CMap (1-byte ASCII plus 2-byte CJK ranges,
+    // Shift-JIS style) cannot be decoded with a single global code length,
+    // so refuse loudly rather than split multi-byte codes into garbage
+    val csSections = """(?s)begincodespacerange(.*?)endcodespacerange""".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+    val widths = csSections
+      .flatMap(sec => """<([0-9A-Fa-f]+)>""".r.findAllMatchIn(sec)
+        .map(m => math.max(1, m.group(1).length / 2)))
+      .distinct
+    if (widths.length > 1)
+      throw new IllegalArgumentException(
+        s"pdf: mixed-width ToUnicode codespace (${widths.mkString("/")}" +
+          " bytes) is unsupported — refusing to decode with one code length")
+    val codeLen = widths.headOption.getOrElse(2)
     val map = scala.collection.mutable.HashMap[Int, String]()
     def hexUtf16(h: String): String = {
       val sb = new java.lang.StringBuilder

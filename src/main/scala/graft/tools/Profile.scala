@@ -326,8 +326,7 @@ object Profile {
             .as("metadata"),
           col("c_mktsegment").as("segment"))
         val unionedC = baseC.select(col("source_id"), col("topic_id"),
-            col("statement_id"), col("statement_id").as("chunk_id"),
-            col("statement"), explode(col("scores")).as("score"))
+            col("statement_id"), explode(col("scores")).as("score"))
           .withColumn("score", col("score").cast("double"))
         val steps: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
           "dedup" -> Processors.dedupResults,
@@ -347,6 +346,14 @@ object Profile {
             Processors.truncateStatements(df, 3)),
           "checkpoint" -> ((df: org.apache.spark.sql.DataFrame) =>
             df.localCheckpoint(true)),
+          "reattachText" -> ((df: org.apache.spark.sql.DataFrame) => {
+            val surv = broadcast(df.select("statement_id").distinct())
+            val stmtText = baseC.select(col("statement_id"), col("statement"))
+              .join(surv, Seq("statement_id"), "left_semi")
+              .dropDuplicates("statement_id")
+            df.join(broadcast(stmtText), Seq("statement_id"))
+              .withColumn("chunk_id", col("statement_id"))
+          }),
           "populateStrs" -> ((df: org.apache.spark.sql.DataFrame) =>
             Processors.populateStatementStrs(df,
               factsC.join(broadcast(df.select("statement_id").distinct()),

@@ -121,14 +121,15 @@ class BinaryParsersSpec extends SparkSpec {
   /** Multi-object PDF: catalog → page tree → page with /Resources /Font
     * bindings → Type0 font (optionally carrying a /ToUnicode CMap stream)
     * → content stream showing 2-byte glyph codes. */
-  private def cidPdfBytes(withToUnicode: Boolean): Array[Byte] = {
+  private def cidPdfBytes(withToUnicode: Boolean,
+                          codespace: String = "<0000> <FFFF>"): Array[Byte] = {
     // 0048→H 0065→e via bfchar; 006C..006F→l.. via bfrange increment;
     // 0040..0041→[X Y] via bfrange array form
     val cmap =
-      """/CIDInit /ProcSet findresource begin
+      s"""/CIDInit /ProcSet findresource begin
         |begincmap
         |1 begincodespacerange
-        |<0000> <FFFF>
+        |$codespace
         |endcodespacerange
         |2 beginbfchar
         |<0048> <0048>
@@ -169,6 +170,16 @@ class BinaryParsersSpec extends SparkSpec {
       BinaryParsers.pdfText(cidPdfBytes(withToUnicode = false)))
     assert(e.getMessage.contains("ToUnicode"))
     assert(e.getMessage.contains("F1"))
+  }
+
+  test("pdf: mixed-width ToUnicode codespace fails loudly, not silent-garbage") {
+    // Shift-JIS-style CMap: 1-byte ASCII range plus 2-byte CJK range — a
+    // single global code length would shred every 2-byte code into two
+    // bogus 1-byte lookups
+    val e = intercept[IllegalArgumentException](
+      BinaryParsers.pdfText(cidPdfBytes(withToUnicode = true,
+        codespace = "<00> <80>\n<8140> <9FFC>")))
+    assert(e.getMessage.contains("mixed-width"))
   }
 
   test("pdf: /Length protects stream data containing 'endstream' bytes") {

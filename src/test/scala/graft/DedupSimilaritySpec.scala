@@ -209,12 +209,17 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("embeddingNearDup LSH enforces the fixed-dimension contract") {
     // ragged embeddings would silently fold only the first `dim` elements
-    // of longer rows — refuse loudly instead
+    // of longer rows — refuse loudly instead. The guard rides the bucketing
+    // scan (raise_error in the projection, not a separate precheck
+    // aggregate), so it fires on execution, wrapped by the task failure.
     val ragged = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0, 0.5)))
       .toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException](
-      Dedup.embeddingNearDup(ragged, "embedding", "vec_id", 0.9, planes = 2))
-    assert(e.getMessage.contains("fixed-dimension"))
+    val out = Dedup.embeddingNearDup(ragged, "embedding", "vec_id", 0.9,
+      planes = 2)
+    val e = intercept[Exception](out.count())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("fixed-dimension"))
   }
 }

@@ -17,15 +17,7 @@ import scala.sys.process.{Process, ProcessLogger}
 class OracleTypeParitySpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def jq(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jq(s: String): String = Verify.jsonEscape(s)
 
   test("every oracle's DuckDB output types match the Spark schema") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists(),
