@@ -90,12 +90,14 @@ class MultimodalSpec extends SparkSpec {
     val b2 = Multimodal.resizeImages(src, 6, 4)
       .select("content").head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(b1, b2))
-    // undecodable content passes through unchanged
-    val bad = Multimodal.asMedia(
+    // undecodable content passes through unchanged — bytes AND any
+    // pre-existing width/height metadata (not nulled copies)
+    val bad = Multimodal.resize(Multimodal.asMedia(
       Seq((1L, "junk")).toDF("id", "p")
         .withColumn("p", encode(col("p"), "UTF-8")),
-      "id", "p", "image")
+      "id", "p", "image"), 9, 7)
     val kept = Multimodal.resizeImages(bad, 6, 4).head()
     assert(new String(kept.getAs[Array[Byte]](2), "UTF-8") == "junk")
+    assert(kept.getInt(3) == 9 && kept.getInt(4) == 7)
   }
 }

@@ -13,7 +13,11 @@ import scala.sys.process.{Process, ProcessLogger}
   */
 class VerifyReplaySpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.01"
-  private val names = Set("q_pack_sequences", "q_repetition_profile")
+  // the two once-disputed hasher queries, plus the two loop-unrolling
+  // oracles (deterministic-KMeans IVF, agentic stub loop) whose engine
+  // parity leans hardest on ordered-fold arithmetic
+  private val names = Set("q_pack_sequences", "q_repetition_profile",
+    "q_ivf_kmeans", "q_agentic")
 
   test("driver-shaped DuckDB replay passes for the disputed queries") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists(),
