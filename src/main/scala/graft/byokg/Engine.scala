@@ -64,7 +64,11 @@ object AgenticRetriever {
                iterations: Int = 2, topEntities: Int = 8): DataFrame =
    graft.ops.Joins.boundedLoop(edges.sparkSession) {
     val qTokens = QueryOps.keywords(llm, question, maxKeywords = 8).toSet
-    var frontier = seeds.select(col("node")).distinct().localCheckpoint(true)
+    // lazy checkpoints: each frame's first action (the labels collect of
+    // the following hop, or the final distinct) materializes the persist as
+    // part of that job — same rows and caching as the eager form, one job
+    // per turn instead of two
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint(false)
     var acc: DataFrame = null
     for (_ <- 1 to iterations) {
       val hop = Traversal.oneHop(edges, frontier)
@@ -77,7 +81,7 @@ object AgenticRetriever {
         case cs => cs
       }
       val filtered = hop.filter(col("label").isin(chosen: _*))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       acc = if (acc == null) filtered else acc.union(filtered)
       // Next entities: strongest by in-frontier degree, capped. `filtered`
       // is already checkpointed, so this projection stays flat lazily.

@@ -2,6 +2,7 @@ package graft.byokg
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Joins
 import graft.ops.Joins.gatedBroadcast
 
 /**
@@ -67,8 +68,8 @@ object Traversal {
                    undirected: Boolean = false): DataFrame = {
     val e = loopEdges(edges, undirected)
     if (k <= 0) return e.limit(0)
-    var frontier = seeds.select(col("node")).distinct().localCheckpoint(true)
-    var n = frontier.count()
+    var (frontier, n) =
+      Joins.checkpointCount(seeds.select(col("node")).distinct())
     var acc: DataFrame = null
     var hops = 0
     while (hops < k && n > 0) {
@@ -77,8 +78,9 @@ object Traversal {
         gatedBroadcast(frontier.select(col("node").as("src")), n), Seq("src"))
       acc = if (acc == null) hop else acc.union(hop)
       if (hops < k) {
-        frontier = hop.select(col("dst").as("node")).distinct().localCheckpoint(true)
-        n = frontier.count()
+        val (f, c) =
+          Joins.checkpointCount(hop.select(col("dst").as("node")).distinct())
+        frontier = f; n = c
       }
     }
     if (acc == null) e.limit(0) else acc.distinct()
@@ -90,13 +92,13 @@ object Traversal {
                      metapath: Seq[String],
                      undirected: Boolean = false): DataFrame = {
     val e = loopEdges(edges, undirected)
-    var frontier = seeds.select(col("node")).distinct().localCheckpoint(true)
-    var n = frontier.count()
+    var (frontier, n) =
+      Joins.checkpointCount(seeds.select(col("node")).distinct())
     for (lbl <- metapath if n > 0) {
-      frontier = e.filter(col("label") === lbl)
+      val (f, c) = Joins.checkpointCount(e.filter(col("label") === lbl)
         .join(gatedBroadcast(frontier.select(col("node").as("src")), n), Seq("src"))
-        .select(col("dst").as("node")).distinct().localCheckpoint(true)
-      n = frontier.count()
+        .select(col("dst").as("node")).distinct())
+      frontier = f; n = c
     }
     frontier
   }
@@ -111,24 +113,25 @@ object Traversal {
                         eager: Boolean = true): DataFrame = {
     if (!eager) return shortestDistancesLazy(edges, seeds, maxDistance, undirected)
     val e = loopEdges(edges, undirected)
-    // One eagerly-materialized (localCheckpoint: flat lineage) layer per
-    // depth. The visited set probed by the anti-join is the lazy union of the
-    // checkpointed layers — small, so it broadcasts; re-checkpointing it
-    // every round would double the jobs per hop for nothing.
-    val first = seeds.select(col("node")).distinct().localCheckpoint(true)
+    // One materialized (localCheckpoint: flat lineage) layer per depth, the
+    // persist fused into the layer's count job. The visited set probed by
+    // the anti-join is the lazy union of the checkpointed layers — small,
+    // so it broadcasts; re-checkpointing it every round would double the
+    // jobs per hop for nothing.
+    val (first, n0) =
+      Joins.checkpointCount(seeds.select(col("node")).distinct())
     val layers = scala.collection.mutable.ArrayBuffer(first)
     var frontier = first
-    var n = frontier.count()
+    var n = n0
     var d = 0
     while (d < maxDistance && n > 0) {
       d += 1
       val visited = layers.reduce(_ union _)
-      val next = e
+      val (next, c) = Joins.checkpointCount(e
         .join(gatedBroadcast(frontier.select(col("node").as("src")), n), Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      n = next.count()
+        .join(visited, Seq("node"), "left_anti"))
+      n = c
       if (n > 0) { layers += next; frontier = next }
     }
     layers.zipWithIndex
@@ -197,21 +200,18 @@ object Traversal {
                     undirected: Boolean = false,
                     maxPaths: Int = 10000): DataFrame = {
     val e = loopEdges(edges, undirected)
-    var acc = seeds.select(col("node"),
-      array().cast("array<struct<src:string,label:string,dst:string>>").as("path"))
-      .localCheckpoint(true)
-    var n = acc.count()
+    var (acc, n) = Joins.checkpointCount(seeds.select(col("node"),
+      array().cast("array<struct<src:string,label:string,dst:string>>").as("path")))
     for (lbl <- metapath if n > 0) {
-      acc = e.filter(col("label") === lbl)
+      val (a, c) = Joins.checkpointCount(e.filter(col("label") === lbl)
         .join(gatedBroadcast(
           acc.select(col("node").as("src"), col("path")), n), Seq("src"))
         .select(col("dst").as("node"),
           concat(col("path"),
             array(struct(col("src"), col("label"), col("dst")))).as("path"))
         .orderBy(col("node"), col("path").cast("string"))
-        .limit(maxPaths)
-        .localCheckpoint(true)
-      n = acc.count()
+        .limit(maxPaths))
+      acc = a; n = c
     }
     acc
   }

@@ -203,6 +203,7 @@ object Dedup {
       .union(raw.select(col("v").as("id"))).distinct().localCheckpoint(true)
 
     var edges = raw
+    var edgesN = -1L // lazily counted once, then carried round to round
     var it = 0
     var converged = edges.isEmpty
     while (!converged && it < maxIter) {
@@ -217,17 +218,21 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct()
       // small-star: x and all its (smaller) neighbors link to the min
       val smin = large.groupBy("u").agg(min("v").as("m"))
-      val small = large.join(smin, Seq("u"))
+      val (small, smallN) = Joins.checkpointCount(large.join(smin, Seq("u"))
         .select(col("v").as("n"), col("m"))
         .union(smin.select(col("u").as("n"), col("m")))
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
+        .distinct())
       // exact fixpoint test: both sides are distinct sets, so equal counts
-      // plus an empty one-sided except means set equality
-      converged = small.count() == edges.count() &&
+      // plus an empty one-sided except means set equality. The previous
+      // round's count is carried in edgesN, so each round pays one fused
+      // materialize+count job plus (only on count-equality) the except.
+      if (edgesN < 0) edgesN = edges.count()
+      converged = smallN == edgesN &&
         small.except(edges).limit(1).isEmpty
       edges = small
+      edgesN = smallN
       it += 1
     }
     // converged state is a star forest rooted at each component's min;

@@ -354,11 +354,11 @@ object EntityContextProvider {
     val excl = exclude.map(_.select(col("entity_id")).distinct())
     var frontier = seeds.select(col("entity_id")).distinct()
     excl.foreach(e => frontier = frontier.join(e, Seq("entity_id"), "left_anti"))
-    frontier = frontier.localCheckpoint(true)
     // unlike the topic beam there is no width cap, so the frontier can grow
     // with graph density: gate the broadcast on the counted layer size and
-    // stop early once a layer drains
-    var n = frontier.count()
+    // stop early once a layer drains (persist fused into the count job)
+    var (frontier2, n) = graft.ops.Joins.checkpointCount(frontier)
+    frontier = frontier2
     var visited = frontier.withColumn("depth", lit(0))
     var d = 0
     while (d < maxDepth && n > 0) {
@@ -370,8 +370,8 @@ object EntityContextProvider {
         .select(col("dst_entity_id").as("entity_id")).distinct()
         .join(visited.select("entity_id"), Seq("entity_id"), "left_anti")
       excl.foreach(e => next = next.join(e, Seq("entity_id"), "left_anti"))
-      frontier = next.localCheckpoint(true)
-      n = frontier.count()
+      val (f, c) = graft.ops.Joins.checkpointCount(next)
+      frontier = f; n = c
       if (n > 0) visited = visited.union(frontier.withColumn("depth", lit(d)))
     }
     visited
