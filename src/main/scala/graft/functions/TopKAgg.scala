@@ -65,7 +65,7 @@ object TopKAgg {
    */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], asc: Seq[Column],
                  k: Int): DataFrame = {
-    val payload = struct(df.columns.map(col): _*).as("_row")
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*).as("_row")
     val sortKey = struct(asc.zipWithIndex.map { case (c, i) =>
       c.as(s"_k$i")
     } :+ payload: _*)
@@ -80,7 +80,7 @@ object TopKAgg {
     * sorted(ordering.reverse)), so the rank is the array position, free. */
   def topKPerKeyRanked(df: DataFrame, keyCols: Seq[String], asc: Seq[Column],
                        k: Int, rankCol: String): DataFrame = {
-    val payload = struct(df.columns.map(col): _*).as("_row")
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*).as("_row")
     val sortKey = struct(asc.zipWithIndex.map { case (c, i) =>
       c.as(s"_k$i")
     } :+ payload: _*)

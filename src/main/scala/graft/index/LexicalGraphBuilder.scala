@@ -405,7 +405,7 @@ object LexicalGraphBuilder {
       df.join(mapping.withColumnRenamed("local_id", c), Seq(c), "left")
         .withColumn(c, coalesce(col("target_id"), col(c)))
         .drop("target_id")
-        .select(df.columns.map(col): _*) // keep the table's column order
+        .select(df.columns.toIndexedSeq.map(col): _*) // keep the table's column order
     val facts = remap(remap(g.facts, "subject_entity_id"), "object_entity_id")
     val rels = remap(remap(g.entityRelations, "src_entity_id"), "dst_entity_id")
       .distinct()

@@ -30,7 +30,7 @@ object Dedup {
     * (tools.Profile shufflebytes: 0.86 vs 1.84 MB on sf0.1 lineitem). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withKey = df.withColumn("dup_key", md5(T.searchStr(col(textCol))))
-    val payload = struct(withKey.columns.map(col): _*)
+    val payload = struct(withKey.columns.toIndexedSeq.map(col): _*)
     withKey.groupBy(col("dup_key"))
       .agg(min_by(payload, col(idCol)).as("_row"),
         count(lit(1)).as("dup_count"))

@@ -114,7 +114,7 @@ object MlAnn {
       .sortBy { case (i, d) => (d, i) }
       .take(nprobe).map(_._1)
     assigned
-      .filter(col("ivf_cell").isin(probeCells: _*))
+      .filter(col("ivf_cell").isin(probeCells.toIndexedSeq: _*))
       .select(col("id"),
         CosineSimilarity.cosine(col("emb"), typedLit(query)).as("score"))
       .orderBy(desc("score"), col("id"))

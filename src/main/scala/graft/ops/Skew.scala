@@ -48,7 +48,7 @@ object Skew {
     require(hashable.nonEmpty,
       "contentSalt: frame has no non-map column to derive a deterministic " +
         "salt from")
-    pmod(xxhash64(hashable.map(f => col(f.name)): _*), lit(salt.toLong))
+    pmod(xxhash64(hashable.toIndexedSeq.map(f => col(f.name)): _*), lit(salt.toLong))
   }
 
   /**
