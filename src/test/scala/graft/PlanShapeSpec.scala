@@ -36,7 +36,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_lexical_entities", "q_lexical_relations", "q_text_profile",
     "q_stratified_sample", "q_redact_pii", "q_decontaminate",
     "q_ngram_freq", "q_dedup_components", "q_curation_pipeline",
-    "q_embedding_neardup_lsh", "q_cumsum_budget", "q_orderpreserve_dedup")
+    "q_embedding_neardup_lsh", "q_cumsum_budget", "q_orderpreserve_dedup",
+    // round 4: the det-KMeans probe (training runs in the warmed Tables
+    // layer; the query plan itself is a flat filter + top-k) and the real
+    // image-decode pipeline
+    "q_ivf_kmeans", "q_multimodal_decode")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
