@@ -54,8 +54,12 @@ object FilterAst {
         case StartsWith           => c.startsWith(lit(v))
         case IsEmpty              => c.isNull || length(c.cast("string")) === 0
       }
-    case And(fs) => fs.map(compile(_, resolve)).reduce(_ && _)
-    case Or(fs)  => fs.map(compile(_, resolve)).reduce(_ || _)
+    // neutral elements for empty conjunction/disjunction (a
+    // programmatically-assembled And(Nil) must not throw empty.reduce)
+    case And(fs) => fs.map(compile(_, resolve))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    case Or(fs)  => fs.map(compile(_, resolve))
+      .reduceOption(_ || _).getOrElse(lit(false))
     case Not(g)  => !compile(g, resolve)
   }
 

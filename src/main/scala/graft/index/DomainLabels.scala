@@ -21,7 +21,13 @@ object DomainLabels {
     * `__...__` values pass through; anything else has punctuation and
     * underscores collapsed to spaces, each word capitalized (first char
     * upper, rest lower), and the spaces removed — "data engineer" →
-    * "DataEngineer", "metric_v2" → "MetricV2". */
+    * "DataEngineer", "metric_v2" → "MetricV2".
+    *
+    * Deliberately NOT TextFunctions.labelFrom: that port follows the search
+    * normalizer (strips symbols entirely), while the graph_utils grammar
+    * REPLACES symbol runs with a word boundary — "v2+beta" is "V2Beta"
+    * here but "V2beta" there — and only this one honors the reserved
+    * passthrough. The q_domain_labels oracle replays this grammar. */
   def labelFrom(c: Column): Column = {
     val cleaned = regexp_replace(c, "([^\\s\\w]|_)+", " ")
     val words = filter(split(trim(cleaned), "\\s+"), w => length(w) > 0)

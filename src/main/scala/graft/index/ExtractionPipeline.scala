@@ -76,8 +76,12 @@ object ExtractionPipeline {
         concat_ws(", ", metadataCols.map(col): _*), col(textCol)))
     val props = LLMOps.completeAll(prompts1, "_ck", "_prompt", propositionLlm)
       .withColumnRenamed("response", "_props")
+    // classification strings are embedded in the TEMPLATE (not passed as
+    // format args), so a '%' in an LLM-inferred classification would throw
+    // UnknownFormatConversionException in every task — escape them
+    val safeCls = classifications.map(_.replace("%", "%%"))
     val prompts2 = props.withColumn("_prompt",
-      format_string(topicsPrompt(classifications, "%s"), col("_props")))
+      format_string(topicsPrompt(safeCls, "%s"), col("_props")))
     val raw = LLMOps.completeAll(prompts2, "_ck", "_prompt", topicLlm)
       .withColumnRenamed("response", "_raw")
     LexicalGraphBuilder.fromExtractions(

@@ -174,6 +174,12 @@ object LexicalGraphBuilder {
         col("seq"), col("prev_id"), col("next_id"),
         V.hashEmbedding(col("chunk_text"), EmbeddingDim).as("embedding"),
         tn.as("tenant_id"))
+      // MERGE semantics for the chunks node table too: a repeated window
+      // text within a source shares a chunk_id — keep the first occurrence
+      // (lowest seq), like the statement dedup below
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("chunk_id")).orderBy(col("seq"))))
+      .filter(col("_rn") === 1).drop("_rn")
 
     // Stub extraction: topic + statements + facts per chunk. Ignored topics
     // drop here — before statement fan-out — so nothing downstream of a
@@ -184,8 +190,13 @@ object LexicalGraphBuilder {
       .filter(!buildFilters.ignoreTopic(col("topic_value")))
       .withColumn("topic_id", Ids.topicId(col("topic_value"), tn))
 
+    // topic_id hashes lower(trim(value)) — dedup must pick the case
+    // variant deterministically (lexicographic min), not by partition order
     val topics = withTopic.select(col("topic_id"), col("topic_value").as("value"),
-      tn.as("tenant_id")).dropDuplicates("topic_id")
+      tn.as("tenant_id"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("topic_id")).orderBy(col("value"))))
+      .filter(col("_rn") === 1).drop("_rn")
     val topicMentionedIn = withTopic.select(col("topic_id"), col("chunk_id")).distinct()
 
     val stmtRaw = withTopic
@@ -301,7 +312,11 @@ object LexicalGraphBuilder {
         col(seqCol).as("seq"), col("prev_id"), col("next_id"),
         V.hashEmbedding(col(textCol), EmbeddingDim).as("embedding"),
         tn.as("tenant_id"))
-      .dropDuplicates("chunk_id")
+      // chunk_id hashes (source, text) only: repeated chunk text at a later
+      // seq must lose to the FIRST occurrence, not to partition order
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("chunk_id")).orderBy(col("seq"))))
+      .filter(col("_rn") === 1).drop("_rn")
 
     // topic fan-out; tpos/spos order statements within the chunk
     val topicRows = base.select(col("chunk_id"),
@@ -312,7 +327,12 @@ object LexicalGraphBuilder {
     val topics = topicRows
       .select(col("topic_id"), col("topic_value").as("value"),
         tn.as("tenant_id"))
-      .dropDuplicates("topic_id")
+      // topic_id hashes lower(trim(value)): case variants share an id, so
+      // the surviving display value is the lexicographic min, not whichever
+      // row a partition saw first
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("topic_id")).orderBy(col("value"))))
+      .filter(col("_rn") === 1).drop("_rn")
     val topicMentionedIn = topicRows
       .select(col("topic_id"), col("chunk_id")).distinct()
 
@@ -359,7 +379,14 @@ object LexicalGraphBuilder {
           .as("value"),
         col("predicate").as("relation"),
         col("subject_entity_id"), col("object_entity_id"))
-      .dropDuplicates("fact_id")
+      // fact_id excludes the entity CLASSIFICATIONS, so the same triple
+      // extracted as Paris|City vs Paris|Place shares a fact_id with
+      // different entity ids — keep the smallest (entity_id, entity_id)
+      // pair deterministically
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("fact_id"))
+          .orderBy(col("subject_entity_id"), col("object_entity_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
     val factSupports = factRows
       .select(col("fact_id"), col("statement_id")).distinct()
 
@@ -373,7 +400,11 @@ object LexicalGraphBuilder {
       .withColumn("entity_id",
         Ids.entityId(col("search_str"), col("classification"), tn))
       .select("entity_id", "value", "search_str", "classification")
-      .dropDuplicates("entity_id")
+      // entity_id hashes (search_str, classification): raw values differing
+      // only in case/punctuation share an id — keep the lexicographic min
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("entity_id")).orderBy(col("value"))))
+      .filter(col("_rn") === 1).drop("_rn")
 
     val entityRelations = factRows
       .select(col("subject_entity_id").as("src_entity_id"),

@@ -66,8 +66,14 @@ object Sampling {
     val counts = df.filter(col(strataCol).isin(targets.keys.toSeq: _*))
       .groupBy(strataCol).agg(count(lit(1)).as("_n"))
       .withColumn("_share", shareCol)
-    // max feasible total = min over strata of n_s / share_s
-    val feasible = counts.agg(min(col("_n") / col("_share")).as("_t"))
+    // max feasible total = min over strata of n_s / share_s. A target
+    // stratum with NO rows zeroes the feasible size (its count never enters
+    // the min otherwise, and the output would silently violate the
+    // requested proportions — e.g. a 100% mix labeled 50/50): no mixture
+    // honoring every positive share exists, so the honest sample is empty.
+    val feasible = counts.agg(
+      when(count(lit(1)) === targets.size, min(col("_n") / col("_share")))
+        .otherwise(lit(0.0)).as("_t"))
     val rates = counts.crossJoin(broadcast(feasible))
       .withColumn("_rate", least(lit(1.0), col("_share") * col("_t") / col("_n")))
       .select(col(strataCol), col("_rate"))

@@ -423,7 +423,8 @@ object TextQueries {
          |         WHEN 'src2' THEN 0.1 END AS DOUBLE) AS share
          |  FROM documents WHERE source IN ('src0','src1','src2')
          |  GROUP BY source),
-         |f AS (SELECT MIN(n/share) AS t FROM c),
+         |f AS (SELECT CASE WHEN COUNT(*) = 3 THEN MIN(n/share)
+         |             ELSE CAST(0.0 AS DOUBLE) END AS t FROM c),
          |r AS (SELECT source,
          |        LEAST(CAST(1.0 AS DOUBLE), share * f.t / n) AS rate
          |      FROM c, f)

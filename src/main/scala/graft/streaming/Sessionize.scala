@@ -72,9 +72,19 @@ object Sessionize {
             var cur = state.getOption
             sorted.foreach { case (_, ts, v, _) =>
               cur match {
+                case Some(s) if ts < s.start - gapUs =>
+                  // out-of-order event more than a gap BEFORE the open
+                  // session: under batch semantics it can never merge with
+                  // [start, end], so it is its own completed session. (A
+                  // later bridge event would retroactively merge in batch;
+                  // bounded-state streaming cannot unemit — documented
+                  // approximation shared by watermarked sessionizers.)
+                  out ::= SessionOut(user, ts, ts, 1L, v)
                 case Some(s) if ts - s.end <= gapUs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, ts), s.n + 1,
-                    s.total + v))
+                  // within-gap merge — min() so a late event that precedes
+                  // the session start LOWERS it, matching batchSessions
+                  cur = Some(SessionState(math.min(s.start, ts),
+                    math.max(s.end, ts), s.n + 1, s.total + v))
                 case Some(s) =>
                   out ::= SessionOut(user, s.start, s.end, s.n, s.total)
                   cur = Some(SessionState(ts, ts, 1L, v))

@@ -41,18 +41,22 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fresh = batch.join(processedIds, Seq(idCol), "left_anti")
+        // the one checkpoint filter (broadcast anti-join on distinct ids) —
+        // not a hand-rolled twin that would plan a full shuffle anti-join
+        val fresh = graft.index.Checkpoint.filterNew(batch, processedIds, idCol)
         onBatch(fresh, batchId)
       }
       .start()
 
   /** Streaming exact-dedup twin of `ops.Dedup.exact`: watermark-bounded
-    * `dropDuplicates` on the id — re-delivered documents inside the
-    * watermark window emit once, and the dedup state is GC'd past it, so
-    * state size stays bounded by the window's arrival volume (the streaming
-    * requirement the batch dedup doesn't have). */
+    * dedup on the id ALONE — a re-delivered document inside the watermark
+    * window emits once even when the producer restamps its event time on
+    * retry (dropDuplicates(id, ts) would treat the restamp as a new key and
+    * emit twice). `dropDuplicatesWithinWatermark` keeps state only within
+    * the watermark window, so state stays bounded by the window's arrival
+    * volume (the streaming requirement the batch dedup doesn't have). */
   def dedupStream(stream: DataFrame, idCol: String,
                   eventTimeCol: String, watermark: String = "10 minutes"): DataFrame =
     stream.withWatermark(eventTimeCol, watermark)
-      .dropDuplicates(idCol, eventTimeCol)
+      .dropDuplicatesWithinWatermark(idCol)
 }

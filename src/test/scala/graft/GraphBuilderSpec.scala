@@ -236,4 +236,70 @@ class GraphBuilderSpec extends SparkSpec {
       ("t0", "(A)-[NEAR]->(A)", 1L, 2),
       ("t1", "(X)-[NEAR]->(Y)", 1L, 1)))
   }
+
+  test("extraction dedup picks deterministic winners under any partitioning") {
+    // engineered id collisions: case-variant topic ("Paris Metro" vs
+    // "paris metro" share a topic_id), case-variant entity ("Paris"/"paris"
+    // with the same class share an entity_id), conflicting classifications
+    // on the same fact triple (fact_id excludes them), and a repeated chunk
+    // text (chunk_id hashes source+text only)
+    val raw1 =
+      """topic: Paris Metro
+        |entities:
+        |Paris|City
+        |France|Country
+        |proposition: Paris sits in France
+        |Paris|is_in|France
+        |""".stripMargin
+    val raw2 =
+      """topic: paris metro
+        |entities:
+        |paris|City
+        |France|Country
+        |proposition: Paris sits in France
+        |Paris|is_in|France
+        |""".stripMargin
+    val raw3 =
+      """topic: paris metro
+        |entities:
+        |Paris|Place
+        |France|Country
+        |proposition: Paris sits in France
+        |Paris|is_in|France
+        |""".stripMargin
+    val rows = Seq(
+      ("d1", 0, "paris text", raw1),
+      ("d1", 5, "second chunk", raw2),
+      ("d1", 9, "paris text", raw1), // duplicate chunk text, later seq
+      ("d2", 0, "third chunk", raw3))
+    def build(parts: Int) = LexicalGraphBuilder.fromExtractions(
+      rows.toDF("doc", "seq", "text", "_raw").repartition(parts),
+      "text", "_raw", Seq("doc"))
+    val ga = build(1)
+    val gb = build(7)
+    // chunk dedup: unique ids, the repeated text kept its FIRST occurrence
+    val chunks = ga.chunks.select("chunk_id", "seq").collect()
+    assert(chunks.map(_.getString(0)).distinct.length == chunks.length)
+    assert(ga.chunks.filter(col("text") === "paris text")
+      .select("seq").as[Int].collect().toSeq == Seq(0))
+    // topic case variants collapse to the lexicographic-min display value
+    assert(ga.topics.filter(lower(col("value")) === "paris metro")
+      .select("value").as[String].collect().toSeq == Seq("Paris Metro"))
+    // one fact row per fact_id despite the City/Place classification clash
+    val factIds = ga.facts.select("fact_id").as[String].collect()
+    assert(factIds.distinct.length == factIds.length)
+    // entity case variants collapse to the lexicographic-min raw value
+    assert(ga.entities.filter(col("classification") === "City")
+      .filter(lower(col("value")) === "paris")
+      .select("value").as[String].collect().toSeq == Seq("Paris"))
+    // and every table is identical whatever the input partitioning
+    for ((ta, tb) <- Seq(
+        (ga.chunks, gb.chunks), (ga.topics, gb.topics),
+        (ga.statements, gb.statements), (ga.facts, gb.facts),
+        (ga.entities, gb.entities))) {
+      val ca = ta.orderBy(ta.columns.map(col).toIndexedSeq: _*).collect().toSeq
+      val cb = tb.orderBy(tb.columns.map(col).toIndexedSeq: _*).collect().toSeq
+      assert(ca == cb)
+    }
+  }
 }

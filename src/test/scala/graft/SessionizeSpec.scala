@@ -77,4 +77,36 @@ class SessionizeSpec extends SparkSpec {
       assert(out("click") == 2L && out("view") == 1L)
     } finally query.stop()
   }
+
+  test("late within-gap event lowers the streaming session start (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val input = MemoryStream[Sessionize.SessionEvent]
+    val sessions = Sessionize.streamingSessions(input.toDS(), gapMinutes = 30)
+    val query = sessions.writeStream
+      .format("memory").queryName("late_sessions_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def us(min: Long): Long = min * 60L * 1000000L
+      // batch 1: the session opens at t=100
+      input.addData(Sessionize.SessionEvent(1L, us(100), 1.0))
+      query.processAllAvailable()
+      // batch 2: a late-but-within-watermark event at t=80 — within the
+      // 30-minute gap of the open session, so batch semantics put the
+      // session start at 80, not 100
+      input.addData(Sessionize.SessionEvent(1L, us(80), 2.0))
+      query.processAllAvailable()
+      // advance event time far past the gap so the session times out
+      input.addData(Sessionize.SessionEvent(2L, us(500), 9.0))
+      query.processAllAvailable()
+      input.addData(Sessionize.SessionEvent(2L, us(700), 1.0))
+      query.processAllAvailable()
+      val out = spark.table("late_sessions_out")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events", "total_value")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(out == Seq((us(80), us(100), 2L, 3.0)))
+    } finally query.stop()
+  }
 }
