@@ -227,7 +227,10 @@ final class ByoKGIterativeEngine(edges: DataFrame, llm: graft.llm.LLM,
 
       artifacts("opencypher") match {
         case qs if qs.nonEmpty && queryRetriever.isDefined =>
-          addToContext(ctx, queryRetriever.get.retrieve(qs.mkString(" ")))
+          // one query per artifact LINE (the prompt's contract): joining
+          // them into a single statement would parse-fail every multi-query
+          // turn and lose all graph-query context
+          qs.foreach(q => addToContext(ctx, queryRetriever.get.retrieve(q)))
         case _ =>
       }
 

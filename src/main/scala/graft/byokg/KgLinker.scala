@@ -89,7 +89,10 @@ object GraphQuerySafety {
   val ModificationKeywords: Seq[String] = Seq(
     "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH DELETE", "DROP",
     "DETACH", "CALL",
-    "INSERT", "UPDATE", "ALTER", "TRUNCATE", "GRANT", "REVOKE")
+    "INSERT", "UPDATE", "ALTER", "TRUNCATE", "GRANT", "REVOKE",
+    // Spark SQL statements that mutate table data/metadata without any of
+    // the verbs above
+    "LOAD", "ANALYZE", "MSCK", "REFRESH")
 
   /** True when the query contains no modification keyword. Mirrors the
     * reference exactly: strip block + line comments, NFKC-normalize (collapses
@@ -129,7 +132,11 @@ final class GraphQueryRetriever(spark: SparkSession,
       }.toSeq
     } catch {
       case e: Exception =>
-        Seq(s"Error executing query: ${e.getMessage.linesIterator.next()}")
+        // null/empty messages must still produce the retry-signal line the
+        // engine loop keys on, not a secondary NPE out of the handler
+        val msg = Option(e.getMessage).flatMap(_.linesIterator.find(_ => true))
+          .getOrElse(e.getClass.getSimpleName)
+        Seq(s"Error executing query: $msg")
     }
   }
 }
@@ -155,8 +162,13 @@ trait Reranker extends Serializable {
 final class TokenOverlapReranker extends Reranker {
   override def rerankTopK(query: String, input: DataFrame, textCol: String,
                           topk: Int, orderCol: String): DataFrame = {
-    val qToks = array_distinct(split(lower(lit(query)), "[^a-z0-9]+"))
-    val tToks = array_distinct(split(lower(col(textCol)), "[^a-z0-9]+"))
+    // array_remove("") — split yields empty tokens at leading/trailing
+    // separators, and a shared "" would give unrelated punctuated texts a
+    // phantom intersection
+    val qToks = array_distinct(array_remove(
+      split(lower(lit(query)), "[^a-z0-9]+"), ""))
+    val tToks = array_distinct(array_remove(
+      split(lower(col(textCol)), "[^a-z0-9]+"), ""))
     input.withColumn("rerank_score",
       when(size(array_union(qToks, tToks)) === 0, lit(0.0))
         .otherwise(size(array_intersect(qToks, tToks)).cast("double") /

@@ -66,11 +66,22 @@ object MinhashSignature {
   }
 
   /** Exactly `lower(trim(regexp_replace(regexp_replace(c,"[\\p{Punct}]"," "),"\\s+"," ")))`
-    * — [[TextFunctions.searchStr]] — including Spark's UTF8String lowercase. */
+    * — [[TextFunctions.searchStr]] — including Spark's UTF8String lowercase
+    * and Spark's space-only `trim` (Java String.trim strips every char
+    * <= 0x20, which would diverge from the composed form on control chars). */
   private def normalize(text: UTF8String): String = {
     val noPunct = PunctRe.matcher(text.toString).replaceAll(" ")
-    val collapsed = WsRe.matcher(noPunct).replaceAll(" ").trim
+    val collapsed = trimSpaces(WsRe.matcher(noPunct).replaceAll(" "))
     UTF8String.fromString(collapsed).toLowerCase.toString
+  }
+
+  /** Spark `trim`: strip ' ' (0x20) only (same rule as TextStats). */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var until = s.length
+    while (from < until && s.charAt(from) == ' ') from += 1
+    while (until > from && s.charAt(until - 1) == ' ') until -= 1
+    s.substring(from, until)
   }
 
   /** First 15 md5 hex chars as a long — `conv(substring(md5(s),1,15),16,10)`

@@ -50,10 +50,10 @@ object LexicalPipeline {
   }
 
   /** Embed a query string with the same deterministic hash embedder the
-    * indexing side uses (reference `to_embedded_query`, vector_index.py:20-45). */
-  def embedQuery(spark: SparkSession, text: String): Seq[Double] = {
-    spark.range(1)
-      .select(V.hashEmbedding(lit(text), LexicalGraphBuilder.EmbeddingDim).as("e"))
-      .head().getSeq[Double](0)
-  }
+    * indexing side uses (reference `to_embedded_query`, vector_index.py:20-45).
+    * Driver-side HashEmbedder, NOT a spark.range(1) job: LlmSpec proves the
+    * two bit-identical, and a query embed should never pay a cluster job. */
+  def embedQuery(spark: SparkSession, text: String): Seq[Double] =
+    new graft.llm.HashEmbedder(LexicalGraphBuilder.EmbeddingDim)
+      .embed(text).toSeq
 }

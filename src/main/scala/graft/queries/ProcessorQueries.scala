@@ -500,7 +500,9 @@ object ProcessorQueries {
         |    l_returnflag||' '||l_linestatus AS statement
         |  FROM lineitem WHERE l_orderkey < 500),
         |toks AS (
-        |  SELECT *, list_distinct(string_split_regex(lower(statement), '[^a-z0-9]+')) AS t,
+        |  SELECT *, list_distinct(list_filter(
+        |      string_split_regex(lower(statement), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS t,
         |    ['r', 'o'] AS q
         |  FROM base)
         |SELECT statement_id, statement,
@@ -675,9 +677,14 @@ object ProcessorQueries {
            |  ORDER BY score DESC, chunk_id LIMIT 10)""".stripMargin
       s"""WITH ${LexicalQueries.graphCte},
          |gce AS MATERIALIZED (
-         |  SELECT DISTINCT chunk_id,
-         |    'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8) AS entity_id
-         |  FROM gsd),
+         |  SELECT DISTINCT chunk_id, entity_id FROM (
+         |    SELECT chunk_id,
+         |      'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8) AS entity_id
+         |    FROM gsd
+         |    UNION ALL
+         |    SELECT chunk_id,
+         |      'e:'||substr(md5(stoks[len(stoks)]||'|'||'Token'||'|'||'t0'),1,8)
+         |    FROM gsd)),
          |rels AS MATERIALIZED (
          |  SELECT DISTINCT
          |    'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8) AS src,

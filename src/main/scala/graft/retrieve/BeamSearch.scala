@@ -183,12 +183,16 @@ object BeamScoring {
  */
 object ChunkBeamSearch {
 
-  /** chunk → entity projection (the SUBJECT|OBJECT ... MENTIONED_IN chain). */
+  /** chunk → entity projection (the SUBJECT|OBJECT ... MENTIONED_IN chain:
+    * reference semantic_chunk_beam_search.py:44-63 matches BOTH link types,
+    * so a chunk whose facts reference an entity only as object still links
+    * to it). */
   def chunkEntities(g: GraphTables): DataFrame =
     g.statements.select(col("chunk_id"), col("statement_id"))
       .join(g.factSupports, Seq("statement_id"))
       .join(g.facts.select(col("fact_id"),
-        col("subject_entity_id").as("entity_id")), Seq("fact_id"))
+        explode(array(col("subject_entity_id"), col("object_entity_id")))
+          .as("entity_id")), Seq("fact_id"))
       .select(col("chunk_id"), col("entity_id")).distinct()
 
   /** One expansion: per frontier chunk take its `topEntities` strongest

@@ -232,8 +232,13 @@ object Processors {
   def tokenOverlapScorer(query: String,
                          textCol: String = "statement"): DataFrame => DataFrame = {
     df =>
-      val q = array_distinct(split(lower(lit(query)), "[^a-z0-9]+"))
-      val t = array_distinct(split(lower(col(textCol)), "[^a-z0-9]+"))
+      // drop split's empty edge tokens: a shared "" would give unrelated
+      // punctuated statements a phantom intersection (same rule as
+      // TokenOverlapReranker and the q_rerank_statements oracle)
+      val q = array_distinct(array_remove(
+        split(lower(lit(query)), "[^a-z0-9]+"), ""))
+      val t = array_distinct(array_remove(
+        split(lower(col(textCol)), "[^a-z0-9]+"), ""))
       df.withColumn("score",
         round(when(size(array_union(q, t)) === 0, lit(0.0))
           .otherwise(size(array_intersect(q, t)).cast("double") /

@@ -300,8 +300,13 @@ object QueryModeRetriever {
       retrieverFn(question, maxResults)
     else {
       val keywords = QueryOps.keywords(llm, question, maxKeywords)
-      val perShard = maxResults / keywords.size + 1
-      keywords.map(k => retrieverFn(k, perShard)).reduce(_ unionByName _)
+      // an empty keyword turn (blank LLM response) falls back to the
+      // single-query path instead of dividing by zero
+      if (keywords.isEmpty) retrieverFn(question, maxResults)
+      else {
+        val perShard = maxResults / keywords.size + 1
+        keywords.map(k => retrieverFn(k, perShard)).reduce(_ unionByName _)
+      }
     }
   }
 

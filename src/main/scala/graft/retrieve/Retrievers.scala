@@ -45,9 +45,13 @@ object Retrievers {
     val topicFacts = g.factSupports
       .join(topicStatements, Seq("statement_id"), "left_semi")
       .select("fact_id").distinct()
+    // ordered cap: a bare distinct().limit() keeps a partition-order-
+    // dependent subset when the expansion exceeds the limit (TakeOrdered,
+    // so the sort never materializes beyond the cap)
     val statementIds = g.factSupports
       .join(broadcast(topicFacts), Seq("fact_id"), "left_semi")
-      .select("statement_id").distinct().limit(intermediateLimit)
+      .select("statement_id").distinct()
+      .orderBy("statement_id").limit(intermediateLimit)
     materialize(g, statementIds, 1.0)
   }
 
@@ -70,7 +74,8 @@ object Retrievers {
       .join(broadcast(hop0), Seq("statement_id"), "left_semi")
       .where(col("prev_statement_id").isNotNull)
       .select(col("prev_statement_id").as("statement_id"))
-    val statementIds = hop0.union(hop1).distinct().limit(intermediateLimit)
+    val statementIds = hop0.union(hop1).distinct()
+      .orderBy("statement_id").limit(intermediateLimit) // deterministic cap
     materialize(g, statementIds, 1.0)
   }
 
@@ -118,7 +123,8 @@ object Retrievers {
       .select("topic_id").distinct()
     val statementIds = g.statements
       .join(broadcast(topicIds), Seq("topic_id"), "left_semi")
-      .select("statement_id").distinct().limit(intermediateLimit)
+      .select("statement_id").distinct()
+      .orderBy("statement_id").limit(intermediateLimit) // deterministic cap
     materialize(g, statementIds, 1.0)
   }
 
