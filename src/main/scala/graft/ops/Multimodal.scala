@@ -118,11 +118,16 @@ object Multimodal {
           else {
             val (w, h) = (img.getWidth, img.getHeight)
             var (sr, sg, sb) = (0L, 0L, 0L)
+            // bulk row reads: per-pixel getRGB pays a ColorModel conversion
+            // and bounds check per call — a row at a time is several times
+            // faster with identical integer sums
+            val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
-                val rgb = img.getRGB(x, y)
+                val rgb = rowBuf(x)
                 sr += (rgb >> 16) & 0xff
                 sg += (rgb >> 8) & 0xff
                 sb += rgb & 0xff
@@ -219,15 +224,22 @@ object Multimodal {
         else {
           val out = new java.awt.image.BufferedImage(
             targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // row-buffered: one bulk read of each sampled source row and one
+          // bulk write per output row (identical pixels to per-pixel
+          // get/setRGB, several times fewer ColorModel conversions)
+          val srcW = decoded.getWidth
+          val srcBuf = new Array[Int](srcW)
+          val outBuf = new Array[Int](targetW)
           var y = 0
           while (y < targetH) {
             val sy = (y.toLong * decoded.getHeight / targetH).toInt
+            decoded.getRGB(0, sy, srcW, 1, srcBuf, 0, srcW)
             var x = 0
             while (x < targetW) {
-              val sx = (x.toLong * decoded.getWidth / targetW).toInt
-              out.setRGB(x, y, decoded.getRGB(sx, sy))
+              outBuf(x) = srcBuf((x.toLong * srcW / targetW).toInt)
               x += 1
             }
+            out.setRGB(0, y, targetW, 1, outBuf, 0, targetW)
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
@@ -249,17 +261,21 @@ object Multimodal {
 
   /** Frame sampling plan for videos: one row per sampled frame timestamp —
     * the explode happens on metadata only; bytes stay with the parent row. */
-  def sampleFramePlan(media: DataFrame, everyMs: Long): DataFrame =
+  def sampleFramePlan(media: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     media.filter(col("media_type") === "video" && col("duration_ms").isNotNull)
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
       .drop("content")
+  }
 
   /** Byte-budget repartitioning: media tables skew by row size, so partition
     * count derives from total bytes, not row count. */
   def repartitionByBytes(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val totalBytes = media
-      .agg(sum(coalesce(length(col("content")), lit(0)))).head().getLong(0)
+    // sum over zero rows is NULL — an empty frame gets one partition, not
+    // an NPE out of getLong
+    val row = media.agg(sum(coalesce(length(col("content")), lit(0)))).head()
+    val totalBytes = if (row.isNullAt(0)) 0L else row.getLong(0)
     val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
     media.repartition(parts, col("media_id"))
   }

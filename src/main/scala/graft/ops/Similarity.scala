@@ -100,9 +100,15 @@ object Similarity {
     * Quadratic — for bounded right sides (broadcast) or verification only;
     * the bound is enforced via `maxRightRows` (an unbounded right side
     * would OOM the driver's broadcast at scale). Route large right sides
-    * through [[ivfTopK]] instead. */
+    * through [[ivfTopK]] instead.
+    *
+    * `excludeSelf` (default true) drops pairs with equal ids — correct for
+    * the self-join case. Pass false when left and right are DIFFERENT
+    * tables whose id spaces merely collide, or a true neighbor that happens
+    * to share a query's id is silently dropped. */
   def knnJoin(left: DataFrame, right: DataFrame, embCol: String, idCol: String,
-              k: Int, maxRightRows: Long = 100000L): DataFrame = {
+              k: Int, maxRightRows: Long = 100000L,
+              excludeSelf: Boolean = true): DataFrame = {
     val l = left.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
     val r = right.select(col(idCol).as("nid"), col(embCol).as("n_emb"))
     val n = r.count()
@@ -115,7 +121,7 @@ object Similarity {
     // sort — the window formulation sorts the full score matrix map-side
     // before its group limit, and again after the shuffle
     val scored = l.crossJoin(Joins.gatedBroadcast(r, n))
-      .filter(col("qid") =!= col("nid"))
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
       .withColumn("score", cos(l)(col("q_emb"), col("n_emb")))
       .select(col("qid"), col("nid"), col("score"))
     graft.functions.TopKAgg.topKPerKeyRanked(scored, Seq("qid"),

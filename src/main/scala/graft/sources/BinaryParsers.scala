@@ -460,12 +460,22 @@ object BinaryParsers {
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
-    val buf = new java.io.ByteArrayOutputStream(data.length * 4)
+    // safe initial size (data.length * 4 overflows negative past ~512 MB)
+    val buf = new java.io.ByteArrayOutputStream(
+      math.min(math.max(data.length.toLong * 4, 64L), 1L << 20).toInt)
     val chunk = new Array[Byte](8192)
     try {
+      var total = 0L
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(chunk)
-        if (n > 0) buf.write(chunk, 0, n)
+        if (n > 0) {
+          total += n
+          // same decompression-bomb cap as the zip path
+          if (total > MaxZipEntryBytes)
+            throw new IllegalArgumentException(
+              s"pdf stream inflates past $MaxZipEntryBytes bytes — refusing")
+          buf.write(chunk, 0, n)
+        }
         else if (n == 0 && !inf.finished()) return null // truncated/dict
       }
       buf.toByteArray
@@ -500,7 +510,19 @@ object BinaryParsers {
         case '(' =>
           val (str, next) = literalString(s, i)
           emit(str); i = next
-        case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
+          // inline dictionary (e.g. '/Span <</ActualText (x)>> BDC' in
+          // tagged PDFs): skip the balanced << >> — treating it as a hex
+          // string would crash on the first non-hex char
+          var depth = 0
+          var j = i
+          while (j + 1 < s.length && (depth > 0 || j == i)) {
+            if (s.charAt(j) == '<' && s.charAt(j + 1) == '<') { depth += 1; j += 2 }
+            else if (s.charAt(j) == '>' && s.charAt(j + 1) == '>') { depth -= 1; j += 2 }
+            else j += 1
+          }
+          i = if (depth > 0) s.length else j
+        case '<' =>
           val end = s.indexOf('>', i)
           if (end < 0) i = s.length
           else { emit(hexString(s.substring(i + 1, end))); i = end + 1 }
@@ -577,7 +599,10 @@ object BinaryParsers {
 
   /** `<hex>` string: pairs of hex digits, odd final digit padded with 0. */
   private def hexString(hex: String): String = {
-    val clean = hex.filter(c => !c.isWhitespace)
+    // lenient: keep hex digits only (spec allows interspersed whitespace;
+    // anything else is malformed — skip it rather than kill the task)
+    val clean = hex.filter(c => (c >= '0' && c <= '9') ||
+      (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))
     val padded = if (clean.length % 2 == 1) clean + "0" else clean
     val sb = new java.lang.StringBuilder(padded.length / 2)
     var i = 0

@@ -58,8 +58,10 @@ object Readers {
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
     val noTags = regexp_replace(noScript, "<[^>]+>", " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    // &amp; decodes LAST: decoding it first would double-decode
+    // '&amp;lt;' into '<' where a browser renders the literal '&lt;'
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }

@@ -53,7 +53,11 @@ object StagedDocs {
           map_filter(col("metadata"), (k, _) => k.isin(keeps: _*)))
     }
     filtered
-      .filter(!array_contains(map_keys(col("metadata")), "graft:index"))
+      // coalesce: a NULL metadata map makes array_contains NULL, and
+      // filter() would silently DROP the row under three-valued logic —
+      // a null-metadata chunk has no graft:index key, so it stays
+      .filter(!coalesce(
+        array_contains(map_keys(col("metadata")), "graft:index"), lit(false)))
       .withColumn("collection_id", lit(collectionId))
       .write.mode("append")
       .partitionBy("collection_id", "source_id")
