@@ -280,19 +280,10 @@ object Processors {
     // maxTopics topics exist — reference scored.get(t, 0.0)).
     val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
       .distinct.toSeq
-    val termsDf = broadcast(df.sparkSession
-      .createDataFrame(qTerms.map(Tuple1(_))).toDF("term"))
     val toks = docs.withColumn("toks",
       split(graft.functions.TextFunctions.searchStr(col("_doc")), "\\s+"))
-    val nDf = toks.agg(count(lit(1)).cast("double").as("n"))
-    val tf = toks.crossJoin(termsDf)
-      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))))
-    val termScores = tf.filter(col("tf") > 0)
-      .join(tf.filter(col("tf") > 0).groupBy("term")
-        .agg(count(lit(1)).as("df")), Seq("term"))
-      .crossJoin(broadcast(nDf))
-      .groupBy("topic_id")
-      .agg(sum(col("tf") * log(col("n") / col("df"))).as("_ts"))
+    val termScores = TfIdf.scores(toks, "topic_id", "toks", qTerms)
+      .withColumnRenamed("tfidf_score", "_ts")
     val kept = docs.select("topic_id")
       .join(termScores, Seq("topic_id"), "left")
       .withColumn("topic_rr_score", coalesce(col("_ts"), lit(0.0)))
@@ -499,5 +490,33 @@ object Processors {
             lit(">")))),
         lit("\n</source_"), col("_n"), lit(">")).as("context_bedrock"))
       .orderBy(desc("score"), col("source_id"))
+  }
+}
+
+/**
+ * The ONE tf-idf scorer (reference score_values_with_tfidf) shared by topic
+ * reranking, entity reranking, and top-statement entity seeding — the same
+ * ~15-line pipeline previously existed three times with drift risk.
+ *
+ * Per id: sum over query terms of tf(term, doc) * ln(n / df(term)), where
+ * `n` is the candidate count and `df` counts candidates containing the
+ * term — both computed from the candidate frame itself, folded in as
+ * broadcast scalar/tiny frames (no driver-side count at plan build). Ids
+ * matching no term get NO row; callers coalesce to 0.0 where the reference
+ * keeps zero-scored candidates.
+ */
+private[graft] object TfIdf {
+  def scores(docs: DataFrame, idCol: String, toksCol: String,
+             terms: Seq[String]): DataFrame = {
+    val termsDf = broadcast(docs.sparkSession
+      .createDataFrame(terms.map(Tuple1(_))).toDF("term"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val tf = docs.crossJoin(termsDf)
+      .withColumn("tf", size(filter(col(toksCol), x => x === col("term"))))
+      .filter(col("tf") > 0)
+    tf.join(tf.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .groupBy(idCol)
+      .agg(sum(col("tf") * log(col("n") / col("df"))).as("tfidf_score"))
   }
 }

@@ -47,20 +47,12 @@ object EntityProvider {
     val terms = (query +: keywords)
       .flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty)
       .distinct.toSeq
-    val termsDf = broadcast(entities.sparkSession
-      .createDataFrame(terms.map(Tuple1(_))).toDF("term"))
     val toks = entities.withColumn("toks",
       split(concat(lower(col("value")), lit(" "),
         lower(col("classification"))), "[^a-z0-9]+"))
-    val nDf = toks.agg(count(lit(1)).cast("double").as("n"))
-    val tf = toks.crossJoin(termsDf)
-      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))))
-    val termScores = tf.filter(col("tf") > 0)
-      .join(tf.filter(col("tf") > 0).groupBy("term")
-        .agg(count(lit(1)).as("df")), Seq("term"))
-      .crossJoin(broadcast(nDf))
-      .groupBy("entity_id")
-      .agg(round(sum(col("tf") * log(col("n") / col("df"))), 4).as("_rr"))
+    // round(sum, 4) == round of the aggregated tfidf_score (reference 4dp)
+    val termScores = TfIdf.scores(toks, "entity_id", "toks", terms)
+      .select(col("entity_id"), round(col("tfidf_score"), 4).as("_rr"))
     entities.join(termScores, Seq("entity_id"), "left")
       .withColumn("reranking_score", coalesce(col("_rr"), lit(0.0)))
       .drop("_rr")
@@ -236,19 +228,14 @@ object EntityVSSProvider {
     // scalar aggregate — no driver-side count during plan build.
     val qTerms = question.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
       .distinct.toSeq
-    val termsDf = broadcast(g.statements.sparkSession
-      .createDataFrame(qTerms.map(Tuple1(_))).toDF("term"))
     val toks = stmts.withColumn("toks",
       split(graft.functions.TextFunctions.searchStr(col("value")), "\\s+"))
-    val nDf = toks.agg(count(lit(1)).cast("double").as("n"))
-    val tf = toks.crossJoin(termsDf)
-      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))))
-    val dfCounts = tf.filter(col("tf") > 0)
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val best = tf.join(dfCounts, Seq("term"))
-      .crossJoin(broadcast(nDf))
-      .groupBy("statement_id")
-      .agg(sum(col("tf") * log(col("n") / col("df"))).as("score"))
+    // left join + coalesce keeps zero-scored candidates in the top-1 rank
+    // (an inner score frame would yield an empty pick when NO term matches)
+    val best = stmts.select("statement_id")
+      .join(TfIdf.scores(toks, "statement_id", "toks", qTerms),
+        Seq("statement_id"), "left")
+      .withColumn("score", coalesce(col("tfidf_score"), lit(0.0)))
       .orderBy(desc("score"), col("statement_id"))
       .limit(1)
       .select("statement_id")
