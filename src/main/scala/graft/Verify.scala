@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,9 +27,21 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson(None))
+    // Subset runs restrict the oracle payload too, so a local compare.py pass
+    // over the subset isn't drowned in MISSING_PARQUET noise for the rest.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson(only))
+    // A query that throws must leave a visible artifact, not just a stderr
+    // line: errors.json names each failed query so a missing parquet dir can
+    // never read as a silently-clean round (round-4 lesson: two queries broke
+    // on a testdata schema change and simply vanished from the report).
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
+        .mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 

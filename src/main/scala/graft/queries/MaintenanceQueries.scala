@@ -20,8 +20,8 @@ object MaintenanceQueries {
     // graft.streaming.Sessionize.streamingSessions and is spec-tested).
     "q_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
-      Sessionize.batchSessions(ev, gapMinutes = 30)
+      val withUs = ev.withColumn("ts_us", Tables.epochMicros(ev))
+      Sessionize.batchSessions(withUs, gapMinutes = 30)
         .orderBy(col("user_id"), col("session_seq"))
     }),
 

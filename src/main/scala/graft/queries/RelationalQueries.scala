@@ -260,11 +260,12 @@ object RelationalQueries {
 
     // §2.10 streaming-shaped windowed aggregation (tumbling day windows) —
     // same plan Structured Streaming produces for the events stream.
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark reads as LONG nanos
-    // (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench sessions).
+    // events.ts encoding varies by generator (LONG nanos vs timestamp[us]);
+    // Tables.epochMicros branches on the resolved schema.
     "q_events_window" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      val ev = t(s, dir, "events")
+      ev
+        .withColumn("day", to_date(timestamp_micros(Tables.epochMicros(ev))))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           (sum(col("value").cast(D)) * 100).cast("long").as("total_value_cents"),

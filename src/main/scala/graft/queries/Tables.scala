@@ -14,6 +14,27 @@ object Tables {
     unix_millis(c.cast("timestamp"))
 
   /**
+   * Epoch-micros view of an event-time column, robust to how the parquet
+   * writer encoded it: TIMESTAMP(MICROS/MILLIS) reads as TimestampType
+   * (→ unix_micros), while TIMESTAMP(NANOS) surfaces as LONG nanos under
+   * spark.sql.legacy.parquet.nanosAsLong (→ integer-divide by 1000).
+   * Branching on the resolved schema instead of assuming one encoding keeps
+   * the event-time queries valid when the testdata generator changes its
+   * writer — the failure mode that broke q_events_window/q_sessionize when
+   * events.ts moved from nanos to timestamp[us].
+   */
+  def epochMicros(df: DataFrame, colName: String = "ts")
+  : org.apache.spark.sql.Column = df.schema(colName).dataType match {
+    case org.apache.spark.sql.types.LongType => expr(s"$colName div 1000")
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      unix_micros(col(colName).cast("timestamp"))
+    case other => throw new IllegalArgumentException(
+      s"unsupported event-time type for '$colName': $other " +
+        "(expected LONG nanos or TIMESTAMP)")
+  }
+
+  /**
    * Derived property graph over the TPC-H-ish tables (FIXTURES.md §3):
    * customer -[placed]-> order -[contains]-> part -[supplied_by]-> supplier.
    * Node ids are label-prefixed so one generic edges(src, dst, label) frame
