@@ -182,18 +182,73 @@ object Dedup {
     * O(diameter) rounds and an adversarial near-dup chain makes that O(n).
     * Per round: two grouped mins + two joins, all shuffling on node id;
     * each round localCheckpoint'd so lineage stays flat. No driver-side
-    * state beyond the converged flag. */
+    * state beyond the converged flag.
+    *
+    * Measured-size local finisher: once the contracted edge core fits
+    * `localEdgeCap` rows (counted, never assumed — the same gate
+    * [[Joins.gatedBroadcast]] uses), the remaining rounds collapse into one
+    * driver-side union-find over the core. Star contraction shrinks the
+    * edge set geometrically, so at any scale the loop spends its last
+    * several rounds shuffling a tiny residue where per-round scheduling —
+    * not data — is the cost; a billion-edge input still runs the
+    * distributed rounds until the core is cap-sized. The handoff is exact:
+    * both star ops preserve component membership round to round (a node
+    * absent from the core is its component's root or an isolated
+    * canonicalized-away id — the same self-label case the star-forest
+    * join already handles). Pass `localEdgeCap = 0` to force the pure
+    * distributed loop (the round-bound specs do). */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+                          maxIter: Int = 50,
+                          localEdgeCap: Long = CcLocalEdgeCap): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, localEdgeCap)._1
 
-  /** [[connectedComponents]] plus the number of rounds executed — exposed
-    * so specs can assert the O(log n) bound on chain fixtures. */
+  /** Edge-core size below which [[connectedComponents]] finishes on the
+    * driver: 1M (u,v) pairs is tens of MB of driver heap — the same order
+    * as a frame [[Joins.gatedBroadcast]] would ship to every executor. */
+  val CcLocalEdgeCap: Long = 1L << 20
+
+  /** Driver-side ordering matching Spark's `least`/`min` comparison for the
+    * id types the dedup pipelines use. Strings compare by UTF-8 bytes
+    * (Spark's UTF8String order), NOT Java's UTF-16 `compareTo` — the two
+    * disagree on supplementary characters. None disables the local
+    * finisher and the loop stays fully distributed (floats/decimals land
+    * here: their NaN/scale corner semantics aren't worth mirroring). */
+  private def localIdOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          while (i < x.length && i < y.length) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      })
+      case ByteType    => Some(Ordering.by[Any, Byte](_.asInstanceOf[Byte]))
+      case ShortType   => Some(Ordering.by[Any, Short](_.asInstanceOf[Short]))
+      case IntegerType => Some(Ordering.by[Any, Int](_.asInstanceOf[Int]))
+      case LongType    => Some(Ordering.by[Any, Long](_.asInstanceOf[Long]))
+      case _           => None
+    }
+  }
+
+  /** [[connectedComponents]] plus the number of DISTRIBUTED rounds executed
+    * — exposed so specs can assert the O(log n) bound on chain fixtures
+    * (with `localEdgeCap = 0`, else the local finisher absorbs the tail). */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 50): (DataFrame, Int) = {
+      maxIter: Int = 50,
+      localEdgeCap: Long = CcLocalEdgeCap): (DataFrame, Int) = {
     // canonical orientation u > v; self-pairs dropped
     val raw = pairs.select(
         greatest(col(aCol), col(bCol)).as("u"),
@@ -201,12 +256,15 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     val nodes = raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id"))).distinct().localCheckpoint(true)
+    val idOrd =
+      if (localEdgeCap > 0) localIdOrdering(raw.schema("u").dataType) else None
 
     var edges = raw
-    var edgesN = -1L // lazily counted once, then carried round to round
+    var edgesN = raw.count() // cached scan: raw is an eager checkpoint
     var it = 0
-    var converged = edges.isEmpty
-    while (!converged && it < maxIter) {
+    var converged = edgesN == 0L
+    def localEligible: Boolean = idOrd.isDefined && edgesN <= localEdgeCap
+    while (!converged && !localEligible && it < maxIter) {
       // large-star: each neighbor y > x re-links to min(N(x) ∪ {x})
       val adj = edges.select(col("u").as("x"), col("v").as("y"))
         .union(edges.select(col("v").as("x"), col("u").as("y")))
@@ -228,18 +286,51 @@ object Dedup {
       // plus an empty one-sided except means set equality. The previous
       // round's count is carried in edgesN, so each round pays one fused
       // materialize+count job plus (only on count-equality) the except.
-      if (edgesN < 0) edgesN = edges.count()
       converged = smallN == edgesN &&
         small.except(edges).limit(1).isEmpty
       edges = small
       edgesN = smallN
       it += 1
     }
-    // converged state is a star forest rooted at each component's min;
+    val coreLabels: DataFrame =
+      if (!converged && localEligible && edgesN > 0) {
+        // local finisher: one collect of the cap-bounded core, union-find
+        // with min-id roots (path-halving find), labels re-broadcast
+        implicit val ord: Ordering[Any] = idOrd.get
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        edges.select(col("u"), col("v")).collect().foreach { row =>
+          val a = row.get(0); val b = row.get(1)
+          seen += a; seen += b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val idType = raw.schema("u").dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("_c", idType)))
+        val rows: Seq[org.apache.spark.sql.Row] =
+          seen.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+        broadcast(raw.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema))
+      } else {
+        // converged state is a star forest rooted at each component's min
+        edges.select(col("u").as("id"), col("v").as("_c"))
+      }
     // roots (and any isolated canonicalized-away nodes) label themselves
     val labels = nodes
-      .join(edges.select(col("u").as("id"), col("v").as("_c")), Seq("id"),
-        "left")
+      .join(coreLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("_c"), col("id")).as("comp"))
     (labels, it)
   }

@@ -164,10 +164,29 @@ class DedupSimilaritySpec extends SparkSpec {
     // ~127 rounds; large-star/small-star must stay logarithmic
     val path = (1L to 128L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(path)
+    // localEdgeCap = 0 forces the pure distributed loop — the default cap
+    // would absorb this cap-sized fixture into the driver-local finisher
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(path, localEdgeCap = 0L)
     val m = labels.as[(Long, Long)].collect().toMap
     assert(m.size == 128 && m.values.toSet == Set(1L))
     assert(rounds <= 10, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
+  test("connectedComponents: local finisher handoff matches the distributed loop") {
+    // a shape with a long chain + side branches, on STRING ids (exercises
+    // the UTF-8-byte driver ordering): all three execution modes — pure
+    // local (cap ≥ edges), hybrid (a few distributed rounds, then local
+    // finish on the contracted core), pure distributed (cap 0) — must
+    // produce identical labels
+    val pairs = ((1 to 40).map(i => (f"n$i%03d", f"n${i + 1}%03d")) ++
+      Seq(("n005", "zzz"), ("aaa", "n020"), ("x1", "x2"))).toDF("id_a", "id_b")
+    def run(cap: Long) = Dedup.connectedComponents(pairs, localEdgeCap = cap)
+      .as[(String, String)].collect().toMap
+    val distributed = run(0L)
+    assert(run(Long.MaxValue) == distributed)
+    assert(run(8L) == distributed)
+    assert(distributed("n041") == "aaa" && distributed("x2") == "x1")
   }
 
   test("embeddingNearDup with sign-plane buckets keeps true near-dups") {

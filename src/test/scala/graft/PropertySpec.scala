@@ -159,10 +159,16 @@ class PropertySpec extends SparkSpec {
         }
         val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
         val expect = nodes.map(n => n -> find(n)).toMap
-        val got = graft.ops.Dedup
-          .connectedComponents(edges.toDF("id_a", "id_b"))
-          .as[(Long, Long)].collect().toMap
-        assert(got == expect, s"edges=$edges")
+        // all three execution modes against the oracle: pure driver-local
+        // finisher (default cap), pure distributed star loop (cap 0), and
+        // the mid-loop handoff (cap 2: a couple of distributed rounds
+        // contract the core, then the local finisher takes over)
+        for (cap <- Seq(graft.ops.Dedup.CcLocalEdgeCap, 0L, 2L)) {
+          val got = graft.ops.Dedup
+            .connectedComponents(edges.toDF("id_a", "id_b"), localEdgeCap = cap)
+            .as[(Long, Long)].collect().toMap
+          assert(got == expect, s"cap=$cap edges=$edges")
+        }
       }
     }
   }
