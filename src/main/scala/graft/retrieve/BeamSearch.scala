@@ -135,9 +135,16 @@ object BeamScoring {
   /** Score candidate pairs against the query; returns (id, score) with the
     * max over parents. All four modes are single-pass column expressions;
     * `attention` adds one window (softmax over each parent's candidate
-    * batch — the reference normalizes over exactly that batch). */
+    * batch — the reference normalizes over exactly that batch).
+    *
+    * `carry` names columns functionally determined by `id` (e.g. the
+    * candidate's own embedding) to pass through the max-over-parents
+    * aggregate via `first` — every row of an id group holds the identical
+    * value, so the pick is value-deterministic. The beams carry the
+    * embedding so the next depth's parent side is assembled from the
+    * localized winners instead of re-scanning the embedding table. */
   def score(pairs: DataFrame, queryEmbedding: Seq[Double],
-            mode: String = "cosine"): DataFrame = {
+            mode: String = "cosine", carry: Seq[String] = Nil): DataFrame = {
     require(Modes.contains(mode), s"unknown scoring mode $mode")
     val q = typedLit(queryEmbedding)
     val cosC = BeamCos(pairs.sparkSession) _
@@ -168,7 +175,9 @@ object BeamScoring {
           .withColumn("pair_score", qCos * (lit(1.0) + col("_attn")))
           .drop("_attn")
     }
-    scored.groupBy(col("id")).agg(max(col("pair_score")).as("score"))
+    val aggs = max(col("pair_score")).as("score") +:
+      carry.map(c => first(col(c)).as(c))
+    scored.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 }
 
@@ -236,28 +245,35 @@ object ChunkBeamSearch {
     val ce = chunkEntities(g).localCheckpoint(true)
     val degrees = Some(EntityContextProvider.entityScores(g).localCheckpoint(true))
     val emb = g.chunks.select(col("chunk_id"), col("embedding"))
-    var frontier = graft.ops.Joins.localize(
-      seedChunks.select(col("chunk_id")).distinct())
+    // winners are localized WITH their embeddings: the next depth's parent
+    // side is then assembled from driver rows (a LocalRelation broadcast —
+    // no job) instead of re-scanning the embedding table every depth
+    var scored = graft.ops.Joins.localize(
+      seedChunks.select(col("chunk_id")).distinct().join(emb, Seq("chunk_id"))
+        .select(col("chunk_id"),
+          BeamCos(seedChunks.sparkSession)(
+            col("embedding"), typedLit(queryEmbedding)).as("score"),
+          col("embedding")))
+    var frontier = scored.select(col("chunk_id"))
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
-    var acc = frontier.join(emb, Seq("chunk_id"))
-      .select(col("chunk_id"),
-        BeamCos(frontier.sparkSession)(
-          col("embedding"), typedLit(queryEmbedding)).as("score"))
+    var acc = scored.select(col("chunk_id"), col("score"))
       .withColumn("depth", lit(0))
     for (d <- 1 to depth) {
       val visited = layers.reduce(_ union _)
       val cands = expandOnce(g, frontier, visited, ce, degrees = degrees)
         .join(emb, Seq("chunk_id"))
-        .join(broadcast(emb.join(frontier, Seq("chunk_id"))
+        .join(broadcast(scored
           .select(col("chunk_id").as("parent_id"),
             col("embedding").as("parent_embedding"))), Seq("parent_id"))
         .select(col("chunk_id").as("id"), col("embedding"),
           col("parent_id"), col("parent_embedding"))
-      val scored = graft.ops.Joins.localize(
-        BeamScoring.score(cands, queryEmbedding, scoringMode)
+      scored = graft.ops.Joins.localize(
+        BeamScoring.score(cands, queryEmbedding, scoringMode,
+            carry = Seq("embedding"))
           .orderBy(desc("score"), col("id")).limit(beamWidth)
-          .select(col("id").as("chunk_id"), col("score")))
-      acc = acc.union(scored.withColumn("depth", lit(d)))
+          .select(col("id").as("chunk_id"), col("score"), col("embedding")))
+      acc = acc.union(scored.select(col("chunk_id"), col("score"))
+        .withColumn("depth", lit(d)))
       frontier = scored.select(col("chunk_id"))
       layers += frontier
     }
@@ -307,28 +323,35 @@ object StatementBeamSearch {
              scoringMode: String = "cosine"): DataFrame =
    graft.ops.Joins.boundedLoop(seedStatements.sparkSession) {
     val emb = g.statements.select(col("statement_id"), col("embedding"))
-    var frontier = graft.ops.Joins.localize(
-      seedStatements.select(col("statement_id")).distinct())
+    // localized winners carry their embeddings — see ChunkBeamSearch.search
+    var scored = graft.ops.Joins.localize(
+      seedStatements.select(col("statement_id")).distinct()
+        .join(emb, Seq("statement_id"))
+        .select(col("statement_id"),
+          BeamCos(seedStatements.sparkSession)(
+            col("embedding"), typedLit(queryEmbedding)).as("score"),
+          col("embedding")))
+    var frontier = scored.select(col("statement_id"))
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
-    var acc = frontier.join(emb, Seq("statement_id"))
-      .select(col("statement_id"),
-        BeamCos(frontier.sparkSession)(
-          col("embedding"), typedLit(queryEmbedding)).as("score"))
+    var acc = scored.select(col("statement_id"), col("score"))
       .withColumn("depth", lit(0))
     for (d <- 1 to depth) {
       val visited = layers.reduce(_ union _)
       val cands = expandOnce(g, frontier, visited)
         .join(emb, Seq("statement_id"))
-        .join(broadcast(emb.join(frontier, Seq("statement_id"))
+        .join(broadcast(scored
           .select(col("statement_id").as("parent_id"),
             col("embedding").as("parent_embedding"))), Seq("parent_id"))
         .select(col("statement_id").as("id"), col("embedding"),
           col("parent_id"), col("parent_embedding"))
-      val scored = graft.ops.Joins.localize(
-        BeamScoring.score(cands, queryEmbedding, scoringMode)
+      scored = graft.ops.Joins.localize(
+        BeamScoring.score(cands, queryEmbedding, scoringMode,
+            carry = Seq("embedding"))
           .orderBy(desc("score"), col("id")).limit(beamWidth)
-          .select(col("id").as("statement_id"), col("score")))
-      acc = acc.union(scored.withColumn("depth", lit(d)))
+          .select(col("id").as("statement_id"), col("score"),
+            col("embedding")))
+      acc = acc.union(scored.select(col("statement_id"), col("score"))
+        .withColumn("depth", lit(d)))
       frontier = scored.select(col("statement_id"))
       layers += frontier
     }
