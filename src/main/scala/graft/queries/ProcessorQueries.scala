@@ -103,14 +103,6 @@ object ProcessorQueries {
           concat(lit("supp:"), col("l_suppkey")).as("fact_supp"),
           col("l_shipdate").cast("string").as("chunk_text"))
         .localCheckpoint(true)
-      // no .distinct(): populateStatementStrs dedups in its collect_set.
-      // explode = the part:/supp: union in one checkpoint scan, not two
-      val facts = base.select(col("statement_id"),
-        explode(array(col("fact_part"), col("fact_supp"))).as("fact_value"))
-      // raw (chunk_id, text) pairs; the updateChunkMetadata step bounds
-      // this to the surviving statements before paying the distinct
-      val chunksRaw = base.select(col("statement_id").as("chunk_id"),
-        col("chunk_text").as("text"))
       val sources = t(s, dir, "customer").select(
         col("c_custkey").as("source_id"),
         map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"),
@@ -159,38 +151,37 @@ object ProcessorQueries {
         // the formatting tail compiles — without it the whole 16-step
         // lineage re-enters codegen for every tail step.
         df => df.localCheckpoint(true),
-        // reattach the deferred statement text + chunk_id copy onto the
-        // bounded survivors: statement_id determines the statement string
-        // (it hashes the full source tuple), so the semi-join + distinct
-        // lookup is exact, and at ≤ ~100 rows both sides broadcast
+        // the three deferred enrichments — statement-text reattach,
+        // PopulateStatementStrs facts, UpdateChunkMetadata — all key on the
+        // SAME surviving statement_id set (chunk_id is a statement_id
+        // copy), so ONE broadcast semi-join restricts the 600k-row base to
+        // the ≤ ~300 survivors and a tiny eager checkpoint feeds all three,
+        // where three separate semi-joins each re-scanned the wide base.
+        // PopulateStatementStrs runs here, not in the reference's slot
+        // before rerank: with the default reranker='none', statement_str
+        // is first consumed by the formatting tail, so the fact enrichment
+        // commutes past every score-only processor — the join-deferral a
+        // plan optimizer would apply. Output is row-identical; a live
+        // reranker reading statement_str would pin it back to its slot.
         df => {
           val surv = broadcast(df.select("statement_id").distinct())
-          val stmtText = base.select(col("statement_id"), col("statement"))
+          val survBase = base
             .join(surv, Seq("statement_id"), "left_semi")
+            .localCheckpoint(true)
+          // statement_id determines the statement string (it hashes the
+          // full source tuple), so the dropDuplicates lookup is exact
+          val stmtText = survBase.select(col("statement_id"), col("statement"))
             .dropDuplicates("statement_id")
-          df.join(broadcast(stmtText), Seq("statement_id"))
+          val withText = df.join(broadcast(stmtText), Seq("statement_id"))
             .withColumn("chunk_id", col("statement_id"))
+          val survFacts = survBase.select(col("statement_id"),
+            explode(array(col("fact_part"), col("fact_supp"))).as("fact_value"))
+          val populated = Processors.populateStatementStrs(withText, survFacts)
+          val survChunks = survBase
+            .select(col("statement_id").as("chunk_id"),
+              col("chunk_text").as("text")).distinct()
+          Processors.updateChunkMetadata(populated, survChunks)
         },
-        // PopulateStatementStrs runs HERE, not in the reference's slot
-        // before rerank: with the default reranker='none', statement_str is
-        // first consumed by the formatting tail, so the fact enrichment
-        // commutes past every score-only processor — the join-deferral a
-        // plan optimizer would apply. It runs against the rank-truncated
-        // survivors, so the 2x-exploded fact frame is bounded by a
-        // broadcast semi-join instead of shuffling 2N fact rows for
-        // statements that were about to be truncated away. Output is
-        // row-identical; a live reranker that reads statement_str would
-        // pin the step back to its reference slot.
-        df => Processors.populateStatementStrs(df,
-          facts.join(broadcast(df.select("statement_id").distinct()),
-            Seq("statement_id"), "left_semi")),
-        // df is rank-truncated and checkpointed (≤ 10 sources × topics × 3
-        // statements), so its chunk ids are a bounded broadcast: restrict
-        // the 600k-row chunk frame semi-join-first and pay distinct on the
-        // survivors instead of the whole table
-        df => Processors.updateChunkMetadata(df,
-          chunksRaw.join(broadcast(df.select("chunk_id").distinct()),
-            Seq("chunk_id"), "left_semi").distinct()),
         df => Processors.clearScores(df),
         df => Processors.statementsToStrings(df, includeFacts = true),
         df => Processors.simplifySingleTopicResults(df),
