@@ -308,11 +308,16 @@ object StatementBeamSearch {
         .join(f, col("statement_id") === col("parent_id"))
         .select(col("parent_id"), col("prev_statement_id").as("statement_id"))
         .filter(col("statement_id").isNotNull))
-    viaFacts.union(linked).distinct()
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("parent_id"))
-          .orderBy(col("statement_id"))))
-      .filter(col("crank") <= cap).drop("crank")
+    // dedup + per-parent cap in ONE exchange: collect_set unions partially
+    // map-side, sort_array + slice keep the cap smallest ids — row-identical
+    // to distinct + row_number ≤ cap but without the second shuffle. The
+    // per-parent agg buffer holds that parent's distinct candidate set; the
+    // frontier is width-bounded (≤ beamWidth parents), so a hub fact costs
+    // one task a bounded set, not a repartition of the whole candidate pool.
+    viaFacts.union(linked)
+      .groupBy(col("parent_id"))
+      .agg(slice(sort_array(collect_set(col("statement_id"))), 1, cap).as("_s"))
+      .select(col("parent_id"), explode(col("_s")).as("statement_id"))
       .join(visited.select(col("statement_id")), Seq("statement_id"), "left_anti")
   }
 
