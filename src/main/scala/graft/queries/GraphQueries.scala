@@ -34,7 +34,11 @@ object GraphQueries {
     // memoized both-direction edge frame (undirected=false: already swapped).
     "q_shortest_path" -> ((s, dir) => {
       val seed = s.createDataFrame(Seq(Tuple1("c:0"))).toDF("node")
-      Traversal.shortestDistances(Tables.undirectedEdges(s, dir), seed, 3)
+      // fixed shallow depth → the lazy unrolled BFS: one Catalyst plan, one
+      // job, no per-hop driver round trips (the eager loop with early exit
+      // stays the scale path for deep/unknown frontiers)
+      Traversal.shortestDistances(Tables.undirectedEdges(s, dir), seed, 3,
+          eager = false)
         .orderBy(col("node"))
     }),
 
