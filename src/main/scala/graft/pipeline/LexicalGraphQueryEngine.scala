@@ -35,6 +35,57 @@ final class LexicalGraphQueryEngine(
       graph, embed(question),
       metadataFilter = metadataFilter, maxResults = maxResults)
 
+  /** Answer one question end-to-end and return the reference's Response
+    * shape: the LLM answer, the retrieved source-node frame, and per-phase
+    * wall-clock metrics (reference lexical_graph_query_engine.py:528-560 —
+    * retrieve_ms / postprocessing_ms / answer_ms / total_ms plus the
+    * context_format / retriever / postprocessors / num_source_nodes keys).
+    * Each phase is forced (count / checkpoint / collect) so the timings
+    * bound real work, not lazy-plan construction. */
+  def answer(question: String,
+             contextFormat: String = "text",
+             maxResults: Int = graft.model.Defaults.MaxSearchResults): QueryResponse = {
+    val start = System.nanoTime()
+    val emb = embed(question)
+    val raw = ChunkBasedRetriever.search(graph, emb).localCheckpoint(true)
+    raw.count()
+    val endRetrieve = System.nanoTime()
+    val results = Seq[DataFrame => DataFrame](
+      Processors.dedupResults,
+      Processors.rescoreResults,
+      df => Processors.truncateStatements(
+        df, graft.model.Defaults.MaxStatementsPerTopic),
+      df => Processors.truncateResults(df, maxResults)
+    ).foldLeft(raw)((df, p) => p(df)).localCheckpoint(true)
+    val numSourceNodes = results.count()
+    val endPost = System.nanoTime()
+    val rendered = (contextFormat match {
+      case "json" => Processors.formatContext(results)
+      case "text" => Processors.formatContextText(results)
+      case "xml" => Processors.formatContextXml(results)
+      case "yaml" => Processors.formatContextYaml(results)
+      case "bedrock_xml" =>
+        Processors.formatContextBedrock(results, graph.sources)
+      case other => throw new IllegalArgumentException(
+        s"unknown context format '$other'")
+    }).collect().map(_.mkString(" ")).mkString("\n")
+    val response = llm.complete(
+      s"Answer from the context only.\n\nContext:\n$rendered\n\n" +
+        s"Question: $question\nAnswer:")
+    val end = System.nanoTime()
+    def ms(a: Long, b: Long): String = ((b - a) / 1e6).toString
+    QueryResponse(response, results, Map(
+      "retrieve_ms" -> ms(start, endRetrieve),
+      "postprocessing_ms" -> ms(endRetrieve, endPost),
+      "answer_ms" -> ms(endPost, end),
+      "total_ms" -> ms(start, end),
+      "context_format" -> contextFormat,
+      "retriever" -> "ChunkBasedRetriever",
+      "query" -> question,
+      "postprocessors" -> "DedupResults,RescoreResults,TruncateStatements,TruncateResults",
+      "num_source_nodes" -> numSourceNodes.toString))
+  }
+
   /** Multipart mode: keyword shards with shrunken per-shard budgets
     * (reference query_mode_retriever.py:28-68). */
   def queryMultipart(question: String,
@@ -118,6 +169,13 @@ final class LexicalGraphQueryEngine(
   def embed(question: String): Seq[Double] =
     LexicalPipeline.embedQuery(spark, question)
 }
+
+/** The reference's `Response`: LLM answer + retrieved source-node frame +
+  * per-phase metrics metadata (reference Response/metadata dict,
+  * lexical_graph_query_engine.py:535-560). */
+final case class QueryResponse(response: String,
+                               sourceNodes: DataFrame,
+                               metadata: Map[String, String])
 
 object LexicalGraphQueryEngine {
 

@@ -41,6 +41,25 @@ class RetrieversSpec extends SparkSpec {
     assert(pruned.graph.sources.count() == eng.graph.sources.count() - 1)
   }
 
+  test("answer returns the reference Response shape with phase metrics") {
+    import graft.pipeline.LexicalGraphQueryEngine
+    val eng = LexicalGraphQueryEngine.fromDocuments(
+      spark, docs, "text", Seq("doc_id", "source"))
+    val r = eng.answer("spark joins tables")
+    assert(r.response.nonEmpty)
+    assert(r.sourceNodes.count().toString == r.metadata("num_source_nodes"))
+    val phases = Seq("retrieve_ms", "postprocessing_ms", "answer_ms")
+    phases.foreach(k => assert(r.metadata(k).toDouble >= 0.0, k))
+    // total covers the phases (same clock, same span)
+    assert(r.metadata("total_ms").toDouble >=
+      phases.map(r.metadata(_).toDouble).sum - 1.0)
+    assert(r.metadata("context_format") == "text" &&
+      r.metadata("query") == "spark joins tables")
+    // deterministic stub LLM → deterministic answer across calls
+    assert(eng.answer("spark joins tables").response == r.response)
+    intercept[IllegalArgumentException](eng.answer("q", contextFormat = "toml"))
+  }
+
   test("chunk-based search returns scored flat statements") {
     val out = ChunkBasedRetriever.search(g, queryEmb, vssTopK = 5)
     assert(out.count() > 0)
