@@ -418,6 +418,40 @@ object Profile {
         }
         System.clearProperty("graft.loop.partitions")
 
+      case "graphprobe" =>
+        // would-it-scale probe for the traversal path: the derived edge
+        // frame replicated xN with id-prefixed nodes (disjoint replicas, so
+        // result sizes scale linearly and per-row cost should stay ~flat);
+        // probes k-hop and BFS over the union
+        val n = if (args.length > 2) args(2).toInt else 16
+        import graft.byokg.Traversal
+        val e1 = graft.queries.Tables.undirectedEdges(spark, sfDir)
+        e1.count()
+        val reps = spark.range(0, n).select(col("id").cast("int").as("rep"))
+        val big = e1.crossJoin(reps)
+          .select(concat(col("rep"), lit("#"), col("src")).as("src"),
+            concat(col("rep"), lit("#"), col("dst")).as("dst"), col("label"))
+          .repartition(32).localCheckpoint(true)
+        println(s"[profile] graphprobe edges=${big.count()} (${n}x)")
+        def seeds(df: DataFrame, pref: String) =
+          spark.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(s"${pref}c:0")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("node",
+                org.apache.spark.sql.types.StringType))))
+        val allSeeds = spark.createDataFrame(java.util.Arrays.asList(
+          (0 until n).map(r =>
+            org.apache.spark.sql.Row(s"$r#c:0")): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.StringType))))
+        time(s"bfs dist<=3, $n seeds, ${n}x edges") {
+          Traversal.shortestDistances(big, allSeeds, 3).count()
+        }
+        time("bfs dist<=3, 1 seed, 1x edges") {
+          Traversal.shortestDistances(e1, seeds(e1, ""), 3).count()
+        }
+
       case "explain" =>
         // plan audit: dump formatted physical plans for selected queries
         val names = if (args.length > 2) args(2).split(",").toSeq
