@@ -66,7 +66,8 @@ object Bench {
     val g = graft.queries.Tables.lexicalGraph(spark, sfDir)
     Seq(g.chunks, g.topics, g.topicMentionedIn, g.statements, g.facts,
       g.factSupports, g.entities, g.entityRelations,
-      g.topicEmbeddings, g.topicEntities).foreach(_.count())
+      g.topicEmbeddings, g.topicEntities, g.chunkEntities,
+      g.entityDegrees).foreach(_.count())
     // ANN index training happens at build time too — queries only probe.
     graft.queries.Tables.detKmeansIvfIndex(spark, sfDir)._1.count()
     val gc = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)

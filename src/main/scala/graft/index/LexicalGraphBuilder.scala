@@ -40,6 +40,31 @@ final case class GraphTables(
         col("subject_entity_id").as("entity_id")), Seq("fact_id"))
       .select(col("topic_id"), col("entity_id")).distinct().cache()
 
+  /** Chunk→entity projection (the SUBJECT|OBJECT … MENTIONED_IN chain:
+    * reference semantic_chunk_beam_search.py:44-63 matches BOTH link types,
+    * so a chunk whose facts reference an entity only as object still links
+    * to it); probed by chunk-beam expansion every depth. Materialized ONCE
+    * per graph as an eager localCheckpoint, not `.cache()`: the beam loop
+    * scans it several times per query, and row-format checkpoint blocks
+    * skip the columnar-cache decode each probe pays. */
+  lazy val chunkEntities: DataFrame =
+    statements.select(col("chunk_id"), col("statement_id"))
+      .join(factSupports, Seq("statement_id"))
+      .join(facts.select(col("fact_id"),
+        explode(array(col("subject_entity_id"), col("object_entity_id")))
+          .as("entity_id")), Seq("fact_id"))
+      .select(col("chunk_id"), col("entity_id")).distinct()
+      .localCheckpoint(true)
+
+  /** Per-entity degree over the relation edges, both directions (reference
+    * entity_context_provider.py:126-141); materialized once per graph
+    * (see [[chunkEntities]] for the checkpoint-vs-cache choice). */
+  lazy val entityDegrees: DataFrame =
+    entityRelations.select(col("src_entity_id").as("entity_id"))
+      .union(entityRelations.select(col("dst_entity_id").as("entity_id")))
+      .groupBy("entity_id").agg(count(lit(1)).as("score"))
+      .localCheckpoint(true)
+
   /** Same tables with every frame coalesced to `n` partitions — size cached
     * partitions to the data before persisting (see Tables.cachePartitions). */
   def coalesced(n: Int): GraphTables = copy(

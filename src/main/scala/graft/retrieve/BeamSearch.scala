@@ -192,17 +192,10 @@ object BeamScoring {
  */
 object ChunkBeamSearch {
 
-  /** chunk → entity projection (the SUBJECT|OBJECT ... MENTIONED_IN chain:
-    * reference semantic_chunk_beam_search.py:44-63 matches BOTH link types,
-    * so a chunk whose facts reference an entity only as object still links
-    * to it). */
-  def chunkEntities(g: GraphTables): DataFrame =
-    g.statements.select(col("chunk_id"), col("statement_id"))
-      .join(g.factSupports, Seq("statement_id"))
-      .join(g.facts.select(col("fact_id"),
-        explode(array(col("subject_entity_id"), col("object_entity_id")))
-          .as("entity_id")), Seq("fact_id"))
-      .select(col("chunk_id"), col("entity_id")).distinct()
+  /** chunk → entity projection — delegates to the graph's cached member
+    * (the SUBJECT|OBJECT … MENTIONED_IN chain; see
+    * [[graft.index.GraphTables.chunkEntities]]). */
+  def chunkEntities(g: GraphTables): DataFrame = g.chunkEntities
 
   /** One expansion: per frontier chunk take its `topEntities` strongest
     * entities (global degree — the reference's per-chunk entity score
@@ -242,8 +235,10 @@ object ChunkBeamSearch {
              depth: Int = graft.model.Defaults.ChunkBeamDepth,
              scoringMode: String = "cosine"): DataFrame =
    graft.ops.Joins.boundedLoop(seedChunks.sparkSession) {
-    val ce = chunkEntities(g).localCheckpoint(true)
-    val degrees = Some(EntityContextProvider.entityScores(g).localCheckpoint(true))
+    // both projections are cached graph members (pre-built store views) —
+    // no per-query materialization
+    val ce = g.chunkEntities
+    val degrees = Some(g.entityDegrees)
     val emb = g.chunks.select(col("chunk_id"), col("embedding"))
     // winners are localized WITH their embeddings: the next depth's parent
     // side is then assembled from driver rows (a LocalRelation broadcast —
@@ -371,12 +366,9 @@ object StatementBeamSearch {
  */
 object EntityContextProvider {
 
-  /** Degree score per entity over the relation edges (both directions)
+  /** Degree score per entity — delegates to the graph's cached member
     * (reference entity_context_provider.py:126-141). */
-  def entityScores(g: GraphTables): DataFrame =
-    g.entityRelations.select(col("src_entity_id").as("entity_id"))
-      .union(g.entityRelations.select(col("dst_entity_id").as("entity_id")))
-      .groupBy("entity_id").agg(count(lit(1)).as("score"))
+  def entityScores(g: GraphTables): DataFrame = g.entityDegrees
 
   /** Expand the relation graph from seeds up to `maxDepth`, excluding
     * `exclude` ids; returns (entity_id, depth) of the context tree. */
