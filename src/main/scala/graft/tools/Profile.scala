@@ -316,10 +316,6 @@ object Profile {
             .localCheckpoint(true)
           baseC.count()
         }
-        val factsC = baseC.select(col("statement_id"),
-          explode(array(col("fact_part"), col("fact_supp"))).as("fact_value"))
-        val chunksRawC = baseC.select(col("statement_id").as("chunk_id"),
-          col("chunk_text").as("text"))
         val sourcesC = T2.t(spark, sfDir, "customer").select(
           col("c_custkey").as("source_id"),
           map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"))
@@ -346,22 +342,27 @@ object Profile {
             Processors.truncateStatements(df, 3)),
           "checkpoint" -> ((df: org.apache.spark.sql.DataFrame) =>
             df.localCheckpoint(true)),
-          "reattachText" -> ((df: org.apache.spark.sql.DataFrame) => {
+          // fused enrichment (matches the committed q_full_chain shape):
+          // one semi-join bounds the base to the survivors, a tiny eager
+          // checkpoint feeds text reattach + fact strs + chunk metadata
+          "enrich3" -> ((df: org.apache.spark.sql.DataFrame) => {
             val surv = broadcast(df.select("statement_id").distinct())
-            val stmtText = baseC.select(col("statement_id"), col("statement"))
+            val survBase = baseC
               .join(surv, Seq("statement_id"), "left_semi")
+              .localCheckpoint(true)
+            val stmtText = survBase.select(col("statement_id"), col("statement"))
               .dropDuplicates("statement_id")
-            df.join(broadcast(stmtText), Seq("statement_id"))
+            val withText = df.join(broadcast(stmtText), Seq("statement_id"))
               .withColumn("chunk_id", col("statement_id"))
+            val survFacts = survBase.select(col("statement_id"),
+              explode(array(col("fact_part"), col("fact_supp")))
+                .as("fact_value"))
+            val populated = Processors.populateStatementStrs(withText, survFacts)
+            val survChunks = survBase
+              .select(col("statement_id").as("chunk_id"),
+                col("chunk_text").as("text")).distinct()
+            Processors.updateChunkMetadata(populated, survChunks)
           }),
-          "populateStrs" -> ((df: org.apache.spark.sql.DataFrame) =>
-            Processors.populateStatementStrs(df,
-              factsC.join(broadcast(df.select("statement_id").distinct()),
-                Seq("statement_id"), "left_semi"))),
-          "updChunkMeta" -> ((df: org.apache.spark.sql.DataFrame) =>
-            Processors.updateChunkMetadata(df,
-              chunksRawC.join(broadcast(df.select("chunk_id").distinct()),
-                Seq("chunk_id"), "left_semi").distinct())),
           "clearScores" -> ((df: org.apache.spark.sql.DataFrame) =>
             Processors.clearScores(df)),
           "stmtsToStrings" -> ((df: org.apache.spark.sql.DataFrame) =>
