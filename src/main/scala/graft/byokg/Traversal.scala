@@ -238,4 +238,63 @@ object Traversal {
       .agg(concat_ws(" | ", sort_array(collect_set(col("end")))).as("ends"))
       .select(concat_ws(" -> ", col("start"), col("mid"), col("ends")).as("text"))
   }
+
+  /**
+   * Fixed-iteration PageRank over the directed edge frame — graph centrality
+   * as a retrieval-seeding signal, the global generalization of the local
+   * entity-degree scores the reference ranks frontiers by
+   * (byokg-rag/src/graphrag_toolkit/byokg_rag/graph_retrievers/graph_traversal.py
+   * top-k-by-degree frontiers; lexical-graph statement rank =
+   * facts-count degree). Same GraphX `staticPageRank` recurrence:
+   *
+   *   rank_0(v)   = 1.0
+   *   rank_i+1(v) = reset + damping * sum over in-neighbors u of
+   *                 rank_i(u) / outdegree(u)
+   *
+   * (no dangling-mass redistribution, so ranks are relative scores, not a
+   * probability distribution — exactly GraphX's contract).
+   *
+   * Each iteration is one join (ranks × edges on src — the frontier side is
+   * a node-count frame, NOT broadcast: at scale it is the full vertex set)
+   * and one aggregation on dst, so `iters` iterations cost O(iters) shuffles
+   * of the edge frame — the textbook distributed formulation. Edges are
+   * deduped on (src, dst) first: parallel edges would double-count mass.
+   *
+   * `deterministic=true` replaces the dst-sum with an in-neighbor-ordered
+   * fold (collect sorted (src, contribution) pairs, then a sequential left
+   * fold) so the floating-point sum has ONE order regardless of
+   * partitioning — the property that lets q_pagerank carry a bit-exact
+   * DuckDB hash oracle. The default keeps the plain `sum` aggregate
+   * (map-side combined, no per-dst list) as the scale path; a spec pins the
+   * two within 1e-9 of each other.
+   */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85, reset: Double = 0.15,
+               deterministic: Boolean = false): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    // (src, dst, out_deg) is iteration-invariant — compute it once
+    val eDeg = e.join(outDeg, "src")
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst"), col("src"),
+          (col("rank") / col("out_deg")).as("contrib"))
+      val sums =
+        if (deterministic)
+          contribs.groupBy("dst").agg(
+            aggregate(array_sort(collect_list(struct(col("src"), col("contrib")))),
+              lit(0.0), (acc, m) => acc + m.getField("contrib")).as("s"))
+        else
+          contribs.groupBy("dst").agg(sum("contrib").as("s"))
+      ranks = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(reset) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
 }

@@ -85,6 +85,17 @@ object GraphQueries {
       val paths = Traversal.metapathPaths(edges(s, dir), seed,
         Seq("placed", "contains"))
       Traversal.verbalizePaths(paths).orderBy(col("text"))
+    }),
+
+    // extended: graph centrality (fixed-iteration PageRank) — the global
+    // generalization of q_entity_degree's local scores. Deterministic mode
+    // (ordered in-neighbor folds) so the unrolled DuckDB replay is bit-exact;
+    // a spec pins it to the plain-sum scale path within 1e-9.
+    "q_pagerank" -> ((s, dir) => {
+      Traversal.pageRank(edges(s, dir), iters = 3, deterministic = true)
+        .select(col("node"), round(col("rank"), 6).as("pr"))
+        .orderBy(desc("pr"), col("node"))
+        .limit(100)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -175,5 +186,36 @@ object GraphQueries {
          |       FROM p1 JOIN edges e ON e.src = p1.dst AND e.label = 'contains')
          |SELECT start||' -> placed > '||mid_node||' > contains -> '||
          |  array_to_string(list_sort(list(DISTINCT "end")), ' | ') AS text
-         |FROM p2 GROUP BY start, mid_node ORDER BY text""".stripMargin)
+         |FROM p2 GROUP BY start, mid_node ORDER BY text""".stripMargin,
+
+    // PageRank replay: the same 3 unrolled iterations with the SAME
+    // floating-point fold order the deterministic Spark path uses — per-dst
+    // contributions summed in ascending-src order via an ordered list_reduce
+    // (a plain SUM would be partition-order-dependent in both engines).
+    // All literals CAST to DOUBLE: bare 1.0/0.15 are DECIMAL in DuckDB and
+    // would silently change every intermediate type.
+    "q_pagerank" -> {
+      def iter(prev: String, sName: String, rName: String): String =
+        s"""$sName AS (
+           |  SELECT e.dst AS node,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(p.r / d.d ORDER BY e.src)), (x, y) -> x + y) AS s
+           |  FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst),
+           |$rName AS (
+           |  SELECT n.node,
+           |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+           |      COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS r
+           |  FROM n LEFT JOIN $sName s USING (node))""".stripMargin
+      s"""WITH edges0 AS ($edgesSql),
+         |e AS (SELECT DISTINCT src, dst FROM edges0),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+         |${iter("r0", "s1", "r1")},
+         |${iter("r1", "s2", "r2")},
+         |${iter("r2", "s3", "r3")}
+         |SELECT node, round(r, 6) AS pr FROM r3
+         |ORDER BY round(r, 6) DESC, node LIMIT 100""".stripMargin
+    })
 }

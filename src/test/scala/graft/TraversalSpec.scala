@@ -62,4 +62,41 @@ class TraversalSpec extends SparkSpec {
       .as[String].collect().sorted
     assert(out.toSeq == Seq("a [r1] b", "a [r2] e"))
   }
+
+  test("pageRank: hand-computed 2-iteration ranks on the fixture graph") {
+    // out-degrees: a=2, b=1, c=1, e=1; in-edges: b<-a, e<-a, c<-{b,e}, d<-c
+    // r0 = 1 everywhere
+    // r1: a=.15, b=.15+.85*(1/2)=.575, e=.575, c=.15+.85*(1+1)=1.85,
+    //     d=.15+.85*1=1.0
+    // r2: a=.15, b=.15+.85*(.15/2)=.21375, e=.21375,
+    //     c=.15+.85*(.575+.575)=1.1275, d=.15+.85*1.85=1.7225
+    val r = Traversal.pageRank(edges, iters = 2)
+      .as[(String, Double)].collect().toMap
+    val expected = Map("a" -> 0.15, "b" -> 0.21375, "e" -> 0.21375,
+      "c" -> 1.1275, "d" -> 1.7225)
+    expected.foreach { case (n, v) =>
+      assert(math.abs(r(n) - v) < 1e-12, s"node $n: ${r(n)} vs $v")
+    }
+  }
+
+  test("pageRank: deterministic ordered-fold mode matches the plain-sum " +
+    "scale path within 1e-9") {
+    val plain = Traversal.pageRank(edges, iters = 3)
+      .as[(String, Double)].collect().toMap
+    val det = Traversal.pageRank(edges, iters = 3, deterministic = true)
+      .as[(String, Double)].collect().toMap
+    assert(plain.keySet == det.keySet)
+    plain.foreach { case (n, v) =>
+      assert(math.abs(det(n) - v) < 1e-9, s"node $n: det=${det(n)} plain=$v")
+    }
+  }
+
+  test("pageRank: parallel edges are deduped, sources with no in-edges " +
+    "hold the reset value") {
+    val dup = edges.union(Seq(("a", "b", "dup")).toDF("src", "dst", "label"))
+    val r = Traversal.pageRank(dup, iters = 1).as[(String, Double)]
+      .collect().toMap
+    assert(math.abs(r("a") - 0.15) < 1e-12)      // no in-edges
+    assert(math.abs(r("b") - 0.575) < 1e-12)     // a->b counted once
+  }
 }
