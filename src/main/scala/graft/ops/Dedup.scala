@@ -452,4 +452,34 @@ object Dedup {
       .map(b => f"$b%02x").mkString.substring(0, 15)
     java.lang.Long.parseLong(hex, 16).toDouble / 1.152921504606847e18 * 2.0 - 1.0
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the embedding space, then inside each cluster
+   * drop every row that has a LOWER-id member within cosine >= threshold —
+   * the deterministic exemplar rule (the paper keeps one arbitrary point per
+   * ε-ball; anchoring on min id makes the choice replayable).
+   *
+   * Takes an already-assigned frame (`id`, `emb`, `ivf_cell` — the
+   * [[MlAnn.detKmeansIvf]] / [[MlAnn.kmeansIvf]] output) so the clustering
+   * cost is shared with the ANN index instead of re-trained per dedup pass.
+   * The candidate join keys on the cell, so the quadratic term is bounded by
+   * the largest cluster, never the corpus — the paper's own scaling
+   * argument (they run k=50k clusters over LAION). One shuffle for the
+   * self-join, one anti-join for the survivors; no crossJoin, no collect.
+   */
+  def semanticDedup(assigned: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.CosineSimilarity.register(assigned.sparkSession)
+    val a = assigned.select(col("ivf_cell").as("cell"),
+      col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = assigned.select(col("ivf_cell").as("cell"),
+      col("id").as("id_b"), col("emb").as("emb_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.CosineSimilarity.cosine(
+        col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("ivf_cell").as("cell"))
+  }
 }

@@ -119,6 +119,19 @@ object VectorQueries {
         threshold = 0.3, planes = 4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // extended: SemDeDup — cluster-bounded semantic dedup over the SAME
+    // deterministic KMeans index q_ivf_kmeans probes (trained once in the
+    // warmed Tables layer). Survivors = rows with no lower-id in-cell
+    // neighbor at cosine >= 0.3; the oracle replays the training CTEs and
+    // the in-cell pair rule.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val (assigned, _) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      Dedup.semanticDedup(assigned, threshold = 0.3)
+        .select(col("id").as("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy(col("vec_id"))
     }))
 
   /**
@@ -129,20 +142,27 @@ object VectorQueries {
    * evaluates left-to-right like the engine's sequential aggregates, so the
    * hashes are bit-exact, not approximately equal.
    */
-  private def detKmeansOracle(nlist: Int, iters: Int, nprobe: Int,
-                              k: Int): String = {
+  // squared distance between double-list columns: sequential left fold
+  private def sqSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1,${Dim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x, y) -> x + y)"
+
+  /**
+   * The deterministic-KMeans training + assignment replay as a reusable CTE
+   * prefix (`pts` → `c0` → `iters` assign/update rounds → final assignment
+   * `af(id, emb, cell)`) — the oracle-side mirror of
+   * [[graft.ops.MlAnn.detKmeansIvf]]. Shared by q_ivf_kmeans (probe on top)
+   * and q_semantic_dedup (in-cell pair join on top).
+   */
+  private def detAssignCtes(nlist: Int, iters: Int): String = {
     val R = s"range(1,${Dim + 1})"
     val zero = s"list_transform($R, i -> 0.0)"
-    // squared distance between double-list columns: sequential left fold
-    def sq(a: String, b: String): String =
-      s"list_reduce(list_transform($R, i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x, y) -> x + y)"
     // argmin-of-sqdist assignment against centroid CTE `cN`
     def assign(aName: String, cName: String): String =
       s"""$aName AS (
          |  SELECT id, emb, cell FROM (
          |    SELECT p.id, p.emb, c.cell,
          |      row_number() OVER (PARTITION BY p.id
-         |        ORDER BY ${sq("p.emb", "c.c")}, c.cell) AS rn
+         |        ORDER BY ${sqSql("p.emb", "c.c")}, c.cell) AS rn
          |    FROM pts p CROSS JOIN $cName c) WHERE rn = 1)""".stripMargin
     // id-ordered elementwise mean per cell; empty cells keep prev centroid
     def update(aName: String, prevC: String, cName: String): String =
@@ -160,28 +180,43 @@ object VectorQueries {
       assign(s"a$it", s"c${it - 1}") + ",\n" +
         update(s"a$it", s"c${it - 1}", s"c$it")
     }.mkString(",\n")
-    s"""WITH pts AS (
+    s"""pts AS (
        |  SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings WHERE vec_id <> 0),
-       |q AS (
-       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-       |  FROM embeddings WHERE vec_id = 0),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, emb AS c
        |  FROM pts ORDER BY id LIMIT $nlist),
        |$iterCtes,
+       |${assign("af", s"c$iters")}""".stripMargin
+  }
+
+  private def detKmeansOracle(nlist: Int, iters: Int, nprobe: Int,
+                              k: Int): String =
+    s"""WITH ${detAssignCtes(nlist, iters)},
+       |q AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |  FROM embeddings WHERE vec_id = 0),
        |probe AS (
        |  SELECT cell FROM c$iters c CROSS JOIN q
-       |  ORDER BY ${sq("c.c", "q.qe")}, cell LIMIT $nprobe),
-       |${assign("af", s"c$iters")}
+       |  ORDER BY ${sqSql("c.c", "q.qe")}, cell LIMIT $nprobe)
        |SELECT id AS vec_id, round(${cosSql("af.emb", "q.qe")}, 6) AS score
        |FROM af JOIN probe USING (cell) CROSS JOIN q
        |ORDER BY ${cosSql("af.emb", "q.qe")} DESC, id LIMIT $k""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "q_ivf_kmeans" -> detKmeansOracle(nlist = 8, iters = 2, nprobe = 2, k = 10),
+
+    "q_semantic_dedup" ->
+      s"""WITH ${detAssignCtes(nlist = 8, iters = 2)},
+         |dropped AS (
+         |  SELECT DISTINCT b.id FROM af a JOIN af b
+         |    ON a.cell = b.cell AND a.id < b.id
+         |  WHERE ${cosSql("a.emb", "b.emb")} >= CAST(0.3 AS DOUBLE))
+         |SELECT p.id AS vec_id, CAST(p.cell AS INT) AS cell
+         |FROM af p LEFT JOIN dropped d ON p.id = d.id
+         |WHERE d.id IS NULL
+         |ORDER BY p.id""".stripMargin,
     "q_vector_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS score

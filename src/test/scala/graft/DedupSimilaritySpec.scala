@@ -241,4 +241,31 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(msgs.contains("fixed-dimension"))
   }
+
+  test("semanticDedup drops higher-id in-cell near-dups, keeps cross-cell " +
+    "twins and sub-threshold neighbors") {
+    // cells are pre-assigned: ids 1/2/3 share cell 0 (1≈2 near-identical,
+    // 3 orthogonal); id 4 duplicates 1 exactly but sits in cell 1, so the
+    // cluster boundary must protect it (the documented approximation).
+    val assigned = Seq(
+      (1L, Array(1.0, 0.0, 0.0), 0),
+      (2L, Array(0.999, 0.01, 0.0), 0),
+      (3L, Array(0.0, 1.0, 0.0), 0),
+      (4L, Array(1.0, 0.0, 0.0), 1))
+      .toDF("id", "emb", "ivf_cell")
+    val kept = Dedup.semanticDedup(assigned, threshold = 0.95)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("semanticDedup at threshold 1.0+ keeps everything") {
+    val assigned = Seq(
+      (1L, Array(1.0, 0.0), 0), (2L, Array(1.0, 0.0), 0))
+      .toDF("id", "emb", "ivf_cell")
+    // cosine of identical vectors is 1.0 — strict >= keeps only exact
+    // duplicates out; a threshold above 1.0 disables the dedup entirely
+    assert(Dedup.semanticDedup(assigned, 1.5).count() == 2)
+    assert(Dedup.semanticDedup(assigned, 1.0).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+  }
 }
