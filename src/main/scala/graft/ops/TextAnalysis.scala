@@ -161,4 +161,46 @@ object TextAnalysis {
         .otherwise(raw > 0))
       .drop("_n")
   }
+
+  /**
+   * Corpus-trained unigram language-model surprisal — the CCNet-style
+   * "perplexity bucket" quality signal (Wenzek et al. 2020, CCNet): train a
+   * unigram LM on the corpus itself, score each document by its mean token
+   * surprisal in nats,
+   *
+   *   surprisal(d) = -(1/|d|) * sum over tokens t of ln(count(t) / N)
+   *               =  ln(N) - (1/|d|) * sum over tokens of ln(count(t)),
+   *
+   * so boilerplate-heavy documents (all high-frequency tokens) score LOW and
+   * lexically unusual ones score HIGH — the tails a curation pipeline trims.
+   *
+   * Two hash aggregates (per-doc term counts, corpus term counts — both
+   * map-side combined so the shuffle carries distinct terms, not the token
+   * stream) plus one join on the term key; no driver collect, no UDF. The
+   * per-document sum folds (term, m·ln c) pairs in ascending-term order —
+   * ONE floating-point order under any partitioning, which is what lets
+   * q_unigram_surprisal carry a bit-exact DuckDB hash oracle. Documents with
+   * zero tokens are absent from the output (no LM evidence), matching
+   * [[repetitionProfile]]'s contract.
+   */
+  def unigramSurprisal(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val toks = docs.select(col(idCol).as("id"),
+      explode(graft.functions.WordGrams.grams(col(textCol), 1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dt = toks.groupBy("id", "tok").agg(count(lit(1)).as("m"))
+    val f = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = f.agg(sum("c").cast("double").as("n"))
+    val per = dt.join(f, "tok")
+      .groupBy("id").agg(
+        sum("m").as("n_tokens"),
+        aggregate(array_sort(collect_list(struct(col("tok"),
+          (col("m").cast("double") * log(col("c").cast("double"))).as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("_s"))
+    per.crossJoin(broadcast(tot))
+      .select(col("id"), col("n_tokens"),
+        (log(col("n")) - col("_s") / col("n_tokens").cast("double"))
+          .as("surprisal"))
+  }
 }

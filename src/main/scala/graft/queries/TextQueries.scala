@@ -162,6 +162,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: corpus-trained unigram-LM mean surprisal (CCNet-style
+    // perplexity-bucket quality signal). The per-doc sum folds in
+    // ascending-term order so the hash oracle replays bit-exactly.
+    "q_unigram_surprisal" -> ((s, dir) => {
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("surprisal"), 6).as("surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: the composed curation pipeline — quality/length gate →
     // exact dedup (canonical min-id winner + group size) → minhash-LSH
     // near-dup components → keep only cluster representatives. The whole
@@ -488,6 +498,30 @@ object TextQueries {
          |       ELSE ROUND(raw / (CAST(1000.0 AS DOUBLE) * n), 6) END AS clf_score,
          |  CASE WHEN n = 0 THEN FALSE ELSE raw > 0 END AS clf_keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Unigram surprisal replay: same ln-based arithmetic, same
+    // ascending-term fold order as the Spark aggregate (a plain SUM would
+    // be partition-order-dependent in both engines). sum() outputs are
+    // CAST to BIGINT — DuckDB SUM(BIGINT) is HUGEINT, the hasher-visible
+    // type divergence the parity gate exists for.
+    "q_unigram_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(${normSql("text")},'\\s+'),
+         |    x -> length(x) > 0)) AS tok
+         |  FROM documents),
+         |dt AS (SELECT doc_id, tok, count(*) AS m FROM toks GROUP BY 1, 2),
+         |f AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(m AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY tok)),
+         |      (x, y) -> x + y) AS s
+         |  FROM dt JOIN f USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(ln(tot.n) - s / n_tokens, 6) AS surprisal
+         |FROM per, tot ORDER BY doc_id""".stripMargin,
 
     "q_curation_pipeline" -> {
       val stops = inListSql(TextAnalysis.defaultStopwords)

@@ -139,4 +139,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1)._2 == 0.0 && !out(1)._3) // empty text → score 0, dropped
     assert(out(0)._3 == (out(0)._2 > 0))
   }
+
+  test("unigramSurprisal: hand-computed mean surprisal; boilerplate scores " +
+    "lower than rare text; empty docs are absent") {
+    // corpus: "common common" ×2 docs + "rare" once → counts: common=4, rare=1, N=5
+    val docs = Seq((1L, "common common"), (2L, "common common rare"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "text", "doc_id")
+      .select("id", "n_tokens", "surprisal")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no tokens
+    val n = 5.0
+    val d1 = math.log(n) - (2 * math.log(4.0)) / 2           // all common
+    val d2 = math.log(n) - (2 * math.log(4.0) + math.log(1.0)) / 3
+    assert(math.abs(out(0)._3 - d1) < 1e-12 && out(0)._2 == 2L)
+    assert(math.abs(out(1)._3 - d2) < 1e-12 && out(1)._2 == 3L)
+    assert(out(1)._3 > out(0)._3) // the rare token raises mean surprisal
+  }
 }
