@@ -50,6 +50,61 @@ object Joins {
       java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /**
+   * Bloom-filter pre-filtered anti-join — the shuffle-free scale path for
+   * "drop corpus rows whose key appears in this exclusion set" (checkpoint
+   * anti-joins, decontamination sweeps, delete cascades). Result is EXACT:
+   * the Bloom filter only routes rows.
+   *
+   * A plain `left_anti` against a non-broadcastable exclusion set shuffles
+   * the WHOLE corpus on the key. Here the exclusion keys build one compact
+   * Bloom sketch (`stat.bloomFilter` — a distributed aggregate; only the
+   * bit-array comes to the driver), which broadcasts to every task:
+   *
+   *  - rows whose key the filter rejects are DEFINITELY clean → kept with
+   *    zero shuffle (at 1% fpp that is ~99% of a mostly-clean corpus);
+   *  - the small might-contain remainder alone pays the exact anti-join,
+   *    and a candidate set this size typically broadcasts under AQE.
+   *
+   * The corpus is scanned twice (both branches prune to the key + payload
+   * columns) — at 100 TB two column-pruned scans are far cheaper than one
+   * full-corpus shuffle. Spark's own runtime-filter rule makes the same
+   * trade for equi-joins; this makes it explicit for anti-joins, which the
+   * rule does not cover.
+   */
+  def bloomAntiJoin(big: DataFrame, bigKey: String,
+                    excl: DataFrame, exclKey: String,
+                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // validate the key type BEFORE the sketch aggregate runs, so unsupported
+    // types fail with this contract message, not a sketch internal
+    val keyType = big.schema(bigKey).dataType
+    if (!Seq(StringType, LongType, IntegerType).contains(keyType))
+      throw new IllegalArgumentException(
+        s"bloomAntiJoin key must be STRING/LONG/INT, got $keyType")
+    val exclKeys = excl.select(col(exclKey)).na.drop()
+    val bf = exclKeys.stat.bloomFilter(exclKey, expectedItems, fpp)
+    val bfB = big.sparkSession.sparkContext.broadcast(bf)
+    val might = keyType match {
+      case StringType =>
+        udf((k: String) => k != null && bfB.value.mightContainString(k))
+      case LongType =>
+        udf((k: java.lang.Long) => k != null && bfB.value.mightContainLong(k))
+      case _ =>
+        udf((k: java.lang.Integer) =>
+          k != null && bfB.value.mightContainLong(k.longValue()))
+    }
+    // null keys never match an equi-anti-join → they are kept, both here
+    // (mightContain=false routes them to the definite-keep branch) and in
+    // the plain left_anti this replaces.
+    val definiteKeep = big.filter(!might(col(bigKey)))
+    val candidates = big.filter(might(col(bigKey)))
+      .join(exclKeys, big(bigKey) === exclKeys(exclKey), "left_anti")
+    definiteKeep.union(candidates)
+  }
+
   /** Runs a bounded-frontier driver loop under loop-sized execution confs.
     *
     * Beam/context loops plan dozens of tiny exchanges per depth over

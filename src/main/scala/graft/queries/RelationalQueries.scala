@@ -99,6 +99,21 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // extended: Bloom-pre-filtered anti-join — content-keyed decontamination
+    // (drop every corpus doc whose normalized-text hash appears in the
+    // exclusion set). The Bloom sketch routes definite-clean rows around
+    // the shuffle; the exact anti-join runs only on might-contain
+    // candidates, so the result is EXACTLY the plain NOT EXISTS.
+    "q_bloom_anti_join" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), md5(T.searchStr(col("text"))).as("key"))
+      val excl = keyed.filter(col("doc_id") % 7 === 0)
+        .select(col("key").as("excl_key"))
+      graft.ops.Joins.bloomAntiJoin(keyed, "key", excl, "excl_key",
+        expectedItems = 10000)
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.6 per-group top-n (TruncateStatements semantics).
     "q_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -312,6 +327,18 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // the Bloom routing is invisible to semantics: the oracle is the plain
+    // content-keyed NOT EXISTS the operator must equal exactly
+    "q_bloom_anti_join" -> {
+      val norm = "lower(trim(regexp_replace(regexp_replace(text," +
+        "'[[:punct:]]',' ','g'),'\\s+',' ','g')))"
+      s"""WITH k AS (SELECT doc_id, md5($norm) AS key FROM documents),
+         |e AS (SELECT DISTINCT key FROM k WHERE doc_id % 7 = 0)
+         |SELECT doc_id, key FROM k
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.key = k.key)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
