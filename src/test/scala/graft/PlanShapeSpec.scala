@@ -40,14 +40,20 @@ class PlanShapeSpec extends SparkSpec {
     // round 4: the det-KMeans probe (training runs in the warmed Tables
     // layer; the query plan itself is a flat filter + top-k) and the real
     // image-decode pipeline
-    "q_ivf_kmeans", "q_multimodal_decode")
+    "q_ivf_kmeans", "q_multimodal_decode",
+    // round 5: centrality, semantic dedup, unigram surprisal, bloom anti —
+    // all must stay cell/key-joined, never cross-product
+    "q_pagerank", "q_semantic_dedup", "q_unigram_surprisal",
+    "q_bloom_anti_join")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
   private val boundedBnlj = Set(
     "q_processor_chain", "q_full_chain", "q_curation_pipeline",
     "q_prune_threshold", "q_tfidf_rerank", "q_vector_topk",
-    "q_vector_diverse_topk", "q_ivf_topk_full_probe", "q_statement_diversity")
+    "q_vector_diverse_topk", "q_ivf_topk_full_probe", "q_statement_diversity",
+    // single-row corpus-total frame joined onto every per-doc row
+    "q_unigram_surprisal")
 
   test("no CartesianProduct anywhere in the declarative inventory") {
     val offenders = declarative.flatMap { name =>
