@@ -92,7 +92,8 @@ object GraphQueries {
     // (ordered in-neighbor folds) so the unrolled DuckDB replay is bit-exact;
     // a spec pins it to the plain-sum scale path within 1e-9.
     "q_pagerank" -> ((s, dir) => {
-      Traversal.pageRank(edges(s, dir), iters = 3, deterministic = true)
+      val (nodes, eDeg) = Tables.pageRankAdjacency(s, dir)
+      Traversal.pageRankIterate(nodes, eDeg, iters = 3, deterministic = true)
         .select(col("node"), round(col("rank"), 6).as("pr"))
         .orderBy(desc("pr"), col("node"))
         .limit(100)

@@ -255,6 +255,20 @@ object Profile {
           println(s"[profile]   $q jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
         }
 
+      case "pagerank" =>
+        // where q_pagerank's time goes: setup vs per-iteration, det vs plain
+        val edges = graft.queries.Tables.edges(spark, sfDir)
+        edges.count() // warm the cache like Bench does
+        time("setup e distinct") {
+          edges.select(col("src"), col("dst")).distinct().count()
+        }
+        for (det <- Seq(false, true); it <- Seq(1, 2, 3)) {
+          time(s"pageRank iters=$it det=$det") {
+            graft.byokg.Traversal.pageRank(edges, it, deterministic = det)
+              .count()
+          }
+        }
+
       case "qjobs" =>
         // per-stage durations of one query (args(2)), slowest first
         graft.GraftExtensions.registerAll(spark)

@@ -91,6 +91,23 @@ class TraversalSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: deep run crossing the periodic-checkpoint boundary " +
+    "matches a naive driver-side recurrence") {
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "c"))
+    val ns = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val outDeg = es.groupBy(_._1).map { case (s, g) => s -> g.size }
+    var r = ns.map(_ -> 1.0).toMap
+    for (_ <- 1 to 9)
+      r = ns.map(n => n -> (0.15 + 0.85 * es.collect {
+        case (s, d) if d == n => r(s) / outDeg(s)
+      }.sum)).toMap
+    val got = Traversal.pageRank(edges, iters = 9)
+      .as[(String, Double)].collect().toMap
+    r.foreach { case (n, v) =>
+      assert(math.abs(got(n) - v) < 1e-9, s"node $n: ${got(n)} vs $v")
+    }
+  }
+
   test("pageRank: parallel edges are deduped, sources with no in-edges " +
     "hold the reset value") {
     val dup = edges.union(Seq(("a", "b", "dup")).toDF("src", "dst", "label"))
