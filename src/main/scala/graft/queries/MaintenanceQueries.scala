@@ -25,6 +25,47 @@ object MaintenanceQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // extended: as-of join (merge_asof backward semantics) — every purchase
+    // event picks the user's latest view at-or-before it. Implemented as
+    // ONE key-partitioned backward range window over the unioned stream,
+    // not a join (ops.TemporalJoins.asofJoin).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.withColumn("ts_us", Tables.epochMicros(ev))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      // right side deduped per (user, ts): max value — tie-free both engines
+      val views = base.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("vvalue"))
+      graft.ops.TemporalJoins.asofJoin(purchases, views, "user_id",
+        "ts_us", "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("_asof._ts").as("view_ts"),
+          col("_asof.vvalue").as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // extended: range (interval) join — clicks landing inside the 6-hour
+    // window after a same-user purchase, via time-bin bucketing (a plain
+    // equi-join on (user, bin) + exact post-filter; no range cross product).
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.withColumn("ts_us", Tables.epochMicros(ev))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us"))
+      val windows = base.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("w_start"),
+          (col("ts_us") + lit(21600000000L)).as("w_end"))
+      graft.ops.TemporalJoins.rangeJoin(clicks, "ts_us", windows,
+        "w_start", "w_end", key = Some("user_id"), binMicros = 21600000000L)
+        .select(col("click_id"), col("purchase_id"),
+          clicks("user_id").as("user_id"), col("ts_us"), col("w_start"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // §2.8 SCD-2 merge on re-ingest via the VersionManager module: documents
     // re-keyed so each vid has two versions.
     "q_version_merge" -> ((s, dir) => {
@@ -175,6 +216,42 @@ object MaintenanceQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // as-of replay: latest view ts per purchase via a correlated backward
+    // max, then the value re-attached on the (user, ts) key — row-identical
+    // to the window-union formulation (right side is (user, ts)-unique)
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM ev
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts_us, max(value) AS vvalue FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1, 2),
+        |m AS (SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT max(v2.ts_us) FROM v v2
+        |   WHERE v2.user_id = p.user_id AND v2.ts_us <= p.ts_us) AS view_ts
+        |  FROM p)
+        |SELECT m.event_id, m.user_id, m.ts_us, m.view_ts,
+        |  v.vvalue AS view_value
+        |FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.ts_us = m.view_ts
+        |ORDER BY m.event_id""".stripMargin,
+
+    // the bin bucketing is invisible to semantics: the oracle is the plain
+    // keyed range-predicate join the operator must equal exactly
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts_us FROM ev
+        |      WHERE event_type = 'click'),
+        |w AS (SELECT event_id AS purchase_id, user_id, ts_us AS w_start,
+        |        ts_us + 21600000000 AS w_end FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT c.click_id, w.purchase_id, c.user_id, c.ts_us, w.w_start
+        |FROM c JOIN w ON c.user_id = w.user_id
+        |  AND c.ts_us >= w.w_start AND c.ts_us < w.w_end
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     "q_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),

@@ -44,7 +44,10 @@ class PlanShapeSpec extends SparkSpec {
     // round 5: centrality, semantic dedup, unigram surprisal, bloom anti —
     // all must stay cell/key-joined, never cross-product
     "q_pagerank", "q_semantic_dedup", "q_unigram_surprisal",
-    "q_bloom_anti_join")
+    "q_bloom_anti_join",
+    // round 5: temporal joins — the as-of is a window (no join node at
+    // all), the range join must stay a (key, bin) equi-join
+    "q_asof_join", "q_range_join")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
