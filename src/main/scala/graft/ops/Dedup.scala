@@ -118,6 +118,39 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Exact n-gram contamination sweep (the GPT-3-style eval-set filter,
+   * Brown et al. 2020 appendix C: drop training documents sharing any
+   * 13-gram with a benchmark): per corpus doc, the count of DISTINCT
+   * normalized word n-grams that also occur anywhere in the benchmark set.
+   * The complement of [[crossCorpusNearDup]] — that one finds NEAR
+   * duplicates probabilistically; this one finds exact spans with zero
+   * false positives/negatives.
+   *
+   * Shape: both sides explode to distinct grams (compiled WordGrams pass),
+   * the benchmark side collapses to one distinct gram set (small —
+   * broadcastable), and one semi-ish inner join + count gives the per-doc
+   * overlap. Linear in each side; the only full shuffle is the corpus-side
+   * count aggregate. Docs with zero shared grams are absent (flag-clean).
+   */
+  def ngramContamination(
+      corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
+      bench: DataFrame, benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    graft.functions.WordGrams.register(corpus.sparkSession)
+    def grams(df: DataFrame, textCol: String, keep: Seq[Column]) = df
+      .select(keep :+ explode(array_distinct(
+        graft.functions.WordGrams.grams(col(textCol), n))).as("gram"): _*)
+      .filter(length(col("gram")) > 0)
+    val cg = grams(corpus, corpusTextCol,
+      Seq(col(corpusIdCol).as("corpus_id")))
+    val bg = grams(bench, benchTextCol, Seq.empty).distinct()
+    cg.join(bg, Seq("gram"))
+      .groupBy("corpus_id")
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs (or as a brute-force
     * verifier over a pre-filtered pair set). `pairs` has (id_a, id_b). */
   def ngramJaccard(

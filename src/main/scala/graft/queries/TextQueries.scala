@@ -94,6 +94,18 @@ object TextQueries {
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
 
+    // extended: exact n-gram contamination (the GPT-3-style 13-gram eval
+    // filter, here 4-grams so the short synthetic docs produce real cross-doc
+    // overlap): per corpus doc, how many distinct normalized 4-grams also
+    // occur in the benchmark set.
+    "q_ngram_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContamination(docs, "text", "doc_id",
+        docs.filter(col("doc_id") < 10), "text", n = 4)
+        .select(col("corpus_id"), col("shared_grams"))
+        .orderBy(col("corpus_id"))
+    }),
+
     // extended: PII scrub — emails/phones/long digit runs redacted in one
     // narrow regex pass over synthesized contact lines.
     "q_redact_pii" -> ((s, dir) => {
@@ -389,6 +401,24 @@ object TextQueries {
          |JOIN sig sa ON sa.doc_id = corpus_id
          |JOIN sig sb ON sb.doc_id = bench_id
          |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    // exact-overlap replay: same normalized tokens, same all-position
+    // n-gram construction as WordGrams (n=4), distinct per doc, counted
+    // against the distinct benchmark gram set. sum-free, so no HUGEINT.
+    "q_ngram_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(0, greatest(len(toks)-4, -1)+1),
+         |      i -> array_to_string(list_slice(toks, i+1, i+4),' ')))) AS gram
+         |  FROM toks),
+         |g AS (SELECT * FROM grams WHERE length(gram) > 0),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+         |SELECT g.doc_id AS corpus_id, count(*) AS shared_grams
+         |FROM g JOIN bg USING (gram)
+         |GROUP BY g.doc_id ORDER BY corpus_id""".stripMargin,
 
     "q_redact_pii" ->
       s"""SELECT doc_id,

@@ -258,6 +258,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("ngramContamination counts distinct shared grams, exact and " +
+    "normalization-aware") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "THE QUICK  BROWN fox!! something else entirely here"), // norm overlap
+      (3L, "totally unrelated content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("the quick brown fox runs")).toDF("text")
+    val out = Dedup.ngramContamination(corpus, "text", "doc_id", bench,
+      "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    // bench 4-grams: {the quick brown fox, quick brown fox runs}
+    assert(out == Map(1L -> 1L, 2L -> 1L)) // doc 3 absent = clean
+  }
+
   test("semanticDedup at threshold 1.0+ keeps everything") {
     val assigned = Seq(
       (1L, Array(1.0, 0.0), 0), (2L, Array(1.0, 0.0), 0))

@@ -47,7 +47,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_bloom_anti_join",
     // round 5: temporal joins — the as-of is a window (no join node at
     // all), the range join must stay a (key, bin) equi-join
-    "q_asof_join", "q_range_join")
+    "q_asof_join", "q_range_join", "q_ngram_decontaminate")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
