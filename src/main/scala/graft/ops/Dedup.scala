@@ -515,4 +515,43 @@ object Dedup {
     assigned.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("ivf_cell").as("cell"))
   }
+
+  /**
+   * Sub-document exact dedup over fixed token windows — the C4-style
+   * "remove repeated spans" pass (Raffel et al. 2020 §2.2 dedupe
+   * three-sentence spans; here the span is a `windowTokens`-token chunk,
+   * the natural unit when the corpus has no sentence markup). Each
+   * document explodes into consecutive non-overlapping chunks; each chunk
+   * keeps exactly one winner — the lexicographically smallest
+   * (id, chunk_idx) — plus its corpus-wide occurrence count, so a caller
+   * can either drop duplicate spans or reassemble cleaned documents.
+   *
+   * Scale shape: the explode is narrow (no shuffle) and the winner is ONE
+   * codegen'd hash aggregate (min-struct + count) with map-side partial
+   * combine — one candidate row per chunk hash per partition crosses the
+   * shuffle, nothing is sorted, and the chunk text itself never shuffles
+   * (only its md5). That is what makes span-level dedup viable at 100 TB,
+   * where a window-rank formulation would sort every token of the corpus.
+   * Reference contract: the reference dedups whole chunks by checksum on
+   * ingest (lexical-graph checksum-keyed chunk MERGE); this extends the
+   * same winner-per-checksum rule below document granularity.
+   */
+  def windowedChunkDedup(df: DataFrame, textCol: String, idCol: String,
+                         windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val nChunks = ceil(size(toks) / lit(windowTokens.toDouble)).cast("int")
+    // split() never returns an empty array (empty text -> [""]), so every
+    // document has >= 1 chunk and sequence(0, n-1) is always ascending.
+    val chunks = df.select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          array_join(slice(toks, i * windowTokens + 1, lit(windowTokens)), " ")))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_hash"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("_w"),
+        count(lit(1)).as("occurrences"))
+      .select(col("_w.doc_id").as("doc_id"), col("_w.chunk_idx").as("chunk_idx"),
+        col("chunk_hash"), col("occurrences"))
+  }
 }

@@ -121,6 +121,36 @@ object MlAnn {
       .limit(k)
   }
 
+  /**
+   * Per-cluster corpus profile over an IVF/KMeans assignment — the balance
+   * diagnostic a curation pipeline runs after clustering (cluster sizes and
+   * mean vector norm per cell; badly skewed cells mean the index needs
+   * retraining, and near-empty cells waste probes). One hash aggregate over
+   * the assignment frame: counts and min-ids combine map-side, and with
+   * `deterministic = false` (the scale path) the norm sum is a plain
+   * `sum()` — fully map-side combinable. `deterministic = true` folds the
+   * per-row norms in id order (collect_list bounded by the largest cell,
+   * same bound [[detKmeansIvf]] already accepts), making the double sum
+   * partition-independent so the query carries a bit-exact hash oracle —
+   * the same two-mode contract as [[graft.byokg.Traversal.pageRank]].
+   */
+  def clusterProfile(assigned: DataFrame,
+                     deterministic: Boolean = false): DataFrame = {
+    val rowNorm = V.norm(col("emb"))
+    val base = assigned.select(col("ivf_cell").as("cell"), col("id"),
+      rowNorm.as("nrm"))
+    val normSum =
+      if (deterministic)
+        aggregate(array_sort(collect_list(struct(col("id"), col("nrm")))),
+          lit(0.0), (acc, m) => acc + m.getField("nrm"))
+      else sum(col("nrm"))
+    base.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        normSum.as("_ns"))
+      .select(col("cell"), col("n"), col("min_id"),
+        round(col("_ns") / col("n"), 6).as("mean_norm"))
+  }
+
   /** LSH approximate top-k by cosine: normalize, bucket with random
     * hyperplane projections, approxNearestNeighbors by Euclidean distance. */
   def lshTopK(index: DataFrame, embCol: String, idCol: String,

@@ -203,4 +203,27 @@ object TextAnalysis {
         (log(col("n")) - col("_s") / col("n_tokens").cast("double"))
           .as("surprisal"))
   }
+
+  /**
+   * Exact per-group quantile profile of a numeric column — the corpus
+   * length-distribution report every curation run starts from (which
+   * cut-offs would a min/max-length gate imply? how skewed is each
+   * source?). Uses Spark's EXACT `percentile` aggregate, not
+   * percentile_approx: the exact form is a per-group sort of a numeric
+   * scalar (cheap — the groups here are sources, the values one long per
+   * row), interpolates identically to DuckDB's quantile_cont, and so
+   * carries a full hash oracle where the t-digest sketch could not. One
+   * hash aggregate; the explode after it touches |groups|·|qs| rows only.
+   */
+  def lengthQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+                      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    val qArr = typedlit(qs)
+    df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), qArr).as("_qv"))
+      .select(col(groupCol), posexplode(col("_qv")).as(Seq("_i", "_v")))
+      .select(col(groupCol), element_at(qArr, col("_i") + 1).as("q"),
+        round(col("_v"), 6).as("qval"))
+  }
 }

@@ -253,6 +253,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: C4-style sub-document span dedup — fixed 8-token windows,
+    // one winner (smallest doc_id, chunk_idx) per chunk hash plus its
+    // corpus-wide occurrence count. One narrow explode + one min-struct
+    // hash aggregate; the chunk text never crosses the shuffle.
+    "q_window_dedup" -> ((s, dir) => {
+      Dedup.windowedChunkDedup(t(s, dir, "documents"), "text", "doc_id", 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // extended: exact per-source length-quantile profile (the cut-off
+    // report a min/max-length gate is tuned from). Exact percentile, not
+    // t-digest — interpolates identically to DuckDB quantile_cont.
+    "q_length_quantiles" -> ((s, dir) => {
+      TextAnalysis.lengthQuantiles(t(s, dir, "documents"), "n_chars",
+        "source", Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy(col("source"), col("q"))
+    }),
+
     // §2.13 fuzzy string entity linking (levenshtein ratio, top-k per query).
     "q_fuzzy_link" -> ((s, dir) => {
       val qs = Seq("small ringg", "red widgit", "blue bolt", "hot gearz")
@@ -642,6 +660,38 @@ object TextQueries {
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
          |SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dom)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_window_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    UNNEST(range(CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS ci, tk
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |    md5(array_to_string(list_slice(tk, ci*8 + 1, ci*8 + 8), ' '))
+        |      AS chunk_hash
+        |  FROM chunks)
+        |SELECT doc_id, chunk_idx, chunk_hash, occurrences FROM (
+        |  SELECT doc_id, chunk_idx, chunk_hash,
+        |    CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT)
+        |      AS occurrences,
+        |    row_number() OVER (PARTITION BY chunk_hash
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM hashed) WHERE rn = 1
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_length_quantiles" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    quantile_cont(n_chars, [0.1,0.25,0.5,0.75,0.9,0.99]) AS qv
+        |  FROM documents GROUP BY source)
+        |SELECT source, CAST(q AS DOUBLE) AS q, round(v, 6) AS qval FROM (
+        |  SELECT source, UNNEST([0.1,0.25,0.5,0.75,0.9,0.99]) AS q,
+        |    UNNEST(qv) AS v
+        |  FROM g)
+        |ORDER BY source, q""".stripMargin,
 
     "q_fuzzy_link" ->
       """WITH qs AS (SELECT unnest(['small ringg','red widgit','blue bolt','hot gearz']) AS query),

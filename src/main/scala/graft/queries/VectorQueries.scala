@@ -132,6 +132,17 @@ object VectorQueries {
       Dedup.semanticDedup(assigned, threshold = 0.3)
         .select(col("id").as("vec_id"), col("cell").cast("int").as("cell"))
         .orderBy(col("vec_id"))
+    }),
+
+    // extended: per-cluster balance profile over the SAME deterministic
+    // KMeans index (sizes, min id, mean vector norm) — the post-clustering
+    // diagnostic a curation run reads before trusting the index. The
+    // deterministic mode's id-ordered norm fold replays bit-exactly.
+    "q_cluster_profile" -> ((s, dir) => {
+      val (assigned, _) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      graft.ops.MlAnn.clusterProfile(assigned, deterministic = true)
+        .orderBy(col("cell"))
     }))
 
   /**
@@ -206,6 +217,20 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q_ivf_kmeans" -> detKmeansOracle(nlist = 8, iters = 2, nprobe = 2, k = 10),
+
+    "q_cluster_profile" ->
+      s"""WITH ${detAssignCtes(nlist = 8, iters = 2)},
+         |norms AS (
+         |  SELECT cell, id,
+         |    sqrt(list_reduce(list_transform(range(1,${Dim + 1}),
+         |      i -> emb[i]*emb[i]), (x, y) -> x + y)) AS nrm
+         |  FROM af)
+         |SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n,
+         |  min(id) AS min_id,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(nrm ORDER BY id)), (x, y) -> x + y) / count(*), 6)
+         |    AS mean_norm
+         |FROM norms GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q_semantic_dedup" ->
       s"""WITH ${detAssignCtes(nlist = 8, iters = 2)},

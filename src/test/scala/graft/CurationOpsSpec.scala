@@ -156,4 +156,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(out(1)._3 - d2) < 1e-12 && out(1)._2 == 3L)
     assert(out(1)._3 > out(0)._3) // the rare token raises mean surprisal
   }
+
+  test("windowedChunkDedup: hand-computed winners, ragged tail, " +
+    "partition independence") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b c d"),   // chunks (W=2): "a b", "c d"
+      (2L, "a b x y"),   // "a b" duplicates doc 1 chunk 0
+      (3L, "c d"),       // duplicates doc 1 chunk 1
+      (4L, "a b c")      // ragged tail: "a b", "c"
+    ).toDF("doc_id", "text")
+    val out = Dedup.windowedChunkDedup(docs, "text", "doc_id", 2)
+      .select("doc_id", "chunk_idx", "occurrences")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // winners: "a b"->(1,0) x3, "c d"->(1,1) x2, "x y"->(2,1), "c"->(4,1)
+    assert(out == Seq((1L, 0, 3L), (1L, 1, 2L), (2L, 1, 1L), (4L, 1, 1L)))
+    // same result set under a different physical layout
+    val re = Dedup.windowedChunkDedup(docs.repartition(7), "text", "doc_id", 2)
+      .select("doc_id", "chunk_idx", "occurrences")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(re == out)
+    intercept[IllegalArgumentException] {
+      Dedup.windowedChunkDedup(docs, "text", "doc_id", 0)
+    }
+  }
+
+  test("lengthQuantiles: hand-computed interpolation and guard") {
+    val df = ((1 to 5).map(i => ("g1", i.toLong)) :+ ("g2", 10L))
+      .toDF("src", "len")
+    val out = TextAnalysis.lengthQuantiles(df, "len", "src",
+      Seq(0.0, 0.25, 0.5, 1.0))
+      .select("src", "q", "qval").as[(String, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // g1 = [1..5]: p0 -> 1, p25 -> 2, p50 -> 3, p100 -> 5 (linear interp
+    // at rank p*(n-1)); g2 single value -> 10 at every quantile
+    assert(out == Seq(("g1", 0.0, 1.0), ("g1", 0.25, 2.0), ("g1", 0.5, 3.0),
+      ("g1", 1.0, 5.0), ("g2", 0.0, 10.0), ("g2", 0.25, 10.0),
+      ("g2", 0.5, 10.0), ("g2", 1.0, 10.0)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lengthQuantiles(df, "len", "src", Seq(1.5))
+    }
+  }
 }

@@ -76,4 +76,24 @@ class MlAnnSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(out.toSet == brute.toSet)
   }
+
+  test("clusterProfile: hand-computed per-cell stats; deterministic mode " +
+    "equals the plain-sum scale path") {
+    val assigned = Seq(
+      (1L, Seq(3.0, 4.0), 0),   // norm 5
+      (2L, Seq(0.0, 2.0), 0),   // norm 2
+      (5L, Seq(6.0, 8.0), 1)    // norm 10
+    ).toDF("id", "emb", "ivf_cell")
+    val det = MlAnn.clusterProfile(assigned, deterministic = true)
+      .select("cell", "n", "min_id", "mean_norm")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(det == Seq((0, 2L, 1L, 3.5), (1, 1L, 5L, 10.0)))
+    val plain = MlAnn.clusterProfile(assigned.repartition(5))
+      .select("cell", "n", "min_id", "mean_norm")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(plain.size == det.size && plain.zip(det).forall { case (a, b) =>
+      a._1 == b._1 && a._2 == b._2 && a._3 == b._3 &&
+        math.abs(a._4 - b._4) < 1e-9
+    })
+  }
 }
