@@ -22,12 +22,18 @@ object Dedup {
   /** Exact dedup: canonical row per normalized-text hash. Keeps the lowest
     * `idCol` per group; emits group size so callers can audit collisions.
     *
-    * One codegen'd hash aggregate (min_by winner + count) with map-side
+    * One pre-reducing aggregate (min_by winner + count) with map-side
     * partial combine: one candidate row per key per partition crosses the
-    * shuffle and nothing is ever sorted. The window-rank formulation also
-    * pre-reduces on Spark 4 (WindowGroupLimit), but sorts its full input
-    * on both sides of the shuffle and moves ~2× the bytes
-    * (tools.Profile shufflebytes: 0.86 vs 1.84 MB on sf0.1 lineitem). */
+    * shuffle. Because the min_by VALUE is the whole-row struct, the
+    * aggregation buffer is not hash-mutable and Spark plans a
+    * SortAggregate — each partition sorts by dup_key before combining.
+    * That map-side sort is the deliberate trade for shuffling pre-reduced
+    * full payloads instead of every duplicate row: the window-rank
+    * formulation also pre-reduces on Spark 4 (WindowGroupLimit), but sorts
+    * its full input on BOTH sides of the shuffle and moves ~2× the bytes
+    * (tools.Profile shufflebytes: 0.86 vs 1.84 MB on sf0.1 lineitem).
+    * Where the winner can be expressed with scalar buffers only, prefer
+    * the pure hash-aggregate shape [[windowedChunkDedup]] uses. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withKey = df.withColumn("dup_key", md5(T.searchStr(col(textCol))))
     val payload = struct(withKey.columns.toIndexedSeq.map(col): _*)
@@ -526,12 +532,17 @@ object Dedup {
    * (id, chunk_idx) — plus its corpus-wide occurrence count, so a caller
    * can either drop duplicate spans or reassemble cleaned documents.
    *
-   * Scale shape: the explode is narrow (no shuffle) and the winner is ONE
-   * codegen'd hash aggregate (min-struct + count) with map-side partial
-   * combine — one candidate row per chunk hash per partition crosses the
-   * shuffle, nothing is sorted, and the chunk text itself never shuffles
-   * (only its md5). That is what makes span-level dedup viable at 100 TB,
-   * where a window-rank formulation would sort every token of the corpus.
+   * Scale shape: the explode is narrow (no shuffle) and the winner is TWO
+   * codegen'd hash aggregates — per-(hash, doc) first index + count, then
+   * per-hash min_by on the scalar doc id — both with map-side partial
+   * combine, so one candidate row per group per partition crosses each
+   * shuffle, nothing is ever sorted, and the chunk text itself never
+   * shuffles (only its md5). `min(struct(doc, idx))` would be one
+   * aggregate but plans as a SortAggregate (struct buffers aren't
+   * hash-aggregable — PlanShapeSpec gates this), which would sort every
+   * exploded chunk row of the corpus map-side at 100 TB; the min_by forms
+   * keep scalar ordering keys precisely to stay in hash aggregation, the
+   * same rule [[exact]] follows.
    * Reference contract: the reference dedups whole chunks by checksum on
    * ingest (lexical-graph checksum-keyed chunk MERGE); this extends the
    * same winner-per-checksum rule below document granularity.
@@ -548,10 +559,17 @@ object Dedup {
           array_join(slice(toks, i * windowTokens + 1, lit(windowTokens)), " ")))
           .as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_hash"))
-    chunks.groupBy(col("chunk_hash"))
-      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("_w"),
-        count(lit(1)).as("occurrences"))
-      .select(col("_w.doc_id").as("doc_id"), col("_w.chunk_idx").as("chunk_idx"),
-        col("chunk_hash"), col("occurrences"))
+    // lexicographic (doc_id, chunk_idx) winner without any struct buffer:
+    // min chunk_idx within each (hash, doc), then scalar min/min_by over
+    // the per-doc rows (doc_id is unique within each hash group here, so
+    // min_by's ordering has no ties)
+    val perDoc = chunks.groupBy(col("chunk_hash"), col("doc_id"))
+      .agg(min(col("chunk_idx")).as("first_idx"), count(lit(1)).as("cnt"))
+    perDoc.groupBy(col("chunk_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("first_idx"), col("doc_id")).as("chunk_idx"),
+        sum(col("cnt")).as("occurrences"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
+        col("occurrences"))
   }
 }

@@ -111,9 +111,11 @@ object Processors {
   /** DedupResults: merge duplicate statements across retrievers, keeping the
     * best score per statement (reference dedup_results.py:45-97). */
   def dedupResults(df: DataFrame): DataFrame = {
-    // best-score winner per statement: one min_by hash aggregate (declarative,
-    // codegen'd, map-side pre-reduce to one row per statement per partition),
-    // not a window rank that shuffles and sorts every duplicate.
+    // best-score winner per statement: one min_by aggregate with map-side
+    // pre-reduce to one row per statement per partition — not a window rank
+    // that shuffles and sorts every duplicate. (The struct-typed buffers
+    // make this a SortAggregate, not a hash aggregate — same documented
+    // trade as Dedup.exact: a map-side sort buys a pre-reduced shuffle.)
     // Scores must be NON-NULL (TopKAgg contract): a null would sort first in
     // the ascending struct and silently win where the old desc(score) window
     // ranked it last — coalesce to -Inf so a scoreless row can never beat a

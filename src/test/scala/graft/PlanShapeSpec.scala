@@ -47,7 +47,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_bloom_anti_join",
     // round 5: temporal joins — the as-of is a window (no join node at
     // all), the range join must stay a (key, bin) equi-join
-    "q_asof_join", "q_range_join", "q_ngram_decontaminate")
+    "q_asof_join", "q_range_join", "q_ngram_decontaminate",
+    // round 5: window-span dedup (explode + one hash aggregate), exact
+    // quantile profile, and the cluster balance profile — plain aggregate
+    // plans, no join node at all
+    "q_window_dedup", "q_length_quantiles", "q_cluster_profile")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -74,6 +78,19 @@ class PlanShapeSpec extends SparkSpec {
       if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
     }
     assert(offenders.isEmpty, s"unexpected BroadcastNestedLoopJoin in: $offenders")
+  }
+
+  test("windowedChunkDedup plans as hash aggregates — no window rank, " +
+    "no sort aggregate") {
+    // span dedup must pre-reduce map-side WITHOUT sorting: a Window rank or
+    // a SortAggregate (the min(struct) fallback — struct buffers aren't
+    // hash-aggregable) would sort every exploded chunk row at 100 TB
+    val plan = graft.ops.Dedup.windowedChunkDedup(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window rank in span-dedup plan:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort aggregate:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
   }
 
   test("parquet scans prune columns: no q_* scan reads the full lineitem row") {
