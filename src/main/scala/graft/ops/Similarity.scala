@@ -56,6 +56,73 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998): greedy
+   * selection maximizing `lambda·rel(c) − (1−lambda)·max_{s∈selected}
+   * cos(c, s)` — the diversity re-rank that penalizes redundancy by actual
+   * pairwise similarity, where [[diverseTopK]] only round-robins a group
+   * column. The distributed part is the prefetch (brute-force cosine
+   * top-`prefetch`, a TakeOrderedAndProject over the whole index); the
+   * greedy loop runs driver-side over the prefetched candidates — k·n²
+   * cosines over at most `maxPrefetch` rows, the same candidates-collected
+   * shape as the reference's rerankers (and [[knnJoin]]'s cap contract:
+   * refuse loudly rather than quietly melt the driver). Every double op
+   * (sequential dot-product fold, λ-blend) mirrors the oracle's
+   * list_reduce arithmetic, so q_mmr_topk is a bit-exact hash gate.
+   * Reference contract: vector_utils.py get_diverse_vss_elements is the
+   * grouped approximation of this; MMR is the principled form.
+   */
+  def mmrTopK(index: DataFrame, embCol: String, idCol: String,
+              query: Seq[Double], k: Int, prefetch: Int = 50,
+              lambda: Double = 0.5, maxPrefetch: Int = 10000): DataFrame = {
+    require(k >= 1 && prefetch >= k,
+      s"need k >= 1 and prefetch >= k; got k=$k prefetch=$prefetch")
+    require(prefetch <= maxPrefetch,
+      s"prefetch=$prefetch exceeds maxPrefetch=$maxPrefetch — MMR collects " +
+        "candidates driver-side; raise maxPrefetch only with driver memory to match")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val q = typedLit(query)
+    val spark = index.sparkSession
+    val cands = index
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.VectorFunctions.toDouble(col(embCol)).as("emb"),
+        cos(index)(col(embCol), q).as("rel"))
+      .orderBy(desc("rel"), col("id"))
+      .limit(prefetch)
+      .collect()
+    val ids = cands.map(_.getLong(0))
+    val embs = cands.map(_.getSeq[Double](1).toArray)
+    val rels = cands.map(_.getDouble(2))
+    // sequential left fold, index order — bit-identical to the oracle's
+    // list_reduce and to the compiled CosineSimilarity
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0.0) 0.0 else dot / n
+    }
+    val n = ids.length
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Int)]
+    for (rank <- 1 to math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      for (c <- 0 until n if !selected.contains(c)) {
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cosine(embs(c), embs(s))).max
+        val sc = lambda * rels(c) - (1.0 - lambda) * maxSim
+        if (sc > bestScore || (sc == bestScore && best >= 0 && ids(c) < ids(best))) {
+          best = c; bestScore = sc
+        }
+      }
+      selected += best
+      out += ((ids(best), rels(best), bestScore, rank))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("id", "rel", "mmr", "rank")
+  }
+
   /** Deterministic centroids: hash-projection vectors, unit-normalized. */
   private def centroid(c: Int, dim: Int): Seq[Double] = {
     val raw = (0 until dim).map { i =>

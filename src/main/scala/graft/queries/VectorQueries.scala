@@ -143,6 +143,19 @@ object VectorQueries {
         iters = 2)
       graft.ops.MlAnn.clusterProfile(assigned, deterministic = true)
         .orderBy(col("cell"))
+    }),
+
+    // extended: MMR diverse top-k — greedy λ·rel − (1−λ)·max-sim selection
+    // over a distributed top-50 prefetch; the oracle unrolls all 5 greedy
+    // picks as CTEs with the same sequential-fold cosines, so the gate is
+    // a bit-exact hash match on every score.
+    "q_mmr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      Similarity.mmrTopK(emb, "embedding", "vec_id", queryVec(s, dir),
+        k = 5, prefetch = 50, lambda = 0.5)
+        .select(col("id").as("vec_id"), round(col("rel"), 6).as("rel"),
+          round(col("mmr"), 6).as("mmr"), col("rank"))
+        .orderBy(col("rank"))
     }))
 
   /**
@@ -215,8 +228,49 @@ object VectorQueries {
        |FROM af JOIN probe USING (cell) CROSS JOIN q
        |ORDER BY ${cosSql("af.emb", "q.qe")} DESC, id LIMIT $k""".stripMargin
 
+  /**
+   * Unrolled MMR oracle: top-`prefetch` cosine candidates, then `k` greedy
+   * CTEs — pick r maximizes λ·rel − (1−λ)·max cosine against the union of
+   * picks 1..r−1 (correlated max subquery), ties to the lower id. The same
+   * sequential double folds as the engine's driver loop.
+   */
+  private def mmrOracle(k: Int, prefetch: Int, lambda: Double): String = {
+    val lm = lambda.toString
+    val om = (1.0 - lambda).toString
+    val picks = (2 to k).map { r =>
+      // join + GROUP BY, not a correlated subquery: DuckDB lambdas (inside
+      // the cosine fold) cannot capture correlated outer columns
+      s"""ms$r AS (
+         |  SELECT c.id, c.embedding, c.rel,
+         |    max(${cosSql("c.embedding", "s.embedding")}) AS msim
+         |  FROM cands c CROSS JOIN selu${r - 1} s
+         |  WHERE c.id NOT IN (SELECT id FROM selu${r - 1})
+         |  GROUP BY c.id, c.embedding, c.rel),
+         |sel$r AS (
+         |  SELECT id, embedding, rel, ($lm * rel - $om * msim) AS mmr,
+         |    $r AS rank
+         |  FROM ms$r ORDER BY ($lm * rel - $om * msim) DESC, id LIMIT 1),
+         |selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cands AS (
+       |  SELECT vec_id AS id, embedding, ${cosSql("embedding", "qe")} AS rel
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY ${cosSql("embedding", "qe")} DESC, vec_id LIMIT $prefetch),
+       |sel1 AS (
+       |  SELECT id, embedding, rel, ($lm * rel - $om * 0.0) AS mmr, 1 AS rank
+       |  FROM cands ORDER BY ($lm * rel - $om * 0.0) DESC, id LIMIT 1),
+       |selu1 AS (SELECT * FROM sel1),
+       |$picks
+       |SELECT id AS vec_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr,
+       |  CAST(rank AS INT) AS rank
+       |FROM selu$k ORDER BY rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_ivf_kmeans" -> detKmeansOracle(nlist = 8, iters = 2, nprobe = 2, k = 10),
+
+    "q_mmr_topk" -> mmrOracle(k = 5, prefetch = 50, lambda = 0.5),
 
     "q_cluster_profile" ->
       s"""WITH ${detAssignCtes(nlist = 8, iters = 2)},

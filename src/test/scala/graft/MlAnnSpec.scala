@@ -77,6 +77,38 @@ class MlAnnSpec extends SparkSpec {
     assert(out.toSet == brute.toSet)
   }
 
+  test("mmrTopK: lambda trades relevance against redundancy; caps are loud") {
+    // a = query direction, b = near-duplicate of a, c = orthogonal
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.1)),   // cos(b, a) = cos(b, query) ≈ 0.995
+      (3L, Seq(0.0, 1.0))    // rel 0, but novel
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0)
+    // relevance-heavy: the near-duplicate still wins slot 2
+    val hi = Similarity.mmrTopK(vecs, "embedding", "vec_id", q, k = 2,
+        prefetch = 3, lambda = 0.9)
+      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    assert(hi == Seq((1L, 1), (2L, 2)))
+    // diversity-heavy: the orthogonal vector displaces the near-duplicate
+    val lo = Similarity.mmrTopK(vecs, "embedding", "vec_id", q, k = 2,
+        prefetch = 3, lambda = 0.3)
+      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    assert(lo == Seq((1L, 1), (3L, 2)))
+    // first pick's score is exactly lambda * rel(best)
+    val first = Similarity.mmrTopK(vecs, "embedding", "vec_id", q, k = 1,
+        prefetch = 3, lambda = 0.3)
+      .select("rel", "mmr").as[(Double, Double)].head()
+    assert(math.abs(first._2 - 0.3 * first._1) < 1e-15)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(vecs, "embedding", "vec_id", q, k = 2,
+        prefetch = 20000)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(vecs, "embedding", "vec_id", q, k = 5, prefetch = 2)
+    }
+  }
+
   test("clusterProfile: hand-computed per-cell stats; deterministic mode " +
     "equals the plain-sum scale path") {
     val assigned = Seq(
