@@ -549,15 +549,7 @@ object Dedup {
    */
   def windowedChunkDedup(df: DataFrame, textCol: String, idCol: String,
                          windowTokens: Int): DataFrame = {
-    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
-    val toks = split(coalesce(col(textCol), lit("")), " ")
-    val nChunks = ceil(size(toks) / lit(windowTokens.toDouble)).cast("int")
-    // split() never returns an empty array (empty text -> [""]), so every
-    // document has >= 1 chunk and sequence(0, n-1) is always ascending.
-    val chunks = df.select(col(idCol).as("doc_id"),
-        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
-          array_join(slice(toks, i * windowTokens + 1, lit(windowTokens)), " ")))
-          .as(Seq("chunk_idx", "chunk")))
+    val chunks = windowChunks(df, textCol, idCol, windowTokens)
       .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_hash"))
     // lexicographic (doc_id, chunk_idx) winner without any struct buffer:
     // min chunk_idx within each (hash, doc), then scalar min/min_by over
@@ -571,5 +563,65 @@ object Dedup {
         sum(col("cnt")).as("occurrences"))
       .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
         col("occurrences"))
+  }
+
+  /** (doc_id, chunk_idx, chunk) explode of `textCol` into consecutive
+    * non-overlapping `windowTokens`-token windows — the shared narrow stage
+    * under [[windowedChunkDedup]] and [[dropBoilerplateSpans]]. */
+  private def windowChunks(df: DataFrame, textCol: String, idCol: String,
+                           windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val nChunks = ceil(size(toks) / lit(windowTokens.toDouble)).cast("int")
+    // split() never returns an empty array (empty text -> [""]), so every
+    // document has >= 1 chunk and sequence(0, n-1) is always ascending.
+    df.select(col(idCol).as("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+        array_join(slice(toks, i * windowTokens + 1, lit(windowTokens)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
+  }
+
+  /**
+   * Boilerplate-span removal with document reassembly — the cleaning half
+   * of the C4 recipe (Raffel et al. 2020 §2.2 drop lines occurring more
+   * than once corpus-wide; here a span is boilerplate when its corpus
+   * occurrence count EXCEEDS `maxOccurrences`): every document is rebuilt
+   * from its surviving `windowTokens`-token spans in order. Documents whose
+   * spans are all boilerplate disappear (no evidence left), matching
+   * [[graft.ops.TextAnalysis.repetitionProfile]]'s empty-doc contract.
+   *
+   * Scale shape: span frequencies are one hash aggregate over md5 keys
+   * (map-side combine — only hashes shuffle); the boilerplate hash SET is
+   * collected and broadcast, so the chunk TEXT never crosses a shuffle for
+   * the filter — a left_anti broadcast join strips offending spans where a
+   * shuffled join would move the whole exploded corpus. The broadcast is
+   * cap-enforced ([[knnJoin]]'s loud-refusal contract): a corpus whose
+   * boilerplate set outgrows the cap needs the threshold revisited, not a
+   * silent driver melt. Reassembly is one groupBy(doc) over surviving
+   * spans — bounded by document length, the same bound chunking itself has.
+   */
+  def dropBoilerplateSpans(df: DataFrame, textCol: String, idCol: String,
+                           windowTokens: Int, maxOccurrences: Long,
+                           maxBoilerplateHashes: Long = 10000000L): DataFrame = {
+    require(maxOccurrences >= 1,
+      s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val chunks = windowChunks(df, textCol, idCol, windowTokens)
+      .withColumn("chunk_hash", md5(col("chunk")))
+    val bad = chunks.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOccurrences)
+      .select(col("chunk_hash"))
+    val nBad = bad.count()
+    require(nBad <= maxBoilerplateHashes,
+      s"$nBad boilerplate hashes exceed maxBoilerplateHashes=" +
+        s"$maxBoilerplateHashes — raise the cap (driver memory permitting) " +
+        "or raise maxOccurrences")
+    chunks.join(broadcast(bad), Seq("chunk_hash"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("kept_chunks"))
   }
 }

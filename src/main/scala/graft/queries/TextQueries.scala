@@ -262,6 +262,17 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // extended: C4-style boilerplate-span removal + document reassembly —
+    // drop every 8-token span occurring more than once corpus-wide,
+    // rebuild each document from its surviving spans in order. The
+    // boilerplate hash set broadcasts (cap-enforced), so chunk text never
+    // crosses a shuffle for the filter.
+    "q_boilerplate" -> ((s, dir) => {
+      Dedup.dropBoilerplateSpans(t(s, dir, "documents"), "text", "doc_id",
+        windowTokens = 8, maxOccurrences = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: exact per-source length-quantile profile (the cut-off
     // report a min/max-length gate is tuned from). Exact percentile, not
     // t-digest — interpolates identically to DuckDB quantile_cont.
@@ -681,6 +692,27 @@ object TextQueries {
         |      ORDER BY doc_id, chunk_idx) AS rn
         |  FROM hashed) WHERE rn = 1
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    UNNEST(range(CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS ci, tk
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |    array_to_string(list_slice(tk, ci*8 + 1, ci*8 + 8), ' ') AS chunk,
+        |    md5(array_to_string(list_slice(tk, ci*8 + 1, ci*8 + 8), ' ')) AS h
+        |  FROM chunks),
+        |bad AS (SELECT h FROM hashed GROUP BY h HAVING count(*) > 1),
+        |keep AS (
+        |  SELECT doc_id, chunk_idx, chunk FROM hashed
+        |  WHERE h NOT IN (SELECT h FROM bad))
+        |SELECT doc_id,
+        |  string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS kept_chunks
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_length_quantiles" ->
       """WITH g AS (

@@ -181,6 +181,36 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("dropBoilerplateSpans: reassembles survivors, drops all-boilerplate " +
+    "docs, caps are loud") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b c d"),   // "a b" and "c d" both repeat corpus-wide
+      (2L, "a b x y"),   // survives as "x y"
+      (3L, "c d"),       // all boilerplate -> absent
+      (4L, "a b c")      // ragged tail "c" survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateSpans(docs, "text", "doc_id",
+        windowTokens = 2, maxOccurrences = 1)
+      .select("doc_id", "clean_text", "kept_chunks")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((2L, "x y", 1L), (4L, "c", 1L)))
+    // threshold 2 keeps the twice-occurring spans ("c d" x2) but still
+    // drops "a b" (x3)
+    val loose = Dedup.dropBoilerplateSpans(docs, "text", "doc_id",
+        windowTokens = 2, maxOccurrences = 2)
+      .select("doc_id", "clean_text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(loose == Seq((1L, "c d"), (2L, "x y"), (3L, "c d"), (4L, "c")))
+    intercept[IllegalArgumentException] {
+      Dedup.dropBoilerplateSpans(docs, "text", "doc_id", 2, maxOccurrences = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dropBoilerplateSpans(docs, "text", "doc_id", 2, maxOccurrences = 1,
+        maxBoilerplateHashes = 1)
+    }
+  }
+
   test("lengthQuantiles: hand-computed interpolation and guard") {
     val df = ((1 to 5).map(i => ("g1", i.toLong)) :+ ("g2", 10L))
       .toDF("src", "len")
