@@ -332,4 +332,120 @@ object Traversal {
     }
     ranks
   }
+
+  /**
+   * Synchronous label propagation (community detection) over the undirected
+   * view of the edge set, fixed `iters` rounds: every node starts labeled
+   * with its own id; each round every node adopts the most frequent label
+   * among its neighbors, ties to the lexicographically smallest label. The
+   * fixed round count + deterministic tie-break make the whole run
+   * replayable as unrolled SQL — the same contract as the deterministic
+   * [[pageRank]] mode (reference analogue: the community/cluster grouping a
+   * KG store surfaces next to centrality; byokg graphstore/graphstore.py
+   * keeps adjacency for exactly this class of whole-graph pass).
+   *
+   * Scale shape: each round is one shuffle-join (edges laid out by dst
+   * probe the label frame) plus two hash aggregates — the per-round vote
+   * count combines map-side, and `min_by` over a (−cnt, label) struct picks
+   * the winner without any sort or window. Plans chain like
+   * [[pageRankIterate]]'s, with a lazy checkpoint every 4 rounds to bound
+   * plan depth.
+   */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val (und, nodes) = lpaLayout(edges)
+    decodeLabels(labelPropagationIterate(und, nodes, iters), nodes)
+  }
+
+  /**
+   * The iteration-invariant layout LPA runs over (the [[pageRankAdjacency]]
+   * analogue): the deduped undirected edge view with both endpoints
+   * INTEGER-ENCODED, plus the (node_id, node) dictionary. The id assignment
+   * is order-preserving (ids ascend with the node strings, via a sorted
+   * distributed zipWithIndex), so "smallest label id" ≡ "smallest label
+   * string" and the string semantics survive the encoding. Integer ids are
+   * what let every per-round aggregate stay a pure HashAggregate — the
+   * string-valued `min_by((−cnt, label))` winner plans as TWO SortAggregate
+   * passes over the vote set per round (string buffers are not
+   * hash-aggregable), which profiling showed dominated the whole run.
+   * Build once, iterate many; at 100 TB the encoded edge table is the
+   * stored layout (a dictionary-encoded edge list), not a per-query step.
+   */
+  def lpaLayout(edges: DataFrame): (DataFrame, DataFrame) = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.union(e.select(col("dst"), col("src")).toDF("src", "dst"))
+      .distinct().localCheckpoint(false)
+    // order-preserving dense ids: sorted + zipWithIndex (distributed; the
+    // per-partition offset pass is a build-time cost, not a query cost)
+    val nodeRdd = und.select(col("src").as("node")).distinct()
+      .orderBy("node").rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row(r.getString(0), i) }
+    val nodes = spark.createDataFrame(nodeRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("node_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .localCheckpoint(false)
+    // cache (not checkpoint) the encoded edges laid out by the per-round
+    // join key: InMemoryRelation preserves outputPartitioning AND ordering,
+    // so every round's vote join needs NO exchange and NO sort on the edge
+    // side — the in-memory analogue of a dst_id-bucketed+sorted edge table
+    val undInt = und
+      .join(nodes.select(col("node"), col("node_id").as("src_id")),
+        und("src") === col("node")).drop("node")
+      .join(nodes.select(col("node"), col("node_id").as("dst_id")),
+        und("dst") === col("node")).drop("node")
+      .select(col("src_id"), col("dst_id"))
+      .repartition(col("dst_id")).sortWithinPartitions(col("dst_id"))
+      .cache()
+    (undInt, nodes)
+  }
+
+  /** The LPA rounds over a prepared [[lpaLayout]], in ID SPACE — returns
+    * (node_id, label_id); [[decodeLabels]] maps back to strings. Every
+    * aggregate is a map-side-combinable HashAggregate over long buffers:
+    * votes count per (node_id, label_id), and the winner is ONE `max` over
+    * the packed long `(cnt << 32) | (2³²−1 − label_id)` — max cnt first,
+    * then min label id (≡ min label string, ids are order-preserving). No
+    * sort, no window, no string ever enters an aggregation buffer. The
+    * per-round vote join is a merge join that moves NOTHING on the edge
+    * side (the layout is partitioned + sorted by `dst_id` and the cache
+    * preserves both) and only sorts the label frame (16 bytes/node, itself
+    * already hash-partitioned on the join id by the previous round's
+    * aggregate) — the same plan a dst_id-bucketed edge table yields on a
+    * cluster, with no broadcast to outgrow. Bounds (documented, same class
+    * as the int-id encoding itself): < 2³² nodes, per-node per-label vote
+    * counts < 2³². */
+  def labelPropagationIterate(undInt: DataFrame, nodes: DataFrame,
+                              iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val mask = lit(0xFFFFFFFFL)
+    var labels = nodes.select(col("node_id"), col("node_id").as("label_id"))
+    for (i <- 1 to iters) {
+      val votes = undInt
+        .join(labels, undInt("dst_id") === labels("node_id"))
+        .groupBy(undInt("src_id").as("node_id"), col("label_id"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes.groupBy("node_id")
+        .agg(max(shiftleft(col("cnt"), 32)
+          .bitwiseOR(mask - col("label_id"))).as("packed"))
+        .select(col("node_id"),
+          (mask - col("packed").bitwiseAND(mask)).as("label_id"))
+      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint(false)
+    }
+    labels
+  }
+
+  /** Map an id-space label frame back to strings via the layout's
+    * dictionary (two broadcast joins of the label frame against the
+    * dictionary scans — broadcast the SMALLER side per join: downstream
+    * callers usually aggregate in id space first, so the label frame is the
+    * one that shrinks). */
+  def decodeLabels(labels: DataFrame, nodes: DataFrame): DataFrame =
+    nodes
+      .join(broadcast(labels), "node_id")
+      .join(broadcast(nodes.select(col("node_id").as("label_id"),
+        col("node").as("label"))), "label_id")
+      .select(col("node"), col("label"))
 }

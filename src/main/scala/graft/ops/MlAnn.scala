@@ -151,6 +151,76 @@ object MlAnn {
         round(col("_ns") / col("n"), 6).as("mean_norm"))
   }
 
+  /**
+   * Product-quantization codebooks: the embedding is split into `m`
+   * contiguous subspaces and each gets its own deterministic-KMeans codebook
+   * of `codes` centroids (same replayable trainer as [[detKmeansIvf]] —
+   * smallest-id init, argmin assign with ties to the lower code, id-ordered
+   * fold means). With m=8 / codes=256 a 1024-dim float vector compresses to
+   * 8 bytes — the storage path that makes a 100 TB vector corpus scannable:
+   * the PQ codes table is ~500× smaller than the raw embeddings, and a query
+   * touches only it plus an m×codes distance table built driver-side.
+   * Training cost is m small KMeans runs over ingest-time data.
+   *
+   * Reference contract: the pgvector/OpenSearch PQ index options behind the
+   * lexical-graph vector stores (storage/vector/vector_index.py:49-128 —
+   * index configuration is backend-delegated there; this is the in-engine
+   * equivalent).
+   */
+  def pqTrain(index: DataFrame, embCol: String, idCol: String, dim: Int,
+              m: Int, codes: Int, iters: Int = 1): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      val sub = index.select(col(idCol).as("id"),
+        slice(V.toDouble(col(embCol)), s * subDim + 1, subDim).as("sub"))
+      detKmeansIvf(sub, "sub", "id", codes, iters)._2
+    }
+  }
+
+  /** Encode every vector as `m` code ids (one scan, one codegen'd select —
+    * all m argmins evaluate in a single pass over the row; the binary-sized
+    * codes column is what downstream shuffles, never the raw vector). */
+  def pqEncode(index: DataFrame, embCol: String, idCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val subDim = codebooks.head.head.length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      nearestCell(slice(V.toDouble(col(embCol)), s * subDim + 1, subDim), cb)
+    }
+    index.select(col(idCol).as("id"), array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /**
+   * PQ asymmetric-distance top-k: the query builds an m×codes table of
+   * subspace squared distances driver-side (tiny — the only non-distributed
+   * step), and the scan scores each row as `Σ_s table[s][codes[s]]` — two
+   * array lookups and an add per row inside whole-stage codegen, then
+   * TakeOrderedAndProject. No join, no shuffle, never touches the raw
+   * embeddings. Subspace folds run in index order so the arithmetic replays
+   * bit-exactly in an ordered-fold SQL oracle.
+   */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+             query: Seq[Double], k: Int): DataFrame = {
+    val subDim = codebooks.head.head.length
+    val table: Array[Array[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { cent =>
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) { // sequential left fold, same order as the oracle
+          val d = query(s * subDim + i) - cent(i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
+    }
+    val adist = table.zipWithIndex.map { case (t, s) =>
+      element_at(typedlit(t.toSeq), col("codes").getItem(s) + 1)
+    }.reduceLeft(_ + _)
+    encoded.select(col("id"), adist.as("adist"))
+      .orderBy(col("adist"), col("id")).limit(k)
+  }
+
   /** LSH approximate top-k by cosine: normalize, bucket with random
     * hyperplane projections, approxNearestNeighbors by Euclidean distance. */
   def lshTopK(index: DataFrame, embCol: String, idCol: String,

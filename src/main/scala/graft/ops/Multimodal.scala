@@ -253,6 +253,164 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Real audio decode (javax.sound.sampled: RIFF/WAVE PCM — the one codec
+    * family the JDK ships). Same plumbing contract as [[decodeImage]]: one
+    * pass per partition, bytes consumed here and DROPPED from the output,
+    * undecodable rows quarantine with a `decode_error` instead of killing
+    * the job. Amplitude sums are integer-exact (long accumulators over the
+    * 16-bit samples); mean and RMS are one double division / sqrt at the
+    * end, so results replay bit-identically anywhere. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("mean_amp", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("peak", IntegerType, nullable = true),
+      StructField("decode_error", StringType, nullable = true)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty)
+          Row(id, null, null, null, null, null, null, null, "empty content")
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian)
+              Row(id, null, null, null, null, null, null, null,
+                s"unsupported format: ${fmt.getSampleSizeInBits}-bit " +
+                  s"${fmt.getChannels}ch ${if (fmt.isBigEndian) "BE" else "LE"}")
+            else {
+              val raw = in.readAllBytes()
+              val n = raw.length / 2
+              var (sum, sumSq) = (0L, 0L)
+              var peak = 0
+              var i = 0
+              while (i < n) {
+                val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+                sum += s
+                sumSq += s.toLong * s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                i += 1
+              }
+              val rate = fmt.getSampleRate.toInt
+              Row(id, rate, 1, n.toLong, n.toLong * 1000L / rate,
+                if (n == 0) null else sum.toDouble / n,
+                if (n == 0) null else math.sqrt(sumSq.toDouble / n),
+                peak: Integer, null)
+            }
+          } finally in.close()
+        } catch {
+          case e: Exception =>
+            Row(id, null, null, null, null, null, null, null,
+              s"decode failed: ${e.getMessage}")
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-frame RMS energy over fixed sample windows (the audio analogue of
+    * [[sampleFramePlan]], but with real feature extraction): one row per
+    * frame, frame boundaries at multiples of `frameSamples`, ragged tail
+    * kept. Bytes are consumed in the same pass that computes the energies,
+    * so only (media_id, frame_idx, frame RMS) rows — not audio bytes — ever
+    * reach a shuffle. Undecodable rows are dropped here (quarantine first
+    * with [[decodeAudio]] if you need them). */
+  def audioFrameEnergy(media: DataFrame, frameSamples: Int): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive, got $frameSamples")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian) Iterator.empty
+            else {
+              val raw = in.readAllBytes()
+              val n = raw.length / 2
+              val id = r.getString(0)
+              (0 until (n + frameSamples - 1) / frameSamples).iterator.map { f =>
+                val lo = f * frameSamples
+                val hi = math.min(lo + frameSamples, n)
+                var sumSq = 0L
+                var i = lo
+                while (i < hi) {
+                  val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+                  sumSq += s.toLong * s
+                  i += 1
+                }
+                Row(id, f, hi - lo, math.sqrt(sumSq.toDouble / (hi - lo)))
+              }
+            }
+          } finally in.close()
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic WAV corpus: REAL RIFF/WAVE PCM16LE mono bytes
+    * whose decoded stats are analytically computable, so the real decoder can
+    * be oracle-gated (the audio twin of [[synthPngMedia]]). Per row, an md5
+    * of `seedCol` drives the clip:
+    *   n_samples = 64 + digest[0] % 192,  sample rate 8000 Hz,
+    *   sample[i] = signed(digest[1 + (i % 15)]) * 256
+    * — a 15-byte cycle (co-prime with typical frame sizes), replayable from
+    * `md5(seed)` hex with integer cycle math. */
+  def synthWavMedia(df: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("string"), col(seedCol).cast("string"))
+      .rdd.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val (id, seed) = (r.getString(0), r.getString(1))
+          if (seed == null) Row(id, "audio", null, null, null, null, null)
+          else {
+            val d = md.digest(seed.getBytes("UTF-8"))
+            val n = 64 + ((d(0) & 0xff) % 192)
+            val pcm = new Array[Byte](2 * n)
+            var i = 0
+            while (i < n) {
+              val s = d(1 + (i % 15)).toInt * 256 // signed byte → 16-bit
+              pcm(2 * i) = (s & 0xff).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm),
+              new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false),
+              n.toLong)
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            Row(id, "audio", bos.toByteArray, null, null,
+              n.toLong * 1000L / 8000L, "pcm_s16le")
+          }
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Metadata-only resize plan: records the target dims without touching
     * bytes (the cheap path when downstream only needs the plan); use
     * [[resizeImages]] to actually rewrite content. */
