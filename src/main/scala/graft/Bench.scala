@@ -74,6 +74,8 @@ object Bench {
     // + degrees): storage-side material; the timed query runs iterations.
     val (prNodes, prEdges) = graft.queries.Tables.pageRankAdjacency(spark, sfDir)
     prNodes.count(); prEdges.count()
+    val (lpaUnd, lpaNodes) = graft.queries.Tables.lpaLayout(spark, sfDir)
+    lpaUnd.count(); lpaNodes.count()
     val gc = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)
     Seq(gc.entities, gc.entityRelations, gc.facts).foreach(_.count())
 

@@ -97,6 +97,27 @@ object GraphQueries {
         .select(col("node"), round(col("rank"), 6).as("pr"))
         .orderBy(desc("pr"), col("node"))
         .limit(100)
+    }),
+
+    // ext. label-propagation community detection: 3 synchronous rounds over
+    // the undirected edge view, most-frequent-neighbor-label votes with ties
+    // to the smallest label — integer counts and string min/maxes only, so
+    // the unrolled oracle is exact (no float folds to align).
+    "q_label_prop" -> ((s, dir) => {
+      val (und, nodes) = Tables.lpaLayout(s, dir)
+      // aggregate communities in id space (longs only), decode just the
+      // surviving rows — min node_id ≡ min node string (order-preserving
+      // ids), so the decode is two broadcast lookups of a tiny frame
+      val comm = Traversal.labelPropagationIterate(und, nodes, iters = 3)
+        .groupBy(col("label_id"))
+        .agg(count(lit(1)).as("size"), min(col("node_id")).as("min_id"))
+      val named = nodes
+        .join(broadcast(comm), nodes("node_id") === comm("label_id"))
+        .select(col("node").as("community"), col("size"), col("min_id"))
+      nodes.join(broadcast(named), nodes("node_id") === named("min_id"))
+        .select(col("community"), col("size"), col("node").as("min_node"))
+        .orderBy(desc("size"), col("community"))
+        .limit(100)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -218,5 +239,33 @@ object GraphQueries {
          |${iter("r2", "s3", "r3")}
          |SELECT node, round(r, 6) AS pr FROM r3
          |ORDER BY round(r, 6) DESC, node LIMIT 100""".stripMargin
+    },
+
+    // Label-propagation replay: 3 unrolled rounds — neighbor-label vote
+    // counts, winner = row_number over (cnt DESC, label) = the engine's
+    // min_by((−cnt, label)) tie-break. Integer counts + binary string
+    // comparisons only, so the replay is exact by construction.
+    "q_label_prop" -> {
+      def lpaRound(prev: String, vName: String, lName: String): String =
+        s"""$vName AS (
+           |  SELECT u.src AS node, p.label, count(*) AS cnt
+           |  FROM und u JOIN $prev p ON u.dst = p.node
+           |  GROUP BY u.src, p.label),
+           |$lName AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label,
+           |      row_number() OVER (PARTITION BY node
+           |        ORDER BY cnt DESC, label) AS rn
+           |    FROM $vName) WHERE rn = 1)""".stripMargin
+      s"""WITH edges0 AS ($edgesSql),
+         |e AS (SELECT DISTINCT src, dst FROM edges0),
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |${lpaRound("l0", "v1", "l1")},
+         |${lpaRound("l1", "v2", "l2")},
+         |${lpaRound("l2", "v3", "l3")}
+         |SELECT label AS community, count(*) AS size, min(node) AS min_node
+         |FROM l3 GROUP BY label
+         |ORDER BY count(*) DESC, label LIMIT 100""".stripMargin
     })
 }

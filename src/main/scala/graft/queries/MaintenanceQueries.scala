@@ -213,6 +213,21 @@ object MaintenanceQueries {
           round(col("mean_b"), 6).as("mean_b"),
           round(col("mean_luma"), 6).as("mean_luma"))
         .orderBy(col("media_id").cast("long"))
+    }),
+
+    // extended: REAL audio decode — synthWavMedia writes actual RIFF/WAVE
+    // PCM16LE bytes (javax.sound.sampled) from md5-derived sample cycles,
+    // decodeAudio reads them back; the oracle replays every stat with
+    // integer cycle math (15-byte sample cycle → full-cycles + remainder),
+    // so a wrong endianness / header parse / sample walk hash-fails.
+    "q_audio_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Multimodal.decodeAudio(Multimodal.synthWavMedia(docs, "doc_id", "text"))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"),
+          round(col("mean_amp"), 6).as("mean_amp"),
+          round(col("rms"), 6).as("rms"), col("peak"))
+        .orderBy(col("media_id").cast("long"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -375,5 +390,46 @@ object MaintenanceQueries {
         |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
         |  round(mb, 6) AS mean_b,
         |  round(0.299*mr + 0.587*mg + 0.114*mb, 6) AS mean_luma
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // analytic replay of the PCM16 WAV corpus: same md5-hex byte derivation
+    // as Multimodal.synthWavMedia — sample[i] = signed(digest[1+(i%15)])*256,
+    // n = 64 + digest[0]%192 — so sums reduce to full-cycle × cycle-sum +
+    // remainder-slice integer math (exact in BIGINT; one double division /
+    // sqrt at the end, like the decoder)
+    "q_audio_decode" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    64 + CAST(('0x'||substr(h,1,2)) AS INT) % 192 AS n,
+        |    list_transform(generate_series(0,14), j ->
+        |      (CASE WHEN CAST(('0x'||substr(h,2*j+3,2)) AS INT) < 128
+        |            THEN CAST(('0x'||substr(h,2*j+3,2)) AS INT)
+        |            ELSE CAST(('0x'||substr(h,2*j+3,2)) AS INT) - 256 END)
+        |        * 256) AS s
+        |  FROM m),
+        |c AS (
+        |  SELECT doc_id, n, s, n // 15 AS fullc, n % 15 AS rem,
+        |    CAST(list_sum(s) AS BIGINT) AS cyc_sum,
+        |    CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+        |      AS BIGINT) AS cyc_sq
+        |  FROM p),
+        |f AS (
+        |  SELECT doc_id, n,
+        |    fullc * cyc_sum
+        |      + COALESCE(CAST(list_sum(list_slice(s, 1, rem)) AS BIGINT), 0)
+        |      AS tot_sum,
+        |    fullc * cyc_sq
+        |      + COALESCE(CAST(list_sum(list_transform(list_slice(s, 1, rem),
+        |          x -> CAST(x AS BIGINT) * x)) AS BIGINT), 0) AS tot_sq,
+        |    list_max(list_transform(s, x -> abs(x))) AS peak
+        |  FROM c)
+        |SELECT CAST(doc_id AS VARCHAR) AS media_id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  round(CAST(tot_sum AS DOUBLE) / n, 6) AS mean_amp,
+        |  round(sqrt(CAST(tot_sq AS DOUBLE) / n), 6) AS rms,
+        |  CAST(peak AS INT) AS peak
         |FROM f ORDER BY doc_id""".stripMargin)
 }

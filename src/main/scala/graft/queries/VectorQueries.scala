@@ -145,6 +145,17 @@ object VectorQueries {
         .orderBy(col("cell"))
     }),
 
+    // extended: product-quantization ADC top-k — the compressed-storage ANN
+    // path (m subspace codebooks from the same deterministic Lloyd trainer;
+    // the timed query scans ONLY the codes table + a driver-built distance
+    // table: two array lookups and an add per row, no join, no shuffle).
+    // The oracle replays both subspace trainings and the ADC sum.
+    "q_pq_topk" -> ((s, dir) => {
+      val (encoded, cbs) = Tables.pqIndex(s, dir, m = 2, codes = 4, iters = 1)
+      graft.ops.MlAnn.pqTopK(encoded, cbs, queryVec(s, dir), k = 10)
+        .select(col("id").as("vec_id"), round(col("adist"), 6).as("adist"))
+    }),
+
     // extended: MMR diverse top-k — greedy λ·rel − (1−λ)·max-sim selection
     // over a distributed top-50 prefetch; the oracle unrolls all 5 greedy
     // picks as CTEs with the same sequential-fold cosines, so the gate is
@@ -267,8 +278,75 @@ object VectorQueries {
        |FROM selu$k ORDER BY rank""".stripMargin
   }
 
+  /**
+   * Unrolled product-quantization oracle (m=2 subspaces hardcoded): replays
+   * [[graft.ops.MlAnn.pqTrain]]'s per-subspace deterministic-KMeans training
+   * (smallest-id init, argmin assign with ties to the lower code, id-ordered
+   * fold means), the per-row encoding, and the ADC score — each subspace's
+   * contribution is sqdist(query_sub, centroid_of_assigned_code), summed in
+   * subspace order. (a−b)² ≡ (b−a)² exactly in IEEE, so centroid−query vs
+   * query−centroid order doesn't matter; the fold order does, and both sides
+   * fold left-to-right over the subspace indices.
+   */
+  private def pqOracle(codes: Int, iters: Int, k: Int): String = {
+    val subDim = Dim / 2
+    val r = s"range(1,${subDim + 1})"
+    val zero = s"list_transform($r, i -> 0.0)"
+    def sq(a: String, b: String): String =
+      s"list_reduce(list_transform($r, i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x, y) -> x + y)"
+    def subspace(s: Int): String = {
+      val lo = s * subDim + 1
+      def assign(aName: String, cName: String): String =
+        s"""$aName AS (
+           |  SELECT id, emb, cell FROM (
+           |    SELECT p.id, p.emb, c.cell,
+           |      row_number() OVER (PARTITION BY p.id
+           |        ORDER BY ${sq("p.emb", "c.c")}, c.cell) AS rn
+           |    FROM pts$s p CROSS JOIN $cName c) WHERE rn = 1)""".stripMargin
+      def update(aName: String, prevC: String, cName: String): String =
+        s"""${cName}_s AS (
+           |  SELECT cell, count(*) AS n,
+           |    list_reduce(list_prepend($zero, list(emb ORDER BY id)),
+           |      (x, y) -> list_transform($r, i -> x[i] + y[i])) AS s
+           |  FROM $aName GROUP BY cell),
+           |$cName AS (
+           |  SELECT p.cell,
+           |    CASE WHEN s.n IS NULL THEN p.c
+           |         ELSE list_transform($r, i -> s.s[i] / s.n) END AS c
+           |  FROM $prevC p LEFT JOIN ${cName}_s s USING (cell))""".stripMargin
+      val iterCtes = (1 to iters).map { it =>
+        assign(s"asg${s}_$it", s"cs${s}_${it - 1}") + ",\n" +
+          update(s"asg${s}_$it", s"cs${s}_${it - 1}", s"cs${s}_$it")
+      }.mkString(",\n")
+      s"""pts$s AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(range($lo,${lo + subDim}),
+         |      i -> CAST(embedding[i] AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id <> 0),
+         |cs${s}_0 AS (
+         |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, emb AS c
+         |  FROM pts$s ORDER BY id LIMIT $codes),
+         |$iterCtes,
+         |${assign(s"af$s", s"cs${s}_$iters")},
+         |q$s AS (
+         |  SELECT list_transform(range($lo,${lo + subDim}),
+         |    i -> CAST(embedding[i] AS DOUBLE)) AS qe
+         |  FROM embeddings WHERE vec_id = 0),
+         |d$s AS (
+         |  SELECT a.id, ${sq("c.c", "q.qe")} AS d
+         |  FROM af$s a JOIN cs${s}_$iters c USING (cell) CROSS JOIN q$s q)""".stripMargin
+    }
+    s"""WITH ${subspace(0)},
+       |${subspace(1)}
+       |SELECT d0.id AS vec_id, round(d0.d + d1.d, 6) AS adist
+       |FROM d0 JOIN d1 USING (id)
+       |ORDER BY d0.d + d1.d, d0.id LIMIT $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_ivf_kmeans" -> detKmeansOracle(nlist = 8, iters = 2, nprobe = 2, k = 10),
+
+    "q_pq_topk" -> pqOracle(codes = 4, iters = 1, k = 10),
 
     "q_mmr_topk" -> mmrOracle(k = 5, prefetch = 50, lambda = 0.5),
 

@@ -128,4 +128,66 @@ class MlAnnSpec extends SparkSpec {
         math.abs(a._4 - b._4) < 1e-9
     })
   }
+
+  test("PQ: codebook shapes, encode assigns planted clusters per subspace") {
+    // dim=4, m=2 subspaces of 2 dims; subspace clusters are well separated:
+    // first half clusters on i%2, second half on i%3
+    val rows = (0 until 24).map { i =>
+      (i.toLong, Array(
+        if (i % 2 == 0) 10.0 else -10.0, (i % 5) * 0.01,
+        (i % 3) * 10.0, 1.0 + (i % 4) * 0.01))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // codes=2: init = ids 0,1 → one centroid per planted sub0 cluster
+    // (codes=3 would seed two inits inside the same cluster and split it)
+    val cbs = MlAnn.pqTrain(df, "embedding", "vec_id", dim = 4, m = 2,
+      codes = 2, iters = 2)
+    assert(cbs.length == 2 && cbs.forall(_.length == 2) &&
+      cbs.forall(_.forall(_.length == 2)))
+    val codes = MlAnn.pqEncode(df, "embedding", "vec_id", cbs)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    // same subspace-cluster members must share a code
+    val bySub0 = codes.groupBy { case (id, c) => id % 2 }.values
+      .map(_.map(_._2(0)).toSet)
+    assert(bySub0.forall(_.size == 1))
+    val bySub1 = codes.groupBy { case (id, c) => id % 3 }.values
+      .map(_.map(_._2(1)).toSet)
+    assert(bySub1.forall(_.size == 1))
+  }
+
+  test("PQ ADC top-k equals the hand-computed table-lookup ranking") {
+    val rows = (0 until 24).map { i =>
+      (i.toLong, Array(
+        if (i % 2 == 0) 10.0 else -10.0, (i % 5) * 0.01,
+        (i % 3) * 10.0, 1.0 + (i % 4) * 0.01))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Seq(10.0, 0.0, 20.0, 1.0)
+    val cbs = MlAnn.pqTrain(df, "embedding", "vec_id", dim = 4, m = 2,
+      codes = 3, iters = 2)
+    val encoded = MlAnn.pqEncode(df, "embedding", "vec_id", cbs).cache()
+    val got = MlAnn.pqTopK(encoded, cbs, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // hand-compute: per-subspace sqdist table, sum, rank (dist asc, id asc)
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val table = cbs.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => sq(q.slice(s * 2, s * 2 + 2), c.toSeq))
+    }
+    val want = encoded.collect()
+      .map { r =>
+        val cs = r.getSeq[Int](1)
+        (r.getLong(0), table(0)(cs(0)) + table(1)(cs(1)))
+      }
+      .sortBy { case (id, d) => (d, id) }.take(5)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("PQ rejects a dim that does not divide into m subspaces") {
+    val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      MlAnn.pqTrain(df, "embedding", "vec_id", dim = 3, m = 2, codes = 2)
+    }
+  }
 }

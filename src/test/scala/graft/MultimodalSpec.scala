@@ -100,4 +100,60 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(kept.getAs[Array[Byte]](2), "UTF-8") == "junk")
     assert(kept.getInt(3) == 9 && kept.getInt(4) == 7)
   }
+
+  test("synthWavMedia -> decodeAudio roundtrip matches the md5 replay") {
+    val docs = Seq((1L, "audio seed one"), (2L, "audio seed two"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeAudio(
+      Multimodal.synthWavMedia(docs, "doc_id", "text"))
+      .orderBy("media_id").collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(8))) // no decode_error
+    // replay the derivation for row 1 directly
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("audio seed one".getBytes("UTF-8"))
+    val n = 64 + ((d(0) & 0xff) % 192)
+    val cycle = Array.tabulate(15)(j => d(1 + j).toInt * 256)
+    val samples = Array.tabulate(n)(i => cycle(i % 15))
+    val r = out.head
+    assert(r.getInt(1) == 8000 && r.getInt(2) == 1)
+    assert(r.getLong(3) == n)
+    assert(r.getLong(4) == n.toLong * 1000 / 8000)
+    assert(r.getDouble(5) == samples.map(_.toLong).sum.toDouble / n)
+    assert(r.getDouble(6) ==
+      math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / n))
+    assert(r.getInt(7) == samples.map(math.abs).max)
+  }
+
+  test("decodeAudio quarantines empty and garbage bytes") {
+    val bad = Multimodal.asMedia(
+      Seq((1L, "not a wav"), (2L, null)).toDF("id", "p")
+        .withColumn("p", encode(col("p"), "UTF-8")),
+      "id", "p", "audio")
+    val rows = Multimodal.decodeAudio(bad).orderBy("media_id").collect()
+    assert(rows.forall(r => !r.isNullAt(8))) // both carry decode_error
+    assert(rows(1).getString(8) == "empty content")
+  }
+
+  test("audioFrameEnergy: hand-computed frame RMS, ragged tail kept") {
+    val docs = Seq((7L, "frame energy seed")).toDF("doc_id", "text")
+    val media = Multimodal.synthWavMedia(docs, "doc_id", "text")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("frame energy seed".getBytes("UTF-8"))
+    val n = 64 + ((d(0) & 0xff) % 192)
+    val cycle = Array.tabulate(15)(j => d(1 + j).toInt * 256)
+    val samples = Array.tabulate(n)(i => cycle(i % 15))
+    val frames = Multimodal.audioFrameEnergy(media, frameSamples = 50)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == (n + 49) / 50)
+    // first frame: exact hand-computed RMS
+    val sq0 = samples.take(50).map(s => s.toLong * s).sum
+    assert(frames.head.getDouble(3) == math.sqrt(sq0.toDouble / 50))
+    // ragged tail frame has n % 50 samples (when n is not a multiple)
+    if (n % 50 != 0) assert(frames.last.getInt(2) == n % 50)
+    // garbage bytes are dropped, not crashed on
+    val bad = Multimodal.asMedia(
+      Seq((9L, "junk")).toDF("id", "p")
+        .withColumn("p", encode(col("p"), "UTF-8")), "id", "p", "audio")
+    assert(Multimodal.audioFrameEnergy(bad, 50).count() == 0)
+  }
 }

@@ -116,4 +116,43 @@ class TraversalSpec extends SparkSpec {
     assert(math.abs(r("a") - 0.15) < 1e-12)      // no in-edges
     assert(math.abs(r("b") - 0.575) < 1e-12)     // a->b counted once
   }
+
+  test("labelPropagation: two triangles converge to their min-id labels") {
+    val tri = Seq(
+      ("a", "b", "e"), ("b", "c", "e"), ("c", "a", "e"),
+      ("x", "y", "e"), ("y", "z", "e"), ("z", "x", "e"))
+      .toDF("src", "dst", "label")
+    val out = Traversal.labelPropagation(tri, iters = 3)
+      .as[(String, String)].collect().toMap
+    // round 1: each node ties between its two neighbors → min neighbor;
+    // round 2 onward both triangles settle on one label each
+    assert(out("a") == "a" && out("b") == "a" && out("c") == "a")
+    assert(out("x") == "x" && out("y") == "x" && out("z") == "x")
+  }
+
+  test("labelPropagation: deterministic on the oscillating pair graph") {
+    // a-b with no other neighbors oscillates under synchronous updates;
+    // the fixed iteration count makes the result well-defined: odd rounds
+    // swap, even rounds restore
+    val pair = Seq(("a", "b", "e")).toDF("src", "dst", "label")
+    val odd = Traversal.labelPropagation(pair, iters = 3)
+      .as[(String, String)].collect().toMap
+    assert(odd == Map("a" -> "b", "b" -> "a"))
+    val even = Traversal.labelPropagation(pair, iters = 2)
+      .as[(String, String)].collect().toMap
+    assert(even == Map("a" -> "a", "b" -> "b"))
+  }
+
+  test("labelPropagation: most-frequent neighbor label beats min on counts") {
+    // x-{s,t,h}, h-a. Round 1: s,t→x; a→h; x→min(h,s,t)=h; h→min(a,x)=a.
+    // Round 2: x's votes are {s:x, t:x, h:a} → 'x' wins 2-1 over the min
+    // 'a' — frequency decides, the min only breaks ties.
+    val g = Seq(("x", "s", "e"), ("x", "t", "e"), ("h", "x", "e"),
+      ("h", "a", "e")).toDF("src", "dst", "label")
+    val out = Traversal.labelPropagation(g, iters = 2)
+      .as[(String, String)].collect().toMap
+    assert(out("x") == "x")
+    assert(out("h") == "h" && out("s") == "h" && out("t") == "h" &&
+      out("a") == "a")
+  }
 }
