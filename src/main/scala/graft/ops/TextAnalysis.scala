@@ -226,4 +226,88 @@ object TextAnalysis {
       .select(col(groupCol), element_at(qArr, col("_i") + 1).as("q"),
         round(col("_v"), 6).as("qval"))
   }
+
+  /**
+   * Per-group corpus vocabulary statistics: document count, token count,
+   * distinct-token count. `approx = false` uses Spark's exact
+   * count(DISTINCT) (two-phase expand — carries a full hash oracle);
+   * `approx = true` swaps in the HyperLogLog++ sketch
+   * (`approx_count_distinct`, relative error `rsd`) — the 100 TB path,
+   * where the distinct count per group is a fixed-size sketch merged
+   * map-side instead of a shuffle of every distinct token. Same schema
+   * either way, so pipelines flip the flag by scale.
+   */
+  def vocabStats(docs: DataFrame, textCol: String, groupCol: String,
+                 approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(graft.functions.WordGrams.grams(col(textCol), 1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val distinctAgg =
+      if (approx) approx_count_distinct(col("tok"), rsd)
+      else countDistinct(col("tok"))
+    val tokAgg = toks.groupBy("grp").agg(count(lit(1)).as("n_tokens"),
+      distinctAgg.as("distinct_tokens"))
+    docs.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n_docs"))
+      .join(tokAgg, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"))
+  }
+
+  /**
+   * BPE merge-rule training: `rounds` greedy rounds of the classic
+   * byte-pair-encoding algorithm (Sennrich et al. 2016) over the corpus
+   * word vocabulary — the step that turns "BPE-ish token ESTIMATES"
+   * ([[graft.functions.TextFunctions.bpeTokenEstimate]]) into actually
+   * LEARNED subword merges. Words are lowercase ASCII-alpha runs (so
+   * char-splitting replays identically in SQL); each word becomes a
+   * space-separated symbol string, and each round (a) counts adjacent
+   * symbol pairs weighted by word frequency — one explode + one map-side-
+   * combined hash aggregate over the VOCABULARY (distinct words), never the
+   * corpus, (b) picks the most frequent pair (ties to the lexicographically
+   * smallest — a total order, so the training is deterministic), and (c)
+   * rewrites the vocabulary with one literal `replace` of the space-padded
+   * pair — left-to-right non-overlapping, which matches BPE's greedy-left
+   * merge except on runs of a repeated pair ("y y y y"), where the shared
+   * boundary space makes the padded scan skip every other occurrence until
+   * a later round. That deviation is deterministic and engine-independent:
+   * SQL `replace` scans identically, which is what lets q_bpe_merges carry
+   * a full hash oracle with every round unrolled. Only the single winning pair
+   * crosses to the driver per round; the vocabulary stays distributed and
+   * is lazily checkpointed each round so round r never recomputes rounds
+   * 1..r−1. Returns (round, pair, merged, cnt).
+   */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var vocab = words.select(
+      concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"),
+      col("wc")).localCheckpoint(false)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val a = split(trim(col("s")), " ")
+      val winner = vocab
+        .filter(size(a) >= 2) // sequence(0, -1) would run DESCENDING
+        .select(col("wc"), explode(transform(sequence(lit(0), size(a) - 2),
+          i => concat_ws(" ", element_at(a, i + 1), element_at(a, i + 2))))
+          .as("p"))
+        .groupBy("p").agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), col("p")).limit(1)
+        .collect()
+      require(winner.nonEmpty, s"vocabulary exhausted before round $r")
+      val (pair, cnt) = (winner(0).getString(0), winner(0).getLong(1))
+      val merged = pair.replace(" ", "")
+      merges += ((r, pair, merged, cnt))
+      vocab = vocab.select(
+        replace(col("s"), lit(s" $pair "), lit(s" $merged ")).as("s"),
+        col("wc")).localCheckpoint(false)
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "pair", "merged", "cnt")
+  }
 }
