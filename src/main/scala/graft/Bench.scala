@@ -76,6 +76,7 @@ object Bench {
     prNodes.count(); prEdges.count()
     val (lpaUnd, lpaNodes) = graft.queries.Tables.lpaLayout(spark, sfDir)
     lpaUnd.count(); lpaNodes.count()
+    graft.queries.Tables.coPurchaseTriangleLayout(spark, sfDir).count()
     val gc = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)
     Seq(gc.entities, gc.entityRelations, gc.facts).foreach(_.count())
 

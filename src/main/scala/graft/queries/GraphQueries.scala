@@ -118,6 +118,32 @@ object GraphQueries {
         .select(col("community"), col("size"), col("node").as("min_node"))
         .orderBy(desc("size"), col("community"))
         .limit(100)
+    }),
+
+    // ext. triangle counting with degree-ordered orientation. The base
+    // c→o→p→s graph is layered (triangle-free), so the layout is the
+    // co-purchase graph — parts sharing an order — which is exactly the
+    // projection a real pipeline stores before clustering-coefficient
+    // work (warmed: projection+orientation are ingest-time material).
+    // Exact integer counts; the oracle replays orientation + wedges.
+    "q_triangle_counts" -> ((s, dir) => {
+      Traversal.triangleCountsFrom(Tables.coPurchaseTriangleLayout(s, dir))
+        .select(concat(lit("p:"), col("node")).as("node"), col("triangles"))
+        .orderBy(desc("triangles"), col("node")).limit(100)
+    }),
+
+    // ext. k-core peeling (3 fixed rounds, k=2) over the derived graph —
+    // degeneracy pruning before the heavier graph passes. Shares the LPA
+    // layout's int-encoded undirected edges; survivors decode to strings
+    // via one broadcast dictionary lookup at the end.
+    "q_kcore" -> ((s, dir) => {
+      val (und, nodes) = Tables.lpaLayout(s, dir)
+      val peeled = Traversal.kCorePeelFrom(
+        und.toDF("src", "dst"), k = 2, rounds = 3)
+        .withColumnRenamed("node", "nid")
+      nodes.join(broadcast(peeled), nodes("node_id") === peeled("nid"))
+        .select(col("node"), col("deg"))
+        .orderBy(col("node"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -267,5 +293,59 @@ object GraphQueries {
          |SELECT label AS community, count(*) AS size, min(node) AS min_node
          |FROM l3 GROUP BY label
          |ORDER BY count(*) DESC, label LIMIT 100""".stripMargin
+    },
+
+    // Triangle-count replay: same co-purchase projection, same
+    // (degree, node) edge orientation, same single-path-per-triangle
+    // wedge+close joins — integer-exact by construction.
+    "q_triangle_counts" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |co AS (
+        |  SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT DISTINCT src, dst FROM co WHERE src <> dst),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |pairs AS (SELECT src, dst FROM und WHERE src < dst),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.src < p.dst)
+        |         THEN p.src ELSE p.dst END AS lo,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.src < p.dst)
+        |         THEN p.dst ELSE p.src END AS hi
+        |  FROM pairs p JOIN deg d1 ON p.src = d1.node
+        |               JOIN deg d2 ON p.dst = d2.node),
+        |tri AS (
+        |  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        |  FROM o ab JOIN o bc ON ab.hi = bc.lo
+        |            JOIN o ac ON ab.lo = ac.lo AND bc.hi = ac.hi),
+        |roles AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT 'p:'||node AS node, count(*) AS triangles FROM roles
+        |GROUP BY node
+        |ORDER BY triangles DESC, 'p:'||node LIMIT 100""".stripMargin,
+
+    // k-core replay: 3 unrolled peels — degree count, >= k filter, edge
+    // semi-filtering on both endpoints.
+    "q_kcore" -> {
+      def peel(prev: String, kName: String, uName: String): String =
+        s"""$kName AS (
+           |  SELECT src AS node FROM $prev GROUP BY src
+           |  HAVING count(*) >= 2),
+           |$uName AS (
+           |  SELECT u.src, u.dst FROM $prev u
+           |  WHERE u.src IN (SELECT node FROM $kName)
+           |    AND u.dst IN (SELECT node FROM $kName))""".stripMargin
+      s"""WITH edges0 AS ($edgesSql),
+         |e AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
+         |u0 AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |${peel("u0", "k1", "u1")},
+         |${peel("u1", "k2", "u2")},
+         |${peel("u2", "k3", "u3")}
+         |SELECT src AS node, count(*) AS deg FROM u3 GROUP BY src
+         |ORDER BY src""".stripMargin
     })
 }

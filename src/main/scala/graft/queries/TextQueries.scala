@@ -124,6 +124,23 @@ object TextQueries {
         .orderBy(col("rank"))
     }),
 
+    // extended: per-source vocabulary statistics (exact count-distinct
+    // mode; the HLL sketch twin is spec-gated for error bounds).
+    "q_vocab_stats" -> ((s, dir) => {
+      TextAnalysis.vocabStats(t(s, dir, "documents"), "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // extended: BPE merge-rule training — 3 greedy rounds over the word
+    // vocabulary (pair counting on distinct words weighted by frequency,
+    // deterministic tie-break, padded-replace rewrite). The oracle unrolls
+    // every round, so a wrong count weight / tie order / merge application
+    // hash-fails.
+    "q_bpe_merges" -> ((s, dir) => {
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 3)
+        .orderBy(col("round"))
+    }),
+
     // extended: deterministic stratified hash sampling — the training-mix
     // rebalancing step; per-row hash decisions replay in any engine.
     "q_stratified_sample" -> ((s, dir) => {
@@ -394,7 +411,65 @@ object TextQueries {
        |FROM reach GROUP BY id
        |ORDER BY id""".stripMargin
 
+  /**
+   * Unrolled BPE-training oracle: replays [[graft.ops.TextAnalysis
+   * .bpeMerges]] round by round — the frequency-weighted pair counts over
+   * the vocabulary, the (cnt DESC, pair ASC) winner, and the padded
+   * literal `replace` rewrite (both engines scan left-to-right,
+   * non-overlapping, so the merge application is bit-identical).
+   */
+  private def bpeOracle(rounds: Int): String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS (
+         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(a)),
+         |      i -> a[i] || ' ' || a[i+1])) AS p
+         |    FROM (SELECT wc, string_split(trim(s), ' ') AS a FROM v${r - 1}))
+         |  GROUP BY p),
+         |w$r AS (SELECT p, cnt FROM p$r ORDER BY cnt DESC, p LIMIT 1),
+         |v$r AS (
+         |  SELECT replace(s, ' '||p||' ', ' '||replace(p, ' ', '')||' ') AS s,
+         |    wc
+         |  FROM v${r - 1} CROSS JOIN w$r)""".stripMargin
+    val rs = (1 to rounds).map(roundCtes).mkString(",\n")
+    val sel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INT) AS round, p AS pair, " +
+        s"replace(p, ' ', '') AS merged, cnt FROM w$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |v0 AS (
+       |  SELECT ' ' || array_to_string(
+       |      list_transform(range(1, len(w)+1), i -> w[i]), ' ') || ' ' AS s,
+       |    wc
+       |  FROM words),
+       |$rs
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracle(3),
+
+    "q_vocab_stats" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(string_split_regex(${normSql("text")}, '\\s+')) AS tok
+         |  FROM documents),
+         |tv AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+         |  FROM toks WHERE tok <> '' GROUP BY source),
+         |dv AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source)
+         |SELECT dv.source, n_docs,
+         |  COALESCE(n_tokens, 0) AS n_tokens,
+         |  COALESCE(distinct_tokens, 0) AS distinct_tokens
+         |FROM dv LEFT JOIN tv USING (source) ORDER BY source""".stripMargin,
     "q_search_normalize" -> {
       val norm = normSql("p_name")
       s"""SELECT p_partkey,

@@ -227,4 +227,48 @@ class CurationOpsSpec extends SparkSpec {
       TextAnalysis.lengthQuantiles(df, "len", "src", Seq(1.5))
     }
   }
+
+  test("bpeMerges: hand-computed greedy rounds, deterministic ties, loud " +
+    "exhaustion") {
+    // vocab: "aa"x1, "ab"x2 → round 1 pairs: (a a)=1, (a b)=2 → merge "a b";
+    // round 2: only (a a)=1 left → merge "a a"; round 3: no pairs → loud
+    val docs = Seq("aa ab", "ab!").toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1, "a b", "ab", 2L), (2, "a a", "aa", 1L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+    }
+    // tie on count → lexicographically smallest pair wins
+    val tie = Seq("xy", "xz").toDF("text")
+    val first = TextAnalysis.bpeMerges(tie, "text", rounds = 1)
+      .as[(Int, String, String, Long)].head()
+    assert(first == ((1, "x y", "xy", 1L)))
+    // the documented boundary-skip: in "a b a b" the two (a,b) occurrences
+    // share a padding space, so round 1 merges only the first; round 2
+    // catches the survivor; round 3 then merges the (ab,ab) pair — and no
+    // phantom cross-boundary pair ever forms from a merged atomic symbol
+    val run = Seq("abab").toDF("text")
+    val three = TextAnalysis.bpeMerges(run, "text", rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(three == Seq((1, "a b", "ab", 2L), (2, "a b", "ab", 1L),
+      (3, "ab ab", "abab", 1L)))
+  }
+
+  test("vocabStats: hand-computed exact stats; HLL sketch within its rsd") {
+    val docs = Seq(("s1", "the cat the hat"), ("s1", "the dog"),
+      ("s2", ""), ("s2", "one")).toDF("source", "text")
+    val rows = TextAnalysis.vocabStats(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("s1") == ((2L, 6L, 4L))) // the,cat,the,hat | the,dog
+    assert(rows("s2") == ((2L, 1L, 1L))) // empty doc counts as a doc only
+    // sketch mode: same schema, distinct estimate within 3*rsd on a corpus
+    // big enough for the sketch to engage
+    val big = (0 until 2000).map(i => ("s", s"tok$i tok${i % 7}"))
+      .toDF("source", "text")
+    val est = TextAnalysis.vocabStats(big, "text", "source", approx = true)
+      .head().getLong(3)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.15, s"estimate $est")
+  }
 }

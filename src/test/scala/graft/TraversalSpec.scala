@@ -155,4 +155,39 @@ class TraversalSpec extends SparkSpec {
     assert(out("h") == "h" && out("s") == "h" && out("t") == "h" &&
       out("a") == "a")
   }
+
+  test("triangleCounts: K4 plus a pendant, hand-computed per-node counts") {
+    // K4 on {a,b,c,d} has 4 triangles, each node in exactly 3; pendant edge
+    // d-e adds none. Edge direction and duplicates must not matter.
+    val k4 = for {
+      Seq(u, v) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (u, v, "e")
+    val g = (k4 ++ Seq(("e", "d", "e"), ("a", "b", "dup")))
+      .toDF("src", "dst", "label")
+    val out = Traversal.triangleCounts(g).as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // triangle-free layered graph → empty result (zero-count nodes are
+    // absent, not zero rows)
+    assert(Traversal.triangleCounts(edges).count() == 0)
+  }
+
+  test("kCorePeel: path peels away round by round, triangle survives") {
+    val g = Seq(("a", "b", "e"), ("b", "c", "e"), ("c", "d", "e"),
+      ("x", "y", "e"), ("y", "z", "e"), ("z", "x", "e"))
+      .toDF("src", "dst", "label")
+    // 3 rounds reach the fixpoint: the path is gone, the triangle is the
+    // 2-core with degree 2 everywhere
+    val done = Traversal.kCorePeel(g, k = 2, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(done == Map("x" -> 2L, "y" -> 2L, "z" -> 2L))
+    // 1 round only strips the endpoints: b-c survive this peel with the
+    // degree they have AFTER it (the approximation-from-above contract)
+    val one = Traversal.kCorePeel(g, k = 2, rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("b" -> 1L, "c" -> 1L,
+      "x" -> 2L, "y" -> 2L, "z" -> 2L))
+    intercept[IllegalArgumentException] {
+      Traversal.kCorePeel(g, k = 0, rounds = 1)
+    }
+  }
 }
