@@ -334,6 +334,52 @@ object Traversal {
   }
 
   /**
+   * Personalized PageRank over the SAME prepared [[pageRankAdjacency]]
+   * layout: teleport mass lands only on the `seeds` set (r₀ = 1 on seeds,
+   * 0 elsewhere; per-iteration reset likewise seed-conditional), so rank
+   * concentrates in the seeds' neighborhoods — the query-seeded graph
+   * scoring a retriever runs to rank entities around the linked seed set
+   * (the global [[pageRankIterate]] scores the whole graph instead).
+   * Seeds ride a broadcast semi-join flag; everything else — fused
+   * iteration plan, plain-sum scale path, id-ordered deterministic fold
+   * for the replay oracle — is shared with the global variant.
+   */
+  def personalizedPageRankIterate(nodes: DataFrame, eDeg: DataFrame,
+                                  seeds: DataFrame, iters: Int,
+                                  damping: Double = 0.85,
+                                  reset: Double = 0.15,
+                                  deterministic: Boolean = false): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val flagged = nodes.join(
+        broadcast(seeds.select(col("node")).distinct()
+          .withColumn("_seed", lit(true))),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(false)
+    val resetCol = when(col("is_seed"), lit(reset)).otherwise(lit(0.0))
+    var ranks = flagged.withColumn("rank",
+      when(col("is_seed"), lit(1.0)).otherwise(lit(0.0)))
+    for (i <- 1 to iters) {
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst"), col("src"),
+          (col("rank") / col("out_deg")).as("contrib"))
+      val sums =
+        if (deterministic)
+          contribs.groupBy("dst").agg(
+            aggregate(array_sort(collect_list(struct(col("src"), col("contrib")))),
+              lit(0.0), (acc, m) => acc + m.getField("contrib")).as("s"))
+        else
+          contribs.groupBy("dst").agg(sum("contrib").as("s"))
+      ranks = flagged.join(sums, flagged("node") === sums("dst"), "left")
+        .select(col("node"), col("is_seed"),
+          (resetCol + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /**
    * Synchronous label propagation (community detection) over the undirected
    * view of the edge set, fixed `iters` rounds: every node starts labeled
    * with its own id; each round every node adopts the most frequent label

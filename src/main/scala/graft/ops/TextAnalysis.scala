@@ -228,6 +228,31 @@ object TextAnalysis {
   }
 
   /**
+   * Multi-axis corpus report in ONE aggregation pass: ROLLUP over
+   * (source, predicted language) — per-(source, lang) detail rows, per-
+   * source subtotals, and the grand total evaluate in a single shuffle
+   * (Spark expands grouping sets map-side) instead of one aggregation job
+   * per axis. Quality aggregates in integer micro-units
+   * (`floor(q·10⁶ + 0.5)` per doc, summed exactly as longs, one division
+   * at the end) so the mean is partition-order-independent and the query
+   * carries a full hash oracle — a double `avg` would drift with the fold
+   * order on both engines.
+   */
+  def corpusRollup(docs: DataFrame, textCol: String,
+                   sourceCol: String): DataFrame = {
+    val p = profile(docs, textCol)
+      .select(col(sourceCol).as("source"), col("lang_pred"),
+        col("token_count"),
+        floor(col("quality_score") * 1e6 + 0.5).cast("long").as("qmicro"))
+    p.rollup(col("source"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("token_count").cast("long")).as("n_tokens"),
+        round(sum(col("qmicro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_quality"),
+        grouping_id().cast("int").as("gid"))
+  }
+
+  /**
    * Per-group corpus vocabulary statistics: document count, token count,
    * distinct-token count. `approx = false` uses Spark's exact
    * count(DISTINCT) (two-phase expand — carries a full hash oracle);
