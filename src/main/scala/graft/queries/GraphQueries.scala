@@ -132,6 +132,20 @@ object GraphQueries {
         .orderBy(desc("triangles"), col("node")).limit(100)
     }),
 
+    // ext. personalized PageRank (3 iterations, teleport to the nation-0
+    // customer seed set) over the SAME warmed adjacency layout as
+    // q_pagerank — the query-seeded variant a retriever uses to rank the
+    // graph around linked entities. Deterministic ordered-fold mode for
+    // the bit-exact replay.
+    "q_ppr" -> ((s, dir) => {
+      val (nodes, eDeg) = Tables.pageRankAdjacency(s, dir)
+      Traversal.personalizedPageRankIterate(nodes, eDeg, seeds(s, dir),
+        iters = 3, deterministic = true)
+        .select(col("node"), round(col("rank"), 6).as("pr"))
+        .orderBy(desc("pr"), col("node"))
+        .limit(100)
+    }),
+
     // ext. k-core peeling (3 fixed rounds, k=2) over the derived graph —
     // degeneracy pruning before the heavier graph passes. Shares the LPA
     // layout's int-encoded undirected edges; survivors decode to strings
@@ -260,6 +274,44 @@ object GraphQueries {
          |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+         |${iter("r0", "s1", "r1")},
+         |${iter("r1", "s2", "r2")},
+         |${iter("r2", "s3", "r3")}
+         |SELECT node, round(r, 6) AS pr FROM r3
+         |ORDER BY round(r, 6) DESC, node LIMIT 100""".stripMargin
+    },
+
+    // Personalized-PageRank replay: the q_pagerank iteration structure
+    // with a seed-conditional teleport (r0 = 1 on seeds, reset mass only
+    // on seeds); same ordered list_reduce fold, same DOUBLE casts.
+    "q_ppr" -> {
+      def iter(prev: String, sName: String, rName: String): String =
+        s"""$sName AS (
+           |  SELECT e.dst AS node,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(p.r / d.d ORDER BY e.src)), (x, y) -> x + y) AS s
+           |  FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst),
+           |$rName AS (
+           |  SELECT sd.node,
+           |    (CASE WHEN sd.is_seed THEN CAST(0.15 AS DOUBLE)
+           |          ELSE CAST(0.0 AS DOUBLE) END)
+           |      + CAST(0.85 AS DOUBLE) *
+           |        COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS r
+           |  FROM sd LEFT JOIN $sName s USING (node))""".stripMargin
+      s"""WITH edges0 AS ($edgesSql),
+         |e AS (SELECT DISTINCT src, dst FROM edges0),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |sd AS (
+         |  SELECT node, node IN (
+         |    SELECT 'c:'||c_custkey FROM customer WHERE c_nationkey = 0)
+         |    AS is_seed
+         |  FROM n),
+         |r0 AS (
+         |  SELECT node, CASE WHEN is_seed THEN CAST(1.0 AS DOUBLE)
+         |                    ELSE CAST(0.0 AS DOUBLE) END AS r
+         |  FROM sd),
          |${iter("r0", "s1", "r1")},
          |${iter("r1", "s2", "r2")},
          |${iter("r2", "s3", "r3")}

@@ -124,6 +124,14 @@ object TextQueries {
         .orderBy(col("rank"))
     }),
 
+    // extended: multi-axis corpus report — ROLLUP over (source, language)
+    // in ONE aggregation pass (detail + per-source subtotal + grand total);
+    // quality means in integer micro-units so every level hash-matches.
+    "q_corpus_rollup" -> ((s, dir) => {
+      TextAnalysis.corpusRollup(t(s, dir, "documents"), "text", "source")
+        .orderBy(col("gid"), col("source"), col("lang_pred"))
+    }),
+
     // extended: per-source vocabulary statistics (exact count-distinct
     // mode; the HLL sketch twin is spec-gated for error bounds).
     "q_vocab_stats" -> ((s, dir) => {
@@ -451,8 +459,54 @@ object TextQueries {
        |ORDER BY round""".stripMargin
   }
 
+  /** ROLLUP replay sharing [[profileOracle]]'s per-doc derivations: the
+    * same lang winner and quality formula, quality in floor(q·10⁶+0.5)
+    * micro-units, then GROUP BY ROLLUP with the same (source-high,
+    * lang-low) GROUPING bit order both engines use. */
+  private val corpusRollupOracle: String = {
+    val stops = inListSql(TextAnalysis.defaultStopwords)
+    val langCases = T.langStopwords.toSeq.sortBy(_._1).map { case (code, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${inListSql(ws)}, t))) AS s_$code"
+    }.mkString(", ")
+    val langCodes = T.langStopwords.keys.toSeq.sorted
+    val maxExpr = s"greatest(${langCodes.map("s_" + _).mkString(",")})"
+    val winner = langCodes.map(c => s"WHEN s_$c = m THEN '$c'")
+      .mkString("CASE WHEN m <= 0 THEN 'und' ", " ", " END")
+    s"""WITH norm AS (
+       |  SELECT source, text, ${normSql("text")} AS nrm FROM documents),
+       |tok AS (
+       |  SELECT source, text, string_split_regex(nrm,'\\s+') AS toks
+       |  FROM norm),
+       |stats AS (
+       |  SELECT source, toks,
+       |    len(toks) AS token_count,
+       |    CAST(length(regexp_replace(text,'[^[:punct:]]','','g')) AS DOUBLE)
+       |      / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> list_contains($stops, t)))
+       |      AS DOUBLE) / len(toks) AS stopword_ratio,
+       |    $langCases
+       |  FROM tok),
+       |lang AS (SELECT *, $maxExpr AS m FROM stats),
+       |per AS (
+       |  SELECT source, $winner AS lang_pred, token_count,
+       |    CAST(floor((least(CAST(token_count AS DOUBLE)/20.0, 1.0)
+       |        + greatest(0.0, 1.0 - punct_ratio*4.0)
+       |        + least(stopword_ratio*5.0, 1.0))/3.0 * 1e6 + 0.5)
+       |      AS BIGINT) AS qmicro
+       |  FROM lang)
+       |SELECT source, lang_pred,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(token_count) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(qmicro) AS DOUBLE)/count(*)/1e6, 6) AS mean_quality,
+       |  CAST(GROUPING(source, lang_pred) AS INT) AS gid
+       |FROM per GROUP BY ROLLUP (source, lang_pred)
+       |ORDER BY gid, source, lang_pred""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(3),
+
+    "q_corpus_rollup" -> corpusRollupOracle,
 
     "q_vocab_stats" ->
       s"""WITH toks AS (

@@ -271,4 +271,38 @@ class CurationOpsSpec extends SparkSpec {
       .head().getLong(3)
     assert(math.abs(est - 2000.0) / 2000.0 < 0.15, s"estimate $est")
   }
+
+  test("corpusRollup: levels are consistent and match the per-doc profile") {
+    val docs = Seq(
+      ("s1", "the cat sat on the mat with a hat"),
+      ("s1", "le chat et le chien sont la"),
+      ("s2", "the dog ran to the park and back"))
+      .toDF("source", "text")
+    val out = TextAnalysis.corpusRollup(docs, "text", "source").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
+    // rollup levels: detail (gid 0), per-source (gid 1), total (gid 3)
+    assert(out.map(_._6).toSet == Set(0, 1, 3))
+    val total = out.find(_._6 == 3).get
+    assert(total._3 == 3L)
+    // subtotals reconcile with details — docs and tokens both
+    val details = out.filter(_._6 == 0)
+    val bySource = out.filter(_._6 == 1).map(r => r._1.get -> (r._3, r._4))
+    bySource.foreach { case (src, (nd, nt)) =>
+      val d = details.filter(_._1.contains(src))
+      assert(d.map(_._3).sum == nd && d.map(_._4).sum == nt)
+    }
+    assert(total._4 == details.map(_._4).sum)
+    // a single-doc detail group's mean equals that doc's profiled quality
+    // at micro-unit resolution
+    val profiled = TextAnalysis.profile(docs, "text")
+      .select("source", "lang_pred", "quality_score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val singles = details.filter(_._3 == 1L)
+    assert(singles.nonEmpty)
+    singles.foreach { case (src, lang, _, _, mq, _) =>
+      val q = profiled.find(p => p._1 == src.get && p._2 == lang.get).get._3
+      assert(math.abs(mq - math.floor(q * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+  }
 }

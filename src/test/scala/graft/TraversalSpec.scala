@@ -117,6 +117,25 @@ class TraversalSpec extends SparkSpec {
     assert(math.abs(r("b") - 0.575) < 1e-12)     // a->b counted once
   }
 
+  test("personalized PageRank: hand-computed seed-neighborhood ranks") {
+    // fixture edges: a->b, b->c, c->d, a->e, e->c; seed {a}
+    // r1: a=0.15 (seed reset), b=e=0.85*0.5=0.425, c=d=0
+    // r2: a=0.15, b=e=0.85*0.075=0.06375, c=0.85*(0.425+0.425)=0.7225, d=0
+    val (nodes, eDeg) = Traversal.pageRankAdjacency(edges)
+    val seed = Seq("a").toDF("node")
+    val r2 = Traversal.personalizedPageRankIterate(nodes, eDeg, seed,
+      iters = 2).as[(String, Double)].collect().toMap
+    assert(math.abs(r2("a") - 0.15) < 1e-12)
+    assert(math.abs(r2("b") - 0.06375) < 1e-12)
+    assert(math.abs(r2("e") - 0.06375) < 1e-12)
+    assert(math.abs(r2("c") - 0.7225) < 1e-12)
+    assert(math.abs(r2("d") - 0.0) < 1e-12)
+    // deterministic fold mode agrees with the plain-sum scale path
+    val det = Traversal.personalizedPageRankIterate(nodes, eDeg, seed,
+      iters = 2, deterministic = true).as[(String, Double)].collect().toMap
+    r2.foreach { case (n, v) => assert(math.abs(det(n) - v) < 1e-9) }
+  }
+
   test("labelPropagation: two triangles converge to their min-id labels") {
     val tri = Seq(
       ("a", "b", "e"), ("b", "c", "e"), ("c", "a", "e"),
