@@ -51,7 +51,13 @@ class PlanShapeSpec extends SparkSpec {
     // round 5: window-span dedup (explode + one hash aggregate), exact
     // quantile profile, and the cluster balance profile — plain aggregate
     // plans, no join node at all
-    "q_window_dedup", "q_length_quantiles", "q_cluster_profile")
+    "q_window_dedup", "q_length_quantiles", "q_cluster_profile",
+    // round 5 (late): PQ ADC scan, audio decode pipeline, vocab stats,
+    // grouping-sets rollup, triangle counting, k-core, communities, PPR —
+    // all key-joined or join-free (q_bpe_merges excluded: its per-round
+    // winner collect makes it a driver-loop query)
+    "q_pq_topk", "q_audio_decode", "q_vocab_stats", "q_corpus_rollup",
+    "q_triangle_counts", "q_kcore", "q_label_prop", "q_ppr")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -91,6 +97,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window rank in span-dedup plan:\n$plan")
     assert(!plan.contains("SortAggregate"), s"sort aggregate:\n$plan")
     assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+  }
+
+  test("label propagation rounds never sort: hash aggregates only") {
+    // the int-id encoding exists precisely so no string reaches an
+    // aggregation buffer — a SortAggregate here means the winner fold
+    // regressed to the struct-min_by form that sorts the votes twice a
+    // round
+    val (und, nodes) = graft.queries.Tables.lpaLayout(spark, sfDir)
+    val plan = graft.byokg.Traversal.labelPropagationIterate(und, nodes, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"sort aggregate in LPA:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("k-core peels and triangle counting join only by broadcast") {
+    // both ops hinge on never re-shuffling the edge frame: survivors /
+    // adjacency ride broadcasts, so a SortMergeJoin in either plan means a
+    // full-width edge shuffle snuck back in
+    // typed collect with AQE off (an AdaptiveSparkPlan wrapper has no
+    // children to traverse): the cached layouts embed their one-off build
+    // lineage (which legitimately merge-joins) inside InMemoryTableScan
+    // leaves, where tree traversal stops — only per-query joins count
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def smjCount(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }.size
+      val (und, _) = graft.queries.Tables.lpaLayout(spark, sfDir)
+      und.count()
+      val kcore = graft.byokg.Traversal
+        .kCorePeelFrom(und.toDF("src", "dst"), k = 2, rounds = 3)
+      assert(smjCount(kcore) == 0, "SMJ in k-core peels")
+      val tri = graft.queries.Tables.coPurchaseTriangleLayout(spark, sfDir)
+      tri.count()
+      val triangles = graft.byokg.Traversal.triangleCountsFrom(tri)
+      assert(smjCount(triangles) == 0, "SMJ in triangle counting")
+      assert(triangles.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("corpus rollup is one grouping-sets pass: Expand + hash aggregate") {
+    val plan = graft.ops.TextAnalysis.corpusRollup(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no grouping-sets Expand:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort aggregate:\n$plan")
+  }
+
+  test("PQ ADC top-k is a join-free scan + TakeOrderedAndProject") {
+    val (encoded, cbs) = graft.queries.Tables.pqIndex(spark, sfDir)
+    val plan = graft.ops.MlAnn.pqTopK(encoded, cbs,
+        Seq.fill(64)(0.1), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k:\n$plan")
+    assert(!plan.contains("Join"), s"join in ADC scan:\n$plan")
   }
 
   test("parquet scans prune columns: no q_* scan reads the full lineitem row") {
