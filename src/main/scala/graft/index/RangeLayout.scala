@@ -25,12 +25,22 @@ import org.apache.spark.sql.functions.col
  */
 object RangeLayout {
 
+  /** `bloomCols`: columns to write parquet bloom filters for — the
+    * point-lookup complement to the min/max range pruning this layout
+    * already buys. Range stats prune by interval; a bloom filter skips a
+    * row group when an equality probe's key is definitely absent even
+    * INSIDE the interval — the right tool for high-cardinality id columns
+    * that the sort key doesn't cover. A few KB per row group; proven in
+    * RangeLayoutSpec by reading the bloom offsets back out of the footer. */
   def write(df: DataFrame, path: String, sortCols: Seq[String],
-            partitions: Int): Unit = {
+            partitions: Int, bloomCols: Seq[String] = Nil): Unit = {
     require(sortCols.nonEmpty, "need at least one sort column")
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
-    df.repartitionByRange(partitions, sortCols.map(col): _*)
+    val writer = df.repartitionByRange(partitions, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+    bloomCols.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(path)
   }
 }

@@ -103,6 +103,16 @@ object MlAnn {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** Stateless cell assignment against a FROZEN codebook — the same argmin
+    * expression training/probing use, exposed so incremental ingest (batch
+    * appends or a structured stream) can route new vectors into the index
+    * without retraining: a pure codegen'd select, no shuffle, no state.
+    * See [[graft.streaming.StreamingVectors]]. */
+  def assignCells(index: DataFrame, embCol: String, idCol: String,
+                  centers: Array[Array[Double]]): DataFrame =
+    index.select(col(idCol).as("id"), V.toDouble(col(embCol)).as("emb"))
+      .withColumn("ivf_cell", nearestCell(col("emb"), centers))
+
   /** IVF probe: scan the `nprobe` cells nearest the query (centroid ranking
     * happens driver-side over the tiny centroid array), cosine top-k inside. */
   def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],

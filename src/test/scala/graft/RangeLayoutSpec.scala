@@ -73,4 +73,32 @@ class RangeLayoutSpec extends SparkSpec {
       RangeLayout.write(df, s"$base/x", Seq("k"), 0)
     }
   }
+
+  test("bloomCols writes parquet bloom filters, provable from the footer") {
+    val df = (0 until 5000).map(i => (i.toLong, s"id-${i * 7919 % 5000}"))
+      .toDF("k", "v")
+    val base = java.nio.file.Files.createTempDirectory("rlb").toString
+    RangeLayout.write(df, s"$base/bloom", Seq("k"), partitions = 2,
+      bloomCols = Seq("v"))
+    RangeLayout.write(df, s"$base/plain", Seq("k"), partitions = 2)
+    def bloomOffsets(dir: String, column: String): Seq[Long] = {
+      val conf = spark.sessionState.newHadoopConf()
+      new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .flatMap { f =>
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+          try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala
+            .filter(_.getPath.toDotString == column)
+            .map(_.getBloomFilterOffset))
+          finally r.close()
+        }
+    }
+    val withBloom = bloomOffsets(s"$base/bloom", "v")
+    assert(withBloom.nonEmpty && withBloom.forall(_ >= 0),
+      s"expected bloom filters on v: $withBloom")
+    val without = bloomOffsets(s"$base/plain", "v")
+    assert(without.forall(_ < 0),
+      s"control should have no bloom filters: $without")
+  }
 }
