@@ -228,6 +228,54 @@ object TextAnalysis {
   }
 
   /**
+   * BM25 keyword scoring (Okapi, the ranking function behind the
+   * reference's OpenSearch keyword search path): per-document score
+   * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with
+   * idf(t) = ln((N−df+0.5)/(df+0.5) + 1).
+   *
+   * Two passes, both cheap: ONE aggregate computes N, Σdl, and per-term
+   * document frequencies (a handful of longs to the driver — query terms
+   * are few), then the scoring scan is pure codegen over the token arrays
+   * (per-term `size(filter(...))` term frequencies, no explode, no join)
+   * feeding a TakeOrderedAndProject. Constants (idf, avgdl) embed as
+   * literals computed driver-side with the exact double arithmetic the
+   * oracle re-derives in SQL, and terms sum left-to-right in query order,
+   * so scores replay bit-identically.
+   */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.WordGrams.grams(col(textCol), 1).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val aggCols: Seq[org.apache.spark.sql.Column] =
+      sum(col("dl").cast("long")).as("sdl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+            .as(s"df_$i")
+        }
+    val statRow = base.agg(count(lit(1)).as("n"), aggCols: _*).head()
+    val n = statRow.getLong(0)
+    require(n > 0, "empty corpus")
+    val avgdl = statRow.getLong(1).toDouble / n
+    val idfs = queryTerms.indices.map { i =>
+      val df = statRow.getLong(2 + i)
+      math.log(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+    }
+    val dlD = col("dl").cast("double")
+    val score = queryTerms.zip(idfs).map { case (t, idf) =>
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
+    }.reduceLeft(_ + _)
+    base.select(col("id"), score.as("bm25"))
+      .filter(col("bm25") > 0.0)
+      .orderBy(desc("bm25"), col("id")).limit(k)
+  }
+
+  /**
    * Multi-axis corpus report in ONE aggregation pass: ROLLUP over
    * (source, predicted language) — per-(source, lang) detail rows, per-
    * source subtotals, and the grand total evaluate in a single shuffle

@@ -124,6 +124,14 @@ object TextQueries {
         .orderBy(col("rank"))
     }),
 
+    // extended: BM25 keyword scoring (the reference's OpenSearch keyword
+    // path) — one stats aggregate, then a codegen scoring scan + top-k.
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25(t(s, dir, "documents"), "text", "doc_id",
+        queryTerms = Seq("filter", "vector", "merge"), k = 20)
+        .select(col("id").as("doc_id"), round(col("bm25"), 6).as("bm25"))
+    }),
+
     // extended: multi-axis corpus report — ROLLUP over (source, language)
     // in ONE aggregation pass (detail + per-source subtotal + grand total);
     // quality means in integer micro-units so every level hash-matches.
@@ -503,8 +511,50 @@ object TextQueries {
        |ORDER BY gid, source, lang_pred""".stripMargin
   }
 
+  /**
+   * BM25 replay: same normalized tokens, same one-aggregate corpus stats
+   * (N, Σdl, per-term df), same score expression tree — the Scala-side
+   * constants (k1+1, 1−b) interpolate via Double.toString, which DuckDB
+   * parses back to the identical double, and the per-term additions run
+   * left-to-right in query order. ln() is libm on both sides; the 6dp
+   * round absorbs any last-ulp drift.
+   */
+  private def bm25Oracle(terms: Seq[String], k: Int,
+                         k1: Double, b: Double): String = {
+    val dfCols = terms.indices.map { i =>
+      s"""CAST(sum(CASE WHEN list_contains(toks, '${terms(i)}')
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS df$i""".stripMargin
+    }.mkString(",\n    ")
+    val termExprs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+      s"""(ln((CAST(n - df$i AS DOUBLE) + 0.5)
+         |     / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+         |  * ($tf * ${k1 + 1.0})
+         |  / ($tf + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE)
+         |       / (CAST(sdl AS DOUBLE) / n))))""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
+       |  FROM documents),
+       |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+       |c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS sdl,
+       |    $dfCols
+       |  FROM base),
+       |s AS (
+       |  SELECT doc_id,
+       |  $termExprs AS bm25
+       |  FROM base CROSS JOIN c)
+       |SELECT doc_id, round(bm25, 6) AS bm25 FROM s
+       |WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(3),
+
+    "q_bm25" -> bm25Oracle(Seq("filter", "vector", "merge"), k = 20,
+      k1 = 1.2, b = 0.75),
 
     "q_corpus_rollup" -> corpusRollupOracle,
 

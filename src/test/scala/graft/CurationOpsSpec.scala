@@ -272,6 +272,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(est - 2000.0) / 2000.0 < 0.15, s"estimate $est")
   }
 
+  test("bm25: hand-computed Okapi scores, zero-match docs filtered") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "text", "doc_id",
+      Seq("apple", "cherry"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    // independent arithmetic (plain formula, not the Column tree)
+    val (n, avgdl, k1, b) = (3.0, 8.0 / 3.0, 1.2, 0.75)
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, dl: Double, df: Double) =
+      if (tf == 0) 0.0
+      else idf(df) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val want = Map(
+      1L -> (term(2, 3, 1) + term(0, 3, 2)),
+      2L -> (term(0, 2, 1) + term(1, 2, 2)),
+      3L -> (term(0, 3, 1) + term(3, 3, 2)))
+    assert(out.keySet == want.keySet)
+    want.foreach { case (id, w) => assert(math.abs(out(id) - w) < 1e-12) }
+    // a doc matching no term is filtered out entirely
+    val out2 = TextAnalysis.bm25(docs, "text", "doc_id", Seq("apple"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(out2.keySet == Set(1L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(docs, "text", "doc_id", Nil, 10)
+    }
+  }
+
   test("corpusRollup: levels are consistent and match the per-doc profile") {
     val docs = Seq(
       ("s1", "the cat sat on the mat with a hat"),
