@@ -81,4 +81,28 @@ object Sampling {
       .filter(uniform01(col(idCol), salt) < col("_rate"))
       .drop("_rate")
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement, k items (Efraimidis–Spirakis
+   * A-Res): each row draws priority u^(1/w) from its content hash and the
+   * top-k priorities win — the exact distributed analogue of weighted
+   * reservoir sampling (quality-weighted corpus draws, importance-weighted
+   * eval sets). Comparing ln(u)/w (monotone in u^(1/w)) avoids the pow;
+   * one codegen'd scan into TakeOrderedAndProject, no shuffle beyond the
+   * top-k. Deterministic like every op here: same row set under any
+   * partitioning, and DuckDB-replayable (u is an exact dyadic rational;
+   * a priority tie at double resolution is ~2⁻⁶⁰-improbable, and ids break
+   * it). Rows with weight <= 0 are excluded (they'd never win anyway but
+   * ln(u)/0 is undefined).
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = log(uniform01(col(idCol), salt)) / col(weightCol).cast("double")
+    df.filter(col(weightCol) > 0)
+      .withColumn("_pri", key)
+      .orderBy(desc("_pri"), col(idCol))
+      .limit(k)
+      .drop("_pri")
+  }
 }

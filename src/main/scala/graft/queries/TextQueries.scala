@@ -157,6 +157,16 @@ object TextQueries {
         .orderBy(col("round"))
     }),
 
+    // extended: weighted sampling without replacement (A-Res) — token-count
+    // weighted top-k draw with hash priorities; membership replays exactly.
+    "q_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).as("w"))
+      graft.ops.Sampling.weightedSample(docs, "doc_id", "w", k = 50,
+        salt = "ws1")
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: deterministic stratified hash sampling — the training-mix
     // rebalancing step; per-row hash decisions replay in any engine.
     "q_stratified_sample" -> ((s, dir) => {
@@ -555,6 +565,22 @@ object TextQueries {
 
     "q_bm25" -> bm25Oracle(Seq("filter", "vector", "merge"), k = 20,
       k1 = 1.2, b = 0.75),
+
+    // A-Res replay: same dyadic-rational uniform, same ln(u)/w priority,
+    // same (priority DESC, id) top-k; membership re-sorted by id.
+    "q_weighted_sample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(${normSql("text")},'\\s+')) AS INT)
+         |      AS w
+         |  FROM documents),
+         |pri AS (
+         |  SELECT doc_id, w,
+         |    ln(CAST(${h60Sql("'ws1'||'#'||doc_id")} AS DOUBLE)
+         |       / 1.152921504606847e18) / CAST(w AS DOUBLE) AS p
+         |  FROM base WHERE w > 0),
+         |sel AS (SELECT doc_id, w FROM pri ORDER BY p DESC, doc_id LIMIT 50)
+         |SELECT doc_id, w FROM sel ORDER BY doc_id""".stripMargin,
 
     "q_corpus_rollup" -> corpusRollupOracle,
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.ops.Sampling
 import graft.ops.{Dedup, Similarity}
 
 class DedupSimilaritySpec extends SparkSpec {
@@ -282,5 +283,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.semanticDedup(assigned, 1.5).count() == 2)
     assert(Dedup.semanticDedup(assigned, 1.0).select("id").as[Long]
       .collect().toSeq == Seq(1L))
+  }
+
+  test("weightedSample: matches independent A-Res arithmetic, " +
+    "partition-independent, excludes non-positive weights") {
+    val rows = (1L to 40L).map(i => (i, (i % 7).toInt)) // weights 0..6
+    val df = rows.toDF("id", "w")
+    // independent replay: u from the md5 h60 slice, priority ln(u)/w
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = rows.filter(_._2 > 0).map { case (id, w) =>
+      val u = h60(s"s1#$id").toDouble / 1.152921504606847e18
+      (id, math.log(u) / w)
+    }.sortBy { case (id, p) => (-p, id) }.take(5).map(_._1).toSet
+    val got = Sampling.weightedSample(df, "id", "w", k = 5, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    val got7 = Sampling.weightedSample(df.repartition(7), "id", "w", 5, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(got7 == got)
+    // zero-weight rows can never be drawn even with k > candidates
+    val all = Sampling.weightedSample(df, "id", "w", k = 40, salt = "s1")
+      .select("id").as[Long].collect()
+    assert(all.length == rows.count(_._2 > 0))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, "id", "w", k = 0)
+    }
   }
 }
