@@ -418,7 +418,12 @@ object Traversal {
    */
   def lpaLayout(edges: DataFrame): (DataFrame, DataFrame) = {
     val spark = edges.sparkSession
+    // self-loops dropped here so every consumer of the layout (LPA votes,
+    // k-core degree counts) sees the same loop-free undirected view — a
+    // self-loop would let a node vote for its own label / inflate its own
+    // degree, and the SQL oracles' edge CTEs filter src <> dst identically
     val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
     val und = e.union(e.select(col("dst"), col("src")).toDF("src", "dst"))
       .distinct().localCheckpoint(false)
     // order-preserving dense ids: sorted + zipWithIndex (distributed; the
@@ -461,8 +466,11 @@ object Traversal {
     * already hash-partitioned on the join id by the previous round's
     * aggregate) — the same plan a dst_id-bucketed edge table yields on a
     * cluster, with no broadcast to outgrow. Bounds (documented, same class
-    * as the int-id encoding itself): < 2³² nodes, per-node per-label vote
-    * counts < 2³². */
+    * as the int-id encoding itself): ≤ 2³¹ nodes. That single bound also
+    * keeps the packing safe: `cnt << 32` flips the long sign bit once
+    * cnt ≥ 2³¹ (and `max` would then pick a wrong winner), but the layout's
+    * edges are deduped so cnt ≤ deg ≤ nodes − 1 < 2³¹ — the vote count can
+    * never reach the sign bit while the node bound holds. */
   def labelPropagationIterate(undInt: DataFrame, nodes: DataFrame,
                               iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
@@ -533,15 +541,22 @@ object Traversal {
     * is one scan of the edge set with an in-place `array_intersect` — no
     * wedge set is ever materialized or shuffled (the join-the-wedges
     * formulation moved Σ out-deg² rows through two shuffles and measured
-    * ~3× slower). Past broadcast size (~10⁹ edges) the same two equi-joins
-    * run bucketed instead — mechanical, same plan shape. */
-  def triangleCountsFrom(oriented: DataFrame): DataFrame = {
+    * ~3× slower). The adjacency table's total payload is O(m) (every
+    * oriented edge sits in exactly one neighbor list), so the broadcast is
+    * GUARDED, not assumed: past `broadcastEdgeCap` oriented edges the same
+    * two equi-joins run as plain shuffle joins — mechanical, same shape,
+    * no driver/executor OOM cliff. The count that decides is one cheap
+    * aggregate over the (cached) layout. */
+  def triangleCountsFrom(oriented: DataFrame,
+                         broadcastEdgeCap: Long = 50L * 1000 * 1000): DataFrame = {
     val adj = oriented.groupBy(col("lo").as("n"))
       .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
+    val hint: DataFrame => DataFrame =
+      if (oriented.count() <= broadcastEdgeCap) broadcast else identity
     val withNbrs = oriented
-      .join(broadcast(adj.select(col("n"), col("nbrs").as("na"))),
+      .join(hint(adj.select(col("n"), col("nbrs").as("na"))),
         col("lo") === col("n")).drop("n")
-      .join(broadcast(adj.select(col("n"), col("nbrs").as("nb"))),
+      .join(hint(adj.select(col("n"), col("nbrs").as("nb"))),
         col("hi") === col("n"), "left").drop("n")
     val tri = withNbrs
       .select(col("lo"), col("hi"),
@@ -606,14 +621,17 @@ object Traversal {
   }
 
   /** Map an id-space label frame back to strings via the layout's
-    * dictionary (two broadcast joins of the label frame against the
-    * dictionary scans — broadcast the SMALLER side per join: downstream
-    * callers usually aggregate in id space first, so the label frame is the
-    * one that shrinks). */
+    * dictionary. Both joins are PLAIN shuffle joins on purpose: the label
+    * frame here is node-scale (|V| rows — [[labelPropagation]] passes the
+    * full per-node assignment), so a broadcast hint on either side would
+    * OOM at the layouts' documented scale. AQE still converts either join
+    * to a broadcast at runtime when a side measures small — callers that
+    * aggregate to communities first (q_label_prop's shape) get the
+    * broadcast for free without this method assuming it. */
   def decodeLabels(labels: DataFrame, nodes: DataFrame): DataFrame =
     nodes
-      .join(broadcast(labels), "node_id")
-      .join(broadcast(nodes.select(col("node_id").as("label_id"),
-        col("node").as("label"))), "label_id")
+      .join(labels, "node_id")
+      .join(nodes.select(col("node_id").as("label_id"),
+        col("node").as("label")), "label_id")
       .select(col("node"), col("label"))
 }

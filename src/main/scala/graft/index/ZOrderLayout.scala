@@ -26,7 +26,17 @@ object ZOrderLayout {
 
   /** Morton z-value of two non-negative integral columns, `bits` bits each
     * (b's bits land above a's at each level). Pure Column math — ~3 ops per
-    * bit, all inside whole-stage codegen; no UDF. */
+    * bit, all inside whole-stage codegen; no UDF.
+    *
+    * TRUNCATION CONTRACT: only the low `bits` bits of each key are
+    * interleaved — a key ≥ 2^bits silently ALIASES onto the low-bit curve
+    * (x and x + 2^bits land on the same z). Pruning stays correct (footer
+    * min/max are computed from the real column values), but the clustering
+    * — the layout's whole purpose — silently degrades: aliased keys
+    * scatter across files. Same for negative keys (the doc'd remap-first
+    * requirement). Callers who can't prove their domain fits should pass
+    * `validate = true` to [[write]], which spends one aggregate over the
+    * two key columns to fail loudly instead. */
   def zValue(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val (al, bl) = (a.cast("long"), b.cast("long"))
@@ -36,9 +46,31 @@ object ZOrderLayout {
     }.reduceLeft(_ bitwiseOR _)
   }
 
+  /** `validate = true` adds a debug write-path check (one extra aggregate
+    * pass) that both keys lie in [0, 2^bits): out-of-domain keys would
+    * otherwise alias on the curve and silently destroy the clustering —
+    * see [[zValue]]'s truncation contract. */
   def write(df: DataFrame, path: String, colA: String, colB: String,
-            partitions: Int, bits: Int = 21): Unit = {
+            partitions: Int, bits: Int = 21,
+            validate: Boolean = false): Unit = {
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    if (validate) {
+      val lim = 1L << bits
+      val r = df.agg(
+        min(col(colA).cast("long")).as("mina"),
+        max(col(colA).cast("long")).as("maxa"),
+        min(col(colB).cast("long")).as("minb"),
+        max(col(colB).cast("long")).as("maxb")).head()
+      if (!r.anyNull) {
+        val (mina, maxa, minb, maxb) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        require(mina >= 0 && minb >= 0 && maxa < lim && maxb < lim,
+          s"z-order keys out of [0, 2^$bits): $colA in [$mina, $maxa], " +
+            s"$colB in [$minb, $maxb] — keys >= 2^bits alias onto the " +
+            "low-bit curve and negative keys interleave their sign bits; " +
+            "remap/rank-encode first or raise `bits`")
+      }
+    }
     df.withColumn("_z", zValue(col(colA), col(colB), bits))
       .repartitionByRange(partitions, col("_z"))
       .sortWithinPartitions(col("_z"))

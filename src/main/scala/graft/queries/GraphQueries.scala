@@ -336,7 +336,7 @@ object GraphQueries {
            |        ORDER BY cnt DESC, label) AS rn
            |    FROM $vName) WHERE rn = 1)""".stripMargin
       s"""WITH edges0 AS ($edgesSql),
-         |e AS (SELECT DISTINCT src, dst FROM edges0),
+         |e AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
          |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
          |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
          |${lpaRound("l0", "v1", "l1")},

@@ -1,6 +1,7 @@
 package graft
 
 import graft.byokg.Traversal
+import org.apache.spark.sql.functions.col
 
 class TraversalSpec extends SparkSpec {
   import spark.implicits._
@@ -208,5 +209,46 @@ class TraversalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Traversal.kCorePeel(g, k = 0, rounds = 1)
     }
+  }
+
+  test("lpaLayout drops self-loops: LPA and k-core see the loop-free graph") {
+    // a self-loop would let a node vote for its own label and inflate its
+    // own degree; the layout filters it so LPA/k-core match the oracles'
+    // `WHERE src <> dst` edge CTEs on ANY input, not just loop-free graphs
+    val clean = Seq(("a", "b", "e"), ("b", "c", "e"), ("c", "a", "e"))
+    val loopy = (clean ++ Seq(("b", "b", "e"), ("c", "c", "e")))
+      .toDF("src", "dst", "label")
+    val expect = Traversal.labelPropagation(clean.toDF("src", "dst", "label"),
+      iters = 2).as[(String, String)].collect().toMap
+    val got = Traversal.labelPropagation(loopy, iters = 2)
+      .as[(String, String)].collect().toMap
+    assert(got == expect)
+    val (und, nodes) = Traversal.lpaLayout(loopy)
+    assert(und.filter(col("src_id") === col("dst_id")).count() == 0)
+    // the shared-layout contract kCorePeelFrom documents: degree counts on
+    // the loop-free frame — each triangle node has degree 2, not 3/4
+    val deg = Traversal.kCorePeelFrom(und.toDF("src", "dst"),
+      k = 2, rounds = 1)
+    assert(deg.as[(Long, Long)].collect().toMap.values.toSet == Set(2L))
+  }
+
+  test("triangleCountsFrom: past the broadcast cap the plan drops the " +
+    "adjacency broadcast hints but counts are unchanged") {
+    val k4 = for {
+      Seq(u, v) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (u, v, "e")
+    val layout = Traversal.triangleLayout(k4.toDF("src", "dst", "label"))
+    val hinted = Traversal.triangleCountsFrom(layout)
+    val capped = Traversal.triangleCountsFrom(layout, broadcastEdgeCap = 0)
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    // the 3-way role union replicates the hinted join subtree per leg, so
+    // count presence, not an exact number
+    assert(hintCount(hinted) > 0, "small layout keeps the broadcast hints")
+    assert(hintCount(capped) == 0, "capped layout must not hint a broadcast")
+    assert(capped.as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 }

@@ -92,4 +92,33 @@ class ZOrderLayoutSpec extends SparkSpec {
       ZOrderLayout.zValue(col("x"), col("y"), bits = 0)
     }
   }
+
+  test("validate=true fails loudly on keys that would alias on the curve") {
+    val base = java.nio.file.Files.createTempDirectory("zov").toString
+    val inDomain = (0 until 64).map(i => (i.toLong, (63 - i).toLong))
+      .toDF("x", "y")
+    // in-domain keys pass the debug check and the write succeeds
+    ZOrderLayout.write(inDomain, s"$base/ok", "x", "y",
+      partitions = 2, bits = 7, validate = true)
+    assert(spark.read.parquet(s"$base/ok").count() == 64)
+    // a key >= 2^bits aliases (x and x + 2^bits share a z) — loud, names
+    // the offending range
+    val tooBig = inDomain.union(Seq((128L, 1L)).toDF("x", "y"))
+    val e1 = intercept[IllegalArgumentException] {
+      ZOrderLayout.write(tooBig, s"$base/big", "x", "y",
+        partitions = 2, bits = 7, validate = true)
+    }
+    assert(e1.getMessage.contains("alias"))
+    // negative keys interleave sign bits — also loud
+    val neg = inDomain.union(Seq((-1L, 1L)).toDF("x", "y"))
+    intercept[IllegalArgumentException] {
+      ZOrderLayout.write(neg, s"$base/neg", "x", "y",
+        partitions = 2, bits = 7, validate = true)
+    }
+    // without validate the aliasing write is permitted (documented trade:
+    // pruning stays correct, clustering degrades)
+    ZOrderLayout.write(tooBig, s"$base/silent", "x", "y",
+      partitions = 2, bits = 7)
+    assert(spark.read.parquet(s"$base/silent").count() == 65)
+  }
 }
