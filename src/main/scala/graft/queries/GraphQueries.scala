@@ -261,7 +261,7 @@ object GraphQueries {
         s"""$sName AS (
            |  SELECT e.dst AS node,
            |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list(p.r / d.d ORDER BY e.src)), (x, y) -> x + y) AS s
+           |        list(p.r / d.d ORDER BY p.r / d.d)), (x, y) -> x + y) AS s
            |  FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON d.src = e.src
            |  GROUP BY e.dst),
            |$rName AS (
@@ -289,7 +289,7 @@ object GraphQueries {
         s"""$sName AS (
            |  SELECT e.dst AS node,
            |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list(p.r / d.d ORDER BY e.src)), (x, y) -> x + y) AS s
+           |        list(p.r / d.d ORDER BY p.r / d.d)), (x, y) -> x + y) AS s
            |  FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON d.src = e.src
            |  GROUP BY e.dst),
            |$rName AS (
