@@ -383,4 +383,126 @@ object TextAnalysis {
     import spark.implicits._
     merges.result().toDF("round", "pair", "merged", "cnt")
   }
+
+  /**
+   * BPE ENCODING under a trained merge-rule list — the apply side of
+   * [[bpeMerges]]: how many tokens does each document cost under the
+   * learned vocabulary (the number a sequence-packing / token-budget stage
+   * actually needs). Each distinct WORD is encoded once — char-split into
+   * the padded " h e l l o " form, then every rule applied in training
+   * order via the same literal `replace` scan the trainer used (identical
+   * left-to-right semantics, so training and encoding can never disagree
+   * on a merge's effect) — and per-document counts come from an integer
+   * m·tokens(w) join-aggregate. The heavy string work runs over the
+   * distinct-word vocabulary, not the token stream; everything is codegen
+   * string/array functions; all outputs are exact integers (no float folds
+   * to align in the oracle).
+   */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge rule (train bpeMerges)")
+    val wpd = docs
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("id", "w").agg(count(lit(1)).as("m"))
+    var enc = wpd.select("w").distinct()
+      .select(col("w"),
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
+    for ((pair, merged) <- merges)
+      enc = enc.select(col("w"),
+        replace(col("s"), lit(s" $pair "), lit(s" $merged ")).as("s"))
+    val tc = enc.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("tc"))
+    wpd.join(tc, "w").groupBy("id")
+      .agg(sum(col("m")).as("n_words"),
+        sum(col("m") * col("tc")).as("n_bpe_tokens"))
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+   * group (language, source) into head / middle / tail thirds by the
+   * corpus-LM surprisal from [[unigramSurprisal]] — the standard "keep the
+   * head, inspect the middle, drop the tail" curation gate. Cutoffs are
+   * the exact per-group terciles (Spark's exact `percentile`, whose
+   * interpolation matches DuckDB quantile_cont — the [[lengthQuantiles]]
+   * parity), computed over the UNROUNDED surprisal so the bucket decision
+   * replays bit-exactly. The cutoff frame is |groups| rows — broadcast;
+   * everything else rides the surprisal aggregates.
+   */
+  def surprisalBuckets(docs: DataFrame, textCol: String, idCol: String,
+                       groupCol: String): DataFrame = {
+    val qs = Seq(1.0 / 3, 2.0 / 3)
+    val s = unigramSurprisal(docs, textCol, idCol)
+      .join(docs.select(col(idCol).as("id"), col(groupCol).as("grp")), "id")
+    val cuts = s.groupBy("grp")
+      .agg(percentile(col("surprisal"), typedlit(qs)).as("_c"))
+      .select(col("grp"), element_at(col("_c"), 1).as("_c1"),
+        element_at(col("_c"), 2).as("_c2"))
+    s.join(broadcast(cuts), "grp")
+      .select(col("id"), col("grp"), col("n_tokens"), col("surprisal"),
+        when(col("surprisal") <= col("_c1"), lit("head"))
+          .when(col("surprisal") <= col("_c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /**
+   * DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+   * Selection for Language Models via Importance Resampling"): score every
+   * document by how much more likely its features are under a TARGET
+   * distribution (the quality corpus rows matching `targetPred`) than
+   * under the RAW corpus —
+   *
+   *   w(d) = Σ_b m_db · ( ln p̂_T[b] − ln p̂_R[b] ),
+   *   p̂[b] = (count[b] + 1) / (N + B)          (add-one smoothing),
+   *
+   * with features = uni- and bigrams hashed into B buckets by the md5-based
+   * [[graft.functions.HashFunctions.h60]] (engine-portable, so the oracle
+   * recomputes the same buckets). High-w documents look like the target;
+   * resampling by exp(w) (see [[Sampling.weightedSample]]) is the DSIR
+   * selection step.
+   *
+   * Scale shape: one gram scan feeds three hash aggregates (per-doc bucket
+   * counts; target and raw bucket counts — B rows each); the B-row ratio
+   * table broadcasts into the per-doc join. The per-document sum folds
+   * (bucket, m·lr) pairs in ascending-bucket order — one float order under
+   * any partitioning, the [[unigramSurprisal]] discipline that lets the
+   * oracle hash-match.
+   */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  targetPred: org.apache.spark.sql.Column,
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = docs.sparkSession
+    graft.functions.WordGrams.register(spark)
+    import graft.functions.{HashFunctions => H}
+    val base = docs.select(col(idCol).as("id"), targetPred.as("is_t"),
+      col(textCol).as("_t"))
+    val feats = base.select(col("id"), col("is_t"),
+      explode(flatten(array(
+        graft.functions.WordGrams.grams(col("_t"), 1),
+        graft.functions.WordGrams.grams(col("_t"), 2)))).as("g"))
+      .filter(length(col("g")) > 0)
+      .select(col("id"), col("is_t"),
+        pmod(H.h60(col("g")), lit(buckets.toLong)).as("b"))
+    val db = feats.groupBy("id", "b").agg(count(lit(1)).as("m"))
+    val perB = feats.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = perB.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val ratio = spark.range(buckets).select(col("id").as("b"))
+      .join(perB, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("nt").cast("double") + lit(buckets.toDouble))) -
+          log((coalesce(col("cr"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("nr").cast("double") + lit(buckets.toDouble)))).as("lr"))
+    db.join(broadcast(ratio), "b")
+      .groupBy("id").agg(
+        sum("m").as("n_feats"),
+        aggregate(array_sort(collect_list(struct(col("b"),
+          (col("m").cast("double") * col("lr")).as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("log_weight"))
+  }
 }

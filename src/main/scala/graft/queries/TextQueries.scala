@@ -227,6 +227,44 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: BPE ENCODING under the q_bpe_merges-trained rules — the
+    // apply side of training: per-document word and BPE-token counts, the
+    // number a token-budget / packing stage actually needs. Distinct words
+    // encode once through the same padded-replace scan the trainer used;
+    // outputs are exact integers.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rules = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, "text", "doc_id", rules)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: CCNet perplexity buckets — per-language surprisal terciles
+    // (head / middle / tail) over the unrounded q_unigram_surprisal signal;
+    // exact-percentile cutoffs replay via quantile_cont.
+    "q_surprisal_buckets" -> ((s, dir) => {
+      TextAnalysis.surprisalBuckets(t(s, dir, "documents"), "text",
+        "doc_id", "lang")
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("n_tokens"), round(col("surprisal"), 6).as("surprisal"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: DSIR hashed-n-gram importance weights (target = the src0
+    // slice): per-document target-vs-raw log-likelihood ratio over md5-
+    // hashed uni+bigram buckets, ascending-bucket fold for the exact replay.
+    "q_dsir_weights" -> ((s, dir) => {
+      TextAnalysis.dsirWeights(t(s, dir, "documents"), "text", "doc_id",
+        col("source") === "src0", buckets = 256)
+        .select(col("id").as("doc_id"), col("n_feats"),
+          round(col("log_weight"), 6).as("log_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: the composed curation pipeline — quality/length gate →
     // exact dedup (canonical min-id winner + group size) → minhash-LSH
     // near-dup components → keep only cluster representatives. The whole
@@ -475,6 +513,48 @@ object TextQueries {
        |$rs
        |$sel
        |ORDER BY round""".stripMargin
+  }
+
+  /** Encode replay: [[bpeOracle]]'s training rounds re-derived with the
+    * word key carried through every rewrite CTE, so the final vocabulary
+    * row IS each word's encoding; per-doc counts are integer join-sums. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS (
+         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(a)),
+         |      i -> a[i] || ' ' || a[i+1])) AS p
+         |    FROM (SELECT wc, string_split(trim(s), ' ') AS a FROM v${r - 1}))
+         |  GROUP BY p),
+         |w$r AS (SELECT p, cnt FROM p$r ORDER BY cnt DESC, p LIMIT 1),
+         |v$r AS (
+         |  SELECT w, replace(s, ' '||p||' ', ' '||replace(p, ' ', '')||' ') AS s,
+         |    wc
+         |  FROM v${r - 1} CROSS JOIN w$r)""".stripMargin
+    val rs = (1 to rounds).map(roundCtes).mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |v0 AS (
+       |  SELECT w, ' ' || array_to_string(
+       |      list_transform(range(1, len(w)+1), i -> w[i]), ' ') || ' ' AS s,
+       |    wc
+       |  FROM words),
+       |$rs,
+       |enc AS (
+       |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS tc
+       |  FROM v$rounds),
+       |wpd AS (
+       |  SELECT doc_id, w, count(*) AS m FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY doc_id, w)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_words,
+       |  CAST(sum(m * tc) AS BIGINT) AS n_bpe_tokens
+       |FROM wpd JOIN enc USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** ROLLUP replay sharing [[profileOracle]]'s per-doc derivations: the
@@ -786,6 +866,83 @@ object TextQueries {
          |SELECT doc_id, n_tokens,
          |  round(ln(tot.n) - s / n_tokens, 6) AS surprisal
          |FROM per, tot ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_encode" -> bpeEncodeOracle(3),
+
+    // Surprisal-bucket replay: the q_unigram_surprisal CTEs kept at full
+    // precision, per-language tercile cutoffs via quantile_cont (the
+    // q_length_quantiles-proven interpolation twin of Spark's exact
+    // percentile), and the same <=-cutoff CASE both engines evaluate on
+    // bit-identical doubles.
+    "q_surprisal_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(${normSql("text")},'\\s+'),
+         |    x -> length(x) > 0)) AS tok
+         |  FROM documents),
+         |dt AS (SELECT doc_id, tok, count(*) AS m FROM toks GROUP BY 1, 2),
+         |f AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(m AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY tok)),
+         |      (x, y) -> x + y) AS s
+         |  FROM dt JOIN f USING (tok) GROUP BY doc_id),
+         |sv AS (
+         |  SELECT doc_id, n_tokens, ln(tot.n) - s / n_tokens AS sv
+         |  FROM per, tot),
+         |j AS (
+         |  SELECT d.doc_id, d.lang, sv.n_tokens, sv.sv
+         |  FROM sv JOIN documents d USING (doc_id)),
+         |cuts AS (
+         |  SELECT lang,
+         |    quantile_cont(sv, CAST(1 AS DOUBLE)/3) AS c1,
+         |    quantile_cont(sv, CAST(2 AS DOUBLE)/3) AS c2
+         |  FROM j GROUP BY lang)
+         |SELECT doc_id, lang, n_tokens, round(sv, 6) AS surprisal,
+         |  CASE WHEN sv <= c1 THEN 'head'
+         |       WHEN sv <= c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM j JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: same normSql tokens, same uni+bigram features, same
+    // md5-h60 buckets mod 256, same add-one-smoothed ln-ratio arithmetic,
+    // ascending-bucket fold.
+    "q_dsir_weights" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source = 'src0' AS is_t,
+         |    list_filter(string_split_regex(${normSql("text")},'\\s+'),
+         |      x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, is_t, unnest(toks) AS g FROM base
+         |  UNION ALL
+         |  SELECT doc_id, is_t, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS g FROM base),
+         |fb AS (SELECT doc_id, is_t, ${h60Sql("g")} % 256 AS b FROM g),
+         |db AS (SELECT doc_id, b, count(*) AS m FROM fb GROUP BY doc_id, b),
+         |perb AS (
+         |  SELECT b, count(*) AS cr,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+         |  FROM fb GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+         |  FROM perb),
+         |ratio AS (
+         |  SELECT r.b,
+         |    ln((CAST(COALESCE(p.ct, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+         |        / (CAST(t.nt AS DOUBLE) + CAST(256 AS DOUBLE)))
+         |    - ln((CAST(COALESCE(p.cr, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+         |        / (CAST(t.nr AS DOUBLE) + CAST(256 AS DOUBLE))) AS lr
+         |  FROM (SELECT unnest(range(256)) AS b) r
+         |  LEFT JOIN perb p ON r.b = p.b, tot t)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(CAST(m AS DOUBLE) * lr ORDER BY b)), (x, y) -> x + y), 6)
+         |    AS log_weight
+         |FROM db JOIN ratio USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_curation_pipeline" -> {
       val stops = inListSql(TextAnalysis.defaultStopwords)

@@ -300,6 +300,80 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode: hand-computed token counts under trained rules") {
+    // rules (a b)->ab then (a a)->aa (the bpeMerges "aa ab" fixture).
+    // "aa"  = " a a "   -> rule2 -> " aa "            → 1 token
+    // "ab"  = " a b "   -> rule1 -> " ab "            → 1 token
+    // "aba" = " a b a " -> rule1 -> " ab a "          → 2 tokens
+    // "aab" = " a a b " -> rule1 (at ' a b ') -> " a ab "  → 2 tokens
+    //         (the documented left-to-right replace semantics — encoding
+    //         scans exactly like training's rewrite)
+    val docs = Seq((1L, "aa ab"), (2L, "aba aab!"), (3L, "ab ab aa"))
+      .toDF("doc_id", "text")
+    val rules = Seq(("a b", "ab"), ("a a", "aa"))
+    val out = TextAnalysis.bpeEncode(docs, "text", "doc_id", rules)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 2L), (2L, 2L, 4L), (3L, 3L, 3L)))
+    // empty rule list is loud; docs with no letters are absent
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(docs, "text", "doc_id", Nil)
+    }
+    val none = Seq((9L, "123 456")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeEncode(none, "text", "doc_id", rules).count() == 0)
+  }
+
+  test("surprisalBuckets: terciles follow the surprisal order per group") {
+    // 6 one-group docs with strictly increasing surprisal (rarer tokens →
+    // higher): terciles must split 2/2/2 in that order
+    val docs = Seq(
+      (1L, "the the the the", "g"),
+      (2L, "the the the cat", "g"),
+      (3L, "the the cat dog", "g"),
+      (4L, "the cat dog bird", "g"),
+      (5L, "cat dog bird fish", "g"),
+      (6L, "dog bird fish wolf lion", "g"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.surprisalBuckets(docs, "text", "doc_id", "lang")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    val byS = TextAnalysis.unigramSurprisal(docs, "text", "doc_id")
+      .select("id", "surprisal").as[(Long, Double)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    assert(byS.take(2).map(out) == Seq("head", "head"))
+    assert(byS.slice(2, 4).map(out) == Seq("middle", "middle"))
+    assert(byS.drop(4).map(out) == Seq("tail", "tail"))
+    // grouping is respected: a second group buckets independently
+    val two = docs.union(Seq((7L, "zzz yyy", "h"), (8L, "zzz zzz", "h"),
+      (9L, "zzz qqq ppp", "h")).toDF("doc_id", "text", "lang"))
+    val g2 = TextAnalysis.surprisalBuckets(two, "text", "doc_id", "lang")
+      .filter(col("grp") === "h").select("bucket")
+      .as[String].collect().sorted.toSeq
+    assert(g2 == Seq("head", "middle", "tail"))
+  }
+
+  test("dsirWeights: zero when target == raw; target-like docs score higher") {
+    val docs = Seq(
+      (1L, "alpha beta alpha", "tgt"),
+      (2L, "alpha beta gamma", "tgt"),
+      (3L, "delta epsilon zeta", "raw"),
+      (4L, "delta zeta zeta eta", "raw"))
+      .toDF("doc_id", "text", "source")
+    // target predicate matches everything → p_T == p_R → every weight 0
+    val allT = TextAnalysis.dsirWeights(docs, "text", "doc_id",
+      lit(true), buckets = 64)
+      .select("log_weight").as[Double].collect()
+    assert(allT.forall(w => math.abs(w) < 1e-12))
+    // target = the tgt slice: a tgt-vocabulary doc must outscore a
+    // raw-vocabulary doc, and n_feats counts uni+bigrams (2n-1 per doc)
+    val w = TextAnalysis.dsirWeights(docs, "text", "doc_id",
+      col("source") === "tgt", buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w(1L)._1 == 5L && w(4L)._1 == 7L)
+    assert(w(1L)._2 > w(3L)._2 && w(2L)._2 > w(4L)._2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeights(docs, "text", "doc_id", lit(true), buckets = 1)
+    }
+  }
+
   test("corpusRollup: levels are consistent and match the per-doc profile") {
     val docs = Seq(
       ("s1", "the cat sat on the mat with a hat"),
