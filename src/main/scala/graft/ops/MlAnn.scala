@@ -162,6 +162,46 @@ object MlAnn {
   }
 
   /**
+   * Cell-bounded k-nearest-neighbor GRAPH over an assigned index frame
+   * (`id`, `emb`, `ivf_cell` — the [[detKmeansIvf]]/[[kmeansIvf]] output):
+   * for every row, its top-`k` cosine neighbors drawn from the row's OWN
+   * cluster. This is the standard input to graph-based corpus clustering
+   * (connected components / LPA over the similarity graph) and the
+   * SemDeDup scaling argument applied to graph construction: the quadratic
+   * term is bounded by the largest cell, never the corpus, and the join
+   * keys on the cell — one shuffle, no crossJoin. The per-source top-k is
+   * the [[graft.functions.TopKAgg]] heap (no sort of the scored pairs);
+   * ties break to the lower neighbor id, so the graph replays exactly.
+   * `mutual = true` keeps only edges whose reverse also survived — the
+   * mutual-kNN graph that sharpens cluster boundaries — via one
+   * self-semi-join on the (already ≤ k·|V|-row) edge set.
+   *
+   * Boundary contract (documented, same as [[graft.ops.Dedup.semanticDedup]]):
+   * neighbors in OTHER cells are invisible, so an edge across a cell
+   * boundary is never produced; raise nlist quality (or probe neighboring
+   * cells) before trusting the graph near boundaries.
+   */
+  def knnGraph(assigned: DataFrame, k: Int,
+               mutual: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    CosineSimilarity.register(assigned.sparkSession)
+    val a = assigned.select(col("ivf_cell").as("cell"),
+      col("id").as("src"), col("emb").as("ea"))
+    val b = assigned.select(col("ivf_cell").as("cell"),
+      col("id").as("dst"), col("emb").as("eb"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        CosineSimilarity.cosine(col("ea"), col("eb")).as("cos"))
+    val top = graft.functions.TopKAgg.topKPerKeyRanked(scored, Seq("src"),
+      Seq(negate(col("cos")), col("dst")), k, "rk")
+    if (!mutual) top
+    else top.join(
+      top.select(col("src").as("dst"), col("dst").as("src")),
+      Seq("src", "dst"), "left_semi")
+  }
+
+  /**
    * Product-quantization codebooks: the embedding is split into `m`
    * contiguous subspaces and each gets its own deterministic-KMeans codebook
    * of `codes` centroids (same replayable trainer as [[detKmeansIvf]] —

@@ -134,6 +134,19 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // extended: cell-bounded kNN GRAPH over the SAME deterministic KMeans
+    // index — per-row top-3 in-cell cosine neighbors, the input to
+    // similarity-graph clustering. TopKAgg heap per source, ties to the
+    // lower neighbor id; the oracle replays training + in-cell ranking.
+    "q_knn_graph" -> ((s, dir) => {
+      val (assigned, _) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      graft.ops.MlAnn.knnGraph(assigned, k = 3)
+        .select(col("src").as("src_id"), col("dst").as("dst_id"),
+          round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy(col("src_id"), col("rk"))
+    }),
+
     // extended: per-cluster balance profile over the SAME deterministic
     // KMeans index (sizes, min id, mean vector norm) — the post-clustering
     // diagnostic a curation run reads before trusting the index. The
@@ -374,6 +387,17 @@ object VectorQueries {
          |FROM af p LEFT JOIN dropped d ON p.id = d.id
          |WHERE d.id IS NULL
          |ORDER BY p.id""".stripMargin,
+    "q_knn_graph" ->
+      s"""WITH ${detAssignCtes(nlist = 8, iters = 2)}
+         |SELECT src_id, dst_id, round(cos, 6) AS cos, CAST(rk AS INT) AS rk
+         |FROM (
+         |  SELECT a.id AS src_id, b.id AS dst_id,
+         |    ${cosSql("a.emb", "b.emb")} AS cos,
+         |    row_number() OVER (PARTITION BY a.id
+         |      ORDER BY ${cosSql("a.emb", "b.emb")} DESC, b.id) AS rk
+         |  FROM af a JOIN af b ON a.cell = b.cell AND a.id <> b.id)
+         |WHERE rk <= 3 ORDER BY src_id, rk""".stripMargin,
+
     "q_vector_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS score

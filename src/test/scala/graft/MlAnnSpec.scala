@@ -184,6 +184,30 @@ class MlAnnSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("knnGraph: edges stay in-cell, ranks follow cosine, mutual filter " +
+    "keeps only symmetric edges") {
+    val (assigned, _) =
+      MlAnn.detKmeansIvf(index, "embedding", "vec_id", nlist = 3, iters = 2)
+    val g = MlAnn.knnGraph(assigned, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // every node has exactly k = 3 neighbors (cells hold 10 planted rows)
+    assert(g.groupBy(_._1).forall(_._2.size == 3))
+    // neighbors never leave the source's planted cluster (≡ its cell)
+    assert(g.forall { case (s, d, _, _) => s % 3 == d % 3 })
+    // ranks are ordered by descending cosine within each source
+    g.groupBy(_._1).values.foreach { es =>
+      val byRank = es.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // mutual mode returns a subset closed under edge reversal
+    val m = MlAnn.knnGraph(assigned, k = 1, mutual = true)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(m.nonEmpty && m.forall { case (s, d) => m.contains((d, s)) })
+    assert(m.subsetOf(MlAnn.knnGraph(assigned, k = 1)
+      .select("src", "dst").as[(Long, Long)].collect().toSet))
+    intercept[IllegalArgumentException] { MlAnn.knnGraph(assigned, k = 0) }
+  }
+
   test("PQ rejects a dim that does not divide into m subspaces") {
     val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

@@ -57,7 +57,12 @@ class PlanShapeSpec extends SparkSpec {
     // all key-joined or join-free (q_bpe_merges excluded: its per-round
     // winner collect makes it a driver-loop query)
     "q_pq_topk", "q_audio_decode", "q_vocab_stats", "q_corpus_rollup",
-    "q_triangle_counts", "q_kcore", "q_label_prop", "q_ppr")
+    "q_triangle_counts", "q_kcore", "q_label_prop", "q_ppr",
+    // round 6: surprisal terciles + DSIR weights — aggregate/broadcast-join
+    // plans (q_bpe_encode excluded like q_bpe_merges: training collects a
+    // winner per round, a driver loop by design) — and the cell-keyed kNN
+    // graph, which must never plan the corpus cross product
+    "q_surprisal_buckets", "q_dsir_weights", "q_knn_graph")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -66,7 +71,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_prune_threshold", "q_tfidf_rerank", "q_vector_topk",
     "q_vector_diverse_topk", "q_ivf_topk_full_probe", "q_statement_diversity",
     // single-row corpus-total frame joined onto every per-doc row
-    "q_unigram_surprisal")
+    "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights")
 
   test("no CartesianProduct anywhere in the declarative inventory") {
     val offenders = declarative.flatMap { name =>
