@@ -216,12 +216,21 @@ object TextAnalysis {
    * hash aggregate; the explode after it touches |groups|·|qs| rows only.
    */
   def lengthQuantiles(df: DataFrame, valueCol: String, groupCol: String,
-                      qs: Seq[Double]): DataFrame = {
+                      qs: Seq[Double], approx: Boolean = false,
+                      accuracy: Int = 10000): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1], got $qs")
     val qArr = typedlit(qs)
+    // approx = the scale twin (same trade as [[vocabStats]]'s HLL mode):
+    // percentile_approx's fixed-size sketch state merges map-side, so the
+    // shuffle carries one sketch per (partition, group) instead of every
+    // value — the right plan when a group's values no longer fit one
+    // executor's sort buffer. Exact mode stays the oracle-gated default.
+    val agg =
+      if (approx) percentile_approx(col(valueCol), qArr, lit(accuracy))
+      else percentile(col(valueCol), qArr)
     df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), qArr).as("_qv"))
+      .agg(agg.cast("array<double>").as("_qv"))
       .select(col(groupCol), posexplode(col("_qv")).as(Seq("_i", "_v")))
       .select(col(groupCol), element_at(qArr, col("_i") + 1).as("q"),
         round(col("_v"), 6).as("qval"))

@@ -228,6 +228,22 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("lengthQuantiles approx mode tracks the exact profile") {
+    // the sketch twin must agree with the exact quantiles within the
+    // rank-error bound; at accuracy=10000 over 1000 distinct values the
+    // permitted rank slack is well under one value step
+    val big = (1L to 1000L).map(i => ("g", i)).toDF("src", "len")
+    val qs = Seq(0.1, 0.5, 0.9)
+    def vals(approx: Boolean) =
+      TextAnalysis.lengthQuantiles(big, "len", "src", qs, approx = approx)
+        .select("q", "qval").as[(Double, Double)].collect().toMap
+    val (exact, sketch) = (vals(false), vals(true))
+    qs.foreach { q =>
+      assert(math.abs(exact(q) - sketch(q)) <= 2.0,
+        s"q=$q exact=${exact(q)} approx=${sketch(q)}")
+    }
+  }
+
   test("bpeMerges: hand-computed greedy rounds, deterministic ties, loud " +
     "exhaustion") {
     // vocab: "aa"x1, "ab"x2 → round 1 pairs: (a a)=1, (a b)=2 → merge "a b";
