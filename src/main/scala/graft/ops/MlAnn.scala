@@ -250,13 +250,21 @@ object MlAnn {
    * bit-exactly in an ordered-fold SQL oracle.
    */
   def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
-             query: Seq[Double], k: Int): DataFrame = {
+             query: Seq[Double], k: Int): DataFrame =
+    encoded.select(col("id"), adcDistance(codebooks, query).as("adist"))
+      .orderBy(col("adist"), col("id")).limit(k)
+
+  /** The ADC scoring Column over a `codes` array: per subspace, a lookup
+    * into the driver-built query↔centroid distance table, summed in
+    * subspace order (sequential left folds, same order as the oracle). */
+  private def adcDistance(codebooks: Array[Array[Array[Double]]],
+                          query: Seq[Double]): Column = {
     val subDim = codebooks.head.head.length
     val table: Array[Array[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
       cb.map { cent =>
         var acc = 0.0
         var i = 0
-        while (i < subDim) { // sequential left fold, same order as the oracle
+        while (i < subDim) {
           val d = query(s * subDim + i) - cent(i)
           acc += d * d
           i += 1
@@ -264,10 +272,39 @@ object MlAnn {
         acc
       }
     }
-    val adist = table.zipWithIndex.map { case (t, s) =>
+    table.zipWithIndex.map { case (t, s) =>
       element_at(typedlit(t.toSeq), col("codes").getItem(s) + 1)
     }.reduceLeft(_ + _)
-    encoded.select(col("id"), adist.as("adist"))
+  }
+
+  /**
+   * IVF-PQ top-k — the composed coarse-route + compressed-score layout
+   * (the FAISS IndexIVFPQ shape; the standard 100 TB ANN design): the
+   * driver picks `nprobe` cells from the coarse centroids it already
+   * holds, the probed cells' row ids semi-join the PQ codes table, and
+   * only those codes are ADC-scored. Both inputs are the SHARED ingest-
+   * time layouts ([[detKmeansIvf]]/[[kmeansIvf]] assignment + [[pqEncode]]
+   * codes), so the query touches the codes of the probed cells and
+   * NOTHING else — never the raw embeddings, never the unprobed cells.
+   * At warehouse scale the two frames are one table (codes stored beside
+   * the cell id, partitioned by cell) and the semi-join disappears into
+   * partition pruning; here they stay separate so the IVF and PQ indexes
+   * keep their single source of truth.
+   */
+  def ivfPqTopK(assigned: DataFrame, centers: Array[Array[Double]],
+                encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+                query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"need k>=1, nprobe>=1; got $k/$nprobe")
+    val q = Vectors.dense(query.toArray)
+    val probeCells = centers.zipWithIndex
+      .map { case (c, i) => (i, Vectors.sqdist(Vectors.dense(c), q)) }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nprobe).map(_._1)
+    val probedIds = assigned
+      .filter(col("ivf_cell").isin(probeCells.toIndexedSeq: _*))
+      .select("id")
+    encoded.join(probedIds, Seq("id"), "left_semi")
+      .select(col("id"), adcDistance(codebooks, query).as("adist"))
       .orderBy(col("adist"), col("id")).limit(k)
   }
 

@@ -147,6 +147,20 @@ object VectorQueries {
         .orderBy(col("src_id"), col("rk"))
     }),
 
+    // extended: IVF-PQ top-k — the COMPOSED coarse-route + compressed-score
+    // layout (FAISS IndexIVFPQ shape): driver picks 4 of 8 cells from the
+    // warmed coarse index, the probed ids semi-join the warmed PQ codes
+    // table, and only those codes are ADC-scored. The oracle replays coarse
+    // training + probe + both subspace trainings + the gated ADC sum.
+    "q_ivf_pq_topk" -> ((s, dir) => {
+      val (assigned, centers) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      val (encoded, cbs) = Tables.pqIndex(s, dir, m = 2, codes = 4, iters = 1)
+      graft.ops.MlAnn.ivfPqTopK(assigned, centers, encoded, cbs,
+        queryVec(s, dir), k = 10, nprobe = 4)
+        .select(col("id").as("vec_id"), round(col("adist"), 6).as("adist"))
+    }),
+
     // extended: per-cluster balance profile over the SAME deterministic
     // KMeans index (sizes, min id, mean vector norm) — the post-clustering
     // diagnostic a curation run reads before trusting the index. The
@@ -301,7 +315,9 @@ object VectorQueries {
    * query−centroid order doesn't matter; the fold order does, and both sides
    * fold left-to-right over the subspace indices.
    */
-  private def pqOracle(codes: Int, iters: Int, k: Int): String = {
+  /** One PQ subspace's training + per-id ADC part as CTEs (pts$s ... d$s) —
+    * shared by [[pqOracle]] and [[ivfPqOracle]]. */
+  private def pqSubspaceCtes(s0: Int, codes: Int, iters: Int): String = {
     val subDim = Dim / 2
     val r = s"range(1,${subDim + 1})"
     val zero = s"list_transform($r, i -> 0.0)"
@@ -349,17 +365,42 @@ object VectorQueries {
          |  SELECT a.id, ${sq("c.c", "q.qe")} AS d
          |  FROM af$s a JOIN cs${s}_$iters c USING (cell) CROSS JOIN q$s q)""".stripMargin
     }
-    s"""WITH ${subspace(0)},
-       |${subspace(1)}
+    subspace(s0)
+  }
+
+  private def pqOracle(codes: Int, iters: Int, k: Int): String =
+    s"""WITH ${pqSubspaceCtes(0, codes, iters)},
+       |${pqSubspaceCtes(1, codes, iters)}
        |SELECT d0.id AS vec_id, round(d0.d + d1.d, 6) AS adist
        |FROM d0 JOIN d1 USING (id)
        |ORDER BY d0.d + d1.d, d0.id LIMIT $k""".stripMargin
-  }
+
+  /** IVF-PQ replay: the coarse training + probe-cell CTEs of
+    * [[detKmeansOracle]] composed with both PQ subspace replays — the ADC
+    * sum is scored only where af.cell survives the probe. */
+  private def ivfPqOracle(nlist: Int, ivfIters: Int, codes: Int,
+                          pqIters: Int, nprobe: Int, k: Int): String =
+    s"""WITH ${detAssignCtes(nlist, ivfIters)},
+       |qf AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |  FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cell FROM c$ivfIters c CROSS JOIN qf
+       |  ORDER BY ${sqSql("c.c", "qf.qe")}, cell LIMIT $nprobe),
+       |${pqSubspaceCtes(0, codes, pqIters)},
+       |${pqSubspaceCtes(1, codes, pqIters)}
+       |SELECT d0.id AS vec_id, round(d0.d + d1.d, 6) AS adist
+       |FROM d0 JOIN d1 USING (id) JOIN af USING (id)
+       |WHERE af.cell IN (SELECT cell FROM probe)
+       |ORDER BY d0.d + d1.d, d0.id LIMIT $k""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_ivf_kmeans" -> detKmeansOracle(nlist = 8, iters = 2, nprobe = 2, k = 10),
 
     "q_pq_topk" -> pqOracle(codes = 4, iters = 1, k = 10),
+
+    "q_ivf_pq_topk" -> ivfPqOracle(nlist = 8, ivfIters = 2, codes = 4,
+      pqIters = 1, nprobe = 4, k = 10),
 
     "q_mmr_topk" -> mmrOracle(k = 5, prefetch = 50, lambda = 0.5),
 

@@ -208,6 +208,30 @@ class MlAnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] { MlAnn.knnGraph(assigned, k = 0) }
   }
 
+  test("ivfPqTopK: full probe equals plain PQ; nprobe=1 stays in the " +
+    "query's cell") {
+    val (assigned, centers) =
+      MlAnn.detKmeansIvf(index, "embedding", "vec_id", nlist = 3, iters = 2)
+    val (encoded, cbs) =
+      MlAnn.pqTrain(index, "embedding", "vec_id", dim = 4, m = 2, codes = 3,
+        iters = 2) match {
+        case cb => (MlAnn.pqEncode(index, "embedding", "vec_id", cb), cb)
+      }
+    val full = MlAnn.ivfPqTopK(assigned, centers, encoded, cbs, query,
+      k = 5, nprobe = 3).select("id").as[Long].collect().toSeq
+    val plain = MlAnn.pqTopK(encoded, cbs, query, k = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(full == plain, "nprobe = nlist must degenerate to plain PQ")
+    // nprobe=1: every result comes from the cell nearest the query, which
+    // on the planted clusters is the id%3==0 cluster
+    val one = MlAnn.ivfPqTopK(assigned, centers, encoded, cbs, query,
+      k = 5, nprobe = 1).select("id").as[Long].collect().toSeq
+    assert(one.nonEmpty && one.forall(_ % 3 == 0))
+    intercept[IllegalArgumentException] {
+      MlAnn.ivfPqTopK(assigned, centers, encoded, cbs, query, 0, 1)
+    }
+  }
+
   test("PQ rejects a dim that does not divide into m subspaces") {
     val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

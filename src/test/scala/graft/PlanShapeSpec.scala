@@ -62,7 +62,7 @@ class PlanShapeSpec extends SparkSpec {
     // plans (q_bpe_encode excluded like q_bpe_merges: training collects a
     // winner per round, a driver loop by design) — and the cell-keyed kNN
     // graph, which must never plan the corpus cross product
-    "q_surprisal_buckets", "q_dsir_weights", "q_knn_graph")
+    "q_surprisal_buckets", "q_dsir_weights", "q_knn_graph", "q_ivf_pq_topk")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
