@@ -500,6 +500,54 @@ object Traversal {
   }
 
   /**
+   * HITS hubs & authorities (Kleinberg 1999), `iters` synchronous rounds
+   * over the SAME prepared [[pageRankAdjacency]] layout — the link-analysis
+   * complement to PageRank (authorities: pointed at by good hubs; hubs:
+   * point at good authorities; here: parts many customers buy vs customers
+   * who buy central parts). Each half-round is one equi-join of the edge
+   * layout against the |V|-row score frame plus one hash aggregate.
+   *
+   * Normalization is by the round's MAX (not the L2/sum norm): max is
+   * order-independent over doubles, so the only float folds needing a
+   * contract are the per-node sums — deterministic mode folds each node's
+   * contributions in ascending VALUE order (equal doubles commute, the
+   * [[pageRankIterate]] discipline), the default is a plain map-side-
+   * combinable `sum`. The max itself is a scalar aggregate broadcast back,
+   * never a shuffle. Returns (node, auth, hub) for every node.
+   */
+  def hitsIterate(nodes: DataFrame, eDeg: DataFrame, iters: Int,
+                  deterministic: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = eDeg.select(col("src"), col("dst"))
+    def foldSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (deterministic)
+        aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+      else sum(c)
+    def half(scores: DataFrame, scoreCol: String, joinOn: String,
+             groupOn: String, outCol: String): DataFrame = {
+      val raw = e.join(scores, e(joinOn) === scores("node"))
+        .groupBy(e(groupOn).as("node")).agg(foldSum(col(scoreCol)).as("v"))
+      val m = raw.agg(max("v").as("m"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("node"),
+          (coalesce(col("v"), lit(0.0)) / col("m")).as(outCol))
+    }
+    var hubs = nodes.withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      auths = half(hubs, "h", "src", "dst", "a")
+      hubs = half(auths, "a", "dst", "src", "h")
+      if (i % 4 == 0 && i < iters) {
+        auths = auths.localCheckpoint(false)
+        hubs = hubs.localCheckpoint(false)
+      }
+    }
+    auths.withColumnRenamed("a", "auth")
+      .join(hubs.withColumnRenamed("h", "hub"), "node")
+  }
+
+  /**
    * Per-node triangle counts over the undirected view of the edge set.
    * Edges are oriented along the total order (degree, node) — every
    * triangle becomes exactly one path a→b→c with a < b < c in that order,

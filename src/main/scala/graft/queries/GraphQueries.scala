@@ -146,6 +146,20 @@ object GraphQueries {
         .limit(100)
     }),
 
+    // ext. HITS hubs & authorities (3 rounds, max-normalized) over the
+    // SAME warmed adjacency layout as q_pagerank — the link-analysis
+    // complement (authorities = parts many customers reach, hubs = nodes
+    // pointing at them). Deterministic value-ordered folds for the
+    // bit-exact replay; max normalization is order-free by construction.
+    "q_hits" -> ((s, dir) => {
+      val (nodes, eDeg) = Tables.pageRankAdjacency(s, dir)
+      Traversal.hitsIterate(nodes, eDeg, iters = 3, deterministic = true)
+        .select(col("node"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy(desc("auth"), col("node"))
+        .limit(100)
+    }),
+
     // ext. k-core peeling (3 fixed rounds, k=2) over the derived graph —
     // degeneracy pruning before the heavier graph passes. Shares the LPA
     // layout's int-encoded undirected edges; survivors decode to strings
@@ -379,6 +393,38 @@ object GraphQueries {
         |SELECT 'p:'||node AS node, count(*) AS triangles FROM roles
         |GROUP BY node
         |ORDER BY triangles DESC, 'p:'||node LIMIT 100""".stripMargin,
+
+    // HITS replay: 3 unrolled rounds — per-node value-ordered fold sums
+    // (equal doubles commute, same as the engine's array_sort fold), max
+    // normalization (order-free), COALESCE(0) for sink/source nodes.
+    "q_hits" -> {
+      def half(scores: String, scoreCol: String, joinOn: String,
+               groupOn: String, rName: String, outName: String,
+               outCol: String): String =
+        s"""${rName} AS (
+           |  SELECT e.$groupOn AS node,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(p.$scoreCol ORDER BY p.$scoreCol)), (x, y) -> x + y) AS v
+           |  FROM e JOIN $scores p ON e.$joinOn = p.node
+           |  GROUP BY e.$groupOn),
+           |${rName}_m AS (SELECT max(v) AS m FROM $rName),
+           |$outName AS (
+           |  SELECT n.node, COALESCE(r.v, CAST(0.0 AS DOUBLE)) / m.m AS $outCol
+           |  FROM n LEFT JOIN $rName r USING (node), ${rName}_m m)""".stripMargin
+      def iter(i: Int): String =
+        half(s"h${i - 1}", "h", "src", "dst", s"ar$i", s"a$i", "a") + ",\n" +
+          half(s"a$i", "a", "dst", "src", s"hr$i", s"h$i", "h")
+      s"""WITH edges0 AS ($edgesSql),
+         |e AS (SELECT DISTINCT src, dst FROM edges0),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM n),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, round(a, 6) AS auth, round(h, 6) AS hub
+         |FROM a3 JOIN h3 USING (node)
+         |ORDER BY round(a, 6) DESC, node LIMIT 100""".stripMargin
+    },
 
     // k-core replay: 3 unrolled peels — degree count, >= k filter, edge
     // semi-filtering on both endpoints.

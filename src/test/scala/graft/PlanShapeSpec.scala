@@ -62,7 +62,8 @@ class PlanShapeSpec extends SparkSpec {
     // plans (q_bpe_encode excluded like q_bpe_merges: training collects a
     // winner per round, a driver loop by design) — and the cell-keyed kNN
     // graph, which must never plan the corpus cross product
-    "q_surprisal_buckets", "q_dsir_weights", "q_knn_graph", "q_ivf_pq_topk")
+    "q_surprisal_buckets", "q_dsir_weights", "q_knn_graph", "q_ivf_pq_topk",
+    "q_hits")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -71,7 +72,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_prune_threshold", "q_tfidf_rerank", "q_vector_topk",
     "q_vector_diverse_topk", "q_ivf_topk_full_probe", "q_statement_diversity",
     // single-row corpus-total frame joined onto every per-doc row
-    "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights")
+    "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights",
+    // single-row per-round max normalizer broadcast onto the score frame
+    "q_hits")
 
   test("no CartesianProduct anywhere in the declarative inventory") {
     val offenders = declarative.flatMap { name =>

@@ -137,6 +137,35 @@ class TraversalSpec extends SparkSpec {
     r2.foreach { case (n, v) => assert(math.abs(det(n) - v) < 1e-9) }
   }
 
+  test("hitsIterate: hand-computed hubs/authorities, max-normalized; " +
+    "deterministic mode matches the plain-sum path") {
+    // a→b, a→c, d→c. Round 1: auth_raw b=1, c=2 → a(b)=.5, a(c)=1;
+    // hub_raw a=1.5, d=1 → h(a)=1, h(d)=2/3. Round 2: auth_raw b=1,
+    // c=1+2/3 → a(b)=0.6, a(c)=1; hub_raw a=1.6, d=1 → h(a)=1, h(d)=0.625.
+    val g = Seq(("a", "b", "e"), ("a", "c", "e"), ("d", "c", "e"))
+      .toDF("src", "dst", "label")
+    val (nodes, eDeg) = Traversal.pageRankAdjacency(g)
+    val out = Traversal.hitsIterate(nodes, eDeg, iters = 2)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(math.abs(out("b")._1 - 0.6) < 1e-12)
+    assert(math.abs(out("c")._1 - 1.0) < 1e-12)
+    assert(math.abs(out("a")._1 - 0.0) < 1e-12)
+    assert(math.abs(out("a")._2 - 1.0) < 1e-12)
+    assert(math.abs(out("d")._2 - 0.625) < 1e-12)
+    assert(math.abs(out("c")._2 - 0.0) < 1e-12)
+    val det = Traversal.hitsIterate(nodes, eDeg, iters = 2,
+      deterministic = true)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (n, (a, h)) =>
+      assert(math.abs(det(n)._1 - a) < 1e-9 && math.abs(det(n)._2 - h) < 1e-9)
+    }
+    intercept[IllegalArgumentException] {
+      Traversal.hitsIterate(nodes, eDeg, iters = 0)
+    }
+  }
+
   test("labelPropagation: two triangles converge to their min-id labels") {
     val tri = Seq(
       ("a", "b", "e"), ("b", "c", "e"), ("c", "a", "e"),
