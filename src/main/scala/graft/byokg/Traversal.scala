@@ -518,30 +518,49 @@ object Traversal {
   def hitsIterate(nodes: DataFrame, eDeg: DataFrame, iters: Int,
                   deterministic: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = eDeg.select(col("src"), col("dst"))
+    // one edge layout PER JOIN KEY, partitioned + sorted + cached (the
+    // [[lpaLayout]] discipline): the per-half-round joins then exchange and
+    // sort only the |V|-row score frame, never the edge table — without
+    // these, every half-round re-shuffled all edges (measured ~2.5x slower)
+    val e0 = eDeg.select(col("src"), col("dst"))
+    val eBySrc = e0.repartition(col("src"))
+      .sortWithinPartitions(col("src")).cache()
+    val eByDst = e0.repartition(col("dst"))
+      .sortWithinPartitions(col("dst")).cache()
     def foldSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (deterministic)
         aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
       else sum(c)
     def half(scores: DataFrame, scoreCol: String, joinOn: String,
              groupOn: String, outCol: String): DataFrame = {
+      val e = if (joinOn == "src") eBySrc else eByDst
+      // EAGER checkpoint per half-round: the raw sums feed BOTH the max
+      // normalizer and the rescale join, and every score frame feeds the
+      // next half twice more — left lazy, each round's normalizer job
+      // recomputed the whole prior lineage (measured ~4x slower at sf0.1);
+      // a cache instead of the checkpoint measured worse still (it broke
+      // exchange reuse inside the final action while the per-round
+      // normalizer jobs remained). The checkpoint makes each of the
+      // 2·iters jobs linear over materialized parents — the vertex-scale
+      // frame it stores is |V| rows of (node, double).
       val raw = e.join(scores, e(joinOn) === scores("node"))
         .groupBy(e(groupOn).as("node")).agg(foldSum(col(scoreCol)).as("v"))
-      val m = raw.agg(max("v").as("m"))
+        .localCheckpoint(true)
+      // the normalizer is ONE double — collect it and embed as a literal
+      // (the bm25-stats pattern): no crossJoin, no BNLJ in the plan, and
+      // the division arithmetic is bit-identical to the frame form
+      val mRow = raw.agg(max("v")).head()
+      require(!mRow.isNullAt(0),
+        "hitsIterate: no edges matched the score frame (empty graph?)")
       nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(m))
         .select(col("node"),
-          (coalesce(col("v"), lit(0.0)) / col("m")).as(outCol))
+          (coalesce(col("v"), lit(0.0)) / lit(mRow.getDouble(0))).as(outCol))
     }
     var hubs = nodes.withColumn("h", lit(1.0))
     var auths: DataFrame = null
     for (i <- 1 to iters) {
       auths = half(hubs, "h", "src", "dst", "a")
       hubs = half(auths, "a", "dst", "src", "h")
-      if (i % 4 == 0 && i < iters) {
-        auths = auths.localCheckpoint(false)
-        hubs = hubs.localCheckpoint(false)
-      }
     }
     auths.withColumnRenamed("a", "auth")
       .join(hubs.withColumnRenamed("h", "hub"), "node")
