@@ -39,4 +39,56 @@ object VersionManager {
       .filter(col("version_rank") === 1)
       .drop("version_rank")
   }
+
+  /**
+   * Diff two point-in-time snapshots of a versioned table in ONE hash
+   * aggregate — no self-join, no window. Per vid the active version at a
+   * time T is the one with the largest `valid_from <= T`; both snapshots
+   * resolve in the same pass via two conditional `max_by` slots (null
+   * ordering keys — rows newer than T — are skipped by `max_by`, matching
+   * DuckDB `arg_max`). Classification then reads the two slots:
+   *
+   *   - `added`:   absent (or tombstoned) at t1, live at t2
+   *   - `removed`: live at t1, tombstoned at t2
+   *   - `changed`: live at both with different payloads
+   *
+   * Unchanged and never-present vids are dropped. Rows whose latest
+   * version at t2 is a tombstone AND which were absent at t1 never
+   * surface (created+deleted inside the window).
+   *
+   * At scale this is the shape you want for a 100 TB changelog: the only
+   * shuffle is the aggregate on the high-cardinality vid key with map-side
+   * partials; payload equality is checked post-aggregate on two scalar
+   * slots. `valid_from` must be unique per vid (the SCD-2 invariant
+   * [[mergeVersions]] establishes with its tieBreak).
+   *
+   * Reference contract: version_manager.py's interval scans answer
+   * "state as of T"; this derives "what changed between T1 and T2",
+   * the incremental-rebuild question the reference answers by re-reading
+   * both snapshots.
+   */
+  def snapshotDiff(versions: DataFrame, vidCols: Seq[String],
+                   validFromCol: String, payloadCol: String,
+                   t1: Long, t2: Long,
+                   tombstoneCol: Option[String] = None): DataFrame = {
+    val vf = col(validFromCol)
+    val del = tombstoneCol.map(col).getOrElse(lit(false))
+    // slot = latest (payload, tombstone) at-or-before T; null if none.
+    def slot(t: Long) = max_by(
+      struct(col(payloadCol).as("payload"), del.as("del")),
+      when(vf <= lit(t), vf))
+    val agg = versions.groupBy(vidCols.map(col): _*)
+      .agg(slot(t1).as("s1"), slot(t2).as("s2"))
+    val live1 = col("s1").isNotNull && !col("s1.del")
+    val live2 = col("s2").isNotNull && !col("s2.del")
+    agg.withColumn("change",
+        when(!live1 && live2, lit("added"))
+          .when(live1 && !live2, lit("removed"))
+          .when(live1 && live2 &&
+            col("s1.payload") =!= col("s2.payload"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(vidCols.map(col) ++ Seq(col("change"),
+        when(live1, col("s1.payload")).as("old_payload"),
+        when(live2, col("s2.payload")).as("new_payload")): _*)
+  }
 }

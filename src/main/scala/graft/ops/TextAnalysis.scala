@@ -285,6 +285,46 @@ object TextAnalysis {
   }
 
   /**
+   * Exact corpus heavy hitters (n-grams with frequency ≥ n·φ) via the
+   * sketch-then-verify pattern: pass 1 is ONE scalar aggregate combining
+   * the total token count with a [[graft.functions.MisraGriesAgg]] sketch
+   * (O(capacity) state, map-side partials — no full-vocabulary groupBy);
+   * pass 2 recounts ONLY the ≤`capacity` surviving candidates exactly and
+   * applies the threshold. Because the sketch provably retains every
+   * token with true count > n/(capacity+1) under any partitioning/merge
+   * order, the final output is the EXACT heavy-hitter set whenever
+   * `capacity·φ > 1` (enforced) — deterministic and oracle-gateable even
+   * though the intermediate sketch counts are not.
+   *
+   * φ is passed as the rational `phiNum/phiDen` so the threshold
+   * `ceil(n·φ)` is computed in exact integer arithmetic on both engines.
+   */
+  def heavyHitters(docs: DataFrame, textCol: String, n: Int,
+                   phiNum: Long, phiDen: Long, capacity: Int): DataFrame = {
+    require(phiNum > 0 && phiDen > 0, "phi must be positive")
+    require(capacity.toLong * phiNum > phiDen,
+      s"capacity=$capacity too small for phi=$phiNum/$phiDen: the " +
+        "Misra-Gries superset guarantee needs capacity > 1/phi")
+    val s = docs.sparkSession
+    graft.functions.WordGrams.register(s)
+    import org.apache.spark.sql.GraftSqlBridge
+    val base = docs.select(
+      graft.functions.WordGrams.grams(col(textCol), n).as("toks"))
+    val row = base.agg(
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("ntok"),
+      GraftSqlBridge.misraGries(col("toks"), capacity).as("sketch")).head()
+    val ntok = row.getLong(0)
+    val thr = if (ntok == 0) 1L else (ntok * phiNum + phiDen - 1) / phiDen
+    val cands = row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    base.select(explode(col("toks")).as("token"))
+      .filter(col("token").isin(cands: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .orderBy(desc("cnt"), col("token"))
+  }
+
+  /**
    * Multi-axis corpus report in ONE aggregation pass: ROLLUP over
    * (source, predicted language) — per-(source, lang) detail rows, per-
    * source subtotals, and the grand total evaluate in a single shuffle

@@ -78,6 +78,30 @@ object MaintenanceQueries {
         .orderBy(col("vid"), col("valid_from"))
     }),
 
+    // extended: snapshot DIFF between two as-of times over the SCD-2 frame —
+    // ONE conditional-max_by aggregate, no self-join (VersionManager
+    // .snapshotDiff). documents re-keyed into ≥2 versions per vid; version 1
+    // tombstones every 7th vid so all three change classes appear.
+    "q_version_diff" -> ((s, dir) => {
+      val versions = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 250).as("vid"),
+          (expr("doc_id DIV 250") * 300000L + (col("doc_id") % 250) * 1000L)
+            .as("valid_from"),
+          (expr("doc_id DIV 250") === 1 &&
+            (col("doc_id") % 250) % 7 === 0).as("is_del"))
+      VersionManager.snapshotDiff(versions, Seq("vid"), "valid_from",
+          "doc_id", t1 = 125000L, t2 = 450000L, tombstoneCol = Some("is_del"))
+        .orderBy(col("vid"))
+    }),
+
+    // extended: one-pass per-column dataset profile (ops.Profiling) — the
+    // dataset-card numbers. Exact distincts here for the oracle gate; the
+    // 100 TB path flips exact=false (HLL, single pass; ProfilingSpec).
+    "q_column_profile" -> ((s, dir) =>
+      graft.ops.Profiling.columnProfile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     // §2.8 latest-version scan (version_manager latest ORDER BY valid_from DESC).
     "q_version_latest" -> ((s, dir) => {
       val versions = t(s, dir, "orders")
@@ -291,6 +315,58 @@ object MaintenanceQueries {
         |    ORDER BY doc_id * 1000, doc_id), 32503680000000) AS valid_to
         |FROM documents
         |ORDER BY vid, valid_from""".stripMargin,
+
+    // arg_max skips NULL ordering keys exactly like Spark max_by, so the
+    // two CASE-gated slots resolve each snapshot's active version.
+    "q_version_diff" ->
+      """WITH v AS (
+        |  SELECT doc_id % 250 AS vid,
+        |    (doc_id // 250) * 300000 + (doc_id % 250) * 1000 AS vf,
+        |    doc_id AS payload,
+        |    ((doc_id // 250) = 1 AND (doc_id % 250) % 7 = 0) AS del
+        |  FROM documents),
+        |a AS (
+        |  SELECT vid,
+        |    arg_max(struct_pack(payload := payload, del := del),
+        |      CASE WHEN vf <= 125000 THEN vf END) AS s1,
+        |    arg_max(struct_pack(payload := payload, del := del),
+        |      CASE WHEN vf <= 450000 THEN vf END) AS s2
+        |  FROM v GROUP BY vid),
+        |c AS (
+        |  SELECT vid,
+        |    (s1 IS NOT NULL AND NOT s1.del) AS live1,
+        |    (s2 IS NOT NULL AND NOT s2.del) AS live2,
+        |    s1.payload AS p1, s2.payload AS p2
+        |  FROM a)
+        |SELECT vid,
+        |  CASE WHEN NOT live1 AND live2 THEN 'added'
+        |       WHEN live1 AND NOT live2 THEN 'removed'
+        |       WHEN live1 AND live2 AND p1 <> p2 THEN 'changed' END AS change,
+        |  CASE WHEN live1 THEN p1 END AS old_payload,
+        |  CASE WHEN live2 THEN p2 END AS new_payload
+        |FROM c
+        |WHERE (NOT live1 AND live2) OR (live1 AND NOT live2)
+        |   OR (live1 AND live2 AND p1 <> p2)
+        |ORDER BY vid""".stripMargin,
+
+    "q_column_profile" ->
+      """SELECT 'doc_id' AS col_name, count(doc_id) AS n_nonnull,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_s,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(lang), count(DISTINCT lang),
+        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(source), count(DISTINCT source),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |ORDER BY col_name""".stripMargin,
 
     "q_version_latest" ->
       """SELECT o_custkey, o_orderkey, valid_from FROM (

@@ -124,6 +124,16 @@ object TextQueries {
         .orderBy(col("rank"))
     }),
 
+    // extended: exact bigram heavy hitters via the Misra-Gries sketch +
+    // exact-recount verify pass (TextAnalysis.heavyHitters). The sketch's
+    // superset guarantee makes the final set exact, so the gate is a plain
+    // frequency oracle; eviction/merge behavior under capacity pressure is
+    // proven in MisraGriesSpec on skewed data.
+    "q_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), "text", n = 2,
+        phiNum = 1, phiDen = 800, capacity = 1600)
+    }),
+
     // extended: BM25 keyword scoring (the reference's OpenSearch keyword
     // path) — one stats aggregate, then a codegen scoring scan + top-k.
     "q_bm25" -> ((s, dir) => {
@@ -609,8 +619,11 @@ object TextQueries {
    * left-to-right in query order. ln() is libm on both sides; the 6dp
    * round absorbs any last-ulp drift.
    */
-  private def bm25Oracle(terms: Seq[String], k: Int,
-                         k1: Double, b: Double): String = {
+  /** WITH-body (tok/base/c/s CTEs) ending in s(doc_id, bm25 UNROUNDED) —
+    * shared by the bm25 gate and the RRF fusion oracle in VectorQueries
+    * (which ranks on the unrounded score exactly like the engine). */
+  private[queries] def bm25Cte(terms: Seq[String],
+                               k1: Double, b: Double): String = {
     val dfCols = terms.indices.map { i =>
       s"""CAST(sum(CASE WHEN list_contains(toks, '${terms(i)}')
          |  THEN 1 ELSE 0 END) AS BIGINT) AS df$i""".stripMargin
@@ -623,7 +636,7 @@ object TextQueries {
          |  / ($tf + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE)
          |       / (CAST(sdl AS DOUBLE) / n))))""".stripMargin
     }.mkString("\n  + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
        |  FROM documents),
        |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
@@ -635,10 +648,14 @@ object TextQueries {
        |s AS (
        |  SELECT doc_id,
        |  $termExprs AS bm25
-       |  FROM base CROSS JOIN c)
+       |  FROM base CROSS JOIN c)""".stripMargin
+  }
+
+  private def bm25Oracle(terms: Seq[String], k: Int,
+                         k1: Double, b: Double): String =
+    s"""WITH ${bm25Cte(terms, k1, b)}
        |SELECT doc_id, round(bm25, 6) AS bm25 FROM s
        |WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(3),
@@ -745,6 +762,25 @@ object TextQueries {
          |      '\\+?[0-9]{1,3}[ ().\\-][0-9().\\- ]{5,}[0-9]', '<PHONE>', 'g'),
          |    '\\b[0-9]{9,}\\b', '<NUMBER>', 'g') AS clean
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Heavy-hitter replay: the engine's candidate pruning is invisible to
+    // the result (superset guarantee), so the oracle is the brute-force
+    // frequency filter with the same exact-integer ceil threshold.
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents),
+         |grams AS (
+         |  SELECT unnest(list_transform(range(0, greatest(len(toks)-2, -1)+1),
+         |    i -> toks[i+1]||' '||toks[i+2])) AS token
+         |  FROM toks WHERE len(toks) >= 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM grams),
+         |cnt AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM grams GROUP BY token)
+         |SELECT token, cnt FROM cnt, tot
+         |WHERE cnt >= (n * 1 + 799) // 800
+         |ORDER BY cnt DESC, token""".stripMargin,
 
     "q_ngram_freq" ->
       s"""WITH toks AS (

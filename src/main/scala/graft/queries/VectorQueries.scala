@@ -67,6 +67,26 @@ object VectorQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // extended: hybrid retrieval — reciprocal-rank fusion of the BM25
+    // keyword top-50 (documents) with the cosine vector top-50 (embeddings)
+    // over the shared id space (ops.Fusion; the reference's OpenSearch
+    // keyword + vector hybrid). Both lists are bounded by construction, so
+    // fusion is broadcast-sized at any corpus scale.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import graft.ops.{Fusion, TextAnalysis}
+      val bm = TextAnalysis.bm25(t(s, dir, "documents"), "text", "doc_id",
+        Seq("filter", "vector", "merge"), k = 50)
+      val bmR = Fusion.withRank(bm, Seq(desc("bm25"), col("id")), "rank")
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val vs = Similarity.topK(emb, "embedding", "vec_id",
+        queryVec(s, dir), k = 50)
+      val vsR = Fusion.withRank(vs, Seq(desc("score"), col("id")), "rank")
+      Fusion.rrf(Seq("text" -> bmR, "vec" -> vsR), "id", "rank",
+          rrfK = 60, k = 20)
+        .select(col("id").as("doc_id"), round(col("rrf"), 6).as("rrf"),
+          col("r_text"), col("r_vec"))
+    }),
+
     // extended: exact k-NN join (per-query top-k neighbors).
     "q_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -438,6 +458,40 @@ object VectorQueries {
          |      ORDER BY ${cosSql("a.emb", "b.emb")} DESC, b.id) AS rk
          |  FROM af a JOIN af b ON a.cell = b.cell AND a.id <> b.id)
          |WHERE rk <= 3 ORDER BY src_id, rk""".stripMargin,
+
+    // RRF replay: ranks come from the UNROUNDED bm25/cosine orderings
+    // (bm25Cte's s CTE), exactly like the engine; the reciprocal terms sum
+    // in fixed (text, vec) order so the fused double is bit-identical.
+    "q_rrf_fusion" ->
+      s"""WITH ${TextQueries.bm25Cte(Seq("filter", "vector", "merge"),
+             k1 = 1.2, b = 0.75)},
+         |bmtop AS (
+         |  SELECT doc_id, bm25 FROM s WHERE bm25 > 0.0
+         |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |bm AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+         |  FROM bmtop),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vstop AS (
+         |  SELECT vec_id, ${cosSql("embedding", "qe")} AS score
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY score DESC, vec_id LIMIT 50),
+         |vs AS (
+         |  SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, vec_id) AS r
+         |  FROM vstop),
+         |f AS (
+         |  SELECT coalesce(bm.id, vs.id) AS id, bm.r AS rt, vs.r AS rv
+         |  FROM bm FULL OUTER JOIN vs ON bm.id = vs.id)
+         |SELECT id AS doc_id,
+         |  round(coalesce(1.0/(60 + rt), 0.0)
+         |      + coalesce(1.0/(60 + rv), 0.0), 6) AS rrf,
+         |  CAST(rt AS INT) AS r_text, CAST(rv AS INT) AS r_vec
+         |FROM f
+         |ORDER BY (coalesce(1.0/(60 + rt), 0.0)
+         |        + coalesce(1.0/(60 + rv), 0.0)) DESC, id
+         |LIMIT 20""".stripMargin,
 
     "q_vector_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -19,4 +19,11 @@ object GraftSqlBridge {
     ExpressionUtils.column(
       new CollectTopK(ExpressionUtils.expression(sortKey), k, reverse, 0, 0)
         .toAggregateExpression())
+
+  /** Misra-Gries sketch aggregate over a token-array column (see
+    * graft.functions.MisraGriesAgg for semantics + guarantee). */
+  def misraGries(tokens: Column, capacity: Int): Column =
+    ExpressionUtils.column(
+      graft.functions.MisraGriesAgg(ExpressionUtils.expression(tokens),
+        capacity).toAggregateExpression())
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.VersionManager
+import graft.ops.{Fusion, Profiling}
+
+/** snapshotDiff / columnProfile / rrf unit behavior (the oracle gates
+  * cover their full-query replay; these pin the edge semantics). */
+class MaintenanceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed and drops the rest") {
+    // vid 1: changed; vid 2: unchanged; vid 3: added; vid 4: removed
+    // (tombstone); vid 5: created+deleted inside the window (absent);
+    // vid 6: deleted before t1, re-added before t2 (added).
+    val versions = Seq(
+      (1L, 10L, 100L, false), (1L, 11L, 200L, false),
+      (2L, 20L, 100L, false),
+      (3L, 30L, 200L, false),
+      (4L, 40L, 100L, false), (4L, 40L, 200L, true),
+      (5L, 50L, 160L, false), (5L, 50L, 180L, true),
+      (6L, 60L, 50L, false), (6L, 60L, 80L, true), (6L, 61L, 200L, false)
+    ).toDF("vid", "payload", "valid_from", "is_del")
+    val out = VersionManager.snapshotDiff(versions, Seq("vid"), "valid_from",
+      "payload", t1 = 150L, t2 = 250L, tombstoneCol = Some("is_del"))
+      .orderBy("vid")
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, "changed", Some(10L), Some(11L)),
+      (3L, "added", None, Some(30L)),
+      (4L, "removed", Some(40L), None),
+      (6L, "added", None, Some(61L))))
+  }
+
+  test("columnProfile counts nulls/distincts; approx tracks exact") {
+    val df = (0 until 10000)
+      .map(i => (i.toLong, if (i % 10 == 0) null else s"v${i % 97}"))
+      .toDF("id", "s")
+    val exact = Profiling.columnProfile(df, Seq("id", "s"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(exact("id") == ("id", 10000L, 10000L, "0", "9999"))
+    assert(exact("s")._2 == 9000L && exact("s")._3 == 97L)
+    assert(exact("s")._4 == "v0" && exact("s")._5 == "v96")
+    val approx = Profiling.columnProfile(df, Seq("id", "s"), exact = false)
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(math.abs(approx("id") - 10000L) <= 500L) // HLL ~2% default error
+    assert(math.abs(approx("s") - 97L) <= 10L)
+  }
+
+  test("rrf fuses bounded lists with one-sided membership") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Fusion.rrf(Seq("a" -> a, "b" -> b), "id", "rank",
+      rrfK = 60, k = 10)
+      .as[(Long, Double, Option[Int], Option[Int])].collect().toSeq
+    def r(x: Int) = 1.0 / (60 + x)
+    assert(out.head == ((20L, r(2) + r(1), Some(2), Some(1))))
+    assert(out.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    assert(out.map(_._2) == Seq(r(2) + r(1), r(1), r(2), r(3)))
+  }
+}
