@@ -63,7 +63,12 @@ class PlanShapeSpec extends SparkSpec {
     // winner per round, a driver loop by design) — and the cell-keyed kNN
     // graph, which must never plan the corpus cross product
     "q_surprisal_buckets", "q_dsir_weights", "q_knn_graph", "q_ivf_pq_topk",
-    "q_hits")
+    "q_hits",
+    // round 6 (late): snapshot diff + column profile are join-free
+    // aggregates; heavy hitters is two aggregate passes (candidate list
+    // rides an InSet literal, not a join); RRF joins two limit-bounded
+    // rank lists
+    "q_version_diff", "q_column_profile", "q_heavy_hitters", "q_rrf_fusion")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -105,6 +110,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window rank in span-dedup plan:\n$plan")
     assert(!plan.contains("SortAggregate"), s"sort aggregate:\n$plan")
     assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+  }
+
+  test("Misra-Gries sketch pass plans as ObjectHashAggregate, the exact " +
+    "recount as HashAggregate — no sort anywhere") {
+    // the sketch is a TypedImperativeAggregate: it must ride the object
+    // hash aggregate (map-side partials, O(capacity) state), not the
+    // SortAggregate fallback that would sort every token row at 100 TB
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.functions.WordGrams.register(spark)
+    val sketch = docs
+      .select(graft.functions.WordGrams.grams(col("text"), 1).as("toks"))
+      .agg(org.apache.spark.sql.GraftSqlBridge.misraGries(col("toks"), 64))
+    val sketchPlan = sketch.queryExecution.executedPlan.toString
+    assert(sketchPlan.contains("ObjectHashAggregate"), s"\n$sketchPlan")
+    assert(!sketchPlan.contains("SortAggregate"), s"\n$sketchPlan")
+    val hh = graft.ops.TextAnalysis.heavyHitters(docs, "text", n = 1,
+      phiNum = 1, phiDen = 10, capacity = 32)
+    val hhPlan = hh.queryExecution.executedPlan.toString
+    assert(!hhPlan.contains("SortAggregate"), s"\n$hhPlan")
+    assert(!hhPlan.contains("Join"), s"candidate filter must be a pushed " +
+      s"InSet predicate, not a join:\n$hhPlan")
   }
 
   test("label propagation rounds never sort: hash aggregates only") {
