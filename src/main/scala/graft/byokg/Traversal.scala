@@ -709,4 +709,63 @@ object Traversal {
       .join(nodes.select(col("node_id").as("label_id"),
         col("node").as("label")), "label_id")
       .select(col("node"), col("label"))
+
+  /**
+   * Rank-indexed adjacency for [[randomWalks]]: per src, neighbors get a
+   * dense 1-based `rk` in ascending dst order plus the out-degree — the
+   * indexed neighbor-list layout a walk engine needs for O(1) step
+   * resolution. One shuffle on src (both window functions share the
+   * partitioning); build once, walk many (Tables memoizes it like the
+   * PageRank/LPA layouts).
+   */
+  def rankedAdjacency(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val bySrc = Window.partitionBy(col("src"))
+    e.withColumn("rk", row_number().over(bySrc.orderBy(col("dst"))))
+      .withColumn("deg", count(lit(1)).over(bySrc))
+  }
+
+  /**
+   * Deterministic hash-seeded random walks (the DeepWalk/node2vec corpus
+   * generator): walk w from node s picks its step-t neighbor by index
+   * `h60(seed#s#w#t) mod degree` into the rank-ordered neighbor list —
+   * every step is a pure function of (seed, start, walk, step), so walks
+   * replay bit-identically in SQL and are independent of partitioning,
+   * unlike RNG-state walks.
+   *
+   * Scale shape: each step is TWO equi-joins — frontier ⋈ out-degrees to
+   * compute the neighbor index, then an exact (src, rk) lookup join into
+   * the ranked adjacency. No degree fan-out before the filter (the naive
+   * join-then-filter shape would explode hub nodes into |degree| rows per
+   * walk). Walks that reach a sink (no out-edges) simply end — inner-join
+   * semantics on both sides.
+   *
+   * Output: (start, wid, step, node) — the visited node per step, steps
+   * 1..`steps`; prepend the seeds as step 0 downstream if the training
+   * corpus wants them.
+   */
+  def randomWalks(ranked: DataFrame, seeds: DataFrame, steps: Int,
+                  walksPerNode: Int, seed: String): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"unreasonable walk length $steps")
+    require(walksPerNode >= 1, "need at least one walk per seed")
+    val degrees = ranked.groupBy(col("src")).agg(max(col("deg")).as("deg"))
+    var frontier = seeds.select(col("node").as("start"),
+      explode(sequence(lit(0), lit(walksPerNode - 1))).as("wid"),
+      col("node").as("cur"))
+    val perStep = (1 to steps).map { step =>
+      val idx = (pmod(graft.functions.HashFunctions.h60(
+        concat_ws("#", lit(seed), col("start"), col("wid"), lit(step))),
+        col("deg")) + 1).cast("int")
+      val next = frontier.join(degrees, frontier("cur") === degrees("src"))
+        .select(col("start"), col("wid"), col("cur"), idx.as("idx"))
+        .join(ranked.select(col("src"), col("rk"), col("dst")),
+          col("cur") === col("src") && col("idx") === col("rk"))
+        .select(col("start"), col("wid"), col("dst").as("cur"))
+      frontier = next
+      next.select(col("start"), col("wid"), lit(step).as("step"),
+        col("cur").as("node"))
+    }
+    perStep.reduceLeft(_ union _)
+  }
 }

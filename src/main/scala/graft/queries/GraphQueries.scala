@@ -87,6 +87,19 @@ object GraphQueries {
       Traversal.verbalizePaths(paths).orderBy(col("text"))
     }),
 
+    // extended: deterministic hash-seeded random walks (the DeepWalk/
+    // node2vec training-corpus generator) over the rank-indexed walk
+    // layout — every step a pure function of (seed, start, walk, step),
+    // so the 3-step walk unrolls into an exact SQL replay.
+    "q_random_walks" -> ((s, dir) => {
+      val ranked = Tables.walkLayout(s, dir)
+      val (nodes, _) = Tables.pageRankAdjacency(s, dir)
+      val seeds = nodes.orderBy(col("node")).limit(20)
+      Traversal.randomWalks(ranked, seeds, steps = 3, walksPerNode = 4,
+          seed = "walk1")
+        .orderBy(col("start"), col("wid"), col("step"))
+    }),
+
     // extended: graph centrality (fixed-iteration PageRank) — the global
     // generalization of q_entity_degree's local scores. Deterministic mode
     // (ordered in-neighbor folds) so the unrolled DuckDB replay is bit-exact;
@@ -175,6 +188,38 @@ object GraphQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Walk replay: same rank-ordered neighbor lists, same 60-bit md5 step
+    // hash, same modulo pick — three unrolled step CTEs.
+    "q_random_walks" -> {
+      def stepCte(prev: String, name: String, step: Int): String = {
+        val h = TextQueries.h60Sql(
+          s"'walk1'||'#'||w.start||'#'||w.wid||'#'||'$step'")
+        s"""$name AS (
+           |  SELECT w.start, w.wid, r.dst AS cur
+           |  FROM $prev w JOIN rk r ON r.src = w.cur
+           |   AND r.rk = ($h % r.deg) + 1)""".stripMargin
+      }
+      s"""WITH edges0 AS ($edgesSql),
+         |e AS (SELECT DISTINCT src, dst FROM edges0),
+         |rk AS (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM e),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |seeds AS (SELECT node FROM n ORDER BY node LIMIT 20),
+         |w0 AS (
+         |  SELECT node AS start, unnest(range(0, 4)) AS wid, node AS cur
+         |  FROM seeds),
+         |${stepCte("w0", "w1", 1)},
+         |${stepCte("w1", "w2", 2)},
+         |${stepCte("w2", "w3", 3)}
+         |SELECT start, CAST(wid AS INT) AS wid, step, node FROM (
+         |  SELECT start, wid, 1 AS step, cur AS node FROM w1
+         |  UNION ALL SELECT start, wid, 2, cur FROM w2
+         |  UNION ALL SELECT start, wid, 3, cur FROM w3) s
+         |ORDER BY start, wid, step""".stripMargin
+    },
     // Agentic loop replay. The keyword set comes from the very code path the
     // engine runs (StubLLM summary -> keywords), evaluated here at
     // oracle-build time; the SQL then unrolls the two iterations. Edge

@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
 object LexicalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ext. GraphSAGE-style entity representations: mean of the entity's
+    // supporting statements' embeddings (ops.GraphFeatures) — exact
+    // micro-unit sums in one 64-slot hash aggregate, oracle-replayed
+    // through the full graph grammar + md5 hash-embedding.
+    "q_entity_embedding" -> ((s, dir) => {
+      val g = Tables.lexicalGraph(s, dir)
+      val edges = g.factSupports.join(g.facts, "fact_id")
+        .select(explode(array(col("subject_entity_id"),
+          col("object_entity_id"))).as("entity_id"), col("statement_id"))
+        .distinct()
+      graft.ops.GraphFeatures.neighborMeanEmbedding(edges, "entity_id",
+          "statement_id", g.statements, "statement_id", "embedding", 64)
+        .select(col("node").as("entity_id"), col("n_nbrs"), col("dim"),
+          col("mean"))
+        .orderBy(col("entity_id"), col("dim"))
+    }),
+
     "q_lexical_statements" -> ((s, dir) => {
       Tables.lexicalGraph(s, dir).statements
         .select(col("statement_id"), col("topic_id"), col("value"))
@@ -224,6 +241,41 @@ object LexicalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Entity-embedding replay: the statement hash-embedding (gtemb form),
+    // subject/object entity edges, then per-(entity, dim) exact micro-unit
+    // sums — same quantize-before-aggregate discipline as the engine.
+    // Edges come from ALL statement occurrences (gsm2, the factRaw side)
+    // but the embedding per statement_id must be the builder's dedup
+    // WINNER (gsd: first by chunk_id, seq) — on an id hash collision the
+    // two texts share one id, and a DISTINCT (id, text) pick here would
+    // double-join where the engine stores a single winning embedding
+    // (caught at sf0.1, where ~38k statements make a 32-bit collision
+    // likely).
+    "q_entity_embedding" ->
+      s"""WITH $graphCte,
+         |semb AS (
+         |  SELECT statement_id, list_transform(range(0, 64), i ->
+         |    ('0x'||substr(md5(i::VARCHAR||'#'||stmt_text),1,15))::BIGINT
+         |      / 1.152921504606847e18 * 2.0 - 1.0) AS emb
+         |  FROM gsd),
+         |ent AS (
+         |  SELECT DISTINCT entity_id, statement_id FROM (
+         |    SELECT 'e:'||substr(md5(stoks[1]||'|'||'Token'||'|'||'t0'),1,8)
+         |      AS entity_id, statement_id FROM gsm2
+         |    UNION ALL
+         |    SELECT 'e:'||substr(md5(stoks[len(stoks)]||'|'||'Token'||'|'||'t0'),1,8),
+         |      statement_id FROM gsm2)),
+         |gdim AS (SELECT unnest(range(0, 64)) AS dim),
+         |sums AS (
+         |  SELECT e.entity_id, d.dim, CAST(count(*) AS BIGINT) AS n_nbrs,
+         |    sum(CAST(floor(s.emb[d.dim+1]*1000000 + 0.5) AS BIGINT)) AS ssum
+         |  FROM ent e JOIN semb s USING (statement_id) CROSS JOIN gdim d
+         |  GROUP BY e.entity_id, d.dim)
+         |SELECT entity_id, n_nbrs, CAST(dim AS INT) AS dim,
+         |  CAST(floor(CAST(ssum AS DOUBLE)/n_nbrs + 0.5) AS BIGINT)
+         |    / 1000000.0 AS mean
+         |FROM sums ORDER BY entity_id, dim""".stripMargin,
+
     "q_lexical_statements" ->
       s"""WITH $stmtCte
          |SELECT DISTINCT statement_id, topic_id, stmt_text AS value

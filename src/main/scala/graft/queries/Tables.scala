@@ -192,6 +192,18 @@ object Tables {
   private val lpaCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
+  /** Memoized rank-indexed walk adjacency over [[edges]] — graph-storage
+    * material like [[pageRankAdjacency]]. CACHED (not checkpointed) so the
+    * window's src hash-partitioning survives for every walk step's lookup
+    * join — a localCheckpoint would forget the output partitioning and
+    * re-shuffle the adjacency on every step. */
+  def walkLayout(s: SparkSession, dir: String): DataFrame =
+    walkCache.getOrElseUpdate((s, dir),
+      graft.byokg.Traversal.rankedAdjacency(edges(s, dir)).cache())
+
+  private val walkCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** Memoized degree-oriented triangle layout over the INT-keyed
     * co-purchase projection (parts sharing an order) — projection +
     * orientation are ingest-time graph storage; the timed query runs the

@@ -68,7 +68,11 @@ class PlanShapeSpec extends SparkSpec {
     // aggregates; heavy hitters is two aggregate passes (candidate list
     // rides an InSet literal, not a join); RRF joins two limit-bounded
     // rank lists
-    "q_version_diff", "q_column_profile", "q_heavy_hitters", "q_rrf_fusion")
+    "q_version_diff", "q_column_profile", "q_heavy_hitters", "q_rrf_fusion",
+    // round 6 (late): entity mean-embeddings (one equi-join + one 64-slot
+    // hash aggregate) and the walk steps (two equi-joins per step — the
+    // degree fan-out shape would be a cross-product-like blowup)
+    "q_entity_embedding", "q_random_walks")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
