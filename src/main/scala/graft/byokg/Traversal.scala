@@ -507,13 +507,28 @@ object Traversal {
    * who buy central parts). Each half-round is one equi-join of the edge
    * layout against the |V|-row score frame plus one hash aggregate.
    *
-   * Normalization is by the round's MAX (not the L2/sum norm): max is
-   * order-independent over doubles, so the only float folds needing a
-   * contract are the per-node sums — deterministic mode folds each node's
-   * contributions in ascending VALUE order (equal doubles commute, the
-   * [[pageRankIterate]] discipline), the default is a plain map-side-
-   * combinable `sum`. The max itself is a scalar aggregate broadcast back,
-   * never a shuffle. Returns (node, auth, hub) for every node.
+   * Normalization happens ONCE, at the end, by each vector's MAX — HITS
+   * is a linear power iteration, so Kleinberg's per-round rescale only
+   * multiplies every later vector by a constant and the END-normalized
+   * result is the same vector (up to fp rounding; the oracle replays this
+   * exact formulation). Skipping the intermediate normalizers removes
+   * 2·iters−2 scalar-collect jobs and every per-round rescale join, and —
+   * the real win — lets all 2·iters halves chain into ONE fused lazy plan
+   * (the [[pageRankIterate]] discipline) instead of a checkpoint-per-half
+   * job chain (measured ~1.5× on the sf0.1 derived graph). Unnormalized
+   * scores grow by ≤ max-degree per half, so any iteration count a
+   * centrality query would run (growth ^ 2·iters) stays far inside double
+   * range. Max is order-independent over doubles; the only float folds
+   * needing a contract are the per-node sums — deterministic mode folds
+   * each node's contributions in ascending VALUE order (equal doubles
+   * commute), the default is a plain map-side-combinable `sum`.
+   *
+   * Only the two FINAL score frames are (eagerly) checkpointed: auths
+   * first — one action executes the fused 2·iters−1-half plan — then hubs
+   * as a single extra half over the checkpointed auths; the max
+   * normalizers and the final node join then read materialized |V|-row
+   * frames. Returns (node, auth, hub) for every node, zeros for nodes
+   * with no in/out edges.
    */
   def hitsIterate(nodes: DataFrame, eDeg: DataFrame, iters: Int,
                   deterministic: Boolean = false): DataFrame = {
@@ -531,39 +546,35 @@ object Traversal {
       if (deterministic)
         aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
       else sum(c)
+    // raw half-round: in-frontier sum only — nodes with no contributions
+    // simply have no row (joining a zero-filled frame instead would feed
+    // 0.0 entries into the value-ordered folds for no semantic gain)
     def half(scores: DataFrame, scoreCol: String, joinOn: String,
              groupOn: String, outCol: String): DataFrame = {
       val e = if (joinOn == "src") eBySrc else eByDst
-      // EAGER checkpoint per half-round: the raw sums feed BOTH the max
-      // normalizer and the rescale join, and every score frame feeds the
-      // next half twice more — left lazy, each round's normalizer job
-      // recomputed the whole prior lineage (measured ~4x slower at sf0.1);
-      // a cache instead of the checkpoint measured worse still (it broke
-      // exchange reuse inside the final action while the per-round
-      // normalizer jobs remained). The checkpoint makes each of the
-      // 2·iters jobs linear over materialized parents — the vertex-scale
-      // frame it stores is |V| rows of (node, double).
-      val raw = e.join(scores, e(joinOn) === scores("node"))
-        .groupBy(e(groupOn).as("node")).agg(foldSum(col(scoreCol)).as("v"))
-        .localCheckpoint(true)
-      // the normalizer is ONE double — collect it and embed as a literal
-      // (the bm25-stats pattern): no crossJoin, no BNLJ in the plan, and
-      // the division arithmetic is bit-identical to the frame form
-      val mRow = raw.agg(max("v")).head()
-      require(!mRow.isNullAt(0),
-        "hitsIterate: no edges matched the score frame (empty graph?)")
-      nodes.join(raw, Seq("node"), "left")
-        .select(col("node"),
-          (coalesce(col("v"), lit(0.0)) / lit(mRow.getDouble(0))).as(outCol))
+      e.join(scores, e(joinOn) === scores("node"))
+        .groupBy(e(groupOn).as("node")).agg(foldSum(col(scoreCol)).as(outCol))
     }
     var hubs = nodes.withColumn("h", lit(1.0))
     var auths: DataFrame = null
     for (i <- 1 to iters) {
       auths = half(hubs, "h", "src", "dst", "a")
+      if (i == iters) auths = auths.localCheckpoint(true)
       hubs = half(auths, "a", "dst", "src", "h")
     }
-    auths.withColumnRenamed("a", "auth")
-      .join(hubs.withColumnRenamed("h", "hub"), "node")
+    hubs = hubs.localCheckpoint(true)
+    // the normalizers are ONE double each — collect and embed as literals
+    // (the bm25-stats pattern): no crossJoin, no BNLJ in the plan, and the
+    // division arithmetic is bit-identical to the frame form
+    val maRow = auths.agg(max("a")).head()
+    val mhRow = hubs.agg(max("h")).head()
+    require(!maRow.isNullAt(0) && !mhRow.isNullAt(0),
+      "hitsIterate: no edges matched the score frame (empty graph?)")
+    nodes.join(auths, Seq("node"), "left")
+      .join(hubs, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("a"), lit(0.0)) / lit(maRow.getDouble(0))).as("auth"),
+        (coalesce(col("h"), lit(0.0)) / lit(mhRow.getDouble(0))).as("hub"))
   }
 
   /**

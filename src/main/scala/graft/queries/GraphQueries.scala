@@ -442,33 +442,38 @@ object GraphQueries {
     // HITS replay: 3 unrolled rounds — per-node value-ordered fold sums
     // (equal doubles commute, same as the engine's array_sort fold), max
     // normalization (order-free), COALESCE(0) for sink/source nodes.
+    // HITS replay: RAW (unnormalized) half-rounds — power iteration is
+    // scale-invariant, so like the engine the oracle normalizes ONCE at
+    // the end by each final vector's max; per-node sums fold in ascending
+    // value order exactly like the engine's deterministic mode.
     "q_hits" -> {
       def half(scores: String, scoreCol: String, joinOn: String,
-               groupOn: String, rName: String, outName: String,
-               outCol: String): String =
-        s"""${rName} AS (
+               groupOn: String, outName: String, outCol: String): String =
+        s"""$outName AS (
            |  SELECT e.$groupOn AS node,
            |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list(p.$scoreCol ORDER BY p.$scoreCol)), (x, y) -> x + y) AS v
+           |      list(p.$scoreCol ORDER BY p.$scoreCol)), (x, y) -> x + y)
+           |      AS $outCol
            |  FROM e JOIN $scores p ON e.$joinOn = p.node
-           |  GROUP BY e.$groupOn),
-           |${rName}_m AS (SELECT max(v) AS m FROM $rName),
-           |$outName AS (
-           |  SELECT n.node, COALESCE(r.v, CAST(0.0 AS DOUBLE)) / m.m AS $outCol
-           |  FROM n LEFT JOIN $rName r USING (node), ${rName}_m m)""".stripMargin
+           |  GROUP BY e.$groupOn)""".stripMargin
       def iter(i: Int): String =
-        half(s"h${i - 1}", "h", "src", "dst", s"ar$i", s"a$i", "a") + ",\n" +
-          half(s"a$i", "a", "dst", "src", s"hr$i", s"h$i", "h")
+        half(s"h${i - 1}", "h", "src", "dst", s"a$i", "a") + ",\n" +
+          half(s"a$i", "a", "dst", "src", s"h$i", "h")
       s"""WITH edges0 AS ($edgesSql),
          |e AS (SELECT DISTINCT src, dst FROM edges0),
          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM n),
          |${iter(1)},
          |${iter(2)},
-         |${iter(3)}
-         |SELECT node, round(a, 6) AS auth, round(h, 6) AS hub
-         |FROM a3 JOIN h3 USING (node)
-         |ORDER BY round(a, 6) DESC, node LIMIT 100""".stripMargin
+         |${iter(3)},
+         |am AS (SELECT max(a) AS m FROM a3),
+         |hm AS (SELECT max(h) AS m FROM h3)
+         |SELECT node,
+         |  round(COALESCE(a3.a, CAST(0.0 AS DOUBLE)) / am.m, 6) AS auth,
+         |  round(COALESCE(h3.h, CAST(0.0 AS DOUBLE)) / hm.m, 6) AS hub
+         |FROM n LEFT JOIN a3 USING (node) LEFT JOIN h3 USING (node), am, hm
+         |ORDER BY round(COALESCE(a3.a, CAST(0.0 AS DOUBLE)) / am.m, 6) DESC,
+         |  node LIMIT 100""".stripMargin
     },
 
     // k-core replay: 3 unrolled peels — degree count, >= k filter, edge
