@@ -195,4 +195,44 @@ object Similarity {
       Seq(negate(col("score")), col("nid")), k, "rk")
       .select(col("qid"), col("nid"), col("score"), col("rk"))
   }
+
+  /**
+   * Johnson-Lindenstrauss sign random projection (Achlioptas 2003):
+   * out_j = Σ_i s_ji · x_i / √outDim with s_ji = ±1 from the md5-seeded
+   * hash — the dimensionality-reduction lever that cuts ANN scan
+   * bandwidth dim/outDim× while preserving pairwise angles within the JL
+   * distortion bound (DedupSimilaritySpec measures it).
+   *
+   * The ±1/√outDim weights depend only on (seed, j, i), so they are
+   * computed ONCE on the driver and embedded as literal arrays — the
+   * projection is `outDim` compiled dot_product loops over each row, a
+   * single codegen stage with no shuffle (the embeddingNearDup
+   * hyperplane discipline). Deterministic ascending-index folds make the
+   * projected doubles replay bit-identically in SQL.
+   */
+  def randomProject(df: DataFrame, embCol: String, idCol: String,
+                    dim: Int, outDim: Int,
+                    seed: String = "jl"): DataFrame = {
+    require(outDim > 0 && outDim <= dim,
+      s"outDim=$outDim must be in [1, dim=$dim]")
+    graft.functions.DotProduct.register(df.sparkSession)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      val w = Array.tabulate(dim) { i =>
+        if (jlHash(seed, j, i) % 2 == 0) scale else -scale
+      }
+      graft.functions.DotProduct.dot(V.toDouble(col(embCol)), typedLit(w))
+    }
+    df.select(col(idCol).as("id"), array(comps: _*).as("proj"))
+  }
+
+  /** Driver-side replica of `H.h60("{seed}#{j}#{i}")` (the planeWeight
+    * discipline: md5 hex → first 15 chars → base-16 long, identical to
+    * the DuckDB oracle's `('0x'||substr(md5(...),1,15))::BIGINT`). */
+  private def jlHash(seed: String, j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed#$j#$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 }

@@ -87,6 +87,18 @@ object VectorQueries {
           col("r_text"), col("r_vec"))
     }),
 
+    // extended: Johnson-Lindenstrauss sign projection 64→16 then cosine
+    // top-k in the projected space — the scan-bandwidth lever (4× fewer
+    // bytes per vector); driver-precomputed ±0.25 weight literals,
+    // compiled dot products, exact SQL replay.
+    "q_jl_topk" -> ((s, dir) => {
+      val proj = Similarity.randomProject(t(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = Dim, outDim = 16, seed = "jl1")
+      val qv = proj.filter(col("id") === 0).head().getSeq[Double](1)
+      Similarity.topK(proj.filter(col("id") =!= 0), "proj", "id", qv, 10)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // extended: exact k-NN join (per-query top-k neighbors).
     "q_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -492,6 +504,27 @@ object VectorQueries {
          |ORDER BY (coalesce(1.0/(60 + rt), 0.0)
          |        + coalesce(1.0/(60 + rv), 0.0)) DESC, id
          |LIMIT 20""".stripMargin,
+
+    // JL replay: same ±0.25 sign weights from the md5 hash, same
+    // ascending-index projection folds, 16-dim double cosine.
+    "q_jl_topk" -> {
+      def cos16(a: String, b: String): String =
+        s"""(list_sum(list_transform(range(1,17), i -> $a[i]*$b[i]))
+           | / (sqrt(list_sum(list_transform(range(1,17), i -> $a[i]*$a[i])))
+           |  * sqrt(list_sum(list_transform(range(1,17), i -> $b[i]*$b[i])))))""".stripMargin
+      s"""WITH proj AS (
+         |  SELECT vec_id, list_transform(range(0, 16), j ->
+         |    list_reduce(list_transform(range(0, $Dim), i ->
+         |      CAST(embedding[i+1] AS DOUBLE) *
+         |      (CASE WHEN (('0x'||substr(md5('jl1'||'#'||j||'#'||i),1,15))::BIGINT % 2) = 0
+         |            THEN 0.25 ELSE -0.25 END)),
+         |      (a, b) -> a + b)) AS p
+         |  FROM embeddings),
+         |q AS (SELECT p AS qp FROM proj WHERE vec_id = 0)
+         |SELECT vec_id, round(${cos16("p", "qp")}, 6) AS score
+         |FROM proj, q WHERE vec_id <> 0
+         |ORDER BY ${cos16("p", "qp")} DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "q_vector_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

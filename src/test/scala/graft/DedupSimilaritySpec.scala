@@ -313,4 +313,33 @@ class DedupSimilaritySpec extends SparkSpec {
       Sampling.weightedSample(df, "id", "w", k = 0)
     }
   }
+
+  test("JL sign projection preserves pairwise cosine within the " +
+    "distortion bound and is layout-independent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = graft.ops.Similarity.randomProject(emb, "embedding",
+      "vec_id", dim = 64, outDim = 16, seed = "jl1")
+      .filter(org.apache.spark.sql.functions.col("id") < 40)
+    val pv = proj.as[(Long, Seq[Double])].collect().toMap
+    val ev = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+      .as[(Long, Seq[Float], Int)].collect()
+      .map(r => r._1 -> r._2.map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val errs = for (i <- pv.keys.toSeq.sorted; j <- pv.keys.toSeq.sorted
+                    if i < j)
+      yield math.abs(cos(pv(i), pv(j)) - cos(ev(i), ev(j)))
+    // 16-dim sign projection: cosine estimator std ≈ 1/√16 = 0.25, so the
+    // worst of ~780 pairs can reach ~3σ; the MEAN is the real gate — a
+    // broken sign matrix or fold pushes it toward 0.5+
+    assert(errs.max < 0.9, s"max distortion ${errs.max}")
+    assert(errs.sum / errs.size < 0.2, s"mean distortion ${errs.sum / errs.size}")
+    val again = graft.ops.Similarity.randomProject(emb.repartition(7),
+      "embedding", "vec_id", dim = 64, outDim = 16, seed = "jl1")
+      .filter(org.apache.spark.sql.functions.col("id") < 40)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again == pv)
+  }
 }
