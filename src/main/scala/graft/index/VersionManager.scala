@@ -71,6 +71,8 @@ object VersionManager {
                    validFromCol: String, payloadCol: String,
                    t1: Long, t2: Long,
                    tombstoneCol: Option[String] = None): DataFrame = {
+    require(t1 <= t2, s"snapshotDiff expects t1 <= t2, got $t1 > $t2 — " +
+      "swap the arguments (the change classes are directional)")
     val vf = col(validFromCol)
     val del = tombstoneCol.map(col).getOrElse(lit(false))
     // slot = latest (payload, tombstone) at-or-before T; null if none.

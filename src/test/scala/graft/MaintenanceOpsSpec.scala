@@ -60,4 +60,21 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(out.map(_._1) == Seq(20L, 10L, 40L, 30L))
     assert(out.map(_._2) == Seq(r(2) + r(1), r(1), r(2), r(3)))
   }
+
+  test("rrf folds three lists, ids present in any subset of them") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((3L, 1)).toDF("id", "rank")
+    val c = Seq((1L, 1), (3L, 2)).toDF("id", "rank")
+    val out = Fusion.rrf(Seq("a" -> a, "b" -> b, "c" -> c), "id", "rank",
+      rrfK = 60, k = 10)
+      .as[(Long, Double, Option[Int], Option[Int], Option[Int])]
+      .collect().toSeq
+    def r(x: Int) = 1.0 / (60 + x)
+    // 1: lists a+c; 3: lists b+c (absent from the FIRST list — the
+    // coalesce over accumulated id slots must still align it); 2: a only
+    assert(out == Seq(
+      (1L, r(1) + r(1), Some(1), None, Some(1)),
+      (3L, r(1) + r(2), None, Some(1), Some(2)),
+      (2L, r(2), Some(2), None, None)))
+  }
 }
