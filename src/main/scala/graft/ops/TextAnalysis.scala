@@ -325,6 +325,55 @@ object TextAnalysis {
   }
 
   /**
+   * Per-key exact heavy hitters — [[heavyHitters]] grouped by a
+   * low-cardinality key (source / tenant / language: the per-slice vocab
+   * mining a curation pipeline runs). ONE grouped aggregate builds an
+   * independent Misra-Gries sketch per key (the superset guarantee holds
+   * per group — each group's n bounds its own undercount), candidates
+   * come back bounded by keys × capacity, and the exact recount joins the
+   * broadcast candidate frame. `maxKeys` enforces the low-cardinality
+   * contract — a high-cardinality key would make the driver-side
+   * candidate set keys×capacity large (use plain per-key groupBy counts
+   * there instead; the sketch buys nothing once keys shard the space).
+   */
+  def heavyHittersByKey(docs: DataFrame, textCol: String, keyCol: String,
+                        n: Int, phiNum: Long, phiDen: Long, capacity: Int,
+                        maxKeys: Int = 1000): DataFrame = {
+    require(phiNum > 0 && phiDen > 0, "phi must be positive")
+    require(capacity.toLong * phiNum > phiDen,
+      s"capacity=$capacity too small for phi=$phiNum/$phiDen: the " +
+        "Misra-Gries superset guarantee needs capacity > 1/phi")
+    val s = docs.sparkSession
+    graft.functions.WordGrams.register(s)
+    import org.apache.spark.sql.GraftSqlBridge
+    val base = docs.select(col(keyCol).as("k"),
+      graft.functions.WordGrams.grams(col(textCol), n).as("toks"))
+    val perKey = base.groupBy(col("k")).agg(
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("ntok"),
+      GraftSqlBridge.misraGries(col("toks"), capacity).as("sketch"))
+      .collect()
+    require(perKey.length <= maxKeys,
+      s"heavyHittersByKey saw ${perKey.length} keys, over maxKeys=" +
+        s"$maxKeys — the candidate set is keys x capacity driver rows; " +
+        "use a plain grouped count for high-cardinality keys")
+    val cands = perKey.toIndexedSeq.flatMap { r =>
+      val ntok = r.getLong(1)
+      val thr = if (ntok == 0) 1L else (ntok * phiNum + phiDen - 1) / phiDen
+      r.getSeq[org.apache.spark.sql.Row](2).map(e =>
+        (r.get(0).asInstanceOf[String], e.getString(0), thr))
+    }
+    import s.implicits._
+    val candFrame = cands.toDF("k", "token", "thr")
+    base.select(col("k"), explode(col("toks")).as("token"))
+      .join(broadcast(candFrame), Seq("k", "token"))
+      .groupBy(col("k"), col("token"), col("thr"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= col("thr"))
+      .select(col("k"), col("token"), col("cnt"))
+      .orderBy(col("k"), desc("cnt"), col("token"))
+  }
+
+  /**
    * Multi-axis corpus report in ONE aggregation pass: ROLLUP over
    * (source, predicted language) — per-(source, lang) detail rows, per-
    * source subtotals, and the grand total evaluate in a single shuffle

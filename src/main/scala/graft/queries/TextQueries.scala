@@ -134,6 +134,16 @@ object TextQueries {
         phiNum = 1, phiDen = 800, capacity = 1600)
     }),
 
+    // extended: per-source bigram heavy hitters — one grouped aggregate
+    // of independent Misra-Gries sketches (guarantee holds per group),
+    // broadcast candidate frame, exact recount (the tenant-scoped vocab
+    // mining form of q_heavy_hitters).
+    "q_heavy_hitters_by_source" -> ((s, dir) => {
+      TextAnalysis.heavyHittersByKey(t(s, dir, "documents"), "text",
+          "source", n = 2, phiNum = 1, phiDen = 400, capacity = 1600)
+        .withColumnRenamed("k", "source")
+    }),
+
     // extended: BM25 keyword scoring (the reference's OpenSearch keyword
     // path) — one stats aggregate, then a codegen scoring scan + top-k.
     "q_bm25" -> ((s, dir) => {
@@ -781,6 +791,26 @@ object TextQueries {
          |SELECT token, cnt FROM cnt, tot
          |WHERE cnt >= (n * 1 + 799) // 800
          |ORDER BY cnt DESC, token""".stripMargin,
+
+    "q_heavy_hitters_by_source" ->
+      s"""WITH toks AS (
+         |  SELECT source, string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents),
+         |grams AS (
+         |  SELECT source,
+         |    unnest(list_transform(range(0, greatest(len(toks)-2, -1)+1),
+         |    i -> toks[i+1]||' '||toks[i+2])) AS token
+         |  FROM toks WHERE len(toks) >= 2),
+         |tot AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM grams GROUP BY source),
+         |cnt AS (
+         |  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM grams GROUP BY source, token)
+         |SELECT c.source, c.token, c.cnt
+         |FROM cnt c JOIN tot t USING (source)
+         |WHERE c.cnt >= (t.n * 1 + 399) // 400
+         |ORDER BY c.source, c.cnt DESC, c.token""".stripMargin,
 
     "q_ngram_freq" ->
       s"""WITH toks AS (

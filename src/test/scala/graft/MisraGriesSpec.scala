@@ -74,6 +74,28 @@ class MisraGriesSpec extends SparkSpec {
     assert(expected.count() == brute.size.toLong)
   }
 
+  test("heavyHittersByKey equals per-group brute force; key cap trips") {
+    val rows = skewed
+    val docs = (rows.grouped(25).map(g => ("s0", g.mkString(" "))).toSeq ++
+      rows.take(600).grouped(25).map(g => ("s1", g.mkString(" "))).toSeq)
+      .toDF("src", "text")
+    val out = TextAnalysis.heavyHittersByKey(docs, "text", "src", n = 1,
+      phiNum = 1, phiDen = 30, capacity = 64)
+      .as[(String, String, Long)].collect().toSeq
+    def brute(key: String, toks: Seq[String]) = {
+      val thr = (toks.size + 29) / 30
+      toks.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).toSeq
+        .map { case (t, c) => (key, t, c) }
+        .sortBy { case (_, t, c) => (-c, t) }
+    }
+    assert(out == brute("s0", rows) ++ brute("s1", rows.take(600)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHittersByKey(docs, "text", "src", n = 1,
+        phiNum = 1, phiDen = 30, capacity = 64, maxKeys = 1)
+    }
+  }
+
   test("capacity below 1/phi is refused loudly") {
     val docs = Seq("a b c").toDF("text")
     intercept[IllegalArgumentException] {

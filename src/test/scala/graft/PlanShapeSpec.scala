@@ -72,7 +72,8 @@ class PlanShapeSpec extends SparkSpec {
     // round 6 (late): entity mean-embeddings (one equi-join + one 64-slot
     // hash aggregate) and the walk steps (two equi-joins per step — the
     // degree fan-out shape would be a cross-product-like blowup)
-    "q_entity_embedding", "q_random_walks", "q_jl_topk")
+    "q_entity_embedding", "q_random_walks", "q_jl_topk",
+    "q_heavy_hitters_by_source")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
