@@ -38,6 +38,8 @@ object Fusion {
   def rrf(lists: Seq[(String, DataFrame)], idCol: String, rankCol: String,
           rrfK: Int = 60, k: Int = 20): DataFrame = {
     require(lists.nonEmpty, "need at least one ranked list")
+    require(lists.map(_._1).distinct.size == lists.size,
+      s"list names must be distinct, got ${lists.map(_._1)}")
     val named = lists.map { case (n, df) =>
       df.select(col(idCol).as(s"id_$n"), col(rankCol).as(s"r_$n"))
     }

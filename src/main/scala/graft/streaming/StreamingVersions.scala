@@ -23,6 +23,9 @@ import graft.index.VersionManager
  * Idempotency: versions dedup on (vid, valid_from) before the merge, so
  * an at-least-once redelivery of a change event cannot mint a duplicate
  * interval (the streaming requirement the batch builder doesn't have).
+ * The dedup assumes redelivered events are byte-identical — a CORRECTION
+ * must arrive under a new valid_from, or which payload survives the
+ * (vid, valid_from) collision is partition-order-dependent.
  *
  * The store is read/written through caller seams (`readStore`/
  * `writeStore`) — parquet dirs in tests, bucketed tables at scale — the
