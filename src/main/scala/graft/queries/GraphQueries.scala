@@ -145,6 +145,28 @@ object GraphQueries {
         .orderBy(desc("triangles"), col("node")).limit(100)
     }),
 
+    // ext. global clustering coefficient (3·triangles / wedges) over the
+    // SAME warmed co-purchase triangle layout — the one-row graph-quality
+    // summary composing the per-node counts; integer triangle/wedge
+    // totals, one exact double division.
+    "q_clustering_coeff" -> ((s, dir) => {
+      val layout = Tables.coPurchaseTriangleLayout(s, dir)
+      val t3 = Traversal.triangleCountsFrom(layout)
+        .agg(coalesce(sum(col("triangles")), lit(0L)).as("t3"))
+        .head().getLong(0)
+      val degRow = layout.select(col("lo").as("node"))
+        .union(layout.select(col("hi")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(expr("d * (d - 1) DIV 2")).as("wedges"))
+        .head()
+      val (nNodes, wedges) = (degRow.getLong(0), degRow.getLong(1))
+      val nEdges = layout.count()
+      s.range(1).select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        lit(t3 / 3).as("n_triangles"), lit(wedges).as("n_wedges"),
+        round(lit(t3.toDouble) / lit(wedges.toDouble), 6).as("global_cc"))
+    }),
+
     // ext. personalized PageRank (3 iterations, teleport to the nation-0
     // customer seed set) over the SAME warmed adjacency layout as
     // q_pagerank — the query-seeded variant a retriever uses to rank the
@@ -409,6 +431,46 @@ object GraphQueries {
     // Triangle-count replay: same co-purchase projection, same
     // (degree, node) edge orientation, same single-path-per-triangle
     // wedge+close joins — integer-exact by construction.
+    // Clustering-coefficient replay: same oriented-wedge triangle CTEs as
+    // q_triangle_counts, plus incidence degrees over the oriented pairs.
+    "q_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |co AS (
+        |  SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT DISTINCT src, dst FROM co WHERE src <> dst),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |pairs AS (SELECT src, dst FROM und WHERE src < dst),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.src < p.dst)
+        |         THEN p.src ELSE p.dst END AS lo,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.src < p.dst)
+        |         THEN p.dst ELSE p.src END AS hi
+        |  FROM pairs p JOIN deg d1 ON p.src = d1.node
+        |               JOIN deg d2 ON p.dst = d2.node),
+        |tri AS (
+        |  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        |  FROM o ab JOIN o bc ON ab.hi = bc.lo
+        |            JOIN o ac ON ab.lo = ac.lo AND bc.hi = ac.hi),
+        |t AS (SELECT CAST(3 * count(*) AS BIGINT) AS t3 FROM tri),
+        |dq AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT lo AS node FROM o UNION ALL SELECT hi FROM o)
+        |  GROUP BY node),
+        |w AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges
+        |  FROM dq),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM o)
+        |SELECT w.n_nodes, ne.n_edges, t.t3 // 3 AS n_triangles,
+        |  w.wedges AS n_wedges,
+        |  round(CAST(t.t3 AS DOUBLE) / CAST(w.wedges AS DOUBLE), 6)
+        |    AS global_cc
+        |FROM w, ne, t""".stripMargin,
+
     "q_triangle_counts" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

@@ -144,6 +144,25 @@ object TextQueries {
         .withColumnRenamed("k", "source")
     }),
 
+    // extended: inverted-index build (the OpenSearch/Lucene indexing step
+    // behind the keyword path): per-(term, doc) postings rows with term
+    // frequency plus the term's document frequency — explode, two hash
+    // aggregates, broadcast df join (bucket by term at scale).
+    "q_postings" -> ((s, dir) => {
+      graft.functions.WordGrams.register(s)
+      val post = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.WordGrams.grams(col("text"), 1))
+            .as("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = post.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      post.join(broadcast(dfreq), "token")
+        .select(col("token"), col("doc_id"), col("tf"), col("df"))
+        .orderBy(col("token"), col("doc_id"))
+    }),
+
     // extended: BM25 keyword scoring (the reference's OpenSearch keyword
     // path) — one stats aggregate, then a codegen scoring scan + top-k.
     "q_bm25" -> ((s, dir) => {
@@ -791,6 +810,21 @@ object TextQueries {
          |SELECT token, cnt FROM cnt, tot
          |WHERE cnt >= (n * 1 + 799) // 800
          |ORDER BY cnt DESC, token""".stripMargin,
+
+    "q_postings" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         |post AS (
+         |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY token, doc_id),
+         |dfreq AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM post GROUP BY token)
+         |SELECT p.token, p.doc_id, p.tf, d.df
+         |FROM post p JOIN dfreq d USING (token)
+         |ORDER BY p.token, p.doc_id""".stripMargin,
 
     "q_heavy_hitters_by_source" ->
       s"""WITH toks AS (

@@ -73,7 +73,11 @@ class PlanShapeSpec extends SparkSpec {
     // hash aggregate) and the walk steps (two equi-joins per step — the
     // degree fan-out shape would be a cross-product-like blowup)
     "q_entity_embedding", "q_random_walks", "q_jl_topk",
-    "q_heavy_hitters_by_source")
+    "q_heavy_hitters_by_source",
+    // round 6 (late): postings build — explode + two hash aggregates +
+    // broadcast df join (q_clustering_coeff excluded: its output frame is
+    // driver-composed literals over the warmed triangle layout)
+    "q_postings")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
