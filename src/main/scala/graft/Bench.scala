@@ -76,6 +76,9 @@ object Bench {
     prNodes.count(); prEdges.count()
     val (lpaUnd, lpaNodes) = graft.queries.Tables.lpaLayout(spark, sfDir)
     lpaUnd.count(); lpaNodes.count()
+    val (hSrc, hDst) = graft.queries.Tables.hitsLayout(spark, sfDir)
+    hSrc.count(); hDst.count()
+    graft.queries.Tables.walkLayout(spark, sfDir).count()
     graft.queries.Tables.coPurchaseTriangleLayout(spark, sfDir).count()
     val gc = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)
     Seq(gc.entities, gc.entityRelations, gc.facts).foreach(_.count())

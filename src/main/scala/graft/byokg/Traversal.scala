@@ -530,18 +530,34 @@ object Traversal {
    * frames. Returns (node, auth, hub) for every node, zeros for nodes
    * with no in/out edges.
    */
+  /** The per-join-key edge layouts [[hitsIterateFrom]] probes: partitioned
+    * + sorted + cached by src and by dst (the [[lpaLayout]] discipline) so
+    * every half-round exchanges only the |V|-row score frame, never the
+    * edge table — without these, every half-round re-shuffled all edges
+    * (measured ~2.5x slower). Storage material: memoize per graph (the
+    * Tables layer does) and reuse across runs. */
+  def hitsLayout(eDeg: DataFrame): (DataFrame, DataFrame) = {
+    val e0 = eDeg.select(col("src"), col("dst"))
+    (e0.repartition(col("src")).sortWithinPartitions(col("src")).cache(),
+      e0.repartition(col("dst")).sortWithinPartitions(col("dst")).cache())
+  }
+
+  /** One-shot form: builds the layouts, runs, and unpersists them (the
+    * final frames are checkpointed, so the caches are dead weight after
+    * the run — leaving them would pressure every later query). Repeated
+    * runs over one graph should build [[hitsLayout]] once and call
+    * [[hitsIterateFrom]]. */
   def hitsIterate(nodes: DataFrame, eDeg: DataFrame, iters: Int,
                   deterministic: Boolean = false): DataFrame = {
+    val (eBySrc, eByDst) = hitsLayout(eDeg)
+    try hitsIterateFrom(nodes, eBySrc, eByDst, iters, deterministic)
+    finally { eBySrc.unpersist(false); eByDst.unpersist(false) }
+  }
+
+  def hitsIterateFrom(nodes: DataFrame, eBySrc: DataFrame,
+                      eByDst: DataFrame, iters: Int,
+                      deterministic: Boolean): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // one edge layout PER JOIN KEY, partitioned + sorted + cached (the
-    // [[lpaLayout]] discipline): the per-half-round joins then exchange and
-    // sort only the |V|-row score frame, never the edge table — without
-    // these, every half-round re-shuffled all edges (measured ~2.5x slower)
-    val e0 = eDeg.select(col("src"), col("dst"))
-    val eBySrc = e0.repartition(col("src"))
-      .sortWithinPartitions(col("src")).cache()
-    val eByDst = e0.repartition(col("dst"))
-      .sortWithinPartitions(col("dst")).cache()
     def foldSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (deterministic)
         aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)

@@ -187,8 +187,10 @@ object GraphQueries {
     // pointing at them). Deterministic value-ordered folds for the
     // bit-exact replay; max normalization is order-free by construction.
     "q_hits" -> ((s, dir) => {
-      val (nodes, eDeg) = Tables.pageRankAdjacency(s, dir)
-      Traversal.hitsIterate(nodes, eDeg, iters = 3, deterministic = true)
+      val (nodes, _) = Tables.pageRankAdjacency(s, dir)
+      val (eBySrc, eByDst) = Tables.hitsLayout(s, dir)
+      Traversal.hitsIterateFrom(nodes, eBySrc, eByDst, iters = 3,
+          deterministic = true)
         .select(col("node"), round(col("auth"), 6).as("auth"),
           round(col("hub"), 6).as("hub"))
         .orderBy(desc("auth"), col("node"))

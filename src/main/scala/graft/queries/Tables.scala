@@ -192,6 +192,17 @@ object Tables {
   private val lpaCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
+  /** Memoized HITS per-join-key edge layouts over [[pageRankAdjacency]]'s
+    * deduped edges — graph-storage material like the other layouts: built
+    * once, probed by every HITS run (reps reuse the caches instead of
+    * rebuilding-then-unpersisting per call). */
+  def hitsLayout(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    hitsCache.getOrElseUpdate((s, dir),
+      graft.byokg.Traversal.hitsLayout(pageRankAdjacency(s, dir)._2))
+
+  private val hitsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
   /** Memoized rank-indexed walk adjacency over [[edges]] — graph-storage
     * material like [[pageRankAdjacency]]. CACHED (not checkpointed) so the
     * window's src hash-partitioning survives for every walk step's lookup
