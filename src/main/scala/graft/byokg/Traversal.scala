@@ -776,7 +776,12 @@ object Traversal {
                   walksPerNode: Int, seed: String): DataFrame = {
     require(steps >= 1 && steps <= 64, s"unreasonable walk length $steps")
     require(walksPerNode >= 1, "need at least one walk per seed")
-    val degrees = ranked.groupBy(col("src")).agg(max(col("deg")).as("deg"))
+    // one row per src WITHOUT an aggregate: rk==1 picks each neighbor
+    // list's head, riding the cached layout's partitioning — a groupBy
+    // here would re-run a full edge aggregate inside EVERY step's
+    // checkpointed plan (degrees is embedded in each step's lineage)
+    val degrees = ranked.filter(col("rk") === 1)
+      .select(col("src"), col("deg"))
     var frontier = seeds.select(col("node").as("start"),
       explode(sequence(lit(0), lit(walksPerNode - 1))).as("wid"),
       col("node").as("cur"))

@@ -74,7 +74,10 @@ object VersionManager {
     require(t1 <= t2, s"snapshotDiff expects t1 <= t2, got $t1 > $t2 — " +
       "swap the arguments (the change classes are directional)")
     val vf = col(validFromCol)
-    val del = tombstoneCol.map(col).getOrElse(lit(false))
+    // coalesce: CDC feeds commonly encode "not deleted" as NULL; a null
+    // tombstone must read as live, not poison every classification branch
+    val del = tombstoneCol.map(c => coalesce(col(c), lit(false)))
+      .getOrElse(lit(false))
     // slot = latest (payload, tombstone) at-or-before T; null if none.
     def slot(t: Long) = max_by(
       struct(col(payloadCol).as("payload"), del.as("del")),
@@ -83,11 +86,13 @@ object VersionManager {
       .agg(slot(t1).as("s1"), slot(t2).as("s2"))
     val live1 = col("s1").isNotNull && !col("s1.del")
     val live2 = col("s2").isNotNull && !col("s2.del")
+    // null-safe inequality: a payload transitioning NULL <-> value is a
+    // real change; plain =!= would evaluate NULL and silently drop it
     agg.withColumn("change",
         when(!live1 && live2, lit("added"))
           .when(live1 && !live2, lit("removed"))
           .when(live1 && live2 &&
-            col("s1.payload") =!= col("s2.payload"), lit("changed")))
+            !(col("s1.payload") <=> col("s2.payload")), lit("changed")))
       .filter(col("change").isNotNull)
       .select(vidCols.map(col) ++ Seq(col("change"),
         when(live1, col("s1.payload")).as("old_payload"),

@@ -346,8 +346,13 @@ object TextAnalysis {
     val s = docs.sparkSession
     graft.functions.WordGrams.register(s)
     import org.apache.spark.sql.GraftSqlBridge
-    val base = docs.select(col(keyCol).as("k"),
-      graft.functions.WordGrams.grams(col(textCol), n).as("toks"))
+    // key rides as STRING (numeric tenant ids render deterministically) so
+    // the driver-side candidate frame round-trips any key type; NULL keys
+    // are excluded explicitly — an equi-join could never match them, and
+    // dropping them silently would misread as "no heavy hitters there"
+    val base = docs.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        graft.functions.WordGrams.grams(col(textCol), n).as("toks"))
     val perKey = base.groupBy(col("k")).agg(
       coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("ntok"),
       GraftSqlBridge.misraGries(col("toks"), capacity).as("sketch"))
@@ -360,7 +365,7 @@ object TextAnalysis {
       val ntok = r.getLong(1)
       val thr = if (ntok == 0) 1L else (ntok * phiNum + phiDen - 1) / phiDen
       r.getSeq[org.apache.spark.sql.Row](2).map(e =>
-        (r.get(0).asInstanceOf[String], e.getString(0), thr))
+        (r.getString(0), e.getString(0), thr))
     }
     import s.implicits._
     val candFrame = cands.toDF("k", "token", "thr")

@@ -158,13 +158,17 @@ object GraphQueries {
         .union(layout.select(col("hi")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
         .agg(count(lit(1)).as("n_nodes"),
-          sum(expr("d * (d - 1) DIV 2")).as("wedges"))
+          coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("wedges"))
         .head()
       val (nNodes, wedges) = (degRow.getLong(0), degRow.getLong(1))
       val nEdges = layout.count()
+      // wedge-free graph (disjoint edges / empty): coefficient is DEFINED
+      // as 0, not the NaN a raw 0/0 division would emit on both engines
+      val cc = if (wedges == 0L) lit(0.0)
+               else round(lit(t3.toDouble) / lit(wedges.toDouble), 6)
       s.range(1).select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
         lit(t3 / 3).as("n_triangles"), lit(wedges).as("n_wedges"),
-        round(lit(t3.toDouble) / lit(wedges.toDouble), 6).as("global_cc"))
+        cc.as("global_cc"))
     }),
 
     // ext. personalized PageRank (3 iterations, teleport to the nation-0
@@ -464,13 +468,14 @@ object GraphQueries {
         |  GROUP BY node),
         |w AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-        |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges
+        |    CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS wedges
         |  FROM dq),
         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM o)
         |SELECT w.n_nodes, ne.n_edges, t.t3 // 3 AS n_triangles,
         |  w.wedges AS n_wedges,
-        |  round(CAST(t.t3 AS DOUBLE) / CAST(w.wedges AS DOUBLE), 6)
-        |    AS global_cc
+        |  CASE WHEN w.wedges = 0 THEN 0.0
+        |       ELSE round(CAST(t.t3 AS DOUBLE) / CAST(w.wedges AS DOUBLE), 6)
+        |  END AS global_cc
         |FROM w, ne, t""".stripMargin,
 
     "q_triangle_counts" ->

@@ -341,12 +341,13 @@ object MaintenanceQueries {
         |SELECT vid,
         |  CASE WHEN NOT live1 AND live2 THEN 'added'
         |       WHEN live1 AND NOT live2 THEN 'removed'
-        |       WHEN live1 AND live2 AND p1 <> p2 THEN 'changed' END AS change,
+        |       WHEN live1 AND live2 AND p1 IS DISTINCT FROM p2
+        |            THEN 'changed' END AS change,
         |  CASE WHEN live1 THEN p1 END AS old_payload,
         |  CASE WHEN live2 THEN p2 END AS new_payload
         |FROM c
         |WHERE (NOT live1 AND live2) OR (live1 AND NOT live2)
-        |   OR (live1 AND live2 AND p1 <> p2)
+        |   OR (live1 AND live2 AND p1 IS DISTINCT FROM p2)
         |ORDER BY vid""".stripMargin,
 
     "q_column_profile" ->

@@ -158,7 +158,9 @@ object TextQueries {
         .agg(count(lit(1)).as("tf"))
       val dfreq = post.groupBy(col("token"))
         .agg(count(lit(1)).as("df"))
-      post.join(broadcast(dfreq), "token")
+      // vocabulary-sized frame: broadcast only under the counted cap
+      // (gatedBroadcast falls back to a shuffle join on a huge vocab)
+      post.join(graft.ops.Joins.gatedBroadcast(dfreq, dfreq.count()), "token")
         .select(col("token"), col("doc_id"), col("tf"), col("df"))
         .orderBy(col("token"), col("doc_id"))
     }),

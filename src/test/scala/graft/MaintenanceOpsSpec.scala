@@ -32,6 +32,27 @@ class MaintenanceOpsSpec extends SparkSpec {
       (6L, "added", None, Some(61L))))
   }
 
+  test("snapshotDiff is null-safe: NULL payload transitions are changes, " +
+    "NULL tombstones read as live") {
+    // vid 1: payload NULL -> 'x' (changed); vid 2: 'x' -> NULL (changed);
+    // vid 3: NULL tombstone on the t2 version must mean live (changed),
+    // not vanish from every class
+    val versions = Seq(
+      (1L, None, 100L, Some(false)), (1L, Some("x"), 200L, Some(false)),
+      (2L, Some("x"), 100L, Some(false)), (2L, None, 200L, Some(false)),
+      (3L, Some("a"), 100L, Some(false)), (3L, Some("b"), 200L, None)
+    ).toDF("vid", "payload", "valid_from", "is_del")
+    val out = VersionManager.snapshotDiff(versions, Seq("vid"),
+      "valid_from", "payload", t1 = 150L, t2 = 250L,
+      tombstoneCol = Some("is_del"))
+      .orderBy("vid")
+      .as[(Long, String, Option[String], Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, "changed", None, Some("x")),
+      (2L, "changed", Some("x"), None),
+      (3L, "changed", Some("a"), Some("b"))))
+  }
+
   test("columnProfile counts nulls/distincts; approx tracks exact") {
     val df = (0 until 10000)
       .map(i => (i.toLong, if (i % 10 == 0) null else s"v${i % 97}"))

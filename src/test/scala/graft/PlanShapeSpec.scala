@@ -86,9 +86,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_prune_threshold", "q_tfidf_rerank", "q_vector_topk",
     "q_vector_diverse_topk", "q_ivf_topk_full_probe", "q_statement_diversity",
     // single-row corpus-total frame joined onto every per-doc row
-    "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights",
-    // single-row per-round max normalizer broadcast onto the score frame
-    "q_hits")
+    "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights")
+    // (q_hits no longer appears here: the end-normalization rewrite
+    // collects both maxima as driver literals, so its plan must be
+    // BNLJ-free like the rest — keeping the stale allowance would mask a
+    // reintroduced cross normalizer)
 
   test("no CartesianProduct anywhere in the declarative inventory") {
     val offenders = declarative.flatMap { name =>
