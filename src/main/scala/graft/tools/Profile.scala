@@ -160,6 +160,50 @@ object Profile {
               col("l_linenumber"), col("l_partkey")), 5).count()
         }
 
+      case "heavyhitters" =>
+        // host-independent evidence for the sketch-then-verify pattern:
+        // on a HIGH-vocabulary stream (the 100 TB regime: most tokens are
+        // singletons) the brute groupBy must move every distinct key
+        // through the shuffle, while the Misra-Gries pass moves only
+        // O(capacity) entries per map task and the recount only the
+        // candidate-filtered rows
+        val written = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+              written.addAndGet(
+                s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          })
+        val n = 4000000L
+        // 1% heavy tokens (7 of them), 99% unique singletons
+        val tok = spark.range(0, n, 1, 32).select(
+          when(col("id") % 100 < 1,
+            concat(lit("h"), (col("id") % 7).cast("string")))
+            .otherwise(concat(lit("t"), col("id"))).as("token"))
+        tok.count()
+        val thr = n / 1000
+        def run(name: String)(f: => Long): Unit = {
+          Thread.sleep(1500); written.set(0)
+          val t0 = System.nanoTime(); val r = f
+          println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+            f"  shuffleMB=${written.get / 1e6}%8.2f rows=$r")
+        }
+        run("brute groupBy all tokens") {
+          tok.groupBy("token").agg(count(lit(1)).as("c"))
+            .filter(col("c") >= thr).count()
+        }
+        run("MG sketch + exact recount") {
+          val row = tok.select(array(col("token")).as("toks"))
+            .agg(org.apache.spark.sql.GraftSqlBridge
+              .misraGries(col("toks"), 2048).as("s")).head()
+          val cands = row.getSeq[org.apache.spark.sql.Row](0)
+            .map(_.getString(0))
+          tok.filter(col("token").isin(cands: _*))
+            .groupBy("token").agg(count(lit(1)).as("c"))
+            .filter(col("c") >= thr).count()
+        }
+
       case "scaleprobe" =>
         // would-it-scale probe: documents replicated xN with perturbed ids
         // and text; per-row cost of the dedup path should stay ~flat
