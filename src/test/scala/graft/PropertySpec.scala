@@ -184,4 +184,38 @@ class PropertySpec extends SparkSpec {
       assert(!graft.byokg.GraphQuerySafety.isQuerySafe(q.toLowerCase))
     }
   }
+
+  test("Misra-Gries invariants hold on arbitrary Zipf-ish streams, " +
+    "capacities, and partitionings") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 4) {
+      // skewed stream: token id drawn as floor(u^3 * V) — few ids dominate
+      val v = 200 + trial * 300
+      val n = 3000 + trial * 2000
+      val stream = Seq.fill(n) {
+        val u = rnd.nextDouble()
+        s"t${(u * u * u * v).toInt}"
+      }
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val capacity = Seq(8, 31, 100)(trial % 3)
+      val parts = Seq(1, 5, 32)(trial % 3)
+      val sketch = stream.grouped(7).map(_.toArray).toSeq.toDF("toks")
+        .repartition(parts)
+        .agg(GraftSqlBridge.misraGries(col("toks"), capacity).as("s"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sketch.size <= capacity)
+      val bound = n.toDouble / (capacity + 1)
+      exact.foreach { case (t, c) =>
+        if (c > bound)
+          assert(sketch.contains(t), s"trial $trial lost $t (count $c)")
+      }
+      sketch.foreach { case (t, c) =>
+        val truth = exact(t)
+        assert(c <= truth && truth - c <= bound,
+          s"trial $trial count bound broken for $t: sketch $c true $truth")
+      }
+    }
+  }
 }
