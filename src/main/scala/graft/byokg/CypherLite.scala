@@ -1,0 +1,183 @@
+package graft.byokg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Read-only openCypher MATCH-subset compiler over the triple-store edge
+ * frame `(src, dst, label)` — the missing half of the reference's
+ * opencypher artifact contract: byokg's KGLinker prompts the LLM for
+ * openCypher (graph_connectors emit it; graph_retrievers.py:351-430
+ * executes it against the graph store), and this translates the common
+ * MATCH shape into the SAME per-hop equi-join plans every other
+ * traversal here uses — no graph engine, no interpreter, Catalyst
+ * optimizes the joins like any hand-written chain.
+ *
+ * Grammar (anything else parses to a loud Left, which the retriever
+ * surfaces as the engine loop's retry-feedback line):
+ *
+ *   MATCH (v[:label])(-[:type]->|<-[:type]-)(v2[:label]) ...
+ *   [WHERE v.id = 'lit' [AND ...]]
+ *   RETURN v.id [, v2.id ...] [LIMIT n]
+ *
+ * Node labels map to the store's id-prefix convention (`c:`/`o:`/... —
+ * the byokg LocalKGStore notation); properties are limited to `.id`, the
+ * only node property the triple store carries. The grammar is MATCH-only
+ * by construction, so mutation cannot even parse — the GraphQuerySafety
+ * keyword gate still runs first as defense in depth.
+ *
+ * Scale: an N-hop pattern compiles to N-1 equi-joins over the edge
+ * frame — identical shape (and cost) to [[Traversal.followMetapath]];
+ * anchored WHERE equalities push into the first scan.
+ */
+object CypherLite {
+
+  final case class NodePat(v: String, label: Option[String])
+  /** rightward: (a)-[:t]->(b); else (a)<-[:t]-(b). */
+  final case class EdgePat(typ: Option[String], rightward: Boolean)
+  final case class Cond(v: String, op: String, value: String)
+  final case class Query(nodes: Seq[NodePat], edges: Seq[EdgePat],
+                         conds: Seq[Cond], returns: Seq[String],
+                         limit: Option[Int])
+
+  private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\)""".r
+  private val RightRe = """-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\]\s*->""".r
+  private val LeftRe = """<-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\]\s*-""".r
+  private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.id\s*(=|<>)\s*'([^']*)'""".r
+  private val RetRe = """([A-Za-z_][A-Za-z0-9_]*)\.id""".r
+
+  def parse(q: String): Either[String, Query] = {
+    val s = q.trim.stripSuffix(";").trim
+    val upper = s.toUpperCase
+    if (!upper.startsWith("MATCH "))
+      return Left("only MATCH queries are supported")
+    val retIdx = upper.indexOf(" RETURN ")
+    if (retIdx < 0) return Left("missing RETURN clause")
+    val whereIdx = upper.indexOf(" WHERE ")
+    val patternPart =
+      s.substring(5, if (whereIdx >= 0) whereIdx else retIdx).trim
+    val wherePart =
+      if (whereIdx >= 0) Some(s.substring(whereIdx + 7, retIdx).trim)
+      else None
+    var retPart = s.substring(retIdx + 8).trim
+    val limIdx = retPart.toUpperCase.indexOf("LIMIT")
+    val limit =
+      if (limIdx >= 0) {
+        val lit = retPart.substring(limIdx + 5).trim
+        val n = lit.toIntOption.getOrElse(
+          return Left(s"bad LIMIT literal '$lit'"))
+        retPart = retPart.substring(0, limIdx).trim
+        Some(n)
+      } else None
+
+    // pattern: node (edge node)* — consume greedily, reject leftovers
+    var rest = patternPart
+    def eat(re: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] =
+      re.findPrefixMatchOf(rest.trim) match {
+        case Some(m) => rest = rest.trim.substring(m.end); Some(m)
+        case None => None
+      }
+    val first = eat(NodeRe).getOrElse(
+      return Left(s"expected (var[:label]) at '${rest.take(30)}'"))
+    val nodes = scala.collection.mutable.ArrayBuffer(
+      NodePat(first.group(1), Option(first.group(2))))
+    val edges = scala.collection.mutable.ArrayBuffer.empty[EdgePat]
+    while (rest.trim.nonEmpty) {
+      val e = eat(RightRe).map(m => EdgePat(Option(m.group(1)), rightward = true))
+        .orElse(eat(LeftRe).map(m => EdgePat(Option(m.group(1)), rightward = false)))
+        .getOrElse(return Left(s"expected -[:type]-> at '${rest.take(30)}'"))
+      val n = eat(NodeRe).getOrElse(
+        return Left(s"expected (var[:label]) at '${rest.take(30)}'"))
+      edges += e
+      nodes += NodePat(n.group(1), Option(n.group(2)))
+    }
+    if (nodes.map(_.v).distinct.size != nodes.size)
+      return Left("repeated pattern variables are not supported")
+
+    val conds = wherePart match {
+      case None => Seq.empty[Cond]
+      case Some(w) =>
+        val parts = w.split("(?i)\\sAND\\s").map(_.trim)
+        parts.toSeq.map {
+          case CondRe(v, op, value) => Cond(v, op, value)
+          case other => return Left(s"unsupported WHERE term '$other'")
+        }
+    }
+    val returns = retPart.split(",").map(_.trim).toSeq.map {
+      case RetRe(v) => v
+      case other => return Left(s"unsupported RETURN item '$other'")
+    }
+    val known = nodes.map(_.v).toSet
+    (conds.map(_.v) ++ returns).find(!known.contains(_)) match {
+      case Some(v) => Left(s"unknown variable '$v'")
+      case None =>
+        Right(Query(nodes.toSeq, edges.toSeq, conds, returns, limit))
+    }
+  }
+
+  /** Compile onto the edge frame; output columns carry the variable
+    * names, each holding the bound node id. One row per match binding
+    * (Cypher semantics — no implicit distinct). */
+  def compile(edgeFrame: DataFrame, q: Query): DataFrame = {
+    def labelFilter(v: String, n: NodePat) =
+      n.label.map(l => col(v).startsWith(l + ":")).getOrElse(lit(true))
+    var df: DataFrame =
+      if (q.edges.isEmpty)
+        edgeFrame.select(col("src").as(q.nodes.head.v))
+          .union(edgeFrame.select(col("dst")))
+          .distinct()
+      else {
+        val hops = q.edges.zipWithIndex.map { case (e, i) =>
+          val (fromCol, toCol) = if (e.rightward) ("src", "dst") else ("dst", "src")
+          val typed = e.typ.map(t => edgeFrame.filter(col("label") === t))
+            .getOrElse(edgeFrame)
+          typed.select(col(fromCol).as(q.nodes(i).v),
+            col(toCol).as(q.nodes(i + 1).v))
+        }
+        hops.reduceLeft { (acc, hop) =>
+          acc.join(hop, hop.columns.head)
+        }
+      }
+    q.nodes.foreach(n => df = df.filter(labelFilter(n.v, n)))
+    q.conds.foreach { c =>
+      df = df.filter(if (c.op == "=") col(c.v) === c.value
+                     else col(c.v) =!= c.value)
+    }
+    val out = df.select(q.returns.map(col): _*)
+    q.limit.fold(out)(out.limit)
+  }
+
+  /** Parse + compile; Left is the retry-feedback message. */
+  def run(edgeFrame: DataFrame, cypher: String): Either[String, DataFrame] =
+    if (!GraphQuerySafety.isQuerySafe(cypher))
+      Left("modification keywords are blocked (read-only executor)")
+    else parse(cypher).map(compile(edgeFrame, _))
+}
+
+/** openCypher twin of [[GraphQueryRetriever]]: executes MATCH-subset
+  * artifacts against the edge frame and verbalizes bindings into context
+  * lines; parse/execution failures become the engine loop's
+  * "Error executing query..." retry signal. */
+final class CypherGraphRetriever(edgeFrame: DataFrame, maxRows: Int = 100) {
+
+  def retrieve(cypher: String): Seq[String] =
+    CypherLite.run(edgeFrame, cypher) match {
+      case Left(err) => Seq(s"Error executing query: $err")
+      case Right(df) =>
+        try {
+          val cols = df.columns
+          // deterministic context: bindings sort by their rendered line
+          df.limit(maxRows).collect()
+            .map(row => cols.zipWithIndex.map { case (c, i) =>
+              s"$c: ${Option(row.get(i)).map(_.toString).getOrElse("null")}"
+            }.mkString(", "))
+            .toSeq.sorted
+        } catch {
+          case e: Exception =>
+            val msg = Option(e.getMessage)
+              .flatMap(_.linesIterator.find(_ => true))
+              .getOrElse(e.getClass.getSimpleName)
+            Seq(s"Error executing query: $msg")
+        }
+    }
+}

@@ -152,7 +152,8 @@ final class ByoKGQueryEngine(edges: DataFrame, llm: LLM,
 final class ByoKGIterativeEngine(edges: DataFrame, llm: graft.llm.LLM,
                                  queryRetriever: Option[GraphQueryRetriever] = None,
                                  reranker: Option[Reranker] = None,
-                                 maxContextLines: Int = 200) {
+                                 maxContextLines: Int = 200,
+                                 cypherRetriever: Option[CypherGraphRetriever] = None) {
 
   private val linker = new KGLinker(llm)
 
@@ -226,11 +227,19 @@ final class ByoKGIterativeEngine(edges: DataFrame, llm: graft.llm.LLM,
       }
 
       artifacts("opencypher") match {
-        case qs if qs.nonEmpty && queryRetriever.isDefined =>
+        case qs if qs.nonEmpty && (cypherRetriever.isDefined ||
+            queryRetriever.isDefined) =>
           // one query per artifact LINE (the prompt's contract): joining
           // them into a single statement would parse-fail every multi-query
-          // turn and lose all graph-query context
-          qs.foreach(q => addToContext(ctx, queryRetriever.get.retrieve(q)))
+          // turn and lose all graph-query context. LLMs prompted for
+          // openCypher get the MATCH-subset compiler (CypherLite) when
+          // wired; the safety-gated Spark SQL executor stays the fallback
+          // for SQL-prompted deployments.
+          qs.foreach { q =>
+            val lines = cypherRetriever.map(_.retrieve(q))
+              .getOrElse(queryRetriever.get.retrieve(q))
+            addToContext(ctx, lines)
+          }
         case _ =>
       }
 

@@ -87,6 +87,18 @@ object GraphQueries {
       Traversal.verbalizePaths(paths).orderBy(col("text"))
     }),
 
+    // §2.13 openCypher artifact execution: the MATCH-subset compiler
+    // (byokg.CypherLite) translating the KGLinker's opencypher artifacts
+    // into the same per-hop equi-join plans as followMetapath — here a
+    // 2-hop anchored pattern over the derived graph.
+    "q_cypher_match" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o)-[:contains]->(p:p) " +
+        "WHERE c.id = 'c:0' RETURN c.id, o.id, p.id"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+        .orderBy(col("c"), col("o"), col("p"))
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -216,6 +228,16 @@ object GraphQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Cypher-compile replay: the MATCH pattern IS two typed equi-joins.
+    "q_cypher_match" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT e1.src AS c, e1.dst AS o, e2.dst AS p
+         |FROM (SELECT DISTINCT src, dst FROM edges0 WHERE label = 'placed') e1
+         |JOIN (SELECT DISTINCT src, dst FROM edges0 WHERE label = 'contains') e2
+         |  ON e1.dst = e2.src
+         |WHERE e1.src = 'c:0'
+         |ORDER BY c, o, p""".stripMargin,
+
     // Walk replay: same rank-ordered neighbor lists, same 60-bit md5 step
     // hash, same modulo pick — three unrolled step CTEs.
     "q_random_walks" -> {

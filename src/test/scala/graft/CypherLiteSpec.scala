@@ -1,0 +1,64 @@
+package graft
+
+import graft.byokg.{CypherGraphRetriever, CypherLite}
+
+class CypherLiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val edges = Seq(
+    ("c:1", "o:10", "placed"), ("c:1", "o:11", "placed"),
+    ("c:2", "o:12", "placed"),
+    ("o:10", "p:7", "contains"), ("o:11", "p:7", "contains"),
+    ("o:12", "p:8", "contains"),
+    ("p:7", "s:3", "supplied_by")).toDF("src", "dst", "label")
+
+  test("directed 2-hop MATCH with anchor and labels") {
+    val q = "MATCH (c:c)-[:placed]->(o:o)-[:contains]->(p:p) " +
+      "WHERE c.id = 'c:1' RETURN c.id, o.id, p.id"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(("c:1", "o:10", "p:7"), ("c:1", "o:11", "p:7")))
+  }
+
+  test("reversed edge and inequality condition") {
+    val q = "MATCH (p)<-[:contains]-(o) WHERE p.id <> 'p:8' RETURN o.id, p.id"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("o:10", "p:7"), ("o:11", "p:7")))
+  }
+
+  test("bare node scan, untyped edge, and LIMIT") {
+    val all = CypherLite.run(edges, "MATCH (n) RETURN n.id").toOption.get
+      .as[String].collect().toSet
+    assert(all == Set("c:1", "c:2", "o:10", "o:11", "o:12", "p:7", "p:8",
+      "s:3"))
+    val lim = CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN a.id LIMIT 2").toOption.get.count()
+    assert(lim == 2L)
+  }
+
+  test("mutation cannot parse AND is keyword-blocked; junk is a loud Left") {
+    assert(CypherLite.run(edges,
+      "CREATE (n:Evil) RETURN n.id").swap.toOption.get
+      .contains("blocked"))
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[:placed]->(b) RETURN b.name").isLeft)
+    assert(CypherLite.run(edges,
+      "MATCH (a)-->(b) RETURN a.id").isLeft) // unsupported arrow form
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[:x]->(a) RETURN a.id").isLeft) // repeated variable
+    assert(CypherLite.run(edges,
+      "MATCH (a) WHERE z.id = 'x' RETURN a.id").isLeft)
+  }
+
+  test("retriever verbalizes bindings deterministically; errors become " +
+    "the retry-feedback line") {
+    val r = new CypherGraphRetriever(edges)
+    val lines = r.retrieve(
+      "MATCH (c:c)-[:placed]->(o:o) RETURN c.id, o.id")
+    assert(lines == Seq("c: c:1, o: o:10", "c: c:1, o: o:11",
+      "c: c:2, o: o:12"))
+    assert(r.retrieve("DELETE everything").head
+      .startsWith("Error executing query:"))
+  }
+}

@@ -76,8 +76,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_heavy_hitters_by_source",
     // round 6 (late): postings build — explode + two hash aggregates +
     // broadcast df join (q_clustering_coeff excluded: its output frame is
-    // driver-composed literals over the warmed triangle layout)
-    "q_postings")
+    // driver-composed literals over the warmed triangle layout) — and the
+    // openCypher MATCH compiler, whose patterns must stay typed equi-joins
+    "q_postings", "q_cypher_match")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
