@@ -99,6 +99,17 @@ object GraphQueries {
         .orderBy(col("c"), col("o"), col("p"))
     }),
 
+    // §2.13 var-length openCypher: `*1..2` unrolls into the union of the
+    // fixed-length chains — the reference's `[:PREVIOUS*0..1]` pattern
+    // family through the same compiler.
+    "q_cypher_varlength" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o)-[*1..2]->(x) " +
+        "WHERE c.id = 'c:0' RETURN c.id, o.id, x.id"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+        .orderBy(col("c"), col("o"), col("x"))
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -237,6 +248,24 @@ object GraphQueries {
          |  ON e1.dst = e2.src
          |WHERE e1.src = 'c:0'
          |ORDER BY c, o, p""".stripMargin,
+
+    // Var-length replay: anchored 1-hop UNION ALL 2-hop chains, per-path
+    // rows (no distinct — Cypher binding semantics).
+    "q_cypher_varlength" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |e AS (SELECT src, dst FROM edges0),
+         |anch AS (
+         |  SELECT e1.src AS c, e1.dst AS o
+         |  FROM (SELECT src, dst FROM edges0 WHERE label = 'placed') e1
+         |  WHERE e1.src = 'c:0')
+         |SELECT c, o, x FROM (
+         |  SELECT a.c, a.o, h1.dst AS x
+         |  FROM anch a JOIN e h1 ON h1.src = a.o
+         |  UNION ALL
+         |  SELECT a.c, a.o, h2.dst
+         |  FROM anch a JOIN e h1 ON h1.src = a.o
+         |              JOIN e h2 ON h2.src = h1.dst)
+         |ORDER BY c, o, x""".stripMargin,
 
     // Walk replay: same rank-ordered neighbor lists, same 60-bit md5 step
     // hash, same modulo pick — three unrolled step CTEs.

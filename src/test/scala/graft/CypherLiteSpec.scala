@@ -37,6 +37,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(lim == 2L)
   }
 
+  test("var-length *1..2 unions the fixed-length chains, per-path rows") {
+    val q = "MATCH (o:o)-[*1..2]->(x) WHERE o.id = 'o:10' RETURN o.id, x.id"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, String)].collect().toSeq.sorted
+    // 1 hop: o:10->p:7; 2 hops: o:10->p:7->s:3
+    assert(out == Seq(("o:10", "p:7"), ("o:10", "s:3")))
+  }
+
+  test("var-length *0..1 includes the identity binding (the reference's " +
+    "PREVIOUS*0..1 shape)") {
+    val q = "MATCH (a)-[:contains*0..1]->(x) WHERE a.id = 'o:10' " +
+      "RETURN a.id, x.id"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, String)].collect().toSeq.sorted
+    assert(out == Seq(("o:10", "o:10"), ("o:10", "p:7")))
+  }
+
+  test("var-length over MaxVarHops and inverted bounds are loud Lefts") {
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[*1..9]->(b) RETURN a.id").isLeft)
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[*2..1]->(b) RETURN a.id").isLeft)
+  }
+
   test("mutation cannot parse AND is keyword-blocked; junk is a loud Left") {
     assert(CypherLite.run(edges,
       "CREATE (n:Evil) RETURN n.id").swap.toOption.get

@@ -78,7 +78,7 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast df join (q_clustering_coeff excluded: its output frame is
     // driver-composed literals over the warmed triangle layout) — and the
     // openCypher MATCH compiler, whose patterns must stay typed equi-joins
-    "q_postings", "q_cypher_match")
+    "q_postings", "q_cypher_match", "q_cypher_varlength")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
