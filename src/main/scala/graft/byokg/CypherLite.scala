@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
  * Grammar (anything else parses to a loud Left, which the retriever
  * surfaces as the engine loop's retry-feedback line):
  *
- *   MATCH (v[:label])(-[:type]->|<-[:type]-)(v2[:label]) ...
+ *   MATCH (v[:label])(-[:type[*a..b]]->|<-[:type[*a..b]]-)(v2[:label]) ...
  *   [WHERE v.id = 'lit' [AND ...]]
- *   RETURN v.id [, v2.id ...] [LIMIT n]
+ *   RETURN (v.id [, v2.id ...] | count(*)) [LIMIT n]
  *
  * Node labels map to the store's id-prefix convention (`c:`/`o:`/... —
  * the byokg LocalKGStore notation); properties are limited to `.id`, the
@@ -44,7 +44,7 @@ object CypherLite {
   final case class Cond(v: String, op: String, value: String)
   final case class Query(nodes: Seq[NodePat], edges: Seq[EdgePat],
                          conds: Seq[Cond], returns: Seq[String],
-                         limit: Option[Int])
+                         limit: Option[Int], countStar: Boolean = false)
 
   private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\)""".r
   private val RightRe = """-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*->""".r
@@ -119,15 +119,22 @@ object CypherLite {
           case other => return Left(s"unsupported WHERE term '$other'")
         }
     }
-    val returns = retPart.split(",").map(_.trim).toSeq.map {
-      case RetRe(v) => v
-      case other => return Left(s"unsupported RETURN item '$other'")
-    }
+    // RETURN count(*): the binding-cardinality aggregate LLM-authored
+    // KGQA queries lean on constantly — one global count, no projection
+    val countStar = retPart.replaceAll("\\s", "")
+      .equalsIgnoreCase("count(*)")
+    val returns =
+      if (countStar) Seq.empty[String]
+      else retPart.split(",").map(_.trim).toSeq.map {
+        case RetRe(v) => v
+        case other => return Left(s"unsupported RETURN item '$other'")
+      }
     val known = nodes.map(_.v).toSet
     (conds.map(_.v) ++ returns).find(!known.contains(_)) match {
       case Some(v) => Left(s"unknown variable '$v'")
       case None =>
-        Right(Query(nodes.toSeq, edges.toSeq, conds, returns, limit))
+        Right(Query(nodes.toSeq, edges.toSeq, conds, returns, limit,
+          countStar))
     }
   }
 
@@ -198,7 +205,9 @@ object CypherLite {
       df = df.filter(if (c.op == "=") col(c.v) === c.value
                      else col(c.v) =!= c.value)
     }
-    val out = df.select(q.returns.map(col): _*)
+    val out =
+      if (q.countStar) df.agg(count(lit(1)).as("count"))
+      else df.select(q.returns.map(col): _*)
     q.limit.fold(out)(out.limit)
   }
 

@@ -61,6 +61,18 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a)-[*2..1]->(b) RETURN a.id").isLeft)
   }
 
+  test("RETURN count(*) aggregates the binding cardinality") {
+    val n = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) RETURN count(*)").toOption.get
+      .as[Long].head()
+    assert(n == 3L)
+    val n2 = CypherLite.run(edges,
+      "MATCH (o:o)-[*1..2]->(x) RETURN COUNT( * )").toOption.get
+      .as[Long].head()
+    // 1-hop: o10->p7, o11->p7, o12->p8; 2-hop: o10->p7->s3, o11->p7->s3
+    assert(n2 == 5L)
+  }
+
   test("mutation cannot parse AND is keyword-blocked; junk is a loud Left") {
     assert(CypherLite.run(edges,
       "CREATE (n:Evil) RETURN n.id").swap.toOption.get
