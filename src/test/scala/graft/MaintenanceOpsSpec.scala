@@ -70,6 +70,44 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(math.abs(approx("s") - 97L) <= 10L)
   }
 
+  test("snapshotDiff matches a driver-side reference model on random " +
+    "version histories") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val versions = (0 until 40).flatMap { vid =>
+        val n = 1 + rnd.nextInt(4)
+        val vfs = rnd.shuffle((1 to 40).toList).take(n)
+        vfs.map { vf =>
+          (vid.toLong,
+            if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(5).toLong),
+            vf.toLong * 10, rnd.nextInt(5) == 0)
+        }
+      }
+      val (t1, t2) = { val a = (1 + rnd.nextInt(40)) * 10L
+                       val b = (1 + rnd.nextInt(40)) * 10L
+                       (math.min(a, b), math.max(a, b)) }
+      val df = versions.toDF("vid", "payload", "valid_from", "is_del")
+      val got = VersionManager.snapshotDiff(df, Seq("vid"), "valid_from",
+        "payload", t1, t2, tombstoneCol = Some("is_del"))
+        .as[(Long, String, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // reference model: latest version at-or-before t, per vid
+      val expected = versions.groupBy(_._1).flatMap { case (vid, vs) =>
+        def at(t: Long) = vs.filter(_._3 <= t)
+          .sortBy(_._3).lastOption.map(v => (v._2, v._4))
+        val (s1, s2) = (at(t1), at(t2))
+        val live1 = s1.exists(!_._2); val live2 = s2.exists(!_._2)
+        val p1 = s1.map(_._1); val p2 = s2.map(_._1)
+        if (!live1 && live2) Some(vid -> (("added", None, p2.get)))
+        else if (live1 && !live2) Some(vid -> (("removed", p1.get, None)))
+        else if (live1 && live2 && p1.get != p2.get)
+          Some(vid -> (("changed", p1.get, p2.get)))
+        else None
+      }
+      assert(got == expected, s"trial $trial t1=$t1 t2=$t2")
+    }
+  }
+
   test("rrf fuses bounded lists with one-sided membership") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
