@@ -24,6 +24,37 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(run(edges.repartition(7)) == out)
   }
 
+  test("randomWalks on random graphs: steps chain, every hop is a real " +
+    "edge, walks are reproducible") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 2) {
+      val edgeSeq = (0 until 300).map { _ =>
+        (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}")
+      }.distinct
+      val edges = edgeSeq.toDF("src", "dst")
+      val edgeSet = edgeSeq.toSet
+      val ranked = Traversal.rankedAdjacency(edges)
+      val seeds = Seq("n0", "n1", "n2").toDF("node")
+      def run() = Traversal.randomWalks(ranked, seeds, steps = 4,
+        walksPerNode = 3, seed = s"p$trial")
+        .as[(String, Int, Int, String)].collect().toSeq.sorted
+      val out = run()
+      assert(out == run(), "walks must be reproducible")
+      // chain continuity: step t's position follows step t-1's (or the
+      // start), and each transition is a real directed edge
+      out.groupBy(w => (w._1, w._2)).foreach { case ((start, _), steps) =>
+        val byStep = steps.sortBy(_._3)
+        assert(byStep.map(_._3) == (1 to byStep.size), "steps contiguous")
+        var cur = start
+        byStep.foreach { case (_, _, _, node) =>
+          assert(edgeSet.contains((cur, node)),
+            s"($cur,$node) is not an edge")
+          cur = node
+        }
+      }
+    }
+  }
+
   test("randomWalks follows the hash-picked ranked neighbor and stops " +
     "at sinks") {
     // graph: s -> {x, y}; x -> {z}; y, z sinks
