@@ -37,6 +37,40 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Metadata-filtered exact top-k — the reference's
+   * `top_k(query_bundle, top_k, filter_config)` surface
+   * (opensearch_vector_indexes.py:807-870 compiles FilterConfig into the
+   * k-NN query's filter clause; pg_vector_indexes.py:539-542 renders it as
+   * a SQL WHERE). On Spark the algebra compiles ONCE to a `Column` applied
+   * BELOW the scoring projection, so Catalyst pushes the predicate into the
+   * parquet scan (PushedFilters) — candidates shrink before any cosine is
+   * computed, and with a partition / z-order layout on the filter key the
+   * predicate becomes file pruning: the 100 TB shape is "read only the
+   * matching row groups, score those", never "score then filter".
+   *
+   * `resolve` maps filter keys to columns (identity for flat tables,
+   * `k => col("metadata")(k)` for map-typed metadata — same contract as
+   * [[graft.filter.FilterAst.compile]]).
+   */
+  def filteredTopK(index: DataFrame, embCol: String, idCol: String,
+                   filter: graft.filter.FilterAst.Filter,
+                   query: Seq[Double], k: Int,
+                   resolve: String => Column = col): DataFrame =
+    topK(index.filter(graft.filter.FilterAst.compile(filter, resolve)),
+      embCol, idCol, query, k)
+
+  /** [[filteredTopK]] down the IVF path: the filter prunes INSIDE the probed
+    * cells (both predicates reach the same scan), so cost stays
+    * ~nprobe/nlist of the filtered corpus. Same recall contract as
+    * [[ivfTopK]] — exact at nprobe = nlist. */
+  def ivfFilteredTopK(assigned: DataFrame, embCol: String, idCol: String,
+                      filter: graft.filter.FilterAst.Filter,
+                      query: Seq[Double], k: Int, nlist: Int, nprobe: Int,
+                      resolve: String => Column = col): DataFrame =
+    ivfTopK(assigned.filter(graft.filter.FilterAst.compile(filter, resolve)),
+      embCol, idCol, query, k, nlist, nprobe)
+
   /** Cosine top-k with per-group diversity: over-fetch k*diversityFactor, then
     * round-robin across `groupCol` (reference vector_utils.py:109-172's
     * get_diverse_vss_elements as a rank-then-sort window, no driver loop). */

@@ -35,6 +35,21 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // §2.3 VectorIndex.top_k(filter_config): metadata-filtered VSS — the
+    // FilterAst algebra compiled into the scan BELOW the scoring projection
+    // (reference opensearch_vector_indexes.py:807-870 / pg_vector_indexes
+    // .py:539-542 push FilterConfig into the store's k-NN query the same
+    // way). PlanShapeSpec proves the label predicate reaches PushedFilters.
+    "q_filtered_topk" -> ((s, dir) => {
+      import graft.filter.FilterAst._
+      val f = And.of(Pred("label", Gte, 2), Pred("label", Lte, 6),
+        Not(Pred("label", Eq, 4)))
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      Similarity.filteredTopK(emb, "embedding", "vec_id", f,
+        queryVec(s, dir), 10)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // §2.3 get_diverse_vss_elements: over-fetch + per-group round-robin.
     "q_vector_diverse_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
@@ -530,6 +545,14 @@ object VectorQueries {
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS score
          |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY ${cosSql("embedding", "qe")} DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_filtered_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS score
+         |FROM embeddings, q
+         |WHERE vec_id <> 0
+         |  AND (label >= 2 AND label <= 6 AND NOT (label = 4))
          |ORDER BY ${cosSql("embedding", "qe")} DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_vector_diverse_topk" ->

@@ -21,6 +21,38 @@ class MlAnnSpec extends SparkSpec {
 
   private val query = Seq(10.0, 0.1, 0.0, 1.0)
 
+  test("filteredTopK == brute top-k over the pre-filtered frame; the " +
+    "filter binds (results differ from unfiltered)") {
+    import graft.filter.FilterAst._
+    val labeled = index.withColumn("label", (col("vec_id") % 3).cast("int"))
+    // query points at cluster 0; restricting to label=1 must surface the
+    // orthogonal cluster instead — proof the predicate ran BEFORE scoring
+    val f = Pred("label", Eq, 1)
+    val got = Similarity.filteredTopK(labeled, "embedding", "vec_id", f,
+      query, 5).select("id").as[Long].collect().toSeq
+    val manual = Similarity.topK(labeled.filter(col("label") === 1),
+      "embedding", "vec_id", query, 5).select("id").as[Long].collect().toSeq
+    val unfiltered = Similarity.topK(labeled, "embedding", "vec_id",
+      query, 5).select("id").as[Long].collect().toSeq
+    assert(got == manual)
+    assert(got.forall(_ % 3 == 1))
+    assert(got != unfiltered)
+  }
+
+  test("ivfFilteredTopK at full probe == filteredTopK (exact under filter)") {
+    import graft.filter.FilterAst._
+    val labeled = index.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val f = Or.of(Pred("label", Eq, 1), Pred("label", Eq, 2))
+    val assigned = Similarity.ivfAssign(labeled, "embedding", nlist = 4,
+      dim = 4)
+    val ivf = Similarity.ivfFilteredTopK(assigned, "embedding", "vec_id", f,
+      query, k = 5, nlist = 4, nprobe = 4)
+      .select("id").as[Long].collect().toSeq
+    val brute = Similarity.filteredTopK(labeled, "embedding", "vec_id", f,
+      query, 5).select("id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+
   test("KMeans IVF with full probe equals brute-force top-k") {
     val (assigned, centers) = MlAnn.kmeansIvf(index, "embedding", "vec_id", nlist = 3)
     val ivf = MlAnn.ivfTopK(assigned, centers, query, k = 5, nprobe = 3)

@@ -78,14 +78,17 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast df join (q_clustering_coeff excluded: its output frame is
     // driver-composed literals over the warmed triangle layout) — and the
     // openCypher MATCH compiler, whose patterns must stay typed equi-joins
-    "q_postings", "q_cypher_match", "q_cypher_varlength")
+    "q_postings", "q_cypher_match", "q_cypher_varlength",
+    // round 6 (cont.): metadata-filtered VSS — a flat filter + top-k scan
+    "q_filtered_topk")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
   private val boundedBnlj = Set(
     "q_processor_chain", "q_full_chain", "q_curation_pipeline",
     "q_prune_threshold", "q_tfidf_rerank", "q_vector_topk",
-    "q_vector_diverse_topk", "q_ivf_topk_full_probe", "q_statement_diversity",
+    "q_vector_diverse_topk", "q_ivf_topk_full_probe", "q_filtered_topk",
+    "q_statement_diversity",
     // single-row corpus-total frame joined onto every per-doc row
     "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights")
     // (q_hits no longer appears here: the end-normalization rewrite
@@ -109,6 +112,18 @@ class PlanShapeSpec extends SparkSpec {
       if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
     }
     assert(offenders.isEmpty, s"unexpected BroadcastNestedLoopJoin in: $offenders")
+  }
+
+  test("filteredTopK pushes the metadata predicate into the parquet scan") {
+    // the whole point of compiling FilterAst below the scoring projection:
+    // the label predicate must reach PushedFilters (row-group pruning at
+    // scale), not run as a post-scan Filter over scored rows
+    val plan = SparkEntry.queries("q_filtered_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PushedFilters:"))
+    assert(scanLine.isDefined, s"no PushedFilters in plan:\n$plan")
+    assert(scanLine.get.contains("label"),
+      s"label predicate not pushed to the scan: ${scanLine.get}")
   }
 
   test("windowedChunkDedup plans as hash aggregates — no window rank, " +
