@@ -1,6 +1,6 @@
 package graft.byokg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -16,9 +16,20 @@ import org.apache.spark.sql.functions._
  * Grammar (anything else parses to a loud Left, which the retriever
  * surfaces as the engine loop's retry-feedback line):
  *
- *   MATCH (v[:label])(-[:type[*a..b]]->|<-[:type[*a..b]]-)(v2[:label]) ...
+ *   MATCH pattern [, pattern ...]
  *   [WHERE v.id = 'lit' [AND ...]]
- *   RETURN (v.id [, v2.id ...] | count(*)) [LIMIT n]
+ *   RETURN [DISTINCT] (v.id [, v2.id ...] | count(*))
+ *   [ORDER BY v.id [DESC] [, ...]] [LIMIT n]
+ *
+ *   pattern := (v[:label])(-[:type[*a..b]]->|<-[:type[*a..b]]-)(v2[:label]) ...
+ *
+ * Comma-separated patterns share variables (the standard Cypher
+ * conjunctive form LLMs emit constantly, e.g. `MATCH (a)-[:x]->(b),
+ * (b)-[:y]->(c)`); each shared variable becomes an equi-join between the
+ * per-pattern binding frames. Patterns that share NO variable with the
+ * rest would be a cartesian product — refused loudly (a BNLJ over two
+ * full binding frames is never what a KGQA query means, and at scale
+ * it's a cluster-killer).
  *
  * Node labels map to the store's id-prefix convention (`c:`/`o:`/... —
  * the byokg LocalKGStore notation); properties are limited to `.id`, the
@@ -28,7 +39,8 @@ import org.apache.spark.sql.functions._
  *
  * Scale: an N-hop pattern compiles to N-1 equi-joins over the edge
  * frame — identical shape (and cost) to [[Traversal.followMetapath]];
- * anchored WHERE equalities push into the first scan.
+ * anchored WHERE equalities push into the first scan, and multi-pattern
+ * joins are ordinary shuffled equi-joins on the shared variable.
  */
 object CypherLite {
 
@@ -42,42 +54,26 @@ object CypherLite {
 
   val MaxVarHops = 3
   final case class Cond(v: String, op: String, value: String)
-  final case class Query(nodes: Seq[NodePat], edges: Seq[EdgePat],
-                         conds: Seq[Cond], returns: Seq[String],
-                         limit: Option[Int], countStar: Boolean = false)
+  /** One comma-separated MATCH pattern: a linear node/edge chain. */
+  final case class Part(nodes: Seq[NodePat], edges: Seq[EdgePat])
+  final case class Query(parts: Seq[Part], conds: Seq[Cond],
+                         returns: Seq[String], limit: Option[Int],
+                         countStar: Boolean = false,
+                         distinct: Boolean = false,
+                         orderBy: Seq[(String, Boolean)] = Nil)
 
   private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\)""".r
   private val RightRe = """-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*->""".r
   private val LeftRe = """<-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*-""".r
   private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.id\s*(=|<>)\s*'([^']*)'""".r
   private val RetRe = """([A-Za-z_][A-Za-z0-9_]*)\.id""".r
+  private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id(?:\s+(ASC|DESC))?""".r
 
-  def parse(q: String): Either[String, Query] = {
-    val s = q.trim.stripSuffix(";").trim
-    val upper = s.toUpperCase
-    if (!upper.startsWith("MATCH "))
-      return Left("only MATCH queries are supported")
-    val retIdx = upper.indexOf(" RETURN ")
-    if (retIdx < 0) return Left("missing RETURN clause")
-    val whereIdx = upper.indexOf(" WHERE ")
-    val patternPart =
-      s.substring(5, if (whereIdx >= 0) whereIdx else retIdx).trim
-    val wherePart =
-      if (whereIdx >= 0) Some(s.substring(whereIdx + 7, retIdx).trim)
-      else None
-    var retPart = s.substring(retIdx + 8).trim
-    val limIdx = retPart.toUpperCase.indexOf("LIMIT")
-    val limit =
-      if (limIdx >= 0) {
-        val lit = retPart.substring(limIdx + 5).trim
-        val n = lit.toIntOption.getOrElse(
-          return Left(s"bad LIMIT literal '$lit'"))
-        retPart = retPart.substring(0, limIdx).trim
-        Some(n)
-      } else None
-
-    // pattern: node (edge node)* — consume greedily, reject leftovers
-    var rest = patternPart
+  /** One linear chain: node (edge node)*. Variables may not repeat
+    * WITHIN a chain (no cycle patterns); repeats ACROSS parts are the
+    * join keys. */
+  private def parseChain(chain: String): Either[String, Part] = {
+    var rest = chain
     def eat(re: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] =
       re.findPrefixMatchOf(rest.trim) match {
         case Some(m) => rest = rest.trim.substring(m.end); Some(m)
@@ -108,13 +104,75 @@ object CypherLite {
       nodes += NodePat(n.group(1), Option(n.group(2)))
     }
     if (nodes.map(_.v).distinct.size != nodes.size)
-      return Left("repeated pattern variables are not supported")
+      Left("repeated pattern variables within one pattern are not supported")
+    else Right(Part(nodes.toSeq, edges.toSeq))
+  }
+
+  def parse(q: String): Either[String, Query] = {
+    val s = q.trim.stripSuffix(";").trim
+    val upper = s.toUpperCase
+    if (!upper.startsWith("MATCH "))
+      return Left("only MATCH queries are supported")
+    val retIdx = upper.indexOf(" RETURN ")
+    if (retIdx < 0) return Left("missing RETURN clause")
+    val whereIdx = upper.indexOf(" WHERE ")
+    val patternPart =
+      s.substring(5, if (whereIdx >= 0) whereIdx else retIdx).trim
+    val wherePart =
+      if (whereIdx >= 0) Some(s.substring(whereIdx + 7, retIdx).trim)
+      else None
+    var retPart = s.substring(retIdx + 8).trim
+
+    val limIdx = retPart.toUpperCase.indexOf("LIMIT")
+    val limit =
+      if (limIdx >= 0) {
+        val lit = retPart.substring(limIdx + 5).trim
+        val n = lit.toIntOption.getOrElse(
+          return Left(s"bad LIMIT literal '$lit'"))
+        retPart = retPart.substring(0, limIdx).trim
+        Some(n)
+      } else None
+
+    val ordIdx = retPart.toUpperCase.indexOf("ORDER BY")
+    val orderBy: Seq[(String, Boolean)] =
+      if (ordIdx >= 0) {
+        val items = retPart.substring(ordIdx + 8).trim
+        retPart = retPart.substring(0, ordIdx).trim
+        items.split(",").map(_.trim).toSeq.map {
+          case OrdRe(v, dir) => (v, dir == null || dir.equalsIgnoreCase("ASC"))
+          case other => return Left(s"unsupported ORDER BY item '$other'")
+        }
+      } else Nil
+
+    val distinct = retPart.toUpperCase.startsWith("DISTINCT ")
+    if (distinct) retPart = retPart.substring(9).trim
+
+    // comma-split is safe: no grammar token contains a comma
+    val parts = patternPart.split(",").map(_.trim).toSeq.map(c =>
+      parseChain(c).fold(err => return Left(err), identity))
+    // connectivity: every part must (transitively) share a variable with
+    // part 0, else the join degenerates into a cartesian product
+    val varSets = parts.map(_.nodes.map(_.v).toSet)
+    val reached = scala.collection.mutable.Set(0)
+    var grew = true
+    while (grew) {
+      grew = false
+      varSets.indices.foreach { i =>
+        if (!reached(i) &&
+            reached.exists(j => (varSets(i) & varSets(j)).nonEmpty)) {
+          reached += i; grew = true
+        }
+      }
+    }
+    if (reached.size != parts.size)
+      return Left("disconnected pattern parts (cartesian product) are " +
+        "not supported — share a variable between patterns")
 
     val conds = wherePart match {
       case None => Seq.empty[Cond]
       case Some(w) =>
-        val parts = w.split("(?i)\\sAND\\s").map(_.trim)
-        parts.toSeq.map {
+        val ps = w.split("(?i)\\sAND\\s").map(_.trim)
+        ps.toSeq.map {
           case CondRe(v, op, value) => Cond(v, op, value)
           case other => return Left(s"unsupported WHERE term '$other'")
         }
@@ -123,91 +181,123 @@ object CypherLite {
     // KGQA queries lean on constantly — one global count, no projection
     val countStar = retPart.replaceAll("\\s", "")
       .equalsIgnoreCase("count(*)")
+    if (countStar && (distinct || orderBy.nonEmpty))
+      return Left("count(*) cannot combine with DISTINCT or ORDER BY")
     val returns =
       if (countStar) Seq.empty[String]
       else retPart.split(",").map(_.trim).toSeq.map {
         case RetRe(v) => v
         case other => return Left(s"unsupported RETURN item '$other'")
       }
-    val known = nodes.map(_.v).toSet
-    (conds.map(_.v) ++ returns).find(!known.contains(_)) match {
+    val known = varSets.reduce(_ | _)
+    (conds.map(_.v) ++ returns ++ orderBy.map(_._1))
+      .find(!known.contains(_)) match {
       case Some(v) => Left(s"unknown variable '$v'")
       case None =>
-        Right(Query(nodes.toSeq, edges.toSeq, conds, returns, limit,
-          countStar))
+        orderBy.map(_._1).find(v => returns.nonEmpty && !returns.contains(v))
+          .map(v => Left(s"ORDER BY variable '$v' must be returned"))
+          .getOrElse(Right(Query(parts, conds, returns, limit, countStar,
+            distinct, orderBy)))
+    }
+  }
+
+  /** One chain → a binding frame whose columns are the chain's variable
+    * names, one row per match binding (Cypher semantics — no implicit
+    * distinct). Label filters are NOT applied here; [[compile]] applies
+    * them once over the joined frame (Catalyst pushes them back down). */
+  private def compileChain(edgeFrame: DataFrame, part: Part): DataFrame = {
+    def singleHop(e: EdgePat, from: String, to: String): DataFrame = {
+      val (fromCol, toCol) =
+        if (e.rightward) ("src", "dst") else ("dst", "src")
+      val typed = e.typ.map(t => edgeFrame.filter(col("label") === t))
+        .getOrElse(edgeFrame)
+      typed.select(col(fromCol).as(from), col(toCol).as(to))
+    }
+    if (part.edges.isEmpty)
+      edgeFrame.select(col("src").as(part.nodes.head.v))
+        .union(edgeFrame.select(col("dst")))
+        .distinct()
+    else {
+      // LEFT-TO-RIGHT accumulation: every hop joins the frame of
+      // bindings accumulated SO FAR, so an anchored WHERE on an early
+      // variable (pushed into the first scan by Catalyst) bounds every
+      // later join. Var-length `*a..b` expands AGAINST the accumulated
+      // frame as the union of per-length chains (one row per path,
+      // Cypher semantics — intermediates drop, duplicates stay; a==0
+      // adds the identity binding) — expanding the chains standalone
+      // instead would self-join the full edge table into every-path
+      // frames the anchor never restricts (measured 8× slower on the
+      // anchored 2-hop var-length gate).
+      var acc: DataFrame = null
+      part.edges.zipWithIndex.foreach { case (e, i) =>
+        val from = part.nodes(i).v
+        val to = part.nodes(i + 1).v
+        val base =
+          if (acc == null) {
+            if (e.minHops == 0)
+              edgeFrame.select(col("src").as(from))
+                .union(edgeFrame.select(col("dst"))).distinct()
+            else null // first chain seeds directly from the edge table
+          } else acc
+        val boundCols =
+          if (base == null) Seq.empty[String] else base.columns.toSeq
+        val chains = (math.max(e.minHops, 1) to e.maxHops).map { len =>
+          var f = base
+          var cur = from
+          for (j <- 1 to len) {
+            val nxt = if (j == len) to else s"_vl_$j"
+            val hop = singleHop(e, cur, nxt)
+            f = if (f == null) hop else f.join(hop, cur)
+            cur = nxt
+          }
+          f.select((boundCols :+ from).distinct.map(col) :+ col(to): _*)
+        }
+        val identity =
+          if (e.minHops > 0) None
+          else Some(base.select(
+            (boundCols :+ from).distinct.map(col) :+
+              col(from).as(to): _*))
+        acc = (identity.toSeq ++ chains).reduceLeft(_ union _)
+      }
+      acc
     }
   }
 
   /** Compile onto the edge frame; output columns carry the variable
-    * names, each holding the bound node id. One row per match binding
-    * (Cypher semantics — no implicit distinct). */
+    * names, each holding the bound node id. Comma-separated parts join
+    * on their shared variables (greedy attach order — parse() proved
+    * connectivity, so every remaining part eventually shares a bound
+    * variable). */
   def compile(edgeFrame: DataFrame, q: Query): DataFrame = {
-    def labelFilter(v: String, n: NodePat) =
-      n.label.map(l => col(v).startsWith(l + ":")).getOrElse(lit(true))
-    var df: DataFrame =
-      if (q.edges.isEmpty)
-        edgeFrame.select(col("src").as(q.nodes.head.v))
-          .union(edgeFrame.select(col("dst")))
-          .distinct()
-      else {
-        def singleHop(e: EdgePat, from: String, to: String): DataFrame = {
-          val (fromCol, toCol) =
-            if (e.rightward) ("src", "dst") else ("dst", "src")
-          val typed = e.typ.map(t => edgeFrame.filter(col("label") === t))
-            .getOrElse(edgeFrame)
-          typed.select(col(fromCol).as(from), col(toCol).as(to))
-        }
-        // LEFT-TO-RIGHT accumulation: every hop joins the frame of
-        // bindings accumulated SO FAR, so an anchored WHERE on an early
-        // variable (pushed into the first scan by Catalyst) bounds every
-        // later join. Var-length `*a..b` expands AGAINST the accumulated
-        // frame as the union of per-length chains (one row per path,
-        // Cypher semantics — intermediates drop, duplicates stay; a==0
-        // adds the identity binding) — expanding the chains standalone
-        // instead would self-join the full edge table into every-path
-        // frames the anchor never restricts (measured 8× slower on the
-        // anchored 2-hop var-length gate).
-        var acc: DataFrame = null
-        q.edges.zipWithIndex.foreach { case (e, i) =>
-          val from = q.nodes(i).v
-          val to = q.nodes(i + 1).v
-          val base =
-            if (acc == null) {
-              if (e.minHops == 0)
-                edgeFrame.select(col("src").as(from))
-                  .union(edgeFrame.select(col("dst"))).distinct()
-              else null // first chain seeds directly from the edge table
-            } else acc
-          val boundCols =
-            if (base == null) Seq.empty[String] else base.columns.toSeq
-          val chains = (math.max(e.minHops, 1) to e.maxHops).map { len =>
-            var f = base
-            var cur = from
-            for (j <- 1 to len) {
-              val nxt = if (j == len) to else s"_vl_$j"
-              val hop = singleHop(e, cur, nxt)
-              f = if (f == null) hop else f.join(hop, cur)
-              cur = nxt
-            }
-            f.select((boundCols :+ from).distinct.map(col) :+ col(to): _*)
-          }
-          val identity =
-            if (e.minHops > 0) None
-            else Some(base.select(
-              (boundCols :+ from).distinct.map(col) :+
-                col(from).as(to): _*))
-          acc = (identity.toSeq ++ chains).reduceLeft(_ union _)
-        }
-        acc
-      }
-    q.nodes.foreach(n => df = df.filter(labelFilter(n.v, n)))
+    val frames = scala.collection.mutable.ArrayBuffer(
+      q.parts.map(p => (p, compileChain(edgeFrame, p))): _*)
+    var (part0, df) = frames.remove(0)
+    var bound = part0.nodes.map(_.v).toSet
+    while (frames.nonEmpty) {
+      val i = frames.indexWhere { case (p, _) =>
+        p.nodes.exists(n => bound.contains(n.v)) }
+      val (p, f) = frames.remove(i)
+      val shared = p.nodes.map(_.v).filter(bound.contains)
+      df = df.join(f, shared)
+      bound ++= p.nodes.map(_.v)
+    }
+    // label filters once over the joined frame; a variable labelled in
+    // several parts gets the conjunction (standard Cypher semantics)
+    def labelFilter(n: NodePat): Option[Column] =
+      n.label.map(l => col(n.v).startsWith(l + ":"))
+    q.parts.flatMap(_.nodes).flatMap(labelFilter)
+      .foreach(f => df = df.filter(f))
     q.conds.foreach { c =>
       df = df.filter(if (c.op == "=") col(c.v) === c.value
                      else col(c.v) =!= c.value)
     }
-    val out =
+    var out =
       if (q.countStar) df.agg(count(lit(1)).as("count"))
       else df.select(q.returns.map(col): _*)
+    if (q.distinct) out = out.distinct()
+    if (q.orderBy.nonEmpty)
+      out = out.orderBy(q.orderBy.map { case (v, asc) =>
+        if (asc) col(v).asc else col(v).desc }: _*)
     q.limit.fold(out)(out.limit)
   }
 

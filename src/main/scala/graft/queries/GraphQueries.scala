@@ -110,6 +110,18 @@ object GraphQueries {
         .orderBy(col("c"), col("o"), col("x"))
     }),
 
+    // §2.13 conjunctive openCypher: comma-separated patterns joined on
+    // their shared variables + RETURN DISTINCT + ORDER BY — the standard
+    // multi-pattern form LLM-authored KGQA queries emit (each pattern
+    // compiles to its own binding frame; shared vars become equi-joins).
+    "q_cypher_multipart" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o), (o)-[:contains]->(p:p), " +
+        "(p)-[:supplied_by]->(sup:s) WHERE c.id = 'c:0' " +
+        "RETURN DISTINCT c.id, p.id, sup.id ORDER BY c.id, p.id, sup.id"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -266,6 +278,19 @@ object GraphQueries {
          |  FROM anch a JOIN e h1 ON h1.src = a.o
          |              JOIN e h2 ON h2.src = h1.dst)
          |ORDER BY c, o, x""".stripMargin,
+
+    // Multi-part replay: three typed equi-joins on the shared variables,
+    // DISTINCT + ORDER BY mirroring the compiled projection.
+    "q_cypher_multipart" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT DISTINCT e1.src AS c, e2.dst AS p, e3.dst AS sup
+         |FROM (SELECT src, dst FROM edges0 WHERE label = 'placed') e1
+         |JOIN (SELECT src, dst FROM edges0 WHERE label = 'contains') e2
+         |  ON e1.dst = e2.src
+         |JOIN (SELECT src, dst FROM edges0 WHERE label = 'supplied_by') e3
+         |  ON e2.dst = e3.src
+         |WHERE e1.src = 'c:0'
+         |ORDER BY c, p, sup""".stripMargin,
 
     // Walk replay: same rank-ordered neighbor lists, same 60-bit md5 step
     // hash, same modulo pick — three unrolled step CTEs.

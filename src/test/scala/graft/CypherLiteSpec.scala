@@ -87,6 +87,55 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a) WHERE z.id = 'x' RETURN a.id").isLeft)
   }
 
+  test("comma-separated patterns join on their shared variable") {
+    // (c)-[:placed]->(o), (o)-[:contains]->(p): the conjunctive form —
+    // same bindings as the single 2-hop chain
+    val q = "MATCH (c:c)-[:placed]->(o:o), (o)-[:contains]->(p:p) " +
+      "WHERE c.id = 'c:1' RETURN c.id, o.id, p.id"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(("c:1", "o:10", "p:7"), ("c:1", "o:11", "p:7")))
+    // three parts, transitively connected THROUGH the second
+    val q3 = "MATCH (c)-[:placed]->(o), (p)<-[:contains]-(o), " +
+      "(p)-[:supplied_by]->(s) RETURN c.id, s.id"
+    val out3 = CypherLite.run(edges, q3).toOption.get
+      .as[(String, String)].collect().toSet
+    assert(out3 == Set(("c:1", "s:3")))
+  }
+
+  test("disconnected pattern parts are a loud Left, not a cartesian") {
+    val err = CypherLite.run(edges,
+      "MATCH (a)-[:placed]->(b), (x)-[:contains]->(y) RETURN a.id, x.id")
+      .swap.toOption.get
+    assert(err.contains("disconnected"))
+  }
+
+  test("RETURN DISTINCT collapses duplicate bindings") {
+    // both o:10 and o:11 contain p:7 → two (c:1, p:7) bindings
+    val plain = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o)-[:contains]->(p) RETURN c.id, p.id")
+      .toOption.get.count()
+    val dist = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o)-[:contains]->(p) " +
+        "RETURN DISTINCT c.id, p.id").toOption.get
+      .as[(String, String)].collect().toSet
+    assert(plain == 3L)
+    assert(dist == Set(("c:1", "p:7"), ("c:2", "p:8")))
+  }
+
+  test("ORDER BY gives a deterministic LIMIT; DESC honored") {
+    val top = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) RETURN o.id ORDER BY o.id DESC LIMIT 2")
+      .toOption.get.as[String].collect().toSeq
+    assert(top == Seq("o:12", "o:11"))
+    // ORDER BY on a variable not in RETURN is refused (projection-first)
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) RETURN o.id ORDER BY c.id").isLeft)
+    // count(*) cannot combine with ORDER BY / DISTINCT
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN count(*) ORDER BY a.id").isLeft)
+  }
+
   test("retriever verbalizes bindings deterministically; errors become " +
     "the retry-feedback line") {
     val r = new CypherGraphRetriever(edges)
