@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
  * surfaces as the engine loop's retry-feedback line):
  *
  *   MATCH pattern [, pattern ...]
- *   [WHERE v.id = 'lit' [AND ...]]
+ *   [WHERE (v.id = 'lit' | v.id <> 'lit' | v.id IN ['lit', ...]) [AND ...]]
  *   RETURN [DISTINCT] (v.id [, v2.id ...] | count(*))
  *   [ORDER BY v.id [DESC] [, ...]] [LIMIT n]
  *
@@ -53,7 +53,8 @@ object CypherLite {
                            minHops: Int = 1, maxHops: Int = 1)
 
   val MaxVarHops = 3
-  final case class Cond(v: String, op: String, value: String)
+  /** op ∈ {=, <>, IN}; IN carries the whole literal list in `values`. */
+  final case class Cond(v: String, op: String, values: Seq[String])
   /** One comma-separated MATCH pattern: a linear node/edge chain. */
   final case class Part(nodes: Seq[NodePat], edges: Seq[EdgePat])
   final case class Query(parts: Seq[Part], conds: Seq[Cond],
@@ -66,6 +67,8 @@ object CypherLite {
   private val RightRe = """-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*->""".r
   private val LeftRe = """<-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*-""".r
   private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.id\s*(=|<>)\s*'([^']*)'""".r
+  private val CondInRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+IN\s+[\[(]\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*[\])]""".r
+  private val StrLitRe = """'([^']*)'""".r
   private val RetRe = """([A-Za-z_][A-Za-z0-9_]*)\.id""".r
   private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id(?:\s+(ASC|DESC))?""".r
 
@@ -173,7 +176,9 @@ object CypherLite {
       case Some(w) =>
         val ps = w.split("(?i)\\sAND\\s").map(_.trim)
         ps.toSeq.map {
-          case CondRe(v, op, value) => Cond(v, op, value)
+          case CondRe(v, op, value) => Cond(v, op, Seq(value))
+          case CondInRe(v, items) =>
+            Cond(v, "IN", StrLitRe.findAllMatchIn(items).map(_.group(1)).toSeq)
           case other => return Left(s"unsupported WHERE term '$other'")
         }
     }
@@ -288,8 +293,11 @@ object CypherLite {
     q.parts.flatMap(_.nodes).flatMap(labelFilter)
       .foreach(f => df = df.filter(f))
     q.conds.foreach { c =>
-      df = df.filter(if (c.op == "=") col(c.v) === c.value
-                     else col(c.v) =!= c.value)
+      df = df.filter(c.op match {
+        case "=" => col(c.v) === c.values.head
+        case "<>" => col(c.v) =!= c.values.head
+        case "IN" => col(c.v).isin(c.values: _*)
+      })
     }
     var out =
       if (q.countStar) df.agg(count(lit(1)).as("count"))

@@ -16,6 +16,19 @@ object MaintenanceQueries {
   import Tables.t
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // extended: small-file compaction planning (index.Compaction) — the
+    // deterministic running-total bin assignment, gated here over a
+    // synthetic file-stats frame derived from documents (doc_id as path,
+    // n_chars as bytes) so the window math replays in SQL; the filesystem
+    // listing + rewrite halves are spec-tested (CompactionSpec).
+    "q_compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("bytes"))
+      graft.index.Compaction.assignBins(files, "doc_id", "bytes",
+          targetBytes = 50000L)
+        .orderBy(col("bin"), col("doc_id"))
+    }),
+
     // §2.10 sessionization (gaps-and-islands; the streaming twin lives in
     // graft.streaming.Sessionize.streamingSessions and is spec-tested).
     "q_sessionize" -> ((s, dir) => {
@@ -255,6 +268,18 @@ object MaintenanceQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // compaction-plan replay: the bin assignment IS one window — running
+    // total of bytes BEFORE each file in (bytes desc, path) order, floored
+    // by the target. BIGINT casts on the floor (DuckDB floor → DOUBLE).
+    "q_compaction_plan" ->
+      """SELECT doc_id, n_chars AS bytes,
+        |  CAST(floor(COALESCE(SUM(n_chars) OVER (
+        |    ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 50000.0) AS BIGINT) AS bin
+        |FROM documents
+        |ORDER BY bin, doc_id""".stripMargin,
+
     // as-of replay: latest view ts per purchase via a correlated backward
     // max, then the value re-attached on the (user, ts) key — row-identical
     // to the window-union formulation (right side is (user, ts)-unique)

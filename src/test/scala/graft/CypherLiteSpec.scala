@@ -87,6 +87,22 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a) WHERE z.id = 'x' RETURN a.id").isLeft)
   }
 
+  test("WHERE v.id IN [...] compiles to an isin filter; Neo4j () list " +
+    "form accepted") {
+    val q = "MATCH (c:c)-[:placed]->(o:o) WHERE o.id IN ['o:10', 'o:12'] " +
+      "RETURN c.id, o.id"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("c:1", "o:10"), ("c:2", "o:12")))
+    val paren = CypherLite.run(edges,
+      "MATCH (o) -[:contains]-> (p) WHERE p.id in ('p:8') RETURN o.id")
+      .toOption.get.as[String].collect().toSeq
+    assert(paren == Seq("o:12"))
+    // empty list cannot parse (the regex requires >=1 literal)
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) WHERE a.id IN [] RETURN a.id").isLeft)
+  }
+
   test("comma-separated patterns join on their shared variable") {
     // (c)-[:placed]->(o), (o)-[:contains]->(p): the conjunctive form —
     // same bindings as the single 2-hop chain
