@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
  * surfaces as the engine loop's retry-feedback line):
  *
  *   MATCH pattern [, pattern ...]
+ *   [OPTIONAL MATCH pattern [, pattern ...]] ...
  *   [WHERE (v.id = 'lit' | v.id <> 'lit' | v.id IN ['lit', ...]) [AND ...]]
- *   RETURN [DISTINCT] (v.id [, v2.id ...] | count(*))
+ *   RETURN [DISTINCT] (v.id [, v2.id ...] | count(*) | count(DISTINCT v.id))
  *   [ORDER BY v.id [DESC] [, ...]] [LIMIT n]
  *
  *   pattern := (v[:label])(-[:type[*a..b]]->|<-[:type[*a..b]]-)(v2[:label]) ...
@@ -30,6 +31,15 @@ import org.apache.spark.sql.functions._
  * rest would be a cartesian product — refused loudly (a BNLJ over two
  * full binding frames is never what a KGQA query means, and at scale
  * it's a cluster-killer).
+ *
+ * OPTIONAL MATCH parts attach as LEFT OUTER joins after every mandatory
+ * part (unmatched variables bind null, standard Cypher). Their label
+ * constraints apply INSIDE the optional pattern — i.e. to the part frame
+ * BEFORE the left join, which is exactly Cypher's semantics (the pattern
+ * must match its own labels; failing that, the row survives with nulls).
+ * WHERE terms on optional-only variables are refused loudly — in this
+ * subset WHERE is query-global, and a null-killing predicate would
+ * silently turn the outer join back into an inner one.
  *
  * Node labels map to the store's id-prefix convention (`c:`/`o:`/... —
  * the byokg LocalKGStore notation); properties are limited to `.id`, the
@@ -61,7 +71,9 @@ object CypherLite {
                          returns: Seq[String], limit: Option[Int],
                          countStar: Boolean = false,
                          distinct: Boolean = false,
-                         orderBy: Seq[(String, Boolean)] = Nil)
+                         orderBy: Seq[(String, Boolean)] = Nil,
+                         optParts: Seq[Part] = Nil,
+                         countDistinctVar: Option[String] = None)
 
   private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\)""".r
   private val RightRe = """-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*->""".r
@@ -71,6 +83,8 @@ object CypherLite {
   private val StrLitRe = """'([^']*)'""".r
   private val RetRe = """([A-Za-z_][A-Za-z0-9_]*)\.id""".r
   private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id(?:\s+(ASC|DESC))?""".r
+  private val CountDistinctRe =
+    """(?i)count\s*\(\s*DISTINCT\s+([A-Za-z_][A-Za-z0-9_]*)\.id\s*\)""".r
 
   /** One linear chain: node (edge node)*. Variables may not repeat
     * WITHIN a chain (no cycle patterns); repeats ACROSS parts are the
@@ -150,9 +164,31 @@ object CypherLite {
     val distinct = retPart.toUpperCase.startsWith("DISTINCT ")
     if (distinct) retPart = retPart.substring(9).trim
 
+    // clause scan over the pattern region: MATCH [OPTIONAL MATCH]*;
+    // a mandatory MATCH after an OPTIONAL one would reorder joins — refuse
+    val ClauseRe = """(?i)\bOPTIONAL\s+MATCH\b|\bMATCH\b""".r
+    val fullRegion = "MATCH " + patternPart
+    val clauseMs = ClauseRe.findAllMatchIn(fullRegion).toSeq
+    val clauses: Seq[(Boolean, String)] = clauseMs.zipWithIndex.map {
+      case (m, i) =>
+        val endAt = if (i + 1 < clauseMs.size) clauseMs(i + 1).start
+                    else fullRegion.length
+        val optional = m.matched.toUpperCase.startsWith("OPTIONAL")
+        (optional, fullRegion.substring(m.end, endAt).trim)
+    }
+    if (clauses.sliding(2).exists { case Seq((o1, _), (o2, _)) => o1 && !o2
+                                    case _ => false })
+      return Left("MATCH after OPTIONAL MATCH is not supported")
     // comma-split is safe: no grammar token contains a comma
-    val parts = patternPart.split(",").map(_.trim).toSeq.map(c =>
-      parseChain(c).fold(err => return Left(err), identity))
+    def chainsOf(text: String): Either[String, Seq[Part]] = {
+      val rs = text.split(",").map(_.trim).toSeq.map(parseChain)
+      rs.collectFirst { case Left(e) => e }
+        .toLeft(rs.map(_.toOption.get))
+    }
+    val parts = clauses.filter(!_._1)
+      .flatMap(c => chainsOf(c._2).fold(e => return Left(e), identity))
+    val optParts = clauses.filter(_._1)
+      .flatMap(c => chainsOf(c._2).fold(e => return Left(e), identity))
     // connectivity: every part must (transitively) share a variable with
     // part 0, else the join degenerates into a cartesian product
     val varSets = parts.map(_.nodes.map(_.v).toSet)
@@ -171,6 +207,23 @@ object CypherLite {
       return Left("disconnected pattern parts (cartesian product) are " +
         "not supported — share a variable between patterns")
 
+    // optional parts anchor to the mandatory variable set; their NEW
+    // variables must be unique (an optional-to-optional join would key on
+    // a possibly-null column — SQL and Cypher disagree there, refuse)
+    val mandatoryVars = varSets.reduce(_ | _)
+    val optNewSeen = scala.collection.mutable.Set.empty[String]
+    optParts.foreach { p =>
+      val vs = p.nodes.map(_.v).toSet
+      if ((vs & mandatoryVars).isEmpty)
+        return Left("OPTIONAL MATCH must share a variable with a " +
+          "mandatory MATCH pattern")
+      val fresh = vs -- mandatoryVars
+      fresh.find(optNewSeen.contains).foreach(v =>
+        return Left(s"variable '$v' is introduced by two OPTIONAL " +
+          "MATCH patterns"))
+      optNewSeen ++= fresh
+    }
+
     val conds = wherePart match {
       case None => Seq.empty[Cond]
       case Some(w) =>
@@ -182,27 +235,36 @@ object CypherLite {
           case other => return Left(s"unsupported WHERE term '$other'")
         }
     }
-    // RETURN count(*): the binding-cardinality aggregate LLM-authored
-    // KGQA queries lean on constantly — one global count, no projection
+    // RETURN count(*) / count(DISTINCT v.id): the binding-cardinality
+    // aggregates LLM-authored KGQA queries lean on constantly
     val countStar = retPart.replaceAll("\\s", "")
       .equalsIgnoreCase("count(*)")
-    if (countStar && (distinct || orderBy.nonEmpty))
-      return Left("count(*) cannot combine with DISTINCT or ORDER BY")
+    val countDistinctVar = CountDistinctRe.findFirstMatchIn(retPart.trim)
+      .filter(_.matched.length == retPart.trim.length).map(_.group(1))
+    if ((countStar || countDistinctVar.nonEmpty) &&
+        (distinct || orderBy.nonEmpty))
+      return Left("count(...) cannot combine with DISTINCT or ORDER BY")
     val returns =
-      if (countStar) Seq.empty[String]
+      if (countStar || countDistinctVar.nonEmpty) Seq.empty[String]
       else retPart.split(",").map(_.trim).toSeq.map {
         case RetRe(v) => v
         case other => return Left(s"unsupported RETURN item '$other'")
       }
-    val known = varSets.reduce(_ | _)
-    (conds.map(_.v) ++ returns ++ orderBy.map(_._1))
+    val known = mandatoryVars ++ optParts.flatMap(_.nodes.map(_.v))
+    conds.map(_.v).find(!mandatoryVars.contains(_)) match {
+      case Some(v) if known.contains(v) =>
+        return Left(s"WHERE on OPTIONAL MATCH variable '$v' would " +
+          "null-kill the outer join — not supported")
+      case _ =>
+    }
+    (conds.map(_.v) ++ returns ++ orderBy.map(_._1) ++ countDistinctVar)
       .find(!known.contains(_)) match {
       case Some(v) => Left(s"unknown variable '$v'")
       case None =>
         orderBy.map(_._1).find(v => returns.nonEmpty && !returns.contains(v))
           .map(v => Left(s"ORDER BY variable '$v' must be returned"))
           .getOrElse(Right(Query(parts, conds, returns, limit, countStar,
-            distinct, orderBy)))
+            distinct, orderBy, optParts, countDistinctVar)))
     }
   }
 
@@ -292,6 +354,16 @@ object CypherLite {
       n.label.map(l => col(n.v).startsWith(l + ":"))
     q.parts.flatMap(_.nodes).flatMap(labelFilter)
       .foreach(f => df = df.filter(f))
+    // OPTIONAL parts: label filters INSIDE the part frame (pre-join —
+    // Cypher's "pattern must match its own labels, else null"), then a
+    // LEFT OUTER attach on the mandatory anchor variables
+    q.optParts.foreach { p =>
+      var f = compileChain(edgeFrame, p)
+      p.nodes.flatMap(labelFilter).foreach(c => f = f.filter(c))
+      val shared = p.nodes.map(_.v).filter(bound.contains)
+      df = df.join(f, shared, "left")
+      bound ++= p.nodes.map(_.v)
+    }
     q.conds.foreach { c =>
       df = df.filter(c.op match {
         case "=" => col(c.v) === c.values.head
@@ -301,6 +373,8 @@ object CypherLite {
     }
     var out =
       if (q.countStar) df.agg(count(lit(1)).as("count"))
+      else if (q.countDistinctVar.nonEmpty)
+        df.agg(count_distinct(col(q.countDistinctVar.get)).as("count"))
       else df.select(q.returns.map(col): _*)
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)

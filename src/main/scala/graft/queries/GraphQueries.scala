@@ -122,6 +122,18 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // §2.13 OPTIONAL MATCH: left-outer attach on the mandatory anchor —
+    // the customer keeps its placed orders, the part and the supplier
+    // survive with null (they have no outgoing placed edge). Also
+    // exercises WHERE id IN [...] and DISTINCT through the compiler.
+    "q_cypher_optional" -> ((s, dir) => {
+      val q = "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE n.id IN ['c:0', 'p:1', 's:1'] " +
+        "RETURN DISTINCT n.id, o.id ORDER BY n.id, o.id"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -291,6 +303,25 @@ object GraphQueries {
          |  ON e2.dst = e3.src
          |WHERE e1.src = 'c:0'
          |ORDER BY c, p, sup""".stripMargin,
+
+    // Optional-match replay: anchored node scan LEFT JOIN the typed edge
+    // set, the optional side's label filter INSIDE the join's right side
+    // (pre-join — Cypher pattern semantics). NULLS FIRST mirrors Spark's
+    // asc null ordering.
+    "q_cypher_optional" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges0
+         |    UNION ALL SELECT dst FROM edges0)),
+         |anch AS (SELECT node FROM nodes
+         |         WHERE node IN ('c:0', 'p:1', 's:1'))
+         |SELECT DISTINCT a.node AS n, e.dst AS o
+         |FROM anch a LEFT JOIN (
+         |  SELECT src, dst FROM edges0
+         |  WHERE label = 'placed' AND dst LIKE 'o:%') e
+         |  ON e.src = a.node
+         |ORDER BY n, o NULLS FIRST""".stripMargin,
 
     // Walk replay: same rank-ordered neighbor lists, same 60-bit md5 step
     // hash, same modulo pick — three unrolled step CTEs.

@@ -152,6 +152,56 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a)-[]->(b) RETURN count(*) ORDER BY a.id").isLeft)
   }
 
+  test("OPTIONAL MATCH left-joins on the mandatory anchor; unmatched " +
+    "binds null") {
+    // p:8 has no supplied_by edge → its row survives with s = null
+    val q = "MATCH (o:o)-[:contains]->(p:p) " +
+      "OPTIONAL MATCH (p)-[:supplied_by]->(s) RETURN o.id, p.id, s.id"
+    val out = CypherLite.run(edges, q).toOption.get.collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(out == Set(
+      ("o:10", "p:7", Some("s:3")), ("o:11", "p:7", Some("s:3")),
+      ("o:12", "p:8", None)))
+    // a label inside the OPTIONAL pattern filters the match, not the row:
+    // demanding (s:o) can never match, so every p keeps a null s
+    val q2 = "MATCH (o:o)-[:contains]->(p:p) " +
+      "OPTIONAL MATCH (p)-[:supplied_by]->(s:o) RETURN p.id, s.id"
+    val out2 = CypherLite.run(edges, q2).toOption.get.collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out2 == Set(("p:7", None), ("p:8", None)))
+  }
+
+  test("OPTIONAL MATCH misuse is loud: no anchor, WHERE on optional var, " +
+    "MATCH after OPTIONAL, duplicate optional vars") {
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[:placed]->(b) OPTIONAL MATCH (x)-[:contains]->(y) " +
+        "RETURN a.id").swap.toOption.get.contains("share a variable"))
+    assert(CypherLite.run(edges,
+      "MATCH (o:o)-[:contains]->(p) OPTIONAL MATCH (p)-[:supplied_by]->(s) " +
+        "WHERE s.id = 's:3' RETURN o.id").swap.toOption.get
+      .contains("null-kill"))
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[:placed]->(b) OPTIONAL MATCH (b)-[:contains]->(c) " +
+        "MATCH (c)-[:supplied_by]->(d) RETURN a.id").swap.toOption.get
+      .contains("MATCH after OPTIONAL"))
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[:placed]->(b) OPTIONAL MATCH (b)-[:contains]->(x) " +
+        "OPTIONAL MATCH (b)-[:supplied_by]->(x) RETURN a.id")
+      .swap.toOption.get.contains("two OPTIONAL"))
+  }
+
+  test("RETURN count(DISTINCT v.id) deduplicates before counting") {
+    val n = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o)-[:contains]->(p) " +
+        "RETURN count(DISTINCT p.id)").toOption.get.as[Long].head()
+    assert(n == 2L) // p:7 (twice) and p:8
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN count(DISTINCT b.id) LIMIT 1").isRight)
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN count(DISTINCT b.id), a.id").isLeft)
+  }
+
   test("retriever verbalizes bindings deterministically; errors become " +
     "the retry-feedback line") {
     val r = new CypherGraphRetriever(edges)

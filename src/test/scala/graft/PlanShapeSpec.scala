@@ -79,7 +79,7 @@ class PlanShapeSpec extends SparkSpec {
     // driver-composed literals over the warmed triangle layout) — and the
     // openCypher MATCH compiler, whose patterns must stay typed equi-joins
     "q_postings", "q_cypher_match", "q_cypher_varlength",
-    "q_cypher_multipart",
+    "q_cypher_multipart", "q_cypher_optional",
     // round 6 (cont.): metadata-filtered VSS — a flat filter + top-k scan
     "q_filtered_topk")
 
