@@ -80,6 +80,8 @@ object Bench {
     hSrc.count(); hDst.count()
     graft.queries.Tables.walkLayout(spark, sfDir).count()
     graft.queries.Tables.coPurchaseTriangleLayout(spark, sfDir).count()
+    graft.queries.Tables.coPurchaseProjection(spark, sfDir).count()
+    graft.queries.Tables.docShingleHashes(spark, sfDir).count()
     val gc = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)
     Seq(gc.entities, gc.entityRelations, gc.facts).foreach(_.count())
 

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
  *   MATCH pattern [, pattern ...]
  *   [OPTIONAL MATCH pattern [, pattern ...]] ...
  *   [WHERE (v.id = 'lit' | v.id <> 'lit' | v.id IN ['lit', ...]) [AND ...]]
- *   RETURN [DISTINCT] (v.id [, v2.id ...] | count(*) | count(DISTINCT v.id))
+ *   RETURN [DISTINCT] (v.id [, v2.id ...] | count(*) | count(DISTINCT v.id)
+ *                      | v.id [, v2.id ...], count(*))   -- grouped count
  *   [ORDER BY v.id [DESC] [, ...]] [LIMIT n]
  *
  *   pattern := (v[:label])(-[:type[*a..b]]->|<-[:type[*a..b]]-)(v2[:label]) ...
@@ -73,7 +74,8 @@ object CypherLite {
                          distinct: Boolean = false,
                          orderBy: Seq[(String, Boolean)] = Nil,
                          optParts: Seq[Part] = Nil,
-                         countDistinctVar: Option[String] = None)
+                         countDistinctVar: Option[String] = None,
+                         groupCount: Boolean = false)
 
   private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\)""".r
   private val RightRe = """-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*->""".r
@@ -244,9 +246,20 @@ object CypherLite {
     if ((countStar || countDistinctVar.nonEmpty) &&
         (distinct || orderBy.nonEmpty))
       return Left("count(...) cannot combine with DISTINCT or ORDER BY")
+    // RETURN v.id [, ...], count(*): grouped count — aggregation keyed by
+    // the returned variables (the per-entity cardinality shape: "how many
+    // orders did each customer place"). count(*) must be the LAST item.
+    val retItems = retPart.split(",").map(_.trim).toSeq
+    val groupCount = !countStar && retItems.size >= 2 &&
+      retItems.last.replaceAll("\\s", "").equalsIgnoreCase("count(*)")
+    if (groupCount && retItems.init.exists(
+        i => i.replaceAll("\\s", "").toLowerCase.startsWith("count(")))
+      return Left("only one count(*), as the last RETURN item")
+    if (groupCount && distinct)
+      return Left("DISTINCT cannot combine with a grouped count(*)")
     val returns =
       if (countStar || countDistinctVar.nonEmpty) Seq.empty[String]
-      else retPart.split(",").map(_.trim).toSeq.map {
+      else (if (groupCount) retItems.init else retItems).map {
         case RetRe(v) => v
         case other => return Left(s"unsupported RETURN item '$other'")
       }
@@ -264,7 +277,7 @@ object CypherLite {
         orderBy.map(_._1).find(v => returns.nonEmpty && !returns.contains(v))
           .map(v => Left(s"ORDER BY variable '$v' must be returned"))
           .getOrElse(Right(Query(parts, conds, returns, limit, countStar,
-            distinct, orderBy, optParts, countDistinctVar)))
+            distinct, orderBy, optParts, countDistinctVar, groupCount)))
     }
   }
 
@@ -375,6 +388,8 @@ object CypherLite {
       if (q.countStar) df.agg(count(lit(1)).as("count"))
       else if (q.countDistinctVar.nonEmpty)
         df.agg(count_distinct(col(q.countDistinctVar.get)).as("count"))
+      else if (q.groupCount)
+        df.groupBy(q.returns.map(col): _*).agg(count(lit(1)).as("count"))
       else df.select(q.returns.map(col): _*)
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)

@@ -157,6 +157,51 @@ object Dedup {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /**
+   * Exact per-pair CONTAINMENT join: for benchmark doc B and corpus doc A,
+   * containment(B in A) = |sh(B) ∩ sh(A)| / |sh(B)| ≥ `tau` — the
+   * asymmetric decontamination metric Jaccard misses when a small
+   * benchmark item is quoted inside a much larger document (|A∪B| grows
+   * with |A|, so J collapses while containment stays 1.0). Refines
+   * [[ngramContamination]] (which aggregates per corpus doc only) to the
+   * exact (corpus, bench) pair + score the audit needs.
+   *
+   * Shape: both sides shingle to distinct-element sets (the compiled
+   * WordShingles pass); the corpus explode is semi-join-restricted to
+   * elements the benchmark actually uses (the benchmark is the small
+   * side), then ONE equi-join + a pair-count aggregate yields |∩| exactly
+   * — no array materialization, no verification pass: with both sides
+   * distinct, the join emits exactly one row per shared element. Fan-out
+   * is Σ_e df_bench(e)·df_corpus(e) over benchmark elements only — linear
+   * in the corpus for a bounded benchmark. Threshold compares multiplied
+   * (inter ≥ τ·|B|), no division at the boundary. Returns
+   * (corpus_id, bench_id, inter, bench_n, containment 6dp).
+   */
+  def containmentJoin(
+      corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      tau: Double, shingleSize: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    graft.functions.WordShingles.register(corpus.sparkSession)
+    def ex(df: DataFrame, textCol: String, idAs: String, idCol: String) = df
+      .select(col(idCol).as(idAs),
+        explode(graft.functions.WordShingles
+          .shingles(col(textCol), shingleSize)).as("e"))
+    val bq = ex(bench, benchTextCol, "bench_id", benchIdCol)
+    val bn = bq.groupBy(col("bench_id")).agg(count(lit(1)).as("bench_n"))
+    val cp = ex(corpus, corpusTextCol, "corpus_id", corpusIdCol)
+      .join(bq.select(col("e")).distinct(), Seq("e"), "left_semi")
+    cp.join(bq, Seq("e"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(bn, Seq("bench_id"))
+      .filter(col("inter").cast("double") >= lit(tau) * col("bench_n").cast("double"))
+      .select(col("corpus_id"), col("bench_id"), col("inter"),
+        col("bench_n"),
+        round(col("inter").cast("double") / col("bench_n").cast("double"), 6)
+          .as("containment"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs (or as a brute-force
     * verifier over a pre-filtered pair set). `pairs` has (id_a, id_b). */
   def ngramJaccard(
@@ -623,5 +668,80 @@ object Dedup {
           array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
           s => s.getField("chunk")), " ").as("clean_text"),
         count(lit(1)).as("kept_chunks"))
+  }
+
+  /**
+   * EXACT all-pairs set-similarity join (shingle-set Jaccard ≥ `tau`) via
+   * prefix filtering — the deterministic complement to [[minhashLsh]]:
+   * LSH banding is probabilistic (false negatives at band boundaries);
+   * prefix filtering is complete. Every doc's distinct shingle set (the
+   * SAME compiled [[graft.functions.WordShingles]] the minhash path uses)
+   * is ordered by GLOBAL shingle rarity (doc-frequency asc, shingle asc —
+   * a total order, so both engines agree); a pair with J ≥ τ must share
+   * ≥ ⌈τ·|X|⌉ elements with each side X, hence its globally-rarest common
+   * element sits inside BOTH prefixes of length |X| − ⌈τ·|X|⌉ + 1 — the
+   * prefix-prefix join loses no qualifying pair (the AllPairs/SSJoin
+   * filter, Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06).
+   *
+   * Scale shape: the quadratic step is the candidate join on PREFIX
+   * postings only — rarity ordering puts the shortest postings lists in
+   * the prefixes, which is the whole trick; common shingles (the long
+   * postings) never enter the join. Verification touches candidate pairs
+   * only, restricted by semi-join exactly like [[ngramJaccard]]. Returns
+   * (id_a, id_b, inter, uni, jaccard) with id_a < id_b, jaccard 6dp.
+   */
+  def setSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
+                        tau: Double, shingleSize: Int = 3): DataFrame = {
+    graft.functions.WordShingles.register(df.sparkSession)
+    setSimilarityJoinFrom(
+      df.select(col(idCol).as("id"),
+          graft.functions.WordShingles.shingles(col(textCol), shingleSize)
+            .as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .localCheckpoint(true),
+      tau)
+  }
+
+  /** The join over a prepared (id, toks) shingle frame — shingling is
+    * ingest-time corpus material (build once, probe many, like the graph
+    * layouts); the timed query runs the rank/prefix/verify passes. The
+    * frame must be materialized (cached or checkpointed): it is scanned
+    * by the rank pass and again by verification. */
+  def setSimilarityJoinFrom(toks: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val exploded = toks.select(col("id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("tok"))
+    val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(freq, "tok")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      // a df=1 prefix element exists in exactly one doc — it can never
+      // produce a candidate pair; dropping those rows BEFORE the self-join
+      // shrinks the join input to only genuinely-shared shingles (most of
+      // a near-dup-free corpus' shingles are unique, so this is the bulk)
+      .filter(col("df") >= 2)
+      .select(col("id"), col("tok"))
+    val cands = ranked.as("p").join(ranked.as("q"),
+        col("p.tok") === col("q.tok") && col("p.id") < col("q.id"))
+      .select(col("p.id").as("id_a"), col("q.id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    // verification joins touch only candidate ids: restrict the (wide,
+    // array-carrying) shingle frame by semi-join first — the ngramJaccard
+    // discipline; without it both joins shuffle the full corpus' arrays
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b"))).distinct()
+    val vtoks = toks.join(candIds, Seq("id"), "left_semi")
+    cands
+      .join(vtoks.select(col("id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(vtoks.select(col("id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        size(array_union(col("ta"), col("tb"))).as("uni"))
+      .filter(col("inter").cast("double") >= lit(tau) * col("uni").cast("double"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni").cast("double"), 6))
   }
 }

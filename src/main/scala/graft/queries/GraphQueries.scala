@@ -260,6 +260,51 @@ object GraphQueries {
       nodes.join(broadcast(peeled), nodes("node_id") === peeled("nid"))
         .select(col("node"), col("deg"))
         .orderBy(col("node"))
+    }),
+
+    // ext. hub-capped bipartite projection: the order–part incidence
+    // projected onto weighted part–part co-occurrence edges, orders with
+    // > 5 items dropped (the hub cap — the scale lever that bounds the
+    // per-right pair fan-out at cap²). This is the projection step the
+    // triangle/community layouts consume, surfaced as a first-class op.
+    "q_copurchase_project" -> ((s, dir) => {
+      Tables.coPurchaseProjection(s, dir)
+        .orderBy(desc("weight"), col("a"), col("b")).limit(100)
+    }),
+
+    // ext. Adamic–Adar link prediction over the hub-capped co-purchase
+    // projection: non-adjacent part pairs scored by Σ 1/ln(deg) over
+    // common neighbors, accumulated in BIGINT micro-units (order-free
+    // sums, exact replay). Center-degree cap bounds the wedge fan-out.
+    "q_adamic_adar" -> ((s, dir) => {
+      val proj = Tables.coPurchaseProjection(s, dir)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.ops.LinkPrediction.adamicAdar(proj, maxCenterDegree = 20,
+          orientedInput = true)
+        .orderBy(desc("aa_micro"), col("a"), col("b")).limit(100)
+    }),
+
+    // ext. exact modularity of the brand partition over the co-purchase
+    // projection — "are same-brand parts co-purchased more than chance?"
+    // Integer numerators (q_num is exact int64); the single double
+    // division is bit-identical in any IEEE engine.
+    "q_modularity" -> ((s, dir) => {
+      val proj = Tables.coPurchaseProjection(s, dir)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val assign = t(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("community"))
+      graft.ops.LinkPrediction.modularityTerms(proj, assign)
+        .orderBy(col("community"))
+    }),
+
+    // ext. openCypher grouped count: RETURN c.id, count(*) — per-entity
+    // binding cardinality (orders per customer), the aggregation shape
+    // KGQA LLMs emit for "how many" questions.
+    "q_cypher_groupcount" -> ((s, dir) => {
+      graft.byokg.CypherLite.run(Tables.edges(s, dir),
+        "MATCH (c:c)-[:placed]->(o:o) RETURN c.id, count(*) " +
+          "ORDER BY c.id LIMIT 50")
+        .fold(err => throw new IllegalStateException(err), identity)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -671,5 +716,92 @@ object GraphQueries {
          |${peel("u2", "k3", "u3")}
          |SELECT src AS node, count(*) AS deg FROM u3 GROUP BY src
          |ORDER BY src""".stripMargin
-    })
+    },
+
+    // hub-capped bipartite projection replay: degree-capped rights, one
+    // ordered self-join, exact integer weights.
+    "q_copurchase_project" ->
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_partkey AS l, l_orderkey AS r FROM lineitem),
+         |keep AS (
+         |  SELECT r FROM inc GROUP BY r
+         |  HAVING count(*) BETWEEN 2 AND 5),
+         |bd AS (SELECT l, inc.r FROM inc JOIN keep USING (r))
+         |SELECT x.l AS a, y.l AS b, count(*) AS weight
+         |FROM bd x JOIN bd y ON x.r = y.r AND x.l < y.l
+         |GROUP BY 1, 2
+         |ORDER BY weight DESC, a, b LIMIT 100""".stripMargin,
+
+    // Adamic–Adar replay over the same projection: capped centers, wedge
+    // self-join, BIGINT micro-unit terms, anti-join against existing edges.
+    "q_adamic_adar" ->
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_partkey AS l, l_orderkey AS r FROM lineitem),
+         |keep AS (
+         |  SELECT r FROM inc GROUP BY r
+         |  HAVING count(*) BETWEEN 2 AND 5),
+         |bd AS (SELECT l, inc.r FROM inc JOIN keep USING (r)),
+         |proj AS (
+         |  SELECT x.l AS a, y.l AS b
+         |  FROM bd x JOIN bd y ON x.r = y.r AND x.l < y.l
+         |  GROUP BY 1, 2),
+         |und AS (SELECT a AS s, b AS d FROM proj
+         |        UNION SELECT b, a FROM proj),
+         |deg AS (
+         |  SELECT s AS z, count(*) AS dg FROM und GROUP BY s
+         |  HAVING count(*) BETWEEN 2 AND 20),
+         |star AS (
+         |  SELECT z, und.d AS n,
+         |    CAST(round(1000000.0 / ln(dg), 0) AS BIGINT) AS term
+         |  FROM und JOIN deg ON und.s = deg.z),
+         |pairs AS (
+         |  SELECT x.n AS a, y.n AS b, count(*) AS common_neighbors,
+         |    CAST(sum(x.term) AS BIGINT) AS aa_micro
+         |  FROM star x JOIN star y ON x.z = y.z AND x.n < y.n
+         |  GROUP BY 1, 2)
+         |SELECT p.a, p.b, p.common_neighbors, p.aa_micro
+         |FROM pairs p ANTI JOIN und ON p.a = und.s AND p.b = und.d
+         |ORDER BY aa_micro DESC, a, b LIMIT 100""".stripMargin,
+
+    // modularity replay: labeled directed rows, per-community integer
+    // numerators, one double division against the 2m scalar.
+    "q_modularity" ->
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_partkey AS l, l_orderkey AS r FROM lineitem),
+         |keep AS (
+         |  SELECT r FROM inc GROUP BY r
+         |  HAVING count(*) BETWEEN 2 AND 5),
+         |bd AS (SELECT l, inc.r FROM inc JOIN keep USING (r)),
+         |proj AS (
+         |  SELECT x.l AS a, y.l AS b
+         |  FROM bd x JOIN bd y ON x.r = y.r AND x.l < y.l
+         |  GROUP BY 1, 2),
+         |und AS (SELECT a AS s, b AS d FROM proj
+         |        UNION SELECT b, a FROM proj),
+         |lab AS (
+         |  SELECT und.s, und.d, pa.p_brand AS ca, pb.p_brand AS cb
+         |  FROM und JOIN part pa ON und.s = pa.p_partkey
+         |           JOIN part pb ON und.d = pb.p_partkey),
+         |tot AS (SELECT count(*) AS m2 FROM lab),
+         |agg AS (
+         |  SELECT ca AS community,
+         |    CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) // 2 AS BIGINT)
+         |      AS internal_edges,
+         |    count(*) AS degree_sum
+         |  FROM lab GROUP BY ca)
+         |SELECT community, internal_edges, degree_sum,
+         |  CAST(m2 * internal_edges * 2 - degree_sum * degree_sum
+         |    AS BIGINT) AS q_num,
+         |  CAST(m2 * internal_edges * 2 - degree_sum * degree_sum
+         |    AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+         |    AS modularity_term
+         |FROM agg, tot ORDER BY community""".stripMargin,
+
+    // grouped-count Cypher replay: the MATCH is one typed edge scan, the
+    // RETURN is a plain GROUP BY over the binding frame.
+    "q_cypher_groupcount" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT src AS c, count(*) AS "count" FROM edges0
+         |WHERE label = 'placed' GROUP BY src
+         |ORDER BY c LIMIT 50""".stripMargin)
 }

@@ -265,6 +265,29 @@ object MaintenanceQueries {
           round(col("mean_amp"), 6).as("mean_amp"),
           round(col("rms"), 6).as("rms"), col("peak"))
         .orderBy(col("media_id").cast("long"))
+    }),
+
+    // extended: ordered first-touch funnel over the event log — each level
+    // is a per-user min aggregate strictly after the previous level's
+    // time; every shuffle keys on user_id (ops.EventAnalytics).
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_type"),
+        Tables.epochMicros(ev).as("ts_us"))
+      graft.ops.EventAnalytics.funnel(base, "user_id", "ts_us",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx"))
+    }),
+
+    // extended: weekly cohort retention triangle — first-event-week
+    // cohorts × active-week offsets, exact integer week buckets
+    // (epoch-micros `div`, no calendar functions).
+    "q_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("user_id"),
+        Tables.epochMicros(ev).as("ts_us"))
+      graft.ops.EventAnalytics.retentionCohorts(base, "user_id", "ts_us")
+        .orderBy(col("cohort_week"), col("week_offset"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -533,5 +556,46 @@ object MaintenanceQueries {
         |  round(CAST(tot_sum AS DOUBLE) / n, 6) AS mean_amp,
         |  round(sqrt(CAST(tot_sq AS DOUBLE) / n), 6) AS rms,
         |  CAST(peak AS INT) AS peak
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // funnel replay: per-user strictly-after min chain, one count per
+    // level. Spark's lit(i) is INT32 — CAST the step_idx literals.
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |l1 AS (
+        |  SELECT user_id, min(ts_us) AS t FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |l2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM ev e JOIN l1 ON e.user_id = l1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > l1.t
+        |  GROUP BY e.user_id),
+        |l3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM ev e JOIN l2 ON e.user_id = l2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > l2.t
+        |  GROUP BY e.user_id)
+        |SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+        |  (SELECT count(*) FROM l1) AS users
+        |UNION ALL
+        |SELECT CAST(1 AS INT), 'click', (SELECT count(*) FROM l2)
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM l3)
+        |ORDER BY step_idx""".stripMargin,
+
+    // retention replay: integer week buckets (`//` floor-div == Spark
+    // `div` on non-negative epochs), distinct user-weeks, cohort join.
+    "q_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |  count(*) AS users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin)
 }

@@ -73,6 +73,19 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // extended: EXACT all-pairs Jaccard join via prefix filtering — the
+    // deterministic complement to q_minhash_lsh (LSH admits band-boundary
+    // false negatives; the rarity-ordered prefix join is complete). The
+    // oracle is the BRUTE-FORCE all-pairs join, so any lost candidate
+    // hash-fails — the completeness proof runs every round.
+    "q_setsim_join" -> ((s, dir) => {
+      Dedup.setSimilarityJoinFrom(Tables.docShingleHashes(s, dir), tau = 0.5)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast("long").as("inter"),
+          col("uni").cast("long").as("uni"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // extended: duplicate-cluster canonicalization — connected components
     // (min reachable id) over the minhash-LSH pair graph.
     "q_dedup_components" -> ((s, dir) => {
@@ -104,6 +117,17 @@ object TextQueries {
         docs.filter(col("doc_id") < 10), "text", n = 4)
         .select(col("corpus_id"), col("shared_grams"))
         .orderBy(col("corpus_id"))
+    }),
+
+    // extended: exact per-pair containment join — the asymmetric
+    // decontamination metric (|B∩A|/|B|) that catches a small benchmark
+    // item quoted inside a large document where Jaccard collapses. Oracle
+    // is the brute-force corpus × benchmark cross score.
+    "q_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.containmentJoin(docs, "text", "doc_id",
+          docs.filter(col("doc_id") < 10), "text", "doc_id", tau = 0.5)
+        .orderBy(col("corpus_id"), col("bench_id"))
     }),
 
     // extended: PII scrub — emails/phones/long digit runs redacted in one
@@ -745,6 +769,31 @@ object TextQueries {
 
     "q_text_profile" -> profileOracle,
     "q_minhash_lsh" -> minhashOracle,
+
+    // brute-force all-pairs ground truth: every (a < b) pair's exact
+    // shingle-set Jaccard (same normalize+3-shingle CTE as the minhash
+    // oracle) — if the engine's prefix filter dropped ANY qualifying
+    // candidate, the row sets diverge. Threshold compares in multiplied
+    // form (inter >= tau * uni) to avoid a division at the boundary,
+    // exactly like the engine.
+    "q_setsim_join" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(${shinglesSql("toks")},
+        |    s -> ${h60Sql("s")})) AS sh FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |      AS BIGINT) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter, uni,
+        |  round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) >= 0.5 * CAST(uni AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_components" -> componentsOracle,
     "q_simhash" -> simhashOracle,
 
@@ -781,6 +830,28 @@ object TextQueries {
          |SELECT g.doc_id AS corpus_id, count(*) AS shared_grams
          |FROM g JOIN bg USING (gram)
          |GROUP BY g.doc_id ORDER BY corpus_id""".stripMargin,
+
+    // containment replay: brute-force corpus × benchmark shingle-set
+    // intersection (same normalize+3-shingle CTE), multiplied threshold.
+    "q_containment" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tok),
+         |b AS (SELECT doc_id AS bench_id, sh AS bsh FROM sh
+         |      WHERE doc_id < 10),
+         |pairs AS (
+         |  SELECT s.doc_id AS corpus_id, b.bench_id,
+         |    CAST(len(list_intersect(s.sh, b.bsh)) AS BIGINT) AS inter,
+         |    CAST(len(b.bsh) AS BIGINT) AS bench_n
+         |  FROM sh s CROSS JOIN b)
+         |SELECT corpus_id, bench_id, inter, bench_n,
+         |  round(CAST(inter AS DOUBLE) / CAST(bench_n AS DOUBLE), 6)
+         |    AS containment
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) >= 0.5 * CAST(bench_n AS DOUBLE)
+         |ORDER BY corpus_id, bench_id""".stripMargin,
 
     "q_redact_pii" ->
       s"""SELECT doc_id,

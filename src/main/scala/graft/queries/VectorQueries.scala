@@ -148,6 +148,21 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // extended: incremental index maintenance — route a batch of arriving
+    // vectors into the FROZEN deterministic-KMeans codebook without
+    // retraining (MlAnn.assignCells: a pure codegen argmin select, no
+    // shuffle, no state — the batch twin of StreamingVectors' ingest).
+    // The oracle replays training CTEs + the same argmin tie-break.
+    "q_ivf_assign" -> ((s, dir) => {
+      val (_, centers) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      graft.ops.MlAnn.assignCells(
+          t(s, dir, "embeddings").filter(col("vec_id") % 7 === 3),
+          "embedding", "vec_id", centers)
+        .select(col("id").as("vec_id"), col("ivf_cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // extended: embedding near-dup pairs (exact pairwise over one bucket).
     "q_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -443,6 +458,24 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q_ivf_kmeans" -> detKmeansOracle(nlist = 8, iters = 2, nprobe = 2, k = 10),
+
+    // incremental-assign replay: the same trained-centroid CTEs, then the
+    // argmin (sqdist asc, cell asc — Spark's first-min-index tie-break)
+    // over the arriving batch.
+    "q_ivf_assign" ->
+      s"""WITH ${detAssignCtes(nlist = 8, iters = 2)},
+         |nv AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id % 7 = 3),
+         |asg AS (
+         |  SELECT id, cell FROM (
+         |    SELECT nv.id, c.cell,
+         |      row_number() OVER (PARTITION BY nv.id
+         |        ORDER BY ${sqSql("nv.emb", "c.c")}, c.cell) AS rn
+         |    FROM nv CROSS JOIN c2 c) WHERE rn = 1)
+         |SELECT id AS vec_id, CAST(cell AS INT) AS ivf_cell
+         |FROM asg ORDER BY vec_id""".stripMargin,
 
     "q_pq_topk" -> pqOracle(codes = 4, iters = 1, k = 10),
 

@@ -202,6 +202,31 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a)-[]->(b) RETURN count(DISTINCT b.id), a.id").isLeft)
   }
 
+  test("RETURN v.id, count(*) groups by the returned variables") {
+    val got = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) RETURN c.id, count(*) ORDER BY c.id")
+      .toOption.get.as[(String, Long)].collect().toSeq
+    assert(got == Seq(("c:1", 2L), ("c:2", 1L)))
+    // two group keys
+    val two = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o)-[:contains]->(p) " +
+        "RETURN c.id, p.id, count(*) ORDER BY c.id, p.id")
+      .toOption.get.as[(String, String, Long)].collect().toSeq
+    assert(two == Seq(("c:1", "p:7", 2L), ("c:2", "p:8", 1L)))
+  }
+
+  test("grouped count misuse is a loud Left") {
+    // count(*) not last
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN count(*), a.id").isLeft)
+    // DISTINCT with grouped count
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN DISTINCT a.id, count(*)").isLeft)
+    // two counts
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN count(*), count(*)").isLeft)
+  }
+
   test("retriever verbalizes bindings deterministically; errors become " +
     "the retry-feedback line") {
     val r = new CypherGraphRetriever(edges)
