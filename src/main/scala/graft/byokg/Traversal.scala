@@ -338,6 +338,41 @@ object Traversal {
   }
 
   /**
+   * Weighted PageRank over an edge frame carrying integer edge weights
+   * (src, dst, w, sw) where `sw` is the precomputed per-src weight sum —
+   * each neighbor receives rank·w/sw instead of rank/out_deg, the natural
+   * centrality on projection graphs whose co-occurrence counts ARE the
+   * edge strengths ([[graft.ops.LinkPrediction.projectBipartite]] output).
+   * Same fused-iteration shape, plain-`sum` scale path, and
+   * ascending-contrib deterministic fold as [[pageRankIterate]]; weights
+   * stay integers until the one rank·w/sw product, so the only float
+   * folds are the per-node sums the deterministic mode already orders.
+   */
+  def weightedPageRankIterate(nodes: DataFrame, eW: DataFrame, iters: Int,
+                              damping: Double = 0.85, reset: Double = 0.15,
+                              deterministic: Boolean = false): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (i <- 1 to iters) {
+      val contribs = eW.join(ranks, eW("src") === ranks("node"))
+        .select(col("dst"),
+          (col("rank") * col("w") / col("sw")).as("contrib"))
+      val sums =
+        if (deterministic)
+          contribs.groupBy("dst").agg(
+            aggregate(array_sort(collect_list(col("contrib"))),
+              lit(0.0), (acc, x) => acc + x).as("s"))
+        else
+          contribs.groupBy("dst").agg(sum("contrib").as("s"))
+      ranks = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(reset) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
+    }
+    ranks
+  }
+
+  /**
    * Personalized PageRank over the SAME prepared [[pageRankAdjacency]]
    * layout: teleport mass lands only on the `seeds` set (r₀ = 1 on seeds,
    * 0 elsewhere; per-iteration reset likewise seed-conditional), so rank

@@ -41,6 +41,24 @@ object VersionManager {
   }
 
   /**
+   * Retention GC (the SCD-2 store's VACUUM): over a merged version frame
+   * ([[mergeVersions]] output), drop every version fully superseded at or
+   * before `watermark` — i.e. rows with `valid_to <= watermark`, which no
+   * as-of read at T ≥ watermark can ever return. The version visible AT
+   * the watermark survives (its interval straddles it), as does all later
+   * history, so every supported time-travel query after GC answers
+   * identically.
+   *
+   * A pure per-row predicate — no shuffle at all; on a valid_to-partitioned
+   * store this is partition-pruned file deletion, the cheapest possible
+   * maintenance pass at 100 TB (Delta/Iceberg VACUUM semantics applied to
+   * the interval representation).
+   */
+  def gcVersions(merged: DataFrame, watermark: Long,
+                 validToCol: String = "valid_to"): DataFrame =
+    merged.filter(col(validToCol) > watermark)
+
+  /**
    * Diff two point-in-time snapshots of a versioned table in ONE hash
    * aggregate — no self-join, no window. Per vid the active version at a
    * time T is the one with the largest `valid_from <= T`; both snapshots

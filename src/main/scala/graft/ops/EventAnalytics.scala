@@ -37,7 +37,6 @@ object EventAnalytics {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps")
-    val spark = events.sparkSession
     var level: DataFrame = null
     val counts = steps.zipWithIndex.map { case (step, i) =>
       val stepEvents = events.filter(col(typeCol) === step)

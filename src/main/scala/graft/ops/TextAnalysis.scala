@@ -404,6 +404,47 @@ object TextAnalysis {
   }
 
   /**
+   * Document-level co-occurrence + PMI over the top-`vocabSize` vocabulary:
+   * for every vocab token pair (a < b), the number of docs containing both
+   * (df_ab) plus each side's doc frequency and the pointwise mutual
+   * information ln(n·df_ab / (df_a·df_b)) — the corpus-association pass
+   * behind collocation mining and embedding-evaluation probes.
+   *
+   * Scale shape: doc frequencies are one map-side-combinable aggregate;
+   * the vocabulary is top-K (tiny — broadcast); the quadratic step is the
+   * per-doc pair self-join RESTRICTED to vocab tokens, so fan-out is
+   * ≤ C(K,2) per doc regardless of document length — the vocab cap is the
+   * lever, exactly like the projection's hub cap. Counts are exact
+   * integers; PMI is one ln over a rational of exact ints, 6dp.
+   */
+  def cooccurrenceStats(docs: DataFrame, textCol: String, idCol: String,
+                        vocabSize: Int = 20): DataFrame = {
+    require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
+    val dt = docs.select(col(idCol).as("id"),
+        explode(array_distinct(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => length(t) > 0))).as("tok"))
+    val vocab = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("tok")).limit(vocabSize)
+    val dv = dt.join(broadcast(vocab), Seq("tok"))
+    val nDocs = dt.select(col("id")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    dv.as("x").join(dv.as("y"),
+        col("x.id") === col("y.id") && col("x.tok") < col("y.tok"))
+      .groupBy(col("x.tok").as("tok_a"), col("y.tok").as("tok_b"))
+      .agg(count(lit(1)).as("df_ab"))
+      .join(broadcast(vocab.select(col("tok").as("tok_a"),
+        col("df").as("df_a"))), Seq("tok_a"))
+      .join(broadcast(vocab.select(col("tok").as("tok_b"),
+        col("df").as("df_b"))), Seq("tok_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"),
+        col("df_ab"),
+        round(log(col("_n").cast("double") * col("df_ab").cast("double") /
+          (col("df_a").cast("double") * col("df_b").cast("double"))), 6)
+          .as("pmi"))
+  }
+
+  /**
    * Per-group corpus vocabulary statistics: document count, token count,
    * distinct-token count. `approx = false` uses Spark's exact
    * count(DISTINCT) (two-phase expand — carries a full hash oracle);

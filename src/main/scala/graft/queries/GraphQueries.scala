@@ -297,6 +297,19 @@ object GraphQueries {
         .orderBy(col("community"))
     }),
 
+    // ext. weighted PageRank over the co-purchase projection — the
+    // co-occurrence counts ARE the edge strengths (rank·w/sw per
+    // neighbor); deterministic ascending-contrib folds for the bit-exact
+    // replay; warmed weighted adjacency layout.
+    "q_weighted_pagerank" -> ((s, dir) => {
+      val (eW, nodes) = Tables.weightedAdjacency(s, dir)
+      Traversal.weightedPageRankIterate(nodes, eW, iters = 3,
+          deterministic = true)
+        .select(col("node"), round(col("rank"), 6).as("pr"))
+        .orderBy(desc("pr"), col("node"))
+        .limit(100)
+    }),
+
     // ext. openCypher grouped count: RETURN c.id, count(*) — per-entity
     // binding cardinality (orders per customer), the aggregation shape
     // KGQA LLMs emit for "how many" questions.
@@ -796,6 +809,49 @@ object GraphQueries {
          |    AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
          |    AS modularity_term
          |FROM agg, tot ORDER BY community""".stripMargin,
+
+    // weighted-PageRank replay: the q_pagerank iteration structure with
+    // rank·w/sw contributions (same multiply-then-divide order as the
+    // engine) over the co-purchase projection; ascending-contrib
+    // list_reduce folds, same DOUBLE casts.
+    "q_weighted_pagerank" -> {
+      def iter(prev: String, sName: String, rName: String): String =
+        s"""$sName AS (
+           |  SELECT e.dst AS node,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(p.r * e.w / e.sw ORDER BY p.r * e.w / e.sw)),
+           |      (x, y) -> x + y) AS s
+           |  FROM e JOIN $prev p ON e.src = p.node
+           |  GROUP BY e.dst),
+           |$rName AS (
+           |  SELECT n.node,
+           |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+           |      COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS r
+           |  FROM n LEFT JOIN $sName s USING (node))""".stripMargin
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_partkey AS l, l_orderkey AS r FROM lineitem),
+         |keep AS (
+         |  SELECT r FROM inc GROUP BY r
+         |  HAVING count(*) BETWEEN 2 AND 5),
+         |bd AS (SELECT l, inc.r FROM inc JOIN keep USING (r)),
+         |proj AS (
+         |  SELECT x.l AS a, y.l AS b, count(*) AS w
+         |  FROM bd x JOIN bd y ON x.r = y.r AND x.l < y.l
+         |  GROUP BY 1, 2),
+         |und AS (SELECT a AS src, b AS dst, CAST(w AS BIGINT) AS w FROM proj
+         |        UNION ALL SELECT b, a, CAST(w AS BIGINT) FROM proj),
+         |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw
+         |       FROM und GROUP BY src),
+         |e AS (SELECT und.src, und.dst, und.w, sw.sw
+         |      FROM und JOIN sw USING (src)),
+         |n AS (SELECT DISTINCT src AS node FROM und),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+         |${iter("r0", "s1", "r1")},
+         |${iter("r1", "s2", "r2")},
+         |${iter("r2", "s3", "r3")}
+         |SELECT node, round(r, 6) AS pr FROM r3
+         |ORDER BY round(r, 6) DESC, node LIMIT 100""".stripMargin
+    },
 
     // grouped-count Cypher replay: the MATCH is one typed edge scan, the
     // RETURN is a plain GROUP BY over the binding frame.

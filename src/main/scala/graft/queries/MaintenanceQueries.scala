@@ -267,6 +267,21 @@ object MaintenanceQueries {
         .orderBy(col("media_id").cast("long"))
     }),
 
+    // extended: SCD-2 retention GC (the version store's VACUUM): drop
+    // versions fully superseded at the watermark — a pure predicate, no
+    // shuffle; partition-pruned file deletes on a valid_to-laid-out store.
+    "q_version_gc" -> ((s, dir) => {
+      val versions = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 250).as("vid"),
+          (col("doc_id") * 1000).as("valid_from"))
+      graft.index.VersionManager.gcVersions(
+          graft.index.VersionManager.mergeVersions(versions, Seq("vid"),
+            "valid_from", tieBreak = Seq("doc_id")),
+          watermark = 400000L)
+        .select(col("vid"), col("doc_id"), col("valid_from"), col("valid_to"))
+        .orderBy(col("vid"), col("valid_from"))
+    }),
+
     // extended: ordered first-touch funnel over the event log — each level
     // is a per-user min aggregate strictly after the previous level's
     // time; every shuffle keys on user_id (ops.EventAnalytics).
@@ -557,6 +572,15 @@ object MaintenanceQueries {
         |  round(sqrt(CAST(tot_sq AS DOUBLE) / n), 6) AS rms,
         |  CAST(peak AS INT) AS peak
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // GC replay: the merge window + the watermark predicate.
+    "q_version_gc" ->
+      """SELECT doc_id % 250 AS vid, doc_id, doc_id * 1000 AS valid_from,
+        |  coalesce(lead(doc_id * 1000) OVER (PARTITION BY doc_id % 250
+        |    ORDER BY doc_id * 1000, doc_id), 32503680000000) AS valid_to
+        |FROM documents
+        |QUALIFY valid_to > 400000
+        |ORDER BY vid, valid_from""".stripMargin,
 
     // funnel replay: per-user strictly-after min chain, one count per
     // level. Spark's lit(i) is INT32 — CAST the step_idx literals.

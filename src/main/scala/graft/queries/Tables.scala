@@ -251,6 +251,29 @@ object Tables {
   private val coProjCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Memoized weighted-PageRank adjacency over [[coPurchaseProjection]]:
+    * symmetric weighted edges + per-src weight sums, src-partitioned and
+    * cached so every iteration's contribution join moves only the rank
+    * frame — the weighted sibling of [[pageRankAdjacency]]. Also returns
+    * the node frame. */
+  def weightedAdjacency(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    wAdjCache.getOrElseUpdate((s, dir), {
+      val proj = coPurchaseProjection(s, dir)
+      val und = proj.select(col("a").as("src"), col("b").as("dst"),
+          col("weight").as("w"))
+        .union(proj.select(col("b").as("src"), col("a").as("dst"),
+          col("weight").as("w")))
+      val sw = und.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+      val eW = und.join(sw, "src")
+        .repartition(col("src")).cache()
+      val nodes = und.select(col("src").as("node")).distinct()
+        .coalesce(cachePartitions(s)).cache()
+      (eW, nodes)
+    })
+
+  private val wAdjCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
   /** Memoized per-doc distinct 3-shingle sets over documents — corpus
     * storage material (the normalize+shingle pass every similarity op
     * starts from): built once at ingest, probed by the set-similarity

@@ -140,6 +140,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: top-vocab co-occurrence + PMI — doc frequencies, pair doc
+    // frequencies restricted to the broadcast top-20 vocabulary (fan-out
+    // ≤ C(20,2) per doc — the vocab cap is the lever), exact integer
+    // counts, one ln over a rational of exact ints.
+    "q_cooccurrence" -> ((s, dir) => {
+      TextAnalysis.cooccurrenceStats(t(s, dir, "documents"), "text",
+          "doc_id", vocabSize = 20)
+        .orderBy(col("tok_a"), col("tok_b"))
+    }),
+
     // extended: corpus vocabulary stats — bigram frequency top-200 (the
     // tokenizer-training counting pass; every occurrence counts).
     "q_ngram_freq" -> ((s, dir) => {
@@ -830,6 +840,32 @@ object TextQueries {
          |SELECT g.doc_id AS corpus_id, count(*) AS shared_grams
          |FROM g JOIN bg USING (gram)
          |GROUP BY g.doc_id ORDER BY corpus_id""".stripMargin,
+
+    // co-occurrence replay: distinct (doc, token) presence, top-20 vocab by
+    // (df desc, tok), per-doc pair join, same multiply-then-divide-then-ln
+    // arithmetic order as the engine.
+    "q_cooccurrence" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t <> '')) AS tok
+        |    FROM documents)),
+        |v AS (
+        |  SELECT tok, count(*) AS df FROM dt GROUP BY tok
+        |  ORDER BY df DESC, tok LIMIT 20),
+        |dv AS (SELECT dt.doc_id, dt.tok FROM dt JOIN v USING (tok)),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+        |p AS (
+        |  SELECT x.tok AS tok_a, y.tok AS tok_b, count(*) AS df_ab
+        |  FROM dv x JOIN dv y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |  GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, va.df AS df_a, vb.df AS df_b, p.df_ab,
+        |  round(ln(CAST(n.n AS DOUBLE) * CAST(p.df_ab AS DOUBLE)
+        |    / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE))), 6) AS pmi
+        |FROM p JOIN v va ON p.tok_a = va.tok
+        |       JOIN v vb ON p.tok_b = vb.tok, n
+        |ORDER BY tok_a, tok_b""".stripMargin,
 
     // containment replay: brute-force corpus × benchmark shingle-set
     // intersection (same normalize+3-shingle CTE), multiplied threshold.

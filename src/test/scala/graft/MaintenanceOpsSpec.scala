@@ -136,4 +136,41 @@ class MaintenanceOpsSpec extends SparkSpec {
       (3L, r(1) + r(2), None, Some(1), Some(2)),
       (2L, r(2), Some(2), None, None)))
   }
+
+  test("gcVersions drops only versions invisible to any as-of >= watermark") {
+    import graft.index.VersionManager
+    // vid 1: versions at 10, 20, 30; vid 2: one live version at 5
+    val v = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 5L, "x")).toDF("vid", "valid_from", "payload")
+    val merged = VersionManager.mergeVersions(v, Seq("vid"), "valid_from")
+    val gc = VersionManager.gcVersions(merged, watermark = 25L)
+    val kept = gc.select("vid", "valid_from")
+      .as[(Long, Long)].collect().toSet
+    // v@10 has valid_to=20 <= 25 -> gone; v@20 (valid_to 30 > 25) is the
+    // version VISIBLE at the watermark and must survive; vid 2 is live
+    assert(kept === Set((1L, 20L), (1L, 30L), (2L, 5L)))
+    // as-of semantics preserved at and after the watermark
+    val asOf25 = VersionManager.latestVersions(
+      gc.filter(col("valid_from") <= 25L), Seq("vid"), "valid_from")
+      .select("vid", "payload").as[(Long, String)].collect().toSet
+    assert(asOf25 === Set((1L, "b"), (2L, "x")))
+  }
+
+  test("cooccurrenceStats computes exact pair doc-frequencies and PMI") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "cat dog"), (2L, "cat dog bird"), (3L, "cat fish"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrenceStats(docs, "text", "doc_id",
+        vocabSize = 4)
+      .orderBy("tok_a", "tok_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    def pmi(n: Long, ab: Long, a: Long, b: Long) =
+      BigDecimal(math.log(n.toDouble * ab / (a.toDouble * b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      ("bird", "cat", 1L, 3L, 1L, pmi(3, 1, 1, 3)),
+      ("bird", "dog", 1L, 2L, 1L, pmi(3, 1, 1, 2)),
+      ("cat", "dog", 3L, 2L, 2L, pmi(3, 2, 3, 2)),
+      ("cat", "fish", 3L, 1L, 1L, pmi(3, 1, 3, 1))))
+  }
 }

@@ -81,7 +81,18 @@ class PlanShapeSpec extends SparkSpec {
     "q_postings", "q_cypher_match", "q_cypher_varlength",
     "q_cypher_multipart", "q_cypher_optional",
     // round 6 (cont.): metadata-filtered VSS — a flat filter + top-k scan
-    "q_filtered_topk")
+    "q_filtered_topk",
+    // round 7: event analytics (user-keyed join chains), the projection /
+    // link-prediction / modularity family (capped self-joins + the 1-row
+    // broadcast total), the prefix-filtered set-similarity and containment
+    // joins (postings equi-joins — a lost prefix filter would surface as a
+    // cross product), incremental IVF assign (join-free argmin select),
+    // co-occurrence (broadcast vocab + per-doc pair join), version GC
+    // (pure predicate), weighted PageRank, grouped Cypher count
+    "q_funnel", "q_retention", "q_copurchase_project", "q_adamic_adar",
+    "q_modularity", "q_setsim_join", "q_containment", "q_ivf_assign",
+    "q_cooccurrence", "q_version_gc", "q_weighted_pagerank",
+    "q_cypher_groupcount")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -91,7 +102,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_vector_diverse_topk", "q_ivf_topk_full_probe", "q_filtered_topk",
     "q_statement_diversity",
     // single-row corpus-total frame joined onto every per-doc row
-    "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights")
+    "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights",
+    // round 7: 1-row broadcast totals (2m scalar / corpus doc count)
+    "q_modularity", "q_cooccurrence")
     // (q_hits no longer appears here: the end-normalization rewrite
     // collects both maxima as driver literals, so its plan must be
     // BNLJ-free like the rest — keeping the stale allowance would mask a

@@ -173,6 +173,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("setSimilarityJoin == driver-side brute force on random corpora " +
+    "at random thresholds (prefix-filter completeness property)") {
+    val wordGen = Gen.oneOf((0 until 12).map(i => s"w$i"))
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val tauGen = Gen.oneOf(0.2, 0.4, 0.6, 0.9)
+    (1 to 6).foreach { _ =>
+      val texts = Gen.listOfN(18, docGen).sample.get
+      val tau = tauGen.sample.get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // driver-side oracle on the SAME normalize+shingle sets
+      val sets = docs.map { case (id, t) =>
+        id -> graft.functions.WordShingles
+          .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), 3)
+          .toSet
+      }
+      val expect = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size; uni = (sa | sb).size
+        if inter.toDouble >= tau * uni.toDouble
+      } yield (ia, ib, inter, uni)).toSet
+      val got = graft.ops.Dedup
+        .setSimilarityJoin(docs.toDF("doc_id", "text"), "text", "doc_id", tau)
+        .select("id_a", "id_b", "inter", "uni")
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got == expect, s"tau=$tau docs=$texts")
+    }
+  }
+
   test("GraphQuerySafety never passes a query containing a blocked keyword") {
     val kwGen = Gen.oneOf(graft.byokg.GraphQuerySafety.ModificationKeywords)
     val padGen = Gen.oneOf("", " ", "\n", "\t", "/* c */ ", "(", ")")

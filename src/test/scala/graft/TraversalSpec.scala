@@ -118,6 +118,42 @@ class TraversalSpec extends SparkSpec {
     assert(math.abs(r("b") - 0.575) < 1e-12)     // a->b counted once
   }
 
+  test("weighted PageRank: equal weights reduce to the unweighted ranks; " +
+    "unequal weights split contributions by w/sw") {
+    import org.apache.spark.sql.functions.{col, lit, sum => fsum}
+    def layout(es: Seq[(String, String, Long)]) = {
+      val e = es.toDF("src", "dst", "w")
+      val sw = e.groupBy(col("src")).agg(fsum(col("w")).as("sw"))
+      val eW = e.join(sw, "src")
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst"))).distinct()
+      (nodes, eW)
+    }
+    // equal weights == unweighted pageRank on the same edge set
+    val es = Seq(("a", "b", 5L), ("a", "e", 5L), ("b", "c", 5L),
+      ("e", "c", 5L), ("c", "d", 5L))
+    val (n1, e1) = layout(es)
+    val w = Traversal.weightedPageRankIterate(n1, e1, iters = 2)
+      .as[(String, Double)].collect().toMap
+    val plain = Traversal.pageRank(
+      es.map(t => (t._1, t._2)).toDF("src", "dst"), iters = 2)
+      .as[(String, Double)].collect().toMap
+    plain.foreach { case (n, v) =>
+      assert(math.abs(w(n) - v) < 1e-12, s"node $n: ${w(n)} vs $v") }
+    // unequal: a sends 3/4 to b, 1/4 to e
+    val (n2, e2) = layout(Seq(("a", "b", 3L), ("a", "e", 1L)))
+    val w2 = Traversal.weightedPageRankIterate(n2, e2, iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(w2("b") - (0.15 + 0.85 * 0.75)) < 1e-12)
+    assert(math.abs(w2("e") - (0.15 + 0.85 * 0.25)) < 1e-12)
+    // deterministic fold mode tracks the plain sum
+    val det = Traversal.weightedPageRankIterate(n1, e1, iters = 3,
+      deterministic = true).as[(String, Double)].collect().toMap
+    val pl = Traversal.weightedPageRankIterate(n1, e1, iters = 3)
+      .as[(String, Double)].collect().toMap
+    pl.foreach { case (n, v) => assert(math.abs(det(n) - v) < 1e-9) }
+  }
+
   test("personalized PageRank: hand-computed seed-neighborhood ranks") {
     // fixture edges: a->b, b->c, c->d, a->e, e->c; seed {a}
     // r1: a=0.15 (seed reset), b=e=0.85*0.5=0.425, c=d=0
