@@ -238,6 +238,62 @@ object Profile {
           graft.ops.TextAnalysis.profile(docs, "text").count()
         }
 
+      case "scaleprobe2" =>
+        // would-it-scale probe for the round-7 operators: inputs replicated
+        // xN with disjoint key spaces (so result sizes scale ~linearly too)
+        // — per-row cost should stay ~flat if the capped/prefix-filtered
+        // shapes hold
+        val n = if (args.length > 2) args(2).toInt else 8
+        val reps = spark.range(0, n).select(col("id").as("rep"))
+        val bigDocs = docs.crossJoin(reps)
+          .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+            concat(col("text"), lit(" rep"), col("rep")).as("text"))
+          .repartition(32).localCheckpoint(true)
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val bigInc = li.crossJoin(reps)
+          .select((col("l_partkey") + col("rep") * 10000000L).as("pk"),
+            (col("l_orderkey") + col("rep") * 100000000L).as("ok"))
+          .repartition(32).localCheckpoint(true)
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        val bigEv = ev.crossJoin(reps)
+          .select((col("user_id") + col("rep") * 10000000L).as("user_id"),
+            col("event_type"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          .repartition(32).localCheckpoint(true)
+        println(s"[profile] scaleprobe2 docs=${bigDocs.count()} " +
+          s"inc=${bigInc.count()} ev=${bigEv.count()} (${n}x)")
+        import graft.ops.{Dedup, LinkPrediction, EventAnalytics}
+        def setsim(d: DataFrame) = Dedup.setSimilarityJoin(
+          d, "text", "doc_id", tau = 0.5).count()
+        // the production gate's path: 60-bit-hashed elements (longs shuffle
+        // and sort at a fraction of the string cost) — build included in
+        // the timed region so the comparison is end-to-end
+        graft.functions.WordShingles.register(spark)
+        def setsimHashed(d: DataFrame) = Dedup.setSimilarityJoinFrom(
+          d.select(col("doc_id").as("id"),
+            array_distinct(transform(
+              graft.functions.WordShingles.shingles(col("text"), 3),
+              t => H.h60(t))).as("toks"))
+            .localCheckpoint(true), tau = 0.5).count()
+        def adamic(inc: DataFrame) = LinkPrediction.adamicAdar(
+          LinkPrediction.projectBipartite(inc, "pk", "ok", 5)
+            .select(col("a").as("src"), col("b").as("dst")),
+          maxCenterDegree = 20, orientedInput = true).count()
+        def funnel(e: DataFrame) = EventAnalytics.funnel(e, "user_id",
+          "ts_us", "event_type", Seq("view", "click", "purchase")).count()
+        time(s"setsim join ${n}x") { setsim(bigDocs) }
+        time(s"setsim hashed ${n}x") { setsimHashed(bigDocs) }
+        time(s"adamic-adar ${n}x") { adamic(bigInc) }
+        time(s"funnel ${n}x") { funnel(bigEv) }
+        val ev1 = ev.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        time("setsim join 1x") { setsim(docs) }
+        time("setsim hashed 1x") { setsimHashed(docs) }
+        time("adamic-adar 1x") {
+          adamic(li.select(col("l_partkey").as("pk"),
+            col("l_orderkey").as("ok")))
+        }
+        time("funnel 1x") { funnel(ev1) }
+
       case "fullchain" =>
         // decompose q_full_chain's base-checkpoint cost: scan+join, +ids,
         // +derived cols, +checkpoint materialization
