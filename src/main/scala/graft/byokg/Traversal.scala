@@ -168,6 +168,59 @@ object Traversal {
       .reduce(_ union _)
   }
 
+  /**
+   * Batched multi-source BFS: unit-weight shortest distances from EVERY
+   * seed at once — frontier rows are (seed, node) pairs, so k landmark
+   * BFS runs ride ONE join per hop instead of k sequential loops (the
+   * per-hop probe is the same edge join whether the frontier carries one
+   * seed or a thousand). State is O(k·reached), which is exactly the
+   * landmark design point: pick k small, not one BFS per graph node.
+   * Declarative like [[shortestDistancesLazy]] (bounded depth, one plan,
+   * layers cached against the double probe+anti reuse).
+   * Returns (seed, node, dist) with dist = min distance, 0 at the seed.
+   */
+  def multiSourceDistances(edges: DataFrame, seeds: DataFrame,
+                           maxDistance: Int,
+                           undirected: Boolean = false): DataFrame = {
+    require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    val e = if (undirected) undirect(edges) else edges
+    var frontier = seeds.select(col("seed"), col("node")).distinct().cache()
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to maxDistance) {
+      val visited = layers.reduce(_ union _)
+      frontier = e
+        .join(frontier.select(col("seed"), col("node").as("src")), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .cache()
+      layers += frontier
+    }
+    layers.zipWithIndex
+      .map { case (f, i) => f.withColumn("dist", lit(i)) }
+      .reduce(_ union _)
+  }
+
+  /**
+   * Landmark harmonic closeness: for each reachable node, the count of
+   * landmarks within `maxDistance` and Σ round(1e6/dist) over them — the
+   * standard sampled estimator for harmonic centrality (exact closeness
+   * needs all-pairs; k landmarks give a k/|V| unbiased slice at k BFS
+   * cost). Integer micro-unit terms, so the sum is order-independent and
+   * replays exactly in SQL. `landmarks` is a (node) frame; landmarks
+   * themselves score their distance-0 self term out (dist > 0 filter).
+   */
+  def harmonicCloseness(edges: DataFrame, landmarks: DataFrame,
+                        maxDistance: Int,
+                        undirected: Boolean = false): DataFrame =
+    multiSourceDistances(edges,
+        landmarks.select(col("node").as("seed"), col("node")),
+        maxDistance, undirected)
+      .filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(round(lit(1000000.0) / col("dist")).cast("long"))
+          .as("harmonic_micro"))
+
   /** Triplet verbalization: "src [relation] dst" lines, one string per path
     * group (reference byokg graph_verbalizer.py:35-233). */
   def verbalizeTriplets(triplets: DataFrame): DataFrame =

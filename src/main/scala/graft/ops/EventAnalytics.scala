@@ -83,4 +83,123 @@ object EventAnalytics {
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /**
+   * Event-type transition matrix (first-order Markov estimate): counts of
+   * consecutive (from → to) event-type pairs within each user's
+   * time-ordered history, with the per-from transition probability in
+   * micro-units — the next-action model behind session simulation and
+   * funnel design. Returns (from_type, to_type, n, n_from, p_micro).
+   *
+   * One user-keyed window (the sessionize shuffle) feeds a map-side-
+   * combinable pair count; the probability normalizer is a window over
+   * the |types|² COUNTS frame, so nothing after the first shuffle scales
+   * with the event volume. p_micro = round(1e6·n/n_from) from exact
+   * BIGINTs — bit-exact in any IEEE engine.
+   */
+  def transitions(events: DataFrame, userCol: String, tsUsCol: String,
+                  typeCol: String,
+                  tieBreak: Seq[String] = Seq("event_id")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy((tsUsCol +: tieBreak).map(col): _*)
+    val pairs = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    pairs
+      .withColumn("n_from", sum(col("n")).over(wf))
+      .withColumn("p_micro",
+        round(lit(1000000.0) * col("n") / col("n_from")).cast("long"))
+  }
+
+  /**
+   * Trailing-window rate anomalies: bucket events per (type, bucket),
+   * then score each bucket's count against the mean/stddev of the
+   * PRECEDING `trailing` observed buckets of the same type — the
+   * volume-spike/drop monitor a pipeline runs over its telemetry before
+   * trusting a day's data. Returns
+   * (type, bucket, n_events, n_prev, z_micro) for buckets with at least
+   * `minPrev` history; z_micro = round(1e6·(x−μ)/σ), NULL when σ = 0.
+   *
+   * Determinism/scale shape: the bucket aggregate is map-side
+   * combinable; the window runs over the (type, bucket) COUNTS frame —
+   * buckets per type, not events — so the sort is tiny at any event
+   * volume. μ and σ derive from exact BIGINT window sums (Σx, Σx²),
+   * fixed-order IEEE ops from there, so the score replays bit-exactly
+   * in SQL. Empty buckets are absent, not zero: the trailing stats are
+   * over OBSERVED buckets (document the gap semantics to callers).
+   */
+  def rateAnomalies(events: DataFrame, typeCol: String, tsUsCol: String,
+                    bucketMicros: Long, trailing: Int,
+                    minPrev: Int = 5): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
+    require(trailing >= 1, s"trailing must be >= 1, got $trailing")
+    require(minPrev >= 2, s"minPrev must be >= 2, got $minPrev")
+    val counts = events
+      .select(col(typeCol).as("type"),
+        expr(s"CAST($tsUsCol AS BIGINT) div ${bucketMicros}L").as("bucket"))
+      .groupBy(col("type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("type")).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    val scored = counts
+      .withColumn("n_prev", count(col("n_events")).over(w))
+      .withColumn("_s", sum(col("n_events")).over(w))
+      .withColumn("_s2", sum(col("n_events") * col("n_events")).over(w))
+    // σ² via the exact-integer numerator (n·Σx² − (Σx)²)/n²: one double
+    // division + one sqrt, both IEEE-exact given exact integer inputs
+    val n = col("n_prev").cast("double")
+    val varNum = (col("n_prev") * col("_s2") - col("_s") * col("_s"))
+      .cast("double")
+    val sigma = sqrt(varNum / (n * n))
+    val mean = col("_s").cast("double") / n
+    scored
+      .filter(col("n_prev") >= minPrev)
+      .withColumn("z_micro",
+        when(sigma > 0.0,
+          round(lit(1000000.0) * (col("n_events").cast("double") - mean)
+            / sigma).cast("long")))
+      .select(col("type"), col("bucket"), col("n_events"), col("n_prev"),
+        col("z_micro"))
+  }
+
+  /**
+   * Interval occupancy (concurrency profile): given an interval frame
+   * (e.g. [[graft.streaming.Sessionize.batchSessions]] output), the number
+   * of intervals active in each time bucket — "how many sessions were
+   * live each hour", the load curve behind capacity planning and
+   * anomaly review. An interval [start, end] (epoch micros, inclusive
+   * ends as sessionize emits them) occupies every bucket its integer-
+   * divided endpoints span. Returns (bucket, bucket_start_us, active).
+   *
+   * Scale shape: ONE explode + one map-side-combinable count — the
+   * classic sweep-line turned into a bucketed scan, no self-join. Output
+   * rows per interval = its span in buckets, so like
+   * [[graft.ops.TemporalJoins.rangeJoin]] a span wider than
+   * `maxSpanBuckets` fails loudly (raise_error in the plan, caught at
+   * the first offending row, not after an executor OOM): pick
+   * `bucketMicros` near the typical interval length.
+   */
+  def occupancy(intervals: DataFrame, startCol: String, endCol: String,
+                bucketMicros: Long, maxSpanBuckets: Int = 4096): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
+    require(maxSpanBuckets >= 1,
+      s"maxSpanBuckets must be >= 1, got $maxSpanBuckets")
+    val b0 = expr(s"CAST($startCol AS BIGINT) div ${bucketMicros}L")
+    val b1 = expr(s"CAST($endCol AS BIGINT) div ${bucketMicros}L")
+    val spanGuard = when(b1 - b0 < maxSpanBuckets, sequence(b0, b1))
+      .otherwise(raise_error(concat(
+        lit(s"occupancy interval spans >= $maxSpanBuckets buckets of " +
+          s"$bucketMicros us; raise bucketMicros or maxSpanBuckets — "),
+        col(startCol).cast("string"), lit(".."),
+        col(endCol).cast("string"))))
+    intervals
+      .select(explode(spanGuard).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("active"))
+      .withColumn("bucket_start_us", col("bucket") * bucketMicros)
+  }
 }

@@ -96,6 +96,57 @@ object LinkPrediction {
   }
 
   /**
+   * Jaccard neighborhood-overlap link prediction over an undirected edge
+   * set: for each non-adjacent pair (a, b),
+   * jac = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, emitted as exact integers
+   * (common_neighbors, union_size) plus round(1e6·jac) micro-units — one
+   * double division per output row, bit-identical in any IEEE engine.
+   * Wedges are generated per CENTER with the same degree cap as
+   * [[adamicAdar]] (common counts over centers with 2 ≤ deg ≤ cap; hub
+   * wedges dropped), while union sizes use the EXACT uncapped degrees —
+   * so under a cap the score is a lower bound, and with
+   * `maxCenterDegree` ≥ the max degree it is the exact Jaccard. Returns
+   * (a, b, common_neighbors, union_size, jac_micro) with a < b.
+   */
+  def jaccardLinks(edges: DataFrame, maxCenterDegree: Int,
+                   orientedInput: Boolean = false): DataFrame = {
+    require(maxCenterDegree >= 2,
+      s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    val und =
+      if (orientedInput)
+        edges.select(col("src"), col("dst"))
+          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      else {
+        val e = edges.select(col("src"), col("dst")).distinct()
+          .filter(col("src") =!= col("dst"))
+        e.union(e.select(col("dst"), col("src")).toDF("src", "dst"))
+          .distinct()
+      }
+    val fullDeg = und.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    val capped = fullDeg.filter(col("deg") >= 2 &&
+      col("deg") <= maxCenterDegree).select("z")
+    val star = und.join(capped, und("src") === capped("z"))
+      .select(col("z"), col("dst").as("n"))
+    val pairs = star.as("x").join(star.as("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    // exact union from the uncapped endpoint degrees; both joins are on
+    // the node key the degree frame is already aggregated on
+    pairs
+      .join(fullDeg.select(col("z").as("a"), col("deg").as("_da")), "a")
+      .join(fullDeg.select(col("z").as("b"), col("deg").as("_db")), "b")
+      .withColumn("union_size",
+        col("_da") + col("_db") - col("common_neighbors"))
+      .withColumn("jac_micro",
+        round(lit(1000000.0) * col("common_neighbors") / col("union_size"))
+          .cast("long"))
+      .drop("_da", "_db")
+      .join(und.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+  }
+
+  /**
    * Exact per-community modularity terms of a node→community assignment
    * over an undirected edge set. With 2m = |directed rows|, d_c = degree
    * sum of community c, and int_c = directed rows internal to c:

@@ -49,4 +49,39 @@ object Profiling {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
       .orderBy(col("col_name"))
   }
+
+  /**
+   * Population-stability drift between two snapshots of a categorical
+   * distribution (cluster cells, languages, sources): per key the counts
+   * on each side and the key's PSI term
+   * (p_a − p_b)·ln(p_a / p_b) in micro-units — Σ psi_micro is the
+   * population stability index, THE standard "did my corpus mix shift"
+   * monitor (PSI > 0.2 conventionally means investigate). Shares are
+   * add-one smoothed over the union key set so a key present on one side
+   * only contributes a finite term instead of ±∞.
+   *
+   * Scale shape: two map-side-combinable counts + one full-outer join on
+   * the key, totals recovered from the per-key frame itself and attached
+   * as a 1-row broadcast cross join (the modularity/bm25 pattern — fully
+   * lazy, no eager count pass). All inputs to the IEEE ops are exact
+   * BIGINTs, so psi_micro replays bit-exactly in SQL.
+   */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+                        keyCol: String): DataFrame = {
+    val ca = a.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq("key"), "full_outer")
+      .select(col("key"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"),
+      count(lit(1)).as("_k"))
+    val pa = (col("n_a") + 1).cast("double") /
+      (col("_ta") + col("_k")).cast("double")
+    val pb = (col("n_b") + 1).cast("double") /
+      (col("_tb") + col("_k")).cast("double")
+    joined.crossJoin(broadcast(tot))
+      .withColumn("psi_micro",
+        round(lit(1000000.0) * (pa - pb) * log(pa / pb)).cast("long"))
+      .select(col("key"), col("n_a"), col("n_b"), col("psi_micro"))
+  }
 }

@@ -105,4 +105,58 @@ object Sampling {
       .limit(k)
       .drop("_pri")
   }
+
+  /**
+   * Cluster-balanced (diversity) sampling: keep up to `perCell` rows per
+   * cluster cell, chosen by content hash within the cell — the
+   * cluster-then-sample step that flattens a skewed embedding-space
+   * density into a diverse training draw (pair with
+   * [[graft.ops.MlAnn.assignCells]] for the cells). Adds a 1-based
+   * `rankCol` in hash order. One heap aggregate
+   * ([[graft.functions.TopKAgg]]), map-side combine, O(perCell) state per
+   * cell — no window sort over the corpus, so a billion-row cell costs
+   * one pass. Hash-chosen like every sampler here: the draw is stable
+   * under repartitioning and monotone in `perCell`.
+   */
+  def clusterBalanced(assigned: DataFrame, idCol: String, cellCol: String,
+                      perCell: Int, salt: String = "",
+                      rankCol: String = "rn"): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    // order by the 60-bit integer hash, not uniform01's double: the
+    // division is monotone but collapses 60 bits onto 53, and the oracle
+    // must tie-break identically
+    val h = H.h60(concat_ws("#", lit(salt), col(idCol).cast("string")))
+    graft.functions.TopKAgg.topKPerKeyRanked(
+      assigned, Seq(cellCol), Seq(h, col(idCol)), perCell, rankCol)
+  }
+
+  /**
+   * Deterministic train/validation/test assignment: each row gets a
+   * `split` label from its id hash against the cumulative fraction
+   * thresholds of `splits` (ordered; the last split absorbs the residual
+   * mass, so fractions summing to < 1 inflate it and > 1 is rejected).
+   * Because the decision is the SAME content hash as [[hashSample]],
+   * splits are stable under repartitioning/resume, consistent across
+   * tables keyed by the same id (an entity lands in `test` everywhere —
+   * the leakage guarantee train/test splits exist for), and disjoint by
+   * construction. One narrow projection: no shuffle, no RNG state.
+   */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.size >= 2, s"need >= 2 splits, got ${splits.size}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct, got ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    require(cum.last <= 1.0 + 1e-9,
+      s"split fractions sum to ${cum.last} > 1")
+    val u = uniform01(col(idCol), salt)
+    // thresholds in declared order; the final branch is the catch-all so
+    // rounding in the cumulative sum can never leave a row unlabeled
+    val label = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), hi)) => when(u < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
 }

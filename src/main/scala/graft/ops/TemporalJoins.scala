@@ -83,6 +83,53 @@ object TemporalJoins {
    * `maxSpanBins` bins fail loudly instead of silently exploding the
    * build side (pick binMicros near the typical interval length).
    */
+  /**
+   * Interval-overlap join: pairs of intervals (closed [start, end], the
+   * sessionize shape) from `a` and `b` that intersect, optionally
+   * key-matched. Same bin discipline as [[rangeJoin]] — BOTH sides explode
+   * into the bins they cover and meet on a plain (key, bin) equi-join —
+   * but two intervals can now share many bins, so instead of a dedup
+   * shuffle the join keeps exactly ONE bin per pair: overlapping closed
+   * intervals always share bin max(aStartBin, bStartBin) (the later
+   * start's first bin, which the earlier interval must also cover), so
+   * that bin is the pair's unique meeting point. The exact overlap
+   * predicate post-filters; `overlap_us` = min(ends) − max(starts).
+   * Columns are prefixed `a_`/`b_`. Both spans are capped loudly like
+   * [[rangeJoin]].
+   */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   startCol: String, endCol: String, key: Option[String],
+                   binMicros: Long, maxSpanBins: Int = 1024): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    def explodeBins(df: DataFrame, prefix: String): DataFrame = {
+      val s = col(s"${prefix}_$startCol"); val e = col(s"${prefix}_$endCol")
+      val guard = when(
+        floor(e / binMicros) - floor(s / binMicros) < maxSpanBins,
+        sequence(floor(s / binMicros), floor(e / binMicros)))
+        .otherwise(raise_error(concat(
+          lit(s"intervalJoin interval spans >= $maxSpanBins bins of " +
+            s"$binMicros us; raise binMicros or maxSpanBins — "),
+          s.cast("string"), lit(".."), e.cast("string"))))
+      df.select(df.columns.map(c => col(c).as(s"${prefix}_$c")): _*)
+        .withColumn(s"${prefix}_bin", explode(guard))
+    }
+    val ea = explodeBins(a, "a")
+    val eb = explodeBins(b, "b")
+    val aS = col(s"a_$startCol"); val aE = col(s"a_$endCol")
+    val bS = col(s"b_$startCol"); val bE = col(s"b_$endCol")
+    val joinCond = key match {
+      case Some(k) => col("a_bin") === col("b_bin") &&
+        col(s"a_$k") === col(s"b_$k")
+      case None => col("a_bin") === col("b_bin")
+    }
+    ea.join(eb, joinCond)
+      // closed-interval overlap, deduped to the pair's unique meeting bin
+      .filter(aS <= bE && bS <= aE &&
+        col("a_bin") === greatest(floor(aS / binMicros), floor(bS / binMicros)))
+      .withColumn("overlap_us", least(aE, bE) - greatest(aS, bS))
+      .drop("a_bin", "b_bin")
+  }
+
   def rangeJoin(points: DataFrame, ptTs: String,
                 intervals: DataFrame, startCol: String, endCol: String,
                 key: Option[String], binMicros: Long,

@@ -42,6 +42,17 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // ext. landmark harmonic closeness — 8 landmark BFS runs batched as
+    // ONE (seed, node) frontier (Traversal.multiSourceDistances: one edge
+    // join per hop for any landmark count), integer micro-unit harmonic
+    // terms. The oracle replays all 8 BFS runs in one recursive CTE.
+    "q_closeness" -> ((s, dir) => {
+      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 8)
+        .select(concat(lit("c:"), col("c_custkey")).as("node"))
+      Traversal.harmonicCloseness(Tables.undirectedEdges(s, dir), seeds, 3)
+        .orderBy(col("node"))
+    }),
+
     // §2.5 entity relation-count scoring (degree over both directions).
     "q_entity_degree" -> ((s, dir) => {
       val e = edges(s, dir)
@@ -284,6 +295,20 @@ object GraphQueries {
         .orderBy(desc("aa_micro"), col("a"), col("b")).limit(100)
     }),
 
+    // ext. Jaccard neighborhood-overlap link prediction over the same
+    // projection — exact integer (common, union) pairs, one double
+    // division per row; capped centers like Adamic-Adar, exact uncapped
+    // degrees for the union.
+    "q_jaccard_link" -> ((s, dir) => {
+      val proj = Tables.coPurchaseProjection(s, dir)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.ops.LinkPrediction.jaccardLinks(proj, maxCenterDegree = 20,
+          orientedInput = true)
+        .select(col("a"), col("b"), col("common_neighbors"),
+          col("union_size"), col("jac_micro"))
+        .orderBy(desc("jac_micro"), col("a"), col("b")).limit(100)
+    }),
+
     // ext. exact modularity of the brand partition over the co-purchase
     // projection — "are same-brand parts co-purchased more than chance?"
     // Integer numerators (q_num is exact int64); the single double
@@ -472,6 +497,26 @@ object GraphQueries {
          |  WHERE b.dist < 3)
          |SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs
          |GROUP BY node ORDER BY node""".stripMargin,
+
+    // closeness replay: the 8 BFS runs as one seed-carrying recursive CTE
+    // (depth-bounded UNION ALL walk enumeration, min-dist per (seed, node)
+    // — the q_shortest_path shape with a seed column), then the harmonic
+    // fold. 1e6 CAST to DOUBLE: a bare literal is DECIMAL in DuckDB.
+    "q_closeness" ->
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |seeds AS (SELECT 'c:'||c_custkey AS seed FROM customer WHERE c_custkey < 8),
+         |bfs AS (
+         |  SELECT seed, seed AS node, 0 AS dist FROM seeds
+         |  UNION ALL
+         |  SELECT b.seed, u.dst, b.dist + 1 FROM bfs b JOIN und u ON u.src = b.node
+         |  WHERE b.dist < 3),
+         |d AS (SELECT seed, node, min(dist) AS dist FROM bfs
+         |      GROUP BY seed, node)
+         |SELECT node, count(*) AS n_reached,
+         |  CAST(sum(CAST(round(CAST(1000000.0 AS DOUBLE) / dist, 0)
+         |    AS BIGINT)) AS BIGINT) AS harmonic_micro
+         |FROM d WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
 
     "q_entity_degree" ->
       s"""WITH edges AS ($edgesSql)
@@ -775,6 +820,40 @@ object GraphQueries {
          |SELECT p.a, p.b, p.common_neighbors, p.aa_micro
          |FROM pairs p ANTI JOIN und ON p.a = und.s AND p.b = und.d
          |ORDER BY aa_micro DESC, a, b LIMIT 100""".stripMargin,
+
+    // Jaccard replay: capped-center wedges for the intersection, exact
+    // uncapped degrees for the union, one rounded double division.
+    "q_jaccard_link" ->
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_partkey AS l, l_orderkey AS r FROM lineitem),
+         |keep AS (
+         |  SELECT r FROM inc GROUP BY r
+         |  HAVING count(*) BETWEEN 2 AND 5),
+         |bd AS (SELECT l, inc.r FROM inc JOIN keep USING (r)),
+         |proj AS (
+         |  SELECT x.l AS a, y.l AS b
+         |  FROM bd x JOIN bd y ON x.r = y.r AND x.l < y.l
+         |  GROUP BY 1, 2),
+         |und AS (SELECT a AS s, b AS d FROM proj
+         |        UNION SELECT b, a FROM proj),
+         |deg AS (SELECT s AS z, count(*) AS dg FROM und GROUP BY s),
+         |star AS (
+         |  SELECT und.s AS z, und.d AS n FROM und
+         |  JOIN deg ON und.s = deg.z WHERE dg BETWEEN 2 AND 20),
+         |pairs AS (
+         |  SELECT x.n AS a, y.n AS b, count(*) AS common_neighbors
+         |  FROM star x JOIN star y ON x.z = y.z AND x.n < y.n
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT p.a, p.b, p.common_neighbors,
+         |    da.dg + db.dg - p.common_neighbors AS union_size,
+         |    CAST(round(1000000.0 * p.common_neighbors
+         |      / (da.dg + db.dg - p.common_neighbors), 0) AS BIGINT)
+         |      AS jac_micro
+         |  FROM pairs p JOIN deg da ON p.a = da.z JOIN deg db ON p.b = db.z)
+         |SELECT a, b, common_neighbors, union_size, jac_micro
+         |FROM j ANTI JOIN und ON j.a = und.s AND j.b = und.d
+         |ORDER BY jac_micro DESC, a, b LIMIT 100""".stripMargin,
 
     // modularity replay: labeled directed rows, per-community integer
     // numerators, one double division against the 2m scalar.

@@ -38,6 +38,61 @@ object MaintenanceQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // extended: event-type transition matrix — per-user consecutive-pair
+    // counts + per-from probabilities (EventAnalytics.transitions; the
+    // user-keyed window is the only event-scale shuffle).
+    "q_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val withUs = ev.withColumn("ts_us", Tables.epochMicros(ev))
+      graft.ops.EventAnalytics.transitions(withUs, "user_id", "ts_us",
+          "event_type")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // extended: trailing-window rate anomalies — each (type, hour)'s event
+    // count z-scored against the preceding 24 observed hours; exact BIGINT
+    // window sums, fixed-order IEEE score (EventAnalytics.rateAnomalies).
+    "q_rate_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val withUs = ev.withColumn("ts_us", Tables.epochMicros(ev))
+      graft.ops.EventAnalytics.rateAnomalies(withUs, "event_type", "ts_us",
+          bucketMicros = 3600L * 1000000, trailing = 24, minPrev = 5)
+        .orderBy(col("type"), col("bucket"))
+    }),
+
+    // extended: interval occupancy — sessions-per-hour concurrency curve
+    // over the sessionize output: one explode + one count, no self-join
+    // (ops.EventAnalytics.occupancy; span-capped like rangeJoin).
+    "q_concurrency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val withUs = ev.withColumn("ts_us", Tables.epochMicros(ev))
+      val sessions = Sessionize.batchSessions(withUs, gapMinutes = 30)
+      graft.ops.EventAnalytics.occupancy(sessions, "session_start",
+          "session_end", bucketMicros = 3600L * 1000000)
+        .select(col("bucket"), col("bucket_start_us"), col("active"))
+        .orderBy(col("bucket"))
+    }),
+
+    // extended: interval-overlap join — cross-user concurrent session
+    // pairs via the same bin equi-join discipline as rangeJoin, deduped
+    // to each pair's unique meeting bin (no distinct shuffle).
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val withUs = ev.withColumn("ts_us", Tables.epochMicros(ev))
+      val sessions = Sessionize.batchSessions(withUs, gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      graft.ops.TemporalJoins.intervalJoin(
+          sessions.filter(col("user_id") % 100 === 0),
+          sessions.filter(col("user_id") % 100 =!= 0),
+          "session_start", "session_end", key = None,
+          binMicros = 3600L * 1000000)
+        .select(col("a_user_id"), col("a_session_seq"), col("b_user_id"),
+          col("b_session_seq"), col("overlap_us"))
+        .orderBy(col("a_user_id"), col("a_session_seq"), col("b_user_id"),
+          col("b_session_seq"))
+    }),
+
     // extended: as-of join (merge_asof backward semantics) — every purchase
     // event picks the user's latest view at-or-before it. Implemented as
     // ONE key-partitioned backward range window over the unioned stream,
@@ -371,6 +426,110 @@ object MaintenanceQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM numbered GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // transition replay: the same user-keyed lead window, pair counts,
+    // per-from normalizer as a grouped CTE (≡ the engine's window over
+    // the tiny counts frame), exact-integer probability micro-units.
+    "q_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |nx AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type
+        |  FROM ev),
+        |p AS (SELECT from_type, to_type, count(*) AS n FROM nx
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, p.n, f.n_from,
+        |  CAST(round(CAST(1000000.0 AS DOUBLE) * CAST(p.n AS DOUBLE)
+        |    / CAST(f.n_from AS DOUBLE), 0) AS BIGINT) AS p_micro
+        |FROM p JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // rate-anomaly replay: per-(type, hour) counts, trailing BIGINT window
+    // sums (DuckDB's HUGEINT sums cast down before the double ops), the
+    // same ((1e6·(x−μ))/σ) expression tree.
+    "q_rate_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type AS type,
+        |    epoch_us(ts) // 3600000000 AS bucket FROM events),
+        |c AS (SELECT type, bucket, count(*) AS n_events
+        |      FROM ev GROUP BY type, bucket),
+        |sw AS (
+        |  SELECT type, bucket, n_events,
+        |    count(n_events) OVER w AS n_prev,
+        |    CAST(sum(n_events) OVER w AS BIGINT) AS s,
+        |    CAST(sum(n_events*n_events) OVER w AS BIGINT) AS s2
+        |  FROM c WINDOW w AS (PARTITION BY type ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT type, bucket, n_events, n_prev,
+        |  CASE WHEN n_prev*s2 - s*s > 0 THEN
+        |    CAST(round(1000000.0
+        |      * (CAST(n_events AS DOUBLE)
+        |         - CAST(s AS DOUBLE) / CAST(n_prev AS DOUBLE))
+        |      / sqrt(CAST(n_prev*s2 - s*s AS DOUBLE)
+        |             / (CAST(n_prev AS DOUBLE) * CAST(n_prev AS DOUBLE))),
+        |      0) AS BIGINT)
+        |  END AS z_micro
+        |FROM sw WHERE n_prev >= 5 ORDER BY type, bucket""".stripMargin,
+
+    // interval-join replay: the same session CTEs, then the plain
+    // closed-interval overlap join (the bin dedup is engine-side
+    // mechanics; the result contract is exactly this nested predicate).
+    "q_interval_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |marked AS (
+        |  SELECT *, lag(ts_us) OVER w AS prev_ts,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_seq, min(ts_us) AS session_start,
+        |    max(ts_us) AS session_end
+        |  FROM numbered GROUP BY user_id, session_seq),
+        |a AS (SELECT user_id AS a_user_id, session_seq AS a_session_seq,
+        |        session_start AS s1, session_end AS e1
+        |      FROM sess WHERE user_id % 100 = 0),
+        |b AS (SELECT user_id AS b_user_id, session_seq AS b_session_seq,
+        |        session_start AS s2, session_end AS e2
+        |      FROM sess WHERE user_id % 100 <> 0)
+        |SELECT a_user_id, a_session_seq, b_user_id, b_session_seq,
+        |  least(e1, e2) - greatest(s1, s2) AS overlap_us
+        |FROM a JOIN b ON s1 <= e2 AND s2 <= e1
+        |ORDER BY a_user_id, a_session_seq, b_user_id, b_session_seq""".stripMargin,
+
+    // occupancy replay: the same session CTEs, then each session unnested
+    // into the hour buckets its integer-divided endpoints span.
+    "q_concurrency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |marked AS (
+        |  SELECT *, lag(ts_us) OVER w AS prev_ts,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_seq, min(ts_us) AS session_start,
+        |    max(ts_us) AS session_end
+        |  FROM numbered GROUP BY user_id, session_seq),
+        |b AS (
+        |  SELECT unnest(generate_series(session_start // 3600000000,
+        |    session_end // 3600000000)) AS bucket FROM sess)
+        |SELECT bucket, bucket * 3600000000 AS bucket_start_us,
+        |  count(*) AS active
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_version_merge" ->
       """SELECT doc_id % 250 AS vid, doc_id, doc_id * 1000 AS valid_from,

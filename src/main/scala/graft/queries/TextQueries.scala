@@ -253,6 +253,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: deterministic train/valid/test split — cumulative hash
+    // thresholds over the same content hash as the samplers, so the
+    // assignment is stable under repartitioning and consistent across
+    // tables keyed by doc_id (the leakage guarantee).
+    "q_hash_split" -> ((s, dir) => {
+      graft.ops.Sampling.hashSplit(
+        t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "split1")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: target-mixture rebalance — per-stratum keep rates derived
     // from the largest feasible total, decided per row by content hash.
     "q_target_mix" -> ((s, dir) => {
@@ -978,6 +990,19 @@ object TextQueries {
          |  < (CASE WHEN source = 'src0' THEN 0.8
          |          WHEN source = 'src1' THEN 0.4 ELSE 0.1 END)
          |ORDER BY doc_id""".stripMargin,
+
+    // the split thresholds are IEEE doubles in both engines: the cumulative
+    // sum is forced through CAST(.. AS DOUBLE) additions so 0.8 + 0.1
+    // produces the same 0.9000000000000001 bits DuckDB compares against
+    "q_hash_split" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN CAST(${h60Sql("'split1'||'#'||doc_id")} AS DOUBLE)
+         |         / 1.152921504606847e18 < CAST(0.8 AS DOUBLE) THEN 'train'
+         |       WHEN CAST(${h60Sql("'split1'||'#'||doc_id")} AS DOUBLE)
+         |         / 1.152921504606847e18
+         |         < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_target_mix" ->
       s"""WITH c AS (

@@ -163,6 +163,41 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // extended: cluster-balanced diversity sampling — up to perCell rows
+    // per KMeans cell chosen by content hash (Sampling.clusterBalanced:
+    // one TopKAgg heap aggregate, no corpus-wide window sort). The oracle
+    // replays the training CTEs + a per-cell hash-ordered row_number.
+    "q_cluster_sample" -> ((s, dir) => {
+      val (_, centers) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      val asg = graft.ops.MlAnn.assignCells(
+          t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", centers)
+        .select(col("id"), col("ivf_cell"))
+      graft.ops.Sampling.clusterBalanced(asg, "id", "ivf_cell",
+          perCell = 10, salt = "cb1")
+        .select(col("id").as("vec_id"), col("ivf_cell"), col("rn"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // extended: population-stability drift between two snapshot slices of
+    // the cluster-cell distribution (Profiling.distributionDrift — add-one
+    // smoothed shares, exact BIGINT counts into one IEEE psi term/key).
+    "q_cluster_drift" -> ((s, dir) => {
+      val (_, centers) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      val asg = graft.ops.MlAnn.assignCells(
+          t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", centers)
+        .select(col("id"), col("ivf_cell"))
+      graft.ops.Profiling.distributionDrift(
+          asg.filter(col("id") % 2 === 0), asg.filter(col("id") % 2 === 1),
+          "ivf_cell")
+        .select(col("key").as("ivf_cell"), col("n_a"), col("n_b"),
+          col("psi_micro"))
+        .orderBy(col("ivf_cell"))
+    }),
+
     // extended: embedding near-dup pairs (exact pairwise over one bucket).
     "q_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -476,6 +511,45 @@ object VectorQueries {
          |    FROM nv CROSS JOIN c2 c) WHERE rn = 1)
          |SELECT id AS vec_id, CAST(cell AS INT) AS ivf_cell
          |FROM asg ORDER BY vec_id""".stripMargin,
+
+    // cluster-balanced sample replay: the same trained assignment, then a
+    // hash-ordered row_number per cell (BIGINT hash, not its double
+    // image — the engine orders by the same 60-bit integer)
+    "q_cluster_sample" ->
+      s"""WITH ${detAssignCtes(nlist = 8, iters = 2)},
+         |r AS (
+         |  SELECT id, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY ${TextQueries.h60Sql("'cb1'||'#'||id")}, id) AS rn
+         |  FROM af)
+         |SELECT id AS vec_id, CAST(cell AS INT) AS ivf_cell,
+         |  CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
+
+    // drift replay: the same assignment split even/odd, full-outer joined
+    // per cell, totals from the joined frame, the same
+    // ((1e6·(pa−pb))·ln(pa/pb)) expression tree with add-one smoothing.
+    "q_cluster_drift" ->
+      s"""WITH ${detAssignCtes(nlist = 8, iters = 2)},
+         |ca AS (SELECT cell, count(*) AS n_a FROM af
+         |       WHERE id % 2 = 0 GROUP BY cell),
+         |cb AS (SELECT cell, count(*) AS n_b FROM af
+         |       WHERE id % 2 = 1 GROUP BY cell),
+         |j AS (SELECT coalesce(ca.cell, cb.cell) AS cell,
+         |        coalesce(n_a, CAST(0 AS BIGINT)) AS n_a,
+         |        coalesce(n_b, CAST(0 AS BIGINT)) AS n_b
+         |      FROM ca FULL OUTER JOIN cb ON ca.cell = cb.cell),
+         |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+         |               CAST(sum(n_b) AS BIGINT) AS tb,
+         |               count(*) AS k FROM j)
+         |SELECT CAST(cell AS INT) AS ivf_cell, n_a, n_b,
+         |  CAST(round(1000000.0
+         |    * (CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+         |       - CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+         |    * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE))
+         |         / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))),
+         |    0) AS BIGINT) AS psi_micro
+         |FROM j, tot ORDER BY ivf_cell""".stripMargin,
 
     "q_pq_topk" -> pqOracle(codes = 4, iters = 1, k = 10),
 

@@ -58,6 +58,60 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("hashSplit partitions every row, disjointly and deterministically") {
+    val docs = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      .repartition(5)
+    val out = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "sp")
+    val counts = out.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    // every row labeled exactly once; proportions near the fractions
+    assert(counts.values.sum == 2000L)
+    assert(math.abs(counts("train") - 1600L) < 100)
+    assert(math.abs(counts("valid") - 200L) < 60)
+    assert(math.abs(counts("test") - 200L) < 60)
+    // stable under repartitioning: identical assignment
+    val again = Sampling.hashSplit(docs.repartition(13), "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "sp")
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    // consistent with hashSample at the same salt: the train region IS
+    // the rate-0.8 sample (the cross-table leakage guarantee)
+    val sample = Sampling.hashSample(docs, "doc_id", 0.8, salt = "sp")
+      .select("doc_id")
+    val train = out.filter(col("split") === "train").select("doc_id")
+    assert(train.except(sample).count() == 0 &&
+      sample.except(train).count() == 0)
+    // bad fractions fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.8, "b" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.8))
+    }
+  }
+
+  test("clusterBalanced caps every cell and ranks by content hash") {
+    // skewed cells: cell 0 has 50 rows, cell 1 has 3, cell 2 has 1
+    val asg = ((1L to 50L).map(i => (i, 0)) ++
+      Seq((101L, 1), (102L, 1), (103L, 1), (201L, 2)))
+      .toDF("id", "cell").repartition(4)
+    val out = Sampling.clusterBalanced(asg, "id", "cell", perCell = 5,
+      salt = "cb")
+    val byCell = out.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(byCell === Map(0 -> 5L, 1 -> 3L, 2 -> 1L))
+    // ranks are 1..n in hash order and the draw is partition-independent
+    val ranks = out.filter(col("cell") === 0).select("rn")
+      .as[Int].collect().sorted.toSeq
+    assert(ranks === (1 to 5))
+    val again = Sampling.clusterBalanced(asg.repartition(11), "id", "cell",
+      perCell = 5, salt = "cb")
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    // monotone in perCell: the 5-sample is a subset of the 8-sample
+    val bigger = Sampling.clusterBalanced(asg, "id", "cell", perCell = 8,
+      salt = "cb").select("id", "cell")
+    assert(out.select("id", "cell").except(bigger).count() == 0)
+  }
+
   test("repetitionProfile computes duplicate and top bigram fractions") {
     val docs = Seq(
       (1L, "a b a b a b"),      // bigrams: ab ba ab ba ab → 5 total, 2 distinct

@@ -60,4 +60,70 @@ class EventAnalyticsSpec extends SparkSpec {
       .filter(col("week_offset") === 0).collect()
     assert(rows.map(_.getLong(2)).sum === 2L)
   }
+
+  test("transitions counts per-user consecutive pairs and normalizes") {
+    // u1: A→B→A; u2: A→A — cross-user boundaries must not pair
+    val ev2 = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (2L, 1L, "A"), (2L, 2L, "A")).toDF("user_id", "ts_us", "event_type")
+      .withColumn("event_id", col("ts_us"))
+    val rows = EventAnalytics.transitions(ev2, "user_id", "ts_us",
+        "event_type")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      ("A", "A", 1L, 2L, 500000L),
+      ("A", "B", 1L, 2L, 500000L),
+      ("B", "A", 1L, 1L, 1000000L)))
+  }
+
+  test("rateAnomalies z-scores a bucket against its trailing history") {
+    // type A: buckets 0..5 with count 2 each (via 2 events per bucket),
+    // bucket 6 with 12 events → trailing 6 buckets all equal → σ=0 → NULL
+    // is wrong; make history {1,3,1,3,1,3} (μ=2, σ=1) and x=12 → z=+10
+    val ev = (0 to 5).flatMap { b =>
+      val n = if (b % 2 == 0) 1 else 3
+      (1 to n).map(i => ("A", b * 100L + i))
+    } ++ (1 to 12).map(i => ("A", 600L + i))
+    val df = ev.toDF("event_type", "ts_us")
+    val rows = EventAnalytics.rateAnomalies(df, "event_type", "ts_us",
+        bucketMicros = 100L, trailing = 6, minPrev = 5)
+      .collect()
+    assert(rows.length === 2) // buckets 5 (5 prev) and 6 (6 prev)
+    val b6 = rows.find(_.getAs[Long]("bucket") == 6L).get
+    assert(b6.getAs[Long]("n_events") === 12L)
+    assert(b6.getAs[Long]("n_prev") === 6L)
+    assert(b6.getAs[Long]("z_micro") === 10000000L) // (12-2)/1 = 10
+  }
+
+  test("rateAnomalies emits NULL z when the trailing window is constant") {
+    val ev = (0 to 5).flatMap(b => Seq(("A", b * 10L + 1), ("A", b * 10L + 2)))
+    val rows = EventAnalytics.rateAnomalies(ev.toDF("event_type", "ts_us"),
+        "event_type", "ts_us", bucketMicros = 10L, trailing = 5, minPrev = 5)
+      .collect()
+    assert(rows.length === 1 && rows.head.isNullAt(
+      rows.head.fieldIndex("z_micro")))
+  }
+
+  test("occupancy counts intervals per bucket across their full span") {
+    // bucket 10: [0,25]→{0,1,2}, [10,35]→{1,2,3}, [40,40]→{4}
+    val iv = Seq((0L, 25L), (10L, 35L), (40L, 40L))
+      .toDF("session_start", "session_end")
+    val rows = EventAnalytics.occupancy(iv, "session_start", "session_end",
+        bucketMicros = 10L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("bucket_start_us"),
+        r.getAs[Long]("active"))).toSeq
+    assert(rows === Seq((0L, 0L, 1L), (1L, 10L, 2L), (2L, 20L, 2L),
+      (3L, 30L, 1L), (4L, 40L, 1L)))
+  }
+
+  test("occupancy fails loudly on an interval wider than the span cap") {
+    val iv = Seq((0L, 1000L)).toDF("s", "e")
+    val ex = intercept[Exception] {
+      EventAnalytics.occupancy(iv, "s", "e", bucketMicros = 10L,
+        maxSpanBuckets = 50).collect()
+    }
+    assert(ex.getMessage.contains("occupancy interval spans") ||
+      String.valueOf(ex.getCause).contains("occupancy interval spans"))
+  }
 }

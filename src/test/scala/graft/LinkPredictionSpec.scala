@@ -39,6 +39,39 @@ class LinkPredictionSpec extends SparkSpec {
     assert(LinkPrediction.adamicAdar(e, 10).count() === 0L)
   }
 
+  test("jaccardLinks scores exact intersection/union on a star") {
+    // star z–a, z–b, z–c: each leaf pair shares exactly {z} and each leaf's
+    // whole neighborhood is {z} → jac = 1/1 = 1.0
+    val e = Seq(("z", "a"), ("z", "b"), ("z", "c")).toDF("src", "dst")
+    val got = LinkPrediction.jaccardLinks(e, maxCenterDegree = 10)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("common_neighbors"), r.getAs[Long]("union_size"),
+        r.getAs[Long]("jac_micro"))).toSeq
+    assert(got === Seq(("a", "b", 1L, 1L, 1000000L),
+      ("a", "c", 1L, 1L, 1000000L), ("b", "c", 1L, 1L, 1000000L)))
+  }
+
+  test("jaccardLinks caps centers but keeps exact union degrees") {
+    // (a,b) reachable through z1 (deg 2, kept) and z2 (deg 3, dropped by
+    // cap 2) → common counts 1 wedge only, but deg(a)=deg(b)=2 exactly:
+    // union = 2+2-1 = 3, jac_micro = round(1e6/3)
+    val e = Seq(("z1", "a"), ("z1", "b"), ("z2", "a"), ("z2", "b"),
+      ("z2", "c")).toDF("src", "dst")
+    val got = LinkPrediction.jaccardLinks(e, maxCenterDegree = 2)
+      .filter(col("a") === "a" && col("b") === "b").collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("common_neighbors") === 1L)
+    assert(r.getAs[Long]("union_size") === 3L)
+    assert(r.getAs[Long]("jac_micro") === 333333L)
+  }
+
+  test("jaccardLinks excludes already-adjacent pairs") {
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    assert(LinkPrediction.jaccardLinks(e, 10).count() === 0L)
+  }
+
   test("adamicAdar drops hub centers") {
     // star center h with 4 leaves, cap 3: all pairs vanish with the hub
     val e = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"))

@@ -70,6 +70,28 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(math.abs(approx("s") - 97L) <= 10L)
   }
 
+  test("distributionDrift computes add-one-smoothed PSI terms per key") {
+    val a = Seq("x", "x", "x", "y").toDF("k")        // x:3 y:1, total 4
+    val b = Seq("x", "y", "y", "z").toDF("k")        // x:1 y:2 z:1, total 4
+    val out = Profiling.distributionDrift(a, b, "k")
+      .orderBy("key").as[(String, Long, Long, Long)].collect()
+    // union keys {x,y,z} → k=3, smoothed denominators 4+3=7 both sides
+    def psi(na: Long, nb: Long): Long = {
+      val pa = (na + 1).toDouble / 7.0; val pb = (nb + 1).toDouble / 7.0
+      math.round(1000000.0 * (pa - pb) * math.log(pa / pb))
+    }
+    assert(out.toSeq === Seq(
+      ("x", 3L, 1L, psi(3, 1)),
+      ("y", 1L, 2L, psi(1, 2)),
+      ("z", 0L, 1L, psi(0, 1))))
+    // identical distributions → every term exactly 0
+    val zero = Profiling.distributionDrift(a, a, "k")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.abs(col("psi_micro"))))
+      .as[Long].head()
+    assert(zero === 0L)
+  }
+
   test("snapshotDiff matches a driver-side reference model on random " +
     "version histories") {
     val rnd = new scala.util.Random(23)

@@ -92,7 +92,20 @@ class PlanShapeSpec extends SparkSpec {
     "q_funnel", "q_retention", "q_copurchase_project", "q_adamic_adar",
     "q_modularity", "q_setsim_join", "q_containment", "q_ivf_assign",
     "q_cooccurrence", "q_version_gc", "q_weighted_pagerank",
-    "q_cypher_groupcount")
+    "q_cypher_groupcount",
+    // round 7 (cont.): hash split is a join-free projection; Jaccard links
+    // is the capped wedge self-join + degree equi-joins; occupancy is one
+    // explode + one aggregate, no join node at all
+    "q_hash_split", "q_jaccard_link", "q_concurrency",
+    // round 7 (cont.): cluster-balanced sample (heap aggregate over the
+    // literal-centroid assignment — join-free) and rate anomalies (window
+    // over the per-type bucket COUNTS frame, join-free)
+    "q_cluster_sample", "q_rate_anomaly",
+    // round 7 (cont.): PSI drift (full-outer key join + 1-row broadcast
+    // total), the interval-overlap join (a lost bin key would plan the
+    // session cross product this gate exists to catch), and the Markov
+    // transition matrix (user-keyed window + counts-frame normalizer)
+    "q_cluster_drift", "q_interval_join", "q_transitions")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -103,8 +116,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_statement_diversity",
     // single-row corpus-total frame joined onto every per-doc row
     "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights",
-    // round 7: 1-row broadcast totals (2m scalar / corpus doc count)
-    "q_modularity", "q_cooccurrence")
+    // round 7: 1-row broadcast totals (2m scalar / corpus doc count /
+    // drift totals)
+    "q_modularity", "q_cooccurrence", "q_cluster_drift")
     // (q_hits no longer appears here: the end-normalization rewrite
     // collects both maxima as driver literals, so its plan must be
     // BNLJ-free like the rest — keeping the stale allowance would mask a

@@ -26,6 +26,42 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(3) == ((4L, None, None)))            // no C quotes
   }
 
+  test("intervalJoin: multi-bin overlaps dedup to one row, closed ends") {
+    val a = Seq((1L, 0L, 25L), (2L, 0L, 5L), (3L, 50L, 55L))
+      .toDF("aid", "s", "e")
+    val b = Seq((10L, 5L, 40L), (11L, 6L, 9L), (12L, 55L, 60L))
+      .toDF("bid", "s", "e")
+    val out = TemporalJoins.intervalJoin(a, b, "s", "e", None,
+        binMicros = 10L)
+      .select("a_aid", "b_bid", "overlap_us")
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,10) shares bins {0,1,2} but must appear ONCE with overlap 20;
+    // (1,11) nested interval, overlap 3; (2,10) and (3,12) touch at a
+    // shared endpoint (closed semantics → 0-length overlap); (2,11)
+    // shares bin 0 but does not overlap — the exact post-filter drops it
+    assert(out === Set((1L, 10L, 20L), (1L, 11L, 3L), (2L, 10L, 0L),
+      (3L, 12L, 0L)))
+  }
+
+  test("intervalJoin key-matched joins within the key only") {
+    val a = Seq(("x", 0L, 10L)).toDF("k", "s", "e")
+    val b = Seq(("x", 5L, 15L), ("y", 5L, 15L)).toDF("k", "s", "e")
+    val out = TemporalJoins.intervalJoin(a, b, "s", "e", Some("k"), 10L)
+    assert(out.count() === 1L)
+    assert(out.select("b_k").as[String].head() === "x")
+  }
+
+  test("intervalJoin fails loudly past the span cap") {
+    val a = Seq((1L, 0L, 1000L)).toDF("aid", "s", "e")
+    val b = Seq((2L, 0L, 5L)).toDF("bid", "s", "e")
+    val ex = intercept[Exception] {
+      TemporalJoins.intervalJoin(a, b, "s", "e", None, 10L,
+        maxSpanBins = 50).collect()
+    }
+    assert(ex.getMessage.contains("intervalJoin interval spans") ||
+      String.valueOf(ex.getCause).contains("intervalJoin interval spans"))
+  }
+
   test("asofJoin tolerance bounds the backward window") {
     val out = TemporalJoins.asofJoin(trades, quotes, "sym", "ts", "ts",
       toleranceMicros = Some(5L))

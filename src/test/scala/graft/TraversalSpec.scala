@@ -42,6 +42,31 @@ class TraversalSpec extends SparkSpec {
     assert(bounded == Map("a" -> 0, "b" -> 1, "e" -> 1))
   }
 
+  test("multiSourceDistances equals per-seed BFS; harmonic closeness sums") {
+    import org.apache.spark.sql.functions.col
+    // path p-q-r-s, undirected; landmarks p and s
+    val path = Seq(("p", "q", "x"), ("q", "r", "x"), ("r", "s", "x"))
+      .toDF("src", "dst", "label")
+    val lm = Seq("p", "s").toDF("node")
+    val multi = Traversal.multiSourceDistances(path,
+        lm.select(col("node").as("seed"), col("node")), 3, undirected = true)
+      .as[(String, String, Int)].collect().toSet
+    // each seed's slice must equal the single-seed BFS
+    for (s0 <- Seq("p", "s")) {
+      val single = Traversal.shortestDistances(path, seeds(s0), 3,
+        undirected = true).as[(String, Int)].collect().toSet
+      assert(multi.filter(_._1 == s0).map(t => (t._2, t._3)) === single)
+    }
+    val h = Traversal.harmonicCloseness(path, lm, 3, undirected = true)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // p: dist 3 from s → 333333; q: 1 from p + 2 from s → 1500000;
+    // r symmetric; s: 3 from p
+    assert(h === Map(
+      "p" -> ((1L, 333333L)), "q" -> ((2L, 1500000L)),
+      "r" -> ((2L, 1500000L)), "s" -> ((1L, 333333L))))
+  }
+
   test("lazy (single-plan) shortestDistances matches the eager loop") {
     for (und <- Seq(false, true); depth <- Seq(1, 2, 3)) {
       val eager = Traversal.shortestDistances(edges, seeds("a"), depth, und)
