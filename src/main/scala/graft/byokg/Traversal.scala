@@ -183,7 +183,12 @@ object Traversal {
                            maxDistance: Int,
                            undirected: Boolean = false): DataFrame = {
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
-    val e = if (undirected) undirect(edges) else edges
+    // only src/dst matter here — don't require a label column like
+    // undirect() does (plain edge lists are a legitimate input)
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (undirected)
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    else e0
     var frontier = seeds.select(col("seed"), col("node")).distinct().cache()
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     for (_ <- 1 to maxDistance) {

@@ -238,6 +238,77 @@ object Profile {
           graft.ops.TextAnalysis.profile(docs, "text").count()
         }
 
+      case "scaleprobe3" =>
+        // would-it-scale probe for the interval/event/graph batch: events
+        // replicated xN with disjoint user spaces; the co-purchase graph
+        // replicated xN with disjoint node spaces. Occupancy output is
+        // bucket-bounded (counts grow, rows don't); transitions output is
+        // |types|²-bounded; the joins/BFS grow linearly in rows — per-row
+        // cost should stay ~flat throughout.
+        val n = if (args.length > 2) args(2).toInt else 8
+        val reps = spark.range(0, n).select(col("id").as("rep"))
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        val bigEv = ev.crossJoin(reps)
+          .select((col("user_id") + col("rep") * 10000000L).as("user_id"),
+            (col("event_id") + col("rep") * 1000000000L).as("event_id"),
+            col("event_type"), col("value"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          .repartition(32).localCheckpoint(true)
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val bigInc = li.crossJoin(reps)
+          .select((col("l_partkey") + col("rep") * 10000000L).as("pk"),
+            (col("l_orderkey") + col("rep") * 100000000L).as("ok"))
+          .repartition(32).localCheckpoint(true)
+        println(s"[profile] scaleprobe3 ev=${bigEv.count()} " +
+          s"inc=${bigInc.count()} (${n}x)")
+        import graft.ops.{EventAnalytics, LinkPrediction, TemporalJoins}
+        import graft.streaming.Sessionize
+        def sessions(e: DataFrame) =
+          Sessionize.batchSessions(e, 30, tieBreak = Seq("event_id"))
+        def occ(e: DataFrame) = EventAnalytics.occupancy(sessions(e),
+          "session_start", "session_end", 3600L * 1000000).count()
+        def trans(e: DataFrame) = EventAnalytics.transitions(e, "user_id",
+          "ts_us", "event_type").count()
+        def anomaly(e: DataFrame) = EventAnalytics.rateAnomalies(e,
+          "event_type", "ts_us", 3600L * 1000000, 24).count()
+        def ivj(e: DataFrame) = {
+          val sess = sessions(e).select(col("user_id"), col("session_seq"),
+            col("session_start"), col("session_end"))
+          TemporalJoins.intervalJoin(
+            sess.filter(col("user_id") % 1000 === 0),
+            sess.filter(col("user_id") % 1000 =!= 0),
+            "session_start", "session_end", None, 3600L * 1000000).count()
+        }
+        def jac(inc: DataFrame) = LinkPrediction.jaccardLinks(
+          LinkPrediction.projectBipartite(inc, "pk", "ok", 5)
+            .select(col("a").as("src"), col("b").as("dst")),
+          maxCenterDegree = 20, orientedInput = true).count()
+        def close(inc: DataFrame) = {
+          val proj = LinkPrediction.projectBipartite(inc, "pk", "ok", 5)
+            .select(col("a").as("src"), col("b").as("dst"))
+          val seeds = proj.select(col("src").as("node"))
+            .filter(col("node") % 997 === 0).distinct()
+          graft.byokg.Traversal.harmonicCloseness(proj, seeds, 3,
+            undirected = true).count()
+        }
+        val ev1 = ev.select(col("user_id"), col("event_id"),
+          col("event_type"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        val inc1 = li.select(col("l_partkey").as("pk"),
+          col("l_orderkey").as("ok"))
+        time(s"occupancy ${n}x") { occ(bigEv) }
+        time("occupancy 1x") { occ(ev1) }
+        time(s"transitions ${n}x") { trans(bigEv) }
+        time("transitions 1x") { trans(ev1) }
+        time(s"rate anomalies ${n}x") { anomaly(bigEv) }
+        time("rate anomalies 1x") { anomaly(ev1) }
+        time(s"interval join ${n}x") { ivj(bigEv) }
+        time("interval join 1x") { ivj(ev1) }
+        time(s"jaccard links ${n}x") { jac(bigInc) }
+        time("jaccard links 1x") { jac(inc1) }
+        time(s"closeness ${n}x") { close(bigInc) }
+        time("closeness 1x") { close(inc1) }
+
       case "scaleprobe2" =>
         // would-it-scale probe for the round-7 operators: inputs replicated
         // xN with disjoint key spaces (so result sizes scale ~linearly too)
