@@ -246,4 +246,119 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("intervalJoin == driver-side brute overlap join on random intervals " +
+    "across bin sizes (one-meeting-bin dedup completeness)") {
+    val ivGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0L, 200L), Gen.choose(0L, 60L)))
+    (0 until 9).foreach { i =>
+      val as = ivGen.sample.get.zipWithIndex
+        .map { case ((s, len), j) => (j.toLong, s, s + len) }
+      val bs = ivGen.sample.get.zipWithIndex
+        .map { case ((s, len), j) => (j.toLong + 100, s, s + len) }
+      val bin = Seq(7L, 10L, 64L)(i % 3)
+      val got = graft.ops.TemporalJoins.intervalJoin(
+          as.toDF("id", "s", "e"), bs.toDF("id", "s", "e"),
+          "s", "e", None, bin)
+        .select("a_id", "b_id", "overlap_us")
+        .as[(Long, Long, Long)].collect().toSeq
+      val expect = for {
+        (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+        if s1 <= e2 && s2 <= e1
+      } yield (ai, bi, math.min(e1, e2) - math.max(s1, s2))
+      // set equality AND no duplicate pairs (the dedup-bin guarantee)
+      assert(got.size == expect.size && got.toSet == expect.toSet,
+        s"bin=$bin as=$as bs=$bs")
+    }
+  }
+
+  test("multiSourceDistances slices == per-seed BFS on random graphs") {
+    import graft.byokg.Traversal
+    val edgeGen = Gen.listOfN(14,
+      Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    (1 to 6).foreach { _ =>
+      val edges = edgeGen.sample.get.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val eDf = edges.toDF("src", "dst")
+        val seedIds = edges.map(_._1).distinct.take(3)
+        val multi = Traversal.multiSourceDistances(eDf,
+            seedIds.map(s => (s, s)).toDF("seed", "node"), 3)
+          .as[(Long, Long, Int)].collect().toSet
+        seedIds.foreach { s0 =>
+          val single = Traversal.shortestDistances(eDf,
+              Seq(s0).toDF("node"), 3)
+            .as[(Long, Int)].collect().toSet
+          assert(multi.filter(_._1 == s0).map(t => (t._2, t._3)) == single,
+            s"seed=$s0 edges=$edges")
+        }
+      }
+    }
+  }
+
+  test("jaccardLinks with a non-binding cap == driver-side exact Jaccard") {
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    (1 to 8).foreach { _ =>
+      val edges = edgeGen.sample.get.filter(e => e._1 != e._2)
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+      if (edges.nonEmpty) {
+        val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+          .withDefaultValue(Set.empty)
+        edges.foreach { case (a, b) =>
+          adj(a) = adj(a) + b; adj(b) = adj(b) + a
+        }
+        val nodes = adj.keys.toSeq.sorted
+        val expect = (for {
+          a <- nodes; b <- nodes if a < b && !adj(a).contains(b)
+          common = (adj(a) & adj(b)).size if common > 0
+        } yield {
+          val union = (adj(a) | adj(b)).size
+          (a, b, common.toLong, union.toLong,
+            math.round(1000000.0 * common / union))
+        }).toSet
+        val got = graft.ops.LinkPrediction.jaccardLinks(
+            edges.toDF("src", "dst"), maxCenterDegree = 100)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(got == expect, s"edges=$edges")
+      }
+    }
+  }
+
+  test("rateAnomalies == driver-side trailing-stats model on random streams") {
+    val evGen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("A", "B"), Gen.choose(0L, 499L)))
+    (1 to 6).foreach { _ =>
+      val evs = evGen.sample.get
+      val got = graft.ops.EventAnalytics.rateAnomalies(
+          evs.toDF("event_type", "ts_us"), "event_type", "ts_us",
+          bucketMicros = 50L, trailing = 3, minPrev = 2)
+        .collect()
+        .map(r => (r.getAs[String]("type"), r.getAs[Long]("bucket")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("n_prev"),
+            if (r.isNullAt(r.fieldIndex("z_micro"))) None
+            else Some(r.getAs[Long]("z_micro")))).toMap
+      // driver model with the engine's exact double-op order
+      val expect = evs.groupBy(e => (e._1, e._2 / 50L)).view
+        .mapValues(_.size.toLong).toSeq
+        .groupBy(_._1._1).flatMap { case (tp, rows) =>
+          val ordered = rows.map { case ((_, b), n) => (b, n) }.sortBy(_._1)
+          ordered.indices.flatMap { i =>
+            val prev = ordered.slice(math.max(0, i - 3), i).map(_._2)
+            val np = prev.size.toLong
+            if (np < 2) None else {
+              val s = prev.sum; val s2 = prev.map(x => x * x).sum
+              val varNum = (np * s2 - s * s).toDouble
+              val sigma = math.sqrt(varNum / (np.toDouble * np.toDouble))
+              val mean = s.toDouble / np.toDouble
+              val z = if (sigma > 0.0)
+                Some(math.round(1000000.0 *
+                  (ordered(i)._2.toDouble - mean) / sigma))
+              else None
+              Some((tp, ordered(i)._1) -> ((ordered(i)._2, np, z)))
+            }
+          }
+        }
+      assert(got == expect, s"evs=${evs.take(20)}...")
+    }
+  }
 }
