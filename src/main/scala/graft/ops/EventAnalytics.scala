@@ -135,13 +135,25 @@ object EventAnalytics {
                     bucketMicros: Long, trailing: Int,
                     minPrev: Int = 5): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
-    require(trailing >= 1, s"trailing must be >= 1, got $trailing")
-    require(minPrev >= 2, s"minPrev must be >= 2, got $minPrev")
     val counts = events
       .select(col(typeCol).as("type"),
         expr(s"CAST($tsUsCol AS BIGINT) div ${bucketMicros}L").as("bucket"))
       .groupBy(col("type"), col("bucket"))
       .agg(count(lit(1)).as("n_events"))
+    scoreTrailing(counts, trailing, minPrev)
+  }
+
+  /**
+   * The scoring half of [[rateAnomalies]], factored out so a STREAMING
+   * count source can feed it (graft.streaming.StreamingAnomalies emits
+   * the same (type, bucket, n_events) shape from a watermarked window
+   * aggregate). Only the bucket ORDER matters, so bucket indexes and
+   * epoch-micros window starts both work.
+   */
+  def scoreTrailing(counts: DataFrame, trailing: Int,
+                    minPrev: Int = 5): DataFrame = {
+    require(trailing >= 1, s"trailing must be >= 1, got $trailing")
+    require(minPrev >= 2, s"minPrev must be >= 2, got $minPrev")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("type")).orderBy(col("bucket"))
       .rowsBetween(-trailing, -1)
