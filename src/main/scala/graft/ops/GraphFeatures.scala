@@ -55,4 +55,59 @@ object GraphFeatures {
         (floor(col("_ssum").cast("double") / col("n_nbrs") + lit(0.5))
           .cast("long").cast("double") / lit(1e6)).as("mean"))
   }
+
+  /**
+   * Skip-gram training pairs from a walk corpus
+   * ([[graft.byokg.Traversal.randomWalks]] output: (start, wid, step,
+   * node), steps ≥ 1): each walk is the sentence [start, n₁, …], and
+   * every ordered position pair within `window` emits (center, context) —
+   * the word2vec/DeepWalk co-occurrence table, aggregated to counts.
+   * The self-join keys on the walk id (start, wid), so fan-out per walk
+   * is ≤ len·2w — walk-scale, never graph-scale; the corpus-size shuffle
+   * is the final counts aggregate, map-side combined. Walks whose first
+   * hop died (no out-edge) contribute no pairs, exactly as a one-token
+   * sentence should.
+   */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w0 = walks.select(col("start"), col("wid")).distinct()
+      .select(col("start"), col("wid"), lit(0).as("pos"),
+        col("start").as("node"))
+    val sent = w0.union(walks.select(col("start"), col("wid"),
+      col("step").cast("int").as("pos"), col("node")))
+    sent.as("a").join(sent.as("b"),
+        col("a.start") === col("b.start") && col("a.wid") === col("b.wid") &&
+          col("a.pos") =!= col("b.pos") &&
+          abs(col("a.pos") - col("b.pos")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * word2vec negative-sampling weights over the same walk corpus: token
+   * frequency raised to 3/4, the standard unigram smoothing. n^0.75 is
+   * computed as sqrt(n·sqrt(n)) — sqrt and multiply are both correctly
+   * rounded IEEE ops, so the weight replays bit-exactly in SQL where a
+   * libm pow(x, 0.75) might not. Emits per node
+   * (node, n, w_micro, share_e9): w_micro = round(1e6·n^0.75) and the
+   * normalized share from the EXACT long total of the micro weights (an
+   * integer sum commutes; a double-sum normalizer would be
+   * partition-order-dependent).
+   */
+  def negativeSamplingWeights(walks: DataFrame): DataFrame = {
+    val w0 = walks.select(col("start"), col("wid")).distinct()
+      .select(col("start").as("node"))
+    val counts = w0.union(walks.select(col("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n"))
+      .withColumn("w_micro",
+        round(lit(1000000.0) *
+          sqrt(col("n").cast("double") * sqrt(col("n").cast("double"))))
+          .cast("long"))
+    val tot = counts.agg(sum(col("w_micro")).as("_tw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_e9",
+        round(lit(1.0e9) * col("w_micro").cast("double")
+          / col("_tw").cast("double")).cast("long"))
+      .select(col("node"), col("n"), col("w_micro"), col("share_e9"))
+  }
 }

@@ -158,6 +158,28 @@ object GraphQueries {
         .orderBy(col("start"), col("wid"), col("step"))
     }),
 
+    // ext. skip-gram pair generation over the same walk corpus — the
+    // word2vec/DeepWalk co-occurrence table; the self-join keys on the
+    // walk id so fan-out stays walk-scale (GraphFeatures.skipGramPairs).
+    "q_skipgram" -> ((s, dir) => {
+      val walks = Traversal.randomWalks(Tables.walkLayout(s, dir),
+        Tables.pageRankAdjacency(s, dir)._1.orderBy(col("node")).limit(20),
+        steps = 3, walksPerNode = 4, seed = "walk1")
+      graft.ops.GraphFeatures.skipGramPairs(walks, window = 2)
+        .orderBy(col("center"), col("context"))
+    }),
+
+    // ext. negative-sampling weights over the walk corpus — unigram^0.75
+    // via sqrt(n·sqrt(n)) (correctly rounded IEEE, replays bit-exactly),
+    // shares normalized by the exact integer micro-weight total.
+    "q_negative_weights" -> ((s, dir) => {
+      val walks = Traversal.randomWalks(Tables.walkLayout(s, dir),
+        Tables.pageRankAdjacency(s, dir)._1.orderBy(col("node")).limit(20),
+        steps = 3, walksPerNode = 4, seed = "walk1")
+      graft.ops.GraphFeatures.negativeSamplingWeights(walks)
+        .orderBy(col("node"))
+    }),
+
     // extended: graph centrality (fixed-iteration PageRank) — the global
     // generalization of q_entity_degree's local scores. Deterministic mode
     // (ordered in-neighbor folds) so the unrolled DuckDB replay is bit-exact;
@@ -345,6 +367,35 @@ object GraphQueries {
         .fold(err => throw new IllegalStateException(err), identity)
     }))
 
+  /** The random-walk replay CTE prefix (edges → per-src neighbor ranks →
+    * seeds → 3 h60-indexed steps w1..w3) shared by q_random_walks,
+    * q_skipgram, and q_negative_weights. */
+  private def walkCtes: String = {
+    def stepCte(prev: String, name: String, step: Int): String = {
+      val h = TextQueries.h60Sql(
+        s"'walk1'||'#'||w.start||'#'||w.wid||'#'||'$step'")
+      s"""$name AS (
+         |  SELECT w.start, w.wid, r.dst AS cur
+         |  FROM $prev w JOIN rk r ON r.src = w.cur
+         |   AND r.rk = ($h % r.deg) + 1)""".stripMargin
+    }
+    s"""edges0 AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM edges0),
+       |rk AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM e),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |seeds AS (SELECT node FROM n ORDER BY node LIMIT 20),
+       |w0 AS (
+       |  SELECT node AS start, unnest(range(0, 4)) AS wid, node AS cur
+       |  FROM seeds),
+       |${stepCte("w0", "w1", 1)},
+       |${stepCte("w1", "w2", 2)},
+       |${stepCte("w2", "w3", 3)}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Cypher-compile replay: the MATCH pattern IS two typed equi-joins.
     "q_cypher_match" ->
@@ -408,36 +459,52 @@ object GraphQueries {
 
     // Walk replay: same rank-ordered neighbor lists, same 60-bit md5 step
     // hash, same modulo pick — three unrolled step CTEs.
-    "q_random_walks" -> {
-      def stepCte(prev: String, name: String, step: Int): String = {
-        val h = TextQueries.h60Sql(
-          s"'walk1'||'#'||w.start||'#'||w.wid||'#'||'$step'")
-        s"""$name AS (
-           |  SELECT w.start, w.wid, r.dst AS cur
-           |  FROM $prev w JOIN rk r ON r.src = w.cur
-           |   AND r.rk = ($h % r.deg) + 1)""".stripMargin
-      }
-      s"""WITH edges0 AS ($edgesSql),
-         |e AS (SELECT DISTINCT src, dst FROM edges0),
-         |rk AS (
-         |  SELECT src, dst,
-         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
-         |    count(*) OVER (PARTITION BY src) AS deg
-         |  FROM e),
-         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |seeds AS (SELECT node FROM n ORDER BY node LIMIT 20),
-         |w0 AS (
-         |  SELECT node AS start, unnest(range(0, 4)) AS wid, node AS cur
-         |  FROM seeds),
-         |${stepCte("w0", "w1", 1)},
-         |${stepCte("w1", "w2", 2)},
-         |${stepCte("w2", "w3", 3)}
+    "q_random_walks" ->
+      s"""WITH $walkCtes
          |SELECT start, CAST(wid AS INT) AS wid, step, node FROM (
          |  SELECT start, wid, 1 AS step, cur AS node FROM w1
          |  UNION ALL SELECT start, wid, 2, cur FROM w2
          |  UNION ALL SELECT start, wid, 3, cur FROM w3) s
-         |ORDER BY start, wid, step""".stripMargin
-    },
+         |ORDER BY start, wid, step""".stripMargin,
+
+    // skip-gram replay: the same walk CTEs assembled into sentences
+    // (pos 0 = the start token of every walk that materialized a step),
+    // then the within-window position self-join and the pair counts.
+    "q_skipgram" ->
+      s"""WITH $walkCtes,
+         |walks AS (
+         |  SELECT start, wid, 0 AS pos, start AS node
+         |  FROM (SELECT DISTINCT start, wid FROM w1)
+         |  UNION ALL SELECT start, wid, 1, cur FROM w1
+         |  UNION ALL SELECT start, wid, 2, cur FROM w2
+         |  UNION ALL SELECT start, wid, 3, cur FROM w3)
+         |SELECT a.node AS center, b.node AS context, count(*) AS n
+         |FROM walks a JOIN walks b
+         |  ON a.start = b.start AND a.wid = b.wid
+         |  AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+         |GROUP BY a.node, b.node
+         |ORDER BY center, context""".stripMargin,
+
+    // negative-sampling replay: sentence token counts, n^0.75 as
+    // sqrt(n·sqrt(n)) (correctly rounded IEEE ops, unlike libm pow),
+    // shares against the EXACT integer total of the micro weights.
+    "q_negative_weights" ->
+      s"""WITH $walkCtes,
+         |walks AS (
+         |  SELECT start, wid, 0 AS pos, start AS node
+         |  FROM (SELECT DISTINCT start, wid FROM w1)
+         |  UNION ALL SELECT start, wid, 1, cur FROM w1
+         |  UNION ALL SELECT start, wid, 2, cur FROM w2
+         |  UNION ALL SELECT start, wid, 3, cur FROM w3),
+         |c AS (SELECT node, count(*) AS n FROM walks GROUP BY node),
+         |cw AS (SELECT node, n,
+         |  CAST(round(1000000.0 * sqrt(CAST(n AS DOUBLE)
+         |    * sqrt(CAST(n AS DOUBLE))), 0) AS BIGINT) AS w_micro FROM c),
+         |tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM cw)
+         |SELECT node, n, w_micro,
+         |  CAST(round(CAST(1e9 AS DOUBLE) * CAST(w_micro AS DOUBLE)
+         |    / CAST(tw AS DOUBLE), 0) AS BIGINT) AS share_e9
+         |FROM cw, tot ORDER BY node""".stripMargin,
     // Agentic loop replay. The keyword set comes from the very code path the
     // engine runs (StubLLM summary -> keywords), evaluated here at
     // oracle-build time; the SQL then unrolls the two iterations. Edge

@@ -87,4 +87,42 @@ class GraphFeaturesSpec extends SparkSpec {
       .sortBy(r => (r._2, r._3))
     assert(out7 == expected)
   }
+
+  test("skipGramPairs emits within-window ordered pairs, counting repeats") {
+    // walk 0: sentence [x, a, b, c]; walk 1: [x, a, x] (repeated token)
+    val walks = Seq(
+      ("x", 0, 1, "a"), ("x", 0, 2, "b"), ("x", 0, 3, "c"),
+      ("x", 1, 1, "a"), ("x", 1, 2, "x"))
+      .toDF("start", "wid", "step", "node")
+    val got = GraphFeatures.skipGramPairs(walks, window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // walk 0 pairs: x→{a,b}, a→{x,b,c}, b→{x,a,c}, c→{a,b}
+    // walk 1 ([x,a,x]) pairs: x→a ×2, x→x ×2, a→x ×2
+    assert(got === Map(
+      ("x", "a") -> 3L, ("x", "b") -> 1L, ("x", "x") -> 2L,
+      ("a", "x") -> 3L, ("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "x") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "a") -> 1L, ("c", "b") -> 1L))
+  }
+
+  test("negativeSamplingWeights: unigram^0.75 micro weights, exact-total " +
+    "shares") {
+    val walks = Seq(
+      ("x", 0, 1, "a"), ("x", 0, 2, "b"), ("x", 0, 3, "c"),
+      ("x", 1, 1, "a"), ("x", 1, 2, "x"))
+      .toDF("start", "wid", "step", "node")
+    val got = GraphFeatures.negativeSamplingWeights(walks)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // token counts: x 3 (2 starts + 1 step), a 2, b 1, c 1
+    def w(n: Long): Long =
+      math.round(1000000.0 * math.sqrt(n.toDouble * math.sqrt(n.toDouble)))
+    val tot = w(3) + w(2) + w(1) + w(1)
+    def share(n: Long): Long =
+      math.round(1.0e9 * w(n).toDouble / tot.toDouble)
+    assert(got === Map(
+      "x" -> ((3L, w(3), share(3))), "a" -> ((2L, w(2), share(2))),
+      "b" -> ((1L, w(1), share(1))), "c" -> ((1L, w(1), share(1)))))
+  }
 }

@@ -105,7 +105,11 @@ class PlanShapeSpec extends SparkSpec {
     // total), the interval-overlap join (a lost bin key would plan the
     // session cross product this gate exists to catch), and the Markov
     // transition matrix (user-keyed window + counts-frame normalizer)
-    "q_cluster_drift", "q_interval_join", "q_transitions")
+    "q_cluster_drift", "q_interval_join", "q_transitions",
+    // round 7 (cont.): skip-gram pairs (walk-id-keyed self-join over the
+    // checkpointed walks) and negative-sampling weights (counts + 1-row
+    // broadcast total)
+    "q_skipgram", "q_negative_weights")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -117,8 +121,9 @@ class PlanShapeSpec extends SparkSpec {
     // single-row corpus-total frame joined onto every per-doc row
     "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights",
     // round 7: 1-row broadcast totals (2m scalar / corpus doc count /
-    // drift totals)
-    "q_modularity", "q_cooccurrence", "q_cluster_drift")
+    // drift totals / negative-sampling weight total)
+    "q_modularity", "q_cooccurrence", "q_cluster_drift",
+    "q_negative_weights")
     // (q_hits no longer appears here: the end-normalization rewrite
     // collects both maxima as driver literals, so its plan must be
     // BNLJ-free like the rest — keeping the stale allowance would mask a

@@ -324,6 +324,87 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skipGramPairs == driver-side sentence model on random walk frames") {
+    val stepGen = Gen.listOfN(6,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(1, 3), Gen.oneOf("a", "b", "c")))
+    (1 to 8).foreach { _ =>
+      // random (wid, step, node) triples → walks from one start, deduped
+      // per (wid, step) and step-contiguous from 1 (a walk can't skip)
+      val raw = stepGen.sample.get.distinct
+        .groupBy(_._1).toSeq.flatMap { case (wid, rows) =>
+          val byStep = rows.map(r => r._2 -> r._3).toMap
+          (1 to 3).map(s => byStep.get(s).map(n => (wid, s, n)))
+            .takeWhile(_.isDefined).flatten
+        }
+      if (raw.nonEmpty) {
+        val walks = raw.map { case (w, s, n) => ("x", w, s, n) }
+          .toDF("start", "wid", "step", "node")
+        val window = 2
+        val got = graft.ops.GraphFeatures.skipGramPairs(walks, window)
+          .as[(String, String, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        // model: sentence per wid = start :: steps in order
+        val expect = raw.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          val sent = "x" +: rows.sortBy(_._2).map(_._3)
+          for {
+            i <- sent.indices; j <- sent.indices
+            if i != j && math.abs(i - j) <= window
+          } yield (sent(i), sent(j))
+        }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(got == expect, s"raw=$raw")
+      }
+    }
+  }
+
+  test("transitions == driver-side consecutive-pair model on random streams") {
+    val evGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 99L),
+        Gen.oneOf("A", "B", "C")))
+    (1 to 6).foreach { _ =>
+      // unique (user, ts) so the window order is total
+      val evs = evGen.sample.get
+        .groupBy(e => (e._1, e._2)).values.map(_.head).toSeq
+      val df = evs.toDF("user_id", "ts_us", "event_type")
+        .withColumn("event_id", col("ts_us"))
+      val got = graft.ops.EventAnalytics.transitions(df, "user_id", "ts_us",
+          "event_type")
+        .as[(String, String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      val pairs = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val ordered = rows.sortBy(_._2).map(_._3)
+        ordered.zip(ordered.drop(1))
+      }
+      val n = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nFrom = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val expect = n.map { case (p, c) =>
+        p -> ((c, nFrom(p._1),
+          math.round(1000000.0 * c / nFrom(p._1))))
+      }
+      assert(got == expect, s"evs=${evs.take(12)}...")
+    }
+  }
+
+  test("occupancy == driver-side per-bucket containment count") {
+    val ivGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 300L), Gen.choose(0L, 80L)))
+    (1 to 6).foreach { _ =>
+      val ivs = ivGen.sample.get.map { case (s, len) => (s, s + len) }
+      val got = graft.ops.EventAnalytics.occupancy(
+          ivs.toDF("s", "e"), "s", "e", bucketMicros = 25L)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val expect = ivs.flatMap { case (s, e) => (s / 25L) to (e / 25L) }
+        .groupBy(identity).map { case (b, hits) =>
+          b -> ((hits.size.toLong, b * 25L))
+        }
+      // engine emits (bucket, active, bucket_start_us) — align fields
+      val gotAligned = got.map { case (b, (active, start)) =>
+        b -> ((active, start))
+      }
+      assert(gotAligned == expect, s"ivs=$ivs")
+    }
+  }
+
   test("rateAnomalies == driver-side trailing-stats model on random streams") {
     val evGen = Gen.listOfN(60,
       Gen.zip(Gen.oneOf("A", "B"), Gen.choose(0L, 499L)))
