@@ -4,11 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
- * Z-order (Morton-curve) storage layout: bit-interleave TWO key columns
- * into one z-value, range-partition + sort on it, write parquet. Each
- * output file then covers a small axis-aligned rectangle of the (a, b) key
- * space, so parquet min/max footer stats prune selective scans on EITHER
- * column — the multi-dimensional complement to [[RangeLayout]] (whose
+ * Z-order (Morton-curve) storage layout: bit-interleave k key columns
+ * (two in [[zValue]]/[[write]], any k in [[zValueN]]/[[writeN]]) into one
+ * z-value, range-partition + sort on it, write parquet. Each
+ * output file then covers a small axis-aligned box of the key
+ * space, so parquet min/max footer stats prune selective scans on ANY
+ * key column — the multi-dimensional complement to [[RangeLayout]] (whose
  * single sort key prunes only itself: every file spans the full range of
  * the second column). At 100 TB this is the standard layout for tables
  * queried by two independent dimensions (tenant × time, source × key):
@@ -46,32 +47,61 @@ object ZOrderLayout {
     }.reduceLeft(_ bitwiseOR _)
   }
 
+  /** k-dimensional Morton z-value: bit j of the i-th level comes from
+    * column j, landing at position k·i + j (later columns above earlier
+    * ones at each level — the 2-column [[zValue]] is the k = 2 case).
+    * Same truncation contract per column; k·bits must fit a positive
+    * long (≤ 63). Three tenant × source × time dimensions at 21 bits
+    * each is the practical ceiling; more dimensions want fewer bits
+    * (locality per axis degrades as k grows — the curve has 63 bits of
+    * budget to split). */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"need >= 2 columns to interleave, got $k")
+    require(bits >= 1 && k * bits <= 63,
+      s"k*bits must be in [1, 63], got $k * $bits")
+    val longs = cols.map(_.cast("long"))
+    (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), k * i + j)
+      }
+    }.reduceLeft(_ bitwiseOR _)
+  }
+
   /** `validate = true` adds a debug write-path check (one extra aggregate
     * pass) that both keys lie in [0, 2^bits): out-of-domain keys would
     * otherwise alias on the curve and silently destroy the clustering —
     * see [[zValue]]'s truncation contract. */
   def write(df: DataFrame, path: String, colA: String, colB: String,
             partitions: Int, bits: Int = 21,
-            validate: Boolean = false): Unit = {
+            validate: Boolean = false): Unit =
+    writeN(df, path, Seq(colA, colB), partitions, bits, validate)
+
+  /** k-column z-order write — [[write]] generalized via [[zValueN]];
+    * the 2-column bit layout is preserved exactly (b above a per level). */
+  def writeN(df: DataFrame, path: String, cols: Seq[String],
+             partitions: Int, bits: Int = 21,
+             validate: Boolean = false): Unit = {
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
     if (validate) {
       val lim = 1L << bits
-      val r = df.agg(
-        min(col(colA).cast("long")).as("mina"),
-        max(col(colA).cast("long")).as("maxa"),
-        min(col(colB).cast("long")).as("minb"),
-        max(col(colB).cast("long")).as("maxb")).head()
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"_min_$c"),
+        max(col(c).cast("long")).as(s"_max_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
       if (!r.anyNull) {
-        val (mina, maxa, minb, maxb) =
-          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-        require(mina >= 0 && minb >= 0 && maxa < lim && maxb < lim,
-          s"z-order keys out of [0, 2^$bits): $colA in [$mina, $maxa], " +
-            s"$colB in [$minb, $maxb] — keys >= 2^bits alias onto the " +
-            "low-bit curve and negative keys interleave their sign bits; " +
-            "remap/rank-encode first or raise `bits`")
+        val bad = cols.zipWithIndex.flatMap { case (c, i) =>
+          val (mn, mx) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+          if (mn < 0 || mx >= lim) Some(s"$c in [$mn, $mx]") else None
+        }
+        require(bad.isEmpty,
+          s"z-order keys out of [0, 2^$bits): ${bad.mkString(", ")} — " +
+            "keys >= 2^bits alias onto the low-bit curve and negative " +
+            "keys interleave their sign bits; remap/rank-encode first " +
+            "or raise `bits`")
       }
     }
-    df.withColumn("_z", zValue(col(colA), col(colB), bits))
+    df.withColumn("_z", zValueN(cols.map(col), bits))
       .repartitionByRange(partitions, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z") // projection after the sort: order is preserved

@@ -121,4 +121,48 @@ class ZOrderLayoutSpec extends SparkSpec {
       partitions = 2, bits = 7)
     assert(spark.read.parquet(s"$base/silent").count() == 65)
   }
+
+  test("3-column z-order bounds ALL three columns per file") {
+    // hand-computed 3-D Morton (1 bit/col, x lowest): (1,1,1)→7,
+    // (1,0,1)→5, (0,1,0)→2
+    val m = Seq((1L, 1L, 1L), (1L, 0L, 1L), (0L, 1L, 0L))
+      .toDF("x", "y", "z")
+      .select(ZOrderLayout.zValueN(
+        Seq(col("x"), col("y"), col("z")), bits = 1).as("m"))
+      .as[Long].collect().toSeq
+    assert(m == Seq(7L, 5L, 2L))
+    // the 2-column specialization is bit-identical to zValue
+    val eq = Seq((2L, 3L), (7L, 5L), (123L, 77L)).toDF("a", "b")
+      .select((ZOrderLayout.zValueN(Seq(col("a"), col("b")), 8) ===
+        ZOrderLayout.zValue(col("a"), col("b"), 8)).as("ok"))
+      .as[Boolean].collect()
+    assert(eq.forall(identity))
+
+    // scrambled 32^3 cube → every axis bounded per file, every axis prunes
+    val n = 32
+    val df = (0 until n * n * n).map { i =>
+      val j = (i * 2654435761L) % (n * n * n)
+      (j / (n * n), (j / n) % n, j % n)
+    }.toDF("x", "y", "z")
+    val base = java.nio.file.Files.createTempDirectory("zo3").toString
+    ZOrderLayout.writeN(df, s"$base/z3", Seq("x", "y", "z"),
+      partitions = 8, bits = 5, validate = true)
+    def meanSpan(rs: Seq[(Long, Long)]): Double =
+      rs.map { case (lo, hi) => (hi - lo).toDouble }.sum / rs.size
+    for (c <- Seq("x", "y", "z")) {
+      val rs = fileRanges(s"$base/z3", c)
+      assert(rs.size >= 4, s"$c: expected several files: $rs")
+      assert(prunedBelow(rs, 8) > 0, s"$c<8 should skip files: $rs")
+      assert(meanSpan(rs) < n - 4, s"$c spans: $rs")
+    }
+    // out-of-domain keys fail the k-D validate loudly too
+    intercept[IllegalArgumentException] {
+      ZOrderLayout.writeN(df, s"$base/bad", Seq("x", "y", "z"),
+        partitions = 2, bits = 3, validate = true)
+    }
+    // k*bits must fit a positive long
+    intercept[IllegalArgumentException] {
+      ZOrderLayout.zValueN(Seq(col("x"), col("y"), col("z")), bits = 22)
+    }
+  }
 }
