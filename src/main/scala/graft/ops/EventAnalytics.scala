@@ -202,10 +202,14 @@ object EventAnalytics {
       s"maxSpanBuckets must be >= 1, got $maxSpanBuckets")
     val b0 = expr(s"CAST($startCol AS BIGINT) div ${bucketMicros}L")
     val b1 = expr(s"CAST($endCol AS BIGINT) div ${bucketMicros}L")
-    val spanGuard = when(b1 - b0 < maxSpanBuckets, sequence(b0, b1))
+    // b1 >= b0 is part of the guard: an inverted interval (end < start)
+    // would make sequence() DESCEND and silently emit wrong buckets
+    val spanGuard = when(b1 >= b0 && b1 - b0 < maxSpanBuckets,
+      sequence(b0, b1))
       .otherwise(raise_error(concat(
-        lit(s"occupancy interval spans >= $maxSpanBuckets buckets of " +
-          s"$bucketMicros us; raise bucketMicros or maxSpanBuckets — "),
+        lit(s"occupancy interval inverted or spanning >= $maxSpanBuckets " +
+          s"buckets of $bucketMicros us; fix the interval or raise " +
+          "bucketMicros/maxSpanBuckets — "),
         col(startCol).cast("string"), lit(".."),
         col(endCol).cast("string"))))
     intervals

@@ -103,12 +103,15 @@ object TemporalJoins {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")
     def explodeBins(df: DataFrame, prefix: String): DataFrame = {
       val s = col(s"${prefix}_$startCol"); val e = col(s"${prefix}_$endCol")
+      // e >= s is part of the guard: an inverted interval would make
+      // sequence() descend and silently emit wrong bins
       val guard = when(
-        floor(e / binMicros) - floor(s / binMicros) < maxSpanBins,
+        e >= s && floor(e / binMicros) - floor(s / binMicros) < maxSpanBins,
         sequence(floor(s / binMicros), floor(e / binMicros)))
         .otherwise(raise_error(concat(
-          lit(s"intervalJoin interval spans >= $maxSpanBins bins of " +
-            s"$binMicros us; raise binMicros or maxSpanBins — "),
+          lit(s"intervalJoin interval inverted or spanning >= $maxSpanBins " +
+            s"bins of $binMicros us; fix the interval or raise " +
+            "binMicros/maxSpanBins — "),
           s.cast("string"), lit(".."), e.cast("string"))))
       df.select(df.columns.map(c => col(c).as(s"${prefix}_$c")): _*)
         .withColumn(s"${prefix}_bin", explode(guard))
@@ -137,13 +140,15 @@ object TemporalJoins {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")
     val p = points.withColumn("_bin", floor(col(ptTs) / binMicros))
     val spanGuard = when(
-      floor(col(endCol) / binMicros) - floor(col(startCol) / binMicros)
-        < maxSpanBins,
+      col(endCol) >= col(startCol) &&
+        floor(col(endCol) / binMicros) - floor(col(startCol) / binMicros)
+          < maxSpanBins,
       sequence(floor(col(startCol) / binMicros),
         floor(col(endCol) / binMicros)))
       .otherwise(raise_error(concat(
-        lit(s"rangeJoin interval spans >= $maxSpanBins bins of $binMicros" +
-          " us; raise binMicros or maxSpanBins — "),
+        lit(s"rangeJoin interval inverted or spanning >= $maxSpanBins bins" +
+          s" of $binMicros us; fix the interval or raise " +
+          "binMicros/maxSpanBins — "),
         col(startCol).cast("string"), lit(".."), col(endCol).cast("string"))))
     val i = intervals.withColumn("_bin", explode(spanGuard))
     val joinCond = key match {

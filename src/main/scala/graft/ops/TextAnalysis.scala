@@ -454,6 +454,103 @@ object TextAnalysis {
    * map-side instead of a shuffle of every distinct token. Same schema
    * either way, so pipelines flip the flag by scale.
    */
+  /**
+   * Corpus-health statistics per group: unigram-distribution entropy and
+   * the Zipf rank-frequency slope — the two "does this source look like
+   * natural language" diagnostics (entropy collapses on template floods,
+   * a healthy Zipf slope sits near −1; crawler traps and machine-generated
+   * text bend it). Returns per group
+   * (group, n_tokens, vocab, entropy_micro, zipf_slope_micro).
+   *
+   * Determinism discipline (the PageRank/micro-unit rule): every
+   * order-dependent double sum is replaced by a sum of per-row INTEGER
+   * micro-units — entropy's Σc·ln(c) folds as Σ round(1e6·c·ln c) (exact
+   * longs commute), and the Zipf least-squares terms x=ln(rank),
+   * y=ln(count) quantize to e6 before Σx, Σy, Σxy, Σx² (products of two
+   * e6-longs stay < 2⁶³ for topN ≤ ~1000). The final entropy
+   * H = ln(N) − Σc·ln(c)/N and slope
+   * (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) are then single fixed-order IEEE
+   * expressions over exact integers — bit-identical in SQL. Slope is NULL
+   * when a group has < 2 ranked terms (degenerate denominator).
+   *
+   * Scale shape: one (group, token) count aggregate (map-side combined),
+   * one TopKAgg heap for the top-`topN` ranks (no corpus-wide window
+   * sort), two small per-group aggregates — nothing after the first
+   * shuffle scales with the corpus.
+   *
+   * Integer-overflow bounds of the deterministic mode (the vocabStats/
+   * pageRank two-mode contract): the entropy micro-sum Σ round(1e6·c·ln c)
+   * stays inside a long only while a group has ≲ 10¹⁰ tokens, and the
+   * slope cross-terms bound topN at ~200 under worst-case counts. Past
+   * either bound, profile with `deterministic = false`: plain double
+   * sums — partition-order-dependent in the last ulps, which a health
+   * metric tolerates and an exact-hash oracle does not.
+   */
+  def zipfEntropy(docs: DataFrame, textCol: String, groupCol: String,
+                  topN: Int = 100, deterministic: Boolean = true): DataFrame = {
+    require(topN >= 2 && topN <= (if (deterministic) 200 else 100000),
+      s"topN $topN out of range for deterministic=$deterministic " +
+        "(micro-unit cross-terms overflow past ~200; use " +
+        "deterministic = false for wider fits)")
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val counts = docs.select(col(groupCol).as("grp"),
+        explode(graft.functions.WordGrams.grams(col(textCol), 1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+    val cD = col("c").cast("double")
+    val ranked = graft.functions.TopKAgg.topKPerKeyRanked(counts,
+      Seq("grp"), Seq(negate(col("c")), col("tok")), topN, "rank")
+    if (deterministic) {
+      val ent = counts.groupBy(col("grp")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(round(lit(1000000.0) * cD * log(cD)).cast("long")).as("_s_e6"))
+      val terms = ranked.select(col("grp"),
+        round(lit(1000000.0) * log(col("rank").cast("double")))
+          .cast("long").as("x"),
+        round(lit(1000000.0) * log(col("c").cast("double")))
+          .cast("long").as("y"))
+      val z = terms.groupBy(col("grp")).agg(
+        count(lit(1)).as("_n"), sum(col("x")).as("_sx"),
+        sum(col("y")).as("_sy"), sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"))
+      val den = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+      val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+      ent.join(z, Seq("grp"))
+        .select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+          round(lit(1000000.0) * log(col("n_tokens").cast("double"))
+            - col("_s_e6").cast("double") / col("n_tokens").cast("double"))
+            .cast("long").as("entropy_micro"),
+          when(den =!= 0,
+            round(lit(1000000.0) * num.cast("double") / den.cast("double"))
+              .cast("long")).as("zipf_slope_micro"))
+    } else {
+      // scale path: plain double folds — no overflow cliff, same outputs
+      // to the micro unit up to summation-order ulps
+      val ent = counts.groupBy(col("grp")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(cD * log(cD)).as("_s"))
+      val terms = ranked.select(col("grp"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      val z = terms.groupBy(col("grp")).agg(
+        count(lit(1)).cast("double").as("_n"), sum(col("x")).as("_sx"),
+        sum(col("y")).as("_sy"), sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"))
+      val den = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+      val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+      ent.join(z, Seq("grp"))
+        .select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+          round(lit(1000000.0) * (log(col("n_tokens").cast("double"))
+            - col("_s") / col("n_tokens").cast("double")))
+            .cast("long").as("entropy_micro"),
+          when(abs(den) > 1e-12,
+            round(lit(1000000.0) * num / den).cast("long"))
+            .as("zipf_slope_micro"))
+    }
+  }
+
   def vocabStats(docs: DataFrame, textCol: String, groupCol: String,
                  approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     graft.functions.WordGrams.register(docs.sparkSession)

@@ -253,6 +253,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: corpus-health stats — per-source unigram entropy + Zipf
+    // rank-frequency slope, every order-dependent fold replaced by exact
+    // integer micro-unit sums (TextAnalysis.zipfEntropy).
+    "q_zipf_entropy" -> ((s, dir) => {
+      TextAnalysis.zipfEntropy(t(s, dir, "documents"), "text", "source",
+          topN = 100)
+        .orderBy(col("source"))
+    }),
+
     // extended: deterministic train/valid/test split — cumulative hash
     // thresholds over the same content hash as the samplers, so the
     // assignment is stable under repartitioning and consistent across
@@ -990,6 +999,50 @@ object TextQueries {
          |  < (CASE WHEN source = 'src0' THEN 0.8
          |          WHEN source = 'src1' THEN 0.4 ELSE 0.1 END)
          |ORDER BY doc_id""".stripMargin,
+
+    // zipf/entropy replay: per-token counts, micro-unit entropy terms
+    // (integer sums commute), rank terms over the same (freq DESC, tok)
+    // total order, then the two fixed-order IEEE expressions.
+    "q_zipf_entropy" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(string_split_regex(${normSql("text")}, '\\s+')) AS tok
+         |  FROM documents),
+         |c AS (SELECT source, tok, count(*) AS c FROM toks
+         |      WHERE tok <> '' GROUP BY source, tok),
+         |ent AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS vocab,
+         |    CAST(sum(CAST(round(CAST(1000000.0 AS DOUBLE)
+         |      * CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 0) AS BIGINT))
+         |      AS BIGINT) AS s_e6
+         |  FROM c GROUP BY source),
+         |r AS (SELECT source, c,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY c DESC, tok) AS rank
+         |      FROM c),
+         |t AS (SELECT source,
+         |    CAST(round(CAST(1000000.0 AS DOUBLE)
+         |      * ln(CAST(rank AS DOUBLE)), 0) AS BIGINT) AS x,
+         |    CAST(round(CAST(1000000.0 AS DOUBLE)
+         |      * ln(CAST(c AS DOUBLE)), 0) AS BIGINT) AS y
+         |  FROM r WHERE rank <= 100),
+         |z AS (SELECT source, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx
+         |  FROM t GROUP BY source)
+         |SELECT ent.source, n_tokens, vocab,
+         |  CAST(round(CAST(1000000.0 AS DOUBLE)
+         |    * ln(CAST(n_tokens AS DOUBLE))
+         |    - CAST(s_e6 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0)
+         |    AS BIGINT) AS entropy_micro,
+         |  CASE WHEN n*sxx - sx*sx <> 0 THEN
+         |    CAST(round(CAST(1000000.0 AS DOUBLE)
+         |      * CAST(n*sxy - sx*sy AS DOUBLE)
+         |      / CAST(n*sxx - sx*sx AS DOUBLE), 0) AS BIGINT)
+         |  END AS zipf_slope_micro
+         |FROM ent JOIN z USING (source) ORDER BY source""".stripMargin,
 
     // the split thresholds are IEEE doubles in both engines: the cumulative
     // sum is forced through CAST(.. AS DOUBLE) additions so 0.8 + 0.1

@@ -325,6 +325,56 @@ class CurationOpsSpec extends SparkSpec {
       (3, "ab ab", "abab", 1L)))
   }
 
+  test("zipfEntropy: hand-computed entropy and slope; degenerate group " +
+    "gets a NULL slope") {
+    val docs = Seq(
+      (1L, "a a a a b b c", "s1"),
+      (2L, "only only only", "s2")).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.zipfEntropy(docs, "text", "source", topN = 100)
+      .orderBy("source").collect()
+    // s1: counts a:4 b:2 c:1, N=7, vocab=3 — replicate the exact
+    // micro-unit formulas driver-side
+    def e6(x: Double): Long = math.round(1000000.0 * x)
+    val s1 = rows(0)
+    assert(s1.getAs[Long]("n_tokens") === 7L &&
+      s1.getAs[Long]("vocab") === 3L)
+    val sE6 = e6(4 * math.log(4)) + e6(2 * math.log(2)) + e6(1 * math.log(1))
+    assert(s1.getAs[Long]("entropy_micro") ===
+      math.round(1000000.0 * math.log(7.0) - sE6.toDouble / 7.0))
+    // ranks (freq desc, tok): a→1, b→2, c→3
+    val xs = Seq(e6(math.log(1)), e6(math.log(2)), e6(math.log(3)))
+    val ys = Seq(e6(math.log(4)), e6(math.log(2)), e6(math.log(1)))
+    val (n, sx, sy) = (3L, xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = math.round(1000000.0 * (n * sxy - sx * sy).toDouble /
+      (n * sxx - sx * sx).toDouble)
+    assert(s1.getAs[Long]("zipf_slope_micro") === slope)
+    // a healthy-ish decreasing rank curve slopes negative
+    assert(slope < 0)
+    // s2: one distinct token → degenerate regression → NULL slope, but
+    // entropy is exact 0 (all mass on one token)
+    val s2 = rows(1)
+    assert(s2.getAs[Long]("n_tokens") === 3L &&
+      s2.getAs[Long]("vocab") === 1L)
+    assert(s2.getAs[Long]("entropy_micro") ===
+      math.round(1000000.0 * math.log(3.0) - e6(3 * math.log(3)) / 3.0))
+    assert(s2.isNullAt(s2.fieldIndex("zipf_slope_micro")))
+    // the scale path (double folds) tracks the deterministic micro-unit
+    // path within a few micro units
+    val fast = TextAnalysis.zipfEntropy(docs, "text", "source",
+        topN = 100, deterministic = false)
+      .orderBy("source").collect()
+    rows.zip(fast).foreach { case (d, f) =>
+      assert(math.abs(d.getAs[Long]("entropy_micro") -
+        f.getAs[Long]("entropy_micro")) <= 2)
+      if (!d.isNullAt(d.fieldIndex("zipf_slope_micro")))
+        assert(math.abs(d.getAs[Long]("zipf_slope_micro") -
+          f.getAs[Long]("zipf_slope_micro")) <= 2)
+      else assert(f.isNullAt(f.fieldIndex("zipf_slope_micro")))
+    }
+  }
+
   test("vocabStats: hand-computed exact stats; HLL sketch within its rsd") {
     val docs = Seq(("s1", "the cat the hat"), ("s1", "the dog"),
       ("s2", ""), ("s2", "one")).toDF("source", "text")

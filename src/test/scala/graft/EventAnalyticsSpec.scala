@@ -123,7 +123,7 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.occupancy(iv, "s", "e", bucketMicros = 10L,
         maxSpanBuckets = 50).collect()
     }
-    assert(ex.getMessage.contains("occupancy interval spans") ||
-      String.valueOf(ex.getCause).contains("occupancy interval spans"))
+    assert(ex.getMessage.contains("occupancy interval inverted") ||
+      String.valueOf(ex.getCause).contains("occupancy interval inverted"))
   }
 }

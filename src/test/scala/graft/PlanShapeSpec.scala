@@ -109,7 +109,10 @@ class PlanShapeSpec extends SparkSpec {
     // round 7 (cont.): skip-gram pairs (walk-id-keyed self-join over the
     // checkpointed walks) and negative-sampling weights (counts + 1-row
     // broadcast total)
-    "q_skipgram", "q_negative_weights")
+    "q_skipgram", "q_negative_weights",
+    // round 7 (cont.): corpus-health stats (token-count aggregate + heap
+    // rank + two per-group aggregates, grp-keyed join)
+    "q_zipf_entropy")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */

@@ -58,8 +58,8 @@ class TemporalJoinsSpec extends SparkSpec {
       TemporalJoins.intervalJoin(a, b, "s", "e", None, 10L,
         maxSpanBins = 50).collect()
     }
-    assert(ex.getMessage.contains("intervalJoin interval spans") ||
-      String.valueOf(ex.getCause).contains("intervalJoin interval spans"))
+    assert(ex.getMessage.contains("intervalJoin interval inverted") ||
+      String.valueOf(ex.getCause).contains("intervalJoin interval inverted"))
   }
 
   test("asofJoin tolerance bounds the backward window") {
@@ -104,6 +104,6 @@ class TemporalJoinsSpec extends SparkSpec {
     val e = intercept[Exception](out.count())
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(msgs.contains("spans"))
+    assert(msgs.contains("spanning"))
   }
 }
