@@ -44,6 +44,33 @@ object Dedup {
   }
 
   /**
+   * Dedup yield report: per group (source/tenant/language), how much of
+   * the corpus survives exact dedup — the accounting table every
+   * curation run publishes ("source X is 40% duplicates") and the input
+   * to re-weighting decisions. Canonical = the min-id holder of each
+   * content key (the [[exact]] winner), counted against ITS OWN group,
+   * so Σ n_canonical = global distinct texts even when duplicates span
+   * groups. Returns (group, n_docs, n_canonical, dup_e6).
+   *
+   * Two map-side-combinable aggregates + one join, both keyed on the
+   * content hash (ReusedExchange at runtime) — no corpus-scale sort.
+   */
+  def yieldReport(df: DataFrame, textCol: String, idCol: String,
+                  groupCol: String): DataFrame = {
+    val keyed = df.select(col(groupCol).as("grp"), col(idCol).as("_id"),
+      md5(T.searchStr(col(textCol))).as("_h"))
+    val canon = keyed.groupBy(col("_h")).agg(min(col("_id")).as("_keep"))
+    keyed.join(canon, "_h")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_id") === col("_keep"), 1L).otherwise(0L))
+          .as("n_canonical"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_canonical"),
+        round(lit(1000000.0) * (col("n_docs") - col("n_canonical"))
+          / col("n_docs")).cast("long").as("dup_e6"))
+  }
+
+  /**
    * MinHash + LSH near-dup candidate pairs. Signature of `numHashes` minhashes
    * split into `bands`; docs sharing any full band land in the same bucket and
    * become a candidate pair. Returns (id_a, id_b, jaccard_est) with id_a < id_b,

@@ -32,11 +32,17 @@ object EventAnalytics {
    * one partitioning; level frames shrink monotonically, and AQE turns the
    * later joins into broadcasts for free once a level fits.
    */
+  /** `maxGapMicros`: a conversion window — step i counts only when it
+    * happens within the gap AFTER the user's step-(i−1) time (the
+    * "converted within N days" form every funnel tool defaults to).
+    * None = unbounded (the plain strictly-after funnel). */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             maxGapMicros: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps")
+    maxGapMicros.foreach(g => require(g > 0, s"non-positive gap $g"))
     var level: DataFrame = null
     val counts = steps.zipWithIndex.map { case (step, i) =>
       val stepEvents = events.filter(col(typeCol) === step)
@@ -44,14 +50,70 @@ object EventAnalytics {
       level =
         if (level == null)
           stepEvents.groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
-        else stepEvents
-          .join(level.select(col("_u"), col("_t").as("_prev")), "_u")
-          .filter(col("_ts") > col("_prev"))
-          .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+        else {
+          val inWindow = maxGapMicros
+            .map(g => col("_ts") > col("_prev") &&
+              col("_ts") <= col("_prev") + g)
+            .getOrElse(col("_ts") > col("_prev"))
+          stepEvents
+            .join(level.select(col("_u"), col("_t").as("_prev")), "_u")
+            .filter(inWindow)
+            .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+        }
       level.agg(count(lit(1)).as("users"))
         .select(lit(i).as("step_idx"), lit(step).as("step"), col("users"))
     }
     counts.reduceLeft(_ union _)
+  }
+
+  /**
+   * Forward fill (last-observation-carried-forward): per key, each row's
+   * NULL `valueCol` is replaced by the latest non-null value at-or-before
+   * it in `tsCol` order — the gap-filling step sparse telemetry and
+   * slowly-changing attributes need before joining onto a dense axis.
+   * ONE key-partitioned running window (`last` with ignoreNulls over an
+   * unbounded-preceding frame), the same single-shuffle shape as
+   * [[graft.ops.TemporalJoins.asofJoin]]; rows before a key's first
+   * observation stay NULL. `tieBreak` must make the order total.
+   */
+  def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String,
+                  tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    df.withColumn(valueCol,
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /**
+   * IQR outlier detection on a numeric column per type: rows outside
+   * [q1 − factor·IQR, q3 + factor·IQR] (Tukey's fences, factor 1.5 —
+   * the box-plot rule every data-quality sweep starts from). Returns the
+   * outlier rows (id, type, value, side). Exact percentiles for the
+   * oracle gate (Spark `percentile` ≡ DuckDB quantile_cont, the
+   * lengthQuantiles parity); the per-type bounds frame is |types| rows
+   * and broadcasts, so the detection pass is one codegen'd scan.
+   */
+  def iqrOutliers(events: DataFrame, typeCol: String, valueCol: String,
+                  idCol: String, factor: Double = 1.5): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val q = events.groupBy(col(typeCol).as("type"))
+      .agg(percentile(col(valueCol), typedlit(Seq(0.25, 0.75))).as("_q"))
+      .select(col("type"), element_at(col("_q"), 1).as("_q1"),
+        element_at(col("_q"), 2).as("_q3"))
+    val iqr = col("_q3") - col("_q1")
+    val lo = col("_q1") - lit(factor) * iqr
+    val hi = col("_q3") + lit(factor) * iqr
+    events.select(col(idCol).as("id"), col(typeCol).as("type"),
+        col(valueCol).as("value"))
+      .join(broadcast(q), "type")
+      .filter(col("value") < lo || col("value") > hi)
+      .select(col("id"), col("type"), col("value"),
+        when(col("value") < lo, lit("low")).otherwise(lit("high"))
+          .as("side"))
   }
 
   /**

@@ -83,6 +83,48 @@ object Sampling {
   }
 
   /**
+   * [[targetMix]] with a WEIGHT column: mixture proportions and keep
+   * rates are computed over Σweight (token counts, bytes) instead of row
+   * counts — "30% of the TOKENS from web" is the budget a training mix
+   * actually specifies, and doc-count mixing distorts it whenever
+   * document lengths differ across strata. Rows are still kept whole by
+   * content hash, so the realized token share matches the target in
+   * expectation (exact token-level splitting would cut documents).
+   * Same feasibility rule as [[targetMix]]: the largest total where no
+   * stratum over-draws; a target stratum with zero weight empties the
+   * mix. Weights must be non-negative; zero-weight rows ride along at
+   * their stratum's rate (they cost nothing from the budget).
+   */
+  def targetMixWeighted(df: DataFrame, idCol: String, strataCol: String,
+                        weightCol: String, targets: Map[String, Double],
+                        salt: String = ""): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0), "target shares must be positive")
+    val shareCol = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val sums = df.filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(strataCol)
+      .agg(sum(col(weightCol).cast("double")).as("_w"))
+      .withColumn("_share", shareCol)
+    val feasible = sums.agg(
+      when(count(lit(1)) === targets.size && min(col("_w")) > 0,
+        min(col("_w") / col("_share")))
+        .otherwise(lit(0.0)).as("_t"))
+    // the zero-weight guard matters under ANSI mode: _t is already 0 when
+    // any stratum has no weight, but share·t/w would still divide by zero
+    val rates = sums.crossJoin(broadcast(feasible))
+      .withColumn("_rate",
+        when(col("_w") > 0,
+          least(lit(1.0), col("_share") * col("_t") / col("_w")))
+          .otherwise(lit(0.0)))
+      .select(col(strataCol), col("_rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(uniform01(col(idCol), salt) < col("_rate"))
+      .drop("_rate")
+  }
+
+  /**
    * Weighted sampling WITHOUT replacement, k items (Efraimidis–Spirakis
    * A-Res): each row draws priority u^(1/w) from its content hash and the
    * top-k priorities win — the exact distributed analogue of weighted

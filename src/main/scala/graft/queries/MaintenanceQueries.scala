@@ -38,6 +38,40 @@ object MaintenanceQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // extended: forward fill — each event carries the user's latest
+    // purchase value at-or-before it (LOCF gap filling; one user-keyed
+    // running window, EventAnalytics.forwardFill).
+    "q_forward_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.withColumn("ts_us", Tables.epochMicros(ev))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("event_type") === "purchase", col("value")).as("v"))
+      graft.ops.EventAnalytics.forwardFill(base, "user_id", "ts_us", "v",
+          tieBreak = Seq("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // extended: windowed funnel — the plain funnel with a conversion
+    // window: each step must land within 3 days of the user's previous
+    // step time (EventAnalytics.funnel maxGapMicros).
+    "q_funnel_windowed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val withUs = ev.withColumn("ts_us", Tables.epochMicros(ev))
+      graft.ops.EventAnalytics.funnel(withUs, "user_id", "ts_us",
+          "event_type", Seq("view", "click", "purchase"),
+          maxGapMicros = Some(3L * 24 * 3600 * 1000000))
+        .orderBy(col("step_idx"))
+    }),
+
+    // extended: Tukey-fence outliers on the event value per type — exact
+    // quartiles (percentile ≡ quantile_cont), |types|-row broadcast
+    // bounds, one codegen detection scan (EventAnalytics.iqrOutliers).
+    "q_value_outliers" -> ((s, dir) => {
+      graft.ops.EventAnalytics.iqrOutliers(t(s, dir, "events"),
+          "event_type", "value", "event_id")
+        .orderBy(col("id"))
+    }),
+
     // extended: event-type transition matrix — per-user consecutive-pair
     // counts + per-from probabilities (EventAnalytics.transitions; the
     // user-keyed window is the only event-scale shuffle).
@@ -426,6 +460,60 @@ object MaintenanceQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM numbered GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // forward-fill replay: the same running last_value(IGNORE NULLS)
+    // window; the carried value passes through untouched (no arithmetic,
+    // bit-identical doubles).
+    "q_forward_fill" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // windowed-funnel replay: the q_funnel CTE chain with the conversion
+    // window bound on each level join.
+    "q_funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |l1 AS (
+        |  SELECT user_id, min(ts_us) AS t FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |l2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM ev e JOIN l1 ON e.user_id = l1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > l1.t
+        |    AND e.ts_us <= l1.t + 259200000000
+        |  GROUP BY e.user_id),
+        |l3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM ev e JOIN l2 ON e.user_id = l2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > l2.t
+        |    AND e.ts_us <= l2.t + 259200000000
+        |  GROUP BY e.user_id)
+        |SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+        |  (SELECT count(*) FROM l1) AS users
+        |UNION ALL
+        |SELECT CAST(1 AS INT), 'click', (SELECT count(*) FROM l2)
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM l3)
+        |ORDER BY step_idx""".stripMargin,
+
+    // outlier replay: exact per-type quartiles, the same Tukey-fence
+    // expression tree, strict comparisons on identical doubles.
+    "q_value_outliers" ->
+      """WITH q AS (
+        |  SELECT event_type AS type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id AS id, event_type AS type, value,
+        |  CASE WHEN value < q1 - 1.5*(q3-q1) THEN 'low' ELSE 'high' END
+        |    AS side
+        |FROM events e JOIN q ON e.event_type = q.type
+        |WHERE value < q1 - 1.5*(q3-q1) OR value > q3 + 1.5*(q3-q1)
+        |ORDER BY id""".stripMargin,
 
     // transition replay: the same user-keyed lead window, pair counts,
     // per-from normalizer as a grouped CTE (≡ the engine's window over

@@ -253,6 +253,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: dedup yield accounting — per-source survival under exact
+    // dedup; canonical = the min-id holder counted against ITS group
+    // (Dedup.yieldReport).
+    "q_dedup_yield" -> ((s, dir) => {
+      graft.ops.Dedup.yieldReport(t(s, dir, "documents"), "text", "doc_id",
+          "source")
+        .orderBy(col("source"))
+    }),
+
     // extended: corpus-health stats — per-source unigram entropy + Zipf
     // rank-frequency slope, every order-dependent fold replaced by exact
     // integer micro-unit sums (TextAnalysis.zipfEntropy).
@@ -282,6 +291,18 @@ object TextQueries {
         targets = Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
         salt = "mix2")
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: token-budget mixture — targetMix weighted by n_chars, so
+    // the shares govern the CHARACTER budget, not document counts
+    // (Sampling.targetMixWeighted).
+    "q_target_mix_tokens" -> ((s, dir) => {
+      graft.ops.Sampling.targetMixWeighted(
+          t(s, dir, "documents"), "doc_id", "source", "n_chars",
+          targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          salt = "mixw")
+        .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -798,6 +819,22 @@ object TextQueries {
          |  count(*) AS dup_count
          |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
 
+    // yield replay: min-id per content hash, survivors counted in their
+    // own group, one rounded double ratio from exact counts.
+    "q_dedup_yield" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id, md5(${normSql("text")}) AS h
+         |  FROM documents),
+         |c AS (SELECT h, min(doc_id) AS keep FROM k GROUP BY h)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_canonical,
+         |  CAST(round(CAST(1000000.0 AS DOUBLE)
+         |    * (count(*) - sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END))
+         |    / count(*), 0) AS BIGINT) AS dup_e6
+         |FROM k JOIN c USING (h)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "q_text_profile" -> profileOracle,
     "q_minhash_lsh" -> minhashOracle,
 
@@ -1071,6 +1108,27 @@ object TextQueries {
          |      FROM c, f)
          |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
          |WHERE CAST(${h60Sql("'mix2'||'#'||doc_id")} AS DOUBLE)
+         |    / 1.152921504606847e18 < rate
+         |ORDER BY doc_id""".stripMargin,
+
+    // weighted-mix replay: per-stratum Σweight (exact while integer
+    // weights sum below 2^53), the same feasibility min and hash gate.
+    "q_target_mix_tokens" ->
+      s"""WITH c AS (
+         |  SELECT source, sum(CAST(n_chars AS DOUBLE)) AS w,
+         |    CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+         |         WHEN 'src2' THEN 0.2 END AS DOUBLE) AS share
+         |  FROM documents WHERE source IN ('src0','src1','src2')
+         |  GROUP BY source),
+         |f AS (SELECT CASE WHEN count(*) = 3 AND min(w) > 0
+         |             THEN min(w/share)
+         |             ELSE CAST(0.0 AS DOUBLE) END AS t FROM c),
+         |r AS (SELECT source,
+         |        LEAST(CAST(1.0 AS DOUBLE), share * f.t / w) AS rate
+         |      FROM c, f)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN r USING (source)
+         |WHERE CAST(${h60Sql("'mixw'||'#'||doc_id")} AS DOUBLE)
          |    / 1.152921504606847e18 < rate
          |ORDER BY doc_id""".stripMargin,
 

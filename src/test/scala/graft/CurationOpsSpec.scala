@@ -58,6 +58,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("targetMixWeighted budgets by weight, not rows; zero-weight " +
+    "stratum empties the mix") {
+    // a: 10 rows x weight 10 (Σ100); b: 300 rows x weight 1 (Σ300);
+    // 50/50 targets → feasible total 200 → a kept whole, b at rate 1/3
+    val docs = ((1 to 10).map(i => (i.toLong, "a", 10L)) ++
+      (11 to 310).map(i => (i.toLong, "b", 1L))).toDF("doc_id", "src", "w")
+    val out = Sampling.targetMixWeighted(docs, "doc_id", "src", "w",
+      Map("a" -> 0.5, "b" -> 0.5), salt = "tw")
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("a") === 10L) // rate exactly 1.0
+    assert(bySrc("b") > 60L && bySrc("b") < 140L) // rate 1/3 of 300
+    // deterministic under repartitioning
+    val again = Sampling.targetMixWeighted(docs.repartition(7), "doc_id",
+      "src", "w", Map("a" -> 0.5, "b" -> 0.5), salt = "tw")
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+    // a target stratum with zero total weight → no honest mix → empty
+    val withZero = docs.union(Seq((999L, "c", 0L)).toDF("doc_id", "src", "w"))
+    assert(Sampling.targetMixWeighted(withZero, "doc_id", "src", "w",
+      Map("a" -> 0.4, "b" -> 0.4, "c" -> 0.2), salt = "tw").count() === 0L)
+  }
+
   test("hashSplit partitions every row, disjointly and deterministically") {
     val docs = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
       .repartition(5)

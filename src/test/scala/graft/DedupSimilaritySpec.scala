@@ -20,6 +20,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("yieldReport counts canonical survivors in their OWN group") {
+    // "a" appears in s1 twice and s2 once; the min-id winner (1) sits in
+    // s1, so s2's copy is a duplicate even though s2 has no internal dup
+    val d = Seq((1L, "a", "s1"), (2L, "a", "s1"), (3L, "b", "s1"),
+      (4L, "a", "s2"), (5L, "c", "s2")).toDF("doc_id", "text", "source")
+    val out = Dedup.yieldReport(d, "text", "doc_id", "source")
+      .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("s1", 3L, 2L, math.round(1000000.0 / 3)),
+      ("s2", 2L, 1L, 500000L)))
+    // global invariant: Σ n_canonical == distinct normalized texts
+    assert(out.map(_._3).sum === 3L)
+  }
+
   test("minhash LSH finds the normalized duplicate with jaccard 1.0") {
     val pairs = Dedup.minhashLsh(docs, "text", "doc_id", 16, 8, 3)
       .as[(Long, Long, Double)].collect()

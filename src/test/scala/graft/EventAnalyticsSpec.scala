@@ -35,6 +35,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).toSeq === Seq(1L, 0L))
   }
 
+  test("funnel conversion window drops conversions past the gap") {
+    // u1 converts within the 15-unit window; u2's click is 40 late
+    val ev2 = Seq((1L, 10L, "view"), (1L, 20L, "click"),
+      (2L, 10L, "view"), (2L, 50L, "click"))
+      .toDF("user_id", "ts_us", "event_type")
+    val bounded = EventAnalytics.funnel(ev2, "user_id", "ts_us",
+        "event_type", Seq("view", "click"), maxGapMicros = Some(15L))
+      .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+    assert(bounded === Seq(2L, 1L))
+    val unbounded = EventAnalytics.funnel(ev2, "user_id", "ts_us",
+        "event_type", Seq("view", "click"))
+      .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+    assert(unbounded === Seq(2L, 2L))
+  }
+
+  test("iqrOutliers flags only values outside the Tukey fences") {
+    // [1..8, 100]: q1=3, q3=7, IQR=4 → fences [-3, 13]; only 100 is out
+    val ev2 = ((1L to 8L).map(i => (i, "A", i.toDouble)) :+
+      ((9L, "A", 100.0))).toDF("event_id", "event_type", "value")
+    val rows = EventAnalytics.iqrOutliers(ev2, "event_type", "value",
+        "event_id").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("id") === 9L &&
+      rows.head.getAs[String]("side") === "high")
+    // a tighter factor pulls in the tails symmetrically
+    val tight = EventAnalytics.iqrOutliers(ev2, "event_type", "value",
+        "event_id", factor = 0.25).collect()
+    assert(tight.map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 9L))
+  }
+
   test("funnel refuses duplicate steps") {
     intercept[IllegalArgumentException] {
       EventAnalytics.funnel(ev, "user_id", "ts_us", "event_type",
@@ -102,6 +132,21 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect()
     assert(rows.length === 1 && rows.head.isNullAt(
       rows.head.fieldIndex("z_micro")))
+  }
+
+  test("forwardFill carries the last non-null value per key") {
+    val df = Seq(
+      (1L, 1L, None), (1L, 2L, Some(5.0)), (1L, 3L, None),
+      (1L, 4L, Some(7.0)), (1L, 5L, None),
+      (2L, 1L, None)
+    ).toDF("user_id", "ts_us", "v")
+    val got = EventAnalytics.forwardFill(df, "user_id", "ts_us", "v")
+      .orderBy("user_id", "ts_us")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, None), (1L, 2L, Some(5.0)), (1L, 3L, Some(5.0)),
+      (1L, 4L, Some(7.0)), (1L, 5L, Some(7.0)),
+      (2L, 1L, None)))
   }
 
   test("occupancy counts intervals per bucket across their full span") {

@@ -112,7 +112,14 @@ class PlanShapeSpec extends SparkSpec {
     "q_skipgram", "q_negative_weights",
     // round 7 (cont.): corpus-health stats (token-count aggregate + heap
     // rank + two per-group aggregates, grp-keyed join)
-    "q_zipf_entropy")
+    "q_zipf_entropy",
+    // round 7 (cont.): dedup yield (hash-keyed aggregates + join),
+    // windowed funnel (user-keyed join chain), Tukey outliers
+    // (|types|-row broadcast bounds join)
+    "q_dedup_yield", "q_funnel_windowed", "q_value_outliers",
+    // round 7 (cont.): LOCF forward fill (one user-keyed running window)
+    // and the token-budget mix (stratum-sum broadcast rates + hash gate)
+    "q_forward_fill", "q_target_mix_tokens")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -124,9 +131,10 @@ class PlanShapeSpec extends SparkSpec {
     // single-row corpus-total frame joined onto every per-doc row
     "q_unigram_surprisal", "q_surprisal_buckets", "q_dsir_weights",
     // round 7: 1-row broadcast totals (2m scalar / corpus doc count /
-    // drift totals / negative-sampling weight total)
+    // drift totals / negative-sampling weight total / the weighted mix's
+    // feasibility scalar)
     "q_modularity", "q_cooccurrence", "q_cluster_drift",
-    "q_negative_weights")
+    "q_negative_weights", "q_target_mix_tokens")
     // (q_hits no longer appears here: the end-normalization rewrite
     // collects both maxima as driver literals, so its plan must be
     // BNLJ-free like the rest — keeping the stale allowance would mask a
