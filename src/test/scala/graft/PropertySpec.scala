@@ -405,6 +405,82 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("forwardFill == driver-side LOCF model on random sparse series") {
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 99L),
+        Gen.option(Gen.choose(1, 9).map(_.toDouble))))
+    (1 to 6).foreach { _ =>
+      // unique (key, ts) so the order is total without a tiebreak
+      val rows = rowGen.sample.get
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val got = graft.ops.EventAnalytics.forwardFill(
+          rows.toDF("k", "ts", "v"), "k", "ts", "v")
+        .as[(Long, Long, Option[Double])].collect().toSet
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        var carry: Option[Double] = None
+        rs.sortBy(_._2).map { case (_, ts, v) =>
+          carry = v.orElse(carry); (k, ts, carry)
+        }
+      }.toSet
+      assert(got == expect, s"rows=${rows.take(10)}...")
+    }
+  }
+
+  test("windowed funnel == driver-side first-touch model with gap") {
+    val evGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 99L),
+        Gen.oneOf("s1", "s2", "s3")))
+    (1 to 6).foreach { _ =>
+      val evs = evGen.sample.get
+        .groupBy(e => (e._1, e._2)).values.map(_.head).toSeq
+      val gap = 25L
+      val got = graft.ops.EventAnalytics.funnel(
+          evs.toDF("u", "ts", "t"), "u", "ts", "t",
+          Seq("s1", "s2", "s3"), maxGapMicros = Some(gap))
+        .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+      // model: per user, earliest s1; then earliest s2 in (t1, t1+gap];
+      // then earliest s3 in (t2, t2+gap]
+      val byUser = evs.groupBy(_._1)
+      val levels = Seq("s1", "s2", "s3").scanLeft(
+        byUser.view.mapValues(_ => Option(Long.MinValue)).toMap: Map[Long, Option[Long]]) {
+        case (prev, step) =>
+          prev.flatMap { case (u, pt) => pt.flatMap { t0 =>
+            val cands = byUser(u).filter(e => e._3 == step &&
+              (t0 == Long.MinValue || (e._2 > t0 && e._2 <= t0 + gap)))
+            if (cands.isEmpty) None else Some(u -> Some(cands.map(_._2).min))
+          }}
+      }.drop(1)
+      assert(got == levels.map(_.size.toLong), s"evs=${evs.take(10)}...")
+    }
+  }
+
+  test("yieldReport invariants on random corpora: canonical sums to " +
+    "global distinct, ratios exact") {
+    val docGen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.choose(1, 8)))
+    (1 to 6).foreach { _ =>
+      val docs = docGen.sample.get.zipWithIndex.map { case ((g, t), i) =>
+        (i.toLong, s"text $t", g)
+      }
+      val out = graft.ops.Dedup.yieldReport(
+          docs.toDF("doc_id", "text", "source"), "text", "doc_id", "source")
+        .as[(String, Long, Long, Long)].collect()
+      assert(out.map(_._2).sum === docs.size.toLong)
+      assert(out.map(_._3).sum === docs.map(_._2).distinct.size.toLong)
+      out.foreach { case (g, n, c, dup) =>
+        assert(c >= 0 && c <= n)
+        assert(dup === math.round(1000000.0 * (n - c) / n), s"group $g")
+      }
+      // group-level canonical counts match the min-id owner's group
+      val owners = docs.groupBy(_._2).map { case (_, ds) =>
+        ds.minBy(_._1)._3
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      out.foreach { case (g, _, c, _) =>
+        assert(c === owners.getOrElse(g, 0L), s"group $g")
+      }
+    }
+  }
+
   test("rateAnomalies == driver-side trailing-stats model on random streams") {
     val evGen = Gen.listOfN(60,
       Gen.zip(Gen.oneOf("A", "B"), Gen.choose(0L, 499L)))
