@@ -238,6 +238,54 @@ object Profile {
           graft.ops.TextAnalysis.profile(docs, "text").count()
         }
 
+      case "scaleprobe4" =>
+        // would-it-scale probe for the final round-7 batch: docs/events
+        // replicated xN with disjoint key spaces. Yield/zipf/mix outputs
+        // are group-bounded (20 sources), outliers/fill grow linearly —
+        // per-row cost should stay ~flat.
+        val n4 = if (args.length > 2) args(2).toInt else 8
+        val reps4 = spark.range(0, n4).select(col("id").as("rep"))
+        val bigDocs4 = docs.crossJoin(reps4)
+          .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+            col("text"), col("source"), col("n_chars"))
+          .repartition(32).localCheckpoint(true)
+        val ev4 = spark.read.parquet(s"$sfDir/events.parquet")
+        val bigEv4 = ev4.crossJoin(reps4)
+          .select((col("user_id") + col("rep") * 10000000L).as("user_id"),
+            (col("event_id") + col("rep") * 1000000000L).as("event_id"),
+            col("event_type"), col("value"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          .repartition(32).localCheckpoint(true)
+        println(s"[profile] scaleprobe4 docs=${bigDocs4.count()} " +
+          s"ev=${bigEv4.count()} (${n4}x)")
+        import graft.ops.{Dedup, EventAnalytics, Sampling, TextAnalysis}
+        def yld(d: DataFrame) =
+          Dedup.yieldReport(d, "text", "doc_id", "source").count()
+        def zf(d: DataFrame) =
+          TextAnalysis.zipfEntropy(d, "text", "source").count()
+        def mix(d: DataFrame) = Sampling.targetMixWeighted(d, "doc_id",
+          "source", "n_chars",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)).count()
+        def out(e: DataFrame) = EventAnalytics.iqrOutliers(e, "event_type",
+          "value", "event_id").count()
+        def fill(e: DataFrame) = EventAnalytics.forwardFill(
+          e.withColumn("v", when(col("event_type") === "purchase",
+            col("value"))), "user_id", "ts_us", "v",
+          tieBreak = Seq("event_id")).count()
+        val ev1x = ev4.select(col("user_id"), col("event_id"),
+          col("event_type"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        time(s"dedup yield ${n4}x") { yld(bigDocs4) }
+        time("dedup yield 1x") { yld(docs) }
+        time(s"zipf entropy ${n4}x") { zf(bigDocs4) }
+        time("zipf entropy 1x") { zf(docs) }
+        time(s"weighted mix ${n4}x") { mix(bigDocs4) }
+        time("weighted mix 1x") { mix(docs) }
+        time(s"iqr outliers ${n4}x") { out(bigEv4) }
+        time("iqr outliers 1x") { out(ev1x) }
+        time(s"forward fill ${n4}x") { fill(bigEv4) }
+        time("forward fill 1x") { fill(ev1x) }
+
       case "scaleprobe3" =>
         // would-it-scale probe for the interval/event/graph batch: events
         // replicated xN with disjoint user spaces; the co-purchase graph
