@@ -56,6 +56,27 @@ object TextAnalysis {
       .withColumn("fingerprint", graft.functions.FingerprintHash.fingerprint(t))
   }
 
+  /**
+   * Language-ID evaluation: the confusion matrix of the stopword-n-gram
+   * heuristic's prediction against a labeled language column — the
+   * quality check a pipeline runs before trusting lang routing (and the
+   * template for evaluating any heuristic classifier against labels).
+   * Returns (lang, lang_pred, n, label_total, share_e6); diagonal rows
+   * are the per-language recall. The window runs over the |langs|²
+   * COUNTS frame, so nothing beyond the profile scan is corpus-scale.
+   */
+  def langidConfusion(docs: DataFrame, textCol: String,
+                      labelCol: String): DataFrame = {
+    val counts = profile(docs, textCol)
+      .groupBy(col(labelCol).as("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    counts
+      .withColumn("label_total", sum(col("n")).over(w))
+      .withColumn("share_e6",
+        round(lit(1000000.0) * col("n") / col("label_total")).cast("long"))
+  }
+
   /** Corpus n-gram frequency table: normalized tokens (n=1) or word
     * shingles (n>1), counted corpus-wide, top `k` with a deterministic
     * rank. The vocabulary-statistics pass of tokenizer training — one

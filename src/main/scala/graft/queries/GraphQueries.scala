@@ -53,6 +53,20 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // ext. log2-binned degree distribution — the power-law sanity check
+    // run on every derived graph; exact bins via binary-string length
+    // (identical in both engines, no floating log2 near powers of two).
+    "q_degree_hist" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val deg = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      deg.groupBy(length(conv(col("degree"), 10, 2)).as("bin"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("degree")).as("min_degree"),
+          max(col("degree")).as("max_degree"))
+        .orderBy(col("bin"))
+    }),
+
     // §2.5 entity relation-count scoring (degree over both directions).
     "q_entity_degree" -> ((s, dir) => {
       val e = edges(s, dir)
@@ -584,6 +598,19 @@ object GraphQueries {
          |  CAST(sum(CAST(round(CAST(1000000.0 AS DOUBLE) / dist, 0)
          |    AS BIGINT)) AS BIGINT) AS harmonic_micro
          |FROM d WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
+
+    // degree-histogram replay: the q_entity_degree degrees binned by
+    // binary-representation length (DuckDB bin() == Spark conv(,10,2)).
+    "q_degree_hist" ->
+      s"""WITH edges AS ($edgesSql),
+         |deg AS (
+         |  SELECT node, count(*) AS degree FROM (
+         |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+         |  GROUP BY node)
+         |SELECT CAST(length(bin(degree)) AS INT) AS bin,
+         |  count(*) AS n_nodes, min(degree) AS min_degree,
+         |  max(degree) AS max_degree
+         |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_entity_degree" ->
       s"""WITH edges AS ($edgesSql)

@@ -253,6 +253,14 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: language-ID evaluation — confusion matrix of the
+    // stopword-heuristic prediction vs the labeled lang column, with
+    // per-label recall shares (TextAnalysis.langidConfusion).
+    "q_langid_confusion" -> ((s, dir) => {
+      TextAnalysis.langidConfusion(t(s, dir, "documents"), "text", "lang")
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     // extended: dedup yield accounting — per-source survival under exact
     // dedup; canonical = the min-id holder counted against ITS group
     // (Dedup.yieldReport).
@@ -818,6 +826,35 @@ object TextQueries {
       s"""SELECT min(doc_id) AS doc_id, md5(${normSql("text")}) AS dup_key,
          |  count(*) AS dup_count
          |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+
+    // confusion replay: the SAME stopword-count winner CASE the profile
+    // oracle uses (first match in sorted code order breaks ties), then
+    // plain counts + per-label totals.
+    "q_langid_confusion" -> {
+      val langCases = T.langStopwords.toSeq.sortBy(_._1).map {
+        case (code, ws) =>
+          s"len(list_filter(toks, t -> list_contains(${inListSql(ws)}, t))) AS s_$code"
+      }.mkString(", ")
+      val langCodes = T.langStopwords.keys.toSeq.sorted
+      val maxExpr = s"greatest(${langCodes.map("s_" + _).mkString(",")})"
+      val winner = langCodes.map(c => s"WHEN s_$c = m THEN '$c'")
+        .mkString("CASE WHEN m <= 0 THEN 'und' ", " ", " END")
+      s"""WITH tok AS (
+         |  SELECT lang, string_split_regex(${normSql("text")},'\\s+') AS toks
+         |  FROM documents),
+         |s AS (SELECT lang, $langCases FROM tok),
+         |l AS (SELECT *, $maxExpr AS m FROM s),
+         |p AS (SELECT lang, $winner AS lang_pred FROM l),
+         |c AS (SELECT lang, lang_pred, count(*) AS n FROM p
+         |      GROUP BY lang, lang_pred),
+         |t2 AS (SELECT lang, CAST(sum(n) AS BIGINT) AS label_total
+         |       FROM c GROUP BY lang)
+         |SELECT c.lang, c.lang_pred, c.n, t2.label_total,
+         |  CAST(round(CAST(1000000.0 AS DOUBLE) * c.n / t2.label_total, 0)
+         |    AS BIGINT) AS share_e6
+         |FROM c JOIN t2 USING (lang)
+         |ORDER BY lang, lang_pred""".stripMargin
+    },
 
     // yield replay: min-id per content hash, survivors counted in their
     // own group, one rounded double ratio from exact counts.

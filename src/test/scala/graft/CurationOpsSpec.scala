@@ -346,6 +346,22 @@ class CurationOpsSpec extends SparkSpec {
       (3, "ab ab", "abab", 1L)))
   }
 
+  test("langidConfusion counts prediction-vs-label cells with recall " +
+    "shares") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is happy", "en"), // → en
+      (2L, "zxqv wvut kjhg", "en"),                          // → und
+      (3L, "der hund ist von den bergen und nicht hier", "de") // → de
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langidConfusion(docs, "text", "lang")
+      .orderBy("lang", "lang_pred")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("de", "de", 1L, 1L, 1000000L),
+      ("en", "en", 1L, 2L, 500000L),
+      ("en", "und", 1L, 2L, 500000L)))
+  }
+
   test("zipfEntropy: hand-computed entropy and slope; degenerate group " +
     "gets a NULL slope") {
     val docs = Seq(

@@ -119,7 +119,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_dedup_yield", "q_funnel_windowed", "q_value_outliers",
     // round 7 (cont.): LOCF forward fill (one user-keyed running window)
     // and the token-budget mix (stratum-sum broadcast rates + hash gate)
-    "q_forward_fill", "q_target_mix_tokens")
+    "q_forward_fill", "q_target_mix_tokens",
+    // round 7 (final): degree histogram and the langid confusion matrix —
+    // both join-free aggregates (the confusion window runs over the
+    // |langs|² counts frame)
+    "q_degree_hist", "q_langid_confusion")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
