@@ -790,22 +790,34 @@ object Traversal {
   /** The peeling rounds over a prepared undirected edge frame (deduped,
     * both directions, no self-loops — [[lpaLayout]]'s encoded edges
     * qualify, which lets the community and core queries share one stored
-    * layout). The survivor set is broadcast into both semi-joins: it only
-    * ever shrinks, and the edge frame never re-shuffles. */
-  def kCorePeelFrom(undPrepared: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * layout). The survivor set is NODE-scale (round 1 keeps ≈ every node
+    * with deg ≥ k), so — like [[triangleCountsFrom]]'s adjacency — its
+    * broadcast is GUARDED, not assumed: one cheap count of the prepared
+    * edge frame (an upper bound on every round's survivor count, since
+    * survivors only shrink and |V| ≤ |directed edges| when deg ≥ 1)
+    * decides ONCE whether the semi-joins take the broadcast fast path or
+    * run as plain shuffle joins. Past `broadcastEdgeCap` directed edges
+    * the shuffle path costs one exchange of the shrinking survivor frame
+    * per round — mechanical, no driver/executor OOM cliff at the
+    * README's 10⁹-node scale. AQE can still convert a late-round join
+    * back to broadcast when the measured survivor bytes allow. */
+  def kCorePeelFrom(undPrepared: DataFrame, k: Int, rounds: Int,
+                    broadcastEdgeCap: Long = 50L * 1000 * 1000): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k/$rounds")
+    val hint: DataFrame => DataFrame =
+      if (undPrepared.count() <= broadcastEdgeCap) broadcast else identity
     var und = undPrepared
     for (i <- 1 to rounds) {
       // degrees via the dst endpoint: the symmetric frame makes in-degree ==
       // out-degree, and a dst-partitioned layout ([[lpaLayout]]'s) then
       // satisfies the aggregate with NO exchange — the rounds run entirely
-      // on broadcasts and local scans
+      // on broadcasts (or gated shuffle joins) and local scans
       val keep = und.groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("node")
       und = und
-        .join(broadcast(keep), und("src") === keep("node"), "left_semi")
-        .join(broadcast(keep), und("dst") === keep("node"), "left_semi")
+        .join(hint(keep), und("src") === keep("node"), "left_semi")
+        .join(hint(keep), und("dst") === keep("node"), "left_semi")
       // cache, not checkpoint, between peels: each round's survivor
       // broadcast re-executes the lineage so far, and a checkpoint would
       // cut that but FORGET the partitioning (costing the next degree

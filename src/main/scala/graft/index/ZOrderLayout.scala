@@ -89,16 +89,28 @@ object ZOrderLayout {
         min(col(c).cast("long")).as(s"_min_$c"),
         max(col(c).cast("long")).as(s"_max_$c")))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
-      if (!r.anyNull) {
+      // Each column's min/max pair is checked INDEPENDENTLY: an earlier
+      // version skipped the whole check when any field was NULL, so one
+      // all-NULL key column silently disabled validation for every other
+      // column. min/max ignore NULLs, so a NULL min means the column has
+      // NO non-null values at all — that's a hard failure too (NULL keys
+      // interleave as garbage and destroy the clustering), not a skip.
+      // An empty frame (every column NULL) is the one legitimate skip.
+      val allNull = cols.indices.forall(i => r.isNullAt(2 * i))
+      if (!allNull) {
         val bad = cols.zipWithIndex.flatMap { case (c, i) =>
-          val (mn, mx) = (r.getLong(2 * i), r.getLong(2 * i + 1))
-          if (mn < 0 || mx >= lim) Some(s"$c in [$mn, $mx]") else None
+          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1))
+            Some(s"$c is all-NULL")
+          else {
+            val (mn, mx) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+            if (mn < 0 || mx >= lim) Some(s"$c in [$mn, $mx]") else None
+          }
         }
         require(bad.isEmpty,
           s"z-order keys out of [0, 2^$bits): ${bad.mkString(", ")} — " +
-            "keys >= 2^bits alias onto the low-bit curve and negative " +
-            "keys interleave their sign bits; remap/rank-encode first " +
-            "or raise `bits`")
+            "keys >= 2^bits alias onto the low-bit curve, negative " +
+            "keys interleave their sign bits, and all-NULL keys destroy " +
+            "the clustering; remap/rank-encode first or raise `bits`")
       }
     }
     df.withColumn("_z", zValueN(cols.map(col), bits))

@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
  */
 object EventAnalytics {
 
+  /** FLOOR division of a BIGINT epoch column by a positive bucket width.
+    * Spark's integer `div` truncates toward zero, but DuckDB's `//` (the
+    * oracle semantics) and [[graft.ops.TemporalJoins]]'s `floor(a / b)`
+    * bucketing both floor — for NEGATIVE epochs (pre-1970 timestamps) the
+    * two disagree by one bucket, breaking oracle parity and cross-operator
+    * bucket alignment. `(x − pmod(x, b)) div b` floors exactly in pure
+    * BIGINT arithmetic (pmod is the non-negative remainder, so the
+    * numerator is an exact multiple of b): no double rounding near 2^63,
+    * same result as `div` for the non-negative common case. The one
+    * unreachable edge: x within (bucket − 1) of Long.MinValue underflows —
+    * ~292,000 years before 1970 at micros resolution. */
+  private[ops] def floorDivBucket(xSql: String,
+                                  bucket: Long): org.apache.spark.sql.Column =
+    expr(s"(($xSql) - pmod(($xSql), ${bucket}L)) div ${bucket}L")
+
   /**
    * Ordered funnel: for each step i, the users whose earliest step-i event
    * falls STRICTLY AFTER their earliest qualifying step-(i-1) event (the
@@ -132,11 +147,12 @@ object EventAnalytics {
   def retentionCohorts(events: DataFrame, userCol: String, tsUsCol: String,
                        weekMicros: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
     require(weekMicros > 0, s"weekMicros must be positive, got $weekMicros")
-    // integer `div`, not double `/`+floor: epoch micros sit near the top of
-    // double's exact-integer range and the quotient must replay bit-exactly
+    // integer floor-division, not double `/`+floor: epoch micros sit near
+    // the top of double's exact-integer range and the quotient must replay
+    // bit-exactly ([[floorDivBucket]] for why not plain `div`)
     val weeks = events
       .select(col(userCol).as("_u"), col(tsUsCol).cast("long").as("_ts"))
-      .select(col("_u"), expr(s"_ts div ${weekMicros}L").as("week"))
+      .select(col("_u"), floorDivBucket("_ts", weekMicros).as("week"))
       .distinct()
     val cohort = weeks.groupBy(col("_u"))
       .agg(min(col("week")).as("cohort_week"))
@@ -188,8 +204,11 @@ object EventAnalytics {
    * Determinism/scale shape: the bucket aggregate is map-side
    * combinable; the window runs over the (type, bucket) COUNTS frame —
    * buckets per type, not events — so the sort is tiny at any event
-   * volume. μ and σ derive from exact BIGINT window sums (Σx, Σx²),
-   * fixed-order IEEE ops from there, so the score replays bit-exactly
+   * volume. μ and σ derive from exact integer window sums (Σx in BIGINT;
+   * Σx² and the variance numerator in DECIMAL(38,0), which keeps the
+   * arithmetic exact up to ~10¹⁸ events per bucket instead of silently
+   * wrapping int64 near 3·10⁹ — see [[scoreTrailing]]), fixed-order IEEE
+   * ops from there, so the score replays bit-exactly
    * in SQL. Empty buckets are absent, not zero: the trailing stats are
    * over OBSERVED buckets (document the gap semantics to callers).
    */
@@ -199,7 +218,7 @@ object EventAnalytics {
     require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
     val counts = events
       .select(col(typeCol).as("type"),
-        expr(s"CAST($tsUsCol AS BIGINT) div ${bucketMicros}L").as("bucket"))
+        floorDivBucket(s"CAST($tsUsCol AS BIGINT)", bucketMicros).as("bucket"))
       .groupBy(col("type"), col("bucket"))
       .agg(count(lit(1)).as("n_events"))
     scoreTrailing(counts, trailing, minPrev)
@@ -219,15 +238,31 @@ object EventAnalytics {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("type")).orderBy(col("bucket"))
       .rowsBetween(-trailing, -1)
+    // Σx² accumulates in DECIMAL(38,0) — x² for a 3·10⁹-event bucket is
+    // already 9e18 ≈ int64 max, so a BIGINT Σx² wraps before the variance
+    // numerator below even gets a say. DuckDB's sum(BIGINT) widens to
+    // HUGEINT for the same reason; decimal is Spark's exact-arithmetic
+    // analogue and hashes identically once cast to double in range.
     val scored = counts
       .withColumn("n_prev", count(col("n_events")).over(w))
       .withColumn("_s", sum(col("n_events")).over(w))
-      .withColumn("_s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("_s2", sum(col("n_events").cast("decimal(38,0)")
+        * col("n_events")).over(w))
     // σ² via the exact-integer numerator (n·Σx² − (Σx)²)/n²: one double
-    // division + one sqrt, both IEEE-exact given exact integer inputs
+    // division + one sqrt, both IEEE-exact given exact integer inputs.
+    // The numerator is computed in DECIMAL(38,0), not BIGINT: with
+    // per-bucket counts x and window length t, n·Σx² can reach t²·x² —
+    // ~6e8 events/bucket at trailing=24 already wraps int64 silently,
+    // yielding a negative "variance" and bogus z-scores. DECIMAL(38,0)
+    // holds counts up to ~1.3e18/t with exact arithmetic; the cast to
+    // double afterwards rounds identically to the BIGINT path whenever
+    // the BIGINT path wouldn't have overflowed, so small-scale oracle
+    // replays are unchanged and huge-volume buckets now score correctly
+    // instead of wrapping.
     val n = col("n_prev").cast("double")
-    val varNum = (col("n_prev") * col("_s2") - col("_s") * col("_s"))
-      .cast("double")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val varNum = (dec(col("n_prev")) * dec(col("_s2"))
+      - dec(col("_s")) * dec(col("_s"))).cast("double")
     val sigma = sqrt(varNum / (n * n))
     val mean = col("_s").cast("double") / n
     scored
@@ -262,8 +297,8 @@ object EventAnalytics {
     require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
     require(maxSpanBuckets >= 1,
       s"maxSpanBuckets must be >= 1, got $maxSpanBuckets")
-    val b0 = expr(s"CAST($startCol AS BIGINT) div ${bucketMicros}L")
-    val b1 = expr(s"CAST($endCol AS BIGINT) div ${bucketMicros}L")
+    val b0 = floorDivBucket(s"CAST($startCol AS BIGINT)", bucketMicros)
+    val b1 = floorDivBucket(s"CAST($endCol AS BIGINT)", bucketMicros)
     // b1 >= b0 is part of the guard: an inverted interval (end < start)
     // would make sequence() DESCEND and silently emit wrong buckets
     val spanGuard = when(b1 >= b0 && b1 - b0 < maxSpanBuckets,

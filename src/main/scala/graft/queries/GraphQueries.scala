@@ -42,10 +42,11 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
-    // ext. landmark harmonic closeness — 8 landmark BFS runs batched as
+    // ext. landmark harmonic closeness — 7 landmark BFS runs (custkeys
+    // 1..7: `c_custkey < 8` and TPC-H custkey starts at 1) batched as
     // ONE (seed, node) frontier (Traversal.multiSourceDistances: one edge
     // join per hop for any landmark count), integer micro-unit harmonic
-    // terms. The oracle replays all 8 BFS runs in one recursive CTE.
+    // terms. The oracle replays all 7 BFS runs in one recursive CTE.
     "q_closeness" -> ((s, dir) => {
       val seeds = t(s, dir, "customer").filter(col("c_custkey") < 8)
         .select(concat(lit("c:"), col("c_custkey")).as("node"))
@@ -234,35 +235,37 @@ object GraphQueries {
     // work (warmed: projection+orientation are ingest-time material).
     // Exact integer counts; the oracle replays orientation + wedges.
     "q_triangle_counts" -> ((s, dir) => {
-      Traversal.triangleCountsFrom(Tables.coPurchaseTriangleLayout(s, dir))
+      Tables.coPurchaseTriangleCounts(s, dir)
         .select(concat(lit("p:"), col("node")).as("node"), col("triangles"))
         .orderBy(desc("triangles"), col("node")).limit(100)
     }),
 
     // ext. global clustering coefficient (3·triangles / wedges) over the
-    // SAME warmed co-purchase triangle layout — the one-row graph-quality
-    // summary composing the per-node counts; integer triangle/wedge
-    // totals, one exact double division.
+    // SAME memoized per-node triangle counts as q_triangle_counts — the
+    // one-row graph-quality summary. The triangle pass runs once in
+    // Tables.coPurchaseTriangleCounts (shared, cached); this query is one
+    // ACTION composing three one-row aggregates (triangle total, degree
+    // wedge count, edge count) via single-row cross joins — no serialized
+    // driver .head() round-trips between them. Integer triangle/wedge
+    // totals, one exact double division; a wedge-free graph (disjoint
+    // edges / empty) is DEFINED as coefficient 0, not the NaN a raw 0/0
+    // division would emit on both engines.
     "q_clustering_coeff" -> ((s, dir) => {
       val layout = Tables.coPurchaseTriangleLayout(s, dir)
-      val t3 = Traversal.triangleCountsFrom(layout)
+      val t3 = Tables.coPurchaseTriangleCounts(s, dir)
         .agg(coalesce(sum(col("triangles")), lit(0L)).as("t3"))
-        .head().getLong(0)
-      val degRow = layout.select(col("lo").as("node"))
+      val deg = layout.select(col("lo").as("node"))
         .union(layout.select(col("hi")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
         .agg(count(lit(1)).as("n_nodes"),
-          coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("wedges"))
-        .head()
-      val (nNodes, wedges) = (degRow.getLong(0), degRow.getLong(1))
-      val nEdges = layout.count()
-      // wedge-free graph (disjoint edges / empty): coefficient is DEFINED
-      // as 0, not the NaN a raw 0/0 division would emit on both engines
-      val cc = if (wedges == 0L) lit(0.0)
-               else round(lit(t3.toDouble) / lit(wedges.toDouble), 6)
-      s.range(1).select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
-        lit(t3 / 3).as("n_triangles"), lit(wedges).as("n_wedges"),
-        cc.as("global_cc"))
+          coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("n_wedges"))
+      val edges = layout.agg(count(lit(1)).as("n_edges"))
+      deg.crossJoin(t3).crossJoin(edges)
+        .select(col("n_nodes"), col("n_edges"),
+          expr("t3 div 3").as("n_triangles"), col("n_wedges"),
+          when(col("n_wedges") === 0L, lit(0.0))
+            .otherwise(round(col("t3").cast("double")
+              / col("n_wedges").cast("double"), 6)).as("global_cc"))
     }),
 
     // ext. personalized PageRank (3 iterations, teleport to the nation-0

@@ -234,6 +234,23 @@ object Tables {
   private val triCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Memoized per-node triangle counts over [[coPurchaseTriangleLayout]] —
+    * the wedge-join pass runs ONCE per (session, dir) and both triangle
+    * consumers (the per-node top-k and the one-row clustering-coefficient
+    * summary) read the cached node-scale frame instead of re-running the
+    * dominant join. At 100 TB this is a stored table refreshed with the
+    * layout (triangle counts are derived graph-storage material, like
+    * degrees); NOT pre-warmed by the bench, so the first consumer pays the
+    * honest compute cost. */
+  def coPurchaseTriangleCounts(s: SparkSession, dir: String): DataFrame =
+    triCountCache.getOrElseUpdate((s, dir),
+      graft.byokg.Traversal
+        .triangleCountsFrom(coPurchaseTriangleLayout(s, dir))
+        .coalesce(cachePartitions(s)).cache())
+
+  private val triCountCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** Memoized hub-capped co-purchase projection (parts sharing a ≤5-item
     * order, weighted) — graph-storage material like
     * [[coPurchaseTriangleLayout]]: the projection is ingest-time work

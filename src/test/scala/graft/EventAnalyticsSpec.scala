@@ -171,4 +171,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(ex.getMessage.contains("occupancy interval inverted") ||
       String.valueOf(ex.getCause).contains("occupancy interval inverted"))
   }
+
+  test("bucketing FLOORS negative epochs (DuckDB // and floor() parity)") {
+    // ts = -1 with bucket 10 must land in bucket -1 (floor), not bucket 0
+    // (truncate-toward-zero) — the pre-1970 disagreement between Spark's
+    // `div` and both the oracle's `//` and TemporalJoins' floor() bins
+    val e = Seq(("u1", -1L), ("u1", -10L), ("u1", 5L))
+      .toDF("user_id", "ts_us")
+    val weeks = EventAnalytics.retentionCohorts(e, "user_id", "ts_us", 10L)
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset"))).toSet
+    // buckets: -1 → -1, -10 → -1, 5 → 0 ⇒ cohort -1 with offsets {0, 1}
+    assert(weeks == Set((-1L, 0L), (-1L, 1L)))
+    val occ = EventAnalytics.occupancy(
+        Seq((-15L, 5L)).toDF("s", "e"), "s", "e", bucketMicros = 10L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("active"))).toSeq
+    // [-15, 5] spans floor-buckets -2, -1, 0
+    assert(occ === Seq((-2L, 1L), (-1L, 1L), (0L, 1L)))
+  }
 }

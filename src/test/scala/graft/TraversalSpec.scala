@@ -341,4 +341,28 @@ class TraversalSpec extends SparkSpec {
     assert(capped.as[(String, Long)].collect().toMap ==
       Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
+
+  test("kCorePeelFrom: past the broadcast cap the survivor semi-joins " +
+    "drop their hints but the peel result is unchanged") {
+    // same guard contract as triangleCountsFrom: the survivor set is
+    // node-scale in round 1, so its broadcast must be gated, not assumed
+    val g = Seq(("a", "b", "e"), ("b", "c", "e"), ("c", "d", "e"),
+      ("x", "y", "e"), ("y", "z", "e"), ("z", "x", "e"))
+      .toDF("src", "dst", "label")
+    val e = g.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst"), col("src")).toDF("src", "dst"))
+      .distinct().localCheckpoint(false)
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val hinted = Traversal.kCorePeelFrom(und, k = 2, rounds = 3)
+    val capped = Traversal.kCorePeelFrom(und, k = 2, rounds = 3,
+      broadcastEdgeCap = 0)
+    assert(hintCount(hinted) > 0, "small frame keeps the broadcast hints")
+    assert(hintCount(capped) == 0, "capped peel must not hint a broadcast")
+    assert(capped.as[(String, Long)].collect().toMap ==
+      Map("x" -> 2L, "y" -> 2L, "z" -> 2L))
+  }
 }

@@ -120,6 +120,22 @@ class ZOrderLayoutSpec extends SparkSpec {
     ZOrderLayout.write(tooBig, s"$base/silent", "x", "y",
       partitions = 2, bits = 7)
     assert(spark.read.parquet(s"$base/silent").count() == 65)
+    // an all-NULL key column must NOT silently disable the check for the
+    // other columns (the pre-fix behavior): the out-of-domain x is still
+    // caught, and the all-NULL y is itself named as a failure
+    val nullY = tooBig.select(col("x"),
+      lit(null).cast("long").as("y"))
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrderLayout.write(nullY, s"$base/nully", "x", "y",
+        partitions = 2, bits = 7, validate = true)
+    }
+    assert(e2.getMessage.contains("x in ["), e2.getMessage)
+    assert(e2.getMessage.contains("y is all-NULL"), e2.getMessage)
+    // a fully-empty frame skips the check (nothing to validate) and writes
+    val empty = inDomain.filter(lit(false))
+    ZOrderLayout.write(empty, s"$base/empty", "x", "y",
+      partitions = 1, bits = 7, validate = true)
+    assert(spark.read.parquet(s"$base/empty").count() == 0)
   }
 
   test("3-column z-order bounds ALL three columns per file") {
