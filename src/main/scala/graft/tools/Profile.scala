@@ -726,6 +726,79 @@ object Profile {
         }
         assigned.unpersist()
 
+      case "tenantsummary" =>
+        // build/query split for q_tenant_summary: the classified-graph
+        // builds (t0 + the src0-subset t1) are ingest-time material; the
+        // query is joins + groupBy + TopKAgg over the cached tables. The
+        // round-6 bench timed the t1 BUILD inside the query (warmup only
+        // materialized t0) — this probe keeps the two costs visible.
+        graft.GraftExtensions.registerAll(spark)
+        time("build+materialize t0 graph") {
+          val g = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)
+          Seq(g.entities, g.entityRelations, g.facts).map(_.count()).sum
+        }
+        time("build+materialize t1 graph") {
+          val g = graft.queries.Tables.lexicalGraphClassifiedT1(spark, sfDir)
+          Seq(g.entities, g.entityRelations).map(_.count()).sum
+        }
+        for (rep <- 1 to 3)
+          time(s"tenantClassPaths query#$rep") {
+            graft.SparkEntry.queries("q_tenant_summary")(spark, sfDir).count()
+          }
+
+      case "setsimskew" =>
+        // Zipf-skew probe for the set-similarity prefix join (the 100 TB
+        // failure mode the AllPairs papers warn about): a deterministic
+        // harmonic corpus — doc i's element set is {k in 1..V : i % k == 0},
+        // so element k's doc frequency is exactly N/k (Zipf exponent 1,
+        // with a maximally hot head: element 1 is in EVERY doc). The pass
+        // criterion (measured numbers in Dedup.setSimilarityCandidates's
+        // doc): candidates a small stable fraction of the N²/2 space, and
+        // on the dup-heavy variant bounded by a small multiple of the TRUE
+        // output — not candidates ∝ hot-token df² (which is what an
+        // unordered prefix would produce).
+        // Two corpora per N: (a) the raw harmonic corpus, which is
+        // DUP-HEAVY by construction (every prime i > V has the identical
+        // set {1}) — here candidates should track the TRUE output size,
+        // not the N²/2 space; (b) the same sets salted with two per-doc
+        // unique elements, which kills the true near-dups — here the hot
+        // head tokens are pure false-candidate bait and the prefix order
+        // must keep candidates near zero.
+        val vocab = 256
+        for (nDocs <- Seq(4000, 8000, 16000);
+             (label, salt) <- Seq("dup-heavy" -> false, "salted" -> true)) {
+          val divisors = filter(sequence(lit(1L), lit(vocab.toLong)),
+            k => col("id") % k === 0)
+          val sets = if (salt)
+            concat(divisors, array(col("id") + 1000000L, col("id") + 2000000L))
+          else divisors
+          val toks = spark.range(1, nDocs + 1)
+            .select(col("id"), sets.as("toks"))
+            .repartition(32).localCheckpoint(true)
+          toks.count()
+          val brute = nDocs.toLong * (nDocs - 1) / 2
+          // all-token join size (what a prefix-less join would emit,
+          // pair multiplicity included): sum df*(df-1)/2 — cheap aggregate
+          val allTok = toks.select(explode(col("toks")).as("t"))
+            .groupBy("t").agg(count(lit(1)).as("df"))
+            .agg(sum(expr("df * (df - 1) DIV 2"))).head().getLong(0)
+          var cands = 0L
+          var real = 0L
+          time(s"prefix candidates $label N=$nDocs") {
+            cands = graft.ops.Dedup
+              .setSimilarityCandidates(toks, tau = 0.6).count()
+            cands
+          }
+          time(s"full setsim join $label N=$nDocs") {
+            real = graft.ops.Dedup
+              .setSimilarityJoinFrom(toks, tau = 0.6).count()
+            real
+          }
+          println(f"[profile]   $label%-9s N=$nDocs%6d brute=$brute%12d " +
+            f"allTokenJoin=$allTok%12d prefixCands=$cands%9d " +
+            f"(${cands * 100.0 / brute}%.4f%% of brute) truePairs=$real%9d")
+        }
+
       case "explain" =>
         // plan audit: dump formatted physical plans for selected queries
         val names = if (args.length > 2) args(2).split(",").toSeq
