@@ -18,12 +18,26 @@ import org.apache.spark.sql.functions._
  *
  *   MATCH pattern [, pattern ...]
  *   [OPTIONAL MATCH pattern [, pattern ...]] ...
- *   [WHERE (v.id = 'lit' | v.id <> 'lit' | v.id IN ['lit', ...]) [AND ...]]
+ *   [WHERE (v.id = 'lit' | v.id <> 'lit' | v.id IN ['lit', ...]
+ *           | v.id STARTS WITH 'lit') [AND ...]]
  *   RETURN [DISTINCT] (v.id [, v2.id ...] | count(*) | count(DISTINCT v.id)
  *                      | v.id [, v2.id ...], count(*))   -- grouped count
  *   [ORDER BY v.id [DESC] [, ...]] [LIMIT n]
  *
- *   pattern := (v[:label])(-[:type[*a..b]]->|<-[:type[*a..b]]-)(v2[:label]) ...
+ *   pattern := node(-[:type[*a..b]]->|<-[:type[*a..b]]-)node ...
+ *   node    := (v[:label][{id: 'lit'}])
+ *
+ * Property-map anchors — `(c:Chunk {id: 'x'})` — are the standard
+ * anchored form the reference's retrieval cypher uses (its
+ * chunk-based search anchors `(c{chunkId:$id})`), and what an LLM in
+ * the KGLinker loop emits by default; they compile to the same pushed
+ * equality a `WHERE c.id = 'x'` does (and, on an OPTIONAL MATCH
+ * pattern, apply INSIDE the part frame before the left join, like
+ * labels — where a global WHERE could not go). `id` is the only node
+ * property the triple store carries, so any other key parse-fails
+ * with feedback naming the offending property — the LLM's retry
+ * budget goes to semantics, not grammar. `STARTS WITH` mirrors the
+ * reference's entity-provider prefix fallback.
  *
  * Comma-separated patterns share variables (the standard Cypher
  * conjunctive form LLMs emit constantly, e.g. `MATCH (a)-[:x]->(b),
@@ -55,7 +69,9 @@ import org.apache.spark.sql.functions._
  */
 object CypherLite {
 
-  final case class NodePat(v: String, label: Option[String])
+  /** `idEq`: the `{id: 'lit'}` property-map anchor, when present. */
+  final case class NodePat(v: String, label: Option[String],
+                           idEq: Option[String] = None)
   /** rightward: (a)-[:t]->(b); else (a)<-[:t]-(b). minHops/maxHops carry
     * the `*a..b` var-length form (1/1 for a plain edge; the reference's
     * `[:PREVIOUS*0..1]` shape); bounded to `MaxVarHops` so a pattern can
@@ -77,10 +93,15 @@ object CypherLite {
                          countDistinctVar: Option[String] = None,
                          groupCount: Boolean = false)
 
-  private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?\)""".r
+  private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\{\s*([^}]*?)\s*\}\s*)?\)""".r
+  /** The one property-map form the store can answer: {id: 'literal'}. */
+  private val PropMapRe = """(?s)id\s*:\s*'([^']*)'""".r
+  private val PropKeyRe = """([A-Za-z_][A-Za-z0-9_]*)\s*:""".r
   private val RightRe = """-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*->""".r
   private val LeftRe = """<-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*-""".r
   private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.id\s*(=|<>)\s*'([^']*)'""".r
+  private val CondStartsRe =
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+STARTS\s+WITH\s+'([^']*)'""".r
   private val CondInRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+IN\s+[\[(]\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*[\])]""".r
   private val StrLitRe = """'([^']*)'""".r
   private val RetRe = """([A-Za-z_][A-Za-z0-9_]*)\.id""".r
@@ -98,10 +119,33 @@ object CypherLite {
         case Some(m) => rest = rest.trim.substring(m.end); Some(m)
         case None => None
       }
+    // `{...}` content → the id anchor, or a loud Left NAMING the bad
+    // property: an LLM retrying grammar burns its budget; one that reads
+    // "unsupported property 'chunkId'" can rewrite to the store's schema
+    def props(v: String, raw: String): Either[String, Option[String]] =
+      Option(raw).map(_.trim).filter(_.nonEmpty) match {
+        case None => Right(None)
+        case Some(content) =>
+          PropMapRe.findPrefixMatchOf(content) match {
+            case Some(m) if m.end == content.length => Right(Some(m.group(1)))
+            case _ =>
+              val badKey = PropKeyRe.findAllMatchIn(content)
+                .map(_.group(1)).find(_ != "id")
+              Left(badKey match {
+                case Some(k) => s"unsupported property '$k' on variable " +
+                  s"'$v' — nodes carry only 'id'; use {id: '...'}"
+                case None => s"bad property map on variable '$v' — " +
+                  "only {id: 'literal'} anchors are supported"
+              })
+          }
+      }
+    def node(m: scala.util.matching.Regex.Match): Either[String, NodePat] =
+      props(m.group(1), m.group(3))
+        .map(idEq => NodePat(m.group(1), Option(m.group(2)), idEq))
     val first = eat(NodeRe).getOrElse(
       return Left(s"expected (var[:label]) at '${rest.take(30)}'"))
     val nodes = scala.collection.mutable.ArrayBuffer(
-      NodePat(first.group(1), Option(first.group(2))))
+      node(first).fold(err => return Left(err), identity))
     val edges = scala.collection.mutable.ArrayBuffer.empty[EdgePat]
     while (rest.trim.nonEmpty) {
       def mk(m: scala.util.matching.Regex.Match, right: Boolean): Either[String, EdgePat] = {
@@ -120,7 +164,7 @@ object CypherLite {
       val n = eat(NodeRe).getOrElse(
         return Left(s"expected (var[:label]) at '${rest.take(30)}'"))
       edges += e
-      nodes += NodePat(n.group(1), Option(n.group(2)))
+      nodes += node(n).fold(err => return Left(err), identity)
     }
     if (nodes.map(_.v).distinct.size != nodes.size)
       Left("repeated pattern variables within one pattern are not supported")
@@ -232,6 +276,7 @@ object CypherLite {
         val ps = w.split("(?i)\\sAND\\s").map(_.trim)
         ps.toSeq.map {
           case CondRe(v, op, value) => Cond(v, op, Seq(value))
+          case CondStartsRe(v, prefix) => Cond(v, "STARTS_WITH", Seq(prefix))
           case CondInRe(v, items) =>
             Cond(v, "IN", StrLitRe.findAllMatchIn(items).map(_.group(1)).toSeq)
           case other => return Left(s"unsupported WHERE term '$other'")
@@ -361,18 +406,21 @@ object CypherLite {
       df = df.join(f, shared)
       bound ++= p.nodes.map(_.v)
     }
-    // label filters once over the joined frame; a variable labelled in
-    // several parts gets the conjunction (standard Cypher semantics)
-    def labelFilter(n: NodePat): Option[Column] =
-      n.label.map(l => col(n.v).startsWith(l + ":"))
-    q.parts.flatMap(_.nodes).flatMap(labelFilter)
+    // label + property-map filters once over the joined frame; a variable
+    // labelled/anchored in several parts gets the conjunction (standard
+    // Cypher semantics). The id anchors become pushed equalities — same
+    // plan as the equivalent WHERE.
+    def nodeFilters(n: NodePat): Seq[Column] =
+      n.label.map(l => col(n.v).startsWith(l + ":")).toSeq ++
+        n.idEq.map(v => col(n.v) === v)
+    q.parts.flatMap(_.nodes).flatMap(nodeFilters)
       .foreach(f => df = df.filter(f))
-    // OPTIONAL parts: label filters INSIDE the part frame (pre-join —
-    // Cypher's "pattern must match its own labels, else null"), then a
-    // LEFT OUTER attach on the mandatory anchor variables
+    // OPTIONAL parts: label/anchor filters INSIDE the part frame (pre-join
+    // — Cypher's "pattern must match its own labels and property maps,
+    // else null"), then a LEFT OUTER attach on the mandatory anchors
     q.optParts.foreach { p =>
       var f = compileChain(edgeFrame, p)
-      p.nodes.flatMap(labelFilter).foreach(c => f = f.filter(c))
+      p.nodes.flatMap(nodeFilters).foreach(c => f = f.filter(c))
       val shared = p.nodes.map(_.v).filter(bound.contains)
       df = df.join(f, shared, "left")
       bound ++= p.nodes.map(_.v)
@@ -382,6 +430,7 @@ object CypherLite {
         case "=" => col(c.v) === c.values.head
         case "<>" => col(c.v) =!= c.values.head
         case "IN" => col(c.v).isin(c.values: _*)
+        case "STARTS_WITH" => col(c.v).startsWith(c.values.head)
       })
     }
     var out =

@@ -160,6 +160,32 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // §2.13 property-map anchors: `(c:c {id: 'c:0'})` — the anchored form
+    // the reference's retrieval cypher uses (chunk_based_search.py:88-102
+    // anchors `(c{chunkId:$id})`) and the default shape an LLM emits in
+    // the KGLinker loop. The mandatory anchor compiles to the same pushed
+    // equality as WHERE; the OPTIONAL pattern's anchor applies INSIDE the
+    // part frame before the left join (where a global WHERE could not go
+    // without null-killing the outer join).
+    "q_cypher_propmap" -> ((s, dir) => {
+      val q = "MATCH (c:c {id: 'c:0'})-[:placed]->(o:o) " +
+        "OPTIONAL MATCH (o)-[:contains]->(p {id: 'p:1'}) " +
+        "RETURN DISTINCT c.id, o.id, p.id ORDER BY c.id, o.id, p.id"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
+    // §2.13 STARTS WITH: the reference entity provider's prefix fallback
+    // (entity_provider.py:30-110) through the compiler — a sargable
+    // prefix predicate on the binding frame.
+    "q_cypher_startswith" -> ((s, dir) => {
+      val q = "MATCH (n)-[:supplied_by]->(sup:s) " +
+        "WHERE n.id STARTS WITH 'p:1' " +
+        "RETURN DISTINCT n.id, sup.id ORDER BY n.id, sup.id"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -473,6 +499,30 @@ object GraphQueries {
          |  WHERE label = 'placed' AND dst LIKE 'o:%') e
          |  ON e.src = a.node
          |ORDER BY n, o NULLS FIRST""".stripMargin,
+
+    // Property-map replay: the mandatory {id} anchor is a pushed src
+    // equality; the OPTIONAL pattern's {id} anchor sits INSIDE the left
+    // join's right side (pre-join, like its label filter).
+    "q_cypher_propmap" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |anch AS (
+         |  SELECT src, dst FROM edges0
+         |  WHERE label = 'placed' AND src = 'c:0' AND dst LIKE 'o:%')
+         |SELECT DISTINCT a.src AS c, a.dst AS o, e.dst AS p
+         |FROM anch a LEFT JOIN (
+         |  SELECT src, dst FROM edges0
+         |  WHERE label = 'contains' AND dst = 'p:1') e
+         |  ON e.src = a.dst
+         |ORDER BY c, o, p NULLS FIRST""".stripMargin,
+
+    // STARTS WITH replay: a sargable LIKE 'p:1%' prefix predicate over
+    // the typed equi-join's binding frame.
+    "q_cypher_startswith" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT DISTINCT e1.src AS n, e1.dst AS sup
+         |FROM (SELECT src, dst FROM edges0 WHERE label = 'supplied_by') e1
+         |WHERE e1.src LIKE 'p:1%' AND e1.dst LIKE 's:%'
+         |ORDER BY n, sup""".stripMargin,
 
     // Walk replay: same rank-ordered neighbor lists, same 60-bit md5 step
     // hash, same modulo pick — three unrolled step CTEs.

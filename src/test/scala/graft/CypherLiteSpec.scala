@@ -237,4 +237,53 @@ class CypherLiteSpec extends SparkSpec {
     assert(r.retrieve("DELETE everything").head
       .startsWith("Error executing query:"))
   }
+
+  test("property-map anchor {id: '...'} compiles like the WHERE equality") {
+    val q = "MATCH (c:c {id: 'c:1'})-[:placed]->(o:o) RETURN c.id, o.id"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("c:1", "o:10"), ("c:1", "o:11")))
+    // anchor + WHERE conjoin; label-less anchored node works too
+    val both = CypherLite.run(edges,
+      "MATCH (c {id: 'c:1'})-[:placed]->(o) WHERE o.id <> 'o:10' " +
+        "RETURN c.id, o.id").toOption.get
+      .as[(String, String)].collect().toSet
+    assert(both == Set(("c:1", "o:11")))
+  }
+
+  test("property-map anchor on an OPTIONAL pattern applies pre-join " +
+    "(rows survive with null instead of vanishing)") {
+    val q = "MATCH (c:c) OPTIONAL MATCH (c)-[:placed]->(o {id: 'o:10'}) " +
+      "RETURN DISTINCT c.id, o.id ORDER BY c.id, o.id"
+    val out = CypherLite.run(edges, q).toOption.get
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out == Set(("c:1", Some("o:10")), ("c:2", None)))
+  }
+
+  test("unsupported property keys are a loud Left NAMING the property") {
+    val bad = CypherLite.run(edges,
+      "MATCH (c:Chunk {chunkId: 'x'})-[:placed]->(o) RETURN o.id")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("chunkId"),
+      bad.toString)
+    // malformed map content is loud too
+    assert(CypherLite.run(edges,
+      "MATCH (c {id: unquoted}) RETURN c.id").isLeft)
+    // two pairs (even both id) are not the supported single-anchor form
+    assert(CypherLite.run(edges,
+      "MATCH (c {id: 'a', id: 'b'}) RETURN c.id").isLeft)
+  }
+
+  test("WHERE v.id STARTS WITH compiles to a prefix predicate") {
+    val q = "MATCH (n)-[:contains]->(p) WHERE n.id STARTS WITH 'o:1' " +
+      "RETURN DISTINCT n.id, p.id ORDER BY n.id, p.id"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq(("o:10", "p:7"), ("o:11", "p:7"), ("o:12", "p:8")))
+    // case-insensitive keyword, conjoined with another term
+    val mix = CypherLite.run(edges,
+      "MATCH (n)-[:contains]->(p) WHERE n.id starts with 'o:1' " +
+        "AND p.id = 'p:8' RETURN n.id, p.id").toOption.get
+      .as[(String, String)].collect().toSet
+    assert(mix == Set(("o:12", "p:8")))
+  }
 }
