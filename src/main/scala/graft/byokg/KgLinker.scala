@@ -177,3 +177,42 @@ final class TokenOverlapReranker extends Reranker {
       .limit(topk)
   }
 }
+
+/**
+ * Embedding-interaction reranker — the BGE-shaped scorer the token-overlap
+ * stand-in can't be: it ranks by QUERY-DOCUMENT EMBEDDING INTERACTION, not
+ * lexical overlap, so paraphrases that share no token still score (the
+ * cross-encoder contract of the reference's bge_reranker.py:1-217 and
+ * byokg graph_reranker.py:32-133, with the model forward pass replaced by
+ * a deterministic bilinear form over the SAME stored embeddings the
+ * vector indexes already carry).
+ *
+ * Score: cosine(W·q, t) with W = I + λ·R (R = circular index shift) — a
+ * true bilinear interaction qᵀWᵀt (cross-dimension terms, not plain
+ * cosine), which collapses to ONE precomputed query-side vector
+ * w_j = q_j + λ·q_{(j+1) mod d}: the per-row work is a single codegen'd
+ * cosine against a driver-built literal, so reranking any candidate set
+ * is one narrow pass + a bounded TakeOrderedAndProject, embarrassingly
+ * parallel at any scale. Candidate embeddings come from `embCol` when the
+ * frame already carries them (the stored-statement-embedding path —
+ * at scale ALWAYS prefer this: the store computed them at ingest) or are
+ * hash-projected from the text on the fly (the hermetic test path, exact
+ * twin of the graph builder's embedding stand-in).
+ */
+final class EmbeddingInteractionReranker(
+    dim: Int = 64, shiftWeight: Double = 0.5,
+    embCol: Option[String] = None) extends Reranker {
+  override def rerankTopK(query: String, input: DataFrame, textCol: String,
+                          topk: Int, orderCol: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(input.sparkSession)
+    val qe = new graft.llm.HashEmbedder(dim).embed(query)
+    // qᵀWᵀt with W = I + λR folds into the query side: w_j = q_j + λ·q_{j+1}
+    val w = Array.tabulate(dim)(j => qe(j) + shiftWeight * qe((j + 1) % dim))
+    val t = embCol.map(col).getOrElse(
+      graft.functions.VectorFunctions.hashEmbedding(col(textCol), dim))
+    input.withColumn("rerank_score",
+        graft.functions.CosineSimilarity.cosineToQuery(t, w.toSeq))
+      .orderBy(desc("rerank_score"), col(orderCol))
+      .limit(topk)
+  }
+}

@@ -233,6 +233,30 @@ object ProcessorQueries {
         .orderBy(desc("score"), col("statement_id"))
     }),
 
+    // §2.11 cross-encoder-shaped reranking through the Reranker seam: the
+    // embedding-interaction scorer (bilinear qᵀWᵀt over hash-projection
+    // embeddings, byokg.EmbeddingInteractionReranker) ranks by embedding
+    // geometry, not token overlap — the BGE contract (bge_reranker.py)
+    // with the model forward pass replaced by a deterministic interaction
+    // both engines replay exactly: 16-dim md5 embeddings, w = q + 0.5·rot(q),
+    // one codegen'd cosine per row, TakeOrderedAndProject top-25.
+    "q_rerank_crossenc" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .select(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * 100).cast("long"),
+            (col("l_quantity") * 100).cast("long"),
+            col("l_shipdate").cast("string"))).as("statement_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate").cast("string")).as("statement"))
+      new graft.byokg.EmbeddingInteractionReranker(dim = 16)
+        .rerankTopK("return flagged shipments 1994", base, "statement",
+          topk = 25, orderCol = "statement_id")
+        .select(col("statement_id"), col("statement"),
+          round(col("rerank_score"), 6).as("rerank_score"))
+        .orderBy(desc("rerank_score"), col("statement_id"))
+    }),
+
     // §2.6 RerankTopics: per-topic documents (name + score-desc statement
     // text, 4000-char cap) tfidf-scored against the query, top-5 topics
     // kept, topic relevance propagated onto zero-scored statements
@@ -501,6 +525,36 @@ object ProcessorQueries {
         |    (len(t) + len(q) - len(list_intersect(t, q))), 4) AS score
         |FROM toks
         |ORDER BY score DESC, statement_id""".stripMargin,
+
+    "q_rerank_crossenc" -> {
+      // the 16-dim hash-projection embedding of expression e, as DuckDB
+      // (exact replay of VectorFunctions.hashEmbedding / HashEmbedder)
+      def embSql(e: String) =
+        s"""list_transform(range(0,16), i ->
+           |  (CAST(CAST('0x'||substr(md5(i||'#'||$e),1,15) AS BIGINT) AS DOUBLE)
+           |   / 1.152921504606847e18) * 2.0 - 1.0)""".stripMargin
+      def dotSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1,17), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+      s"""WITH qv AS (SELECT ${embSql("'return flagged shipments 1994'")} AS q),
+         |wv AS (SELECT list_transform(range(0,16),
+         |    j -> q[j+1] + 0.5*q[((j+1)%16)+1]) AS w FROM qv),
+         |base AS (
+         |  SELECT md5(l_orderkey||'-'||l_linenumber||'-'||l_partkey||'-'||l_suppkey||'-'||
+         |      CAST(trunc(l_extendedprice*100) AS BIGINT)||'-'||
+         |      CAST(trunc(l_quantity*100) AS BIGINT)||'-'||
+         |      CAST(l_shipdate AS VARCHAR)) AS statement_id,
+         |    l_returnflag||' '||l_linestatus||' '||CAST(l_shipdate AS VARCHAR) AS statement
+         |  FROM lineitem WHERE l_orderkey < 500),
+         |emb AS (SELECT *, ${embSql("statement")} AS tv FROM base),
+         |scored AS (
+         |  SELECT statement_id, statement,
+         |    ${dotSql("tv", "w")} /
+         |      (sqrt(${dotSql("tv", "tv")}) * sqrt(${dotSql("w", "w")})) AS score
+         |  FROM emb, wv
+         |  ORDER BY score DESC, statement_id LIMIT 25)
+         |SELECT statement_id, statement, round(score, 6) AS rerank_score
+         |FROM scored ORDER BY rerank_score DESC, statement_id""".stripMargin
+    },
 
     "q_rerank_topics" -> {
       val norm = TextQueries.normSql("doc")

@@ -263,4 +263,36 @@ class ByokgEngineSpec extends SparkSpec {
     val hop = graft.byokg.Traversal.oneHop(e, Seq("a").toDF("node"))
     assert(hop.select("dst").as[String].collect().toSeq == Seq("b"))
   }
+
+  test("EmbeddingInteractionReranker ranks by embedding geometry through " +
+    "the stored-embedding column") {
+    import graft.byokg.EmbeddingInteractionReranker
+    // dim=4; the scorer's effective query vector is w_j = q_j + 0.5·q_{j+1}
+    // (cyclic). Candidates with embeddings aligned to w must outrank
+    // orthogonal and anti-aligned ones REGARDLESS of their text — the
+    // ranking the token-overlap stand-in cannot produce.
+    val q = new graft.llm.HashEmbedder(4).embed("the query")
+    val w = Array.tabulate(4)(j => q(j) + 0.5 * q((j + 1) % 4))
+    val orth = Array(-w(1), w(0), -w(3), w(2)) // ⟂ w by construction
+    val rows = Seq(
+      ("aligned", w.map(_ * 2.0).toSeq),   // cos = 1 (scale-invariant)
+      ("anti", w.map(-_).toSeq),           // cos = -1
+      ("ortho", orth.toSeq))               // cos = 0
+      .toDF("statement_id", "emb").withColumn("statement", lit("same text"))
+    val rr = new EmbeddingInteractionReranker(dim = 4, embCol = Some("emb"))
+    val out = rr.rerankTopK("the query", rows, "statement",
+        topk = 3, orderCol = "statement_id")
+      .select("statement_id").as[String].collect().toSeq
+    assert(out == Seq("aligned", "ortho", "anti"))
+    // top-k truncation keeps the highest scores
+    val top1 = rr.rerankTopK("the query", rows, "statement", 1, "statement_id")
+    assert(top1.select("statement_id").as[String].collect().toSeq ==
+      Seq("aligned"))
+    // identical texts tie exactly on the text-derived path; order falls
+    // back to orderCol (the stable-argsort contract)
+    val tie = new EmbeddingInteractionReranker(dim = 4)
+      .rerankTopK("the query", rows, "statement", 3, "statement_id")
+      .select("statement_id").as[String].collect().toSeq
+    assert(tie == Seq("aligned", "anti", "ortho"))
+  }
 }
