@@ -121,6 +121,95 @@ object Readers {
     web(spark, titles.map(t =>
       s"https://$lang.wikipedia.org/wiki/${t.replace(' ', '_')}"), fetch)
 
+  /** Wikipedia API reader — the payload-parsing path of the wikipedia
+    * provider: instead of scraping article HTML, fetch the REST summary
+    * endpoint and parse the recorded JSON payload (title / extract /
+    * description) into the document contract. The fetch is the same
+    * injected seam as [[web]]; the JSON parse is pure column work
+    * (get_json_object), so replayed fixtures exercise the exact
+    * distributed path production runs. Pages the API can't resolve
+    * (payload without an `extract`) are dropped — the reference provider
+    * likewise skips unfetchable titles. */
+  def wikipediaApi(spark: SparkSession, titles: Seq[String],
+                   lang: String = "en",
+                   fetch: String => String = defaultFetch): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val urls = titles.map(t =>
+      s"https://$lang.wikipedia.org/api/rest_v1/page/summary/${t.replace(' ', '_')}")
+    spark.createDataFrame(urls.map(Tuple1(_))).toDF("url")
+      .select(col("url").cast("string")).as[String](Encoders.STRING)
+      .mapPartitions(it => it.map(u => (u, fetch(u))))(
+        Encoders.product[(String, String)])
+      .toDF("url", "json")
+      .select(
+        get_json_object(col("json"), "$.title").as("doc_id"),
+        get_json_object(col("json"), "$.extract").as("text"),
+        map(
+          lit("url"), col("url"),
+          lit("lang"), lit(lang),
+          lit("description"),
+          get_json_object(col("json"), "$.description")).as("metadata"))
+      .filter(col("text").isNotNull)
+  }
+
+  /** GitHub contents-API reader — the payload-parsing path of the github
+    * provider: the API returns file metadata plus BASE64 content (wrapped
+    * with newlines every 60 chars, per the API contract); the decode is
+    * pure column work (strip whitespace → unbase64 → utf8), so replayed
+    * fixtures drive the identical distributed decode production runs.
+    * Returns (doc_id = repo-relative path, text, metadata{url, sha}). */
+  def githubApi(spark: SparkSession, owner: String, repo: String, ref: String,
+                paths: Seq[String],
+                fetch: String => String = defaultFetch): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val urls = paths.map(p =>
+      s"https://api.github.com/repos/$owner/$repo/contents/$p?ref=$ref")
+    spark.createDataFrame(urls.map(Tuple1(_))).toDF("url")
+      .select(col("url").cast("string")).as[String](Encoders.STRING)
+      .mapPartitions(it => it.map(u => (u, fetch(u))))(
+        Encoders.product[(String, String)])
+      .toDF("url", "json")
+      .select(
+        get_json_object(col("json"), "$.path").as("doc_id"),
+        // the API contract: "encoding":"base64", content chunked by \n
+        when(get_json_object(col("json"), "$.encoding") === "base64",
+          unbase64(regexp_replace(
+            get_json_object(col("json"), "$.content"), "\\s", ""))
+            .cast("string"))
+          .otherwise(get_json_object(col("json"), "$.content")).as("text"),
+        map(lit("url"), col("url"),
+          lit("sha"), get_json_object(col("json"), "$.sha")).as("metadata"))
+      .filter(col("doc_id").isNotNull)
+  }
+
+  /** YouTube transcript-API reader — the payload-parsing path of the
+    * youtube provider: the transcript API returns a JSON ARRAY of timed
+    * segments `[{"text","start","duration"}, ...]`; the reader joins the
+    * segments in start order into one transcript per video (the
+    * reference's transcript assembly), all as column work (from_json +
+    * array_sort + transform). */
+  def youtubeSegments(spark: SparkSession, videoIds: Seq[String],
+                      fetch: String => String = defaultFetch): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val segSchema = "array<struct<text:string,start:double,duration:double>>"
+    spark.createDataFrame(videoIds.map(Tuple1(_))).toDF("video_id")
+      .select(col("video_id").cast("string")).as[String](Encoders.STRING)
+      .mapPartitions(it => it.map(v => (v, fetch(v))))(
+        Encoders.product[(String, String)])
+      .toDF("doc_id", "json")
+      .select(col("doc_id"),
+        from_json(col("json"), lit(segSchema)).as("segs"))
+      .filter(col("segs").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", transform(
+          array_sort(col("segs"), (a, b) =>
+            when(a.getField("start") < b.getField("start"), -1)
+              .when(a.getField("start") > b.getField("start"), 1)
+              .otherwise(0)),
+          s => s.getField("text"))).as("text"),
+        size(col("segs")).as("n_segments"))
+  }
+
   /** GitHub reader (github_reader_provider.py): repo file paths → raw
     * content URLs → fetch seam. Returns (doc_id=url, text=raw content) —
     * raw files are not HTML, so no tag strip. */

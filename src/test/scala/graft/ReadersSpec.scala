@@ -104,6 +104,81 @@ class ReadersSpec extends SparkSpec {
     assert(yt.as[(String, String)].head() == (("abc123", "transcript of abc123")))
   }
 
+  /** Committed recorded payload → string (fixtures are tiny; the fetch
+    * seam closures capture the payload string, not the classloader). */
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    assert(in != null, s"missing test fixture $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("web reader replays a recorded HTML page into clean text") {
+    val html = fixture("page.html")
+    val out = Readers.web(spark, Seq("https://example.test/docs"),
+      fetch = _ => html)
+    val (id, text) = out.as[(String, String)].head()
+    assert(id == "https://example.test/docs")
+    // scripts/styles/tags gone, entities decoded, whitespace collapsed
+    assert(text.contains("Joins & Aggregations"))
+    assert(text.contains("Use broadcast() for dimensions < 10 MB."))
+    assert(text.contains("Shuffle partitions should match cluster cores."))
+    // script bodies and markup are gone (the decoded literal '<' from
+    // &lt; is CONTENT and stays — decode runs after tag removal)
+    assert(!text.contains("should never appear"))
+    assert(!text.contains("<p>") && !text.contains("<script") &&
+      !text.contains("</"))
+  }
+
+  test("wikipediaApi parses the recorded REST summary payload; unresolved " +
+    "titles drop") {
+    val ok = fixture("wiki_summary_apache_spark.json")
+    val miss = fixture("wiki_summary_missing.json")
+    val out = Readers.wikipediaApi(spark,
+      Seq("Apache Spark", "No Such Page Zzz"),
+      fetch = u => if (u.endsWith("Apache_Spark")) ok else miss)
+    val rows = out.collect()
+    assert(rows.length == 1) // the not-found payload has no extract → drop
+    val r = rows.head
+    assert(r.getAs[String]("doc_id") == "Apache Spark")
+    assert(r.getAs[String]("text").startsWith(
+      "Apache Spark is an open-source unified analytics engine"))
+    val meta = r.getAs[Map[String, String]]("metadata")
+    assert(meta("lang") == "en")
+    assert(meta("description").contains("cluster computing"))
+    assert(meta("url") ==
+      "https://en.wikipedia.org/api/rest_v1/page/summary/Apache_Spark")
+  }
+
+  test("githubApi decodes the recorded contents-API base64 payload") {
+    val payload = fixture("github_contents_readme.json")
+    val out = Readers.githubApi(spark, "acme", "demo-project", "main",
+      Seq("README.md"), fetch = _ => payload)
+    val r = out.collect().head
+    assert(r.getAs[String]("doc_id") == "README.md")
+    val text = r.getAs[String]("text")
+    assert(text.startsWith("# demo-project"))
+    assert(text.contains("Run `make build` and read docs/guide.md"))
+    assert(r.getAs[Map[String, String]]("metadata")("sha")
+      .startsWith("4a1b2c3d"))
+  }
+
+  test("youtubeSegments joins the recorded transcript segments in start " +
+    "order") {
+    val payload = fixture("youtube_transcript.json")
+    val out = Readers.youtubeSegments(spark, Seq("vid42"),
+      fetch = _ => payload)
+    val r = out.collect().head
+    assert(r.getAs[String]("doc_id") == "vid42")
+    assert(r.getAs[String]("text") ==
+      "welcome to the talk today we cover distributed joins " +
+        "thanks for watching")
+    assert(r.getAs[Int]("n_segments") == 3)
+    // a malformed payload drops instead of exploding
+    val bad = Readers.youtubeSegments(spark, Seq("vid43"),
+      fetch = _ => "not json at all")
+    assert(bad.count() == 0)
+  }
+
   test("FileSystemTap tees frames to parquet and passes them through") {
     val dir = Files.createTempDirectory("tap").toString
     val tap = new graft.sources.FileSystemTap(dir, "run1")
