@@ -104,10 +104,14 @@ object CypherLite {
     """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+STARTS\s+WITH\s+'([^']*)'""".r
   private val CondInRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+IN\s+[\[(]\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*[\])]""".r
   private val StrLitRe = """'([^']*)'""".r
-  private val RetRe = """([A-Za-z_][A-Za-z0-9_]*)\.id""".r
-  private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id(?:\s+(ASC|DESC))?""".r
+  // `v.id` and bare `v` are both accepted everywhere a value is referenced
+  // (RETURN / ORDER BY / count(DISTINCT ...)): nodes carry exactly one
+  // value, LLMs emit the bare form constantly, and rejecting it would burn
+  // the query loop's retry budget on grammar
+  private val RetRe = """([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?""".r
+  private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?(?:\s+(ASC|DESC))?""".r
   private val CountDistinctRe =
-    """(?i)count\s*\(\s*DISTINCT\s+([A-Za-z_][A-Za-z0-9_]*)\.id\s*\)""".r
+    """(?i)count\s*\(\s*DISTINCT\s+([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?\s*\)""".r
 
   /** One linear chain: node (edge node)*. Variables may not repeat
     * WITHIN a chain (no cycle patterns); repeats ACROSS parts are the

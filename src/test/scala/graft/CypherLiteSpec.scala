@@ -286,4 +286,23 @@ class CypherLiteSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(mix == Set(("o:12", "p:8")))
   }
+
+  test("bare-variable RETURN/ORDER BY/count(DISTINCT v) parse like .id " +
+    "(the form LLMs emit constantly)") {
+    val bare = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WHERE c.id = 'c:1' " +
+        "RETURN c, o ORDER BY o DESC").toOption.get
+      .as[(String, String)].collect().toSeq
+    assert(bare == Seq(("c:1", "o:11"), ("c:1", "o:10")))
+    val cd = CypherLite.run(edges,
+      "MATCH (o)-[:contains]->(p) RETURN count(DISTINCT p)").toOption.get
+      .as[Long].head()
+    assert(cd == 2L)
+    val grouped = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) RETURN c, count(*) ORDER BY c")
+      .toOption.get.as[(String, Long)].collect().toSeq
+    assert(grouped == Seq(("c:1", 2L), ("c:2", 1L)))
+    // non-.id properties still refuse loudly
+    assert(CypherLite.run(edges, "MATCH (c) RETURN c.name").isLeft)
+  }
 }
