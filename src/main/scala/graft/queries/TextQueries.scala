@@ -334,6 +334,49 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: C4 line-level cleaning (Raffel et al. 2020 §2.2) over
+    // multi-line pages synthesized from lineitem — one page per order,
+    // lines ordered by linenumber, with deterministic rule triggers:
+    // linenumber 3 carries a "javascript" phrase (line-blocked), quantity
+    // ≤ 2 yields a 2-word line (too short), returnflag R drops the
+    // terminal period, and orderkey % 131 == 0 injects a "lorem ipsum"
+    // lead line (page-blocked). Pure in-row cleaning after one groupBy.
+    "q_c4_clean" -> ((s, dir) => {
+      val lines = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_linenumber") === 3,
+            concat(lit("please enable javascript to view item "),
+              col("l_partkey"), lit(".")))
+          .when(col("l_quantity") <= 2,
+            concat(lit("part "), col("l_partkey"), lit(".")))
+          .otherwise(concat(lit("qty "), col("l_quantity").cast("long"),
+            lit(" of part "), col("l_partkey"), lit(" shipped on "),
+            col("l_shipdate").cast("string"),
+            when(col("l_returnflag") === "R", lit(""))
+              .otherwise(lit(".")))).as("line"))
+      val pages = lines.groupBy(col("l_orderkey"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("l_linenumber").as("ln"),
+            col("line")))), x => x.getField("line")), "\n").as("body"))
+        .select(col("l_orderkey").as("doc_id"),
+          when(col("l_orderkey") % 131 === 0,
+            concat(lit("lorem ipsum dolor sit amet consectetur.\n"),
+              col("body"))).otherwise(col("body")).as("page"))
+      graft.ops.CorpusCleaning.c4LineClean(pages, "page", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: the Gopher document-quality rule battery (Rae et al. 2021
+    // Table A1) straight over the documents corpus — per-rule booleans +
+    // exact micro-unit stats, all in-row (no shuffle). Word-count,
+    // mean-word-length, and stopword rules discriminate on this corpus;
+    // the line/symbol rules exercise their exact-integer gates.
+    "q_gopher_rules" -> ((s, dir) => {
+      graft.ops.CorpusCleaning.gopherRules(
+          t(s, dir, "documents"), "text", "doc_id", minWords = 40)
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: fasttext-style quality-classifier seam — deterministic
     // hash-weight linear scorer, exact integer accumulation.
     "q_quality_classifier" -> ((s, dir) => {
@@ -1207,6 +1250,92 @@ object TextQueries {
          |  ((SUM(cnt)-COUNT(*))*1000000 > 300000*SUM(cnt)
          |    OR MAX(cnt)*1000000 > 200000*SUM(cnt)) AS repetitive
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_c4_clean" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_linenumber = 3
+        |      THEN 'please enable javascript to view item '||l_partkey||'.'
+        |    WHEN l_quantity <= 2 THEN 'part '||l_partkey||'.'
+        |    ELSE 'qty '||CAST(trunc(l_quantity) AS BIGINT)||' of part '||
+        |      l_partkey||' shipped on '||CAST(l_shipdate AS VARCHAR)||
+        |      (CASE WHEN l_returnflag = 'R' THEN '' ELSE '.' END)
+        |    END AS line
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |pages0 AS (
+        |  SELECT l_orderkey AS doc_id,
+        |    string_agg(line, chr(10) ORDER BY l_linenumber, line) AS body
+        |  FROM lines GROUP BY 1),
+        |pages AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 131 = 0
+        |    THEN 'lorem ipsum dolor sit amet consectetur.'||chr(10)||body
+        |    ELSE body END AS page FROM pages0),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    len(string_split(page, chr(10))) AS n_lines,
+        |    list_filter(string_split(page, chr(10)), l ->
+        |      len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 5
+        |      AND substr(l, length(l), 1) IN ('.', '!', '?', '"')
+        |      AND NOT contains(lower(l), 'javascript')) AS kl,
+        |    NOT contains(lower(page), 'lorem ipsum')
+        |      AND NOT contains(lower(page), '{') AS page_ok
+        |  FROM pages)
+        |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+        |  CAST(len(kl) AS INT) AS n_lines_kept,
+        |  coalesce(array_to_string(kl, chr(10)), '') AS text_clean,
+        |  (page_ok AND len(kl) >= 3) AS kept
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS wc,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS total_chars,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS sym,
+        |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+        |      OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(lines, l -> length(l) > 0)) AS BIGINT) AS nel,
+        |    CAST(len(list_distinct(list_filter(lines, l -> length(l) > 0))) AS BIGINT) AS dl,
+        |    CAST(coalesce(list_sum(list_transform(list_filter(lines, l -> length(l) > 0),
+        |      x -> length(x))), 0) AS BIGINT) AS line_chars,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(list_filter(lines,
+        |      l -> length(l) > 0)), x -> length(x))), 0) AS BIGINT) AS distinct_chars
+        |  FROM base)
+        |SELECT doc_id, wc AS word_count, n_lines,
+        |  CASE WHEN wc > 0 THEN CAST((1000000*total_chars) // wc AS BIGINT) END AS mean_word_len_e6,
+        |  CASE WHEN wc > 0 THEN CAST((1000000*sym) // wc AS BIGINT) END AS symbol_ratio_e6,
+        |  CASE WHEN n_lines > 0 THEN CAST((1000000*bullet_lines) // n_lines AS BIGINT) END AS bullet_line_e6,
+        |  CASE WHEN n_lines > 0 THEN CAST((1000000*ellipsis_lines) // n_lines AS BIGINT) END AS ellipsis_line_e6,
+        |  CASE WHEN wc > 0 THEN CAST((1000000*alpha_words) // wc AS BIGINT) END AS alpha_word_e6,
+        |  stop_hits,
+        |  CASE WHEN nel > 0 THEN CAST((1000000*(nel - dl)) // nel AS BIGINT) END AS dup_line_e6,
+        |  CASE WHEN line_chars > 0 THEN CAST((1000000*(line_chars - distinct_chars)) // line_chars AS BIGINT) END AS dup_line_char_e6,
+        |  (wc BETWEEN 40 AND 100000) AS r_word_count,
+        |  (total_chars >= 3*wc AND total_chars <= 10*wc) AS r_mean_word_len,
+        |  (10*sym <= wc) AS r_symbol_ratio,
+        |  (10*bullet_lines <= n_lines) AS r_bullet_lines,
+        |  (10*ellipsis_lines < 3*n_lines) AS r_ellipsis_lines,
+        |  (10*alpha_words >= 8*wc) AS r_alpha_words,
+        |  (stop_hits >= 2) AS r_stopwords,
+        |  (10*(nel - dl) <= 3*nel) AS r_dup_lines,
+        |  (5*(line_chars - distinct_chars) <= line_chars) AS r_dup_line_chars,
+        |  ((wc BETWEEN 40 AND 100000) AND (total_chars >= 3*wc AND total_chars <= 10*wc)
+        |   AND (10*sym <= wc) AND (10*bullet_lines <= n_lines)
+        |   AND (10*ellipsis_lines < 3*n_lines) AND (10*alpha_words >= 8*wc)
+        |   AND (stop_hits >= 2) AND (10*(nel - dl) <= 3*nel)
+        |   AND (5*(line_chars - distinct_chars) <= line_chars)) AS pass
+        |FROM stats ORDER BY doc_id""".stripMargin,
 
     "q_quality_classifier" ->
       s"""WITH t AS (

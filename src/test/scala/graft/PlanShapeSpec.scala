@@ -123,7 +123,13 @@ class PlanShapeSpec extends SparkSpec {
     // round 7 (final): degree histogram and the langid confusion matrix —
     // both join-free aggregates (the confusion window runs over the
     // |langs|² counts frame)
-    "q_degree_hist", "q_langid_confusion")
+    "q_degree_hist", "q_langid_confusion",
+    // round 7 (cont. session): property-anchored / prefix Cypher (typed
+    // equi-joins like the other MATCH gates), the C4 page clean (one
+    // groupBy page build + in-row line filters), and the Gopher rule
+    // battery (pure per-row column program)
+    "q_cypher_propmap", "q_cypher_startswith", "q_c4_clean",
+    "q_gopher_rules", "q_rerank_crossenc")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -249,6 +255,24 @@ class PlanShapeSpec extends SparkSpec {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
       }.nonEmpty)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("gopherRules is a pure map: no exchange, no join, no aggregate") {
+    val plan = graft.ops.CorpusCleaning.gopherRules(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in map-only op:\n$plan")
+    assert(!plan.contains("Join"), s"join in map-only op:\n$plan")
+    assert(!plan.contains("Aggregate"), s"aggregate in map-only op:\n$plan")
+  }
+
+  test("embedding-interaction rerank is one narrow pass + bounded top-k") {
+    val plan = new graft.byokg.EmbeddingInteractionReranker(dim = 8)
+      .rerankTopK("q", spark.read.parquet(s"$sfDir/documents.parquet"),
+        "text", 10, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k merge:\n$plan")
+    assert(!plan.contains("Join"), s"join in rerank scan:\n$plan")
   }
 
   test("corpus rollup is one grouping-sets pass: Expand + hash aggregate") {
