@@ -754,6 +754,89 @@ object Dedup {
         round(col("inter").cast("double") / col("uni").cast("double"), 6))
   }
 
+  /**
+   * Exact duplicate-SPAN removal (the Lee et al. 2021 "Deduplicating
+   * Training Data Makes Language Models Better" semantic): find every
+   * `spanTokens`-token substring that occurs more than once ANYWHERE in
+   * the corpus (across or within documents) and delete all occurrences
+   * except the first, rewriting the surviving text. This is finer than
+   * [[exact]] (whole documents) and [[windowedChunkDedup]] (fixed
+   * non-overlapping windows): a boilerplate sentence pasted mid-document
+   * is found at any token offset.
+   *
+   * Shape: per-doc ROLLING span hashes are in-row column work (one
+   * md5 per token position over the doc's own token array — no
+   * position explode of the corpus); only the (id, pos, hash) span
+   * table shuffles, once, for the hash-keyed first-occurrence
+   * aggregates (two atomic-min HashAggregates — no window, no struct
+   * SortAggregate). Removals flow back as ONE per-doc sorted drop-position
+   * array (size ≤ tokens), and the rewrite is again in-row. A token is
+   * dropped iff it lies inside any occurrence of a duplicated span other
+   * than that span's first occurrence — deterministic under overlaps.
+   *
+   * Scale note: hashing each span independently costs O(spanTokens) per
+   * position (the md5 re-reads the window); the classic O(1)/position
+   * Rabin-Karp rolling hash needs wraparound 64-bit multiplication,
+   * which SQL engines either lack or define differently — md5-of-slice
+   * is the form both engines replay bit-identically. At 100 TB the
+   * upgrade path is a codegen'd rolling-hash Expression (same plan
+   * shape, same single shuffle); the suffix-array construction the paper
+   * uses is strictly less cluster-friendly than this postings form.
+   *
+   * Returns (id, n_tokens, n_removed, text_clean) for EVERY input row
+   * (auditable drops, [[yieldReport]] discipline).
+   */
+  def duplicateSpanRemoval(df: DataFrame, textCol: String, idCol: String,
+                           spanTokens: Int = 50): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toksCol = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
+    // (id, pos, h): pos is 0-based; docs shorter than the span emit none
+    // (guarded: sequence(0, -1) would DESCEND, not produce empty)
+    val posRange = when(size(col("toks")) >= spanTokens,
+      sequence(lit(0), size(col("toks")) - spanTokens))
+      .otherwise(array().cast("array<int>"))
+    val spans = base
+      .select(col("id"), posexplode(transform(posRange,
+        i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(spanTokens)))))))
+      .toDF("id", "pos", "h")
+    // hash-keyed first occurrence in TWO atomic-min hash aggregates:
+    // min(id) per hash, then min(pos) within the winning doc. A single
+    // min over an (id, pos) STRUCT would be semantically identical but
+    // plans a SortAggregate (struct min isn't hash-aggregable) — a full
+    // sort of the corpus-scale span table on both sides of its shuffle;
+    // the second aggregate here runs over dup-hash rows only (already
+    // shuffled on h by the first), so both passes stay map-side
+    // combinable HashAggregates.
+    val counts = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"), min(col("id")).as("keep_id"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"), col("keep_id"))
+    val firsts = spans.join(counts, "h")
+      .filter(col("id") === col("keep_id"))
+      .groupBy(col("h"), col("keep_id"))
+      .agg(min(col("pos")).as("keep_pos"))
+    // every non-first occurrence covers positions [pos, pos+span): the
+    // explode is bounded by spanTokens × duplicate occurrences, never by
+    // corpus size
+    val drops = spans.join(firsts, "h")
+      .filter(!(col("id") === col("keep_id") && col("pos") === col("keep_pos")))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (spanTokens - 1))).as("dp"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("dp"))).as("drop_pos"))
+    // one row per doc rejoins its (bounded) drop array; the rewrite
+    // filters the token array in-row
+    base.join(drops, Seq("id"), "left")
+      .select(col("id"), size(col("toks")).as("n_tokens"),
+        coalesce(size(col("drop_pos")), lit(0)).as("n_removed"),
+        concat_ws(" ", when(col("drop_pos").isNull, col("toks"))
+          .otherwise(filter(col("toks"),
+            (t, i) => !array_contains(col("drop_pos"), i))))
+          .as("text_clean"))
+  }
+
   /** The candidate-generation half of [[setSimilarityJoinFrom]] (everything
     * before verification), exposed so the skew probe can COUNT candidate
     * pairs — the quantity the AllPairs papers warn explodes under Zipfian

@@ -522,6 +522,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: exact duplicate-SPAN removal (Lee et al. 2021) — rolling
+    // 8-token spans at EVERY offset (unlike q_window_dedup's fixed
+    // windows); all occurrences after the corpus-wide first are deleted
+    // and the text rewritten. Boilerplate planted on every 7th doc makes
+    // the any-offset detection observable; the word-soup corpus also
+    // carries a few organic cross-doc duplicate spans, caught identically.
+    "q_span_dedup" -> ((s, dir) => {
+      val boiler =
+        "subscribe to our newsletter and follow our channel for updates"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(boiler), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicateSpanRemoval(docs, "text", "doc_id", spanTokens = 8)
+        .orderBy(col("id"))
+    }),
+
     // extended: exact per-source length-quantile profile (the cut-off
     // report a min/max-length gate is tuned from). Exact percentile, not
     // t-digest — interpolates identically to DuckDB quantile_cont.
@@ -1586,6 +1603,41 @@ object TextQueries {
         |  string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
         |  CAST(count(*) AS BIGINT) AS kept_chunks
         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN 'subscribe to our newsletter and follow our channel for updates '||text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM docs2),
+        |spans AS (
+        |  SELECT id, CAST(u.i AS INT) AS pos,
+        |    md5(array_to_string(list_slice(toks, CAST(u.i AS INT)+1, CAST(u.i AS INT)+8), ' ')) AS h
+        |  FROM base CROSS JOIN UNNEST(range(greatest(len(toks)-7, 0))) AS u(i)),
+        |firsts AS (
+        |  SELECT h, id AS keep_id, pos AS keep_pos FROM (
+        |    SELECT h, id, pos, count(*) OVER (PARTITION BY h) AS c,
+        |      row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+        |    FROM spans) WHERE c >= 2 AND rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT s.id, s.pos + CAST(r.x AS INT) AS dp
+        |  FROM spans s JOIN firsts f ON s.h = f.h
+        |  CROSS JOIN UNNEST(range(8)) AS r(x)
+        |  WHERE NOT (s.id = f.keep_id AND s.pos = f.keep_pos)),
+        |dset AS (SELECT id, list_sort(list(dp)) AS drop_pos FROM drops GROUP BY id)
+        |SELECT b.id, CAST(len(b.toks) AS INT) AS n_tokens,
+        |  CAST(coalesce(len(d.drop_pos), 0) AS INT) AS n_removed,
+        |  coalesce(CASE WHEN d.drop_pos IS NULL THEN array_to_string(b.toks, ' ')
+        |    ELSE array_to_string(list_transform(
+        |      list_filter(range(len(b.toks)), p -> NOT list_contains(d.drop_pos, p)),
+        |      p -> b.toks[CAST(p AS INT)+1]), ' ')
+        |  END, '') AS text_clean
+        |FROM base b LEFT JOIN dset d ON b.id = d.id
+        |ORDER BY b.id""".stripMargin,
 
     "q_length_quantiles" ->
       """WITH g AS (

@@ -89,6 +89,38 @@ class CorpusCleaningSpec extends SparkSpec {
     assert(r.getAs[Long]("symbol_ratio_e6") == 0L)
   }
 
+  test("both cleaners run UNCHANGED on a stream (stateless map ops): " +
+    "streamed output equals the batch run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "This stream line carries enough words to survive.\nshort."),
+      (2L, "the cat and dog have fun with that ball of wool all day"),
+      (3L, "Lorem ipsum dolor sit amet consectetur.\n" +
+        "A fine surviving sentence would have lived here today."))
+    val input = MemoryStream[(Long, String)]
+    val cleaned = CorpusCleaning.c4LineClean(
+      input.toDS().toDF("doc_id", "text"), "text", "doc_id",
+      minKeptLines = 1)
+    val scored = CorpusCleaning.gopherRules(
+      input.toDS().toDF("doc_id", "text"), "text", "doc_id", minWords = 5)
+    val q1 = cleaned.writeStream.format("memory").queryName("c4_out")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = scored.writeStream.format("memory").queryName("gopher_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows.take(2): _*); q1.processAllAvailable(); q2.processAllAvailable()
+    input.addData(rows.drop(2): _*); q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val batchDf = rows.toDF("doc_id", "text")
+    assert(spark.table("c4_out").collect().map(_.toSeq).toSet ==
+      CorpusCleaning.c4LineClean(batchDf, "text", "doc_id",
+        minKeptLines = 1).collect().map(_.toSeq).toSet)
+    assert(spark.table("gopher_out").collect().map(_.toSeq).toSet ==
+      CorpusCleaning.gopherRules(batchDf, "text", "doc_id",
+        minWords = 5).collect().map(_.toSeq).toSet)
+  }
+
   test("degenerate inputs: empty text and empty lines don't divide by zero") {
     val out = CorpusCleaning.gopherRules(
       Seq(("e", ""), ("n", "\n\n")).toDF("id", "text"), "text", "id")

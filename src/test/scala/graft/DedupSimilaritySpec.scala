@@ -356,4 +356,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Double])].collect().toMap
     assert(again == pv)
   }
+
+  test("duplicateSpanRemoval deletes every occurrence after the corpus " +
+    "first, at any offset, within and across documents") {
+    import org.apache.spark.sql.functions.col
+    val boiler = "one two three four" // the 4-token duplicated span
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),      // first occurrence
+      (2L, s"prefix words here $boiler epsilon"),   // mid-doc occurrence
+      (3L, s"$boiler $boiler zeta"),                // intra-doc repeat
+      (4L, "totally unrelated text stays put"),
+      (5L, "shorty")).toDF("doc_id", "text")        // shorter than span
+    val out = graft.ops.Dedup
+      .duplicateSpanRemoval(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("text_clean"))).toMap
+    // doc 1 holds the first (1, pos 0) occurrence — untouched
+    assert(out(1L) == ((8, 0, s"$boiler alpha beta gamma delta")))
+    // doc 2's mid-doc occurrence removed, surroundings intact
+    assert(out(2L) == ((8, 4, "prefix words here epsilon")))
+    // doc 3: both copies are non-first; the crossing spans ("three four
+    // one two" etc.) are also duplicated INSIDE doc 3 relative to their
+    // own first in-doc position — by the rule, the union of non-first
+    // occurrences covers both boiler copies
+    assert(out(3L)._2 == 8 && out(3L)._3 == "zeta")
+    assert(out(4L) == ((5, 0, "totally unrelated text stays put")))
+    assert(out(5L) == ((1, 0, "shorty")))
+  }
 }

@@ -129,7 +129,10 @@ class PlanShapeSpec extends SparkSpec {
     // groupBy page build + in-row line filters), and the Gopher rule
     // battery (pure per-row column program)
     "q_cypher_propmap", "q_cypher_startswith", "q_c4_clean",
-    "q_gopher_rules", "q_rerank_crossenc")
+    "q_gopher_rules", "q_rerank_crossenc",
+    // round 7 (cont. session): duplicate-span removal — hash-keyed span
+    // postings joins; a lost hash key would plan the corpus cross product
+    "q_span_dedup")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -255,6 +258,17 @@ class PlanShapeSpec extends SparkSpec {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
       }.nonEmpty)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("duplicateSpanRemoval never sort-aggregates: the first-occurrence " +
+    "winners are atomic-min hash aggregates") {
+    val plan = graft.ops.Dedup.duplicateSpanRemoval(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    // a struct-min formulation would plan SortAggregate + corpus-scale
+    // sorts around the span shuffle — the exact regression this pins
+    assert(!plan.contains("SortAggregate"), s"sort aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cross product:\n$plan")
   }
 
   test("gopherRules is a pure map: no exchange, no join, no aggregate") {
