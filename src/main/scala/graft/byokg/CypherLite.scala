@@ -18,14 +18,25 @@ import org.apache.spark.sql.functions._
  *
  *   MATCH pattern [, pattern ...]
  *   [OPTIONAL MATCH pattern [, pattern ...]] ...
- *   [WHERE (v.id = 'lit' | v.id <> 'lit' | v.id IN ['lit', ...]
- *           | v.id STARTS WITH 'lit') [AND ...]]
- *   RETURN [DISTINCT] (v.id [, v2.id ...] | count(*) | count(DISTINCT v.id)
- *                      | v.id [, v2.id ...], count(*))   -- grouped count
- *   [ORDER BY v.id [DESC] [, ...]] [LIMIT n]
+ *   [WHERE term [AND term ...] [OR term [AND term ...] ...]]
+ *     term := v.id = 'lit' | v.id <> 'lit' | v.id IN ['lit', ...]
+ *           | v.id STARTS WITH 'lit' | v.id ENDS WITH 'lit'
+ *           | v.id CONTAINS 'lit'        -- AND binds tighter than OR
+ *   RETURN [DISTINCT] (item [, item ...] | count(*) [AS a]
+ *                      | count(DISTINCT v.id) [AS a]
+ *                      | item [, item ...], count(*) [AS a]) -- grouped count
+ *     item := v[.id] [AS alias]
+ *   [ORDER BY (v.id | alias | count(*)) [DESC] [, ...]] [LIMIT n]
  *
- *   pattern := node(-[:type[*a..b]]->|<-[:type[*a..b]]-)node ...
+ *   pattern := node(-[:type[|type...][*a..b]]->|<-[...]-)node ...
  *   node    := (v[:label][{id: 'lit'}])
+ *
+ * `ORDER BY count(*) DESC LIMIT k` on a grouped count is the "top-k by
+ * cardinality" shape KGQA LLMs emit for superlative questions ("which
+ * customer placed the most orders") — it compiles to the same
+ * agg-then-TakeOrdered plan a hand-written groupBy/orderBy/limit does.
+ * `[:a|b]` relationship alternation compiles to one `label IN (...)`
+ * scan filter, not a union of per-type scans.
  *
  * Property-map anchors — `(c:Chunk {id: 'x'})` — are the standard
  * anchored form the reference's retrieval cypher uses (its
@@ -72,46 +83,66 @@ object CypherLite {
   /** `idEq`: the `{id: 'lit'}` property-map anchor, when present. */
   final case class NodePat(v: String, label: Option[String],
                            idEq: Option[String] = None)
-  /** rightward: (a)-[:t]->(b); else (a)<-[:t]-(b). minHops/maxHops carry
-    * the `*a..b` var-length form (1/1 for a plain edge; the reference's
-    * `[:PREVIOUS*0..1]` shape); bounded to `MaxVarHops` so a pattern can
-    * never unroll into an unbounded join chain. */
-  final case class EdgePat(typ: Option[String], rightward: Boolean,
+  /** rightward: (a)-[:t]->(b); else (a)<-[:t]-(b). `types` carries the
+    * `[:a|b]` alternation (empty = any type; one entry = plain `[:t]`).
+    * minHops/maxHops carry the `*a..b` var-length form (1/1 for a plain
+    * edge; the reference's `[:PREVIOUS*0..1]` shape); bounded to
+    * `MaxVarHops` so a pattern can never unroll into an unbounded join
+    * chain. */
+  final case class EdgePat(types: Seq[String], rightward: Boolean,
                            minHops: Int = 1, maxHops: Int = 1)
 
   val MaxVarHops = 3
-  /** op ∈ {=, <>, IN}; IN carries the whole literal list in `values`. */
+  /** op ∈ {=, <>, IN, STARTS_WITH, ENDS_WITH, CONTAINS}; IN carries the
+    * whole literal list in `values`. */
   final case class Cond(v: String, op: String, values: Seq[String])
   /** One comma-separated MATCH pattern: a linear node/edge chain. */
   final case class Part(nodes: Seq[NodePat], edges: Seq[EdgePat])
-  final case class Query(parts: Seq[Part], conds: Seq[Cond],
+  /** `conds` is the WHERE clause in disjunctive normal form: the outer
+    * Seq ORs together groups, each group a conjunction (AND binds
+    * tighter than OR — standard Cypher/SQL precedence). A query with no
+    * OR is one group. `retAliases` parallels `returns` with the output
+    * column name of each item (the `AS` alias, or the variable itself);
+    * `countAlias` names the count(*)/count(DISTINCT) column. */
+  final case class Query(parts: Seq[Part], conds: Seq[Seq[Cond]],
                          returns: Seq[String], limit: Option[Int],
                          countStar: Boolean = false,
                          distinct: Boolean = false,
                          orderBy: Seq[(String, Boolean)] = Nil,
                          optParts: Seq[Part] = Nil,
                          countDistinctVar: Option[String] = None,
-                         groupCount: Boolean = false)
+                         groupCount: Boolean = false,
+                         retAliases: Seq[String] = Nil,
+                         countAlias: String = "count")
 
   private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\{\s*([^}]*?)\s*\}\s*)?\)""".r
   /** The one property-map form the store can answer: {id: 'literal'}. */
   private val PropMapRe = """(?s)id\s*:\s*'([^']*)'""".r
   private val PropKeyRe = """([A-Za-z_][A-Za-z0-9_]*)\s*:""".r
-  private val RightRe = """-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*->""".r
-  private val LeftRe = """<-\s*\[\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]\s*-""".r
+  private val TypeAltPat = """[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*"""
+  private val RightRe = s"""-\\s*\\[\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*->""".r
+  private val LeftRe = s"""<-\\s*\\[\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*-""".r
   private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.id\s*(=|<>)\s*'([^']*)'""".r
   private val CondStartsRe =
     """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+STARTS\s+WITH\s+'([^']*)'""".r
+  private val CondEndsRe =
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+ENDS\s+WITH\s+'([^']*)'""".r
+  private val CondContainsRe =
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+CONTAINS\s+'([^']*)'""".r
   private val CondInRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+IN\s+[\[(]\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*[\])]""".r
   private val StrLitRe = """'([^']*)'""".r
   // `v.id` and bare `v` are both accepted everywhere a value is referenced
   // (RETURN / ORDER BY / count(DISTINCT ...)): nodes carry exactly one
   // value, LLMs emit the bare form constantly, and rejecting it would burn
   // the query loop's retry budget on grammar
-  private val RetRe = """([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?""".r
+  private val RetRe =
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?(?:\s+(ASC|DESC))?""".r
+  private val OrdCountRe = """(?i)count\s*\(\s*\*\s*\)(?:\s+(ASC|DESC))?""".r
+  private val CountStarRe =
+    """(?i)count\s*\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   private val CountDistinctRe =
-    """(?i)count\s*\(\s*DISTINCT\s+([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?\s*\)""".r
+    """(?i)count\s*\(\s*DISTINCT\s+([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
 
   /** One linear chain: node (edge node)*. Variables may not repeat
     * WITHIN a chain (no cycle patterns); repeats ACROSS parts are the
@@ -159,7 +190,8 @@ object CypherLite {
         if (lo > hi) Left(s"bad var-length bounds *$lo..$hi")
         else if (hi > MaxVarHops)
           Left(s"var-length upper bound $hi exceeds MaxVarHops=$MaxVarHops")
-        else Right(EdgePat(Option(m.group(1)), right, lo, hi))
+        else Right(EdgePat(Option(m.group(1)).toSeq
+          .flatMap(_.split("\\|")).map(_.trim), right, lo, hi))
       }
       val e = eat(RightRe).map(mk(_, right = true))
         .orElse(eat(LeftRe).map(mk(_, right = false)))
@@ -206,6 +238,8 @@ object CypherLite {
         val items = retPart.substring(ordIdx + 8).trim
         retPart = retPart.substring(0, ordIdx).trim
         items.split(",").map(_.trim).toSeq.map {
+          case OrdCountRe(dir) =>
+            ("count(*)", dir == null || dir.equalsIgnoreCase("ASC"))
           case OrdRe(v, dir) => (v, dir == null || dir.equalsIgnoreCase("ASC"))
           case other => return Left(s"unsupported ORDER BY item '$other'")
         }
@@ -274,24 +308,38 @@ object CypherLite {
       optNewSeen ++= fresh
     }
 
-    val conds = wherePart match {
-      case None => Seq.empty[Cond]
+    // WHERE → DNF: split on OR (outer), then AND (inner) — standard
+    // precedence. Both splits are quote-aware (the lookahead demands an
+    // even number of ' to the right), so a literal containing " and "
+    // or " or " never splits mid-string.
+    def boolSplit(text: String, kw: String): Seq[String] =
+      text.split(s"(?i)\\s$kw\\s(?=(?:[^']*'[^']*')*[^']*$$)")
+        .map(_.trim).toSeq
+    val conds: Seq[Seq[Cond]] = wherePart match {
+      case None => Nil
       case Some(w) =>
-        val ps = w.split("(?i)\\sAND\\s").map(_.trim)
-        ps.toSeq.map {
-          case CondRe(v, op, value) => Cond(v, op, Seq(value))
-          case CondStartsRe(v, prefix) => Cond(v, "STARTS_WITH", Seq(prefix))
-          case CondInRe(v, items) =>
-            Cond(v, "IN", StrLitRe.findAllMatchIn(items).map(_.group(1)).toSeq)
-          case other => return Left(s"unsupported WHERE term '$other'")
+        boolSplit(w, "OR").map { grp =>
+          boolSplit(grp, "AND").map {
+            case CondRe(v, op, value) => Cond(v, op, Seq(value))
+            case CondStartsRe(v, p) => Cond(v, "STARTS_WITH", Seq(p))
+            case CondEndsRe(v, sfx) => Cond(v, "ENDS_WITH", Seq(sfx))
+            case CondContainsRe(v, sub) => Cond(v, "CONTAINS", Seq(sub))
+            case CondInRe(v, items) =>
+              Cond(v, "IN",
+                StrLitRe.findAllMatchIn(items).map(_.group(1)).toSeq)
+            case other => return Left(s"unsupported WHERE term '$other'")
+          }
         }
     }
     // RETURN count(*) / count(DISTINCT v.id): the binding-cardinality
-    // aggregates LLM-authored KGQA queries lean on constantly
-    val countStar = retPart.replaceAll("\\s", "")
-      .equalsIgnoreCase("count(*)")
-    val countDistinctVar = CountDistinctRe.findFirstMatchIn(retPart.trim)
-      .filter(_.matched.length == retPart.trim.length).map(_.group(1))
+    // aggregates LLM-authored KGQA queries lean on constantly.
+    // `AS alias` names the output column (default "count").
+    def fullMatch(re: scala.util.matching.Regex, text: String) =
+      re.findPrefixMatchOf(text).filter(_.end == text.length)
+    val countStarM = fullMatch(CountStarRe, retPart.trim)
+    val countStar = countStarM.nonEmpty
+    val countDistinctM = fullMatch(CountDistinctRe, retPart.trim)
+    val countDistinctVar = countDistinctM.map(_.group(1))
     if ((countStar || countDistinctVar.nonEmpty) &&
         (distinct || orderBy.nonEmpty))
       return Left("count(...) cannot combine with DISTINCT or ORDER BY")
@@ -299,34 +347,60 @@ object CypherLite {
     // the returned variables (the per-entity cardinality shape: "how many
     // orders did each customer place"). count(*) must be the LAST item.
     val retItems = retPart.split(",").map(_.trim).toSeq
-    val groupCount = !countStar && retItems.size >= 2 &&
-      retItems.last.replaceAll("\\s", "").equalsIgnoreCase("count(*)")
+    val groupCountM =
+      if (countStar || retItems.size < 2) None
+      else fullMatch(CountStarRe, retItems.last)
+    val groupCount = groupCountM.nonEmpty
     if (groupCount && retItems.init.exists(
         i => i.replaceAll("\\s", "").toLowerCase.startsWith("count(")))
       return Left("only one count(*), as the last RETURN item")
     if (groupCount && distinct)
       return Left("DISTINCT cannot combine with a grouped count(*)")
-    val returns =
-      if (countStar || countDistinctVar.nonEmpty) Seq.empty[String]
+    val countAlias = countStarM.orElse(groupCountM)
+      .flatMap(m => Option(m.group(1)))
+      .orElse(countDistinctM.flatMap(m => Option(m.group(2))))
+      .getOrElse("count")
+    val retPairs: Seq[(String, String)] =
+      if (countStar || countDistinctVar.nonEmpty) Nil
       else (if (groupCount) retItems.init else retItems).map {
-        case RetRe(v) => v
+        case RetRe(v, alias) => (v, Option(alias).getOrElse(v))
         case other => return Left(s"unsupported RETURN item '$other'")
       }
+    val returns = retPairs.map(_._1)
+    val aliases = retPairs.map(_._2)
+    if ((aliases :+ countAlias).distinct.size != aliases.size + 1)
+      return Left("duplicate output column names in RETURN — " +
+        "disambiguate with AS")
     val known = mandatoryVars ++ optParts.flatMap(_.nodes.map(_.v))
-    conds.map(_.v).find(!mandatoryVars.contains(_)) match {
+    conds.flatten.map(_.v).find(!mandatoryVars.contains(_)) match {
       case Some(v) if known.contains(v) =>
         return Left(s"WHERE on OPTIONAL MATCH variable '$v' would " +
           "null-kill the outer join — not supported")
       case _ =>
     }
-    (conds.map(_.v) ++ returns ++ orderBy.map(_._1) ++ countDistinctVar)
+    // ORDER BY items resolve to a returned variable, its alias, or (on
+    // a grouped count) the literal `count(*)` — anything else is a Left
+    val ordResolved: Seq[(String, Boolean)] = orderBy.map { case (o, asc) =>
+      if (o == "count(*)") {
+        if (!groupCount)
+          return Left("ORDER BY count(*) needs a grouped count RETURN")
+        (countAlias, asc)
+      } else retPairs.collectFirst {
+        case (v, a) if v == o || a == o => (a, asc)
+      }.getOrElse {
+        if (returns.nonEmpty)
+          return Left(s"ORDER BY item '$o' must be returned")
+        if (!known.contains(o)) return Left(s"unknown variable '$o'")
+        (o, asc)
+      }
+    }
+    (conds.flatten.map(_.v) ++ returns ++ countDistinctVar)
       .find(!known.contains(_)) match {
       case Some(v) => Left(s"unknown variable '$v'")
       case None =>
-        orderBy.map(_._1).find(v => returns.nonEmpty && !returns.contains(v))
-          .map(v => Left(s"ORDER BY variable '$v' must be returned"))
-          .getOrElse(Right(Query(parts, conds, returns, limit, countStar,
-            distinct, orderBy, optParts, countDistinctVar, groupCount)))
+        Right(Query(parts, conds, returns, limit, countStar,
+          distinct, ordResolved, optParts, countDistinctVar, groupCount,
+          aliases, countAlias))
     }
   }
 
@@ -338,8 +412,11 @@ object CypherLite {
     def singleHop(e: EdgePat, from: String, to: String): DataFrame = {
       val (fromCol, toCol) =
         if (e.rightward) ("src", "dst") else ("dst", "src")
-      val typed = e.typ.map(t => edgeFrame.filter(col("label") === t))
-        .getOrElse(edgeFrame)
+      val typed =
+        if (e.types.isEmpty) edgeFrame
+        else if (e.types.size == 1)
+          edgeFrame.filter(col("label") === e.types.head)
+        else edgeFrame.filter(col("label").isin(e.types: _*))
       typed.select(col(fromCol).as(from), col(toCol).as(to))
     }
     if (part.edges.isEmpty)
@@ -429,21 +506,32 @@ object CypherLite {
       df = df.join(f, shared, "left")
       bound ++= p.nodes.map(_.v)
     }
-    q.conds.foreach { c =>
-      df = df.filter(c.op match {
-        case "=" => col(c.v) === c.values.head
-        case "<>" => col(c.v) =!= c.values.head
-        case "IN" => col(c.v).isin(c.values: _*)
-        case "STARTS_WITH" => col(c.v).startsWith(c.values.head)
-      })
+    // WHERE in DNF: AND within a group (each conjunct an independently
+    // pushable predicate), OR across groups (one residual filter — an OR
+    // can't push into the scan, which is Cypher's semantics too)
+    def condCol(c: Cond): Column = c.op match {
+      case "=" => col(c.v) === c.values.head
+      case "<>" => col(c.v) =!= c.values.head
+      case "IN" => col(c.v).isin(c.values: _*)
+      case "STARTS_WITH" => col(c.v).startsWith(c.values.head)
+      case "ENDS_WITH" => col(c.v).endsWith(c.values.head)
+      case "CONTAINS" => col(c.v).contains(c.values.head)
     }
+    if (q.conds.nonEmpty)
+      df = df.filter(
+        q.conds.map(_.map(condCol).reduce(_ && _)).reduce(_ || _))
+    val outCols = q.returns.zip(
+      if (q.retAliases.size == q.returns.size) q.retAliases else q.returns)
     var out =
-      if (q.countStar) df.agg(count(lit(1)).as("count"))
+      if (q.countStar) df.agg(count(lit(1)).as(q.countAlias))
       else if (q.countDistinctVar.nonEmpty)
-        df.agg(count_distinct(col(q.countDistinctVar.get)).as("count"))
+        df.agg(count_distinct(col(q.countDistinctVar.get)).as(q.countAlias))
       else if (q.groupCount)
-        df.groupBy(q.returns.map(col): _*).agg(count(lit(1)).as("count"))
-      else df.select(q.returns.map(col): _*)
+        df.groupBy(q.returns.map(col): _*)
+          .agg(count(lit(1)).as(q.countAlias))
+          .select(outCols.map { case (v, a) => col(v).as(a) } :+
+            col(q.countAlias): _*)
+      else df.select(outCols.map { case (v, a) => col(v).as(a) }: _*)
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)
       out = out.orderBy(q.orderBy.map { case (v, asc) =>

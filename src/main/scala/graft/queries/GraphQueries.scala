@@ -186,6 +186,43 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher OR: DNF WHERE (AND binds tighter) — the disjunctive
+    // filter shape LLM rewrites produce when two anchors could answer a
+    // question. Compiles to ONE residual filter over the typed scan, not
+    // a union of per-branch queries.
+    "q_cypher_or" -> ((s, dir) => {
+      val q = "MATCH (n:p)-[:supplied_by]->(sup:s) " +
+        "WHERE n.id STARTS WITH 'p:1' OR sup.id = 's:3' " +
+        "RETURN DISTINCT n.id, sup.id ORDER BY n.id, sup.id"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
+    // ext. openCypher relationship alternation `[:a|b]` + AS aliases:
+    // the alternation is one `label IN (...)` filter on a single edge
+    // scan (not a union), and the aliases name the output columns —
+    // both forms standard Cypher that LLMs emit constantly.
+    "q_cypher_alttype" -> ((s, dir) => {
+      val q = "MATCH (a)-[:placed|supplied_by]->(b) " +
+        "WHERE a.id IN ['c:0', 'c:1', 'p:1', 'p:10'] " +
+        "RETURN DISTINCT a.id AS left_id, b.id AS right_id " +
+        "ORDER BY left_id, right_id"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
+    // ext. openCypher top-k by cardinality: ORDER BY count(*) DESC
+    // LIMIT k over a grouped count — the superlative-question shape
+    // ("which customer placed the most orders"); compiles to
+    // agg + TakeOrdered, never a global sort.
+    "q_cypher_topcount" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o) " +
+        "RETURN c.id AS cust, count(*) AS n_orders " +
+        "ORDER BY count(*) DESC, cust LIMIT 10"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -1085,5 +1122,32 @@ object GraphQueries {
       s"""WITH edges0 AS ($edgesSql)
          |SELECT src AS c, count(*) AS "count" FROM edges0
          |WHERE label = 'placed' GROUP BY src
-         |ORDER BY c LIMIT 50""".stripMargin)
+         |ORDER BY c LIMIT 50""".stripMargin,
+
+    // OR replay: the DNF filter as one disjunctive predicate over the
+    // typed scan (label prefix filters conjoined, like the compiler's).
+    "q_cypher_or" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT DISTINCT src AS n, dst AS sup FROM edges0
+         |WHERE label = 'supplied_by'
+         |  AND src LIKE 'p:%' AND dst LIKE 's:%'
+         |  AND (src LIKE 'p:1%' OR dst = 's:3')
+         |ORDER BY n, sup""".stripMargin,
+
+    // alternation replay: label IN (...) over ONE scan; AS aliases are
+    // plain output names.
+    "q_cypher_alttype" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT DISTINCT src AS left_id, dst AS right_id FROM edges0
+         |WHERE label IN ('placed', 'supplied_by')
+         |  AND src IN ('c:0', 'c:1', 'p:1', 'p:10')
+         |ORDER BY left_id, right_id""".stripMargin,
+
+    // top-k-by-cardinality replay: GROUP BY then count-descending LIMIT,
+    // customer id as the deterministic tiebreaker.
+    "q_cypher_topcount" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT src AS cust, count(*) AS n_orders FROM edges0
+         |WHERE label = 'placed' GROUP BY src
+         |ORDER BY n_orders DESC, cust LIMIT 10""".stripMargin)
 }

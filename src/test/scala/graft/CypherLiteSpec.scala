@@ -305,4 +305,88 @@ class CypherLiteSpec extends SparkSpec {
     // non-.id properties still refuse loudly
     assert(CypherLite.run(edges, "MATCH (c) RETURN c.name").isLeft)
   }
+
+  test("CONTAINS and ENDS WITH compile to substring/suffix predicates") {
+    val contains = CypherLite.run(edges,
+      "MATCH (n)-[:contains]->(p) WHERE n.id CONTAINS ':1' " +
+        "RETURN DISTINCT n.id ORDER BY n.id").toOption.get
+      .as[String].collect().toSeq
+    assert(contains == Seq("o:10", "o:11", "o:12"))
+    val ends = CypherLite.run(edges,
+      "MATCH (n)-[:placed]->(o) WHERE o.id ends with '1' " +
+        "RETURN n.id, o.id").toOption.get
+      .as[(String, String)].collect().toSet
+    assert(ends == Set(("c:1", "o:11")))
+  }
+
+  test("OR in WHERE: AND binds tighter, quote-aware split, optional-var " +
+    "misuse still refused") {
+    // (c=c:2) OR (placed AND o ends 0) — standard precedence
+    val out = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WHERE c.id = 'c:2' " +
+        "OR c.id = 'c:1' AND o.id ENDS WITH '0' " +
+        "RETURN c.id, o.id").toOption.get
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("c:2", "o:12"), ("c:1", "o:10")))
+    // a literal containing ' or ' / ' and ' never splits mid-string
+    val lit = CypherLite.run(edges,
+      "MATCH (n) WHERE n.id = 'a or b' OR n.id = 'c:1' RETURN n.id")
+      .toOption.get.as[String].collect().toSeq
+    assert(lit == Seq("c:1"))
+    // OR over an optional-only variable is still the null-kill refusal
+    assert(CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o) " +
+        "WHERE n.id = 'c:1' OR o.id = 'o:10' RETURN n, o").isLeft)
+  }
+
+  test("relationship alternation [:a|b] is one label-IN scan filter") {
+    val out = CypherLite.run(edges,
+      "MATCH (a)-[:placed|supplied_by]->(b) RETURN a.id, b.id").toOption.get
+    assert(out.as[(String, String)].collect().toSet == Set(
+      ("c:1", "o:10"), ("c:1", "o:11"), ("c:2", "o:12"), ("p:7", "s:3")))
+    // single filter over one scan, not a union of per-type scans
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("union"), plan)
+    // alternation composes with var-length
+    val vl = CypherLite.run(edges,
+      "MATCH (c)-[:placed|contains*1..2]->(x) WHERE c.id = 'c:2' " +
+        "RETURN DISTINCT x.id ORDER BY x.id").toOption.get
+      .as[String].collect().toSeq
+    assert(vl == Seq("o:12", "p:8"))
+  }
+
+  test("AS aliases rename output columns; duplicates are a loud Left") {
+    val df = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WHERE c.id = 'c:1' " +
+        "RETURN c.id AS customer, o.id AS ord ORDER BY ord DESC LIMIT 1")
+      .toOption.get
+    assert(df.columns.toSeq == Seq("customer", "ord"))
+    assert(df.as[(String, String)].collect().toSeq ==
+      Seq(("c:1", "o:11")))
+    // ORDER BY may name the variable even when it's aliased
+    val byVar = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) RETURN o.id AS ord ORDER BY o").toOption
+      .get.as[String].collect().toSeq
+    assert(byVar == Seq("o:10", "o:11", "o:12"))
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN a.id AS x, b.id AS x").isLeft)
+    // count aliases: plain, distinct, grouped
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[:placed]->(b) RETURN count(*) AS n").toOption.get
+      .columns.toSeq == Seq("n"))
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[:placed]->(b) RETURN count(DISTINCT a) AS payers")
+      .toOption.get.columns.toSeq == Seq("payers"))
+  }
+
+  test("ORDER BY count(*) DESC LIMIT k: the top-k-by-cardinality shape") {
+    val top = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) RETURN c.id AS cust, count(*) AS n " +
+        "ORDER BY count(*) DESC, cust LIMIT 1").toOption.get
+    assert(top.columns.toSeq == Seq("cust", "n"))
+    assert(top.as[(String, Long)].collect().toSeq == Seq(("c:1", 2L)))
+    // count(*) ordering without a grouped count is a loud Left
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN a.id ORDER BY count(*)").isLeft)
+  }
 }

@@ -132,7 +132,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_gopher_rules", "q_rerank_crossenc",
     // round 7 (cont. session): duplicate-span removal — hash-keyed span
     // postings joins; a lost hash key would plan the corpus cross product
-    "q_span_dedup")
+    "q_span_dedup",
+    // round 7 (cont. session): the OR / alternation / top-count Cypher
+    // forms — still typed equi-joins (the OR is a residual filter, the
+    // alternation a label-IN scan filter, the top count an agg+TakeOrdered)
+    "q_cypher_or", "q_cypher_alttype", "q_cypher_topcount")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
