@@ -259,6 +259,194 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /**
+   * Deterministic synthetic GRADIENT png corpus for the perceptual-hash
+   * path: real encoded bytes whose sampled grid lumas are analytically
+   * computable. Per row, md5(seed) drives a grayscale quadratic field
+   *   width  = 16 + digest[0] % 9   (16..24)
+   *   height = 12 + digest[1] % 7   (12..18)
+   *   a = digest[2], b = 1 + digest[3] % 7, c = 1 + digest[4] % 7,
+   *   e = 1 + digest[5] % 13
+   *   luma(x, y) = (a + b·x + c·y + 7·x² + 11·y² + e·x·y) mod 256
+   * (grayscale pixel = (luma, luma, luma)). The quadratic + cross terms
+   * matter: a LINEAR gradient's adjacent-sample dHash bits fire only at
+   * mod-256 wraparounds, leaving every hash near-zero and almost all
+   * image PAIRS within small hamming — quadratic pair blowup in any
+   * near-dup join (measured: 85k pairs from 572 images). The quadratic
+   * field makes adjacent-sample deltas spread mod 256, so bits are
+   * ~Bernoulli(½) and unrelated images essentially never collide
+   * and every `variantEvery`-th id also emits a NEAR-DUPLICATE twin
+   * (media_id suffixed `_v`): the same gradient with the single pixel at
+   * dHash sample coordinate (x₀, y₀) = ((w)/16, (h)/16) shifted by
+   * +128 mod 256 — one sampled cell differs, so the twin's [[dHash56]]
+   * is within hamming 1 of the original (the near-dup the LSH join must
+   * find). A SQL oracle replays everything from `md5(seed)` hex.
+   */
+  def synthGradientPngMedia(df: DataFrame, idCol: String, seedCol: String,
+                            variantEvery: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("string"), col(seedCol).cast("string"))
+      .rdd.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val (id, seed) = (r.getString(0), r.getString(1))
+          if (seed == null) Seq(Row(id, "image", null, null, null, null, null))
+          else {
+            val base = gradientRow(md, id, seed, variant = false)
+            val isVariant = variantEvery > 0 &&
+              id.toLongOption.exists(_ % variantEvery == 0)
+            if (isVariant)
+              Seq(base, gradientRow(md, id + "_v", seed, variant = true))
+            else Seq(base)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private def gradientRow(md: java.security.MessageDigest, id: String,
+                          seed: String, variant: Boolean): Row = {
+    val d = md.digest(seed.getBytes("UTF-8"))
+    val w = 16 + ((d(0) & 0xff) % 9)
+    val h = 12 + ((d(1) & 0xff) % 7)
+    val a = d(2) & 0xff
+    val b = 1 + ((d(3) & 0xff) % 7)
+    val c = 1 + ((d(4) & 0xff) % 7)
+    val e = 1 + ((d(5) & 0xff) % 13)
+    val (vx, vy) = (w / 16, h / 16) // dHash sample (i=0, j=0) coordinate
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var l = (a + b * x + c * y + 7 * x * x + 11 * y * y + e * x * y) % 256
+        if (variant && x == vx && y == vy) l = (l + 128) % 256
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Row(id, "image", bos.toByteArray, w: Integer, h: Integer, null, "png")
+  }
+
+  /**
+   * 56-bit perceptual difference hash (the LAION-style image-dedup
+   * fingerprint): decode, nearest-neighbor-sample an 8×8 luma grid at
+   * x_i = ⌊(2i+1)·w/16⌋, y_j = ⌊(2j+1)·h/16⌋, then one bit per adjacent
+   * horizontal pair — bit(i,j) = luma(i,j) > luma(i+1,j), 7 bits × 8
+   * rows, packed big-endian into bits 55..0 of a BIGINT. 56 bits (not
+   * the classic 64 from a 9×8 grid) keeps the value a POSITIVE int64, so
+   * SQL engines with checked shifts (`1::BIGINT << 63` overflows in
+   * DuckDB) replay it exactly. Luma is the integer 299r+587g+114b
+   * (scale-1000 BT.601 — monotone, so comparisons match any scaling).
+   *
+   * Same plumbing contract as [[decodeImage]]: bytes consumed here and
+   * dropped from the output; undecodable rows quarantine with a
+   * `decode_error`. Hash arithmetic is all-integer — replays
+   * bit-identically anywhere.
+   */
+  def dHash56(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("phash", LongType, nullable = true),
+      StructField("decode_error", StringType, nullable = true)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getString(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty)
+          Row(id, null, null, null, "empty content")
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) Row(id, null, null, null, "unreadable image bytes")
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val lumas = Array.ofDim[Int](8, 8)
+            var j = 0
+            while (j < 8) {
+              val y = (2 * j + 1) * h / 16
+              var i = 0
+              while (i < 8) {
+                val x = (2 * i + 1) * w / 16
+                val rgb = img.getRGB(x, y)
+                lumas(j)(i) = 299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+                i += 1
+              }
+              j += 1
+            }
+            var hash = 0L
+            j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 7) {
+                if (lumas(j)(i) > lumas(j)(i + 1))
+                  hash |= 1L << (55 - (j * 7 + i))
+                i += 1
+              }
+              j += 1
+            }
+            Row(id, w, h, hash: java.lang.Long, null)
+          }
+        } catch {
+          case e: Exception =>
+            Row(id, null, null, null, s"decode failed: ${e.getMessage}")
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Perceptual-hash near-duplicate pairs via banded hamming LSH: split
+   * the 56-bit hash into 4 bands of 14 bits; candidates share (band-id,
+   * band-value); verification is `bit_count(a XOR b) <= maxHamming`.
+   * Pigeonhole: any pair within hamming ≤ 3 leaves at least one of the
+   * 4 bands untouched, so with the default threshold the banded join is
+   * EXACT (recall 1.0), not approximate — `maxHamming` is capped at
+   * bands−1 to keep that guarantee (raise `bands` to trade joins for a
+   * looser cap). Scale shape: the explode is 4 rows per image, the join
+   * an equi-join on the band key — linear in the corpus, never all
+   * pairs; verification touches candidate pairs only.
+   *
+   * Input: [[dHash56]] output (undecoded rows dropped). Returns
+   * (id_a, id_b, hamming), id_a < id_b, each pair once.
+   */
+  def phashNearDup(hashed: DataFrame, maxHamming: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 56 % bands == 0, s"bands must divide 56: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be < bands=$bands for exact recall, got $maxHamming")
+    val bandBits = 56 / bands
+    val mask = (1L << bandBits) - 1
+    val base = hashed.filter(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"))
+    val banded = base.select(col("media_id"), col("phash"),
+      explode(array((0 until bands).map { k =>
+        struct(lit(k).as("k"),
+          (shiftright(col("phash"), bandBits * k) bitwiseAND mask)
+            .as("v"))
+      }: _*)).as("band"))
+      .select(col("media_id"), col("phash"),
+        col("band.k").as("k"), col("band.v").as("v"))
+    banded.as("l").join(banded.as("r"),
+        col("l.k") === col("r.k") && col("l.v") === col("r.v") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"),
+        bit_count(col("l.phash") bitwiseXOR col("r.phash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Real audio decode (javax.sound.sampled: RIFF/WAVE PCM — the one codec
     * family the JDK ships). Same plumbing contract as [[decodeImage]]: one
     * pass per partition, bytes consumed here and DROPPED from the output,

@@ -356,6 +356,35 @@ object MaintenanceQueries {
         .orderBy(col("media_id").cast("long"))
     }),
 
+    // extended: 56-bit perceptual dHash over REAL decoded gradient pngs —
+    // the LAION-style image fingerprint. Every 7th doc also carries a
+    // near-duplicate twin (one sampled pixel shifted), and the oracle
+    // replays the whole pipeline (gradient → 8×8 NN sample → 7×8
+    // comparison bits → packed BIGINT) from md5 hex arithmetic, so a
+    // wrong sample coordinate, luma weight or bit order hash-fails.
+    "q_image_phash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+      Multimodal.dHash56(Multimodal.synthGradientPngMedia(
+          docs, "doc_id", "text", variantEvery = 7))
+        .select(col("media_id"), col("width"), col("height"), col("phash"))
+        .orderBy(col("media_id"))
+    }),
+
+    // extended: perceptual-hash near-dup pairs via banded hamming LSH
+    // (4 × 14-bit bands; hamming ≤ 3 makes the band join EXACT by
+    // pigeonhole). The planted twins surface at hamming ≤ 1; the oracle
+    // mirrors the banded join, not brute force, so the same pairs (and
+    // only those) must appear.
+    "q_image_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+      val hashed = Multimodal.dHash56(Multimodal.synthGradientPngMedia(
+        docs, "doc_id", "text", variantEvery = 7))
+      Multimodal.phashNearDup(hashed, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // extended: SCD-2 retention GC (the version store's VACUUM): drop
     // versions fully superseded at the watermark — a pure predicate, no
     // shuffle; partition-pruned file deletes on a valid_to-laid-out store.
@@ -393,6 +422,50 @@ object MaintenanceQueries {
       graft.ops.EventAnalytics.retentionCohorts(base, "user_id", "ts_us")
         .orderBy(col("cohort_week"), col("week_offset"))
     }))
+
+  /** Shared dHash-replay prefix: documents → md5-derived gradient params →
+    * base + variant rows → 8×8 sampled lumas → 56 comparison bits →
+    * `ph(media_id, phash)` (and `pv` carrying width/height). */
+  private val phashOracleCtes: String =
+    """WITH m AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id, md5(text) AS h
+      |  FROM documents WHERE text IS NOT NULL),
+      |prm AS (
+      |  SELECT id, doc_id,
+      |    16 + CAST(('0x'||substr(h,1,2)) AS INT) % 9 AS w,
+      |    12 + CAST(('0x'||substr(h,3,2)) AS INT) % 7 AS ht,
+      |    CAST(('0x'||substr(h,5,2)) AS INT) AS a,
+      |    1 + CAST(('0x'||substr(h,7,2)) AS INT) % 7 AS b,
+      |    1 + CAST(('0x'||substr(h,9,2)) AS INT) % 7 AS c,
+      |    1 + CAST(('0x'||substr(h,11,2)) AS INT) % 13 AS e
+      |  FROM m),
+      |pv AS (
+      |  SELECT id AS media_id, w, ht, a, b, c, e, FALSE AS variant FROM prm
+      |  UNION ALL
+      |  SELECT id||'_v', w, ht, a, b, c, e, TRUE FROM prm
+      |  WHERE doc_id % 7 = 0),
+      |lum AS (
+      |  SELECT media_id, i, j,
+      |    CASE WHEN variant AND x = w//16 AND y = ht//16
+      |      THEN ((a + b*x + c*y + 7*x*x + 11*y*y + e*x*y) % 256 + 128) % 256
+      |      ELSE (a + b*x + c*y + 7*x*x + 11*y*y + e*x*y) % 256 END AS l
+      |  FROM (
+      |    SELECT media_id, w, ht, a, b, c, e, variant,
+      |      CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j,
+      |      ((2*CAST(gi.i AS INT)+1)*w)//16 AS x,
+      |      ((2*CAST(gj.j AS INT)+1)*ht)//16 AS y
+      |    FROM pv CROSS JOIN UNNEST(range(8)) gi(i)
+      |            CROSS JOIN UNNEST(range(8)) gj(j))),
+      |ph AS (
+      |  SELECT l1.media_id,
+      |    coalesce(bit_or(CASE WHEN l1.l > l2.l
+      |      THEN CAST(1 AS BIGINT) << (55 - (l1.j*7 + l1.i)) END),
+      |      CAST(0 AS BIGINT)) AS phash
+      |  FROM lum l1 JOIN lum l2
+      |    ON l2.media_id = l1.media_id AND l2.j = l1.j AND l2.i = l1.i + 1
+      |  WHERE l1.i < 7
+      |  GROUP BY l1.media_id)
+      |""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // compaction-plan replay: the bin assignment IS one window — running
@@ -752,6 +825,29 @@ object MaintenanceQueries {
     // analytic replay of the checkerboard PNG corpus: same md5-hex byte
     // derivation as Multimodal.synthPngMedia, means in closed form
     // (ce = count of (x+y)-even pixels = (w*h + (w%2)*(h%2)) / 2)
+    // dHash replay: md5-hex → gradient params → the 8×8 NN sample grid →
+    // adjacent-pair bits OR'd into the 56-bit BIGINT; variants flip the
+    // (i=0, j=0) sample cell like the planted pixel.
+    "q_image_phash" -> (phashOracleCtes +
+      """SELECT pv.media_id, CAST(pv.w AS INT) AS width,
+        |  CAST(pv.ht AS INT) AS height, ph.phash
+        |FROM pv JOIN ph ON ph.media_id = pv.media_id
+        |ORDER BY pv.media_id""".stripMargin),
+
+    // near-dup replay: the same banded join — 4 × 14-bit band keys,
+    // pair-once ids, bit_count(xor) verification.
+    "q_image_neardup" -> (phashOracleCtes +
+      """, bands AS (
+        |  SELECT media_id, phash, CAST(k.k AS INT) AS k,
+        |    (phash >> (14*CAST(k.k AS INT))) & 16383 AS v
+        |  FROM ph CROSS JOIN UNNEST(range(4)) k(k))
+        |SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b,
+        |  CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+        |FROM bands l JOIN bands r
+        |  ON l.k = r.k AND l.v = r.v AND l.media_id < r.media_id
+        |WHERE bit_count(xor(l.phash, r.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
+
     "q_multimodal_decode" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
         |p AS (

@@ -156,4 +156,66 @@ class MultimodalSpec extends SparkSpec {
         .withColumn("p", encode(col("p"), "UTF-8")), "id", "p", "audio")
     assert(Multimodal.audioFrameEnergy(bad, 50).count() == 0)
   }
+
+  test("dHash56: analytic replay of one gradient image, twin within " +
+    "hamming 1, hash fits 56 positive bits") {
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (7L, "gamma"))
+      .toDF("doc_id", "text")
+    val hashed = Multimodal.dHash56(
+        Multimodal.synthGradientPngMedia(docs, "doc_id", "text",
+          variantEvery = 7))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Long]("phash"))).toMap
+    // ids 0 and 7 carry twins; 1 does not
+    assert(hashed.keySet == Set("0", "1", "7", "0_v", "7_v"))
+    // replay id 0's hash from the md5-derived field in plain Scala
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8"))
+    val w = 16 + ((d(0) & 0xff) % 9); val h = 12 + ((d(1) & 0xff) % 7)
+    val (a, b, c) = (d(2) & 0xff, 1 + ((d(3) & 0xff) % 7),
+      1 + ((d(4) & 0xff) % 7))
+    val e = 1 + ((d(5) & 0xff) % 13)
+    def luma(x: Int, y: Int) =
+      (a + b * x + c * y + 7 * x * x + 11 * y * y + e * x * y) % 256
+    var expect = 0L
+    for (j <- 0 until 8; i <- 0 until 7) {
+      val (x1, x2) = ((2 * i + 1) * w / 16, (2 * i + 3) * w / 16)
+      val y = (2 * j + 1) * h / 16
+      if (luma(x1, y) > luma(x2, y)) expect |= 1L << (55 - (j * 7 + i))
+    }
+    assert(hashed("0") == ((w, h, expect)))
+    hashed.values.foreach { case (_, _, ph) =>
+      assert(ph >= 0L && ph < (1L << 56)) }
+    // each twin differs from its base in exactly the one sampled cell
+    Seq("0", "7").foreach { id =>
+      val ham = java.lang.Long.bitCount(
+        hashed(id)._3 ^ hashed(id + "_v")._3)
+      assert(ham <= 1, s"twin hamming $ham for id $id")
+    }
+  }
+
+  test("phashNearDup: planted twins surface, unrelated images don't; " +
+    "banded join is exact for hamming <= bands-1; guards enforced") {
+    val docs = (0L to 20L).map(i => (i, s"doc text $i")).toDF("doc_id", "text")
+    val hashed = Multimodal.dHash56(
+      Multimodal.synthGradientPngMedia(docs, "doc_id", "text",
+        variantEvery = 7))
+    val pairs = Multimodal.phashNearDup(hashed, maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("0", "0_v"), ("14", "14_v"), ("7", "7_v")))
+    // banded-exactness contract: threshold >= bands is refused loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDup(hashed, maxHamming = 4, bands = 4) }
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDup(hashed, bands = 5) } // 5 doesn't divide 56
+    // undecodable rows never reach the join
+    val withBad = hashed.union(Seq(("bad", null, null, null, "boom"))
+      .toDF("media_id", "width", "height", "phash", "decode_error")
+      .select(col("media_id"), col("width").cast("int"),
+        col("height").cast("int"), col("phash").cast("long"),
+        col("decode_error")))
+    assert(Multimodal.phashNearDup(withBad, maxHamming = 3).count() ==
+      pairs.size)
+  }
 }

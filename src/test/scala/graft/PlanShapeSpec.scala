@@ -136,7 +136,11 @@ class PlanShapeSpec extends SparkSpec {
     // round 7 (cont. session): the OR / alternation / top-count Cypher
     // forms — still typed equi-joins (the OR is a residual filter, the
     // alternation a label-IN scan filter, the top count an agg+TakeOrdered)
-    "q_cypher_or", "q_cypher_alttype", "q_cypher_topcount")
+    "q_cypher_or", "q_cypher_alttype", "q_cypher_topcount",
+    // round 7 (cont. session): perceptual-hash image dedup — the near-dup
+    // join must stay a band-key equi-join (a lost band key would plan the
+    // image-corpus cross product)
+    "q_image_phash", "q_image_neardup")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
