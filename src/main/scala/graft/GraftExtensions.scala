@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
  * Injected functions:
  *  - `cosine_sim(a, b)`   — codegen'd cosine over ARRAY<FLOAT|DOUBLE>
  *  - `minhash_sig(s, n, k)` — compiled minhash signature
+ *  - `unicode_normalize(s, form)` — codegen'd UAX #15 normalization
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -33,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier(functions.UnicodeNormalize.FnName),
+      new ExpressionInfo(classOf[functions.UnicodeNormalize].getName,
+        functions.UnicodeNormalize.FnName),
+      exprs => functions.UnicodeNormalize(exprs.head,
+        exprs(1).eval()
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
   }
 }
 
@@ -47,5 +55,6 @@ object GraftExtensions {
     functions.WordGrams.register(spark)
     functions.TextStats.register(spark)
     functions.FingerprintHash.register(spark)
+    functions.UnicodeNormalize.register(spark)
   }
 }

@@ -539,6 +539,30 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // extended: Unicode NFC normalization (codegen'd Catalyst expression,
+    // functions.UnicodeNormalize) — the canonicalization every
+    // multilingual pipeline runs before hashing/dedup. Combining marks
+    // are injected per doc_id%3 (grave over every 'a' / an appended
+    // decomposed phrase / untouched ASCII exercising the zero-alloc fast
+    // path); the oracle replays with DuckDB's nfc_normalize — both
+    // implement UAX #15, so lengths and md5 must agree exactly.
+    "q_nfc_normalize" -> ((s, dir) => {
+      graft.GraftExtensions.registerAll(s)
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          regexp_replace(col("text"), "a", "à"))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" naïve élève")))
+          .otherwise(col("text")).as("raw"))
+      val nfc = graft.functions.UnicodeNormalize
+        .unicodeNormalize(col("raw"), "NFC")
+      injected.select(col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(nfc).as("len_nfc"),
+          md5(nfc.cast("binary")).as("h_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: exact per-source length-quantile profile (the cut-off
     // report a min/max-length gate is tuned from). Exact percentile, not
     // t-digest — interpolates identically to DuckDB quantile_cont.
@@ -1638,6 +1662,21 @@ object TextQueries {
         |  END, '') AS text_clean
         |FROM base b LEFT JOIN dset d ON b.id = d.id
         |ORDER BY b.id""".stripMargin,
+
+    // NFC replay: DuckDB's nfc_normalize implements the same UAX #15
+    // algorithm as java.text.Normalizer — identical lengths and bytes.
+    "q_nfc_normalize" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'a'||chr(768))
+        |         WHEN doc_id % 3 = 1 THEN text||' nai'||chr(776)||'ve e'
+        |           ||chr(769)||'le'||chr(768)||'ve'
+        |         ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+        |  md5(nfc_normalize(raw)) AS h_nfc
+        |FROM inj ORDER BY doc_id""".stripMargin,
 
     "q_length_quantiles" ->
       """WITH g AS (

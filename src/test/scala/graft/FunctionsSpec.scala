@@ -161,4 +161,39 @@ class FunctionsSpec extends SparkSpec {
       (lit(0.5) / col("qz.scale")).as("step")).head()
     assert(rt.getDouble(0) <= rt.getDouble(1) + 1e-12)
   }
+
+  test("UnicodeNormalize: NFC composes, NFKC folds compatibility chars, " +
+    "fast path returns already-normal input, codegen == interpreted") {
+    graft.GraftExtensions.registerAll(spark)
+    val U = graft.functions.UnicodeNormalize
+    // decomposed a + COMBINING GRAVE -> precomposed U+00E0 under NFC
+    val df = Seq("àb", "plain ascii", "ﬁne", null)
+      .toDF("s")
+    val nfc = df.select(U.unicodeNormalize(col("s"), "NFC").as("n"),
+      length(col("s")).as("lr"), length(col("n")).as("ln"))
+      .collect()
+    assert(nfc(0).getString(0) == "àb" &&
+      nfc(0).getInt(1) == 3 && nfc(0).getInt(2) == 2)
+    assert(nfc(1).getString(0) == "plain ascii") // fast path, unchanged
+    assert(nfc(2).getString(0) == "ﬁne")    // ligature survives NFC
+    assert(nfc(3).isNullAt(0))                   // null passthrough
+    // NFKC folds the fi ligature to "fi"
+    val nfkc = df.select(U.unicodeNormalize(col("s"), "NFKC"))
+      .collect()(2).getString(0)
+    assert(nfkc == "fine")
+    // codegen and interpreted agree (fold forces the interpreted path)
+    val viaSql = spark.sql(
+      "SELECT unicode_normalize('àb', 'NFC')").head().getString(0)
+    assert(viaSql == "àb")
+    val interp = graft.functions.UnicodeNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("àb")),
+      "NFC").eval(null).toString
+    assert(interp == "àb")
+    // bad form fails at CONSTRUCTION, not mid-task
+    intercept[IllegalArgumentException] {
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
 }

@@ -140,7 +140,10 @@ class PlanShapeSpec extends SparkSpec {
     // round 7 (cont. session): perceptual-hash image dedup — the near-dup
     // join must stay a band-key equi-join (a lost band key would plan the
     // image-corpus cross product)
-    "q_image_phash", "q_image_neardup")
+    "q_image_phash", "q_image_neardup",
+    // round 7 (cont. session): NFC normalization — a pure per-row column
+    // program (the expression must stay inside codegen, no join/exchange)
+    "q_nfc_normalize")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -277,6 +280,21 @@ class PlanShapeSpec extends SparkSpec {
     // sorts around the span shuffle — the exact regression this pins
     assert(!plan.contains("SortAggregate"), s"sort aggregate:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cross product:\n$plan")
+  }
+
+  test("unicode_normalize stays inside whole-stage codegen (no UDF " +
+    "boundary, no fallback project)") {
+    graft.GraftExtensions.registerAll(spark)
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.functions.UnicodeNormalize
+        .unicodeNormalize(org.apache.spark.sql.functions.col("text")))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` operator prefix is the WholeStageCodegen marker in the
+    // compact plan string — the Project evaluating the expression must
+    // carry it (a CodegenFallback expression would strip it)
+    assert(plan.contains("*(1) Project"), s"no codegen span:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF boundary:\n$plan")
   }
 
   test("gopherRules is a pure map: no exchange, no join, no aggregate") {
