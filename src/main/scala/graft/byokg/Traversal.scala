@@ -379,12 +379,13 @@ object Traversal {
       val sums =
         if (deterministic)
           // fold in ascending CONTRIB order: equal doubles commute, so the
-          // sum is deterministic without carrying the src key — the buffer
-          // is a plain double array (sorting by src string measured ~2x
-          // slower through collect_list/array_sort at sf0.1)
+          // sum is deterministic without carrying the src key. Native
+          // SortedSumAgg: one primitive double buffer per node instead of
+          // collect_list/array_sort/interpreted-fold allocation churn,
+          // bit-identical result (functions.SortedSumAgg)
           contribs.groupBy("dst").agg(
-            aggregate(array_sort(collect_list(col("contrib"))),
-              lit(0.0), (acc, x) => acc + x).as("s"))
+            org.apache.spark.sql.GraftSqlBridge
+              .sortedSum(col("contrib")).as("s"))
         else
           contribs.groupBy("dst").agg(sum("contrib").as("s"))
       ranks = nodes.join(sums, nodes("node") === sums("dst"), "left")
@@ -418,8 +419,8 @@ object Traversal {
       val sums =
         if (deterministic)
           contribs.groupBy("dst").agg(
-            aggregate(array_sort(collect_list(col("contrib"))),
-              lit(0.0), (acc, x) => acc + x).as("s"))
+            org.apache.spark.sql.GraftSqlBridge
+              .sortedSum(col("contrib")).as("s"))
         else
           contribs.groupBy("dst").agg(sum("contrib").as("s"))
       ranks = nodes.join(sums, nodes("node") === sums("dst"), "left")
@@ -464,12 +465,13 @@ object Traversal {
       val sums =
         if (deterministic)
           // fold in ascending CONTRIB order: equal doubles commute, so the
-          // sum is deterministic without carrying the src key — the buffer
-          // is a plain double array (sorting by src string measured ~2x
-          // slower through collect_list/array_sort at sf0.1)
+          // sum is deterministic without carrying the src key. Native
+          // SortedSumAgg: one primitive double buffer per node instead of
+          // collect_list/array_sort/interpreted-fold allocation churn,
+          // bit-identical result (functions.SortedSumAgg)
           contribs.groupBy("dst").agg(
-            aggregate(array_sort(collect_list(col("contrib"))),
-              lit(0.0), (acc, x) => acc + x).as("s"))
+            org.apache.spark.sql.GraftSqlBridge
+              .sortedSum(col("contrib")).as("s"))
         else
           contribs.groupBy("dst").agg(sum("contrib").as("s"))
       ranks = flagged.join(sums, flagged("node") === sums("dst"), "left")
@@ -653,7 +655,7 @@ object Traversal {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     def foldSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (deterministic)
-        aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+        org.apache.spark.sql.GraftSqlBridge.sortedSum(c) // bit-identical
       else sum(c)
     // raw half-round: in-frontier sum only — nodes with no contributions
     // simply have no row (joining a zero-filled frame instead would feed

@@ -18,6 +18,49 @@ object TextFunctions {
   def searchStr(c: Column): Column =
     lower(trim(regexp_replace(regexp_replace(c, "[\\p{Punct}]", " "), "\\s+", " ")))
 
+  /** URL pattern: scheme, authority, path, optional query (fragment is
+    * stripped before matching). */
+  private val UrlRe = "^(?i)(https?)://([^/?#]+)([^?#]*)(?:\\?(.*))?$"
+  /** Tracking params a crawler-dedup canonicalizer drops (full-key match,
+    * with or without a value). */
+  private val TrackingParamRe =
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$"
+
+  /**
+   * Crawl-URL canonicalization — the dedup key a web-corpus pipeline
+   * groups on before any content hashing (the same page is crawled as
+   * `HTTP://WWW.Site.com/a//b/?utm_source=x&b=2&a=1#top` and
+   * `http://site.com/a/b?a=1&b=2`; URL-level dedup collapses them
+   * without reading a byte of content). Normalizations, in order:
+   * fragment dropped; scheme + host lowercased; leading `www.` and the
+   * scheme's default port stripped; duplicate slashes collapsed and
+   * trailing slashes removed from the path; tracking params
+   * (`utm_*`/gclid/fbclid/msclkid/ref) dropped; surviving query params
+   * sorted bytewise. Non-http(s) input passes through trimmed and
+   * untouched (canonicalizing what we can't parse would corrupt the
+   * key). Pure per-row column program — no UDF, no shuffle; replays
+   * identically in any engine with RE2-compatible regexes.
+   */
+  def canonicalUrl(u: Column): Column = {
+    val t = trim(u)
+    val noFrag = regexp_replace(t, "#[\\s\\S]*$", "")
+    val scheme = lower(regexp_extract(noFrag, UrlRe, 1))
+    val hostRaw = lower(regexp_extract(noFrag, UrlRe, 2))
+    val noWww = regexp_replace(hostRaw, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .otherwise(regexp_replace(noWww, ":443$", ""))
+    val path = regexp_replace(
+      regexp_replace(regexp_extract(noFrag, UrlRe, 3), "/{2,}", "/"),
+      "/+$", "")
+    val params = array_sort(filter(
+      split(regexp_extract(noFrag, UrlRe, 4), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val query = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+    when(scheme === "", t)
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
   /** Capitalized node label (reference graph_utils.py:105-111 `label_from`). */
   def labelFrom(c: Column): Column =
     regexp_replace(initcap(searchStr(c)), "\\s+", "")

@@ -137,6 +137,46 @@ object Sampling {
    * it). Rows with weight <= 0 are excluded (they'd never win anyway but
    * ln(u)/0 is undefined).
    */
+  /**
+   * Temperature (α) sampling over strata — the mT5/XLM-R language-mix
+   * rule: sampling shares q_s ∝ p_s^α, α < 1 upsampling low-resource
+   * strata. The exact feasible mix (largest total where no stratum
+   * over-draws, the [[targetMix]] discipline) reduces to the closed form
+   *
+   *   rate_s = min(1, (n_min / n_s)^(1−α))
+   *
+   * because the q normalizer Σ n_j^α cancels: rate_s = (q_s/n_s)·T with
+   * T = min_j n_j/q_s ⇒ (n_s^α/n_s)·min_j n_j^(1−α). That cancellation
+   * is deliberate — there is NO cross-stratum floating-point SUM, so the
+   * result never depends on aggregation order (a Σ over strata is the
+   * one place an α-mix replay can wobble in the last ulp between
+   * engines). The rarest stratum keeps everything; expected kept counts
+   * are ∝ n_s^α · n_min^(1−α) ∝ q_s, the temperature mix.
+   *
+   * α = 0.5 (the common temperature) computes via `sqrt` — correctly
+   * rounded by IEEE 754 in every engine, so the keep decision replays
+   * bit-exactly; other α use `pow`, which libm implementations may round
+   * differently in the last ulp (documented trade: the gate flips only
+   * for a row whose 60-bit hash lands inside that ulp window).
+   * Rows keep/drop by content hash ([[uniform01]]) — partition-order
+   * independent, rerun-stable, like every sampler here.
+   */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     alpha: Double = 0.5, salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("_n"))
+    def ratio(c: Column): Column = // n^(1-alpha), the n/n^alpha ratio
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(1.0 - alpha))
+    val shares = counts.withColumn("_npa", ratio(col("_n").cast("double")))
+    val minNpa = shares.agg(min(col("_npa")).as("_m"))
+    val rates = shares.crossJoin(broadcast(minNpa))
+      .withColumn("_rate", least(lit(1.0), col("_m") / col("_npa")))
+      .select(col(strataCol), col("_rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(uniform01(col(idCol), salt) < col("_rate"))
+      .drop("_rate")
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

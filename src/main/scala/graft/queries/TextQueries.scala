@@ -302,6 +302,41 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: crawl-URL canonicalization + URL-level dedup grouping —
+    // templates 0 and 1 differ in case/www/port/dup-slashes/tracking-
+    // params/param-order/fragment yet canonicalize to the SAME page key
+    // (n_same = 2), template 3 is a non-URL passthrough
+    // (functions.TextFunctions.canonicalUrl).
+    "q_url_canonical" -> ((s, dir) => {
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Example.COM:443/item//"),
+            expr("doc_id div 4"),
+            lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://example.com/item/"),
+            expr("doc_id div 4"), lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://Site.ORG:80/p"), col("doc_id")))
+        .otherwise(concat(lit("plain text "), col("doc_id")))
+      val canon = graft.functions.TextFunctions.canonicalUrl(url)
+      t(s, dir, "documents").select(col("doc_id"), canon.as("canon"))
+        .withColumn("n_same", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))))
+        .orderBy(col("doc_id"))
+    }),
+
+    // extended: temperature (α = 0.5) language mix — the mT5/XLM-R
+    // low-resource upsampling rule over the skewed `lang` column. The
+    // keep rate is the closed form (n_min/n_s)^(1−α): sqrt-exact, no
+    // cross-stratum float sum (Sampling.temperatureMix).
+    "q_temperature_mix" -> ((s, dir) => {
+      graft.ops.Sampling.temperatureMix(
+          t(s, dir, "documents"), "doc_id", "lang", alpha = 0.5,
+          salt = "temp1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: token-budget mixture — targetMix weighted by n_chars, so
     // the shares govern the CHARACTER budget, not document counts
     // (Sampling.targetMixWeighted).
@@ -1229,6 +1264,70 @@ object TextQueries {
          |      FROM c, f)
          |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
          |WHERE CAST(${h60Sql("'mix2'||'#'||doc_id")} AS DOUBLE)
+         |    / 1.152921504606847e18 < rate
+         |ORDER BY doc_id""".stripMargin,
+
+    // URL-canonicalization replay: the same regex pipeline (RE2-compatible
+    // patterns; DuckDB regexp_replace needs the explicit 'g' flag where
+    // Spark replaces globally by default) + the per-canon window count.
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      'HTTPS://WWW.Example.COM:443/item//'||(doc_id//4)
+        |        ||'/?utm_source=x&b=2&a=1#frag'
+        |    WHEN doc_id % 4 = 1 THEN
+        |      'https://example.com/item/'||(doc_id//4)||'?a=1&b=2'
+        |    WHEN doc_id % 4 = 2 THEN 'http://Site.ORG:80/p'||doc_id
+        |    ELSE 'plain text '||doc_id END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, trim(url) AS t,
+        |    regexp_replace(trim(url), '#[\s\S]*$', '') AS nf
+        |  FROM u),
+        |x AS (
+        |  SELECT doc_id, t,
+        |    lower(regexp_extract(nf, '^(?i)(https?)://([^/?#]+)([^?#]*)(?:\?(.*))?$', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^(?i)(https?)://([^/?#]+)([^?#]*)(?:\?(.*))?$', 2)) AS hostraw,
+        |    regexp_extract(nf, '^(?i)(https?)://([^/?#]+)([^?#]*)(?:\?(.*))?$', 3) AS rawpath,
+        |    regexp_extract(nf, '^(?i)(https?)://([^/?#]+)([^?#]*)(?:\?(.*))?$', 4) AS q
+        |  FROM parts),
+        |y AS (
+        |  SELECT doc_id, t, scheme,
+        |    CASE WHEN scheme = 'http'
+        |      THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':80$', '')
+        |      ELSE regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':443$', '')
+        |    END AS host,
+        |    regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'), '/+$', '') AS path,
+        |    list_sort(list_filter(string_split(q, '&'), p -> p <> ''
+        |      AND NOT regexp_matches(p,
+        |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$'))) AS params
+        |  FROM x),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN t
+        |      ELSE scheme||'://'||host||path||
+        |        CASE WHEN len(params) = 0 THEN ''
+        |             ELSE '?'||array_to_string(params, '&') END
+        |    END AS canon
+        |  FROM y)
+        |SELECT doc_id, canon,
+        |  count(*) OVER (PARTITION BY canon) AS n_same
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // temperature-mix replay: per-lang counts, the sqrt closed-form rate
+    // (n_min/n_s)^(1/2) — sqrt is correctly rounded per IEEE 754 in both
+    // engines — and the same hash gate.
+    "q_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT lang, sqrt(CAST(COUNT(*) AS DOUBLE)) AS npa
+         |  FROM documents GROUP BY lang),
+         |m AS (SELECT MIN(npa) AS mn FROM c),
+         |r AS (SELECT lang,
+         |        LEAST(CAST(1.0 AS DOUBLE), m.mn / npa) AS rate
+         |      FROM c, m)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         |WHERE CAST(${h60Sql("'temp1'||'#'||doc_id")} AS DOUBLE)
          |    / 1.152921504606847e18 < rate
          |ORDER BY doc_id""".stripMargin,
 

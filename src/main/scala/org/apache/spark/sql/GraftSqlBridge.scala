@@ -26,4 +26,11 @@ object GraftSqlBridge {
     ExpressionUtils.column(
       graft.functions.MisraGriesAgg(ExpressionUtils.expression(tokens),
         capacity).toAggregateExpression())
+
+  /** Value-ordered deterministic double sum (see
+    * graft.functions.SortedSumAgg — the PageRank/HITS fold primitive). */
+  def sortedSum(values: Column): Column =
+    ExpressionUtils.column(
+      graft.functions.SortedSumAgg(ExpressionUtils.expression(values))
+        .toAggregateExpression())
 }

@@ -564,4 +564,31 @@ class CurationOpsSpec extends SparkSpec {
       assert(math.abs(mq - math.floor(q * 1e6 + 0.5) / 1e6) < 1e-9)
     }
   }
+
+  test("temperatureMix: rarest stratum kept whole, kept counts track " +
+    "n^alpha shares, alpha=1 is a no-op, deterministic under repartition") {
+    // 6400 / 400 / 100: sqrt rates 1/8, sqrt(1/4)=1/2, 1
+    val docs = ((1 to 6400).map(i => (i.toLong, "en")) ++
+      (6401 to 6800).map(i => (i.toLong, "de")) ++
+      (6801 to 6900).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val out = Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 0.5,
+      salt = "t")
+    val byLang = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLang("fr") == 100L) // rate exactly 1.0
+    // expected: en 6400/8 = 800, de 400/2 = 200 (hash gate: expectation)
+    assert(math.abs(byLang("en") - 800L) < 120)
+    assert(math.abs(byLang("de") - 200L) < 60)
+    // alpha = 1 → every rate 1.0 → identity
+    assert(Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 1.0)
+      .count() == 6900L)
+    // partition-order independence (content-hash gate)
+    val again = Sampling.temperatureMix(docs.repartition(13), "doc_id",
+      "lang", alpha = 0.5, salt = "t")
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+    assert(again.count() == out.count())
+    // bad alpha refuses loudly
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 0.0) }
+  }
 }

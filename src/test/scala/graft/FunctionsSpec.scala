@@ -196,4 +196,64 @@ class FunctionsSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
     }
   }
+
+  test("canonicalUrl: case/www/port/slashes/tracking/order/fragment all " +
+    "normalize; non-http passes through trimmed") {
+    val T = graft.functions.TextFunctions
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a//b/?utm_source=x&b=2&a=1#top",
+      "https://example.com/a/b?a=1&b=2",
+      "http://Site.ORG:80//p///q//?ref=abc",
+      "http://site.org/p/q",
+      "  ftp://keep.me/AS-IS?b=1&a=2  ",
+      "mailto:x@y.z",
+      "https://h.io:8443/x?z=1&utm=keepme") // :8443 kept; bare utm kept
+    val out = urls.toDF("u").select(T.canonicalUrl(col("u"))).as[String]
+      .collect().toSeq
+    assert(out(0) == "https://example.com/a/b?a=1&b=2")
+    assert(out(1) == out(0)) // the dedup collapse
+    assert(out(2) == "http://site.org/p/q")
+    assert(out(3) == out(2))
+    assert(out(4) == "ftp://keep.me/AS-IS?b=1&a=2") // trimmed, untouched
+    assert(out(5) == "mailto:x@y.z")
+    assert(out(6) == "https://h.io:8443/x?utm=keepme&z=1")
+    // root URL: trailing slash drops, query-only page keeps its params
+    val extra = Seq("https://a.b/", "https://a.b/?gclid=1&x=2")
+      .toDF("u").select(T.canonicalUrl(col("u"))).as[String].collect()
+    assert(extra(0) == "https://a.b")
+    assert(extra(1) == "https://a.b?x=2")
+  }
+
+  test("SortedSumAgg is bit-identical to aggregate(array_sort(" +
+    "collect_list)) — nulls skipped, empty group = 0.0") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      (i % 97, if (i % 31 == 0) null else
+        java.lang.Double.valueOf(rnd.nextDouble() * math.pow(10, i % 17)))
+    }
+    val df = rows.toDF("k", "v").repartition(13)
+    val native = df.groupBy("k")
+      .agg(GraftSqlBridge.sortedSum(col("v")).as("s"))
+      .as[(Int, Double)].collect().toMap
+    val composed = df.groupBy("k")
+      .agg(aggregate(array_sort(collect_list(col("v"))),
+        lit(0.0), (acc, x) => acc + x).as("s"))
+      .as[(Int, Double)].collect().toMap
+    assert(native.size == 97)
+    native.foreach { case (k, s) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(composed(k)), s"key $k") }
+    // all-null group folds to exactly 0.0
+    val z = Seq((1, null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "v").groupBy("k")
+      .agg(GraftSqlBridge.sortedSum(col("v")).as("s"))
+      .as[(Int, Double)].head()
+    assert(z._2 == 0.0)
+    // non-double input fails analysis loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1, "x")).toDF("k", "v").groupBy("k")
+        .agg(GraftSqlBridge.sortedSum(col("v"))).collect()
+    }
+  }
 }

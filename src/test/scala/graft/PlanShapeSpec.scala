@@ -143,7 +143,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_image_phash", "q_image_neardup",
     // round 7 (cont. session): NFC normalization — a pure per-row column
     // program (the expression must stay inside codegen, no join/exchange)
-    "q_nfc_normalize")
+    "q_nfc_normalize",
+    // round 7 (cont. session): temperature mix — counts + closed-form
+    // rates broadcast back (the same gate family as q_target_mix) — and
+    // URL canonicalization (per-row regex program + one canon-keyed window)
+    "q_temperature_mix", "q_url_canonical")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -158,7 +162,10 @@ class PlanShapeSpec extends SparkSpec {
     // drift totals / negative-sampling weight total / the weighted mix's
     // feasibility scalar)
     "q_modularity", "q_cooccurrence", "q_cluster_drift",
-    "q_negative_weights", "q_target_mix_tokens")
+    "q_negative_weights", "q_target_mix_tokens",
+    // round 7 (cont. session): the temperature mix's 1-row min(n/pa)
+    // scalar broadcast onto the |strata|-row rates frame
+    "q_temperature_mix")
     // (q_hits no longer appears here: the end-normalization rewrite
     // collects both maxima as driver literals, so its plan must be
     // BNLJ-free like the rest — keeping the stale allowance would mask a
