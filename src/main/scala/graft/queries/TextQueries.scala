@@ -30,6 +30,35 @@ object TextQueries {
   private[queries] def shinglesSql(toks: String): String =
     s"list_distinct(list_transform(range(greatest(len($toks)-3,0)+1), i -> array_to_string(list_slice($toks, i+1, i+3),' ')))"
 
+  /** The planted 18-token boilerplate tail for the winnowing-pairs gate. */
+  private val WinnowPhrase: String =
+    "by clicking accept you agree to our terms of service and " +
+      "acknowledge our updated privacy policy effective starting today"
+
+  /** Winnowing selection CTE chain (base → grams → window explode → min +
+    * rightmost-tie → `sel(id, j, pos, fp)`) over `docsRel(doc_id, text)` —
+    * shared by the q_winnow and q_winnow_pairs replays. k=3, w=4. */
+  private def winnowSelCtes(docsRel: String): String =
+    s"""base AS (
+       |  SELECT doc_id AS id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM $docsRel),
+       |g AS (
+       |  SELECT id, CAST(len(toks) - 2 AS INT) AS n_grams,
+       |    CAST(u.i AS INT) AS pos,
+       |    ${h60Sql("array_to_string(list_slice(toks, CAST(u.i AS INT)+1, CAST(u.i AS INT)+3), ' ')")} AS h
+       |  FROM base CROSS JOIN UNNEST(range(len(toks)-2)) u(i)
+       |  WHERE len(toks) >= 3),
+       |e AS (
+       |  SELECT id, pos, h, CAST(j.x AS INT) AS j
+       |  FROM g CROSS JOIN UNNEST(range(greatest(pos-3, 0),
+       |    least(pos, greatest(n_grams-4, 0)) + 1)) j(x)),
+       |m AS (SELECT id, j, min(h) AS m FROM e GROUP BY id, j),
+       |sel AS (
+       |  SELECT e.id, e.j, max(e.pos) AS pos, min(m.m) AS fp
+       |  FROM e JOIN m ON e.id = m.id AND e.j = m.j AND e.h = m.m
+       |  GROUP BY e.id, e.j)""".stripMargin
+
   private def inListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -572,6 +601,32 @@ object TextQueries {
           .otherwise(col("text")).as("text"))
       Dedup.duplicateSpanRemoval(docs, "text", "doc_id", spanTokens = 8)
         .orderBy(col("id"))
+    }),
+
+    // extended: winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // scheme) — guaranteed-density local fingerprints: any shared
+    // >= k+w-1-token substring between documents surfaces as an identical
+    // selected hash. 3-gram hashes, window 4, rightmost-min selection
+    // (Dedup.winnowingFingerprints).
+    "q_winnow" -> ((s, dir) => {
+      Dedup.winnowingFingerprints(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, w = 4)
+        .orderBy(col("id"), col("pos"))
+    }),
+
+    // extended: fingerprint-overlap contamination pairs (the MOSS overlap
+    // join) — every 13th doc carries a planted 18-token boilerplate tail,
+    // so those docs pair up on its interior fingerprints; df-capped
+    // against hub-fingerprint pair blowup (Dedup.winnowOverlapPairs).
+    "q_winnow_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" "), lit(WinnowPhrase)))
+          .otherwise(col("text")).as("text"))
+      val fps = Dedup.winnowingFingerprints(docs, "text", "doc_id",
+        k = 3, w = 4)
+      Dedup.winnowOverlapPairs(fps, minShared = 2, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // extended: Unicode NFC normalization (codegen'd Catalyst expression,
@@ -1761,6 +1816,30 @@ object TextQueries {
         |  END, '') AS text_clean
         |FROM base b LEFT JOIN dset d ON b.id = d.id
         |ORDER BY b.id""".stripMargin,
+
+    // winnowing replay: the same gram h60s, the same full-window explode,
+    // min-per-window + rightmost-tie join, distinct selected pairs.
+    "q_winnow" ->
+      s"""WITH ${winnowSelCtes("documents")}
+         |SELECT DISTINCT id, pos, fp FROM sel
+         |ORDER BY id, pos""".stripMargin,
+
+    // overlap-pairs replay: distinct (id, fp), the df <= 50 stop-word
+    // prune, fp-keyed self-join, shared-count filter.
+    "q_winnow_pairs" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+         |    THEN text||' $WinnowPhrase' ELSE text END AS text
+         |  FROM documents),
+         |${winnowSelCtes("docs2")},
+         |docfp AS (SELECT DISTINCT id, fp FROM sel),
+         |kept AS (SELECT fp FROM docfp GROUP BY fp HAVING count(*) <= 50),
+         |pruned AS (SELECT d.id, d.fp FROM docfp d JOIN kept USING (fp))
+         |SELECT l.id AS id_a, r.id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.id < r.id
+         |GROUP BY l.id, r.id HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // NFC replay: DuckDB's nfc_normalize implements the same UAX #15
     // algorithm as java.text.Normalizer — identical lengths and bytes.

@@ -384,4 +384,67 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4L) == ((5, 0, "totally unrelated text stays put")))
     assert(out(5L) == ((1, 0, "shorty")))
   }
+
+  test("winnowingFingerprints: guarantee (shared >= k+w-1-token substring " +
+    "=> common fingerprint), density, short-doc degenerate window") {
+    import org.apache.spark.sql.functions.col
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"zeta eta theta iota $shared kappa"),
+      (3L, "completely different words live here now today friends"),
+      (4L, "tiny doc"),          // < k tokens: no grams at all
+      (5L, "just three words"))  // exactly one gram, one truncated window
+      .toDF("doc_id", "text")
+    val fps = graft.ops.Dedup
+      .winnowingFingerprints(docs, "text", "doc_id", k = 3, w = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos"),
+        r.getAs[Long]("fp")))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // guarantee: docs 1 and 2 share a 10-token run >= k+w-1 = 6 tokens
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // doc 3 shares nothing with 1 or 2
+    assert((byDoc(3L) & (byDoc(1L) | byDoc(2L))).isEmpty)
+    // density: at least one fingerprint per w consecutive windows, and
+    // far fewer fingerprints than grams
+    val d1Pos = fps.filter(_._1 == 1L).map(_._2).sorted
+    assert(d1Pos.sliding(2).forall(p => p.length < 2 || p(1) - p(0) <= 4))
+    // no-gram doc emits nothing; one-gram doc emits its single hash
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).size == 1)
+    // determinism under repartition
+    val again = graft.ops.Dedup.winnowingFingerprints(
+        docs.repartition(7), "text", "doc_id", k = 3, w = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos"),
+        r.getAs[Long]("fp"))).toSet
+    assert(again == fps.toSet)
+  }
+
+  test("winnowOverlapPairs: contaminated docs pair on shared fingerprints; " +
+    "over-df boilerplate hashes are pruned before the self-join") {
+    import org.apache.spark.sql.functions.col
+    val boiler = "all rights reserved contact us for more information today ok"
+    val docs = (1L to 8L).map { i =>
+      val body = s"unique body $i with words w${i}a w${i}b w${i}c w${i}d"
+      // docs 1,2: shared 11-token tail; ALL docs share `boiler`
+      if (i <= 2) (i, s"$body $boiler shared tail one two three four five six seven eight")
+      else (i, s"$body $boiler")
+    }.toDF("doc_id", "text")
+    val fps = graft.ops.Dedup
+      .winnowingFingerprints(docs, "text", "doc_id", k = 3, w = 4)
+    // maxDf = 4 < 8 docs: the ubiquitous boiler fingerprints are pruned,
+    // so ONLY the 1-2 pair (private shared tail) survives
+    val pairs = graft.ops.Dedup.winnowOverlapPairs(fps, minShared = 1,
+        maxDf = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => (a, b) == ((1L, 2L)) },
+      s"boilerplate pair leaked: ${pairs.mkString(",")}")
+    // with the cap lifted, the boiler hashes pair everyone: 8*7/2 pairs
+    val all = graft.ops.Dedup.winnowOverlapPairs(fps, minShared = 1,
+      maxDf = 100).count()
+    assert(all == 28L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.winnowOverlapPairs(fps, minShared = 0) }
+  }
 }

@@ -147,7 +147,11 @@ class PlanShapeSpec extends SparkSpec {
     // round 7 (cont. session): temperature mix — counts + closed-form
     // rates broadcast back (the same gate family as q_target_mix) — and
     // URL canonicalization (per-row regex program + one canon-keyed window)
-    "q_temperature_mix", "q_url_canonical")
+    "q_temperature_mix", "q_url_canonical",
+    // round 7 (cont. session): winnowing — window-keyed hash aggregates +
+    // one (id, window) equi-join, the same lost-key gate as q_span_dedup —
+    // and the fp-keyed overlap self-join (df-capped against pair blowup)
+    "q_winnow", "q_winnow_pairs")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -287,6 +291,15 @@ class PlanShapeSpec extends SparkSpec {
     // sorts around the span shuffle — the exact regression this pins
     assert(!plan.contains("SortAggregate"), s"sort aggregate:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cross product:\n$plan")
+  }
+
+  test("winnowingFingerprints is in-row: no exchange, no join — the " +
+    "whole selection runs as array expressions on the document's row") {
+    val plan = graft.ops.Dedup.winnowingFingerprints(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in in-row op:\n$plan")
+    assert(!plan.contains("Join"), s"join in in-row op:\n$plan")
   }
 
   test("unicode_normalize stays inside whole-stage codegen (no UDF " +
