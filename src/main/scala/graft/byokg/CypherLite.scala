@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
  *           | v.id STARTS WITH 'lit' | v.id ENDS WITH 'lit'
  *           | v.id CONTAINS 'lit'        -- AND binds tighter than OR
  *   RETURN [DISTINCT] (item [, item ...] | count(*) [AS a]
- *                      | count(DISTINCT v.id) [AS a]
- *                      | item [, item ...], count(*) [AS a]) -- grouped count
+ *                      | count(v.id) [AS a] | count(DISTINCT v.id) [AS a]
+ *                      | item [, item ...], count(*|v) [AS a]) -- grouped
  *     item := v[.id] [AS alias]
+ *     -- count(v) counts NON-NULL bindings (OPTIONAL rows that bound
+ *     -- null don't count, unlike count(*))
  *   [ORDER BY (v.id | alias | count(*)) [DESC] [, ...]] [LIMIT n]
  *
  *   pattern := node(-[:type[|type...][*a..b]]->|<-[...]-)node ...
@@ -113,7 +115,9 @@ object CypherLite {
                          countDistinctVar: Option[String] = None,
                          groupCount: Boolean = false,
                          retAliases: Seq[String] = Nil,
-                         countAlias: String = "count")
+                         countAlias: String = "count",
+                         countVar: Option[String] = None,
+                         groupCountVar: Option[String] = None)
 
   private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\{\s*([^}]*?)\s*\}\s*)?\)""".r
   /** The one property-map form the store can answer: {id: 'literal'}. */
@@ -143,6 +147,12 @@ object CypherLite {
     """(?i)count\s*\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   private val CountDistinctRe =
     """(?i)count\s*\(\s*DISTINCT\s+([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+  /** count(v) — non-null binding count, the form that pairs with OPTIONAL
+    * MATCH (unmatched rows bind null and must NOT count). Tried after
+    * CountDistinctRe; `DISTINCT x` cannot false-match (the close paren
+    * follows the first identifier here). */
+  private val CountVarRe =
+    """(?i)count\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
 
   /** One linear chain: node (edge node)*. Variables may not repeat
     * WITHIN a chain (no cycle patterns); repeats ACROSS parts are the
@@ -340,28 +350,42 @@ object CypherLite {
     val countStar = countStarM.nonEmpty
     val countDistinctM = fullMatch(CountDistinctRe, retPart.trim)
     val countDistinctVar = countDistinctM.map(_.group(1))
-    if ((countStar || countDistinctVar.nonEmpty) &&
-        (distinct || orderBy.nonEmpty))
+    // count(v): non-null binding count (OPTIONAL-match rows that bound
+    // null do not count — count(*) would)
+    val countVarM =
+      if (countStar || countDistinctVar.nonEmpty) None
+      else fullMatch(CountVarRe, retPart.trim)
+    val countVar = countVarM.map(_.group(1))
+    val isScalarCount =
+      countStar || countDistinctVar.nonEmpty || countVar.nonEmpty
+    if (isScalarCount && (distinct || orderBy.nonEmpty))
       return Left("count(...) cannot combine with DISTINCT or ORDER BY")
-    // RETURN v.id [, ...], count(*): grouped count — aggregation keyed by
-    // the returned variables (the per-entity cardinality shape: "how many
-    // orders did each customer place"). count(*) must be the LAST item.
+    // RETURN v.id [, ...], count(*|v): grouped count — aggregation keyed
+    // by the returned variables (the per-entity cardinality shape: "how
+    // many orders did each customer place"). The count must be the LAST
+    // item; count(v) counts only non-null bindings of v.
     val retItems = retPart.split(",").map(_.trim).toSeq
     val groupCountM =
-      if (countStar || retItems.size < 2) None
+      if (isScalarCount || retItems.size < 2) None
       else fullMatch(CountStarRe, retItems.last)
-    val groupCount = groupCountM.nonEmpty
+    val groupCountVarM =
+      if (isScalarCount || retItems.size < 2 || groupCountM.nonEmpty) None
+      else fullMatch(CountVarRe, retItems.last)
+    val groupCountVar = groupCountVarM.map(_.group(1))
+    val groupCount = groupCountM.nonEmpty || groupCountVar.nonEmpty
     if (groupCount && retItems.init.exists(
         i => i.replaceAll("\\s", "").toLowerCase.startsWith("count(")))
-      return Left("only one count(*), as the last RETURN item")
+      return Left("only one count(...), as the last RETURN item")
     if (groupCount && distinct)
-      return Left("DISTINCT cannot combine with a grouped count(*)")
+      return Left("DISTINCT cannot combine with a grouped count")
     val countAlias = countStarM.orElse(groupCountM)
       .flatMap(m => Option(m.group(1)))
       .orElse(countDistinctM.flatMap(m => Option(m.group(2))))
+      .orElse(countVarM.orElse(groupCountVarM)
+        .flatMap(m => Option(m.group(2))))
       .getOrElse("count")
     val retPairs: Seq[(String, String)] =
-      if (countStar || countDistinctVar.nonEmpty) Nil
+      if (isScalarCount) Nil
       else (if (groupCount) retItems.init else retItems).map {
         case RetRe(v, alias) => (v, Option(alias).getOrElse(v))
         case other => return Left(s"unsupported RETURN item '$other'")
@@ -394,13 +418,14 @@ object CypherLite {
         (o, asc)
       }
     }
-    (conds.flatten.map(_.v) ++ returns ++ countDistinctVar)
+    (conds.flatten.map(_.v) ++ returns ++ countDistinctVar ++ countVar ++
+        groupCountVar)
       .find(!known.contains(_)) match {
       case Some(v) => Left(s"unknown variable '$v'")
       case None =>
         Right(Query(parts, conds, returns, limit, countStar,
           distinct, ordResolved, optParts, countDistinctVar, groupCount,
-          aliases, countAlias))
+          aliases, countAlias, countVar, groupCountVar))
     }
   }
 
@@ -526,9 +551,12 @@ object CypherLite {
       if (q.countStar) df.agg(count(lit(1)).as(q.countAlias))
       else if (q.countDistinctVar.nonEmpty)
         df.agg(count_distinct(col(q.countDistinctVar.get)).as(q.countAlias))
+      else if (q.countVar.nonEmpty) // non-null bindings only
+        df.agg(count(col(q.countVar.get)).as(q.countAlias))
       else if (q.groupCount)
         df.groupBy(q.returns.map(col): _*)
-          .agg(count(lit(1)).as(q.countAlias))
+          .agg(q.groupCountVar.map(v => count(col(v)))
+            .getOrElse(count(lit(1))).as(q.countAlias))
           .select(outCols.map { case (v, a) => col(v).as(a) } :+
             col(q.countAlias): _*)
       else df.select(outCols.map { case (v, a) => col(v).as(a) }: _*)

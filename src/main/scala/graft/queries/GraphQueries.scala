@@ -211,6 +211,18 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher count(v): NON-NULL binding count over an OPTIONAL
+    // MATCH — zero-order anchors stay in the output with cnt = 0, where
+    // count(*) would report 1. The "how many X does each Y have,
+    // including none" shape.
+    "q_cypher_countvar" -> ((s, dir) => {
+      val q = "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE n.id IN ['c:0', 'c:1', 'c:2', 'p:1', 's:1'] " +
+        "RETURN n.id AS anchor, count(o) AS cnt ORDER BY anchor"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // ext. openCypher top-k by cardinality: ORDER BY count(*) DESC
     // LIMIT k over a grouped count — the superlative-question shape
     // ("which customer placed the most orders"); compiles to
@@ -1142,6 +1154,23 @@ object GraphQueries {
          |WHERE label IN ('placed', 'supplied_by')
          |  AND src IN ('c:0', 'c:1', 'p:1', 'p:10')
          |ORDER BY left_id, right_id""".stripMargin,
+
+    // count(v) replay: LEFT JOIN + count of the nullable bound column —
+    // anchors with no match keep a 0 row.
+    "q_cypher_countvar" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges0
+         |    UNION ALL SELECT dst FROM edges0)),
+         |anch AS (SELECT node FROM nodes
+         |         WHERE node IN ('c:0', 'c:1', 'c:2', 'p:1', 's:1'))
+         |SELECT a.node AS anchor, count(e.dst) AS cnt
+         |FROM anch a LEFT JOIN (
+         |  SELECT src, dst FROM edges0
+         |  WHERE label = 'placed' AND dst LIKE 'o:%') e
+         |  ON e.src = a.node
+         |GROUP BY a.node ORDER BY anchor""".stripMargin,
 
     // top-k-by-cardinality replay: GROUP BY then count-descending LIMIT,
     // customer id as the deterministic tiebreaker.

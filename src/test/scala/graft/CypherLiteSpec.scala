@@ -389,4 +389,28 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.run(edges,
       "MATCH (a)-[]->(b) RETURN a.id ORDER BY count(*)").isLeft)
   }
+
+  test("count(v) counts NON-NULL bindings: scalar and grouped forms, " +
+    "OPTIONAL nulls excluded (count(*) would include them)") {
+    // scalar: orders bound by c:1 only
+    val sc = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE n.id IN ['c:1', 'p:7'] RETURN count(o) AS n_orders")
+      .toOption.get
+    assert(sc.columns.toSeq == Seq("n_orders"))
+    assert(sc.as[Long].head() == 2L) // p:7 binds null, excluded
+    // grouped: per-anchor non-null counts, zero for the unmatched anchor
+    val g = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE n.id IN ['c:1', 'c:2', 'p:7'] " +
+        "RETURN n, count(o) AS cnt ORDER BY n").toOption.get
+      .as[(String, Long)].collect().toSeq
+    assert(g == Seq(("c:1", 2L), ("c:2", 1L), ("p:7", 0L)))
+    // count(v) of an unknown variable is a loud Left
+    assert(CypherLite.run(edges, "MATCH (a)-[]->(b) RETURN count(z)").isLeft)
+    // count(DISTINCT ...) still wins the parse over count(v)
+    assert(CypherLite.run(edges,
+      "MATCH (o)-[:contains]->(p) RETURN count(DISTINCT p)").toOption.get
+      .as[Long].head() == 2L)
+  }
 }

@@ -151,7 +151,9 @@ class PlanShapeSpec extends SparkSpec {
     // round 7 (cont. session): winnowing — window-keyed hash aggregates +
     // one (id, window) equi-join, the same lost-key gate as q_span_dedup —
     // and the fp-keyed overlap self-join (df-capped against pair blowup)
-    "q_winnow", "q_winnow_pairs")
+    "q_winnow", "q_winnow_pairs",
+    // round 7 (cont. session): count(v) Cypher — left-join + hash agg
+    "q_cypher_countvar")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
