@@ -518,4 +518,59 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"evs=${evs.take(20)}...")
     }
   }
+
+  test("canonicalUrl is idempotent and case/tracking/order-insensitive " +
+    "on generated URLs") {
+    val scheme = Gen.oneOf("http", "https", "HTTP", "HtTpS")
+    val host = Gen.oneOf("Example.COM", "www.site.org", "A.b.C", "h.io:8443")
+    val path = Gen.oneOf("", "/", "/a/b", "/a//b///c/", "/P/Q/")
+    val params = Gen.someOf(Seq("a=1", "b=2", "utm_source=x", "gclid=9",
+      "z", "ref=r")).map(_.toSeq)
+    val frag = Gen.oneOf("", "#x", "#a b")
+    val urlGen = for {
+      s <- scheme; h <- host; p <- path; q <- params; f <- frag
+    } yield s"$s://$h$p${if (q.isEmpty) "" else q.mkString("?", "&", "")}$f"
+    val urls = Gen.listOfN(120, Gen.oneOf(urlGen,
+      Gen.asciiPrintableStr.map("junk " + _))).sample.get
+    val T = graft.functions.TextFunctions
+    val once = urls.toDF("u").select(T.canonicalUrl(col("u")).as("c"))
+    val twice = once.select(T.canonicalUrl(col("c")))
+      .as[String].collect().toSeq
+    assert(twice == once.as[String].collect().toSeq) // fixed point
+    // permuting query params and flipping scheme/host case cannot change
+    // the canonical form
+    val variants = Seq(
+      "https://EXAMPLE.com/x?b=2&a=1&utm_source=s#f",
+      "HTTPS://www.example.COM:443/x/?a=1&gclid=1&b=2")
+      .toDF("u").select(T.canonicalUrl(col("u"))).as[String]
+      .collect().toSet
+    assert(variants == Set("https://example.com/x?a=1&b=2"))
+  }
+
+  test("winnowing guarantee on random corpora: any shared run of " +
+    ">= k+w-1 tokens yields a common fingerprint; density bound holds") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"t$i")
+    def words(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    (1 to 5).foreach { trial =>
+      val shared = words(6 + rnd.nextInt(6)).mkString(" ") // >= k+w-1 = 6
+      val docs = Seq(
+        (1L, (words(rnd.nextInt(8)) :+ shared).++(words(rnd.nextInt(8)))
+          .mkString(" ")),
+        (2L, (words(rnd.nextInt(8)) :+ shared).++(words(rnd.nextInt(8)))
+          .mkString(" "))).toDF("doc_id", "text")
+      val fps = graft.ops.Dedup
+        .winnowingFingerprints(docs, "text", "doc_id", k = 3, w = 4)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("fp")))
+      val a = fps.filter(_._1 == 1L).map(_._2).toSet
+      val b = fps.filter(_._1 == 2L).map(_._2).toSet
+      assert((a & b).nonEmpty, s"trial $trial: no shared fingerprint")
+      // density: consecutive selected positions within a doc are < w apart
+      val pos = graft.ops.Dedup
+        .winnowingFingerprints(docs, "text", "doc_id", k = 3, w = 4)
+        .filter(col("id") === 1L).select(col("pos"))
+        .as[Int].collect().sorted
+      assert(pos.sliding(2).forall(p => p.length < 2 || p(1) - p(0) <= 4))
+    }
+  }
 }
