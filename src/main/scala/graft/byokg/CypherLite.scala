@@ -25,13 +25,15 @@ import org.apache.spark.sql.functions._
  *   RETURN [DISTINCT] (item [, item ...] | count(*) [AS a]
  *                      | count(v.id) [AS a] | count(DISTINCT v.id) [AS a]
  *                      | item [, item ...], count(*|v) [AS a]) -- grouped
- *     item := v[.id] [AS alias]
+ *     item := v[.id] [AS alias] | type(r) [AS alias]
  *     -- count(v) counts NON-NULL bindings (OPTIONAL rows that bound
- *     -- null don't count, unlike count(*))
+ *     -- null don't count, unlike count(*)); type(r) reads a bound
+ *     -- relationship variable's edge label
  *   [ORDER BY (v.id | alias | count(*)) [DESC] [, ...]] [LIMIT n]
  *
- *   pattern := node(-[:type[|type...][*a..b]]->|<-[...]-)node ...
+ *   pattern := node(-[[r][:type[|type...]][*a..b]]->|<-[...]-)node ...
  *   node    := (v[:label][{id: 'lit'}])
+ *   -- [r] binds the relationship variable (single-hop edges only)
  *
  * `ORDER BY count(*) DESC LIMIT k` on a grouped count is the "top-k by
  * cardinality" shape KGQA LLMs emit for superlative questions ("which
@@ -87,12 +89,18 @@ object CypherLite {
                            idEq: Option[String] = None)
   /** rightward: (a)-[:t]->(b); else (a)<-[:t]-(b). `types` carries the
     * `[:a|b]` alternation (empty = any type; one entry = plain `[:t]`).
-    * minHops/maxHops carry the `*a..b` var-length form (1/1 for a plain
-    * edge; the reference's `[:PREVIOUS*0..1]` shape); bounded to
-    * `MaxVarHops` so a pattern can never unroll into an unbounded join
-    * chain. */
+    * `varName` binds the relationship variable of `[r]`/`[r:t]` — its
+    * value is the edge's type (label), so `RETURN r` / `type(r)` answer
+    * the "what is the relationship between X and Y" KGQA shape; bound
+    * vars are single-hop only (a var-length edge traverses MANY
+    * relationships — no single value to bind; Cypher binds a list there,
+    * out of scope). minHops/maxHops carry the `*a..b` var-length form
+    * (1/1 for a plain edge; the reference's `[:PREVIOUS*0..1]` shape);
+    * bounded to `MaxVarHops` so a pattern can never unroll into an
+    * unbounded join chain. */
   final case class EdgePat(types: Seq[String], rightward: Boolean,
-                           minHops: Int = 1, maxHops: Int = 1)
+                           minHops: Int = 1, maxHops: Int = 1,
+                           varName: Option[String] = None)
 
   val MaxVarHops = 3
   /** op ∈ {=, <>, IN, STARTS_WITH, ENDS_WITH, CONTAINS}; IN carries the
@@ -124,8 +132,8 @@ object CypherLite {
   private val PropMapRe = """(?s)id\s*:\s*'([^']*)'""".r
   private val PropKeyRe = """([A-Za-z_][A-Za-z0-9_]*)\s*:""".r
   private val TypeAltPat = """[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*"""
-  private val RightRe = s"""-\\s*\\[\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*->""".r
-  private val LeftRe = s"""<-\\s*\\[\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*-""".r
+  private val RightRe = s"""-\\s*\\[\\s*([A-Za-z_][A-Za-z0-9_]*)?\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*->""".r
+  private val LeftRe = s"""<-\\s*\\[\\s*([A-Za-z_][A-Za-z0-9_]*)?\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*-""".r
   private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.id\s*(=|<>)\s*'([^']*)'""".r
   private val CondStartsRe =
     """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+STARTS\s+WITH\s+'([^']*)'""".r
@@ -141,6 +149,10 @@ object CypherLite {
   // the query loop's retry budget on grammar
   private val RetRe =
     """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+  /** `type(r)` — the relationship-type accessor; r must be a bound
+    * relationship variable (it already holds the edge label). */
+  private val TypeRetRe =
+    """(?i)type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?(?:\s+(ASC|DESC))?""".r
   private val OrdCountRe = """(?i)count\s*\(\s*\*\s*\)(?:\s+(ASC|DESC))?""".r
   private val CountStarRe =
@@ -194,14 +206,18 @@ object CypherLite {
     val edges = scala.collection.mutable.ArrayBuffer.empty[EdgePat]
     while (rest.trim.nonEmpty) {
       def mk(m: scala.util.matching.Regex.Match, right: Boolean): Either[String, EdgePat] = {
+        val rvar = Option(m.group(1))
         val (lo, hi) =
-          if (m.group(2) == null) (1, 1)
-          else (m.group(2).toInt, m.group(3).toInt)
+          if (m.group(3) == null) (1, 1)
+          else (m.group(3).toInt, m.group(4).toInt)
         if (lo > hi) Left(s"bad var-length bounds *$lo..$hi")
         else if (hi > MaxVarHops)
           Left(s"var-length upper bound $hi exceeds MaxVarHops=$MaxVarHops")
-        else Right(EdgePat(Option(m.group(1)).toSeq
-          .flatMap(_.split("\\|")).map(_.trim), right, lo, hi))
+        else if (rvar.nonEmpty && (lo != 1 || hi != 1))
+          Left("relationship variables are not supported on var-length " +
+            "edges (no single relationship to bind)")
+        else Right(EdgePat(Option(m.group(2)).toSeq
+          .flatMap(_.split("\\|")).map(_.trim), right, lo, hi, rvar))
       }
       val e = eat(RightRe).map(mk(_, right = true))
         .orElse(eat(LeftRe).map(mk(_, right = false)))
@@ -212,7 +228,8 @@ object CypherLite {
       edges += e
       nodes += node(n).fold(err => return Left(err), identity)
     }
-    if (nodes.map(_.v).distinct.size != nodes.size)
+    val allVars = nodes.map(_.v) ++ edges.flatMap(_.varName)
+    if (allVars.distinct.size != allVars.size)
       Left("repeated pattern variables within one pattern are not supported")
     else Right(Part(nodes.toSeq, edges.toSeq))
   }
@@ -305,16 +322,25 @@ object CypherLite {
     // variables must be unique (an optional-to-optional join would key on
     // a possibly-null column — SQL and Cypher disagree there, refuse)
     val mandatoryVars = varSets.reduce(_ | _)
+    // relationship variables: globally unique (a reused edge var would
+    // duplicate a column through the part joins) and distinct from nodes
+    val mandEdgeVars = parts.flatMap(_.edges.flatMap(_.varName))
+    if (mandEdgeVars.distinct.size != mandEdgeVars.size ||
+        mandEdgeVars.exists(mandatoryVars.contains))
+      return Left("relationship variable names must be unique across " +
+        "patterns and distinct from node variables")
     val optNewSeen = scala.collection.mutable.Set.empty[String]
     optParts.foreach { p =>
       val vs = p.nodes.map(_.v).toSet
       if ((vs & mandatoryVars).isEmpty)
         return Left("OPTIONAL MATCH must share a variable with a " +
           "mandatory MATCH pattern")
-      val fresh = vs -- mandatoryVars
-      fresh.find(optNewSeen.contains).foreach(v =>
+      val fresh = (vs -- mandatoryVars) ++ p.edges.flatMap(_.varName)
+      fresh.find(v => optNewSeen.contains(v) ||
+          mandEdgeVars.contains(v) || (mandatoryVars.contains(v) &&
+            p.edges.exists(_.varName.contains(v)))).foreach(v =>
         return Left(s"variable '$v' is introduced by two OPTIONAL " +
-          "MATCH patterns"))
+          "MATCH patterns (or clashes with an earlier variable)"))
       optNewSeen ++= fresh
     }
 
@@ -384,9 +410,15 @@ object CypherLite {
       .orElse(countVarM.orElse(groupCountVarM)
         .flatMap(m => Option(m.group(2))))
       .getOrElse("count")
+    val allEdgeVars = (mandEdgeVars ++
+      optParts.flatMap(_.edges.flatMap(_.varName))).toSet
     val retPairs: Seq[(String, String)] =
       if (isScalarCount) Nil
       else (if (groupCount) retItems.init else retItems).map {
+        case TypeRetRe(v, alias) =>
+          if (!allEdgeVars.contains(v))
+            return Left(s"type($v): '$v' is not a relationship variable")
+          (v, Option(alias).getOrElse(s"type($v)"))
         case RetRe(v, alias) => (v, Option(alias).getOrElse(v))
         case other => return Left(s"unsupported RETURN item '$other'")
       }
@@ -395,8 +427,10 @@ object CypherLite {
     if ((aliases :+ countAlias).distinct.size != aliases.size + 1)
       return Left("duplicate output column names in RETURN — " +
         "disambiguate with AS")
-    val known = mandatoryVars ++ optParts.flatMap(_.nodes.map(_.v))
-    conds.flatten.map(_.v).find(!mandatoryVars.contains(_)) match {
+    val known = mandatoryVars ++ mandEdgeVars ++
+      optParts.flatMap(p => p.nodes.map(_.v) ++ p.edges.flatMap(_.varName))
+    val condEligible = mandatoryVars ++ mandEdgeVars
+    conds.flatten.map(_.v).find(!condEligible.contains(_)) match {
       case Some(v) if known.contains(v) =>
         return Left(s"WHERE on OPTIONAL MATCH variable '$v' would " +
           "null-kill the outer join — not supported")
@@ -442,7 +476,8 @@ object CypherLite {
         else if (e.types.size == 1)
           edgeFrame.filter(col("label") === e.types.head)
         else edgeFrame.filter(col("label").isin(e.types: _*))
-      typed.select(col(fromCol).as(from), col(toCol).as(to))
+      typed.select(col(fromCol).as(from) +: col(toCol).as(to) +:
+        e.varName.map(v => col("label").as(v)).toSeq: _*)
     }
     if (part.edges.isEmpty)
       edgeFrame.select(col("src").as(part.nodes.head.v))
@@ -481,7 +516,8 @@ object CypherLite {
             f = if (f == null) hop else f.join(hop, cur)
             cur = nxt
           }
-          f.select((boundCols :+ from).distinct.map(col) :+ col(to): _*)
+          f.select((boundCols :+ from).distinct.map(col) ++
+            e.varName.map(col) :+ col(to): _*)
         }
         val identity =
           if (e.minHops > 0) None

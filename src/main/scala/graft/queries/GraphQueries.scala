@@ -211,6 +211,17 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher relationship variables: `-[r]->` binds the edge
+    // type, `type(r)` reads it — the "what is the relationship between X
+    // and Y" KGQA shape (an untyped scan whose output NAMES each edge).
+    "q_cypher_reltype" -> ((s, dir) => {
+      val q = "MATCH (n)-[r]->(m) WHERE n.id IN ['c:0', 'p:1'] " +
+        "RETURN DISTINCT n.id AS src_id, type(r) AS rel, m.id AS dst_id " +
+        "ORDER BY src_id, rel, dst_id"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // ext. openCypher count(v): NON-NULL binding count over an OPTIONAL
     // MATCH — zero-order anchors stay in the output with cnt = 0, where
     // count(*) would report 1. The "how many X does each Y have,
@@ -1154,6 +1165,13 @@ object GraphQueries {
          |WHERE label IN ('placed', 'supplied_by')
          |  AND src IN ('c:0', 'c:1', 'p:1', 'p:10')
          |ORDER BY left_id, right_id""".stripMargin,
+
+    // relationship-variable replay: the bound r IS the label column.
+    "q_cypher_reltype" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT DISTINCT src AS src_id, label AS rel, dst AS dst_id
+         |FROM edges0 WHERE src IN ('c:0', 'p:1')
+         |ORDER BY src_id, rel, dst_id""".stripMargin,
 
     // count(v) replay: LEFT JOIN + count of the nullable bound column —
     // anchors with no match keep a 0 row.

@@ -413,4 +413,51 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (o)-[:contains]->(p) RETURN count(DISTINCT p)").toOption.get
       .as[Long].head() == 2L)
   }
+
+  test("relationship variables: [r] binds the edge type; type(r) and " +
+    "bare r read it; WHERE on r filters; misuse is loud") {
+    val out = CypherLite.run(edges,
+      "MATCH (a {id: 'p:7'})-[r]->(b) RETURN type(r) AS rel, b.id")
+      .toOption.get.as[(String, String)].collect().toSet
+    assert(out == Set(("supplied_by", "s:3")))
+    // bare r returns the same value; default type() column name matches
+    val bare = CypherLite.run(edges,
+      "MATCH (c:c)-[r]->(o) WHERE c.id = 'c:1' " +
+        "RETURN DISTINCT r ORDER BY r").toOption.get
+    assert(bare.columns.toSeq == Seq("r"))
+    assert(bare.as[String].collect().toSeq == Seq("placed"))
+    val named = CypherLite.run(edges,
+      "MATCH (a {id: 'o:10'})-[r]->(b) RETURN type(r)").toOption.get
+    assert(named.columns.toSeq == Seq("type(r)"))
+    // WHERE on the relationship variable
+    val w = CypherLite.run(edges,
+      "MATCH (a)-[r]->(b) WHERE r.id = 'supplied_by' RETURN a.id, b.id")
+      .toOption.get.as[(String, String)].collect().toSet
+    assert(w == Set(("p:7", "s:3")))
+    // count(DISTINCT r): distinct relationship types
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[r]->(b) RETURN count(DISTINCT r)").toOption.get
+      .as[Long].head() == 3L)
+    // grouped: relationships per type
+    val g = CypherLite.run(edges,
+      "MATCH (a)-[r]->(b) RETURN r, count(*) ORDER BY r").toOption.get
+      .as[(String, Long)].collect().toSeq
+    assert(g == Seq(("contains", 3L), ("placed", 3L), ("supplied_by", 1L)))
+    // var-length + relationship variable is refused
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[r*1..2]->(b) RETURN a.id").isLeft)
+    // type() of a node variable is refused
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[]->(b) RETURN type(a)").isLeft)
+    // duplicate relationship variable across patterns is refused
+    assert(CypherLite.run(edges,
+      "MATCH (a)-[r]->(b), (b)-[r]->(c) RETURN a.id").isLeft)
+    // OPTIONAL-bound r survives as null for unmatched anchors
+    val opt = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[r:placed]->(o) " +
+        "WHERE n.id IN ['c:1', 'p:7'] RETURN DISTINCT n.id, r " +
+        "ORDER BY n.id, r").toOption.get.collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    assert(opt == Set(("c:1", Some("placed")), ("p:7", None)))
+  }
 }

@@ -152,8 +152,9 @@ class PlanShapeSpec extends SparkSpec {
     // one (id, window) equi-join, the same lost-key gate as q_span_dedup —
     // and the fp-keyed overlap self-join (df-capped against pair blowup)
     "q_winnow", "q_winnow_pairs",
-    // round 7 (cont. session): count(v) Cypher — left-join + hash agg
-    "q_cypher_countvar")
+    // round 7 (cont. session): count(v) Cypher — left-join + hash agg —
+    // and the relationship-variable scan (one projected edge scan)
+    "q_cypher_countvar", "q_cypher_reltype")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
