@@ -282,8 +282,15 @@ object Multimodal {
    * is within hamming 1 of the original (the near-dup the LSH join must
    * find). A SQL oracle replays everything from `md5(seed)` hex.
    */
+  /** `wideParams` widens the coefficient ranges (b ≤ 31, c ≤ 29, e ≤ 61 —
+    * ~900M parameter combos instead of ~1.4M): the ORACLE-gated corpus
+    * keeps the narrow SQL-replayable defaults, while scale probes use the
+    * wide family so organic parameter collisions (true near-dup mass that
+    * grows quadratically in a bounded family) don't drown the planted
+    * twins (tools.Profile phashscale). */
   def synthGradientPngMedia(df: DataFrame, idCol: String, seedCol: String,
-                            variantEvery: Int = 0): DataFrame = {
+                            variantEvery: Int = 0,
+                            wideParams: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast("string"), col(seedCol).cast("string"))
       .rdd.mapPartitions { rows =>
@@ -293,11 +300,12 @@ object Multimodal {
           val (id, seed) = (r.getString(0), r.getString(1))
           if (seed == null) Seq(Row(id, "image", null, null, null, null, null))
           else {
-            val base = gradientRow(md, id, seed, variant = false)
+            val base = gradientRow(md, id, seed, variant = false, wideParams)
             val isVariant = variantEvery > 0 &&
               id.toLongOption.exists(_ % variantEvery == 0)
             if (isVariant)
-              Seq(base, gradientRow(md, id + "_v", seed, variant = true))
+              Seq(base,
+                gradientRow(md, id + "_v", seed, variant = true, wideParams))
             else Seq(base)
           }
         }
@@ -306,14 +314,15 @@ object Multimodal {
   }
 
   private def gradientRow(md: java.security.MessageDigest, id: String,
-                          seed: String, variant: Boolean): Row = {
+                          seed: String, variant: Boolean,
+                          wide: Boolean = false): Row = {
     val d = md.digest(seed.getBytes("UTF-8"))
     val w = 16 + ((d(0) & 0xff) % 9)
     val h = 12 + ((d(1) & 0xff) % 7)
     val a = d(2) & 0xff
-    val b = 1 + ((d(3) & 0xff) % 7)
-    val c = 1 + ((d(4) & 0xff) % 7)
-    val e = 1 + ((d(5) & 0xff) % 13)
+    val b = 1 + ((d(3) & 0xff) % (if (wide) 31 else 7))
+    val c = 1 + ((d(4) & 0xff) % (if (wide) 29 else 7))
+    val e = 1 + ((d(5) & 0xff) % (if (wide) 61 else 13))
     val (vx, vy) = (w / 16, h / 16) // dHash sample (i=0, j=0) coordinate
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -414,9 +423,14 @@ object Multimodal {
    * 4 bands untouched, so with the default threshold the banded join is
    * EXACT (recall 1.0), not approximate — `maxHamming` is capped at
    * bands−1 to keep that guarantee (raise `bands` to trade joins for a
-   * looser cap). Scale shape: the explode is 4 rows per image, the join
-   * an equi-join on the band key — linear in the corpus, never all
-   * pairs; verification touches candidate pairs only.
+   * looser cap). Scale shape: the explode is `bands` rows per image, the
+   * join an equi-join on the band key; verification touches candidate
+   * pairs only. The structural law sizing `bands` for a corpus: random
+   * band collisions contribute an expected N²·bands/2^(56/bands) pair
+   * floor, so 4×14-bit banding turns quadratic once N ≫ 2^14 while
+   * 2×28-bit (hamming ≤ 1) stays at the true-output floor to N ≈ 2^28 —
+   * measured in `tools.Profile phashscale` (at N=20k: 349k candidate
+   * pairs for 437 true dups at 4 bands vs 1.9k for 252 at 2).
    *
    * Input: [[dHash56]] output (undecoded rows dropped). Returns
    * (id_a, id_b, hamming), id_a < id_b, each pair once.

@@ -746,6 +746,50 @@ object Profile {
             graft.SparkEntry.queries("q_tenant_summary")(spark, sfDir).count()
           }
 
+      case "phashscale" =>
+        // Banded-hamming-LSH scale probe for the image near-dup join.
+        // The structural law: a (bands, 56/bands-bit) banding has an
+        // expected RANDOM band-collision floor of N²·bands/2^(56/bands)
+        // pairs — at 4×14 bits that floor turns quadratic once N ≫ 2^14,
+        // at 2×28 bits it stays ≈0 up to N ≈ 2^28. So the bands knob is
+        // the corpus-size dial: more bands = higher hamming budget
+        // (≤ bands−1) but a lower collision ceiling; the probe prints
+        // both configs so the trade is measured, not asserted. Planted
+        // twins (every 100th id) set the true-output floor; the wide
+        // synth family keeps organic parameter collisions negligible.
+        for (n <- Seq(5000, 10000, 20000)) {
+          val ids = spark.range(n).select(col("id").as("doc_id"),
+            concat(lit("synthetic text payload "), col("id")).as("text"))
+          val hashed = graft.ops.Multimodal.dHash56(
+              graft.ops.Multimodal.synthGradientPngMedia(
+                ids, "doc_id", "text", variantEvery = 100,
+                wideParams = true))
+            .localCheckpoint(true)
+          val nImgs = hashed.count()
+          val brute = nImgs * (nImgs - 1) / 2
+          for ((bands, maxHam) <- Seq((4, 3), (2, 1))) {
+            val bits = 56 / bands
+            val mask = (1L << bits) - 1
+            // band-bucket pair mass = what the equi-join emits pre-filter
+            val bandPairs = hashed.select(explode(array((0 until bands).map {
+                k => concat(lit(s"$k#"),
+                  (shiftright(col("phash"), bits * k) bitwiseAND mask)
+                    .cast("string"))
+              }: _*)).as("bk"))
+              .groupBy("bk").agg(count(lit(1)).as("c"))
+              .agg(sum(expr("c * (c - 1) DIV 2"))).head().getLong(0)
+            var pairs = 0L
+            time(s"neardup N=$nImgs bands=$bands h<=$maxHam") {
+              pairs = graft.ops.Multimodal
+                .phashNearDup(hashed, maxHam, bands).count()
+              pairs
+            }
+            println(f"[profile]   N=$nImgs%6d bands=$bands brute=$brute%12d " +
+              f"bandPairs=$bandPairs%9d (${bandPairs * 100.0 / brute}%.5f%% " +
+              f"of brute) nearDups=$pairs%7d")
+          }
+        }
+
       case "setsimskew" =>
         // Zipf-skew probe for the set-similarity prefix join (the 100 TB
         // failure mode the AllPairs papers warn about): a deterministic
