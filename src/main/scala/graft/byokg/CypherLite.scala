@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
  *     term := v.id = 'lit' | v.id <> 'lit' | v.id IN ['lit', ...]
  *           | v.id STARTS WITH 'lit' | v.id ENDS WITH 'lit'
  *           | v.id CONTAINS 'lit'        -- AND binds tighter than OR
+ *           | v[.id] IS [NOT] NULL  -- allowed on OPTIONAL vars: the
+ *                                   -- anti-join / exists shape
  *   RETURN [DISTINCT] (item [, item ...] | count(*) [AS a]
  *                      | count(v.id) [AS a] | count(DISTINCT v.id) [AS a]
  *                      | item [, item ...], count(*|v) [AS a]) -- grouped
@@ -141,6 +143,13 @@ object CypherLite {
     """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+ENDS\s+WITH\s+'([^']*)'""".r
   private val CondContainsRe =
     """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+CONTAINS\s+'([^']*)'""".r
+  /** `v IS [NOT] NULL` — the standard Cypher existence test after an
+    * OPTIONAL MATCH: IS NULL is the anti-join ("anchors with NO match"),
+    * IS NOT NULL the explicit inner-join-back. These are the ONE WHERE
+    * form allowed on optional-only variables: null-sensitivity is the
+    * user's stated intent here, not an accident to refuse. */
+  private val CondNullRe =
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?\s+IS\s+(NOT\s+)?NULL""".r
   private val CondInRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+IN\s+[\[(]\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*[\])]""".r
   private val StrLitRe = """'([^']*)'""".r
   // `v.id` and bare `v` are both accepted everywhere a value is referenced
@@ -360,6 +369,8 @@ object CypherLite {
             case CondStartsRe(v, p) => Cond(v, "STARTS_WITH", Seq(p))
             case CondEndsRe(v, sfx) => Cond(v, "ENDS_WITH", Seq(sfx))
             case CondContainsRe(v, sub) => Cond(v, "CONTAINS", Seq(sub))
+            case CondNullRe(v, not) =>
+              Cond(v, if (not == null) "IS_NULL" else "IS_NOT_NULL", Nil)
             case CondInRe(v, items) =>
               Cond(v, "IN",
                 StrLitRe.findAllMatchIn(items).map(_.group(1)).toSeq)
@@ -430,7 +441,11 @@ object CypherLite {
     val known = mandatoryVars ++ mandEdgeVars ++
       optParts.flatMap(p => p.nodes.map(_.v) ++ p.edges.flatMap(_.varName))
     val condEligible = mandatoryVars ++ mandEdgeVars
-    conds.flatten.map(_.v).find(!condEligible.contains(_)) match {
+    // IS [NOT] NULL is exempt from the null-kill refusal: filtering on
+    // the optional variable's null-ness IS the stated intent (the Cypher
+    // anti-join / exists shape)
+    conds.flatten.filterNot(_.op.startsWith("IS_")).map(_.v)
+      .find(!condEligible.contains(_)) match {
       case Some(v) if known.contains(v) =>
         return Left(s"WHERE on OPTIONAL MATCH variable '$v' would " +
           "null-kill the outer join — not supported")
@@ -577,6 +592,8 @@ object CypherLite {
       case "STARTS_WITH" => col(c.v).startsWith(c.values.head)
       case "ENDS_WITH" => col(c.v).endsWith(c.values.head)
       case "CONTAINS" => col(c.v).contains(c.values.head)
+      case "IS_NULL" => col(c.v).isNull
+      case "IS_NOT_NULL" => col(c.v).isNotNull
     }
     if (q.conds.nonEmpty)
       df = df.filter(

@@ -211,6 +211,16 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher IS NULL anti-join: anchors with NO match — the
+    // "customers who never placed an order" shape, expressed the way
+    // Cypher (and every LLM) writes it: OPTIONAL MATCH + WHERE o IS NULL.
+    "q_cypher_isnull" -> ((s, dir) => {
+      val q = "MATCH (n) OPTIONAL MATCH (n)-[]->(m) " +
+        "WHERE m IS NULL RETURN DISTINCT n.id AS sink ORDER BY sink"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // ext. openCypher relationship variables: `-[r]->` binds the edge
     // type, `type(r)` reads it — the "what is the relationship between X
     // and Y" KGQA shape (an untyped scan whose output NAMES each edge).
@@ -1165,6 +1175,20 @@ object GraphQueries {
          |WHERE label IN ('placed', 'supplied_by')
          |  AND src IN ('c:0', 'c:1', 'p:1', 'p:10')
          |ORDER BY left_id, right_id""".stripMargin,
+
+    // IS NULL replay: LEFT JOIN ... WHERE right IS NULL, SQL's anti-join
+    // (pure sink nodes = the supplier layer of the derived graph).
+    "q_cypher_isnull" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges0
+         |    UNION ALL SELECT dst FROM edges0))
+         |SELECT DISTINCT n.node AS sink
+         |FROM nodes n LEFT JOIN (SELECT DISTINCT src FROM edges0) e
+         |  ON e.src = n.node
+         |WHERE e.src IS NULL
+         |ORDER BY sink""".stripMargin,
 
     // relationship-variable replay: the bound r IS the label column.
     "q_cypher_reltype" ->

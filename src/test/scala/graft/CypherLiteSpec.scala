@@ -460,4 +460,31 @@ class CypherLiteSpec extends SparkSpec {
       .map(x => (x.getString(0), Option(x.getString(1)))).toSet
     assert(opt == Set(("c:1", Some("placed")), ("p:7", None)))
   }
+
+  test("IS NULL / IS NOT NULL: the OPTIONAL anti-join and exists shapes " +
+    "are the one null-sensitive WHERE allowed on optional variables") {
+    // anti-join: nodes with NO outgoing placed edge
+    val none = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE o IS NULL RETURN DISTINCT n.id ORDER BY n.id").toOption.get
+      .as[String].collect().toSeq
+    assert(none == Seq("o:10", "o:11", "o:12", "p:7", "p:8", "s:3"))
+    // exists: the explicit inner-join-back
+    val some = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE o.id IS NOT NULL RETURN DISTINCT n.id ORDER BY n.id")
+      .toOption.get.as[String].collect().toSeq
+    assert(some == Seq("c:1", "c:2"))
+    // composes with other terms under OR/AND precedence
+    val mix = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE o IS NULL AND n.id STARTS WITH 'p:' " +
+        "RETURN DISTINCT n.id ORDER BY n.id").toOption.get
+      .as[String].collect().toSeq
+    assert(mix == Seq("p:7", "p:8"))
+    // value predicates on optional vars are still refused
+    assert(CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o) " +
+        "WHERE o.id = 'o:10' RETURN n.id").isLeft)
+  }
 }

@@ -154,7 +154,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_winnow", "q_winnow_pairs",
     // round 7 (cont. session): count(v) Cypher — left-join + hash agg —
     // and the relationship-variable scan (one projected edge scan)
-    "q_cypher_countvar", "q_cypher_reltype")
+    "q_cypher_countvar", "q_cypher_reltype",
+    // round 7 (cont. session): IS NULL anti-join — left join + null filter
+    "q_cypher_isnull")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
