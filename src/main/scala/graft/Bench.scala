@@ -89,6 +89,63 @@ object Bench {
     // build (the round-6 "4.8x regression" was exactly this attribution)
     val gt1 = graft.queries.Tables.lexicalGraphClassifiedT1(spark, sfDir)
     Seq(gt1.entities, gt1.entityRelations).foreach(_.count())
+    // The remaining memoized layouts queries actually probe: warming them
+    // (a) keeps index-build cost out of some query's first rep and (b) lets
+    // the per-query cache eviction below treat EVERY still-persistent RDD
+    // that is not in the post-warmup snapshot as query-local garbage.
+    graft.queries.Tables.pqIndex(spark, sfDir)._1.count()
+    graft.queries.Tables.coPurchaseTriangleCounts(spark, sfDir).count()
+    val (wAdjE, wAdjN) = graft.queries.Tables.weightedAdjacency(spark, sfDir)
+    wAdjE.count(); wAdjN.count()
+    graft.queries.Tables.nodeProps(spark, sfDir).count()
+
+    // ---- full-run degradation defense (round-7 finding) -----------------
+    // The round-7 snapshot inflated late-alphabet queries up to 24x vs
+    // isolated runs of the same build: with all reps of a query back-to-back
+    // in name order, per-query caches leaked by operators (.cache() without
+    // unpersist), broadcast blocks, and ContextCleaner backlog accumulate
+    // monotonically, so by mid-alphabet the storage pool is full of garbage
+    // and every cache insert evicts + every job GCs. Two defenses:
+    //  1. evict every persistent RDD that is NOT part of the warmed store
+    //     layouts between queries (+ System.gc(), which is what actually
+    //     drains ContextCleaner's weak-reference queue — shuffle files,
+    //     broadcasts, accumulator refs). Verified: live storage returns to
+    //     exactly the warmed footprint after every query, all passes.
+    //  2. run the queries in ONE deterministically shuffled order so any
+    //     residual drift cannot correlate with query-name order across
+    //     rounds. Reps of a query still run BACK-TO-BACK: an experiment
+    //     with reps as full separated passes re-paid codegen compilation
+    //     on every execution (Spark's codegen cache holds ~100 plans; 181
+    //     queries evict everything between passes) and inflated the suite
+    //     ~1.5-2x over isolated subset runs of the same build. With the
+    //     cache leak fixed by (1), back-to-back is safe — r7's 24x
+    //     late-query inflation was the leak, not the rep layout — and the
+    //     warm median measures the PLAN, matching how isolated A/B runs
+    //     are adjudicated.
+    val warmedRddIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def evictTransient(): Unit = {
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!warmedRddIds.contains(id)) rdd.unpersist(blocking = false)
+      }
+      System.gc()
+    }
+    // Cache-pressure self-check: the warmed layouts must fit the unified
+    // memory pool with room to spare, else in-run eviction (the silent
+    // mechanism class behind round-7's finding #1) can recur invisibly.
+    // Budget = (heap - 300MB reserved) * spark.memory.fraction (0.6).
+    val warmedStorageBytes =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    val heapBytes = Runtime.getRuntime.maxMemory
+    val unifiedBudgetBytes =
+      (((heapBytes - (300L << 20)) max 0L) * 0.6).toLong
+    val cachePressureOk = warmedStorageBytes <= unifiedBudgetBytes / 2
+    System.err.println(f"[bench] warmed storage ${warmedStorageBytes / 1e6}%.1f MB" +
+      f" of ${unifiedBudgetBytes / 1e6}%.1f MB unified budget (heap ${heapBytes / 1e9}%.1f GB)")
+    if (!cachePressureOk)
+      System.err.println("[bench] CACHE PRESSURE: warmed layouts exceed half " +
+        "the unified pool — in-run eviction is likely; raise SPARK_DRIVER_MEM " +
+        "or trim the warm set. Snapshot is flagged, not trusted.")
 
     val calib = calibrate()
 
@@ -108,9 +165,13 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // one deterministic shuffle: same order every round (comparable), but
+    // decorrelated from query-name order
+    val order = new scala.util.Random(0x9E3779B9L).shuffle(selected)
+    val timed = order.zipWithIndex.map { case ((name, fn), i) =>
+      evictTransient() // outside the timed region: each query starts clean
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -120,14 +181,20 @@ object Bench {
             -1.0
         }
       }
+      if ((i + 1) % 50 == 0) {
+        val live = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+        System.err.println(f"[bench] ${i + 1}/${order.size} queries done; " +
+          f"live storage ${live / 1e6}%.1f MB")
+      }
       // any failed rep poisons the entry: an intermittent failure must stay
       // visible as -1.0, not vanish into the median of the surviving reps
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
+    val results = timed.sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"reps":$reps}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"reps":$reps,"warmed_storage_mb":${warmedStorageBytes / 1048576},"storage_budget_mb":${unifiedBudgetBytes / 1048576},"cache_pressure_ok":$cachePressureOk}"""
     // stdout under sbt is decorated with an "[info] " prefix, so also write
     // the line to a file the harness can parse directly. Subset runs
     // (SPARK_GRAFT_BENCH_ONLY) are A/B scratch work — never let them

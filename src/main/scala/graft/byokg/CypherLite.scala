@@ -19,19 +19,36 @@ import org.apache.spark.sql.functions._
  *   MATCH pattern [, pattern ...]
  *   [OPTIONAL MATCH pattern [, pattern ...]] ...
  *   [WHERE term [AND term ...] [OR term [AND term ...] ...]]
- *     term := v.id = 'lit' | v.id <> 'lit' | v.id IN ['lit', ...]
- *           | v.id STARTS WITH 'lit' | v.id ENDS WITH 'lit'
- *           | v.id CONTAINS 'lit'        -- AND binds tighter than OR
- *           | v[.id] IS [NOT] NULL  -- allowed on OPTIONAL vars: the
+ *     term := v.p = 'lit' | v.p <> 'lit' | v.p IN ['lit', ...]
+ *           | v.p STARTS WITH 'lit' | v.p ENDS WITH 'lit'
+ *           | v.p CONTAINS 'lit'         -- AND binds tighter than OR
+ *           | v[.p] IS [NOT] NULL   -- allowed on OPTIONAL vars: the
  *                                   -- anti-join / exists shape
  *   RETURN [DISTINCT] (item [, item ...] | count(*) [AS a]
- *                      | count(v.id) [AS a] | count(DISTINCT v.id) [AS a]
- *                      | item [, item ...], count(*|v) [AS a]) -- grouped
- *     item := v[.id] [AS alias] | type(r) [AS alias]
+ *                      | count(v[.p]) [AS a]
+ *                      | count(DISTINCT v[.p]) [AS a]
+ *                      | item [, item ...], count(*|v[.p]) [AS a]) -- grouped
+ *     item := v[.p] [AS alias] | type(r) [AS alias]
  *     -- count(v) counts NON-NULL bindings (OPTIONAL rows that bound
  *     -- null don't count, unlike count(*)); type(r) reads a bound
  *     -- relationship variable's edge label
- *   [ORDER BY (v.id | alias | count(*)) [DESC] [, ...]] [LIMIT n]
+ *   [ORDER BY (v[.p] | alias | count(*|v)) [DESC] [, ...]] [LIMIT n]
+ *
+ * `v.p`: `p` = `id` reads the binding itself (the node id, always
+ * available); any other property resolves through the caller-supplied
+ * nodeProps frame `(id, prop...)` — the reference's retrieval cypher
+ * projects node properties everywhere (node_result, graph_utils.py:
+ * 121-157; `l.value` / `properties(c)` in
+ * traversal_based_base_retriever.py:143-217), so an LLM in the KGLinker
+ * loop emitting `RETURN e.value, e.class` must compile, not parse-fail.
+ * A property the store doesn't carry is a loud Left NAMING the unknown
+ * property and the available columns (run()'s schema check); a property
+ * access with NO nodeProps frame supplied Lefts with "only '.id'".
+ * Property items default their output column to the literal `v.p`
+ * (Neo4j's convention); `AS` renames. Compilation is one LEFT equi-join
+ * per property-reading variable against nodeProps, pruned to exactly the
+ * referenced columns — the node-table lookup every property graph store
+ * performs, expressed as a keyed join Catalyst can broadcast.
  *
  *   pattern := node(-[[r][:type[|type...]][*a..b]]->|<-[...]-)node ...
  *   node    := (v[:label][{id: 'lit'}])
@@ -106,8 +123,11 @@ object CypherLite {
 
   val MaxVarHops = 3
   /** op ∈ {=, <>, IN, STARTS_WITH, ENDS_WITH, CONTAINS}; IN carries the
-    * whole literal list in `values`. */
-  final case class Cond(v: String, op: String, values: Seq[String])
+    * whole literal list in `values`. `prop` is the accessed node property
+    * ("id" = the binding itself; anything else resolves through the
+    * nodeProps frame at compile time). */
+  final case class Cond(v: String, op: String, values: Seq[String],
+                        prop: String = "id")
   /** One comma-separated MATCH pattern: a linear node/edge chain. */
   final case class Part(nodes: Seq[NodePat], edges: Seq[EdgePat])
   /** `conds` is the WHERE clause in disjunctive normal form: the outer
@@ -127,7 +147,31 @@ object CypherLite {
                          retAliases: Seq[String] = Nil,
                          countAlias: String = "count",
                          countVar: Option[String] = None,
-                         groupCountVar: Option[String] = None)
+                         groupCountVar: Option[String] = None,
+                         // parallel to `returns`: Some(prop) for a
+                         // `v.<prop>` item (prop != id), None for the
+                         // binding itself (`v` / `v.id` / `type(r)`)
+                         retProps: Seq[Option[String]] = Nil,
+                         countDistinctProp: Option[String] = None,
+                         countVarProp: Option[String] = None,
+                         groupCountProp: Option[String] = None) {
+    /** Every non-id property the query reads, per variable — what
+      * [[compile]] materializes from the nodeProps frame and [[run]]
+      * schema-checks. */
+    def neededProps: Map[String, Set[String]] = {
+      val fromConds = conds.flatten.filter(_.prop != "id")
+        .map(c => c.v -> c.prop)
+      val fromRets = returns.zip(
+          if (retProps.size == returns.size) retProps
+          else returns.map(_ => None))
+        .collect { case (v, Some(p)) => v -> p }
+      val fromCounts =
+        countDistinctVar.zip(countDistinctProp) ++
+        countVar.zip(countVarProp) ++ groupCountVar.zip(groupCountProp)
+      (fromConds ++ fromRets ++ fromCounts)
+        .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    }
+  }
 
   private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\{\s*([^}]*?)\s*\}\s*)?\)""".r
   /** The one property-map form the store can answer: {id: 'literal'}. */
@@ -136,44 +180,53 @@ object CypherLite {
   private val TypeAltPat = """[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*"""
   private val RightRe = s"""-\\s*\\[\\s*([A-Za-z_][A-Za-z0-9_]*)?\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*->""".r
   private val LeftRe = s"""<-\\s*\\[\\s*([A-Za-z_][A-Za-z0-9_]*)?\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*-""".r
-  private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.id\s*(=|<>)\s*'([^']*)'""".r
+  // `v.<prop>` is accepted wherever a value is referenced (WHERE / RETURN
+  // / ORDER BY / count(...)): `.id` (or bare `v`) reads the binding
+  // itself; any other property resolves through the caller-supplied
+  // nodeProps frame at compile time (unknown property → loud Left naming
+  // it and the available columns, so an LLM's retry budget goes to the
+  // store's schema, not grammar). Reference: the retrieval cypher
+  // projects node properties everywhere (graph_utils.py:121-157
+  // node_result; traversal_based_base_retriever.py:143-217 `l.value`).
+  private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>)\s*'([^']*)'""".r
   private val CondStartsRe =
-    """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+STARTS\s+WITH\s+'([^']*)'""".r
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+STARTS\s+WITH\s+'([^']*)'""".r
   private val CondEndsRe =
-    """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+ENDS\s+WITH\s+'([^']*)'""".r
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+ENDS\s+WITH\s+'([^']*)'""".r
   private val CondContainsRe =
-    """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+CONTAINS\s+'([^']*)'""".r
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+CONTAINS\s+'([^']*)'""".r
   /** `v IS [NOT] NULL` — the standard Cypher existence test after an
     * OPTIONAL MATCH: IS NULL is the anti-join ("anchors with NO match"),
     * IS NOT NULL the explicit inner-join-back. These are the ONE WHERE
     * form allowed on optional-only variables: null-sensitivity is the
     * user's stated intent here, not an accident to refuse. */
   private val CondNullRe =
-    """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?\s+IS\s+(NOT\s+)?NULL""".r
-  private val CondInRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.id\s+IN\s+[\[(]\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*[\])]""".r
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s+IS\s+(NOT\s+)?NULL""".r
+  private val CondInRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+[\[(]\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*[\])]""".r
   private val StrLitRe = """'([^']*)'""".r
-  // `v.id` and bare `v` are both accepted everywhere a value is referenced
-  // (RETURN / ORDER BY / count(DISTINCT ...)): nodes carry exactly one
-  // value, LLMs emit the bare form constantly, and rejecting it would burn
-  // the query loop's retry budget on grammar
   private val RetRe =
-    """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+    """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   /** `type(r)` — the relationship-type accessor; r must be a bound
     * relationship variable (it already holds the edge label). */
   private val TypeRetRe =
     """(?i)type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
-  private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?(?:\s+(ASC|DESC))?""".r
-  private val OrdCountRe = """(?i)count\s*\(\s*\*\s*\)(?:\s+(ASC|DESC))?""".r
+  private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(ASC|DESC))?""".r
+  private val OrdCountRe = """(?i)count\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+(ASC|DESC))?""".r
   private val CountStarRe =
     """(?i)count\s*\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   private val CountDistinctRe =
-    """(?i)count\s*\(\s*DISTINCT\s+([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+    """(?i)count\s*\(\s*DISTINCT\s+([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   /** count(v) — non-null binding count, the form that pairs with OPTIONAL
     * MATCH (unmatched rows bind null and must NOT count). Tried after
     * CountDistinctRe; `DISTINCT x` cannot false-match (the close paren
     * follows the first identifier here). */
   private val CountVarRe =
-    """(?i)count\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.id)?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+    """(?i)count\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+
+  /** Normalize a captured property group: absent or `.id` → None (the
+    * binding itself); anything else → Some(prop). */
+  private def propOf(g: String): Option[String] =
+    Option(g).filter(_ != "id")
 
   /** One linear chain: node (edge node)*. Variables may not repeat
     * WITHIN a chain (no cycle patterns); repeats ACROSS parts are the
@@ -269,14 +322,18 @@ object CypherLite {
       } else None
 
     val ordIdx = retPart.toUpperCase.indexOf("ORDER BY")
-    val orderBy: Seq[(String, Boolean)] =
+    // raw items: (var-or-count-sentinel, prop, ascending) — resolution to
+    // output column names happens after RETURN is parsed
+    val orderByRaw: Seq[(String, Option[String], Boolean)] =
       if (ordIdx >= 0) {
         val items = retPart.substring(ordIdx + 8).trim
         retPart = retPart.substring(0, ordIdx).trim
         items.split(",").map(_.trim).toSeq.map {
-          case OrdCountRe(dir) =>
-            ("count(*)", dir == null || dir.equalsIgnoreCase("ASC"))
-          case OrdRe(v, dir) => (v, dir == null || dir.equalsIgnoreCase("ASC"))
+          case OrdCountRe(what, dir) =>
+            (s"count($what)", None,
+              dir == null || dir.equalsIgnoreCase("ASC"))
+          case OrdRe(v, propG, dir) =>
+            (v, propOf(propG), dir == null || dir.equalsIgnoreCase("ASC"))
           case other => return Left(s"unsupported ORDER BY item '$other'")
         }
       } else Nil
@@ -365,15 +422,18 @@ object CypherLite {
       case Some(w) =>
         boolSplit(w, "OR").map { grp =>
           boolSplit(grp, "AND").map {
-            case CondRe(v, op, value) => Cond(v, op, Seq(value))
-            case CondStartsRe(v, p) => Cond(v, "STARTS_WITH", Seq(p))
-            case CondEndsRe(v, sfx) => Cond(v, "ENDS_WITH", Seq(sfx))
-            case CondContainsRe(v, sub) => Cond(v, "CONTAINS", Seq(sub))
-            case CondNullRe(v, not) =>
-              Cond(v, if (not == null) "IS_NULL" else "IS_NOT_NULL", Nil)
-            case CondInRe(v, items) =>
+            case CondRe(v, p, op, value) => Cond(v, op, Seq(value), p)
+            case CondStartsRe(v, p, pre) =>
+              Cond(v, "STARTS_WITH", Seq(pre), p)
+            case CondEndsRe(v, p, sfx) => Cond(v, "ENDS_WITH", Seq(sfx), p)
+            case CondContainsRe(v, p, sub) =>
+              Cond(v, "CONTAINS", Seq(sub), p)
+            case CondNullRe(v, p, not) =>
+              Cond(v, if (not == null) "IS_NULL" else "IS_NOT_NULL", Nil,
+                Option(p).getOrElse("id"))
+            case CondInRe(v, p, items) =>
               Cond(v, "IN",
-                StrLitRe.findAllMatchIn(items).map(_.group(1)).toSeq)
+                StrLitRe.findAllMatchIn(items).map(_.group(1)).toSeq, p)
             case other => return Left(s"unsupported WHERE term '$other'")
           }
         }
@@ -387,15 +447,17 @@ object CypherLite {
     val countStar = countStarM.nonEmpty
     val countDistinctM = fullMatch(CountDistinctRe, retPart.trim)
     val countDistinctVar = countDistinctM.map(_.group(1))
+    val countDistinctProp = countDistinctM.flatMap(m => propOf(m.group(2)))
     // count(v): non-null binding count (OPTIONAL-match rows that bound
     // null do not count — count(*) would)
     val countVarM =
       if (countStar || countDistinctVar.nonEmpty) None
       else fullMatch(CountVarRe, retPart.trim)
     val countVar = countVarM.map(_.group(1))
+    val countVarProp = countVarM.flatMap(m => propOf(m.group(2)))
     val isScalarCount =
       countStar || countDistinctVar.nonEmpty || countVar.nonEmpty
-    if (isScalarCount && (distinct || orderBy.nonEmpty))
+    if (isScalarCount && (distinct || orderByRaw.nonEmpty))
       return Left("count(...) cannot combine with DISTINCT or ORDER BY")
     // RETURN v.id [, ...], count(*|v): grouped count — aggregation keyed
     // by the returned variables (the per-entity cardinality shape: "how
@@ -409,6 +471,7 @@ object CypherLite {
       if (isScalarCount || retItems.size < 2 || groupCountM.nonEmpty) None
       else fullMatch(CountVarRe, retItems.last)
     val groupCountVar = groupCountVarM.map(_.group(1))
+    val groupCountProp = groupCountVarM.flatMap(m => propOf(m.group(2)))
     val groupCount = groupCountM.nonEmpty || groupCountVar.nonEmpty
     if (groupCount && retItems.init.exists(
         i => i.replaceAll("\\s", "").toLowerCase.startsWith("count(")))
@@ -417,27 +480,51 @@ object CypherLite {
       return Left("DISTINCT cannot combine with a grouped count")
     val countAlias = countStarM.orElse(groupCountM)
       .flatMap(m => Option(m.group(1)))
-      .orElse(countDistinctM.flatMap(m => Option(m.group(2))))
+      .orElse(countDistinctM.flatMap(m => Option(m.group(3))))
       .orElse(countVarM.orElse(groupCountVarM)
-        .flatMap(m => Option(m.group(2))))
+        .flatMap(m => Option(m.group(3))))
       .getOrElse("count")
     val allEdgeVars = (mandEdgeVars ++
       optParts.flatMap(_.edges.flatMap(_.varName))).toSet
-    val retPairs: Seq[(String, String)] =
+    // (variable, property, output name): property items default their
+    // output name to the literal `v.prop` (Neo4j's convention); plain
+    // bindings keep the bare variable
+    val retTriples: Seq[(String, Option[String], String)] =
       if (isScalarCount) Nil
       else (if (groupCount) retItems.init else retItems).map {
         case TypeRetRe(v, alias) =>
           if (!allEdgeVars.contains(v))
             return Left(s"type($v): '$v' is not a relationship variable")
-          (v, Option(alias).getOrElse(s"type($v)"))
-        case RetRe(v, alias) => (v, Option(alias).getOrElse(v))
+          (v, None, Option(alias).getOrElse(s"type($v)"))
+        case RetRe(v, propG, alias) =>
+          val p = propOf(propG)
+          if (p.nonEmpty && allEdgeVars.contains(v))
+            return Left(s"'$v' is a relationship variable — it carries " +
+              s"only its type; use type($v)")
+          (v, p, Option(alias).getOrElse(
+            p.map(pp => s"$v.$pp").getOrElse(v)))
         case other => return Left(s"unsupported RETURN item '$other'")
       }
-    val returns = retPairs.map(_._1)
-    val aliases = retPairs.map(_._2)
-    if ((aliases :+ countAlias).distinct.size != aliases.size + 1)
+    val returns = retTriples.map(_._1)
+    val retProps = retTriples.map(_._2)
+    val aliases = retTriples.map(_._3)
+    // the default countAlias 'count' only collides when a count item
+    // actually exists — a plain `RETURN n.id AS count` is legal
+    val hasCountItem = isScalarCount || groupCount
+    val outNames = aliases ++ (if (hasCountItem) Seq(countAlias) else Nil)
+    if (outNames.distinct.size != outNames.size)
       return Left("duplicate output column names in RETURN — " +
         "disambiguate with AS")
+    // property access on relationship variables can also arrive via
+    // count(...)/WHERE — same loud refusal as the RETURN form
+    (countDistinctVar.zip(countDistinctProp) ++ countVar.zip(countVarProp) ++
+      groupCountVar.zip(groupCountProp) ++
+      conds.flatten.filter(_.prop != "id").map(c => (c.v, c.prop)))
+      .collectFirst { case (v, _) if allEdgeVars.contains(v) => v } match {
+      case Some(v) => return Left(s"'$v' is a relationship variable — it " +
+        s"carries only its type; use type($v)")
+      case None =>
+    }
     val known = mandatoryVars ++ mandEdgeVars ++
       optParts.flatMap(p => p.nodes.map(_.v) ++ p.edges.flatMap(_.varName))
     val condEligible = mandatoryVars ++ mandEdgeVars
@@ -451,19 +538,43 @@ object CypherLite {
           "null-kill the outer join — not supported")
       case _ =>
     }
-    // ORDER BY items resolve to a returned variable, its alias, or (on
-    // a grouped count) the literal `count(*)` — anything else is a Left
-    val ordResolved: Seq[(String, Boolean)] = orderBy.map { case (o, asc) =>
-      if (o == "count(*)") {
+    // ORDER BY items resolve to a returned item (by variable+property or
+    // by alias), the count column (count(*) / count(v) / its alias), or —
+    // with no RETURN items — a bare known variable. Anything else is a
+    // Left. ORDER BY count(*) on a count(v) query is REFUSED, not
+    // silently reinterpreted: non-null binding counts differ from row
+    // counts when OPTIONAL rows bind null.
+    val ordResolved: Seq[(String, Boolean)] = orderByRaw.map {
+      case (o, propOpt, asc) =>
+      if (o.startsWith("count(")) {
+        val inner = o.stripPrefix("count(").stripSuffix(")")
         if (!groupCount)
-          return Left("ORDER BY count(*) needs a grouped count RETURN")
+          return Left("ORDER BY count(...) needs a grouped count RETURN")
+        if (inner == "*") {
+          if (groupCountVar.nonEmpty)
+            return Left("ORDER BY count(*) is ambiguous on a " +
+              s"count(${groupCountVar.get}) query — row counts differ " +
+              "from non-null binding counts when OPTIONAL rows bind " +
+              s"null; ORDER BY count(${groupCountVar.get}) or the " +
+              s"alias '$countAlias'")
+          (countAlias, asc)
+        } else {
+          if (!groupCountVar.contains(inner))
+            return Left(s"ORDER BY count($inner) does not match the " +
+              "returned count item")
+          (countAlias, asc)
+        }
+      } else if (groupCount && propOpt.isEmpty && o == countAlias) {
         (countAlias, asc)
-      } else retPairs.collectFirst {
-        case (v, a) if v == o || a == o => (a, asc)
+      } else retTriples.collectFirst {
+        case (v, p, a) if (v == o && p == propOpt) ||
+          (propOpt.isEmpty && a == o) => (a, asc)
       }.getOrElse {
         if (returns.nonEmpty)
-          return Left(s"ORDER BY item '$o' must be returned")
-        if (!known.contains(o)) return Left(s"unknown variable '$o'")
+          return Left(s"ORDER BY item '$o" +
+            propOpt.fold("")("." + _) + "' must be returned")
+        if (propOpt.nonEmpty || !known.contains(o))
+          return Left(s"unknown variable '$o'")
         (o, asc)
       }
     }
@@ -474,7 +585,8 @@ object CypherLite {
       case None =>
         Right(Query(parts, conds, returns, limit, countStar,
           distinct, ordResolved, optParts, countDistinctVar, groupCount,
-          aliases, countAlias, countVar, groupCountVar))
+          aliases, countAlias, countVar, groupCountVar,
+          retProps, countDistinctProp, countVarProp, groupCountProp))
     }
   }
 
@@ -550,7 +662,8 @@ object CypherLite {
     * on their shared variables (greedy attach order — parse() proved
     * connectivity, so every remaining part eventually shares a bound
     * variable). */
-  def compile(edgeFrame: DataFrame, q: Query): DataFrame = {
+  def compile(edgeFrame: DataFrame, q: Query,
+              nodeProps: Option[DataFrame] = None): DataFrame = {
     val frames = scala.collection.mutable.ArrayBuffer(
       q.parts.map(p => (p, compileChain(edgeFrame, p))): _*)
     var (part0, df) = frames.remove(0)
@@ -582,59 +695,124 @@ object CypherLite {
       df = df.join(f, shared, "left")
       bound ++= p.nodes.map(_.v)
     }
+    // Node-property materialization: one LEFT equi-join per variable that
+    // reads non-id properties, against the caller's nodeProps frame
+    // (id, prop...). LEFT so a dangling id (or an OPTIONAL null binding)
+    // surfaces the property as null, Cypher's semantics. At scale this is
+    // the node-table lookup every property graph store performs — an
+    // ordinary keyed join Catalyst can reorder/broadcast, and the
+    // projection is pruned to exactly the referenced properties.
+    val needed = q.neededProps
+    if (needed.nonEmpty) {
+      val props = nodeProps.getOrElse(throw new IllegalArgumentException(
+        "query references node properties but no nodeProps frame was " +
+          "supplied — use run(edgeFrame, Some(props), cypher)"))
+      needed.toSeq.sortBy(_._1).foreach { case (v, ps) =>
+        val pf = props.select(col("id").as(s"__${v}__id") +:
+          ps.toSeq.sorted.map(p => col(p).as(s"__${v}__$p")): _*)
+        df = df.join(pf, df(v) === pf(s"__${v}__id"), "left")
+          .drop(s"__${v}__id")
+      }
+    }
+    def bindCol(v: String, prop: String): Column =
+      if (prop == "id") col(v) else col(s"__${v}__$prop")
     // WHERE in DNF: AND within a group (each conjunct an independently
     // pushable predicate), OR across groups (one residual filter — an OR
     // can't push into the scan, which is Cypher's semantics too)
-    def condCol(c: Cond): Column = c.op match {
-      case "=" => col(c.v) === c.values.head
-      case "<>" => col(c.v) =!= c.values.head
-      case "IN" => col(c.v).isin(c.values: _*)
-      case "STARTS_WITH" => col(c.v).startsWith(c.values.head)
-      case "ENDS_WITH" => col(c.v).endsWith(c.values.head)
-      case "CONTAINS" => col(c.v).contains(c.values.head)
-      case "IS_NULL" => col(c.v).isNull
-      case "IS_NOT_NULL" => col(c.v).isNotNull
+    def condCol(c: Cond): Column = {
+      val b = bindCol(c.v, c.prop)
+      c.op match {
+        case "=" => b === c.values.head
+        case "<>" => b =!= c.values.head
+        case "IN" => b.isin(c.values: _*)
+        case "STARTS_WITH" => b.startsWith(c.values.head)
+        case "ENDS_WITH" => b.endsWith(c.values.head)
+        case "CONTAINS" => b.contains(c.values.head)
+        case "IS_NULL" => b.isNull
+        case "IS_NOT_NULL" => b.isNotNull
+      }
     }
     if (q.conds.nonEmpty)
       df = df.filter(
         q.conds.map(_.map(condCol).reduce(_ && _)).reduce(_ || _))
-    val outCols = q.returns.zip(
-      if (q.retAliases.size == q.returns.size) q.retAliases else q.returns)
+    val retP =
+      if (q.retProps.size == q.returns.size) q.retProps
+      else q.returns.map(_ => None)
+    val retA =
+      if (q.retAliases.size == q.returns.size) q.retAliases else q.returns
+    val outCols: Seq[(Column, String)] =
+      q.returns.lazyZip(retP).lazyZip(retA).map { (v, p, a) =>
+        (bindCol(v, p.getOrElse("id")), a)
+      }
+    // output columns may carry a dot (`v.prop` default names) — backtick
+    // when referencing them post-projection
+    def outRef(n: String): Column =
+      if (n.contains(".")) col(s"`$n`") else col(n)
     var out =
       if (q.countStar) df.agg(count(lit(1)).as(q.countAlias))
       else if (q.countDistinctVar.nonEmpty)
-        df.agg(count_distinct(col(q.countDistinctVar.get)).as(q.countAlias))
+        df.agg(count_distinct(bindCol(q.countDistinctVar.get,
+          q.countDistinctProp.getOrElse("id"))).as(q.countAlias))
       else if (q.countVar.nonEmpty) // non-null bindings only
-        df.agg(count(col(q.countVar.get)).as(q.countAlias))
+        df.agg(count(bindCol(q.countVar.get,
+          q.countVarProp.getOrElse("id"))).as(q.countAlias))
       else if (q.groupCount)
-        df.groupBy(q.returns.map(col): _*)
-          .agg(q.groupCountVar.map(v => count(col(v)))
-            .getOrElse(count(lit(1))).as(q.countAlias))
-          .select(outCols.map { case (v, a) => col(v).as(a) } :+
-            col(q.countAlias): _*)
-      else df.select(outCols.map { case (v, a) => col(v).as(a) }: _*)
+        df.groupBy(outCols.map { case (c, a) => c.as(a) }: _*)
+          .agg(count(q.groupCountVar.map(v => bindCol(v,
+              q.groupCountProp.getOrElse("id"))).getOrElse(lit(1)))
+            .as(q.countAlias))
+      else df.select(outCols.map { case (c, a) => c.as(a) }: _*)
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)
       out = out.orderBy(q.orderBy.map { case (v, asc) =>
-        if (asc) col(v).asc else col(v).desc }: _*)
+        if (asc) outRef(v).asc else outRef(v).desc }: _*)
     q.limit.fold(out)(out.limit)
   }
 
-  /** Parse + compile; Left is the retry-feedback message. */
+  /** Parse + compile against an id-only store; any `v.<prop>` access is a
+    * loud Left. Left is the retry-feedback message. */
   def run(edgeFrame: DataFrame, cypher: String): Either[String, DataFrame] =
+    run(edgeFrame, None, cypher)
+
+  /** Parse + compile with node properties: `nodeProps` is an (id, prop...)
+    * frame; every non-id property the query references is schema-checked
+    * against it BEFORE compilation, so an LLM that invents a property gets
+    * feedback naming the store's real columns instead of an analysis
+    * exception. */
+  def run(edgeFrame: DataFrame, nodeProps: Option[DataFrame],
+          cypher: String): Either[String, DataFrame] =
     if (!GraphQuerySafety.isQuerySafe(cypher))
       Left("modification keywords are blocked (read-only executor)")
-    else parse(cypher).map(compile(edgeFrame, _))
+    else parse(cypher).flatMap { q =>
+      val needed = q.neededProps.values.flatten.toSet
+      nodeProps match {
+        case None if needed.nonEmpty =>
+          Left("node properties " +
+            needed.toSeq.sorted.mkString("'", "', '", "'") +
+            " are not available on this store — only '.id'")
+        case Some(p) if needed.nonEmpty =>
+          val avail = p.columns.toSet - "id"
+          val missing = needed -- avail
+          if (missing.nonEmpty)
+            Left("unknown propert" +
+              (if (missing.size > 1) "ies " else "y ") +
+              missing.toSeq.sorted.mkString("'", "', '", "'") +
+              " — available: " + avail.toSeq.sorted.mkString(", "))
+          else Right(compile(edgeFrame, q, nodeProps))
+        case _ => Right(compile(edgeFrame, q, None))
+      }
+    }
 }
 
 /** openCypher twin of [[GraphQueryRetriever]]: executes MATCH-subset
   * artifacts against the edge frame and verbalizes bindings into context
   * lines; parse/execution failures become the engine loop's
   * "Error executing query..." retry signal. */
-final class CypherGraphRetriever(edgeFrame: DataFrame, maxRows: Int = 100) {
+final class CypherGraphRetriever(edgeFrame: DataFrame, maxRows: Int = 100,
+                                 nodeProps: Option[DataFrame] = None) {
 
   def retrieve(cypher: String): Seq[String] =
-    CypherLite.run(edgeFrame, cypher) match {
+    CypherLite.run(edgeFrame, nodeProps, cypher) match {
       case Left(err) => Seq(s"Error executing query: $err")
       case Right(df) =>
         try {

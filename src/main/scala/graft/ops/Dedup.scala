@@ -280,6 +280,59 @@ object Dedup {
     df.select(col(idCol)).join(dominated, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Drop values that are a proper prefix of another value in the column
+   * (reference entity_context_provider.py:187-249: contexts already covered
+   * by a longer context are removed before the survivors are verbalized).
+   * Null values pass through untouched — null is never a prefix.
+   *
+   * Plan (the 100 TB shape): in lexicographic order, `v` is a proper prefix
+   * of SOME other value iff v's immediate successor starts with `v` — any
+   * string strictly between `v` and a `v`-prefixed `w` must itself start
+   * with `v` (it agrees with `v` up to a first-difference position that
+   * would otherwise sort it outside (v, w)). So ONE range-partitioned sort
+   * plus a per-partition `lead()` decides every row except each partition's
+   * last, and those — one row per partition — are re-checked against the
+   * next non-empty partition's first value through a second window over an
+   * O(partitions)-row boundary frame. No self-join anywhere (the round-7
+   * plan bucketed on the first character, a FIXED bucket count, so bucket
+   * size grew linearly and the in-bucket join quadratically), and no
+   * single-partition window over the data: the only global sort is over
+   * ≤ 2·partitions boundary rows.
+   */
+  def dropProperPrefixes(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val vals = df.select(v).filter(v.isNotNull).distinct()
+    val nulls = df.select(v).filter(v.isNull).distinct()
+    val parts =
+      math.max(df.sparkSession.sparkContext.defaultParallelism / 2, 1)
+    val ranged = vals.repartitionByRange(parts, v)
+      .withColumn("__pid", spark_partition_id())
+    val perPart = Window.partitionBy("__pid").orderBy(valueCol)
+    val withNext = ranged.withColumn("__nxt", lead(v, 1).over(perPart))
+    // rows with an in-partition successor are fully decided locally
+    val keptLocal = withNext.filter(col("__nxt").isNotNull)
+      .filter(!col("__nxt").startsWith(v)).select(v)
+    // boundary frame: each partition's last row (needs its global successor)
+    // plus each partition's first value (IS some last row's global
+    // successor). Nothing else can sit between a partition-last and the next
+    // partition's first — range partitions tile the sort order — so a lead()
+    // over this tiny frame alone resolves every partition-last exactly.
+    val lasts = withNext.filter(col("__nxt").isNull)
+      .select(v, lit(true).as("__isLast"))
+    val firsts = ranged.groupBy(col("__pid")).agg(min(v).as(valueCol))
+      .select(v, lit(false).as("__isLast"))
+    val boundary = lasts.union(firsts)
+      .groupBy(v).agg(max(col("__isLast")).as("__isLast"))
+    val bw = Window.orderBy(valueCol) // ≤ 2·parts rows — O(partitions)
+    val keptBoundary = boundary
+      .withColumn("__succ", lead(v, 1).over(bw))
+      .filter(col("__isLast") &&
+        (col("__succ").isNull || !col("__succ").startsWith(v)))
+      .select(v)
+    keptLocal.union(keptBoundary).union(nulls)
+  }
+
   /** Connected components of the near-duplicate pair graph: every node gets
     * the minimum id reachable from it. Cluster canonicalization is the step
     * after pair generation in every large-scale dedup pipeline — pick one

@@ -1,0 +1,214 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import graft.llm.LLM
+
+/**
+ * QA-eval loop driver: feed a qa.json {question, answer} dataset through
+ * [[LexicalGraphQueryEngine.answer]] and aggregate per-query latency/token
+ * metrics into the avg/p50/p95 summary table — the reference's benchmark
+ * harness (benchmark_query.py:29-106 drives the QA pairs and writes
+ * responses.jsonl; metrics_summary.py:43-137 aggregates latency stats and
+ * token totals; run_evaluation.py:80-261 grades responses).
+ *
+ * Determinism: the retrieval + context side is fully deterministic (hash
+ * embeddings, stub LLM), so with the stub seam an EvalSpec can assert the
+ * whole metrics table except wall-clock values. Grading uses a pluggable
+ * judge; the default is normalized-containment of the gold answer — the
+ * deterministic stand-in for the reference's LLM grader, swappable for a
+ * real one through the same (response, gold) => Boolean seam.
+ *
+ * Scale note: the QA loop is driver-side BY DESIGN — one engine.answer per
+ * question, exactly like the reference's loop (each answer() is itself a
+ * bounded Spark job). Fan the LOOP out only if the qa set is huge; the
+ * corpus-side scale lives inside each query's plan, not here.
+ */
+object QaEvaluation {
+
+  final case class QaPair(question: String, answer: String)
+
+  /** One evaluated question (reference per_query_data entry +
+    * responses.jsonl line). */
+  final case class PerQuery(question: String, goldAnswer: String,
+                            response: String, retrievalMs: Double,
+                            postprocessingMs: Double, responseMs: Double,
+                            totalMs: Double, inputTokens: Long,
+                            outputTokens: Long,
+                            retrievalContextTokens: Long,
+                            numSourceNodes: Long, correct: Boolean)
+
+  final case class LatencyStats(avg: Double, p50: Double, p95: Double)
+
+  /** The metrics_summary.json shape (metrics_summary.py:156-175, minus the
+    * vendor pricing block — cost is a deployment concern, not engine). */
+  final case class Summary(retriever: String, dataset: String,
+                           numQueries: Int, numEmptyResponses: Int,
+                           numCorrect: Int,
+                           latency: Map[String, LatencyStats],
+                           totalInputTokens: Long, totalOutputTokens: Long,
+                           totalRetrievalContextTokens: Long,
+                           avgInputTokensPerQuery: Double,
+                           avgRetrievalContextTokensPerQuery: Double)
+
+  /** Whitespace token count — the driver-side twin of
+    * TextFunctions.tokenCount (trim, split on \s+). */
+  def tokens(s: String): Long = {
+    val t = s.trim
+    if (t.isEmpty) 0L else t.split("\\s+").length.toLong
+  }
+
+  /** Token-tracking LLM decorator (reference TokenTrackingLLMCache,
+    * token_tracker.py): counts prompt/response tokens per complete() call
+    * so the eval loop can diff totals around each engine.answer. */
+  final class TokenTrackingLLM(inner: LLM) extends LLM {
+    private var in = 0L
+    private var out = 0L
+    def totalInputTokens: Long = in
+    def totalOutputTokens: Long = out
+    override def complete(prompt: String): String = {
+      val r = inner.complete(prompt)
+      in += tokens(prompt); out += tokens(r)
+      r
+    }
+  }
+
+  /** Deterministic grader: gold answer containment after lowercasing and
+    * whitespace collapse — the stub stand-in for the reference's LLM
+    * correctness grader (run_evaluation.py's answer matching). */
+  def containmentJudge(response: String, gold: String): Boolean = {
+    def norm(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    norm(gold).nonEmpty && norm(response).contains(norm(gold))
+  }
+
+  /** Load {question, answer} pairs from a qa.json array (the reference's
+    * QA file shape, benchmark_query.py load_qa_pairs) via Spark's JSON
+    * reader — multiLine handles the pretty-printed array form. */
+  def loadQaPairs(spark: SparkSession, path: String): Seq[QaPair] = {
+    val df = spark.read.option("multiLine", "true").json(path)
+    df.select("question", "answer").collect()
+      .map(r => QaPair(r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** The eval loop (benchmark_query.py:144-200): one engine.answer per QA
+    * pair, token totals diffed around each call through the tracking LLM.
+    * The engine must have been built over `tracked` for input/output token
+    * attribution to work — [[runWithEngine]] wires that for you. */
+  def runWithEngine(engine: LexicalGraphQueryEngine,
+                    tracked: TokenTrackingLLM,
+                    pairs: Seq[QaPair],
+                    contextFormat: String = "text",
+                    judge: (String, String) => Boolean = containmentJudge)
+  : Seq[PerQuery] =
+    pairs.map { qa =>
+      val in0 = tracked.totalInputTokens
+      val out0 = tracked.totalOutputTokens
+      val resp = engine.answer(qa.question, contextFormat = contextFormat)
+      val md = resp.metadata
+      PerQuery(qa.question, qa.answer, resp.response,
+        retrievalMs = md("retrieve_ms").toDouble,
+        postprocessingMs = md("postprocessing_ms").toDouble,
+        responseMs = md("answer_ms").toDouble,
+        totalMs = md("total_ms").toDouble,
+        inputTokens = tracked.totalInputTokens - in0,
+        outputTokens = tracked.totalOutputTokens - out0,
+        retrievalContextTokens = md("context_tokens").toLong,
+        numSourceNodes = md("num_source_nodes").toLong,
+        correct = judge(resp.response, qa.answer))
+    }
+
+  /** Build the engine over a token-tracked LLM and run the loop. */
+  def run(graph: graft.index.GraphTables, spark: SparkSession, llm: LLM,
+          pairs: Seq[QaPair], contextFormat: String = "text",
+          judge: (String, String) => Boolean = containmentJudge)
+  : Seq[PerQuery] = {
+    val tracked = new TokenTrackingLLM(llm)
+    val engine = new LexicalGraphQueryEngine(graph, spark, tracked)
+    runWithEngine(engine, tracked, pairs, contextFormat, judge)
+  }
+
+  /** Exclusive linear-interpolation percentile
+    * (metrics_summary.py:63-79). `values` need not be sorted. */
+  def percentile(values: Seq[Double], p: Double): Double = {
+    val s = values.sorted
+    val n = s.length
+    if (n == 0) 0.0
+    else if (n == 1) s.head
+    else {
+      val rank = (p / 100.0) * (n - 1)
+      val lower = rank.toInt
+      val upper = lower + 1
+      if (upper >= n) s.last
+      else s(lower) + (rank - lower) * (s(upper) - s(lower))
+    }
+  }
+
+  private def stats(values: Seq[Double]): LatencyStats = {
+    def r2(x: Double) = math.round(x * 100) / 100.0
+    LatencyStats(r2(values.sum / values.length),
+      r2(percentile(values, 50)), r2(percentile(values, 95)))
+  }
+
+  /** Aggregate per-query rows into the metrics_summary table
+    * (metrics_summary.py:43-137: avg/p50/p95 latency per phase, token
+    * totals + per-query averages, empty-response count). */
+  def summarize(perQuery: Seq[PerQuery],
+                retriever: String = "ChunkBasedRetriever",
+                dataset: String = "qa"): Summary = {
+    require(perQuery.nonEmpty, "no per-query rows to summarize")
+    def r2(x: Double) = math.round(x * 100) / 100.0
+    Summary(
+      retriever = retriever, dataset = dataset,
+      numQueries = perQuery.size,
+      numEmptyResponses = perQuery.count(_.response.trim.isEmpty),
+      numCorrect = perQuery.count(_.correct),
+      latency = Map(
+        "retrieval_ms" -> stats(perQuery.map(_.retrievalMs)),
+        "postprocessing_ms" -> stats(perQuery.map(_.postprocessingMs)),
+        "response_ms" -> stats(perQuery.map(_.responseMs)),
+        "total_ms" -> stats(perQuery.map(_.totalMs))),
+      totalInputTokens = perQuery.map(_.inputTokens).sum,
+      totalOutputTokens = perQuery.map(_.outputTokens).sum,
+      totalRetrievalContextTokens =
+        perQuery.map(_.retrievalContextTokens).sum,
+      avgInputTokensPerQuery =
+        r2(perQuery.map(_.inputTokens).sum.toDouble / perQuery.size),
+      avgRetrievalContextTokensPerQuery =
+        r2(perQuery.map(_.retrievalContextTokens).sum.toDouble
+          / perQuery.size))
+  }
+
+  /** responses.jsonl lines (benchmark_query.py: one
+    * {"raw_example": {question, answer}, "response"} object per pair). */
+  def responsesJsonl(perQuery: Seq[PerQuery]): String = {
+    val q = graft.Verify.jsonEscape _
+    perQuery.map { pq =>
+      s"""{"raw_example": {"question": ${q(pq.question)}, "answer": ${
+        q(pq.goldAnswer)}}, "response": ${q(pq.response)}, "correct": ${
+        pq.correct}}"""
+    }.mkString("", "\n", "\n")
+  }
+
+  /** metrics_summary.json payload. */
+  def summaryJson(s: Summary): String = {
+    val q = graft.Verify.jsonEscape _
+    def lat(l: LatencyStats) =
+      s"""{"avg": ${l.avg}, "p50": ${l.p50}, "p95": ${l.p95}}"""
+    val latency = s.latency.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${lat(v)}" }.mkString(", ")
+    s"""{
+       |  "retriever": ${q(s.retriever)},
+       |  "dataset": ${q(s.dataset)},
+       |  "num_queries": ${s.numQueries},
+       |  "num_empty_responses": ${s.numEmptyResponses},
+       |  "num_correct": ${s.numCorrect},
+       |  "latency": {$latency},
+       |  "tokens": {
+       |    "total_input_tokens": ${s.totalInputTokens},
+       |    "total_output_tokens": ${s.totalOutputTokens},
+       |    "total_retrieval_context_tokens": ${s.totalRetrievalContextTokens},
+       |    "avg_input_tokens_per_query": ${s.avgInputTokensPerQuery},
+       |    "avg_retrieval_context_tokens_per_query": ${s.avgRetrievalContextTokensPerQuery}
+       |  }
+       |}""".stripMargin
+  }
+}

@@ -83,7 +83,11 @@ final class LexicalGraphQueryEngine(
       "retriever" -> "ChunkBasedRetriever",
       "query" -> question,
       "postprocessors" -> "DedupResults,RescoreResults,TruncateStatements,TruncateResults",
-      "num_source_nodes" -> numSourceNodes.toString))
+      "num_source_nodes" -> numSourceNodes.toString,
+      // rendered-context token count (whitespace rule) — the eval loop's
+      // retrieval_context_tokens metric (reference token_tracker.py
+      // extract_token_usage counts the context block separately)
+      "context_tokens" -> QaEvaluation.tokens(rendered).toString))
   }
 
   /** Multipart mode: keyword shards with shrunken per-shard budgets

@@ -256,6 +256,25 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher node-property access: `v.<prop>` in WHERE / RETURN
+    // / ORDER BY resolves through the graph's node-property table — the
+    // reference's retrieval cypher projects properties everywhere
+    // (node_result, graph_utils.py:121-157; `l.value` in
+    // traversal_based_base_retriever.py:143-217), so LLM-authored
+    // `RETURN p.value` must compile. Each property-reading variable costs
+    // ONE left equi-join against the props frame, pruned to the
+    // referenced columns.
+    "q_cypher_props" -> ((s, dir) => {
+      val q = "MATCH (p:p)-[:supplied_by]->(sup:s) " +
+        "WHERE p.value CONTAINS 'red' AND sup.class = 'supplier' " +
+        "RETURN DISTINCT p.id AS part_id, p.value AS part_name, " +
+        "sup.value AS supplier_name " +
+        "ORDER BY part_name, part_id, supplier_name"
+      graft.byokg.CypherLite.run(edges(s, dir),
+          Some(Tables.nodeProps(s, dir)), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -1220,5 +1239,20 @@ object GraphQueries {
       s"""WITH edges0 AS ($edgesSql)
          |SELECT src AS cust, count(*) AS n_orders FROM edges0
          |WHERE label = 'placed' GROUP BY src
-         |ORDER BY n_orders DESC, cust LIMIT 10""".stripMargin)
+         |ORDER BY n_orders DESC, cust LIMIT 10""".stripMargin,
+
+    // node-property replay: the props CTE is the node-property table; each
+    // property-reading variable is one join against it.
+    "q_cypher_props" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |props AS (${Tables.nodePropsSql})
+         |SELECT DISTINCT e.src AS part_id, pp.value AS part_name,
+         |  sp.value AS supplier_name
+         |FROM edges0 e
+         |JOIN props pp ON pp.id = e.src
+         |JOIN props sp ON sp.id = e.dst
+         |WHERE e.label = 'supplied_by' AND e.src LIKE 'p:%'
+         |  AND e.dst LIKE 's:%'
+         |  AND pp.value LIKE '%red%' AND sp.class = 'supplier'
+         |ORDER BY part_name, part_id, supplier_name""".stripMargin)
 }

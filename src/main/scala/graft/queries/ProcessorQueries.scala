@@ -286,17 +286,13 @@ object ProcessorQueries {
     }),
 
     // §2.7 context-prefix dedup: drop values that are proper prefixes of
-    // another value (entity_context_provider.py:187-249). The self-join is
-    // bucketed on the first character — a prefix pair always shares it — so
-    // the quadratic comparison happens per bucket, never across the corpus.
+    // another value (entity_context_provider.py:187-249). Sorted-successor
+    // plan: `v` is dominated iff its lexicographic successor starts with it,
+    // so one range-partitioned sort + lead() replaces the self-join — the
+    // round-7 first-character-bucket plan was quadratic in bucket size.
     "q_prefix_dedup" -> ((s, dir) => {
-      val names = t(s, dir, "part").select(col("p_name").as("v")).distinct()
-      val keyed = names.withColumn("k", substring(col("v"), 1, 1))
-      val dominated = keyed
-        .join(keyed.select(col("k"), col("v").as("w")), Seq("k"))
-        .filter(col("w") =!= col("v") && col("w").startsWith(col("v")))
-        .select(col("v")).distinct()
-      names.join(dominated, Seq("v"), "left_anti").orderBy(col("v"))
+      val names = t(s, dir, "part").select(col("p_name").as("v"))
+      graft.ops.Dedup.dropProperPrefixes(names, "v").orderBy(col("v"))
     }),
 
     // §2.7 byokg order-preserving dedup: first occurrence per key, output in

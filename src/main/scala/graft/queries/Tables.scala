@@ -322,6 +322,49 @@ object Tables {
   private val shingleHashCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Node property table for the derived graph — `(id, value, class,
+    * search_str)`, the lexical-graph property columns the retrievers read
+    * (value/classification/search_str): customers, orders, parts and
+    * suppliers each contribute their display name as `value`. Memoized +
+    * cached like [[edges]] — the property table is graph-store material
+    * (the reference stores node properties alongside the adjacency;
+    * graph_utils.py:121-157 node_result projects them). */
+  def nodeProps(s: SparkSession, dir: String): DataFrame =
+    nodePropsCache.getOrElseUpdate((s, dir),
+      buildNodeProps(s, dir).coalesce(cachePartitions(s)).cache())
+
+  private val nodePropsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def buildNodeProps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      concat(lit("c:"), col("c_custkey")).as("id"),
+      col("c_name").as("value"), lit("customer").as("class"))
+    val o = t(s, dir, "orders").select(
+      concat(lit("o:"), col("o_orderkey")).as("id"),
+      concat(lit("order-"), col("o_orderkey"), lit("-"),
+        col("o_orderstatus")).as("value"),
+      lit("order").as("class"))
+    val p = t(s, dir, "part").select(
+      concat(lit("p:"), col("p_partkey")).as("id"),
+      col("p_name").as("value"), lit("part").as("class"))
+    val su = t(s, dir, "supplier").select(
+      concat(lit("s:"), col("s_suppkey")).as("id"),
+      col("s_name").as("value"), lit("supplier").as("class"))
+    c.union(o).union(p).union(su)
+      .withColumn("search_str", lower(col("value")))
+  }
+
+  /** The same property table as DuckDB SQL (for oracle queries). */
+  val nodePropsSql: String =
+    """SELECT 'c:'||c_custkey AS id, c_name AS value, 'customer' AS class, lower(c_name) AS search_str FROM customer
+      |UNION ALL
+      |SELECT 'o:'||o_orderkey, 'order-'||o_orderkey||'-'||o_orderstatus, 'order', lower('order-'||o_orderkey||'-'||o_orderstatus) FROM orders
+      |UNION ALL
+      |SELECT 'p:'||p_partkey, p_name, 'part', lower(p_name) FROM part
+      |UNION ALL
+      |SELECT 's:'||s_suppkey, s_name, 'supplier', lower(s_name) FROM supplier""".stripMargin
+
   private def buildEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val lineitem = t(s, dir, "lineitem")

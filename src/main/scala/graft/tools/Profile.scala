@@ -7,10 +7,15 @@ import graft.functions.{HashFunctions => H}
 /** Dev harness: stage-by-stage timing of a query, to localize bench cost.
   * Usage: runMain graft.tools.Profile <sfDir> <what>. */
 object Profile {
-  def time(name: String)(f: => Long): Unit = {
+  def time(name: String)(f: => Long): Unit = { timeRet(name)(f); () }
+
+  /** Like [[time]] but returns the elapsed seconds for ratio probes. */
+  def timeRet(name: String)(f: => Long): Double = {
     val t0 = System.nanoTime()
     val n = f
-    println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[profile] $name%-28s $sec%8.3f s  rows=$n")
+    sec
   }
 
   def main(args: Array[String]): Unit = {
@@ -237,6 +242,29 @@ object Profile {
         time("text profile 1x") {
           graft.ops.TextAnalysis.profile(docs, "text").count()
         }
+
+      case "prefixscale" =>
+        // would-it-scale probe for the sorted-successor prefix dedup: part
+        // names replicated xN under disjoint "r<rep>-" namespaces (prefix
+        // chains stay within a namespace). Linear plan => per-row cost ~flat
+        // from 1x to 8x; the round-7 first-char-bucket self-join grew the
+        // per-row cost ~linearly with N (quadratic total).
+        val np = if (args.length > 2) args(2).toInt else 8
+        val names1 = spark.read.parquet(s"$sfDir/part.parquet")
+          .select(col("p_name").as("v"))
+        val repsP = spark.range(0, np).select(col("id").as("rep"))
+        val bigNames = names1.crossJoin(repsP)
+          .select(concat(lit("r"), col("rep"), lit("-"), col("v")).as("v"))
+          .repartition(32).localCheckpoint(true)
+        val n1 = names1.count(); val nN = bigNames.count()
+        println(s"[profile] prefixscale rows 1x=$n1 ${np}x=$nN")
+        def prefixDedup(d: DataFrame) =
+          graft.ops.Dedup.dropProperPrefixes(d, "v").count()
+        prefixDedup(names1) // warm codegen
+        val t1 = timeRet(s"prefix dedup 1x") { prefixDedup(names1) }
+        val tN = timeRet(s"prefix dedup ${np}x") { prefixDedup(bigNames) }
+        println(f"[profile] per-row us: 1x=${t1 * 1e6 / n1}%.2f " +
+          f"${np}x=${tN * 1e6 / nN}%.2f ratio=${tN * n1 / (t1 * nN)}%.2f")
 
       case "scaleprobe4" =>
         // would-it-scale probe for the final round-7 batch: docs/events

@@ -240,6 +240,41 @@ class ByokgEngineSpec extends SparkSpec {
     assert(relCount <= 2)
   }
 
+  test("ByoKGIterativeEngine executes property-returning cypher from the " +
+    "LLM through the CypherGraphRetriever (the reference's node_result " +
+    "projection shape); an invented property becomes retry feedback") {
+    import graft.byokg.CypherGraphRetriever
+    val nodeProps = Seq(
+      ("acme", "Acme Corp", "company"), ("alice", "Alice Liddell", "person"),
+      ("berlin", "Berlin", "city"), ("germany", "Germany", "country"))
+      .toDF("id", "value", "class")
+    // turn 1: ordinary LLM-authored cypher projecting node properties
+    val turn1 =
+      """<entities>
+        |acmee
+        |</entities>
+        |<opencypher>MATCH (a)-[:founded_by]->(f) WHERE a.class = 'company' RETURN a.value AS org, f.value AS founder</opencypher>"""
+        .stripMargin
+    val turn2 = "<entities>\nFINISH\n</entities>" +
+      "<task-completion>FINISH</task-completion>"
+    val engine = new ByoKGIterativeEngine(edges,
+      new ScriptedLLM(Seq(turn1, turn2)),
+      cypherRetriever = Some(new CypherGraphRetriever(edges,
+        nodeProps = Some(nodeProps))))
+    val ctx = engine.query("who founded acme", iterations = 3)
+    assert(ctx.contains("org: Acme Corp, founder: Alice Liddell"), ctx)
+    // an invented property surfaces the schema in the retry-feedback line
+    val badTurn = turn1.replace("a.class", "a.chunkId")
+    val engine2 = new ByoKGIterativeEngine(edges,
+      new ScriptedLLM(Seq(badTurn, turn2)),
+      cypherRetriever = Some(new CypherGraphRetriever(edges,
+        nodeProps = Some(nodeProps))))
+    val ctx2 = engine2.query("who founded acme", iterations = 3)
+    val err = ctx2.find(_.startsWith("Error executing query:"))
+    assert(err.nonEmpty && err.get.contains("chunkId") &&
+      err.get.contains("class"), ctx2)
+  }
+
   test("engine schema lists sorted relation labels") {
     val engine = new ByoKGIterativeEngine(edges, new StubLLM)
     assert(engine.schema() ==

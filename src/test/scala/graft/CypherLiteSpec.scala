@@ -1,6 +1,7 @@
 package graft
 
 import graft.byokg.{CypherGraphRetriever, CypherLite}
+import org.apache.spark.sql.functions.col
 
 class CypherLiteSpec extends SparkSpec {
   import spark.implicits._
@@ -459,6 +460,114 @@ class CypherLiteSpec extends SparkSpec {
         "ORDER BY n.id, r").toOption.get.collect()
       .map(x => (x.getString(0), Option(x.getString(1)))).toSet
     assert(opt == Set(("c:1", Some("placed")), ("p:7", None)))
+  }
+
+  private lazy val props = Seq(
+    ("c:1", "Alice", "customer"), ("c:2", "Bob", "customer"),
+    ("o:10", "order-10", "order"), ("o:11", "order-11", "order"),
+    ("o:12", "order-12", "order"),
+    ("p:7", "red widget", "part"), ("p:8", "blue bolt", "part"),
+    ("s:3", "Supplier#3", "supplier")).toDF("id", "value", "class")
+
+  test("node properties: v.prop in WHERE / RETURN / ORDER BY resolves " +
+    "through the nodeProps frame; default column name is the literal " +
+    "v.prop; AS renames") {
+    val q = "MATCH (c:c)-[:placed]->(o:o)-[:contains]->(p:p) " +
+      "WHERE p.value CONTAINS 'widget' " +
+      "RETURN DISTINCT c.value AS who, p.value ORDER BY who"
+    val df = CypherLite.run(edges, Some(props), q).toOption.get
+    assert(df.columns.toSeq == Seq("who", "p.value"))
+    assert(df.as[(String, String)].collect().toSeq ==
+      Seq(("Alice", "red widget")))
+    // ORDER BY a property item (matched by var+prop, not alias)
+    val byProp = CypherLite.run(edges, Some(props),
+      "MATCH (p:p)-[:supplied_by]->(s) RETURN p.value, s.id " +
+        "ORDER BY p.value DESC").toOption.get
+      .as[(String, String)].collect().toSeq
+    assert(byProp == Seq(("red widget", "s:3")))
+    // property equality + class filter through WHERE
+    val cls = CypherLite.run(edges, Some(props),
+      "MATCH (n)-[:contains]->(p) WHERE p.class = 'part' " +
+        "AND p.value STARTS WITH 'blue' RETURN n.id, p.value").toOption.get
+      .as[(String, String)].collect().toSet
+    assert(cls == Set(("o:12", "blue bolt")))
+  }
+
+  test("node properties: OPTIONAL nulls and dangling ids surface the " +
+    "property as null; IS NULL on a property is allowed") {
+    // s:3 has no property row in a REDUCED frame → null value survives
+    val partial = props.filter(col("id") =!= "s:3")
+    val dangling = CypherLite.run(edges, Some(partial),
+      "MATCH (p:p)-[:supplied_by]->(s) RETURN p.id, s.value").toOption.get
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(dangling == Set(("p:7", None)))
+    // OPTIONAL binding null → property null; count(o.value) excludes it
+    val cnt = CypherLite.run(edges, Some(props),
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE n.id IN ['c:1', 'p:7'] RETURN count(o.value) AS n_vals")
+      .toOption.get.as[Long].head()
+    assert(cnt == 2L)
+    // property IS NULL composes with the optional anti-join shape
+    val anti = CypherLite.run(edges, Some(partial),
+      "MATCH (p:p)-[:supplied_by]->(s) WHERE s.value IS NULL " +
+        "RETURN p.id").toOption.get.as[String].collect().toSeq
+    assert(anti == Seq("p:7"))
+  }
+
+  test("node properties: unknown property is a loud Left naming it and " +
+    "the available columns; no frame at all says only '.id'") {
+    val bad = CypherLite.run(edges, Some(props),
+      "MATCH (c:c)-[:placed]->(o) RETURN c.nonexistent")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("nonexistent"),
+      bad.toString)
+    assert(bad.swap.toOption.get.contains("value"), bad.toString)
+    val noFrame = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WHERE c.value = 'Alice' RETURN o.id")
+    assert(noFrame.isLeft &&
+      noFrame.swap.toOption.get.contains("only '.id'"), noFrame.toString)
+    // property access on a relationship variable is refused with guidance
+    val rel = CypherLite.run(edges, Some(props),
+      "MATCH (a)-[r]->(b) RETURN r.value")
+    assert(rel.isLeft && rel.swap.toOption.get.contains("type(r)"),
+      rel.toString)
+    // grouped counts and count(DISTINCT v.prop) accept properties
+    val g = CypherLite.run(edges, Some(props),
+      "MATCH (c:c)-[:placed]->(o) RETURN c.value AS who, count(*) AS n " +
+        "ORDER BY n DESC, who LIMIT 1").toOption.get
+      .as[(String, Long)].collect().toSeq
+    assert(g == Seq(("Alice", 2L)))
+    assert(CypherLite.run(edges, Some(props),
+      "MATCH (o:o)-[:contains]->(p) RETURN count(DISTINCT p.value)")
+      .toOption.get.as[Long].head() == 2L)
+  }
+
+  test("RETURN n.id AS count is legal when no count item exists " +
+    "(the default countAlias only collides with a real count)") {
+    val df = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) RETURN o.id AS count ORDER BY count")
+      .toOption.get
+    assert(df.columns.toSeq == Seq("count"))
+    assert(df.as[String].collect().toSeq == Seq("o:10", "o:11", "o:12"))
+    // with a REAL count item the collision is still refused
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) RETURN c.id AS count, count(*)").isLeft)
+  }
+
+  test("ORDER BY count(*) on a count(v) grouped query is refused (row " +
+    "counts differ from binding counts); count(v) and the alias work") {
+    val base = "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+      "WHERE n.id IN ['c:1', 'c:2', 'p:7'] RETURN n, count(o) AS cnt "
+    val amb = CypherLite.run(edges, base + "ORDER BY count(*) DESC")
+    assert(amb.isLeft && amb.swap.toOption.get.contains("ambiguous"),
+      amb.toString)
+    val byCountV = CypherLite.run(edges, base + "ORDER BY count(o) DESC, n")
+      .toOption.get.as[(String, Long)].collect().toSeq
+    assert(byCountV == Seq(("c:1", 2L), ("c:2", 1L), ("p:7", 0L)))
+    val byAlias = CypherLite.run(edges, base + "ORDER BY cnt, n")
+      .toOption.get.as[(String, Long)].collect().toSeq
+    assert(byAlias == Seq(("p:7", 0L), ("c:2", 1L), ("c:1", 2L)))
+    // count(x) of something not the grouped count is refused
+    assert(CypherLite.run(edges, base + "ORDER BY count(n)").isLeft)
   }
 
   test("IS NULL / IS NOT NULL: the OPTIONAL anti-join and exists shapes " +

@@ -53,6 +53,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("dropProperPrefixes matches brute force, incl. chains and boundaries") {
+    // chain a < ab < abc (a, ab dominated), equal-after-distinct values,
+    // a value that is a prefix of nothing ("b"), a null, and enough rows
+    // that the range partitioner actually splits (partition-boundary lasts
+    // exercise the boundary window, not just the in-partition lead)
+    val vals = Seq("a", "ab", "abc", "b", "ba", "cat", "cat", "catalog",
+      "dog", "do", "zz", null) ++ (0 until 200).map(i => f"pad$i%03d")
+    val df = vals.toDF("v")
+    val kept = Dedup.dropProperPrefixes(df, "v")
+      .collect().map(_.getString(0)).toSet
+    val distinct = vals.filter(_ != null).distinct
+    val expect = distinct.filterNot(v =>
+      distinct.exists(w => w != v && w.startsWith(v))).toSet + null
+    assert(kept.map(Option(_).orNull) == expect.map(Option(_).orNull))
+    assert(!kept.contains("a") && !kept.contains("ab") && kept.contains("abc"))
+    assert(!kept.contains("do") && kept.contains("dog"))
+    assert(!kept.contains("b") && kept.contains("ba")) // ba dominates b
+  }
+
   test("ngram jaccard: identical=1.0, near-dup in (0,1)") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", 3)

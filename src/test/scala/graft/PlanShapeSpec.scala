@@ -322,6 +322,18 @@ class PlanShapeSpec extends SparkSpec {
       s"UDF boundary:\n$plan")
   }
 
+  test("prefix dedup is join-free: sorted-successor windows, no self-join") {
+    // the round-7 plan bucketed on the first character and self-joined per
+    // bucket — quadratic in bucket size. The sorted-successor plan must have
+    // NO join node at all: one range sort + lead(), plus an O(partitions)
+    // boundary window.
+    val plan = SparkEntry.queries("q_prefix_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join in prefix dedup:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cross product:\n$plan")
+    assert(plan.contains("Window"), s"expected window plan:\n$plan")
+  }
+
   test("gopherRules is a pure map: no exchange, no join, no aggregate") {
     val plan = graft.ops.CorpusCleaning.gopherRules(
         spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
