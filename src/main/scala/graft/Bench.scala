@@ -98,6 +98,7 @@ object Bench {
     val (wAdjE, wAdjN) = graft.queries.Tables.weightedAdjacency(spark, sfDir)
     wAdjE.count(); wAdjN.count()
     graft.queries.Tables.nodeProps(spark, sfDir).count()
+    graft.queries.Tables.retrievalStatements(spark, sfDir).count()
 
     // ---- full-run degradation defense (round-7 finding) -----------------
     // The round-7 snapshot inflated late-alphabet queries up to 24x vs

@@ -792,22 +792,31 @@ object Traversal {
   /** The peeling rounds over a prepared undirected edge frame (deduped,
     * both directions, no self-loops — [[lpaLayout]]'s encoded edges
     * qualify, which lets the community and core queries share one stored
-    * layout). The survivor set is NODE-scale (round 1 keeps ≈ every node
-    * with deg ≥ k), so — like [[triangleCountsFrom]]'s adjacency — its
-    * broadcast is GUARDED, not assumed: one cheap count of the prepared
-    * edge frame (an upper bound on every round's survivor count, since
-    * survivors only shrink and |V| ≤ |directed edges| when deg ≥ 1)
-    * decides ONCE whether the semi-joins take the broadcast fast path or
-    * run as plain shuffle joins. Past `broadcastEdgeCap` directed edges
-    * the shuffle path costs one exchange of the shrinking survivor frame
-    * per round — mechanical, no driver/executor OOM cliff at the
-    * README's 10⁹-node scale. AQE can still convert a late-round join
-    * back to broadcast when the measured survivor bytes allow. */
+    * layout). CACHE `undPrepared` before calling (the stored layouts are):
+    * the broadcast gate below runs one aggregate over it, and every
+    * round's semi-joins re-read it — uncached lineage would recompute per
+    * round.
+    *
+    * The survivor set is NODE-scale (round 1 keeps ≈ every node with
+    * deg ≥ k), so — like [[triangleCountsFrom]]'s adjacency — its
+    * broadcast is GUARDED, not assumed, and the gate measures what is
+    * actually broadcast: the DISTINCT NODE count (an upper bound on every
+    * round's survivor count, since survivors only shrink). Past
+    * `broadcastNodeCap` node ids (default 2M ≈ low-hundreds of MB as a
+    * broadcast hash relation — an edge-count cap proxied this badly: 50M
+    * directed edges can mean tens of millions of node ids in the keep
+    * frame, twice per round) the semi-joins run as plain shuffle joins —
+    * one exchange of the shrinking survivor frame per round, mechanical,
+    * no driver/executor OOM cliff at the README's 10⁹-node scale. AQE can
+    * still convert a late-round join back to broadcast when the measured
+    * survivor bytes allow. */
   def kCorePeelFrom(undPrepared: DataFrame, k: Int, rounds: Int,
-                    broadcastEdgeCap: Long = 50L * 1000 * 1000): DataFrame = {
+                    broadcastNodeCap: Long = 2L * 1000 * 1000): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k/$rounds")
+    val nodeCount =
+      undPrepared.select(col("dst")).distinct().count()
     val hint: DataFrame => DataFrame =
-      if (undPrepared.count() <= broadcastEdgeCap) broadcast else identity
+      if (nodeCount <= broadcastNodeCap) broadcast else identity
     var und = undPrepared
     for (i <- 1 to rounds) {
       // degrees via the dst endpoint: the symmetric frame makes in-degree ==

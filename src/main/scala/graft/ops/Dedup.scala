@@ -281,6 +281,88 @@ object Dedup {
   }
 
   /**
+   * TF-IDF-cosine statement diversity — the reference's exact scorer
+   * (statement_diversity.py:96-240: sklearn TfidfVectorizer +
+   * cosine_similarity at the 0.975 default threshold), beside the
+   * minhash-LSH variant [[diversityFilter]] and sharing its dominance rule
+   * (the later id of each too-similar pair drops). sklearn parity: tf =
+   * raw term count, smooth idf ln((1+N)/(1+df)) + 1, l2-normalized rows,
+   * STRICT > threshold. The reference's spaCy lemma/stopword preprocessing
+   * is a client seam; the deterministic stand-in is lowercase alnum tokens
+   * with the reference's NUM_/FLOAT_ numeric placeholders
+   * (preprocess_texts, statement_diversity.py:150-168).
+   *
+   * Scale: candidate pairs come from a Bayardo-style AllPairs prefix
+   * filter ("Scaling Up All Pairs Similarity Search", WWW'07), which is
+   * EXACT, not approximate: per document, a greedy unindexed set U
+   * (smallest w·maxw first) satisfies Σ_{t∈U} w_t·maxw_t < threshold, so
+   * any pair whose shared terms are all unindexed on one side is below
+   * threshold by the term-wise bound Σ w_xt·w_yt ≤ Σ w_xt·maxw_t.
+   * Joining only INDEXED terms against full postings therefore misses
+   * nothing, and verification is an exact dot product over candidates —
+   * never an all-pairs matrix. At 0.975 most of every l2-normalized
+   * vector is unindexed, so posting lists stay short even for common
+   * terms (which carry low idf weight).
+   */
+  def diversityFilterTfidf(df: DataFrame, textCol: String, idCol: String,
+                           threshold: Double = 0.975): DataFrame = {
+    val terms = df.select(col(idCol),
+        explode(expr(s"regexp_extract_all(lower($textCol), " +
+          """'\\d+\\.\\d+|[a-z0-9]+', 0)""")).as("tk"))
+      .select(col(idCol),
+        when(col("tk").rlike("^\\d+\\.\\d+$"), concat(lit("FLOAT_"), col("tk")))
+          .when(col("tk").rlike("^\\d+$"), concat(lit("NUM_"), col("tk")))
+          .otherwise(col("tk")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // N = documents FIT (all input rows, incl. token-less ones) — a 1-row
+    // broadcast, not a driver action
+    val n = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("dfreq"))
+    // dfreq/maxw are VOCABULARY-sized — no broadcast hint (AQE may still
+    // pick one when the vocab is small); only the 1-row N frame is forced
+    val weighted = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("w",
+        col("tf") * (log((col("n_docs") + 1) / (col("dfreq") + 1)) + 1))
+    val norms = weighted.groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val vec = weighted.join(norms, Seq(idCol))
+      .select(col(idCol).as("id"), col("term"),
+        (col("w") / col("norm")).as("w"))
+    // prefix filter: ascending w·maxw within each doc; the greedy
+    // unindexed set is the longest prefix with cumulative sum < threshold
+    val maxw = vec.groupBy(col("term")).agg(max(col("w")).as("maxw"))
+    val contrib = vec.join(maxw, Seq("term"))
+      .withColumn("contrib", col("w") * col("maxw"))
+    val cumW = Window.partitionBy("id").orderBy(col("contrib"), col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val indexed = contrib
+      .withColumn("cum", sum(col("contrib")).over(cumW))
+      .filter(col("cum") >= threshold)
+      .select(col("term"), col("id"))
+    // candidates: indexed occurrences vs full postings (both orientations
+    // arrive from the same join; canonicalize to id_a < id_b)
+    val postings = vec.select(col("term"), col("id").as("pid"))
+    val cands = indexed.join(postings, Seq("term"))
+      .filter(col("id") =!= col("pid"))
+      .select(least(col("id"), col("pid")).as("id_a"),
+        greatest(col("id"), col("pid")).as("id_b"))
+      .distinct()
+    val cos = cands
+      .join(vec.select(col("id").as("id_a"), col("term"),
+        col("w").as("wa")), Seq("id_a"))
+      .join(vec.select(col("id").as("id_b"), col("term"),
+        col("w").as("wb")), Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wa") * col("wb")).as("cos"))
+    val dominated = cos.filter(col("cos") > threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.select(col(idCol)).join(dominated, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Drop values that are a proper prefix of another value in the column
    * (reference entity_context_provider.py:187-249: contexts already covered
    * by a longer context are removed before the survivors are verbalized).

@@ -164,17 +164,25 @@ object Sampling {
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
                      alpha: Double = 0.5, salt: String = ""): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("_n"))
+    // NULL strata form their OWN stratum (sampled like any other), via a
+    // sentinel key: grouping alone would form the null stratum but the
+    // equi-join below never matches null keys, silently DROPPING every
+    // null-stratum row from the output — the sentinel keeps group and
+    // join semantics aligned. The NUL prefix cannot collide with a real label.
+    val stratum = coalesce(col(strataCol).cast("string"),
+      lit("\u0000graft:null-stratum"))
+    val keyed = df.withColumn("_stratum", stratum)
+    val counts = keyed.groupBy("_stratum").agg(count(lit(1)).as("_n"))
     def ratio(c: Column): Column = // n^(1-alpha), the n/n^alpha ratio
       if (alpha == 0.5) sqrt(c) else pow(c, lit(1.0 - alpha))
     val shares = counts.withColumn("_npa", ratio(col("_n").cast("double")))
     val minNpa = shares.agg(min(col("_npa")).as("_m"))
     val rates = shares.crossJoin(broadcast(minNpa))
       .withColumn("_rate", least(lit(1.0), col("_m") / col("_npa")))
-      .select(col(strataCol), col("_rate"))
-    df.join(broadcast(rates), Seq(strataCol))
+      .select(col("_stratum"), col("_rate"))
+    keyed.join(broadcast(rates), Seq("_stratum"))
       .filter(uniform01(col(idCol), salt) < col("_rate"))
-      .drop("_rate")
+      .drop("_rate", "_stratum")
   }
 
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,

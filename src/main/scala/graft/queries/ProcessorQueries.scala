@@ -71,38 +71,16 @@ object ProcessorQueries {
     // SimplifySingleTopicResults, FormatSources, ClearChunks, ClearTopicIds,
     // TruncateResults) all do real work.
     "q_full_chain" -> ((s, dir) => {
-      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       // statement_id = md5 over the full line tuple: (orderkey, linenumber)
       // collides in the synthetic data, and a collision-keyed side join
       // (facts, chunks) would fan out. Cents-scaled numerics keep the md5
       // input string engine-stable.
-      // base feeds 5 branches (two retrievers, facts, chunks) — checkpoint
-      // it once so the lineitem join + md5 ids aren't recomputed per branch.
-      // The projection is narrowed to exactly the DERIVED columns the
-      // branches read (scores array, fact strings, chunk text) — raw
-      // lineitem columns don't survive into the materialized rows.
-      val base = t(s, dir, "lineitem")
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("source_id"),
-          col("l_orderkey").as("topic_id"),
-          md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey"), col("l_suppkey"),
-            (col("l_extendedprice") * 100).cast("long"),
-            (col("l_quantity") * 100).cast("long"),
-            col("l_shipdate").cast("string"))).as("statement_id"),
-          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
-            col("l_shipdate").cast("string")).as("statement"),
-          concat(
-            when(col("l_returnflag") === "R",
-              array((col("l_extendedprice") * 100).cast("long")))
-              .otherwise(array().cast("array<long>")),
-            when(col("l_quantity") > 25,
-              array((col("l_quantity") * 100000).cast("long")))
-              .otherwise(array().cast("array<long>"))).as("scores"),
-          concat(lit("part:"), col("l_partkey")).as("fact_part"),
-          concat(lit("supp:"), col("l_suppkey")).as("fact_supp"),
-          col("l_shipdate").cast("string").as("chunk_text"))
-        .localCheckpoint(true)
+      // base is the INDEXED statement store (Tables.retrievalStatements,
+      // built + cached once like the lexicalGraph tables — the reference
+      // materializes statements at extract-and-build time, not per query):
+      // it feeds 5 branches (two retrievers, facts, chunks) without
+      // recomputing the lineitem join + md5 ids per branch or per query.
+      val base = Tables.retrievalStatements(s, dir)
       val sources = t(s, dir, "customer").select(
         col("c_custkey").as("source_id"),
         map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"),

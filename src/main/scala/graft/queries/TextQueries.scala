@@ -566,6 +566,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.11 StatementDiversity, the reference's EXACT scorer: sklearn-
+    // parity tfidf vectors (raw tf, smooth idf, l2 rows) + cosine at the
+    // 0.975 default (statement_diversity.py:96-240), candidates from the
+    // exact AllPairs prefix filter, dominance = later id drops.
+    "q_statement_diversity_tfidf" -> ((s, dir) => {
+      graft.ops.Dedup.diversityFilterTfidf(
+        t(s, dir, "documents"), "text", "doc_id", threshold = 0.975)
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: C4-style sub-document span dedup — fixed 8-token windows,
     // one winner (smallest doc_id, chunk_idx) per chunk hash plus its
     // corpus-wide occurrence count. One narrow explode + one min-struct
@@ -1739,6 +1749,33 @@ object TextQueries {
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
          |SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dom)
          |ORDER BY doc_id""".stripMargin,
+
+    // sklearn-parity tfidf replay: raw tf, smooth idf ln((1+N)/(1+df))+1,
+    // l2 rows, strict > threshold; the oracle verifies ALL pairs (no
+    // prefix filter) so a filter bug cannot hide.
+    "q_statement_diversity_tfidf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '\d+\.\d+|[a-z0-9]+')) AS tk
+        |  FROM docs),
+        |mapped AS (SELECT doc_id,
+        |  CASE WHEN regexp_full_match(tk, '\d+\.\d+') THEN 'FLOAT_'||tk
+        |       WHEN regexp_full_match(tk, '\d+') THEN 'NUM_'||tk
+        |       ELSE tk END AS term FROM tok),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+        |       FROM mapped GROUP BY 1, 2),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+        |w AS (SELECT doc_id, t.term, tf * (ln((n.n+1)/(dfreq+1)) + 1) AS w
+        |      FROM tf t JOIN dfreq USING (term) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nm FROM w GROUP BY 1),
+        |v AS (SELECT w.doc_id, term, w/nm AS w FROM w JOIN nrm USING (doc_id)),
+        |cos AS (SELECT a.doc_id AS ia, b.doc_id AS ib, sum(a.w*b.w) AS c
+        |  FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dom AS (SELECT DISTINCT ib AS doc_id FROM cos WHERE c > 0.975)
+        |SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM dom)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_window_dedup" ->
       """WITH toks AS (

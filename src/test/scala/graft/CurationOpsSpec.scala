@@ -591,4 +591,23 @@ class CurationOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 0.0) }
   }
+
+  test("temperatureMix: NULL strata form their own stratum instead of " +
+    "silently vanishing (the equi-join would never match null keys)") {
+    val docs = (Seq((1L, Option("en")), (2L, Option("en")),
+      (3L, Option("en")), (4L, Option("en"))) ++
+      (5L to 6L).map(i => (i, None: Option[String])))
+      .toDF("doc_id", "lang")
+    // alpha = 1: every rate is 1.0 → the output must be the whole input,
+    // INCLUDING both null-stratum rows (the round-7 code dropped them)
+    val all = Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 1.0)
+    assert(all.count() == 6L)
+    assert(all.filter(col("lang").isNull).count() == 2L)
+    // at alpha < 1 the null stratum is the rarest → kept whole
+    val mixed = Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 0.5)
+    assert(mixed.filter(col("lang").isNull).count() == 2L)
+    // output schema unchanged (no sentinel column leaks)
+    assert(mixed.columns.toSeq == Seq("lang", "doc_id") ||
+      mixed.columns.toSeq == Seq("doc_id", "lang"))
+  }
 }

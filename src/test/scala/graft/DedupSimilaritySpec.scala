@@ -53,6 +53,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("diversityFilterTfidf matches sklearn-style brute force (exact " +
+    "AllPairs prefix filter, NUM_/FLOAT_ placeholders, strict >)") {
+    // near-identical pairs around the 0.975 default + numeric placeholder
+    // behavior: "3.5" and "42" tokens map to FLOAT_/NUM_ terms
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "completely different words about spark plans"),
+      (5L, "price 3.5 and count 42 of items"),
+      (6L, "price 3.5 and count 42 of items")) // exact dup of 5
+      .toDF("doc_id", "text")
+    // brute force twin (driver-side): same tokenization + tfidf math
+    def toks(s: String): Seq[String] =
+      raw"\d+\.\d+|[a-z0-9]+".r.findAllIn(s.toLowerCase).toSeq.map {
+        case t if t.matches(raw"\d+\.\d+") => s"FLOAT_$t"
+        case t if t.matches(raw"\d+") => s"NUM_$t"
+        case t => t
+      }
+    val texts = d.collect().map(r => r.getLong(0) -> toks(r.getString(1)))
+    val n = texts.length.toDouble
+    val dfreq = texts.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, g) => t -> g.length.toDouble }
+    def vecOf(ts: Seq[String]): Map[String, Double] = {
+      val tf = ts.groupBy(identity).map { case (t, g) =>
+        t -> g.length * (math.log((n + 1) / (dfreq(t) + 1)) + 1) }
+      val nm = math.sqrt(tf.values.map(x => x * x).sum)
+      tf.map { case (t, w) => t -> w / nm }
+    }
+    val vecs = texts.map { case (id, ts) => id -> vecOf(ts) }.toMap
+    def cos(a: Long, b: Long): Double =
+      vecs(a).keySet.intersect(vecs(b).keySet).toSeq
+        .map(t => vecs(a)(t) * vecs(b)(t)).sum
+    val ids = texts.map(_._1)
+    val dominated = (for {
+      a <- ids; b <- ids if a < b && cos(a, b) > 0.975
+    } yield b).toSet
+    val expect = ids.filterNot(dominated).toSet
+    val kept = graft.ops.Dedup
+      .diversityFilterTfidf(d, "text", "doc_id")
+      .as[Long].collect().toSet
+    assert(kept == expect, s"kept=$kept expect=$expect")
+    assert(!kept.contains(3L) && !kept.contains(6L)) // exact dups drop
+    assert(kept.contains(4L)) // the distinct doc survives
+    // the near-dup pair 1/2 sits BELOW 0.975 (1 token of 8 differs) —
+    // strict-threshold behavior, both kept
+    assert(cos(1L, 2L) < 0.975 && kept.contains(2L))
+  }
+
   test("dropProperPrefixes matches brute force, incl. chains and boundaries") {
     // chain a < ab < abc (a, ab dominated), equal-after-distinct values,
     // a value that is a prefix of nothing ("b"), a null, and enough rows

@@ -359,7 +359,7 @@ class TraversalSpec extends SparkSpec {
       }.size
     val hinted = Traversal.kCorePeelFrom(und, k = 2, rounds = 3)
     val capped = Traversal.kCorePeelFrom(und, k = 2, rounds = 3,
-      broadcastEdgeCap = 0)
+      broadcastNodeCap = 0)
     assert(hintCount(hinted) > 0, "small frame keeps the broadcast hints")
     assert(hintCount(capped) == 0, "capped peel must not hint a broadcast")
     assert(capped.as[(String, Long)].collect().toMap ==
