@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
  *     term := v.p = 'lit' | v.p <> 'lit' | v.p IN ['lit', ...]
  *           | v.p STARTS WITH 'lit' | v.p ENDS WITH 'lit'
  *           | v.p CONTAINS 'lit'         -- AND binds tighter than OR
+ *           | v.p (>|>=|<|<=|=|<>) number  -- cast-to-double compare
  *           | v[.p] IS [NOT] NULL   -- allowed on OPTIONAL vars: the
  *                                   -- anti-join / exists shape
  *   RETURN [DISTINCT] (item [, item ...] | count(*) [AS a]
@@ -189,6 +190,13 @@ object CypherLite {
   // projects node properties everywhere (graph_utils.py:121-157
   // node_result; traversal_based_base_retriever.py:143-217 `l.value`).
   private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>)\s*'([^']*)'""".r
+  /** Numeric comparisons — `v.p > 1000`, `v.p <= 12.5` (also = / <> with
+    * an unquoted numeric literal): the threshold shape KGQA LLMs emit for
+    * "more than / at least" questions. The property side is cast to
+    * double, so a non-numeric property compares as null and the row drops
+    * (SQL semantics), never a lexicographic surprise. */
+  private val CondNumRe =
+    """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|>|<|=|<>)\s*(-?\d+(?:\.\d+)?)""".r
   private val CondStartsRe =
     """(?i)([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+STARTS\s+WITH\s+'([^']*)'""".r
   private val CondEndsRe =
@@ -210,6 +218,14 @@ object CypherLite {
     * relationship variable (it already holds the edge label). */
   private val TypeRetRe =
     """(?i)type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+  /** `properties(v)` — the whole-property-map projection the reference's
+    * retrieval cypher leans on (traversal_based_base_retriever.py:143-217
+    * projects `properties(c)`). Rendered as a deterministic JSON object
+    * (sorted keys, null properties omitted — Cypher maps omit missing
+    * properties too); a null binding renders as null. Internally the prop
+    * sentinel "*" = every nodeProps column. */
+  private val PropsRetRe =
+    """(?i)properties\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(ASC|DESC))?""".r
   private val OrdCountRe = """(?i)count\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+(ASC|DESC))?""".r
   private val CountStarRe =
@@ -423,6 +439,8 @@ object CypherLite {
         boolSplit(w, "OR").map { grp =>
           boolSplit(grp, "AND").map {
             case CondRe(v, p, op, value) => Cond(v, op, Seq(value), p)
+            case CondNumRe(v, p, op, num) =>
+              Cond(v, s"NUM$op", Seq(num), p)
             case CondStartsRe(v, p, pre) =>
               Cond(v, "STARTS_WITH", Seq(pre), p)
             case CondEndsRe(v, p, sfx) => Cond(v, "ENDS_WITH", Seq(sfx), p)
@@ -496,6 +514,11 @@ object CypherLite {
           if (!allEdgeVars.contains(v))
             return Left(s"type($v): '$v' is not a relationship variable")
           (v, None, Option(alias).getOrElse(s"type($v)"))
+        case PropsRetRe(v, alias) =>
+          if (allEdgeVars.contains(v))
+            return Left(s"properties($v): '$v' is a relationship " +
+              s"variable — it carries only its type; use type($v)")
+          (v, Some("*"), Option(alias).getOrElse(s"properties($v)"))
         case RetRe(v, propG, alias) =>
           val p = propOf(propG)
           if (p.nonEmpty && allEdgeVars.contains(v))
@@ -702,7 +725,13 @@ object CypherLite {
     // the node-table lookup every property graph store performs — an
     // ordinary keyed join Catalyst can reorder/broadcast, and the
     // projection is pruned to exactly the referenced properties.
-    val needed = q.neededProps
+    // the "*" sentinel (a properties(v) projection) expands to every
+    // nodeProps column, sorted for a deterministic JSON rendering
+    val allProps: Seq[String] =
+      nodeProps.map(_.columns.filter(_ != "id").toSeq.sorted).getOrElse(Nil)
+    val needed = q.neededProps.map { case (v, ps) =>
+      v -> (if (ps.contains("*")) ps - "*" ++ allProps else ps)
+    }.filter(_._2.nonEmpty)
     if (needed.nonEmpty) {
       val props = nodeProps.getOrElse(throw new IllegalArgumentException(
         "query references node properties but no nodeProps frame was " +
@@ -715,7 +744,12 @@ object CypherLite {
       }
     }
     def bindCol(v: String, prop: String): Column =
-      if (prop == "id") col(v) else col(s"__${v}__$prop")
+      if (prop == "id") col(v)
+      else if (prop == "*") // properties(v): sorted-key JSON, null binding
+        when(col(v).isNull, lit(null).cast("string"))
+          .otherwise(to_json(struct(
+            allProps.map(p => col(s"__${v}__$p").as(p)): _*)))
+      else col(s"__${v}__$prop")
     // WHERE in DNF: AND within a group (each conjunct an independently
     // pushable predicate), OR across groups (one residual filter — an OR
     // can't push into the scan, which is Cypher's semantics too)
@@ -730,6 +764,19 @@ object CypherLite {
         case "CONTAINS" => b.contains(c.values.head)
         case "IS_NULL" => b.isNull
         case "IS_NOT_NULL" => b.isNotNull
+        case num if num.startsWith("NUM") =>
+          // try_cast, not cast: under ANSI a non-numeric property value
+          // must drop the row (null compare), not kill the query
+          val d = b.try_cast("double")
+          val x = lit(c.values.head.toDouble)
+          num.stripPrefix("NUM") match {
+            case ">" => d > x
+            case ">=" => d >= x
+            case "<" => d < x
+            case "<=" => d <= x
+            case "=" => d === x
+            case "<>" => d =!= x
+          }
       }
     }
     if (q.conds.nonEmpty)
@@ -788,11 +835,15 @@ object CypherLite {
       nodeProps match {
         case None if needed.nonEmpty =>
           Left("node properties " +
-            needed.toSeq.sorted.mkString("'", "', '", "'") +
+            needed.toSeq.sorted.map(p =>
+              if (p == "*") "'properties(...)'" else s"'$p'")
+              .mkString(", ") +
             " are not available on this store — only '.id'")
         case Some(p) if needed.nonEmpty =>
           val avail = p.columns.toSet - "id"
-          val missing = needed -- avail
+          // "*" is the properties(v) sentinel — valid whenever a
+          // nodeProps frame exists
+          val missing = needed - "*" -- avail
           if (missing.nonEmpty)
             Left("unknown propert" +
               (if (missing.size > 1) "ies " else "y ") +

@@ -80,6 +80,22 @@ object QaEvaluation {
     norm(gold).nonEmpty && norm(response).contains(norm(gold))
   }
 
+  /** LLM-graded correctness (the reference's evaluation grader,
+    * run_evaluation.py:80-261 — an LLM judges each response against the
+    * gold answer): one judge turn per pair, the verdict's FIRST token
+    * parsed as YES/NO. Deterministic with a scripted/stub LLM — the same
+    * (response, gold) => Boolean seam [[containmentJudge]] fills, so a
+    * real grading model drops in without touching the loop. */
+  def llmJudge(llm: LLM): (String, String) => Boolean = (response, gold) => {
+    val verdict = llm.complete(
+      "You are grading a question-answering system.\n" +
+        s"Gold answer: $gold\n" +
+        s"System response: $response\n" +
+        "Does the response convey the gold answer? Reply YES or NO.")
+    verdict.trim.split("\\s+").headOption
+      .exists(_.equalsIgnoreCase("YES"))
+  }
+
   /** Load {question, answer} pairs from a qa.json array (the reference's
     * QA file shape, benchmark_query.py load_qa_pairs) via Spark's JSON
     * reader — multiLine handles the pretty-printed array form. */

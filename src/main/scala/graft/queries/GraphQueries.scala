@@ -275,6 +275,20 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher numeric comparisons: `WHERE o.price > 450000` — the
+    // threshold shape KGQA LLMs emit for "more than / at least" questions;
+    // the property side casts to double so a non-numeric property drops
+    // the row instead of comparing lexicographically.
+    "q_cypher_numeric" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o) " +
+        "WHERE o.price > 450000 AND c.class = 'customer' " +
+        "RETURN DISTINCT c.id AS cust, o.id AS ord, o.price AS total " +
+        "ORDER BY total DESC, cust, ord LIMIT 25"
+      graft.byokg.CypherLite.run(edges(s, dir),
+          Some(Tables.nodeProps(s, dir)), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -1240,6 +1254,19 @@ object GraphQueries {
          |SELECT src AS cust, count(*) AS n_orders FROM edges0
          |WHERE label = 'placed' GROUP BY src
          |ORDER BY n_orders DESC, cust LIMIT 10""".stripMargin,
+
+    // numeric-comparison replay: threshold filter on the order's price
+    // property, customer class filter, top-k by total.
+    "q_cypher_numeric" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |props AS (${Tables.nodePropsSql})
+         |SELECT DISTINCT e.src AS cust, e.dst AS ord, op.price AS total
+         |FROM edges0 e
+         |JOIN props op ON op.id = e.dst
+         |JOIN props cp ON cp.id = e.src
+         |WHERE e.label = 'placed' AND e.src LIKE 'c:%' AND e.dst LIKE 'o:%'
+         |  AND op.price > 450000 AND cp.class = 'customer'
+         |ORDER BY total DESC, cust, ord LIMIT 25""".stripMargin,
 
     // node-property replay: the props CTE is the node-property table; each
     // property-reading variable is one join against it.

@@ -383,33 +383,40 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def buildNodeProps(s: SparkSession, dir: String): DataFrame = {
+    // `price` is the per-class numeric property (customer/supplier account
+    // balance, order total, part retail price) — the numeric-comparison
+    // Cypher terms (`WHERE o.price > 1000`) read it
     val c = t(s, dir, "customer").select(
       concat(lit("c:"), col("c_custkey")).as("id"),
-      col("c_name").as("value"), lit("customer").as("class"))
+      col("c_name").as("value"), lit("customer").as("class"),
+      col("c_acctbal").cast("double").as("price"))
     val o = t(s, dir, "orders").select(
       concat(lit("o:"), col("o_orderkey")).as("id"),
       concat(lit("order-"), col("o_orderkey"), lit("-"),
         col("o_orderstatus")).as("value"),
-      lit("order").as("class"))
+      lit("order").as("class"),
+      col("o_totalprice").cast("double").as("price"))
     val p = t(s, dir, "part").select(
       concat(lit("p:"), col("p_partkey")).as("id"),
-      col("p_name").as("value"), lit("part").as("class"))
+      col("p_name").as("value"), lit("part").as("class"),
+      col("p_retailprice").cast("double").as("price"))
     val su = t(s, dir, "supplier").select(
       concat(lit("s:"), col("s_suppkey")).as("id"),
-      col("s_name").as("value"), lit("supplier").as("class"))
+      col("s_name").as("value"), lit("supplier").as("class"),
+      col("s_acctbal").cast("double").as("price"))
     c.union(o).union(p).union(su)
       .withColumn("search_str", lower(col("value")))
   }
 
   /** The same property table as DuckDB SQL (for oracle queries). */
   val nodePropsSql: String =
-    """SELECT 'c:'||c_custkey AS id, c_name AS value, 'customer' AS class, lower(c_name) AS search_str FROM customer
+    """SELECT 'c:'||c_custkey AS id, c_name AS value, 'customer' AS class, c_acctbal::DOUBLE AS price, lower(c_name) AS search_str FROM customer
       |UNION ALL
-      |SELECT 'o:'||o_orderkey, 'order-'||o_orderkey||'-'||o_orderstatus, 'order', lower('order-'||o_orderkey||'-'||o_orderstatus) FROM orders
+      |SELECT 'o:'||o_orderkey, 'order-'||o_orderkey||'-'||o_orderstatus, 'order', o_totalprice::DOUBLE, lower('order-'||o_orderkey||'-'||o_orderstatus) FROM orders
       |UNION ALL
-      |SELECT 'p:'||p_partkey, p_name, 'part', lower(p_name) FROM part
+      |SELECT 'p:'||p_partkey, p_name, 'part', p_retailprice::DOUBLE, lower(p_name) FROM part
       |UNION ALL
-      |SELECT 's:'||s_suppkey, s_name, 'supplier', lower(s_name) FROM supplier""".stripMargin
+      |SELECT 's:'||s_suppkey, s_name, 'supplier', s_acctbal::DOUBLE, lower(s_name) FROM supplier""".stripMargin
 
   private def buildEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")

@@ -266,6 +266,87 @@ object Profile {
         println(f"[profile] per-row us: 1x=${t1 * 1e6 / n1}%.2f " +
           f"${np}x=${tN * 1e6 / nN}%.2f ratio=${tN * n1 / (t1 * nN)}%.2f")
 
+      case "tfidfdiag" =>
+        // stage decomposition of diversityFilterTfidf on this sfDir's
+        // documents: vector build, prefix-filter selectivity, candidate
+        // count, verification cost
+        import org.apache.spark.sql.expressions.Window
+        val idCol = "doc_id"; val textCol = "text"; val threshold = 0.975
+        val terms = docs.select(col(idCol),
+            explode(expr(s"regexp_extract_all(lower($textCol), " +
+              """'\\d+\\.\\d+|[a-z0-9]+', 0)""")).as("tk"))
+          .select(col(idCol), col("tk").as("term"))
+        val tf = terms.groupBy(col(idCol), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val dfreq = tf.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("dfreq"))
+        val weighted = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("w",
+            col("tf") * (log((col("n_docs") + 1) / (col("dfreq") + 1)) + 1))
+        val norms = weighted.groupBy(col(idCol))
+          .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+        val vec = weighted.join(norms, Seq(idCol))
+          .select(col(idCol).as("id"), col("term"),
+            (col("w") / col("norm")).as("w")).localCheckpoint(true)
+        println(s"[profile] vocab=${dfreq.count()} vecRows=${vec.count()}")
+        val maxw = vec.groupBy(col("term")).agg(max(col("w")).as("maxw"))
+        val contrib = vec.join(maxw, Seq("term"))
+          .withColumn("contrib", col("w") * col("maxw"))
+        val cumW = Window.partitionBy("id")
+          .orderBy(col("contrib"), col("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val indexedOld = contrib
+          .withColumn("cum", sum(col("contrib")).over(cumW))
+          .filter(col("cum") >= threshold).select(col("term"), col("id"))
+        println(s"[profile] indexed(maxw-bound)=${indexedOld.count()}")
+        // norm-bound alternative: unindex while cum(w^2) < t^2
+        val cumN = Window.partitionBy("id").orderBy(col("w"), col("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val indexedNorm = vec
+          .withColumn("cum", sum(col("w") * col("w")).over(cumN))
+          .filter(col("cum") >= threshold * threshold)
+          .select(col("term"), col("id"))
+        println(s"[profile] indexed(norm-bound)=${indexedNorm.count()}")
+        val postings = vec.select(col("term"), col("id").as("pid"))
+        def candCount(ix: DataFrame): Long = ix.join(postings, Seq("term"))
+          .filter(col("id") =!= col("pid"))
+          .select(least(col("id"), col("pid")).as("id_a"),
+            greatest(col("id"), col("pid")).as("id_b"))
+          .distinct().count()
+        time("cands maxw-bound") { candCount(indexedOld) }
+        time("cands norm-bound") { candCount(indexedNorm) }
+        time("full op (current)") {
+          graft.ops.Dedup.diversityFilterTfidf(docs, textCol, idCol).count()
+        }
+
+      case "tfidfscale" =>
+        // would-it-scale probe for the exact tfidf diversity: docs
+        // replicated xN under disjoint "rep<k> " token prefixes (every
+        // token namespaced, so idf mass and near-dup pairs replicate
+        // per-namespace instead of cross-colliding). Prefix-filtered
+        // AllPairs => candidate pairs grow with true near-dups, per-row
+        // cost ~flat.
+        val nt = if (args.length > 2) args(2).toInt else 8
+        val repsT = spark.range(0, nt).select(col("id").as("rep"))
+        val bigT = docs.crossJoin(repsT)
+          .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+            // alnum glue ("r3xword"), NOT "r3_word": the tfidf tokenizer
+            // splits on underscore, which would leak a shared "r3" token
+            // into every doc and collide all replicas into near-dups
+            regexp_replace(col("text"), lit("(^|\\s)(\\S)"),
+              concat(lit("$1r"), col("rep"), lit("x$2"))).as("text"))
+          .repartition(32).localCheckpoint(true)
+        val nd1 = docs.count(); val ndN = bigT.count()
+        println(s"[profile] tfidfscale rows 1x=$nd1 ${nt}x=$ndN")
+        def tdiv(d: DataFrame) =
+          graft.ops.Dedup.diversityFilterTfidf(d, "text", "doc_id").count()
+        tdiv(docs) // warm
+        val td1 = timeRet("tfidf diversity 1x") { tdiv(docs) }
+        val tdN = timeRet(s"tfidf diversity ${nt}x") { tdiv(bigT) }
+        println(f"[profile] per-row ms: 1x=${td1 * 1e3 / nd1}%.3f " +
+          f"${nt}x=${tdN * 1e3 / ndN}%.3f ratio=${tdN * nd1 / (td1 * ndN)}%.2f")
+
       case "scaleprobe4" =>
         // would-it-scale probe for the final round-7 batch: docs/events
         // replicated xN with disjoint key spaces. Yield/zipf/mix outputs

@@ -541,6 +541,76 @@ class CypherLiteSpec extends SparkSpec {
       .toOption.get.as[Long].head() == 2L)
   }
 
+  test("properties(v) projects the whole property map as sorted-key JSON; " +
+    "null bindings render null; misuse is loud") {
+    val q = "MATCH (c:c)-[:placed]->(o:o) WHERE c.id = 'c:1' " +
+      "RETURN o.id, properties(c) AS cp ORDER BY o.id LIMIT 1"
+    val df = CypherLite.run(edges, Some(props), q).toOption.get
+    assert(df.columns.toSeq == Seq("o", "cp"))
+    assert(df.as[(String, String)].collect().toSeq ==
+      Seq(("o:10", """{"class":"customer","value":"Alice"}""")))
+    // default output name is the literal properties(v)
+    val named = CypherLite.run(edges, Some(props),
+      "MATCH (p:p)-[:supplied_by]->(s) RETURN properties(p)").toOption.get
+    assert(named.columns.toSeq == Seq("properties(p)"))
+    // OPTIONAL null binding → null map, not an empty object
+    val opt = CypherLite.run(edges, Some(props),
+      "MATCH (p:p) OPTIONAL MATCH (p)-[:supplied_by]->(s) " +
+        "RETURN DISTINCT p.id, properties(s) AS sp ORDER BY p.id")
+      .toOption.get.collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(opt == Set(
+      ("p:7", Some("""{"class":"supplier","value":"Supplier#3"}""")),
+      ("p:8", None)))
+    // no nodeProps frame → the loud only-'.id' Left
+    val bare = CypherLite.run(edges, "MATCH (n) RETURN properties(n)")
+    assert(bare.isLeft && bare.swap.toOption.get.contains("only '.id'"),
+      bare.toString)
+    // relationship variables carry only their type
+    assert(CypherLite.run(edges, Some(props),
+      "MATCH (a)-[r]->(b) RETURN properties(r)").swap.toOption.get
+      .contains("type(r)"))
+  }
+
+  test("numeric comparisons cast the property to double: >, >=, <, <=, " +
+    "unquoted = / <>; non-numeric properties drop rows instead of " +
+    "comparing lexicographically") {
+    val nprops = Seq(
+      ("c:1", "Alice", 9.5), ("c:2", "Bob", 100.0),
+      ("o:10", "order-10", 30.0), ("o:11", "order-11", 250.0),
+      ("o:12", "order-12", 99.5))
+      .toDF("id", "value", "price")
+    val gt = CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o:o) WHERE o.price > 99.5 " +
+        "RETURN c.id, o.id ORDER BY o.id").toOption.get
+      .as[(String, String)].collect().toSeq
+    assert(gt == Seq(("c:1", "o:11")))
+    val ge = CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o:o) WHERE o.price >= 99.5 " +
+        "RETURN count(*)").toOption.get.as[Long].head()
+    assert(ge == 2L)
+    // lexicographic would call "30" > "250"; double compare must not
+    val lt = CypherLite.run(edges, Some(nprops),
+      "MATCH (c)-[:placed]->(o) WHERE o.price < 250 " +
+        "RETURN DISTINCT o.id ORDER BY o.id").toOption.get
+      .as[String].collect().toSeq
+    assert(lt == Seq("o:10", "o:12"))
+    // unquoted equality and inequality parse as numeric terms
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c)-[:placed]->(o) WHERE o.price = 30 RETURN o.id")
+      .toOption.get.as[String].collect().toSeq == Seq("o:10"))
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c)-[:placed]->(o) WHERE o.price <> 30 RETURN count(*)")
+      .toOption.get.as[Long].head() == 2L)
+    // a VALUE (non-numeric) property casts to null -> row drops, loud-ish
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c)-[:placed]->(o) WHERE o.value > 5 RETURN o.id")
+      .toOption.get.count() == 0L)
+    // unknown property still refuses with the schema
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c)-[:placed]->(o) WHERE o.cost > 5 RETURN o.id").isLeft)
+  }
+
   test("RETURN n.id AS count is legal when no count item exists " +
     "(the default countAlias only collides with a real count)") {
     val df = CypherLite.run(edges,

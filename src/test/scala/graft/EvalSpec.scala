@@ -92,6 +92,26 @@ class EvalSpec extends SparkSpec {
     assert(!containmentJudge("anything", "  "))
   }
 
+  test("llmJudge parses the grader's first token as the verdict " +
+    "(the reference's LLM grading seam, run_evaluation.py)") {
+    import QaEvaluation.llmJudge
+    val yes = llmJudge(new ScriptedLLM(Seq("YES — the response matches")))
+    assert(yes("anything", "gold"))
+    val no = llmJudge(new ScriptedLLM(Seq("NO. The answer is missing.")))
+    assert(!no("anything", "gold"))
+    // garbage verdicts grade as incorrect, never as a crash
+    val junk = llmJudge(new ScriptedLLM(Seq("maybe? YES later in text")))
+    assert(!junk("anything", "gold"))
+    // the judge prompt carries both the gold answer and the response
+    var seen = ""
+    val probe = new graft.llm.LLM {
+      override def complete(p: String): String = { seen = p; "NO" }
+    }
+    llmJudge(probe)("the response text", "the gold text")
+    assert(seen.contains("the response text") &&
+      seen.contains("the gold text"))
+  }
+
   test("token tracking counts whitespace tokens per call; loadQaPairs " +
     "reads the qa.json array shape") {
     val t = new TokenTrackingLLM(new StubLLM)

@@ -156,7 +156,12 @@ class PlanShapeSpec extends SparkSpec {
     // and the relationship-variable scan (one projected edge scan)
     "q_cypher_countvar", "q_cypher_reltype",
     // round 7 (cont. session): IS NULL anti-join — left join + null filter
-    "q_cypher_isnull")
+    "q_cypher_isnull",
+    // round 8: Cypher node-property access (one pruned left equi-join per
+    // property-reading variable against the props frame) and the exact
+    // tfidf diversity (term-keyed postings joins; a lost term key or a
+    // lost prefix filter would surface as a cross product here)
+    "q_cypher_props", "q_statement_diversity_tfidf")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -174,7 +179,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_negative_weights", "q_target_mix_tokens",
     // round 7 (cont. session): the temperature mix's 1-row min(n/pa)
     // scalar broadcast onto the |strata|-row rates frame
-    "q_temperature_mix")
+    "q_temperature_mix",
+    // round 8: the exact tfidf diversity's 1-row N-docs frame (the idf
+    // numerator) crossed onto the per-term weight rows
+    "q_statement_diversity_tfidf")
     // (q_hits no longer appears here: the end-normalization rewrite
     // collects both maxima as driver literals, so its plan must be
     // BNLJ-free like the rest — keeping the stale allowance would mask a
