@@ -25,15 +25,17 @@ import org.apache.spark.sql.functions._
  *           | v.p (>|>=|<|<=|=|<>) number  -- cast-to-double compare
  *           | v[.p] IS [NOT] NULL   -- allowed on OPTIONAL vars: the
  *                                   -- anti-join / exists shape
- *   RETURN [DISTINCT] (item [, item ...] | count(*) [AS a]
- *                      | count(v[.p]) [AS a]
- *                      | count(DISTINCT v[.p]) [AS a]
- *                      | item [, item ...], count(*|v[.p]) [AS a]) -- grouped
+ *   RETURN [DISTINCT] (item [, item ...] | agg [AS a]
+ *                      | item [, item ...], agg [AS a])    -- grouped
  *     item := v[.p] [AS alias] | type(r) [AS alias]
+ *           | properties(v) [AS alias]
+ *     agg  := count(*) | count(v[.p]) | count(DISTINCT v[.p])
+ *           | sum(v.p) | avg(v.p) | min(v[.p]) | max(v[.p])
  *     -- count(v) counts NON-NULL bindings (OPTIONAL rows that bound
  *     -- null don't count, unlike count(*)); type(r) reads a bound
- *     -- relationship variable's edge label
- *   [ORDER BY (v[.p] | alias | count(*|v)) [DESC] [, ...]] [LIMIT n]
+ *     -- relationship variable's edge label; sum/avg fold the property's
+ *     -- double try_cast (the "total spend of each customer" KGQA shape)
+ *   [ORDER BY (v[.p] | alias | count(*|v) | agg) [DESC] [, ...]] [LIMIT n]
  *
  * `v.p`: `p` = `id` reads the binding itself (the node id, always
  * available); any other property resolves through the caller-supplied
@@ -155,7 +157,13 @@ object CypherLite {
                          retProps: Seq[Option[String]] = Nil,
                          countDistinctProp: Option[String] = None,
                          countVarProp: Option[String] = None,
-                         groupCountProp: Option[String] = None) {
+                         groupCountProp: Option[String] = None,
+                         // sum/min/max/avg aggregate item (scalar when
+                         // `returns` is empty, grouped otherwise); the
+                         // output column name rides in `countAlias`
+                         aggFunc: Option[String] = None,
+                         aggVar: Option[String] = None,
+                         aggProp: Option[String] = None) {
     /** Every non-id property the query reads, per variable — what
       * [[compile]] materializes from the nodeProps frame and [[run]]
       * schema-checks. */
@@ -168,7 +176,8 @@ object CypherLite {
         .collect { case (v, Some(p)) => v -> p }
       val fromCounts =
         countDistinctVar.zip(countDistinctProp) ++
-        countVar.zip(countVarProp) ++ groupCountVar.zip(groupCountProp)
+        countVar.zip(countVarProp) ++ groupCountVar.zip(groupCountProp) ++
+        aggVar.zip(aggProp)
       (fromConds ++ fromRets ++ fromCounts)
         .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
     }
@@ -228,6 +237,8 @@ object CypherLite {
     """(?i)properties\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   private val OrdRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(ASC|DESC))?""".r
   private val OrdCountRe = """(?i)count\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+(ASC|DESC))?""".r
+  private val OrdAggRe =
+    """(?i)(sum|min|max|avg)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+(ASC|DESC))?""".r
   private val CountStarRe =
     """(?i)count\s*\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   private val CountDistinctRe =
@@ -238,6 +249,15 @@ object CypherLite {
     * follows the first identifier here). */
   private val CountVarRe =
     """(?i)count\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+  /** sum/min/max/avg over a binding or property — the aggregative KGQA
+    * shape ("total spend of each customer" → `RETURN c.id,
+    * sum(o.price)`). sum/avg REQUIRE a property and compute over its
+    * double cast (try_cast: non-numeric → null, excluded like SQL);
+    * min/max also accept the bare binding (string ordering). Scalar when
+    * the only RETURN item, grouped by the other items otherwise — the
+    * same slot discipline as count(...). */
+  private val AggRe =
+    """(?i)(sum|min|max|avg)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
 
   /** Normalize a captured property group: absent or `.id` → None (the
     * binding itself); anything else → Some(prop). */
@@ -347,6 +367,10 @@ object CypherLite {
         items.split(",").map(_.trim).toSeq.map {
           case OrdCountRe(what, dir) =>
             (s"count($what)", None,
+              dir == null || dir.equalsIgnoreCase("ASC"))
+          case OrdAggRe(f, v, p, dir) =>
+            (s"agg:${f.toLowerCase}:$v:" +
+              Option(p).filter(_ != "id").getOrElse(""), None,
               dir == null || dir.equalsIgnoreCase("ASC"))
           case OrdRe(v, propG, dir) =>
             (v, propOf(propG), dir == null || dir.equalsIgnoreCase("ASC"))
@@ -473,10 +497,16 @@ object CypherLite {
       else fullMatch(CountVarRe, retPart.trim)
     val countVar = countVarM.map(_.group(1))
     val countVarProp = countVarM.flatMap(m => propOf(m.group(2)))
+    // sum/min/max/avg as the sole RETURN item: the scalar aggregate form
+    val scalarAggM =
+      if (countStar || countDistinctVar.nonEmpty || countVar.nonEmpty) None
+      else fullMatch(AggRe, retPart.trim)
     val isScalarCount =
-      countStar || countDistinctVar.nonEmpty || countVar.nonEmpty
+      countStar || countDistinctVar.nonEmpty || countVar.nonEmpty ||
+        scalarAggM.nonEmpty
     if (isScalarCount && (distinct || orderByRaw.nonEmpty))
-      return Left("count(...) cannot combine with DISTINCT or ORDER BY")
+      return Left("a lone aggregate cannot combine with DISTINCT or " +
+        "ORDER BY")
     // RETURN v.id [, ...], count(*|v): grouped count — aggregation keyed
     // by the returned variables (the per-entity cardinality shape: "how
     // many orders did each customer place"). The count must be the LAST
@@ -491,17 +521,35 @@ object CypherLite {
     val groupCountVar = groupCountVarM.map(_.group(1))
     val groupCountProp = groupCountVarM.flatMap(m => propOf(m.group(2)))
     val groupCount = groupCountM.nonEmpty || groupCountVar.nonEmpty
-    if (groupCount && retItems.init.exists(
-        i => i.replaceAll("\\s", "").toLowerCase.startsWith("count(")))
-      return Left("only one count(...), as the last RETURN item")
-    if (groupCount && distinct)
-      return Left("DISTINCT cannot combine with a grouped count")
+    // grouped sum/min/max/avg: the LAST RETURN item, like grouped count
+    val groupAggM =
+      if (isScalarCount || retItems.size < 2 || groupCount) None
+      else fullMatch(AggRe, retItems.last)
+    val aggM = scalarAggM.orElse(groupAggM)
+    val aggFunc = aggM.map(_.group(1).toLowerCase)
+    val aggVar = aggM.map(_.group(2))
+    val aggProp = aggM.flatMap(m => propOf(m.group(3)))
+    val groupAgg = groupAggM.nonEmpty
+    if (aggFunc.exists(f => f == "sum" || f == "avg") && aggProp.isEmpty)
+      return Left(s"${aggFunc.get}() needs a numeric property — e.g. " +
+        s"${aggFunc.get}(${aggVar.get}.price)")
+    val AggLikeInit = """(count|sum|min|max|avg)\(""".r
+    if ((groupCount || groupAgg) && retItems.init.exists(i =>
+        AggLikeInit.findFirstIn(
+          i.replaceAll("\\s", "").toLowerCase).nonEmpty))
+      return Left("only one aggregate, as the last RETURN item")
+    if ((groupCount || groupAgg) && distinct)
+      return Left("DISTINCT cannot combine with a grouped aggregate")
     val countAlias = countStarM.orElse(groupCountM)
       .flatMap(m => Option(m.group(1)))
       .orElse(countDistinctM.flatMap(m => Option(m.group(3))))
       .orElse(countVarM.orElse(groupCountVarM)
         .flatMap(m => Option(m.group(3))))
-      .getOrElse("count")
+      .orElse(aggM.flatMap(m => Option(m.group(4))))
+      .getOrElse(
+        if (aggM.nonEmpty)
+          s"${aggFunc.get}(${aggVar.get}${aggProp.fold("")("." + _)})"
+        else "count")
     val allEdgeVars = (mandEdgeVars ++
       optParts.flatMap(_.edges.flatMap(_.varName))).toSet
     // (variable, property, output name): property items default their
@@ -509,7 +557,7 @@ object CypherLite {
     // bindings keep the bare variable
     val retTriples: Seq[(String, Option[String], String)] =
       if (isScalarCount) Nil
-      else (if (groupCount) retItems.init else retItems).map {
+      else (if (groupCount || groupAgg) retItems.init else retItems).map {
         case TypeRetRe(v, alias) =>
           if (!allEdgeVars.contains(v))
             return Left(s"type($v): '$v' is not a relationship variable")
@@ -533,15 +581,15 @@ object CypherLite {
     val aliases = retTriples.map(_._3)
     // the default countAlias 'count' only collides when a count item
     // actually exists — a plain `RETURN n.id AS count` is legal
-    val hasCountItem = isScalarCount || groupCount
+    val hasCountItem = isScalarCount || groupCount || groupAgg
     val outNames = aliases ++ (if (hasCountItem) Seq(countAlias) else Nil)
     if (outNames.distinct.size != outNames.size)
       return Left("duplicate output column names in RETURN — " +
         "disambiguate with AS")
     // property access on relationship variables can also arrive via
-    // count(...)/WHERE — same loud refusal as the RETURN form
+    // count(...)/agg(...)/WHERE — same loud refusal as the RETURN form
     (countDistinctVar.zip(countDistinctProp) ++ countVar.zip(countVarProp) ++
-      groupCountVar.zip(groupCountProp) ++
+      groupCountVar.zip(groupCountProp) ++ aggVar.zip(aggProp) ++
       conds.flatten.filter(_.prop != "id").map(c => (c.v, c.prop)))
       .collectFirst { case (v, _) if allEdgeVars.contains(v) => v } match {
       case Some(v) => return Left(s"'$v' is a relationship variable — it " +
@@ -587,7 +635,16 @@ object CypherLite {
               "returned count item")
           (countAlias, asc)
         }
-      } else if (groupCount && propOpt.isEmpty && o == countAlias) {
+      } else if (o.startsWith("agg:")) {
+        // ORDER BY sum(o.price) etc — must match the grouped agg item
+        val sig = s"agg:${aggFunc.getOrElse("")}:${aggVar.getOrElse("")}:" +
+          aggProp.getOrElse("")
+        if (!groupAgg || o != sig)
+          return Left(s"ORDER BY ${o.stripPrefix("agg:")
+            .split(":").head}(...) does not match the returned aggregate")
+        (countAlias, asc)
+      } else if ((groupCount || groupAgg) && propOpt.isEmpty &&
+          o == countAlias) {
         (countAlias, asc)
       } else retTriples.collectFirst {
         case (v, p, a) if (v == o && p == propOpt) ||
@@ -602,14 +659,15 @@ object CypherLite {
       }
     }
     (conds.flatten.map(_.v) ++ returns ++ countDistinctVar ++ countVar ++
-        groupCountVar)
+        groupCountVar ++ aggVar)
       .find(!known.contains(_)) match {
       case Some(v) => Left(s"unknown variable '$v'")
       case None =>
         Right(Query(parts, conds, returns, limit, countStar,
           distinct, ordResolved, optParts, countDistinctVar, groupCount,
           aliases, countAlias, countVar, groupCountVar,
-          retProps, countDistinctProp, countVarProp, groupCountProp))
+          retProps, countDistinctProp, countVarProp, groupCountProp,
+          aggFunc, aggVar, aggProp))
     }
   }
 
@@ -795,6 +853,19 @@ object CypherLite {
     // when referencing them post-projection
     def outRef(n: String): Column =
       if (n.contains(".")) col(s"`$n`") else col(n)
+    // sum/min/max/avg: sum/avg fold the property's double try_cast
+    // (non-numeric → null → excluded, SQL semantics); min/max order the
+    // raw column (numeric properties compare numerically, strings
+    // lexicographically — Cypher's behavior)
+    def aggColumn: Column = {
+      val base = bindCol(q.aggVar.get, q.aggProp.getOrElse("id"))
+      q.aggFunc.get match {
+        case "sum" => sum(base.try_cast("double"))
+        case "avg" => avg(base.try_cast("double"))
+        case "min" => min(base)
+        case "max" => max(base)
+      }
+    }
     var out =
       if (q.countStar) df.agg(count(lit(1)).as(q.countAlias))
       else if (q.countDistinctVar.nonEmpty)
@@ -803,11 +874,16 @@ object CypherLite {
       else if (q.countVar.nonEmpty) // non-null bindings only
         df.agg(count(bindCol(q.countVar.get,
           q.countVarProp.getOrElse("id"))).as(q.countAlias))
+      else if (q.aggFunc.nonEmpty && q.returns.isEmpty)
+        df.agg(aggColumn.as(q.countAlias))
       else if (q.groupCount)
         df.groupBy(outCols.map { case (c, a) => c.as(a) }: _*)
           .agg(count(q.groupCountVar.map(v => bindCol(v,
               q.groupCountProp.getOrElse("id"))).getOrElse(lit(1)))
             .as(q.countAlias))
+      else if (q.aggFunc.nonEmpty)
+        df.groupBy(outCols.map { case (c, a) => c.as(a) }: _*)
+          .agg(aggColumn.as(q.countAlias))
       else df.select(outCols.map { case (c, a) => c.as(a) }: _*)
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)

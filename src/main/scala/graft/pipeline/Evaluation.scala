@@ -28,14 +28,37 @@ object QaEvaluation {
   final case class QaPair(question: String, answer: String)
 
   /** One evaluated question (reference per_query_data entry +
-    * responses.jsonl line). */
+    * responses.jsonl line). `hopClass` ∈ single-hop/multi-hop/unknown. */
   final case class PerQuery(question: String, goldAnswer: String,
                             response: String, retrievalMs: Double,
                             postprocessingMs: Double, responseMs: Double,
                             totalMs: Double, inputTokens: Long,
                             outputTokens: Long,
                             retrievalContextTokens: Long,
-                            numSourceNodes: Long, correct: Boolean)
+                            numSourceNodes: Long, correct: Boolean,
+                            hopClass: String = "unknown",
+                            answerable: Boolean = true)
+
+  /** Question hop-complexity heuristic (reference hop_classifier.py:
+    * 14-170, the keyword fallback path): multi-hop markers (double
+    * conjunctions, temporal, comparison, multi-step reasoning) win; else
+    * a simple-factual opener classifies single-hop; else unknown. */
+  def classifyHop(question: String): String = {
+    val q = question.toLowerCase.trim
+    if (q.isEmpty) return "unknown"
+    val multi = Seq(
+      "\\band\\b.*\\band\\b", "\\bboth\\b", "\\bas well as\\b",
+      "\\bbefore\\b", "\\bafter\\b", "\\bwhile\\b", "\\bduring\\b",
+      "\\bcompared to\\b", "\\bversus\\b", "\\bmore than\\b",
+      "\\bless than\\b", "\\bdifference between\\b",
+      "\\bhow many\\b.*\\bthat\\b", "\\bwhich\\b.*\\balso\\b",
+      "\\bwhat\\b.*\\band\\b.*\\b(what|who|where|when|how)\\b")
+    if (multi.exists(p => p.r.findFirstIn(q).nonEmpty)) return "multi-hop"
+    val single = Seq("what is", "who is", "when was", "where is",
+      "what was", "who was", "where was", "when is", "what are",
+      "who are", "where are", "when did", "what does", "who does")
+    if (single.exists(p => q.startsWith(p))) "single-hop" else "unknown"
+  }
 
   final case class LatencyStats(avg: Double, p50: Double, p95: Double)
 
@@ -48,7 +71,13 @@ object QaEvaluation {
                            totalInputTokens: Long, totalOutputTokens: Long,
                            totalRetrievalContextTokens: Long,
                            avgInputTokensPerQuery: Double,
-                           avgRetrievalContextTokensPerQuery: Double)
+                           avgRetrievalContextTokensPerQuery: Double,
+                           // IDK metrics (run_evaluation.py's idk /
+                           // correctness_on_answerable): responses that
+                           // declared themselves unanswerable, and the
+                           // correct fraction among the answerable ones
+                           numUnanswerable: Int = 0,
+                           correctOnAnswerable: Option[Double] = None)
 
   /** Whitespace token count — the driver-side twin of
     * TextFunctions.tokenCount (trim, split on \s+). */
@@ -96,6 +125,31 @@ object QaEvaluation {
       .exists(_.equalsIgnoreCase("YES"))
   }
 
+  /** IDK ("I don't know") detection — the reference's answerability
+    * grading (run_evaluation.py IDKEvaluator + IDK_DETECTION prompt):
+    * true means the response DECLARES it cannot answer. This phrase
+    * heuristic is the deterministic default; [[llmIdkDetector]] is the
+    * LLM-judged variant behind the same String => Boolean seam. */
+  def phraseIdkDetector(response: String): Boolean = {
+    val r = response.toLowerCase
+    Seq("i don't know", "i do not know", "cannot answer", "can't answer",
+      "unable to answer", "not enough information", "no information",
+      "unanswerable", "insufficient context")
+      .exists(r.contains)
+  }
+
+  /** LLM-judged answerability (IDK_DETECTION, run_evaluation.py:108-116):
+    * the verdict completion is scanned for "Unanswerable". */
+  def llmIdkDetector(llm: LLM): String => Boolean = response =>
+    llm.complete(
+      "You are a teacher grading a quiz. Based on the student's " +
+        "response, determine if the student thinks they can not answer " +
+        "the question because some information is missing.\n" +
+        s"Response: $response\n" +
+        "Output \"Unanswerable\" if the student identifies that they " +
+        "can not answer the question. Otherwise output \"Answerable\".")
+      .contains("Unanswerable")
+
   /** Load {question, answer} pairs from a qa.json array (the reference's
     * QA file shape, benchmark_query.py load_qa_pairs) via Spark's JSON
     * reader — multiLine handles the pretty-printed array form. */
@@ -113,7 +167,8 @@ object QaEvaluation {
                     tracked: TokenTrackingLLM,
                     pairs: Seq[QaPair],
                     contextFormat: String = "text",
-                    judge: (String, String) => Boolean = containmentJudge)
+                    judge: (String, String) => Boolean = containmentJudge,
+                    idk: String => Boolean = phraseIdkDetector)
   : Seq[PerQuery] =
     pairs.map { qa =>
       val in0 = tracked.totalInputTokens
@@ -129,7 +184,9 @@ object QaEvaluation {
         outputTokens = tracked.totalOutputTokens - out0,
         retrievalContextTokens = md("context_tokens").toLong,
         numSourceNodes = md("num_source_nodes").toLong,
-        correct = judge(resp.response, qa.answer))
+        correct = judge(resp.response, qa.answer),
+        hopClass = classifyHop(qa.question),
+        answerable = !idk(resp.response))
     }
 
   /** Build the engine over a token-tracked LLM and run the loop. */
@@ -190,7 +247,14 @@ object QaEvaluation {
         r2(perQuery.map(_.inputTokens).sum.toDouble / perQuery.size),
       avgRetrievalContextTokensPerQuery =
         r2(perQuery.map(_.retrievalContextTokens).sum.toDouble
-          / perQuery.size))
+          / perQuery.size),
+      numUnanswerable = perQuery.count(!_.answerable),
+      correctOnAnswerable = {
+        val answerable = perQuery.filter(_.answerable)
+        if (answerable.isEmpty) None
+        else Some(r2(answerable.count(_.correct).toDouble
+          / answerable.size))
+      })
   }
 
   /** responses.jsonl lines (benchmark_query.py: one
@@ -200,7 +264,7 @@ object QaEvaluation {
     perQuery.map { pq =>
       s"""{"raw_example": {"question": ${q(pq.question)}, "answer": ${
         q(pq.goldAnswer)}}, "response": ${q(pq.response)}, "correct": ${
-        pq.correct}}"""
+        pq.correct}, "hop": ${q(pq.hopClass)}}"""
     }.mkString("", "\n", "\n")
   }
 
@@ -217,6 +281,8 @@ object QaEvaluation {
        |  "num_queries": ${s.numQueries},
        |  "num_empty_responses": ${s.numEmptyResponses},
        |  "num_correct": ${s.numCorrect},
+       |  "num_unanswerable": ${s.numUnanswerable},
+       |  "correctness_on_answerable": ${s.correctOnAnswerable.map(_.toString).getOrElse("null")},
        |  "latency": {$latency},
        |  "tokens": {
        |    "total_input_tokens": ${s.totalInputTokens},

@@ -289,6 +289,20 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher grouped aggregate: `RETURN c.id, sum(o.price)` —
+    // the aggregative KGQA shape ("total spend of each customer"); the
+    // sum folds the property's double cast, grouped by the other RETURN
+    // items, ordered by the aggregate.
+    "q_cypher_agg" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o) " +
+        "RETURN c.id AS cust, sum(o.price) AS total_spend " +
+        "ORDER BY total_spend DESC, cust LIMIT 15"
+      graft.byokg.CypherLite.run(edges(s, dir),
+          Some(Tables.nodeProps(s, dir)), q)
+        .fold(err => sys.error(err), identity)
+        .withColumn("total_spend", round(col("total_spend"), 4))
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -1254,6 +1268,17 @@ object GraphQueries {
          |SELECT src AS cust, count(*) AS n_orders FROM edges0
          |WHERE label = 'placed' GROUP BY src
          |ORDER BY n_orders DESC, cust LIMIT 10""".stripMargin,
+
+    // grouped-aggregate replay: per-customer sum over the order price
+    // property, ordered by the raw sum (rounding only in the projection).
+    "q_cypher_agg" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |props AS (${Tables.nodePropsSql})
+         |SELECT e.src AS cust, round(sum(op.price), 4) AS total_spend
+         |FROM edges0 e JOIN props op ON op.id = e.dst
+         |WHERE e.label = 'placed' AND e.src LIKE 'c:%' AND e.dst LIKE 'o:%'
+         |GROUP BY e.src
+         |ORDER BY sum(op.price) DESC, cust LIMIT 15""".stripMargin,
 
     // numeric-comparison replay: threshold filter on the order's price
     // property, customer class filter, top-k by total.

@@ -611,6 +611,59 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (c)-[:placed]->(o) WHERE o.cost > 5 RETURN o.id").isLeft)
   }
 
+  test("sum/min/max/avg aggregates: scalar and grouped forms over " +
+    "properties; sum/avg demand a numeric property; ORDER BY the " +
+    "aggregate or its alias") {
+    val nprops = Seq(
+      ("c:1", "Alice", 9.5), ("c:2", "Bob", 100.0),
+      ("o:10", "order-10", 30.0), ("o:11", "order-11", 250.0),
+      ("o:12", "order-12", 99.5))
+      .toDF("id", "value", "price")
+    // scalar sum over an anchored match
+    val s1 = CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o:o) WHERE c.id = 'c:1' " +
+        "RETURN sum(o.price) AS spend").toOption.get
+    assert(s1.columns.toSeq == Seq("spend"))
+    assert(s1.as[Double].head() == 280.0)
+    // grouped: total spend per customer, ordered by the aggregate literal
+    val g = CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o:o) " +
+        "RETURN c.value AS who, sum(o.price) AS spend " +
+        "ORDER BY sum(o.price) DESC").toOption.get
+      .as[(String, Double)].collect().toSeq
+    assert(g == Seq(("Alice", 280.0), ("Bob", 99.5)))
+    // ... or by the alias; avg/min/max; default column name
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o:o) RETURN c.id, avg(o.price) AS m " +
+        "ORDER BY m, c.id").toOption.get
+      .as[(String, Double)].collect().toSeq ==
+      Seq(("c:2", 99.5), ("c:1", 140.0)))
+    val named = CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o) RETURN max(o.price)").toOption.get
+    assert(named.columns.toSeq == Seq("max(o.price)"))
+    // min/max on the bare binding order strings (no property needed)
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) RETURN min(o)").toOption.get
+      .as[String].head() == "o:10")
+    // sum/avg without a property are a loud Left with guidance
+    val bad = CypherLite.run(edges, "MATCH (a)-[]->(b) RETURN sum(b)")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("numeric property"),
+      bad.toString)
+    // ORDER BY a different aggregate than returned is refused
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o) RETURN c.id, sum(o.price) " +
+        "ORDER BY min(o.price)").isLeft)
+    // scalar aggregate cannot combine with ORDER BY; only-one-aggregate
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o) RETURN sum(o.price) ORDER BY c.id")
+      .isLeft)
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o) RETURN sum(o.price), count(*)").isLeft)
+    // unknown property inside the aggregate still schema-checks
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o) RETURN sum(o.cost)").isLeft)
+  }
+
   test("RETURN n.id AS count is legal when no count item exists " +
     "(the default countAlias only collides with a real count)") {
     val df = CypherLite.run(edges,

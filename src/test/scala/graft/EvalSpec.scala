@@ -92,6 +92,50 @@ class EvalSpec extends SparkSpec {
     assert(!containmentJudge("anything", "  "))
   }
 
+  test("IDK detection: phrase heuristic, LLM-judged variant, and the " +
+    "correctness-on-answerable summary metric") {
+    import QaEvaluation._
+    assert(phraseIdkDetector("I don't know the answer to that."))
+    assert(phraseIdkDetector("There is NOT ENOUGH INFORMATION here."))
+    assert(!phraseIdkDetector("The answer is Berlin."))
+    assert(llmIdkDetector(new ScriptedLLM(Seq("Unanswerable")))("x"))
+    assert(!llmIdkDetector(new ScriptedLLM(Seq("Answerable")))("x"))
+    // summary math: 3 queries — 1 unanswerable, 1 of the 2 answerable
+    // correct → correctness_on_answerable = 0.5
+    def pq(correct: Boolean, answerable: Boolean) =
+      PerQuery("q", "g", "r", 1, 1, 1, 3, 10, 2, 5, 1,
+        correct = correct, answerable = answerable)
+    val s = summarize(Seq(pq(true, true), pq(false, true),
+      pq(false, false)), dataset = "idk")
+    assert(s.numUnanswerable == 1)
+    assert(s.correctOnAnswerable.contains(0.5))
+    assert(summaryJson(s).contains("\"correctness_on_answerable\": 0.5"))
+    // all-unanswerable → metric is null, never a division by zero
+    val s2 = summarize(Seq(pq(false, false)), dataset = "idk")
+    assert(s2.correctOnAnswerable.isEmpty)
+    assert(summaryJson(s2).contains("\"correctness_on_answerable\": null"))
+  }
+
+  test("classifyHop mirrors the reference's keyword heuristics " +
+    "(hop_classifier.py fallback path)") {
+    import QaEvaluation.classifyHop
+    assert(classifyHop("What is the capital of France") == "single-hop")
+    assert(classifyHop("who was the first person on the moon?") ==
+      "single-hop")
+    // multi-hop markers beat single-hop openers
+    assert(classifyHop(
+      "What is the city where Alice was born and the company she " +
+        "founded and sold") == "multi-hop")
+    assert(classifyHop("Which teams won both cups") == "multi-hop")
+    assert(classifyHop("Who ruled before the revolution") == "multi-hop")
+    assert(classifyHop("Revenue compared to last year?") == "multi-hop")
+    assert(classifyHop("How many products that shipped late") ==
+      "multi-hop")
+    // inconclusive → unknown
+    assert(classifyHop("Tell me about the merger") == "unknown")
+    assert(classifyHop("   ") == "unknown")
+  }
+
   test("llmJudge parses the grader's first token as the verdict " +
     "(the reference's LLM grading seam, run_evaluation.py)") {
     import QaEvaluation.llmJudge

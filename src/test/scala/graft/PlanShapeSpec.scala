@@ -161,7 +161,10 @@ class PlanShapeSpec extends SparkSpec {
     // property-reading variable against the props frame) and the exact
     // tfidf diversity (term-keyed postings joins; a lost term key or a
     // lost prefix filter would surface as a cross product here)
-    "q_cypher_props", "q_statement_diversity_tfidf")
+    "q_cypher_props", "q_statement_diversity_tfidf",
+    // round 8: numeric-threshold and grouped-aggregate Cypher — typed
+    // equi-joins + props join + hash agg + TakeOrdered, like the others
+    "q_cypher_numeric", "q_cypher_agg")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
