@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions._
  *     -- double try_cast (the "total spend of each customer" KGQA shape)
  *   [ORDER BY (v[.p] | alias | count(*|v) | agg) [DESC] [, ...]] [LIMIT n]
  *
+ * One WITH stage is also supported — aggregate, filter on the aggregate
+ * (Cypher's HAVING), project:
+ *
+ *   MATCH ... [WHERE ...] WITH item [, ...][, agg [AS a]]
+ *   [WHERE out-term [AND|OR ...]] RETURN out [, ...]
+ *   [ORDER BY out [DESC] ...] [LIMIT n]      -- see [[PipeQuery]]
+ *
  * `v.p`: `p` = `id` reads the binding itself (the node id, always
  * available); any other property resolves through the caller-supplied
  * nodeProps frame `(id, prop...)` — the reference's retrieval cypher
@@ -164,6 +171,14 @@ object CypherLite {
                          aggFunc: Option[String] = None,
                          aggVar: Option[String] = None,
                          aggProp: Option[String] = None) {
+    /** The output column names this query produces — what a WITH stage
+      * exposes to the pipeline tail. */
+    def outputNames: Seq[String] =
+      (if (retAliases.size == returns.size) retAliases else returns) ++
+        (if (countStar || countVar.nonEmpty ||
+          countDistinctVar.nonEmpty || groupCount || aggFunc.nonEmpty)
+          Seq(countAlias) else Nil)
+
     /** Every non-id property the query reads, per variable — what
       * [[compile]] materializes from the nodeProps frame and [[run]]
       * schema-checks. */
@@ -263,6 +278,26 @@ object CypherLite {
     * binding itself); anything else → Some(prop). */
   private def propOf(g: String): Option[String] =
     Option(g).filter(_ != "id")
+
+  /** Quote-aware keyword split (the lookahead demands an even number of
+    * ' to the right, so a literal containing " and " / " or " / " with "
+    * never splits mid-string). */
+  private def boolSplit(text: String, kw: String): Seq[String] =
+    text.split(s"(?i)\\s$kw\\s(?=(?:[^']*'[^']*')*[^']*$$)")
+      .map(_.trim).toSeq
+
+  /** First occurrence of the standalone keyword OUTSIDE single quotes. */
+  private def kwMatch(s: String, kw: String)
+  : Option[scala.util.matching.Regex.Match] =
+    ("(?i)\\s" + kw + "\\s(?=(?:[^']*'[^']*')*[^']*$)").r
+      .findFirstMatchIn(s)
+
+  /** The WITH clause keyword — NOT the `STARTS WITH` / `ENDS WITH`
+    * operators (fixed-width lookbehinds exclude both). */
+  private def withMatch(s: String)
+  : Option[scala.util.matching.Regex.Match] =
+    "(?i)(?<!starts)(?<!ends)\\sWITH\\s(?=(?:[^']*'[^']*')*[^']*$)".r
+      .findFirstMatchIn(s)
 
   /** One linear chain: node (edge node)*. Variables may not repeat
     * WITHIN a chain (no cycle patterns); repeats ACROSS parts are the
@@ -451,12 +486,7 @@ object CypherLite {
     }
 
     // WHERE → DNF: split on OR (outer), then AND (inner) — standard
-    // precedence. Both splits are quote-aware (the lookahead demands an
-    // even number of ' to the right), so a literal containing " and "
-    // or " or " never splits mid-string.
-    def boolSplit(text: String, kw: String): Seq[String] =
-      text.split(s"(?i)\\s$kw\\s(?=(?:[^']*'[^']*')*[^']*$$)")
-        .map(_.trim).toSeq
+    // precedence (quote-aware, see [[boolSplit]]).
     val conds: Seq[Seq[Cond]] = wherePart match {
       case None => Nil
       case Some(w) =>
@@ -892,6 +922,154 @@ object CypherLite {
     q.limit.fold(out)(out.limit)
   }
 
+  // ---- WITH pipeline (the aggregation-then-filter / HAVING shape) ----
+
+  /** A restricted one-stage WITH pipeline:
+    *
+    *   MATCH ... [WHERE ...] WITH item [, item ...][, agg [AS a]]
+    *   [WHERE having-term [AND|OR ...]]
+    *   RETURN out [, out ...] [ORDER BY out [DESC] ...] [LIMIT n]
+    *
+    * — the "customers with more than N orders" shape (aggregate, filter
+    * on the aggregate, project): Cypher's WITH is SQL's HAVING stage.
+    * The WITH items use the FULL RETURN grammar (properties, count,
+    * sum/min/max/avg); the pipeline tail references WITH outputs by
+    * name only (project properties in the WITH items). `having` terms
+    * compare an output against a number (cast-to-double) or a quoted
+    * string; outer Seq ORs groups of ANDed terms, like WHERE.
+    * Compilation is stage1's plan + one residual filter + a projection —
+    * no extra shuffle beyond stage1's aggregate. */
+  final case class PipeQuery(stage1: Query,
+                             having: Seq[Seq[(String, String, String)]],
+                             outs: Seq[(String, String)],
+                             orderBy: Seq[(String, Boolean)],
+                             limit: Option[Int])
+
+  private val BareRetRe =
+    """(?i)([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+  private val BareOrdRe =
+    """(?i)([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)(?:\s+(ASC|DESC))?""".r
+  private val HavingStrRe =
+    """([A-Za-z_][A-Za-z0-9_.]*)\s*(=|<>)\s*'([^']*)'""".r
+  private val HavingNumRe =
+    """([A-Za-z_][A-Za-z0-9_.]*)\s*(>=|<=|>|<|=|<>)\s*(-?\d+(?:\.\d+)?)""".r
+
+  def parsePipe(q0: String): Either[String, PipeQuery] = {
+    val s = q0.trim.stripSuffix(";").trim
+    val wm = withMatch(s).getOrElse(
+      return Left("expected a WITH clause"))
+    val head = s.substring(0, wm.start).trim
+    val rest = s.substring(wm.end).trim
+    if (withMatch(" " + rest).nonEmpty)
+      return Left("only one WITH stage is supported")
+    val restPad = " " + rest + " "
+    val rm = kwMatch(restPad, "RETURN").getOrElse(
+      return Left("WITH needs a RETURN stage"))
+    val beforeRet = restPad.substring(0, rm.start).trim
+    var tail = restPad.substring(rm.end).trim
+    // optional HAVING-style WHERE between the WITH items and RETURN
+    val (withItems, havingText) = kwMatch(beforeRet, "WHERE") match {
+      case Some(hm) => (beforeRet.substring(0, hm.start).trim,
+        Some(beforeRet.substring(hm.end).trim))
+      case None => (beforeRet, None)
+    }
+    if (withItems.isEmpty) return Left("empty WITH item list")
+    // stage 1 reuses the whole MATCH/RETURN parser: WITH items ARE a
+    // RETURN list (grouping, counts, aggregates, properties included)
+    val stage1 = parse(head + " RETURN " + withItems)
+      .fold(e => return Left(e), identity)
+    val outNames = stage1.outputNames
+    def resolveName(n: String, what: String): Either[String, String] =
+      if (outNames.contains(n)) Right(n)
+      else Left(s"$what '$n' is not a WITH output (have: " +
+        outNames.mkString(", ") + ") — project it in the WITH items")
+    val having: Seq[Seq[(String, String, String)]] = havingText match {
+      case None => Nil
+      case Some(h) =>
+        boolSplit(h, "OR").map { grp =>
+          boolSplit(grp, "AND").map {
+            case HavingStrRe(n, op, v) =>
+              (resolveName(n, "WHERE item")
+                .fold(e => return Left(e), identity), s"STR$op", v)
+            case HavingNumRe(n, op, v) =>
+              (resolveName(n, "WHERE item")
+                .fold(e => return Left(e), identity), s"NUM$op", v)
+            case other =>
+              return Left(s"unsupported WHERE term '$other' after WITH " +
+                "— compare a WITH output to a number or 'string'")
+          }
+        }
+    }
+    val limIdx = tail.toUpperCase.indexOf("LIMIT")
+    val limit =
+      if (limIdx >= 0) {
+        val lit = tail.substring(limIdx + 5).trim
+        val n = lit.toIntOption.getOrElse(
+          return Left(s"bad LIMIT literal '$lit'"))
+        tail = tail.substring(0, limIdx).trim
+        Some(n)
+      } else None
+    val ordIdx = tail.toUpperCase.indexOf("ORDER BY")
+    val ordItems =
+      if (ordIdx >= 0) {
+        val items = tail.substring(ordIdx + 8).trim
+        tail = tail.substring(0, ordIdx).trim
+        items.split(",").map(_.trim).toSeq
+      } else Nil
+    val outs: Seq[(String, String)] = tail.split(",").map(_.trim).toSeq
+      .map {
+        case BareRetRe(n, alias) =>
+          (resolveName(n, "RETURN item").fold(e => return Left(e),
+            identity), Option(alias).getOrElse(n))
+        case other => return Left(s"unsupported RETURN item '$other' " +
+          "after WITH — only WITH outputs, optionally AS-aliased")
+      }
+    if (outs.map(_._2).distinct.size != outs.size)
+      return Left("duplicate output column names in RETURN — " +
+        "disambiguate with AS")
+    val ordResolved: Seq[(String, Boolean)] = ordItems.map {
+      case BareOrdRe(n, dir) =>
+        val asc = dir == null || dir.equalsIgnoreCase("ASC")
+        outs.collectFirst {
+          case (src, a) if src == n || a == n => (a, asc)
+        }.getOrElse(return Left(s"ORDER BY item '$n' must be returned"))
+      case other => return Left(s"unsupported ORDER BY item '$other'")
+    }
+    Right(PipeQuery(stage1, having, outs, ordResolved, limit))
+  }
+
+  /** Compile the pipeline: stage1's plan + the having filter + the
+    * final projection/order/limit. */
+  def compile(edgeFrame: DataFrame, pq: PipeQuery,
+              nodeProps: Option[DataFrame]): DataFrame = {
+    def ref(n: String): Column =
+      if (n.contains(".")) col(s"`$n`") else col(n)
+    var df = compile(edgeFrame, pq.stage1, nodeProps)
+    def hcond(t: (String, String, String)): Column = {
+      val (n, op, v) = t
+      if (op.startsWith("NUM")) {
+        val d = ref(n).try_cast("double")
+        val x = lit(v.toDouble)
+        op.stripPrefix("NUM") match {
+          case ">" => d > x
+          case ">=" => d >= x
+          case "<" => d < x
+          case "<=" => d <= x
+          case "=" => d === x
+          case "<>" => d =!= x
+        }
+      } else if (op == "STR=") ref(n) === v else ref(n) =!= v
+    }
+    if (pq.having.nonEmpty)
+      df = df.filter(
+        pq.having.map(_.map(hcond).reduce(_ && _)).reduce(_ || _))
+    var out = df.select(pq.outs.map { case (n, a) => ref(n).as(a) }: _*)
+    if (pq.orderBy.nonEmpty)
+      out = out.orderBy(pq.orderBy.map { case (n, asc) =>
+        if (asc) ref(n).asc else ref(n).desc }: _*)
+    pq.limit.fold(out)(out.limit)
+  }
+
   /** Parse + compile against an id-only store; any `v.<prop>` access is a
     * loud Left. Left is the retry-feedback message. */
   def run(edgeFrame: DataFrame, cypher: String): Either[String, DataFrame] =
@@ -906,29 +1084,45 @@ object CypherLite {
           cypher: String): Either[String, DataFrame] =
     if (!GraphQuerySafety.isQuerySafe(cypher))
       Left("modification keywords are blocked (read-only executor)")
-    else parse(cypher).flatMap { q =>
-      val needed = q.neededProps.values.flatten.toSet
-      nodeProps match {
-        case None if needed.nonEmpty =>
-          Left("node properties " +
-            needed.toSeq.sorted.map(p =>
-              if (p == "*") "'properties(...)'" else s"'$p'")
-              .mkString(", ") +
-            " are not available on this store — only '.id'")
-        case Some(p) if needed.nonEmpty =>
-          val avail = p.columns.toSet - "id"
-          // "*" is the properties(v) sentinel — valid whenever a
-          // nodeProps frame exists
-          val missing = needed - "*" -- avail
-          if (missing.nonEmpty)
-            Left("unknown propert" +
-              (if (missing.size > 1) "ies " else "y ") +
-              missing.toSeq.sorted.mkString("'", "', '", "'") +
-              " — available: " + avail.toSeq.sorted.mkString(", "))
-          else Right(compile(edgeFrame, q, nodeProps))
-        case _ => Right(compile(edgeFrame, q, None))
+    else if (withMatch(cypher).nonEmpty)
+      parsePipe(cypher).flatMap { pq =>
+        schemaCheck(pq.stage1, nodeProps)
+          .map(_ => compile(edgeFrame, pq, nodeProps))
       }
+    else parse(cypher).flatMap { q =>
+      schemaCheck(q, nodeProps).map(_ => compile(edgeFrame, q,
+        if (q.neededProps.nonEmpty) nodeProps else None))
     }
+
+  /** Every non-id property the query reads must exist on the nodeProps
+    * frame — missing ones Left with the store's real columns, so an LLM
+    * that invents a property gets schema feedback, not an analysis
+    * exception. */
+  private def schemaCheck(q: Query,
+                          nodeProps: Option[DataFrame])
+  : Either[String, Unit] = {
+    val needed = q.neededProps.values.flatten.toSet
+    nodeProps match {
+      case None if needed.nonEmpty =>
+        Left("node properties " +
+          needed.toSeq.sorted.map(p =>
+            if (p == "*") "'properties(...)'" else s"'$p'")
+            .mkString(", ") +
+          " are not available on this store — only '.id'")
+      case Some(p) if needed.nonEmpty =>
+        val avail = p.columns.toSet - "id"
+        // "*" is the properties(v) sentinel — valid whenever a
+        // nodeProps frame exists
+        val missing = needed - "*" -- avail
+        if (missing.nonEmpty)
+          Left("unknown propert" +
+            (if (missing.size > 1) "ies " else "y ") +
+            missing.toSeq.sorted.mkString("'", "', '", "'") +
+            " — available: " + avail.toSeq.sorted.mkString(", "))
+        else Right(())
+      case _ => Right(())
+    }
+  }
 }
 
 /** openCypher twin of [[GraphQueryRetriever]]: executes MATCH-subset

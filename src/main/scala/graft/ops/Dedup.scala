@@ -375,22 +375,51 @@ object Dedup {
         val vocabIdx = dfreq.select(col("term"))
           .withColumn("tidx", row_number().over(
             Window.orderBy(col("term"))).cast("int"))
-        val maps = vec.join(vocabIdx, Seq("term")).groupBy(col("id"))
-          .agg(map_from_entries(collect_list(
-            struct(col("tidx"), col("w")))).as("m"))
+        val indexedVec = vec.join(vocabIdx, Seq("term"))
+        // SMALL vocabularies additionally get DENSE weight vectors: the
+        // pair dot is then |vocab| multiplies with ZERO lookups, where
+        // the sparse-map fold costs ~|terms_a|·|terms_b| linear-scan ops
+        // per pair (ArrayBasedMapData has no hash index). Above the cap
+        // the sparse (tidx → w) map keeps the per-doc payload
+        // proportional to the document, not the vocabulary.
+        val vocabSize = dfreq.count()
+        val denseVocabCap = 1024L
+        val (vecsDf, dotExpr) =
+          if (vocabSize <= denseVocabCap) {
+            val dense = indexedVec.groupBy(col("id"))
+              .agg(map_from_entries(collect_list(
+                struct(col("tidx"), col("w")))).as("m0"))
+              .select(col("id"), expr(
+                s"transform(sequence(1, $vocabSize), i -> " +
+                  "coalesce(try_element_at(m0, cast(i as int)), 0D))")
+                .as("m"))
+            // indexed fold, not zip_with: zip_with materializes an
+            // intermediate |vocab| array per PAIR; sequence(1, V)
+            // constant-folds to one literal array and element_at on
+            // arrays is O(1)
+            (dense,
+              s"aggregate(sequence(1, $vocabSize), 0D, (acc, i) -> " +
+                "acc + element_at(ma, cast(i as int)) * " +
+                "element_at(mb, cast(i as int)))")
+          } else {
+            val sparse = indexedVec.groupBy(col("id"))
+              .agg(map_from_entries(collect_list(
+                struct(col("tidx"), col("w")))).as("m"))
+            (sparse,
+              "aggregate(map_entries(ma), 0D, (acc, e) -> " +
+                "acc + e.value * coalesce(try_element_at(mb, e.key), 0D))")
+          }
         val cands = indexed.join(postings, Seq("term"))
           .filter(col("id") =!= col("pid"))
           .select(least(col("id"), col("pid")).as("id_a"),
             greatest(col("id"), col("pid")).as("id_b"))
           .distinct()
         cands
-          .join(broadcast(maps.select(col("id").as("id_a"),
+          .join(broadcast(vecsDf.select(col("id").as("id_a"),
             col("m").as("ma"))), Seq("id_a"))
-          .join(broadcast(maps.select(col("id").as("id_b"),
+          .join(broadcast(vecsDf.select(col("id").as("id_b"),
             col("m").as("mb"))), Seq("id_b"))
-          .withColumn("cos", expr(
-            "aggregate(map_entries(ma), 0D, (acc, e) -> " +
-              "acc + e.value * coalesce(try_element_at(mb, e.key), 0D))"))
+          .withColumn("cos", expr(dotExpr))
           .filter(col("cos") > threshold)
           .select(col("id_b").as(idCol)).distinct()
       } else {

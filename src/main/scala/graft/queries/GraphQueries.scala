@@ -303,6 +303,19 @@ object GraphQueries {
         .withColumn("total_spend", round(col("total_spend"), 4))
     }),
 
+    // ext. openCypher WITH pipeline: aggregate → filter on the aggregate
+    // (Cypher's HAVING) → project — the "customers with more than N
+    // orders" shape. Compiles to stage-1's grouped plan + one residual
+    // filter + a projection, no extra shuffle.
+    "q_cypher_with" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o) " +
+        "WITH c.id AS cust, count(*) AS n_orders " +
+        "WHERE n_orders > 15 " +
+        "RETURN cust, n_orders ORDER BY n_orders DESC, cust LIMIT 20"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -1268,6 +1281,14 @@ object GraphQueries {
          |SELECT src AS cust, count(*) AS n_orders FROM edges0
          |WHERE label = 'placed' GROUP BY src
          |ORDER BY n_orders DESC, cust LIMIT 10""".stripMargin,
+
+    // WITH-pipeline replay: GROUP BY + HAVING + projection.
+    "q_cypher_with" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT src AS cust, count(*) AS n_orders FROM edges0
+         |WHERE label = 'placed'
+         |GROUP BY src HAVING count(*) > 15
+         |ORDER BY n_orders DESC, cust LIMIT 20""".stripMargin,
 
     // grouped-aggregate replay: per-customer sum over the order price
     // property, ordered by the raw sum (rounding only in the projection).

@@ -664,6 +664,72 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (c:c)-[:placed]->(o) RETURN sum(o.cost)").isLeft)
   }
 
+  test("WITH pipeline: aggregate, filter on the aggregate (HAVING), " +
+    "project — the 'more than N orders' shape") {
+    val q = "MATCH (c:c)-[:placed]->(o:o) WITH c.id AS cust, " +
+      "count(*) AS n WHERE n > 1 RETURN cust, n ORDER BY cust"
+    val out = CypherLite.run(edges, q).toOption.get
+    assert(out.columns.toSeq == Seq("cust", "n"))
+    assert(out.as[(String, Long)].collect().toSeq == Seq(("c:1", 2L)))
+    // having on a sum over properties; RETURN re-aliases; ORDER BY DESC
+    val nprops = Seq(("c:1", 9.5), ("c:2", 100.0), ("o:10", 30.0),
+      ("o:11", 250.0), ("o:12", 99.5)).toDF("id", "price")
+    val spend = CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o:o) WITH c.id AS cust, " +
+        "sum(o.price) AS spend WHERE spend >= 99.5 " +
+        "RETURN cust AS customer, spend ORDER BY spend DESC LIMIT 5")
+      .toOption.get
+    assert(spend.columns.toSeq == Seq("customer", "spend"))
+    assert(spend.as[(String, Double)].collect().toSeq ==
+      Seq(("c:1", 280.0), ("c:2", 99.5)))
+    // string having + RETURN a subset of the WITH outputs
+    val str = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WITH c.id AS cust, count(*) AS n " +
+        "WHERE cust <> 'c:2' RETURN cust").toOption.get
+      .as[String].collect().toSeq
+    assert(str == Seq("c:1"))
+    // OR across having groups, AND within
+    val mix = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WITH c.id AS cust, count(*) AS n " +
+        "WHERE n > 1 OR cust = 'c:2' AND n >= 1 " +
+        "RETURN cust ORDER BY cust").toOption.get
+      .as[String].collect().toSeq
+    assert(mix == Seq("c:1", "c:2"))
+  }
+
+  test("WITH pipeline misuse is a loud Left; STARTS WITH never routes " +
+    "to the pipeline parser") {
+    // STARTS WITH must stay an operator, not a clause boundary
+    val sw = CypherLite.run(edges,
+      "MATCH (n)-[:contains]->(p) WHERE n.id STARTS WITH 'o:1' " +
+        "RETURN DISTINCT p.id ORDER BY p.id").toOption.get
+      .as[String].collect().toSeq
+    assert(sw == Seq("p:7", "p:8"))
+    // a non-output name in the tail names the available outputs
+    val bad = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WITH c.id AS cust, count(*) AS n " +
+        "RETURN zz")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("cust"),
+      bad.toString)
+    // having on a non-output; WITH without RETURN; two WITH stages
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WITH c.id AS cust, count(*) AS n " +
+        "WHERE q > 1 RETURN cust").isLeft)
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WITH c.id AS cust").isLeft)
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WITH c.id AS cust, count(*) AS n " +
+        "WITH cust RETURN cust").isLeft)
+    // ORDER BY must reference a RETURNED output
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WITH c.id AS cust, count(*) AS n " +
+        "RETURN cust ORDER BY n").isLeft)
+    // properties inside WITH items still schema-check through the store
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WITH c.value AS v, count(*) AS n " +
+        "RETURN v").isLeft)
+  }
+
   test("RETURN n.id AS count is legal when no count item exists " +
     "(the default countAlias only collides with a real count)") {
     val df = CypherLite.run(edges,

@@ -163,8 +163,9 @@ class PlanShapeSpec extends SparkSpec {
     // lost prefix filter would surface as a cross product here)
     "q_cypher_props", "q_statement_diversity_tfidf",
     // round 8: numeric-threshold and grouped-aggregate Cypher — typed
-    // equi-joins + props join + hash agg + TakeOrdered, like the others
-    "q_cypher_numeric", "q_cypher_agg")
+    // equi-joins + props join + hash agg + TakeOrdered, like the others —
+    // and the WITH pipeline (stage-1 plan + residual filter + projection)
+    "q_cypher_numeric", "q_cypher_agg", "q_cypher_with")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
