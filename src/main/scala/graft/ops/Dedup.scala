@@ -303,7 +303,16 @@ object Dedup {
    * each vector's squared mass — usually 1-3 terms per document.
    *
    * Verification is adaptive on CORPUS size (one count, so cache the
-   * input if it's expensive): up to `mapVerifyDocCap` documents, each
+   * input if it's expensive). Smallest regime (docCount <= `bnlDocCap`
+   * AND vocab <= `denseVocabCap` AND docCount x vocab bounded): NO
+   * candidate machinery at all — dense l2-normalized vectors on both
+   * sides of a broadcast LEFT SEMI nested-loop join whose condition is
+   * `id_a < id_b AND dot_product(ma, mb) > t`; the semi mode
+   * short-circuits per row and the codegen'd [[graft.functions.DotProduct]]
+   * makes each probe |vocab| FMAs (measured 18.8 s -> ~1 s at sf0.1 /
+   * 5k docs / 31 terms, where the candidate join + 12M-pair distinct +
+   * interpreted per-pair fold WAS the query). Past that, up to
+   * `mapVerifyDocCap` documents, each
    * candidate pair is scored by streaming through two BROADCAST joins of
    * per-doc (term-index → w) maps — no shuffle proportional to candidates
    * × terms, integer keys so the fold's lookups are int compares, not
@@ -319,7 +328,9 @@ object Dedup {
    */
   def diversityFilterTfidf(df: DataFrame, textCol: String, idCol: String,
                            threshold: Double = 0.975,
-                           mapVerifyDocCap: Long = 200L * 1000)
+                           mapVerifyDocCap: Long = 200L * 1000,
+                           bnlDocCap: Long = 20L * 1000,
+                           denseVocabCap: Long = 1024L)
   : DataFrame = {
     val terms = df.select(col(idCol),
         explode(expr(s"regexp_extract_all(lower($textCol), " +
@@ -383,7 +394,44 @@ object Dedup {
         // the sparse (tidx → w) map keeps the per-doc payload
         // proportional to the document, not the vocabulary.
         val vocabSize = dfreq.count()
-        val denseVocabCap = 1024L
+        // Smallest regime first: with a tiny vocabulary the prefix filter
+        // prunes nothing (every pair shares an indexed term), so the
+        // candidate join + 12M-pair distinct + per-pair interpreted HOF
+        // fold IS the cost (measured 18.8 s at sf0.1 / 5k docs / 31
+        // terms). The exact plan with zero candidate machinery: dense
+        // l2-normalized vectors on BOTH sides of a broadcast LEFT SEMI
+        // nested-loop join with condition id_a < id_b AND dot > t —
+        // BroadcastNestedLoopJoin's semi mode short-circuits on the first
+        // dominating partner, the codegen'd DotProduct makes each probe
+        // |vocab| FMAs, and no pair row ever materializes or shuffles
+        // (measured 18.8 s -> ~1 s). Caps keep the quadratic honest:
+        // docCount^2 probes and a docCount x vocab broadcast matrix are
+        // only taken when both are trivially affordable; past either cap
+        // the candidate-join regimes below take over.
+        val bnlMatrixEntryCap = 16L * 1000 * 1000
+        if (vocabSize <= denseVocabCap && docCount <= bnlDocCap &&
+            docCount * vocabSize <= bnlMatrixEntryCap) {
+          graft.functions.DotProduct.register(df.sparkSession)
+          // both BNLJ sides read the dense frame; checkpointing it once
+          // (bounded by the matrix-entry cap above) stops the whole
+          // tokenize+tf-idf lineage from compiling and running twice
+          val dense = indexedVec.groupBy(col("id"))
+            .agg(map_from_entries(collect_list(
+              struct(col("tidx"), col("w")))).as("m0"))
+            .select(col("id"), expr(
+              s"transform(sequence(1, $vocabSize), i -> " +
+                "coalesce(try_element_at(m0, cast(i as int)), 0D))")
+              .as("m"))
+            .localCheckpoint(true)
+          dense.select(col("id").as("id_b"), col("m").as("mb"))
+            .join(broadcast(dense.select(col("id").as("id_a"),
+              col("m").as("ma"))),
+              col("id_a") < col("id_b") &&
+                graft.functions.DotProduct.dot(col("ma"), col("mb"))
+                  > threshold,
+              "left_semi")
+            .select(col("id_b").as(idCol))
+        } else {
         val (vecsDf, dotExpr) =
           if (vocabSize <= denseVocabCap) {
             val dense = indexedVec.groupBy(col("id"))
@@ -422,6 +470,7 @@ object Dedup {
           .withColumn("cos", expr(dotExpr))
           .filter(col("cos") > threshold)
           .select(col("id_b").as(idCol)).distinct()
+        }
       } else {
         // sparse postings verify (large-vocab regime — the prefix filter
         // prunes hard there, so candidates × shared-terms stays

@@ -51,11 +51,18 @@ object ProcessorQueries {
               array((col("l_quantity") * 100000).cast("long")))
               .otherwise(array().cast("array<long>")))).as("score"))
         .withColumn("score", col("score").cast("double"))
+      // two materialization cuts, same finding as q_full_chain below:
+      // pruneStatements' scalar-max broadcast subtree re-executes its whole
+      // lineage (the dedup aggregate + the lineitem join), and
+      // rescoreResults' per-source broadcast subtree re-executes
+      // prune+truncate+disaggregate — each cut is a narrow ids+scores frame
+      // (MBs) that turns those re-executions into in-memory scans
       val chained = Processors.rescoreResults(
         Processors.disaggregateResults(
           Processors.truncateStatements(
             Processors.pruneStatements(
-              Processors.dedupResults(unioned), 0.05), 3)))
+              Processors.dedupResults(unioned).localCheckpoint(true),
+              0.05), 3)).localCheckpoint(true))
       Processors.sortResults(
         chained.select(col("source_id"), col("topic_id"), col("statement_id"),
           col("score"), col("topic_score"),
@@ -107,6 +114,16 @@ object ProcessorQueries {
         Processors.disaggregateResults,
         df => Processors.filterByMetadata(df, cleanSources,
           graft.filter.FilterAst.Pred("segment", graft.filter.FilterAst.Ne, "FURNITURE")),
+        // materialize the chain head ONCE: everything downstream reads this
+        // frame through SEPARATE broadcast subtrees — pruneStatements' scalar
+        // max, rescoreResults' per-source means, truncateRankResults' rank
+        // set — and each such subtree re-EXECUTES its whole lineage when the
+        // broadcast materializes, so without a cut here the dedup aggregate
+        // + topic window over the exploded statements ran 4x per query
+        // (the round-7 "re-derivation" finding). The frame here is narrow
+        // ids+scores (statement text reattaches after the truncation
+        // boundary below), so the checkpoint is MBs, not the corpus.
+        df => df.localCheckpoint(true),
         df => Processors.rerankStatements(df, None),
         df => Processors.pruneStatements(df, 0.05),
         Processors.rescoreResults,

@@ -102,6 +102,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cos(1L, 2L) < 0.975 && kept.contains(2L))
   }
 
+  test("diversityFilterTfidf: all four verify regimes agree (BNLJ semi, " +
+    "dense candidates, sparse-map candidates, postings join)") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "completely different words about spark plans"),
+      (5L, "price 3.5 and count 42 of items"),
+      (6L, "price 3.5 and count 42 of items"))
+      .toDF("doc_id", "text")
+    def run(mapCap: Long = 200000, bnlCap: Long = 20000,
+            vocabCap: Long = 1024): Set[Long] =
+      Dedup.diversityFilterTfidf(d, "text", "doc_id",
+          mapVerifyDocCap = mapCap, bnlDocCap = bnlCap,
+          denseVocabCap = vocabCap)
+        .as[Long].collect().toSet
+    val bnl = run() // default caps: broadcast nested-loop semi regime
+    assert(bnl == run(bnlCap = 0)) // dense candidate-join regime
+    assert(bnl == run(bnlCap = 0, vocabCap = 0)) // sparse-map regime
+    assert(bnl == run(mapCap = 0)) // per-term postings-join regime
+    assert(bnl == Set(1L, 2L, 4L, 5L)) // exact dups 3/6 drop
+  }
+
   test("dropProperPrefixes matches brute force, incl. chains and boundaries") {
     // chain a < ab < abc (a, ab dominated), equal-after-distinct values,
     // a value that is a prefix of nothing ("b"), a null, and enough rows
