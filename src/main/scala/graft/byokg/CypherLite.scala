@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
  *           | properties(v) [AS alias]
  *     agg  := count(*) | count(v[.p]) | count(DISTINCT v[.p])
  *           | sum(v.p) | avg(v.p) | min(v[.p]) | max(v[.p])
+ *           | collect(v[.p])   -- the SORTED list (Neo4j leaves collect
+ *                              -- order unspecified; sorting makes it
+ *                              -- deterministic + SQL-replayable)
  *     -- count(v) counts NON-NULL bindings (OPTIONAL rows that bound
  *     -- null don't count, unlike count(*)); type(r) reads a bound
  *     -- relationship variable's edge label; sum/avg fold the property's
@@ -272,7 +275,7 @@ object CypherLite {
     * the only RETURN item, grouped by the other items otherwise — the
     * same slot discipline as count(...). */
   private val AggRe =
-    """(?i)(sum|min|max|avg)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+    """(?i)(sum|min|max|avg|collect)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
 
   /** Normalize a captured property group: absent or `.id` → None (the
     * binding itself); anything else → Some(prop). */
@@ -894,6 +897,11 @@ object CypherLite {
         case "avg" => avg(base.try_cast("double"))
         case "min" => min(base)
         case "max" => max(base)
+        // collect(): Cypher's list aggregate. Neo4j leaves element order
+        // unspecified; returning the SORTED list (nulls dropped, like
+        // Cypher — collect skips nulls) makes the result deterministic
+        // under any partitioning, replayable in SQL, and stable run to run
+        case "collect" => sort_array(collect_list(base))
       }
     }
     var out =

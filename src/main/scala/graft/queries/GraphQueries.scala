@@ -303,6 +303,21 @@ object GraphQueries {
         .withColumn("total_spend", round(col("total_spend"), 4))
     }),
 
+    // ext. openCypher collect(): `RETURN c.id, collect(o.id)` — the
+    // entity-with-its-list shape KGQA LLMs emit for "list the orders of
+    // each customer" questions. collect() returns the SORTED list (Neo4j
+    // leaves order unspecified; sorting is deterministic + replayable);
+    // stringified here like q_nested_collect so the oracle compare is
+    // format-independent.
+    "q_cypher_collect" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o) " +
+        "WHERE c.id STARTS WITH 'c:11' " +
+        "RETURN c.id AS cust, collect(o.id) AS orders ORDER BY cust"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+        .withColumn("orders", concat_ws(",", col("orders")))
+    }),
+
     // ext. openCypher WITH pipeline: aggregate → filter on the aggregate
     // (Cypher's HAVING) → project — the "customers with more than N
     // orders" shape. Compiles to stage-1's grouped plan + one residual
@@ -1281,6 +1296,17 @@ object GraphQueries {
          |SELECT src AS cust, count(*) AS n_orders FROM edges0
          |WHERE label = 'placed' GROUP BY src
          |ORDER BY n_orders DESC, cust LIMIT 10""".stripMargin,
+
+    // collect() replay: grouped sorted-list aggregate, stringified the
+    // same way the Spark side stringifies its sorted array.
+    "q_cypher_collect" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT src AS cust,
+         |  array_to_string(list_sort(list(dst)), ',') AS orders
+         |FROM edges0
+         |WHERE label = 'placed' AND src LIKE 'c:%' AND dst LIKE 'o:%'
+         |  AND src LIKE 'c:11%'
+         |GROUP BY src ORDER BY cust""".stripMargin,
 
     // WITH-pipeline replay: GROUP BY + HAVING + projection.
     "q_cypher_with" ->

@@ -664,6 +664,47 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (c:c)-[:placed]->(o) RETURN sum(o.cost)").isLeft)
   }
 
+  test("collect(): grouped sorted list, scalar form, property collect, " +
+    "OPTIONAL nulls skipped, collect(DISTINCT ...) refused") {
+    // grouped: each customer's sorted order list
+    val g = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) " +
+        "RETURN c.id AS cust, collect(o) AS orders ORDER BY cust")
+      .toOption.get.as[(String, Seq[String])].collect().toSeq
+    assert(g == Seq(("c:1", Seq("o:10", "o:11")), ("c:2", Seq("o:12"))))
+    // scalar: one row, the whole sorted binding list
+    val s1 = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) RETURN collect(o) AS all_orders")
+      .toOption.get.as[Seq[String]].head()
+    assert(s1 == Seq("o:10", "o:11", "o:12"))
+    // property collect resolves through nodeProps like any v.prop
+    val nprops = Seq(
+      ("o:10", "order-10"), ("o:11", "order-11"), ("o:12", "order-12"))
+      .toDF("id", "value")
+    val p = CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o:o) " +
+        "RETURN c.id AS cust, collect(o.value) AS names ORDER BY cust")
+      .toOption.get.as[(String, Seq[String])].collect().toSeq
+    assert(p == Seq(("c:1", Seq("order-10", "order-11")),
+      ("c:2", Seq("order-12"))))
+    // OPTIONAL rows that bind null do not appear in the list (Cypher:
+    // collect skips nulls) — p:8 has no supplier, so its list is EMPTY,
+    // not [null]; p:7 keeps one s:3 per binding row (no implicit dedup)
+    val o = CypherLite.run(edges,
+      "MATCH (o:o)-[:contains]->(p:p) " +
+        "OPTIONAL MATCH (p)-[:supplied_by]->(sp:s) " +
+        "RETURN p.id AS part, collect(sp) AS sups ORDER BY part")
+      .toOption.get.as[(String, Seq[String])].collect().toMap
+    assert(o("p:7") == Seq("s:3", "s:3") && o("p:8") == Seq())
+    // collect(DISTINCT ...) is outside the grammar — loud Left
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) RETURN c.id, collect(DISTINCT o)")
+      .isLeft)
+    // unknown property inside collect still schema-checks
+    assert(CypherLite.run(edges, Some(nprops),
+      "MATCH (c:c)-[:placed]->(o) RETURN c.id, collect(o.nope)").isLeft)
+  }
+
   test("WITH pipeline: aggregate, filter on the aggregate (HAVING), " +
     "project — the 'more than N orders' shape") {
     val q = "MATCH (c:c)-[:placed]->(o:o) WITH c.id AS cust, " +
