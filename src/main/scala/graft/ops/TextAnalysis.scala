@@ -226,6 +226,71 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-trained BIGRAM language-model surprisal with unigram
+   * interpolation — the KenLM-shaped conditional-perplexity filter the
+   * CCNet/LLaMA data pipelines run after the unigram pass (Wenzek et al.
+   * 2020 trains a 5-gram KenLM; the bigram form is the smallest model
+   * with CONTEXT, which is what separates fluent text from word salad
+   * that unigram frequency alone scores well):
+   *
+   *   p(b | a) = lambda * c(ab)/ctx(a) + (1 - lambda) * c(b)/N
+   *   surprisal(d) = -(1/(|d|-1)) * sum over bigram positions ln p
+   *
+   * ctx(a) = occurrences of `a` as a bigram CONTEXT (= the proper ML
+   * conditional that sums to 1 — NOT the raw unigram count, which is
+   * deficient on document-final tokens); the unigram back-off term keeps
+   * unseen-in-context pairs finite, so no zero-prob ln(-inf) row exists
+   * by construction. Documents with < 2 tokens carry n_bigrams = 0 and a
+   * NULL surprisal (no conditional evidence) instead of vanishing.
+   *
+   * Scale shape mirrors [[unigramSurprisal]]: every count is a map-side
+   * combined hash aggregate (the shuffle carries distinct bigrams, not
+   * the token stream), the probability join is vocabulary-keyed, N is a
+   * 1-row broadcast, and the per-document sum folds (bigram, m*ln p) in
+   * ascending-bigram order — one floating-point order under any
+   * partitioning, so the DuckDB oracle replays bit-exactly.
+   */
+  def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
+                      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0, 1) — 1 would zero unseen pairs, got $lambda")
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val uni = docs.select(col(idCol).as("id"),
+      explode(graft.functions.WordGrams.grams(col(textCol), 1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bi = docs.select(col(idCol).as("id"),
+      explode(graft.functions.WordGrams.grams(col(textCol), 2)).as("bg"))
+    val dbg = bi.groupBy("id", "bg").agg(count(lit(1)).as("m"))
+    val cab = bi.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+    // context counts derive from the bigram table itself (first token),
+    // so sum_b p_ML(b|a) = 1 exactly
+    val ctx = cab.withColumn("a", split(col("bg"), " ").getItem(0))
+      .groupBy("a").agg(sum(col("c_ab")).as("c_ctx"))
+    val cb = uni.groupBy("tok").agg(count(lit(1)).as("c_b"))
+    val tot = cb.agg(sum("c_b").cast("double").as("n"))
+    val terms = dbg.join(cab, "bg")
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+      .join(ctx, "a")
+      .join(cb.withColumnRenamed("tok", "b"), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(
+        lit(lambda) * (col("c_ab").cast("double") / col("c_ctx").cast("double")) +
+          (lit(1.0) - lit(lambda)) * (col("c_b").cast("double") / col("n"))))
+    val per = terms.groupBy("id").agg(
+      sum("m").as("n_bigrams"),
+      aggregate(array_sort(collect_list(struct(col("bg"),
+        (col("m").cast("double") * col("lp")).as("v")))),
+        lit(0.0), (acc, s) => acc + s.getField("v")).as("_s"))
+      .select(col("id"), col("n_bigrams"),
+        (negate(col("_s")) / col("n_bigrams").cast("double")).as("surprisal"))
+    // keep <2-token documents visible: n_bigrams = 0, surprisal NULL
+    docs.select(col(idCol).as("id")).distinct()
+      .join(per, Seq("id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  /**
    * Exact per-group quantile profile of a numeric column — the corpus
    * length-distribution report every curation run starts from (which
    * cut-offs would a min/max-length gate imply? how skewed is each

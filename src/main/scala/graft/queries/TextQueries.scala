@@ -486,6 +486,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // extended: bigram-LM surprisal with unigram interpolation — the
+    // KenLM-shaped conditional-perplexity filter (context-aware twin of
+    // q_unigram_surprisal); <2-token docs keep a row (n_bigrams 0, NULL
+    // surprisal) instead of vanishing.
+    "q_bigram_surprisal" -> ((s, dir) => {
+      TextAnalysis.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("surprisal"), 6).as("surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
     // extended: DSIR hashed-n-gram importance weights (target = the src0
     // slice): per-document target-vs-raw log-likelihood ratio over md5-
     // hashed uni+bigram buckets, ascending-bucket fold for the exact replay.
@@ -1582,6 +1593,45 @@ object TextQueries {
          |SELECT doc_id, n_tokens,
          |  round(ln(tot.n) - s / n_tokens, 6) AS surprisal
          |FROM per, tot ORDER BY doc_id""".stripMargin,
+
+    // bigram-LM replay: same context-count derivation (first token of the
+    // bigram table — the ML conditional that sums to 1), same interpolation
+    // tree 0.7*(c_ab/c_ctx) + (1-0.7)*(c_b/n), ascending-bigram fold.
+    "q_bigram_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(${normSql("text")},'\\s+'),
+         |    x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |bgpos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+         |          FROM toks),
+         |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg FROM bgpos),
+         |dbg AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+         |cab AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY 1),
+         |ctx AS (SELECT split_part(bg, ' ', 1) AS a, sum(c_ab) AS c_ctx
+         |        FROM cab GROUP BY 1),
+         |uni AS (SELECT unnest(tk) AS tok FROM toks),
+         |cb AS (SELECT tok, count(*) AS c_b FROM uni GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_b) AS DOUBLE) AS n FROM cb),
+         |terms AS (
+         |  SELECT d.doc_id, d.bg, d.m,
+         |    ln(0.7 * (CAST(c.c_ab AS DOUBLE) / CAST(x.c_ctx AS DOUBLE)) +
+         |       (1.0 - 0.7) * (CAST(u.c_b AS DOUBLE) / tot.n)) AS lp
+         |  FROM dbg d JOIN cab c USING (bg)
+         |  JOIN ctx x ON x.a = split_part(d.bg, ' ', 1)
+         |  JOIN cb u ON u.tok = split_part(d.bg, ' ', 2)
+         |  CROSS JOIN tot),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(m AS DOUBLE) * lp ORDER BY bg)),
+         |      (x, y) -> x + y) AS s
+         |  FROM terms GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(p.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+         |  round(-p.s / p.n_bigrams, 6) AS surprisal
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN per p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_bpe_encode" -> bpeEncodeOracle(3),
 

@@ -232,6 +232,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1)._3 > out(0)._3) // the rare token raises mean surprisal
   }
 
+  test("bigramSurprisal: hand-computed interpolated conditionals; " +
+    "<2-token docs keep a row with NULL surprisal; lambda guard") {
+    // bigrams: "a b" x2 (d1, d2), "b a" x1 (d1). ctx(a)=2, ctx(b)=1.
+    // unigrams: a=3, b=2, x=1, N=6.
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs, "text", "doc_id")
+      .select("id", "n_bigrams", "surprisal")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val pAB = 0.7 * (2.0 / 2.0) + (1.0 - 0.7) * (2.0 / 6.0) // = 0.8
+    val pBA = 0.7 * (1.0 / 1.0) + (1.0 - 0.7) * (3.0 / 6.0) // = 0.85
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 2L), (2L, 1L), (3L, 0L)))
+    assert(math.abs(out(0)._3.get -
+      (-(math.log(pAB) + math.log(pBA)) / 2.0)) < 1e-12)
+    assert(math.abs(out(1)._3.get - (-math.log(pAB))) < 1e-12)
+    assert(out(2)._3.isEmpty) // one token: no conditional evidence
+    // context-aware: with a context that has SEVERAL continuations
+    // ("the" -> cat|dog|sat), the common continuation scores below the
+    // rare scrambled one — the signal unigram frequency cannot carry
+    // (a deterministic-context corpus would score both 0.8 identically)
+    val fluent = (0 until 4).map(i => (i.toLong, "the cat sat")) ++
+      (4 until 8).map(i => (i.toLong, "the dog sat"))
+    val salad = Seq((100L, "the sat cat"))
+    val both = (fluent ++ salad).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramSurprisal(both, "text", "doc_id")
+      .select("id", "surprisal").as[(Long, Double)].collect().toMap
+    assert(s(0L) < s(100L), s.toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramSurprisal(docs, "text", "doc_id", lambda = 1.0)
+    }
+  }
+
   test("windowedChunkDedup: hand-computed winners, ragged tail, " +
     "partition independence") {
     import graft.ops.Dedup

@@ -165,7 +165,10 @@ class PlanShapeSpec extends SparkSpec {
     // round 8: numeric-threshold and grouped-aggregate Cypher — typed
     // equi-joins + props join + hash agg + TakeOrdered, like the others —
     // and the WITH pipeline (stage-1 plan + residual filter + projection)
-    "q_cypher_numeric", "q_cypher_agg", "q_cypher_with")
+    "q_cypher_numeric", "q_cypher_agg", "q_cypher_with",
+    // round 8 (cont. session): collect() — grouped sort_array aggregate —
+    // and the bigram LM — vocabulary-keyed joins + per-doc ordered folds
+    "q_cypher_collect", "q_bigram_surprisal")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
@@ -186,7 +189,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_temperature_mix",
     // round 8: the exact tfidf diversity's 1-row N-docs frame (the idf
     // numerator) crossed onto the per-term weight rows
-    "q_statement_diversity_tfidf")
+    "q_statement_diversity_tfidf",
+    // round 8 (cont. session): the bigram LM's 1-row corpus-total frame
+    // (the unigram back-off denominator) crossed onto the bigram terms
+    "q_bigram_surprisal")
     // (q_hits no longer appears here: the end-normalization rewrite
     // collects both maxima as driver literals, so its plan must be
     // BNLJ-free like the rest — keeping the stale allowance would mask a
