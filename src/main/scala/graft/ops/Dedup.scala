@@ -304,7 +304,8 @@ object Dedup {
    *
    * Verification is adaptive on CORPUS size (one count, so cache the
    * input if it's expensive). Smallest regime (docCount <= `bnlDocCap`
-   * AND vocab <= `denseVocabCap` AND docCount x vocab bounded): NO
+   * AND vocab <= `denseVocabCap` AND the docCount x vocab broadcast
+   * matrix AND the docCount^2 x vocab work product both bounded): NO
    * candidate machinery at all — dense l2-normalized vectors on both
    * sides of a broadcast LEFT SEMI nested-loop join whose condition is
    * `id_a < id_b AND dot_product(ma, mb) > t`; the semi mode
@@ -329,7 +330,7 @@ object Dedup {
   def diversityFilterTfidf(df: DataFrame, textCol: String, idCol: String,
                            threshold: Double = 0.975,
                            mapVerifyDocCap: Long = 200L * 1000,
-                           bnlDocCap: Long = 20L * 1000,
+                           bnlDocCap: Long = 100L * 1000,
                            denseVocabCap: Long = 1024L)
   : DataFrame = {
     val terms = df.select(col(idCol),
@@ -404,13 +405,23 @@ object Dedup {
         // BroadcastNestedLoopJoin's semi mode short-circuits on the first
         // dominating partner, the codegen'd DotProduct makes each probe
         // |vocab| FMAs, and no pair row ever materializes or shuffles
-        // (measured 18.8 s -> ~1 s). Caps keep the quadratic honest:
-        // docCount^2 probes and a docCount x vocab broadcast matrix are
-        // only taken when both are trivially affordable; past either cap
-        // the candidate-join regimes below take over.
+        // (measured 18.8 s -> ~1 s). Caps keep the quadratic honest: the
+        // docCount^2 x vocab work product, the docCount x vocab broadcast
+        // matrix, and the vocab width are each bounded; past any cap the
+        // candidate-join regimes below take over.
         val bnlMatrixEntryCap = 16L * 1000 * 1000
+        // work-product budget: docCount^2 probes x vocab FMAs each. 4e11
+        // codegen FMAs is ~10 s across 32 cores — past it the pair scan
+        // (not the broadcast) is the bottleneck and the candidate regimes
+        // below win WHEN the prefix filter prunes (a small-vocab corpus
+        // where it can't prune is inherently quadratic for ANY exact
+        // algorithm; the measured crossover favors BNLJ well past 8x the
+        // bench corpus: 40k docs x 250 vocab = 4e11 runs ~20 s where the
+        // candidate join + array-carrying pair rows took 247 s)
+        val bnlWorkCap = 400L * 1000 * 1000 * 1000
         if (vocabSize <= denseVocabCap && docCount <= bnlDocCap &&
-            docCount * vocabSize <= bnlMatrixEntryCap) {
+            docCount * vocabSize <= bnlMatrixEntryCap &&
+            docCount * docCount * vocabSize <= bnlWorkCap) {
           graft.functions.DotProduct.register(df.sparkSession)
           // both BNLJ sides read the dense frame; checkpointing it once
           // (bounded by the matrix-entry cap above) stops the whole
@@ -432,8 +443,9 @@ object Dedup {
               "left_semi")
             .select(col("id_b").as(idCol))
         } else {
-        val (vecsDf, dotExpr) =
+        val (vecsDf, dotCol) =
           if (vocabSize <= denseVocabCap) {
+            graft.functions.DotProduct.register(df.sparkSession)
             val dense = indexedVec.groupBy(col("id"))
               .agg(map_from_entries(collect_list(
                 struct(col("tidx"), col("w")))).as("m0"))
@@ -441,21 +453,19 @@ object Dedup {
                 s"transform(sequence(1, $vocabSize), i -> " +
                   "coalesce(try_element_at(m0, cast(i as int)), 0D))")
                 .as("m"))
-            // indexed fold, not zip_with: zip_with materializes an
-            // intermediate |vocab| array per PAIR; sequence(1, V)
-            // constant-folds to one literal array and element_at on
-            // arrays is O(1)
-            (dense,
-              s"aggregate(sequence(1, $vocabSize), 0D, (acc, i) -> " +
-                "acc + element_at(ma, cast(i as int)) * " +
-                "element_at(mb, cast(i as int)))")
+            // codegen'd DotProduct, same kernel as the BNLJ regime: the
+            // interpreted aggregate(sequence(...)) fold this replaced cost
+            // ~10x more per pair and dominated the whole operator when
+            // candidates approach all-pairs (measured 290 s -> 23 s on the
+            // 8x-replicated small-vocab probe)
+            (dense, graft.functions.DotProduct.dot(col("ma"), col("mb")))
           } else {
             val sparse = indexedVec.groupBy(col("id"))
               .agg(map_from_entries(collect_list(
                 struct(col("tidx"), col("w")))).as("m"))
-            (sparse,
+            (sparse, expr(
               "aggregate(map_entries(ma), 0D, (acc, e) -> " +
-                "acc + e.value * coalesce(try_element_at(mb, e.key), 0D))")
+                "acc + e.value * coalesce(try_element_at(mb, e.key), 0D))"))
           }
         val cands = indexed.join(postings, Seq("term"))
           .filter(col("id") =!= col("pid"))
@@ -467,7 +477,7 @@ object Dedup {
             col("m").as("ma"))), Seq("id_a"))
           .join(broadcast(vecsDf.select(col("id").as("id_b"),
             col("m").as("mb"))), Seq("id_b"))
-          .withColumn("cos", expr(dotExpr))
+          .withColumn("cos", dotCol)
           .filter(col("cos") > threshold)
           .select(col("id_b").as(idCol)).distinct()
         }
