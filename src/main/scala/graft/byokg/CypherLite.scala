@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
  *   MATCH pattern [, pattern ...]
  *   [OPTIONAL MATCH pattern [, pattern ...]] ...
  *   [WHERE term [AND term ...] [OR term [AND term ...] ...]]
- *     term := v.p = 'lit' | v.p <> 'lit' | v.p IN ['lit', ...]
+ *     term := v[.p] = 'lit' | v[.p] <> 'lit' | v.p IN ['lit', ...]
+ *           | v[.p] (>|>=|<|<=|=|<>) number  -- bare v compares the
+ *                                   -- binding itself (a piped WITH
+ *                                   -- output, e.g. `WHERE n >= 2`)
  *           | v.p STARTS WITH 'lit' | v.p ENDS WITH 'lit'
  *           | v.p CONTAINS 'lit'         -- AND binds tighter than OR
- *           | v.p (>|>=|<|<=|=|<>) number  -- cast-to-double compare
  *           | v[.p] IS [NOT] NULL   -- allowed on OPTIONAL vars: the
  *                                   -- anti-join / exists shape
  *   RETURN [DISTINCT] (item [, item ...] | agg [AS a]
@@ -41,11 +43,18 @@ import org.apache.spark.sql.functions._
  *   [ORDER BY (v[.p] | alias | count(*|v) | agg) [DESC] [, ...]] [LIMIT n]
  *
  * One WITH stage is also supported — aggregate, filter on the aggregate
- * (Cypher's HAVING), project:
+ * (Cypher's HAVING), then either project or MATCH again:
  *
  *   MATCH ... [WHERE ...] WITH item [, ...][, agg [AS a]]
  *   [WHERE out-term [AND|OR ...]] RETURN out [, ...]
  *   [ORDER BY out [DESC] ...] [LIMIT n]      -- see [[PipeQuery]]
+ *
+ *   MATCH ... WITH item [, ...][, agg [AS a]] [WHERE out-term ...]
+ *   MATCH pattern ... [WHERE ...] RETURN ...  -- aggregate-then-expand:
+ *   -- the tail is a FULL second query; a pattern variable named like a
+ *   -- WITH output is the pipe's join key (required, unless the WITH
+ *   -- stage is a lone aggregate — a bounded 1-row broadcast cross);
+ *   -- other WITH outputs ride along into RETURN / WHERE / ORDER BY
  *
  * `v.p`: `p` = `id` reads the binding itself (the node id, always
  * available); any other property resolves through the caller-supplied
@@ -216,14 +225,14 @@ object CypherLite {
   // store's schema, not grammar). Reference: the retrieval cypher
   // projects node properties everywhere (graph_utils.py:121-157
   // node_result; traversal_based_base_retriever.py:143-217 `l.value`).
-  private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>)\s*'([^']*)'""".r
+  private val CondRe = """([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*(=|<>)\s*'([^']*)'""".r
   /** Numeric comparisons — `v.p > 1000`, `v.p <= 12.5` (also = / <> with
     * an unquoted numeric literal): the threshold shape KGQA LLMs emit for
     * "more than / at least" questions. The property side is cast to
     * double, so a non-numeric property compares as null and the row drops
     * (SQL semantics), never a lexicographic surprise. */
   private val CondNumRe =
-    """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|>|<|=|<>)\s*(-?\d+(?:\.\d+)?)""".r
+    """([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*(>=|<=|>|<|=|<>)\s*(-?\d+(?:\.\d+)?)""".r
   private val CondStartsRe =
     """(?i)([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+STARTS\s+WITH\s+'([^']*)'""".r
   private val CondEndsRe =
@@ -370,7 +379,13 @@ object CypherLite {
     else Right(Part(nodes.toSeq, edges.toSeq))
   }
 
-  def parse(q: String): Either[String, Query] = {
+  /** `extraKnown` = columns piped in by a preceding WITH stage: they are
+    * legal in WHERE / RETURN / ORDER BY / aggregates, count as bound for
+    * pattern connectivity and OPTIONAL anchoring (a pattern variable with
+    * a piped name is the pipe's join key), and may not be shadowed by a
+    * relationship variable. */
+  def parse(q: String,
+            extraKnown: Set[String] = Set.empty): Either[String, Query] = {
     val s = q.trim.stripSuffix(";").trim
     val upper = s.toUpperCase
     if (!upper.startsWith("MATCH "))
@@ -447,7 +462,10 @@ object CypherLite {
     // connectivity: every part must (transitively) share a variable with
     // part 0, else the join degenerates into a cartesian product
     val varSets = parts.map(_.nodes.map(_.v).toSet)
-    val reached = scala.collection.mutable.Set(0)
+    // parts touching a piped (WITH-output) variable are anchored through
+    // the pipe join, so they seed connectivity like part 0 does
+    val reached = scala.collection.mutable.Set(0) ++
+      varSets.indices.filter(i => (varSets(i) & extraKnown).nonEmpty)
     var grew = true
     while (grew) {
       grew = false
@@ -465,14 +483,15 @@ object CypherLite {
     // optional parts anchor to the mandatory variable set; their NEW
     // variables must be unique (an optional-to-optional join would key on
     // a possibly-null column — SQL and Cypher disagree there, refuse)
-    val mandatoryVars = varSets.reduce(_ | _)
+    val mandatoryVars = varSets.reduce(_ | _) ++ extraKnown
     // relationship variables: globally unique (a reused edge var would
     // duplicate a column through the part joins) and distinct from nodes
+    // (and from piped WITH outputs, which arrive as columns too)
     val mandEdgeVars = parts.flatMap(_.edges.flatMap(_.varName))
     if (mandEdgeVars.distinct.size != mandEdgeVars.size ||
         mandEdgeVars.exists(mandatoryVars.contains))
       return Left("relationship variable names must be unique across " +
-        "patterns and distinct from node variables")
+        "patterns and distinct from node variables (and WITH outputs)")
     val optNewSeen = scala.collection.mutable.Set.empty[String]
     optParts.foreach { p =>
       val vs = p.nodes.map(_.v).toSet
@@ -495,9 +514,13 @@ object CypherLite {
       case Some(w) =>
         boolSplit(w, "OR").map { grp =>
           boolSplit(grp, "AND").map {
-            case CondRe(v, p, op, value) => Cond(v, op, Seq(value), p)
+            // prop group is optional for = / <> / numeric: a bare name
+            // compares the binding itself — required for WHERE on a
+            // piped WITH output (e.g. `WHERE n >= 2` after a count)
+            case CondRe(v, p, op, value) =>
+              Cond(v, op, Seq(value), Option(p).getOrElse("id"))
             case CondNumRe(v, p, op, num) =>
-              Cond(v, s"NUM$op", Seq(num), p)
+              Cond(v, s"NUM$op", Seq(num), Option(p).getOrElse("id"))
             case CondStartsRe(v, p, pre) =>
               Cond(v, "STARTS_WITH", Seq(pre), p)
             case CondEndsRe(v, p, sfx) => Cond(v, "ENDS_WITH", Seq(sfx), p)
@@ -777,7 +800,8 @@ object CypherLite {
     * connectivity, so every remaining part eventually shares a bound
     * variable). */
   def compile(edgeFrame: DataFrame, q: Query,
-              nodeProps: Option[DataFrame] = None): DataFrame = {
+              nodeProps: Option[DataFrame] = None,
+              piped: Option[DataFrame] = None): DataFrame = {
     val frames = scala.collection.mutable.ArrayBuffer(
       q.parts.map(p => (p, compileChain(edgeFrame, p))): _*)
     var (part0, df) = frames.remove(0)
@@ -789,6 +813,18 @@ object CypherLite {
       val shared = p.nodes.map(_.v).filter(bound.contains)
       df = df.join(f, shared)
       bound ++= p.nodes.map(_.v)
+    }
+    // WITH-piped frame: pattern variables named like a piped column are
+    // the pipe's join keys (Cypher's "WITH binds, the next MATCH expands
+    // from the bindings"); piped columns with no pattern twin ride along
+    // as plain output columns. No shared name is only legal when the
+    // WITH stage was a lone aggregate (parsePipe guarantees it) — a
+    // bounded 1-row cross, the "count then use as denominator" shape.
+    piped.foreach { s1 =>
+      val shared = s1.columns.filter(bound.contains).toSeq
+      df = if (shared.nonEmpty) df.join(s1, shared)
+           else df.crossJoin(broadcast(s1))
+      bound ++= s1.columns
     }
     // label + property-map filters once over the joined frame; a variable
     // labelled/anchored in several parts gets the conjunction (standard
@@ -951,7 +987,13 @@ object CypherLite {
                              having: Seq[Seq[(String, String, String)]],
                              outs: Seq[(String, String)],
                              orderBy: Seq[(String, Boolean)],
-                             limit: Option[Int])
+                             limit: Option[Int],
+                             // WITH ... MATCH ...: the tail is a FULL
+                             // second query whose patterns join the piped
+                             // frame on shared variable names; outs /
+                             // orderBy / limit above are unused then (the
+                             // tail query carries its own)
+                             stage2: Option[Query] = None)
 
   private val BareRetRe =
     """(?i)([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
@@ -973,7 +1015,14 @@ object CypherLite {
     val restPad = " " + rest + " "
     val rm = kwMatch(restPad, "RETURN").getOrElse(
       return Left("WITH needs a RETURN stage"))
-    val beforeRet = restPad.substring(0, rm.start).trim
+    // WITH ... MATCH ...: a MATCH before the RETURN makes the whole tail
+    // a second full query expanding from the piped bindings
+    val mm = kwMatch(restPad, "MATCH").filter(_.start < rm.start)
+    val beforeRet = restPad.substring(0, mm.map(_.start)
+      .getOrElse(rm.start)).trim
+    if (mm.nonEmpty && beforeRet.toUpperCase.endsWith("OPTIONAL"))
+      return Left("the MATCH after WITH cannot be OPTIONAL — anchor a " +
+        "mandatory MATCH first, then OPTIONAL MATCH off it")
     var tail = restPad.substring(rm.end).trim
     // optional HAVING-style WHERE between the WITH items and RETURN
     val (withItems, havingText) = kwMatch(beforeRet, "WHERE") match {
@@ -1007,6 +1056,22 @@ object CypherLite {
                 "— compare a WITH output to a number or 'string'")
           }
         }
+    }
+    // WITH ... MATCH tail: parse it as a full second query whose piped
+    // columns are pre-bound; require a shared variable with the WITH
+    // outputs unless the WITH stage was a lone aggregate (1 row — the
+    // "count then use as denominator" shape, a bounded broadcast cross)
+    mm.foreach { m =>
+      val stage2 = parse(restPad.substring(m.start).trim,
+          extraKnown = outNames.toSet)
+        .fold(e => return Left(s"after WITH: $e"), identity)
+      val s2vars = stage2.parts.flatMap(_.nodes.map(_.v)).toSet
+      if ((s2vars & outNames.toSet).isEmpty && stage1.returns.nonEmpty)
+        return Left("the MATCH after WITH shares no variable with the " +
+          "WITH outputs (have: " + outNames.mkString(", ") + ") — that " +
+          "would be a cartesian expansion; anchor a pattern variable on " +
+          "a WITH output (only a lone-aggregate WITH expands unanchored)")
+      return Right(PipeQuery(stage1, having, Nil, Nil, None, Some(stage2)))
     }
     val limIdx = tail.toUpperCase.indexOf("LIMIT")
     val limit =
@@ -1071,6 +1136,12 @@ object CypherLite {
     if (pq.having.nonEmpty)
       df = df.filter(
         pq.having.map(_.map(hcond).reduce(_ && _)).reduce(_ || _))
+    // WITH ... MATCH: the filtered stage-1 frame pipes into the tail
+    // query's compilation — its columns join the tail's patterns on
+    // shared names and ride along otherwise
+    pq.stage2.foreach { q2 =>
+      return compile(edgeFrame, q2, nodeProps, piped = Some(df))
+    }
     var out = df.select(pq.outs.map { case (n, a) => ref(n).as(a) }: _*)
     if (pq.orderBy.nonEmpty)
       out = out.orderBy(pq.orderBy.map { case (n, asc) =>
@@ -1095,6 +1166,8 @@ object CypherLite {
     else if (withMatch(cypher).nonEmpty)
       parsePipe(cypher).flatMap { pq =>
         schemaCheck(pq.stage1, nodeProps)
+          .flatMap(_ => pq.stage2.fold[Either[String, Unit]](Right(()))(
+            q2 => schemaCheck(q2, nodeProps)))
           .map(_ => compile(edgeFrame, pq, nodeProps))
       }
     else parse(cypher).flatMap { q =>

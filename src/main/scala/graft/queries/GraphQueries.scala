@@ -331,6 +331,20 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher WITH ... MATCH (aggregate-then-expand): find the
+    // customers with more than 15 orders, then expand BACK into the graph
+    // for those customers' orders — the two-phase KGQA shape ("who ordered
+    // most, and what did they order"). The piped c is the tail pattern's
+    // join key; n_orders rides along into RETURN.
+    "q_cypher_with_match" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o) " +
+        "WITH c, count(*) AS n_orders WHERE n_orders > 15 " +
+        "MATCH (c)-[:placed]->(o2:o) " +
+        "RETURN c.id AS cust, n_orders, o2.id AS ord ORDER BY cust, ord"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // extended: deterministic hash-seeded random walks (the DeepWalk/
     // node2vec training-corpus generator) over the rank-indexed walk
     // layout — every step a pure function of (seed, start, walk, step),
@@ -1315,6 +1329,19 @@ object GraphQueries {
          |WHERE label = 'placed'
          |GROUP BY src HAVING count(*) > 15
          |ORDER BY n_orders DESC, cust LIMIT 20""".stripMargin,
+
+    // WITH ... MATCH replay: GROUP BY + HAVING, then join back to the
+    // edge table for the surviving customers' orders.
+    "q_cypher_with_match" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |g AS (
+         |  SELECT src AS c, count(*) AS n_orders FROM edges0
+         |  WHERE label = 'placed' AND src LIKE 'c:%' AND dst LIKE 'o:%'
+         |  GROUP BY src HAVING count(*) > 15)
+         |SELECT g.c AS cust, g.n_orders, e.dst AS ord
+         |FROM g JOIN edges0 e ON e.src = g.c
+         |WHERE e.label = 'placed' AND e.dst LIKE 'o:%'
+         |ORDER BY cust, ord""".stripMargin,
 
     // grouped-aggregate replay: per-customer sum over the order price
     // property, ordered by the raw sum (rounding only in the projection).

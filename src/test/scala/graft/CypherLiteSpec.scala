@@ -738,6 +738,54 @@ class CypherLiteSpec extends SparkSpec {
     assert(mix == Seq("c:1", "c:2"))
   }
 
+  test("WITH ... MATCH: aggregate-then-expand joins the piped frame on " +
+    "shared variables; lone-aggregate WITH crosses one row; misuse is " +
+    "loud") {
+    // customers with >1 order, expanded to their orders' parts — the
+    // piped c joins the tail pattern, n rides along into RETURN
+    val q = "MATCH (c:c)-[:placed]->(o:o) WITH c, count(*) AS n " +
+      "WHERE n > 1 " +
+      "MATCH (c)-[:placed]->(o2:o)-[:contains]->(p:p) " +
+      "RETURN DISTINCT c.id AS cust, n, p.id AS part ORDER BY cust, part"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(("c:1", 2L, "p:7")))
+    // stage-2 WHERE may filter on a piped output (numeric try_cast)
+    val q2 = "MATCH (c:c)-[:placed]->(o:o) WITH c, count(*) AS n " +
+      "MATCH (c)-[:placed]->(o2:o) WHERE n >= 1 " +
+      "RETURN c.id AS cust, o2.id AS ord ORDER BY cust, ord"
+    val out2 = CypherLite.run(edges, q2).toOption.get
+      .as[(String, String)].collect().toSeq
+    assert(out2 == Seq(("c:1", "o:10"), ("c:1", "o:11"), ("c:2", "o:12")))
+    // a lone-aggregate WITH expands unanchored: bounded 1-row cross
+    val q3 = "MATCH (c:c)-[:placed]->(o:o) WITH count(*) AS total " +
+      "MATCH (p:p)-[:supplied_by]->(s:s) RETURN p.id AS part, total"
+    assert(CypherLite.run(edges, q3).toOption.get
+      .as[(String, Long)].collect().toSeq == Seq(("p:7", 3L)))
+    // grouped WITH + unanchored tail pattern = cartesian — loud Left
+    val bad1 = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WITH c.id AS cust, count(*) AS n " +
+        "MATCH (p:p)-[:supplied_by]->(s:s) RETURN p.id, n")
+    assert(bad1.isLeft && bad1.swap.toOption.get.contains("cartesian"),
+      bad1.toString)
+    // the tail MATCH cannot be OPTIONAL
+    val bad2 = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WITH c, count(*) AS n " +
+        "OPTIONAL MATCH (c)-[:placed]->(o2) RETURN c.id")
+    assert(bad2.isLeft && bad2.swap.toOption.get.contains("OPTIONAL"),
+      bad2.toString)
+    // ...but OPTIONAL MATCH after the tail's mandatory MATCH works
+    val q4 = "MATCH (c:c)-[:placed]->(o:o) WITH c, count(*) AS n " +
+      "MATCH (c)-[:placed]->(o2:o) " +
+      "OPTIONAL MATCH (o2)-[:contains]->(p:p) " +
+      "WHERE c.id = 'c:1' " +
+      "RETURN DISTINCT c.id AS cust, o2.id AS ord, p.id AS part " +
+      "ORDER BY ord"
+    assert(CypherLite.run(edges, q4).toOption.get
+      .as[(String, String, String)].collect().toSeq ==
+      Seq(("c:1", "o:10", "p:7"), ("c:1", "o:11", "p:7")))
+  }
+
   test("WITH pipeline misuse is a loud Left; STARTS WITH never routes " +
     "to the pipeline parser") {
     // STARTS WITH must stay an operator, not a clause boundary

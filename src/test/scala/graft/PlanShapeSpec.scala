@@ -168,7 +168,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_cypher_numeric", "q_cypher_agg", "q_cypher_with",
     // round 8 (cont. session): collect() — grouped sort_array aggregate —
     // and the bigram LM — vocabulary-keyed joins + per-doc ordered folds
-    "q_cypher_collect", "q_bigram_surprisal")
+    "q_cypher_collect", "q_bigram_surprisal",
+    // round 8 (cont. session): WITH ... MATCH — stage-1 grouped plan
+    // joined into the tail pattern's equi-join chain on the piped key
+    "q_cypher_with_match")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
