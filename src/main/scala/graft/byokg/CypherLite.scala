@@ -32,6 +32,9 @@ import org.apache.spark.sql.functions._
  *     item := v[.p] [AS alias] | type(r) [AS alias]
  *           | properties(v) [AS alias]
  *     agg  := count(*) | count(v[.p]) | count(DISTINCT v[.p])
+ *                                -- all three also as the grouped
+ *                                -- last-item form, e.g.
+ *                                -- RETURN c.id, count(DISTINCT p)
  *           | sum(v.p) | avg(v.p) | min(v[.p]) | max(v[.p])
  *           | collect(v[.p])   -- the SORTED list (Neo4j leaves collect
  *                              -- order unspecified; sorting makes it
@@ -182,7 +185,11 @@ object CypherLite {
                          // output column name rides in `countAlias`
                          aggFunc: Option[String] = None,
                          aggVar: Option[String] = None,
-                         aggProp: Option[String] = None) {
+                         aggProp: Option[String] = None,
+                         // grouped count(DISTINCT v[.p]) — the last-item
+                         // slot, like groupCountVar but distinct-counting
+                         groupCountDistinctVar: Option[String] = None,
+                         groupCountDistinctProp: Option[String] = None) {
     /** The output column names this query produces — what a WITH stage
       * exposes to the pipeline tail. */
     def outputNames: Seq[String] =
@@ -204,6 +211,7 @@ object CypherLite {
       val fromCounts =
         countDistinctVar.zip(countDistinctProp) ++
         countVar.zip(countVarProp) ++ groupCountVar.zip(groupCountProp) ++
+        groupCountDistinctVar.zip(groupCountDistinctProp) ++
         aggVar.zip(aggProp)
       (fromConds ++ fromRets ++ fromCounts)
         .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
@@ -571,12 +579,23 @@ object CypherLite {
     val groupCountM =
       if (isScalarCount || retItems.size < 2) None
       else fullMatch(CountStarRe, retItems.last)
-    val groupCountVarM =
+    // grouped count(DISTINCT v[.p]) — tried before count(v): the
+    // per-entity DISTINCT-cardinality shape ("how many DIFFERENT parts
+    // did each customer order")
+    val groupCountDistinctM =
       if (isScalarCount || retItems.size < 2 || groupCountM.nonEmpty) None
+      else fullMatch(CountDistinctRe, retItems.last)
+    val groupCountDistinctVar = groupCountDistinctM.map(_.group(1))
+    val groupCountDistinctProp =
+      groupCountDistinctM.flatMap(m => propOf(m.group(2)))
+    val groupCountVarM =
+      if (isScalarCount || retItems.size < 2 || groupCountM.nonEmpty ||
+          groupCountDistinctM.nonEmpty) None
       else fullMatch(CountVarRe, retItems.last)
     val groupCountVar = groupCountVarM.map(_.group(1))
     val groupCountProp = groupCountVarM.flatMap(m => propOf(m.group(2)))
-    val groupCount = groupCountM.nonEmpty || groupCountVar.nonEmpty
+    val groupCount = groupCountM.nonEmpty || groupCountVar.nonEmpty ||
+      groupCountDistinctVar.nonEmpty
     // grouped sum/min/max/avg: the LAST RETURN item, like grouped count
     val groupAggM =
       if (isScalarCount || retItems.size < 2 || groupCount) None
@@ -598,7 +617,8 @@ object CypherLite {
       return Left("DISTINCT cannot combine with a grouped aggregate")
     val countAlias = countStarM.orElse(groupCountM)
       .flatMap(m => Option(m.group(1)))
-      .orElse(countDistinctM.flatMap(m => Option(m.group(3))))
+      .orElse(countDistinctM.orElse(groupCountDistinctM)
+        .flatMap(m => Option(m.group(3))))
       .orElse(countVarM.orElse(groupCountVarM)
         .flatMap(m => Option(m.group(3))))
       .orElse(aggM.flatMap(m => Option(m.group(4))))
@@ -645,7 +665,9 @@ object CypherLite {
     // property access on relationship variables can also arrive via
     // count(...)/agg(...)/WHERE — same loud refusal as the RETURN form
     (countDistinctVar.zip(countDistinctProp) ++ countVar.zip(countVarProp) ++
-      groupCountVar.zip(groupCountProp) ++ aggVar.zip(aggProp) ++
+      groupCountVar.zip(groupCountProp) ++
+      groupCountDistinctVar.zip(groupCountDistinctProp) ++
+      aggVar.zip(aggProp) ++
       conds.flatten.filter(_.prop != "id").map(c => (c.v, c.prop)))
       .collectFirst { case (v, _) if allEdgeVars.contains(v) => v } match {
       case Some(v) => return Left(s"'$v' is a relationship variable — it " +
@@ -684,6 +706,10 @@ object CypherLite {
               "from non-null binding counts when OPTIONAL rows bind " +
               s"null; ORDER BY count(${groupCountVar.get}) or the " +
               s"alias '$countAlias'")
+          if (groupCountDistinctVar.nonEmpty)
+            return Left("ORDER BY count(*) is ambiguous on a " +
+              "count(DISTINCT ...) query — row counts differ from " +
+              s"distinct counts; ORDER BY the alias '$countAlias'")
           (countAlias, asc)
         } else {
           if (!groupCountVar.contains(inner))
@@ -715,7 +741,7 @@ object CypherLite {
       }
     }
     (conds.flatten.map(_.v) ++ returns ++ countDistinctVar ++ countVar ++
-        groupCountVar ++ aggVar)
+        groupCountVar ++ groupCountDistinctVar ++ aggVar)
       .find(!known.contains(_)) match {
       case Some(v) => Left(s"unknown variable '$v'")
       case None =>
@@ -723,7 +749,8 @@ object CypherLite {
           distinct, ordResolved, optParts, countDistinctVar, groupCount,
           aliases, countAlias, countVar, groupCountVar,
           retProps, countDistinctProp, countVarProp, groupCountProp,
-          aggFunc, aggVar, aggProp))
+          aggFunc, aggVar, aggProp,
+          groupCountDistinctVar, groupCountDistinctProp))
     }
   }
 
@@ -952,8 +979,11 @@ object CypherLite {
         df.agg(aggColumn.as(q.countAlias))
       else if (q.groupCount)
         df.groupBy(outCols.map { case (c, a) => c.as(a) }: _*)
-          .agg(count(q.groupCountVar.map(v => bindCol(v,
-              q.groupCountProp.getOrElse("id"))).getOrElse(lit(1)))
+          .agg(q.groupCountDistinctVar
+            .map(v => count_distinct(bindCol(v,
+              q.groupCountDistinctProp.getOrElse("id"))))
+            .getOrElse(count(q.groupCountVar.map(v => bindCol(v,
+              q.groupCountProp.getOrElse("id"))).getOrElse(lit(1))))
             .as(q.countAlias))
       else if (q.aggFunc.nonEmpty)
         df.groupBy(outCols.map { case (c, a) => c.as(a) }: _*)

@@ -331,6 +331,17 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher grouped count(DISTINCT ...): how many DIFFERENT
+    // parts did each of the first customers order — distinct-cardinality
+    // per entity, where count(*) would count binding rows.
+    "q_cypher_groupdistinct" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o)-[:contains]->(p:p) " +
+        "WHERE c.id STARTS WITH 'c:11' " +
+        "RETURN c.id AS cust, count(DISTINCT p) AS n_parts ORDER BY cust"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // ext. openCypher WITH ... MATCH (aggregate-then-expand): find the
     // customers with more than 15 orders, then expand BACK into the graph
     // for those customers' orders — the two-phase KGQA shape ("who ordered
@@ -1329,6 +1340,17 @@ object GraphQueries {
          |WHERE label = 'placed'
          |GROUP BY src HAVING count(*) > 15
          |ORDER BY n_orders DESC, cust LIMIT 20""".stripMargin,
+
+    // grouped count(DISTINCT) replay: 2-hop join, distinct part count
+    // per anchored customer.
+    "q_cypher_groupdistinct" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT a.src AS cust, count(DISTINCT b.dst) AS n_parts
+         |FROM edges0 a JOIN edges0 b ON b.src = a.dst
+         |WHERE a.label = 'placed' AND a.src LIKE 'c:%'
+         |  AND a.dst LIKE 'o:%' AND b.label = 'contains'
+         |  AND b.dst LIKE 'p:%' AND a.src LIKE 'c:11%'
+         |GROUP BY a.src ORDER BY cust""".stripMargin,
 
     // WITH ... MATCH replay: GROUP BY + HAVING, then join back to the
     // edge table for the surviving customers' orders.

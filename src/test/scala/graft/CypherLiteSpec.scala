@@ -664,6 +664,34 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (c:c)-[:placed]->(o) RETURN sum(o.cost)").isLeft)
   }
 
+  test("grouped count(DISTINCT v): per-entity distinct cardinality; " +
+    "ORDER BY count(*) on it is refused") {
+    // c:1's two orders both contain p:7 — count(*) would say 2,
+    // count(DISTINCT p) must say 1
+    val q = "MATCH (c:c)-[:placed]->(o:o)-[:contains]->(p:p) " +
+      "RETURN c.id AS cust, count(DISTINCT p) AS n_parts ORDER BY cust"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("c:1", 1L), ("c:2", 1L)))
+    // ...where the plain grouped count sees the binding multiset
+    val star = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o)-[:contains]->(p:p) " +
+        "RETURN c.id AS cust, count(*) AS n ORDER BY cust").toOption.get
+      .as[(String, Long)].collect().toSeq
+    assert(star == Seq(("c:1", 2L), ("c:2", 1L)))
+    // ORDER BY count(*) on the distinct query: loud, names the alias
+    val bad = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o)-[:contains]->(p:p) " +
+        "RETURN c.id, count(DISTINCT p) AS n ORDER BY count(*) DESC")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("ambiguous"),
+      bad.toString)
+    // ordering by the alias works
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o)-[:contains]->(p:p) " +
+        "RETURN c.id AS cust, count(DISTINCT p) AS n " +
+        "ORDER BY n DESC, cust LIMIT 1").toOption.get.count() == 1L)
+  }
+
   test("collect(): grouped sorted list, scalar form, property collect, " +
     "OPTIONAL nulls skipped, collect(DISTINCT ...) refused") {
     // grouped: each customer's sorted order list

@@ -170,8 +170,9 @@ class PlanShapeSpec extends SparkSpec {
     // and the bigram LM — vocabulary-keyed joins + per-doc ordered folds
     "q_cypher_collect", "q_bigram_surprisal",
     // round 8 (cont. session): WITH ... MATCH — stage-1 grouped plan
-    // joined into the tail pattern's equi-join chain on the piped key
-    "q_cypher_with_match")
+    // joined into the tail pattern's equi-join chain on the piped key —
+    // and grouped count(DISTINCT): 2-hop equi-joins + distinct hash agg
+    "q_cypher_with_match", "q_cypher_groupdistinct")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingHeavyHitters
+import graft.ops.TextAnalysis
+
+/** The streamed Misra-Gries summary must (a) keep the superset guarantee
+  * under any batching of the stream, and (b) after the exact recount,
+  * EQUAL the batch heavy-hitters answer on the accumulated corpus. */
+class StreamingHeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mgMerge: folded chunk summaries keep the superset guarantee and " +
+    "lower-bound counts (undercount <= n/(capacity+1))") {
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish corpus: token k appears ~ 400/k times
+    val tokens = (1 to 40).flatMap(k =>
+      Seq.fill(400 / k)(s"t$k")).map(t => (t, rnd.nextInt()))
+      .sortBy(_._2).map(_._1) // shuffle deterministically
+    val capacity = 8
+    val n = tokens.size.toLong
+    val exact = tokens.groupBy(identity).map { case (t, g) =>
+      t -> g.size.toLong }
+    // fold 7 uneven chunks through mgMerge (each chunk's exact counts
+    // squeezed to a valid MG summary by merging against the empty one)
+    val chunks = tokens.grouped(97).toSeq
+    val folded = chunks.foldLeft(Seq.empty[(String, Long)]) { (acc, ch) =>
+      val chunkExact = ch.groupBy(identity).toSeq
+        .map { case (t, g) => (t, g.size.toLong) }
+      StreamingHeavyHitters.mgMerge(acc,
+        StreamingHeavyHitters.mgMerge(chunkExact, Nil, capacity), capacity)
+    }
+    val foldedMap = folded.toMap
+    assert(folded.size <= capacity)
+    val bound = n / (capacity + 1)
+    exact.foreach { case (t, c) =>
+      if (c > bound)
+        assert(foldedMap.contains(t), s"$t (count $c > $bound) was lost")
+    }
+    folded.foreach { case (t, c) =>
+      assert(c <= exact(t), s"$t overcounted: $c > ${exact(t)}")
+      assert(exact(t) - c <= bound, s"$t undercounted past the bound")
+    }
+  }
+
+  test("streamed state + exact recount == batch heavyHitters; redelivered " +
+    "batch ids fold exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("shh").toString
+    val statePath = s"$dir/state"
+    val capacity = 8
+    val docs1 = Seq("spark spark join filter", "spark join scan",
+      "alpha beta gamma", "spark filter filter")
+    val docs2 = Seq("join join spark", "delta epsilon spark",
+      "filter join spark spark")
+    val input = MemoryStream[String]
+    def start() = input.toDS().toDF("text").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) =>
+        StreamingHeavyHitters.mergeBatch(b, "text", statePath, capacity, id))
+      .start()
+    input.addData(docs1: _*)
+    val q1 = start(); q1.awaitTermination()
+    input.addData(docs2: _*)
+    val q2 = start(); q2.awaitTermination()
+    val corpus = (docs1 ++ docs2).toDF("text")
+    val state = spark.read.parquet(statePath)
+    // explicit redelivery of an already-folded batch id is a no-op
+    val before = state.collect().toSet
+    StreamingHeavyHitters.mergeBatch(
+      docs1.toDF("text"), "text", statePath, capacity, batchId = 0L)
+    assert(spark.read.parquet(statePath).collect().toSet == before)
+    // token total carried in the state equals the corpus total
+    val nStream = state.head().getAs[Long]("n_tokens")
+    val nBatch = corpus.select(
+      sum(size(split(col("text"), "\\s+")))).as[Long].head()
+    assert(nStream == nBatch)
+    // exact finisher over the accumulated corpus == the batch operator
+    // (phi = 1/10, capacity 8 > 1/phi... needs capacity > 10 — use 1/6)
+    val streamed = StreamingHeavyHitters.finishExact(
+        corpus, "text", state, phiNum = 1, phiDen = 6)
+      .as[(String, Long)].collect().toSeq
+    val batch = TextAnalysis.heavyHitters(corpus, "text", n = 1,
+        phiNum = 1, phiDen = 6, capacity = capacity)
+      .as[(String, Long)].collect().toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty) // 'spark' is a true 1/6-hitter here
+  }
+}
