@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
  * Grammar (anything else parses to a loud Left, which the retriever
  * surfaces as the engine loop's retry-feedback line):
  *
+ *   [UNWIND ['id', ...] AS v]   -- batch-seed lookup: the literal list
+ *                               -- pipes into the MATCH like a WITH
+ *                               -- output (v must anchor a pattern node;
+ *                               -- duplicates bind per occurrence)
  *   MATCH pattern [, pattern ...]
  *   [OPTIONAL MATCH pattern [, pattern ...]] ...
  *   [WHERE term [AND term ...] [OR term [AND term ...] ...]]
@@ -1189,10 +1193,41 @@ object CypherLite {
     * against it BEFORE compilation, so an LLM that invents a property gets
     * feedback naming the store's real columns instead of an analysis
     * exception. */
+  /** Leading `UNWIND ['a', 'b', ...] AS v MATCH ...` — the batch-seed
+    * lookup shape a KG linker emits after entity linking (a list of
+    * resolved ids expanded against the graph). The literal list becomes
+    * a one-column frame piped into the tail query exactly like a WITH
+    * output: a pattern variable named `v` is the join key (required —
+    * an UNWIND nothing references is a cartesian smell), WHERE/RETURN
+    * read it like any binding, and ids absent from the graph drop (MATCH
+    * semantics). Only string literals, only as the leading clause. */
+  private val UnwindRe =
+    """(?is)^\s*UNWIND\s*\[\s*('[^']*'(?:\s*,\s*'[^']*')*)?\s*\]\s*AS\s+([A-Za-z_][A-Za-z0-9_]*)\s+(MATCH\b.*)$""".r
+
   def run(edgeFrame: DataFrame, nodeProps: Option[DataFrame],
           cypher: String): Either[String, DataFrame] =
     if (!GraphQuerySafety.isQuerySafe(cypher))
       Left("modification keywords are blocked (read-only executor)")
+    else if (cypher.trim.toUpperCase.startsWith("UNWIND")) {
+      cypher.trim.stripSuffix(";") match {
+        case UnwindRe(items, v, rest) =>
+          val vals = Option(items).toSeq
+            .flatMap(StrLitRe.findAllMatchIn(_).map(_.group(1)))
+          parse(rest, extraKnown = Set(v)).flatMap { q =>
+            if (!q.parts.exists(_.nodes.exists(_.v == v)))
+              Left(s"UNWIND variable '$v' is not used by any MATCH " +
+                "pattern — name it as a pattern node to anchor the lookup")
+            else schemaCheck(q, nodeProps).map { _ =>
+              val s = edgeFrame.sparkSession
+              import s.implicits._
+              // no dedup: Cypher's UNWIND binds duplicates per occurrence
+              compile(edgeFrame, q, nodeProps, piped = Some(vals.toDF(v)))
+            }
+          }
+        case _ => Left("unsupported UNWIND form — expected " +
+          "UNWIND ['id', ...] AS v MATCH ...")
+      }
+    }
     else if (withMatch(cypher).nonEmpty)
       parsePipe(cypher).flatMap { pq =>
         schemaCheck(pq.stage1, nodeProps)

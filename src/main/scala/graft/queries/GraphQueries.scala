@@ -331,6 +331,18 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher UNWIND seed-list lookup: the post-entity-linking
+    // batch expansion a KG linker emits ("given these resolved ids, what
+    // did they order") — the literal list pipes into MATCH as a joined
+    // one-column frame; ids with no edges drop (MATCH semantics).
+    "q_cypher_unwind" -> ((s, dir) => {
+      val q = "UNWIND ['c:110', 'c:111', 'c:112', 'c:999999'] AS c " +
+        "MATCH (c)-[:placed]->(o:o) " +
+        "RETURN c.id AS cust, o.id AS ord ORDER BY cust, ord"
+      graft.byokg.CypherLite.run(edges(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // ext. openCypher grouped count(DISTINCT ...): how many DIFFERENT
     // parts did each of the first customers order — distinct-cardinality
     // per entity, where count(*) would count binding rows.
@@ -1340,6 +1352,15 @@ object GraphQueries {
          |WHERE label = 'placed'
          |GROUP BY src HAVING count(*) > 15
          |ORDER BY n_orders DESC, cust LIMIT 20""".stripMargin,
+
+    // UNWIND replay: IN-list filter over the placed edges (absent ids
+    // simply match nothing).
+    "q_cypher_unwind" ->
+      s"""WITH edges0 AS ($edgesSql)
+         |SELECT src AS cust, dst AS ord FROM edges0
+         |WHERE label = 'placed' AND dst LIKE 'o:%'
+         |  AND src IN ('c:110', 'c:111', 'c:112', 'c:999999')
+         |ORDER BY cust, ord""".stripMargin,
 
     // grouped count(DISTINCT) replay: 2-hop join, distinct part count
     // per anchored customer.

@@ -664,6 +664,38 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (c:c)-[:placed]->(o) RETURN sum(o.cost)").isLeft)
   }
 
+  test("UNWIND seed list: ids expand against the graph, absent ids drop, " +
+    "duplicates bind per occurrence, unanchored UNWIND is loud") {
+    val q = "UNWIND ['c:1', 'c:404'] AS c " +
+      "MATCH (c)-[:placed]->(o:o) RETURN c.id AS cust, o.id AS ord " +
+      "ORDER BY cust, ord"
+    assert(CypherLite.run(edges, q).toOption.get
+      .as[(String, String)].collect().toSeq ==
+      Seq(("c:1", "o:10"), ("c:1", "o:11"))) // c:404 has no edges: drops
+    // duplicates in the seed list bind per occurrence (Cypher UNWIND)
+    assert(CypherLite.run(edges,
+      "UNWIND ['c:2', 'c:2'] AS c MATCH (c)-[:placed]->(o) " +
+        "RETURN c.id, o.id").toOption.get.count() == 2L)
+    // the seed variable works in WHERE and aggregates like any binding
+    assert(CypherLite.run(edges,
+      "UNWIND ['c:1', 'c:2'] AS c MATCH (c)-[:placed]->(o:o) " +
+        "RETURN c.id AS cust, count(*) AS n ORDER BY cust").toOption.get
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("c:1", 2L), ("c:2", 1L)))
+    // an UNWIND no pattern references is refused (cartesian smell)
+    val bad = CypherLite.run(edges,
+      "UNWIND ['x'] AS z MATCH (a)-[:placed]->(b) RETURN a.id")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("not used"),
+      bad.toString)
+    // junk UNWIND forms are loud
+    assert(CypherLite.run(edges,
+      "UNWIND [1, 2] AS n MATCH (n) RETURN n.id").isLeft)
+    // empty list = empty result, not an error
+    assert(CypherLite.run(edges,
+      "UNWIND [] AS c MATCH (c)-[:placed]->(o) RETURN c.id").toOption.get
+      .count() == 0L)
+  }
+
   test("grouped count(DISTINCT v): per-entity distinct cardinality; " +
     "ORDER BY count(*) on it is refused") {
     // c:1's two orders both contain p:7 — count(*) would say 2,

@@ -172,7 +172,10 @@ class PlanShapeSpec extends SparkSpec {
     // round 8 (cont. session): WITH ... MATCH — stage-1 grouped plan
     // joined into the tail pattern's equi-join chain on the piped key —
     // and grouped count(DISTINCT): 2-hop equi-joins + distinct hash agg
-    "q_cypher_with_match", "q_cypher_groupdistinct")
+    "q_cypher_with_match", "q_cypher_groupdistinct",
+    // round 8 (cont. session): UNWIND — a literal one-column frame
+    // equi-joined into the pattern chain (broadcastable seed list)
+    "q_cypher_unwind")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
