@@ -226,6 +226,94 @@ object Traversal {
         sum(round(lit(1000000.0) / col("dist")).cast("long"))
           .as("harmonic_micro"))
 
+  /**
+   * Sampled k-truncated betweenness centrality (Brandes 2001, the
+   * source-sampled estimator of Brandes–Pich 2007): run the σ-counting
+   * BFS from each seed, then the backward dependency accumulation
+   *
+   *   δ(v) = Σ over successors w (dist w = dist v + 1, edge v→w) of
+   *          (σ(v) / σ(w)) · (1 + δ(w))
+   *
+   * truncated at `maxDistance` (only shortest paths of length ≤ the cap
+   * count — the standard k-betweenness variant; exact betweenness needs
+   * all-pairs). Betweenness(v) = Σ over seeds of δ_seed(v), v ≠ seed.
+   *
+   * Scale shape: all K seeds batch through ONE (seed, node) frontier —
+   * one keyed edge join per layer forward (σ = sum of parent σ into
+   * unvisited nodes, exact integers), one keyed join per layer backward.
+   * Every shuffle keys on (seed, node); no per-seed loop, no all-pairs.
+   * Determinism: σ are exact integers; each δ is an ascending-successor
+   * fold of (σv/σw)·(1+δw) terms and the final per-node total folds
+   * ascending by seed — ONE floating-point order under any partitioning,
+   * which is what lets q_betweenness carry a bit-exact DuckDB replay.
+   * Parallel edges are deduped first (a multigraph would multiply σ).
+   */
+  def brandesBetweenness(edges: DataFrame, seeds: DataFrame,
+                         maxDistance: Int,
+                         undirected: Boolean = false): DataFrame = {
+    require(maxDistance >= 1 && maxDistance <= 8,
+      s"maxDistance must be in [1, 8], got $maxDistance")
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (undirected)
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    else e0).distinct().filter(col("src") =!= col("dst")).cache()
+    // forward: layers of (seed, node, sigma), sigma = #shortest paths
+    var layer = seeds.select(col("seed"), col("node"),
+      lit(1L).as("sigma")).distinct().cache()
+    val layers = scala.collection.mutable.ArrayBuffer(layer)
+    for (_ <- 1 to maxDistance) {
+      val visited = layers.map(_.select("seed", "node")).reduce(_ union _)
+      layer = e
+        .join(layer.select(col("seed"), col("node").as("src"),
+          col("sigma")), Seq("src"))
+        .select(col("seed"), col("dst").as("node"), col("sigma"))
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .cache()
+      layers += layer
+    }
+    // backward: delta at the deepest layer is 0; each shallower layer
+    // folds its successors' terms in ascending-successor order
+    def foldTerms(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped.agg(aggregate(
+        array_sort(collect_list(struct(col("_w"), col("_term")))),
+        lit(0.0), (acc, s) => acc + s.getField("_term")).as("delta"))
+    var delta = layers.last.select(col("seed"), col("node"),
+      lit(0.0).as("delta"))
+    val deltas = scala.collection.mutable.ArrayBuffer(delta)
+    for (d <- (maxDistance - 1) to 1 by -1) {
+      val succ = layers(d + 1)
+        .join(delta, Seq("seed", "node"))
+        .select(col("seed").as("_s2"), col("node").as("_w"),
+          col("sigma").as("_sw"), col("delta").as("_dw"))
+      val eRen = e.select(col("src").as("_v"), col("dst").as("_vd"))
+      val terms = layers(d)
+        .join(eRen, col("node") === col("_v"))
+        .join(succ, col("_s2") === col("seed") && col("_w") === col("_vd"))
+        .select(col("seed"), col("node"), col("_w"),
+          ((col("sigma").cast("double") / col("_sw")) *
+            (lit(1.0) + col("_dw"))).as("_term"))
+      // nodes with no deeper successor keep delta 0 (they still appear
+      // in the output — a zero-betweenness node is an answer, not a gap)
+      delta = layers(d).select(col("seed"), col("node"))
+        .join(foldTerms(terms.groupBy("seed", "node")),
+          Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+      deltas += delta
+    }
+    // total: ascending-seed fold of each node's per-seed dependencies
+    // (layers >= 1 only: a seed never scores its own BFS)
+    deltas.map(_.select(col("seed"), col("node"), col("delta")))
+      .reduce(_ union _)
+      .groupBy(col("node"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("seed").as("_w"),
+          col("delta").as("_term")))),
+        lit(0.0), (acc, s) => acc + s.getField("_term")).as("betweenness"))
+  }
+
   /** Triplet verbalization: "src [relation] dst" lines, one string per path
     * group (reference byokg graph_verbalizer.py:35-233). */
   def verbalizeTriplets(triplets: DataFrame): DataFrame =

@@ -54,6 +54,20 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // ext. sampled k-truncated betweenness (Brandes 2001 / Brandes-Pich
+    // 2007): 5 seed BFS runs batched through one (seed, node) frontier,
+    // sigma-counting forward, ascending-successor dependency folds
+    // backward, ascending-seed total — every double fold has ONE order,
+    // so the unrolled DuckDB replay is bit-exact.
+    "q_betweenness" -> ((s, dir) => {
+      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 6)
+        .select(concat(lit("c:"), col("c_custkey")).as("seed"))
+        .withColumn("node", col("seed"))
+      Traversal.brandesBetweenness(Tables.undirectedEdges(s, dir), seeds, 3)
+        .select(col("node"), round(col("betweenness"), 6).as("betweenness"))
+        .orderBy(col("node"))
+    }),
+
     // ext. log2-binned degree distribution — the power-law sanity check
     // run on every derived graph; exact bins via binary-string length
     // (identical in both engines, no floating log2 near powers of two).
@@ -833,6 +847,60 @@ object GraphQueries {
          |  CAST(sum(CAST(round(CAST(1000000.0 AS DOUBLE) / dist, 0)
          |    AS BIGINT)) AS BIGINT) AS harmonic_micro
          |FROM d WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
+
+    // betweenness replay: walk-enumeration sigma (walks at min dist ARE
+    // the shortest paths), two unrolled backward layers with the same
+    // ascending-successor folds, ascending-seed total.
+    "q_betweenness" ->
+      s"""WITH RECURSIVE edges0 AS ($edgesSql),
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM edges0
+         |  UNION ALL SELECT dst, src FROM edges0) WHERE src <> dst),
+         |seeds AS (SELECT 'c:'||c_custkey AS seed FROM customer
+         |          WHERE c_custkey < 6),
+         |bfs AS (
+         |  SELECT seed, seed AS node, 0 AS dist FROM seeds
+         |  UNION ALL
+         |  SELECT b.seed, u.dst, b.dist + 1 FROM bfs b
+         |  JOIN und u ON u.src = b.node WHERE b.dist < 3),
+         |d AS (SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2),
+         |walks AS (SELECT seed, node, dist, count(*) AS w
+         |          FROM bfs GROUP BY 1, 2, 3),
+         |sig AS (SELECT d.seed, d.node, d.dist, w.w AS sigma
+         |        FROM d JOIN walks w ON w.seed = d.seed
+         |          AND w.node = d.node AND w.dist = d.dist),
+         |l1 AS (SELECT * FROM sig WHERE dist = 1),
+         |l2 AS (SELECT * FROM sig WHERE dist = 2),
+         |l3 AS (SELECT * FROM sig WHERE dist = 3),
+         |t2 AS (
+         |  SELECT v.seed, v.node,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list((CAST(v.sigma AS DOUBLE) / s.sigma) * (1.0 + 0.0)
+         |        ORDER BY s.node)), (x, y) -> x + y) AS delta
+         |  FROM l2 v JOIN und u ON u.src = v.node
+         |  JOIN l3 s ON s.seed = v.seed AND s.node = u.dst
+         |  GROUP BY v.seed, v.node),
+         |d2 AS (SELECT v.seed, v.node, COALESCE(t.delta, 0.0) AS delta
+         |       FROM l2 v LEFT JOIN t2 t
+         |         ON t.seed = v.seed AND t.node = v.node),
+         |t1 AS (
+         |  SELECT v.seed, v.node,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list((CAST(v.sigma AS DOUBLE) / s.sigma) * (1.0 + dd.delta)
+         |        ORDER BY s.node)), (x, y) -> x + y) AS delta
+         |  FROM l1 v JOIN und u ON u.src = v.node
+         |  JOIN l2 s ON s.seed = v.seed AND s.node = u.dst
+         |  JOIN d2 dd ON dd.seed = s.seed AND dd.node = s.node
+         |  GROUP BY v.seed, v.node),
+         |d1 AS (SELECT v.seed, v.node, COALESCE(t.delta, 0.0) AS delta
+         |       FROM l1 v LEFT JOIN t1 t
+         |         ON t.seed = v.seed AND t.node = v.node),
+         |d3 AS (SELECT seed, node, 0.0 AS delta FROM l3),
+         |alld AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+         |         UNION ALL SELECT * FROM d3)
+         |SELECT node, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list(delta ORDER BY seed)), (x, y) -> x + y), 6) AS betweenness
+         |FROM alld GROUP BY node ORDER BY node""".stripMargin,
 
     // degree-histogram replay: the q_entity_degree degrees binned by
     // binary-representation length (DuckDB bin() == Spark conv(,10,2)).

@@ -174,8 +174,9 @@ class PlanShapeSpec extends SparkSpec {
     // and grouped count(DISTINCT): 2-hop equi-joins + distinct hash agg
     "q_cypher_with_match", "q_cypher_groupdistinct",
     // round 8 (cont. session): UNWIND — a literal one-column frame
-    // equi-joined into the pattern chain (broadcastable seed list)
-    "q_cypher_unwind")
+    // equi-joined into the pattern chain (broadcastable seed list) —
+    // and sampled betweenness: (seed, node)-keyed BFS joins + folds
+    "q_cypher_unwind", "q_betweenness")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */

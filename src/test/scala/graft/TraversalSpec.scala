@@ -67,6 +67,41 @@ class TraversalSpec extends SparkSpec {
       "r" -> ((2L, 1500000L)), "s" -> ((1L, 333333L))))
   }
 
+  test("brandesBetweenness: hand-computed path-graph dependencies, " +
+    "diamond sigma split, parallel-edge dedup, depth guard") {
+    import org.apache.spark.sql.functions.col
+    // path p-q-r-s undirected, seeds {p, s}, depth 3:
+    //   from p: δ(q)=σq/σr·(1+δr)=2 with δ(r)=1; from s symmetric.
+    //   totals: q = 2+1 = 3, r = 1+2 = 3, p = s = 0.
+    val path = Seq(("p", "q", "x"), ("q", "r", "x"), ("r", "s", "x"))
+      .toDF("src", "dst", "label")
+    def sf(ns: String*) = ns.toDF("node")
+      .select(col("node").as("seed"), col("node"))
+    val b = Traversal.brandesBetweenness(path, sf("p", "s"), 3,
+        undirected = true)
+      .as[(String, Double)].collect().toMap
+    assert(b == Map("p" -> 0.0, "q" -> 3.0, "r" -> 3.0, "s" -> 0.0))
+    // diamond a->{b,c}->d: two shortest a-d paths, σ(d)=2, each middle
+    // carries σ(b)/σ(d)·1 = 0.5
+    val diamond = Seq(("a", "b", "x"), ("a", "c", "x"),
+      ("b", "d", "x"), ("c", "d", "x")).toDF("src", "dst", "label")
+    val bd = Traversal.brandesBetweenness(diamond, sf("a"), 3)
+      .as[(String, Double)].collect().toMap
+    assert(bd == Map("b" -> 0.5, "c" -> 0.5, "d" -> 0.0))
+    // parallel edges must not multiply sigma: duplicating every edge
+    // changes nothing
+    val bd2 = Traversal.brandesBetweenness(diamond.union(diamond),
+        sf("a"), 3).as[(String, Double)].collect().toMap
+    assert(bd2 == bd)
+    // truncation: depth 1 sees no interior vertices at all
+    val b1 = Traversal.brandesBetweenness(path, sf("p"), 1,
+        undirected = true).as[(String, Double)].collect().toMap
+    assert(b1 == Map("q" -> 0.0))
+    intercept[IllegalArgumentException] {
+      Traversal.brandesBetweenness(path, sf("p"), 0)
+    }
+  }
+
   test("lazy (single-plan) shortestDistances matches the eager loop") {
     for (und <- Seq(false, true); depth <- Seq(1, 2, 3)) {
       val eager = Traversal.shortestDistances(edges, seeds("a"), depth, und)
