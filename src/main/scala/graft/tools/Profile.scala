@@ -795,6 +795,35 @@ object Profile {
           Traversal.shortestDistances(e1, seeds(e1, ""), 3).count()
         }
 
+      case "betweenness" =>
+        // would-it-scale probe for sampled Brandes: disjoint id-prefixed
+        // edge replicas (xN), one seed per replica — result sizes scale
+        // linearly, per-row cost should stay ~flat (all shuffles key on
+        // (seed, node); the K seeds batch through one frontier)
+        val n = if (args.length > 2) args(2).toInt else 8
+        import graft.byokg.Traversal
+        val e1 = graft.queries.Tables.undirectedEdges(spark, sfDir)
+        e1.count()
+        val reps = spark.range(0, n).select(col("id").cast("int").as("rep"))
+        val big = e1.crossJoin(reps)
+          .select(concat(col("rep"), lit("#"), col("src")).as("src"),
+            concat(col("rep"), lit("#"), col("dst")).as("dst"), col("label"))
+          .repartition(32).localCheckpoint(true)
+        println(s"[profile] betweenness edges=${big.count()} (${n}x)")
+        import spark.implicits._
+        def sf(ns: Seq[String]) =
+          ns.toDF("node").select(col("node").as("seed"), col("node"))
+        val s1 = sf(Seq("c:1"))
+        val sN = sf((0 until n).map(r => s"$r#c:1"))
+        val t1 = timeRet("betweenness 1 seed, 1x") {
+          Traversal.brandesBetweenness(e1, s1, 3).count()
+        }
+        val tN = timeRet(s"betweenness $n seeds, ${n}x") {
+          Traversal.brandesBetweenness(big, sN, 3).count()
+        }
+        println(f"[profile] ratio (xN time / x1 time) = ${tN / t1}%.2f " +
+          s"over ${n}x data+seeds")
+
       case "annrecall" =>
         // measured operating points for the KMeans-IVF scale path:
         // recall@10 against brute-force cosine and the corpus fraction
