@@ -795,6 +795,34 @@ object Profile {
           Traversal.shortestDistances(e1, seeds(e1, ""), 3).count()
         }
 
+      case "qscans" =>
+        // job/stage/task census for one named query — the re-derivation
+        // detector: a chain whose broadcast subtrees re-execute lineage
+        // shows up as extra jobs re-running the same scan stages. Run the
+        // query once untimed (warm layouts), then count one execution.
+        val qname = if (args.length > 2) args(2) else "q_full_chain"
+        graft.GraftExtensions.registerAll(spark)
+        graft.SparkEntry.queries(qname)(spark, sfDir).count() // warm
+        @volatile var jobs = 0
+        @volatile var stages = 0
+        @volatile var tasks = 0L
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs += 1
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = { stages += 1; tasks += s.stageInfo.numTasks }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val tq = timeRet(qname) {
+          graft.SparkEntry.queries(qname)(spark, sfDir).count()
+        }
+        Thread.sleep(2000) // listener bus is async; let it drain
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"[profile] $qname jobs=$jobs stages=$stages " +
+          f"tasks=$tasks in $tq%.2f s")
+
       case "betweenness" =>
         // would-it-scale probe for sampled Brandes: disjoint id-prefixed
         // edge replicas (xN), one seed per replica — result sizes scale
