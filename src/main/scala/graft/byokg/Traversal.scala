@@ -305,19 +305,13 @@ object Traversal {
     }
     // total: ascending-seed fold of each node's per-seed dependencies
     // (layers >= 1 only: a seed never scores its own BFS)
-    val out = deltas.map(_.select(col("seed"), col("node"), col("delta")))
+    deltas.map(_.select(col("seed"), col("node"), col("delta")))
       .reduce(_ union _)
       .groupBy(col("node"))
       .agg(aggregate(
         array_sort(collect_list(struct(col("seed").as("_w"),
           col("delta").as("_term")))),
         lit(0.0), (acc, s) => acc + s.getField("_term")).as("betweenness"))
-      // EAGER on purpose: the result materializes here so the K x depth
-      // node-scale layer caches release before returning — a lazy result
-      // would pin them for the caller's whole session
-      .localCheckpoint(true)
-    (e +: layers.toSeq).foreach(_.unpersist(false))
-    out
   }
 
   /** Triplet verbalization: "src [relation] dst" lines, one string per path
