@@ -162,6 +162,58 @@ object MlAnn {
   }
 
   /**
+   * Centroid silhouette over an IVF/KMeans assignment — the standard
+   * cluster-quality score (Rousseeuw 1987) in its centroid form (the
+   * "simplified silhouette": a = distance to the OWN centroid, b = the
+   * nearest OTHER centroid, s = (b-a)/max(a,b)), which is the variant
+   * that scales: exact silhouette is all-pairs within and across
+   * clusters; the centroid form is |centers| codegen-able distance folds
+   * per ROW, no join, no shuffle before the per-cell aggregate. Scores
+   * near 1 = compact well-separated cells; near 0 = boundary points;
+   * negative = points closer to another centroid than their own (a
+   * misassignment smell — for deterministic-KMeans output only possible
+   * after drift, so a negative mean flags a stale index).
+   *
+   * `deterministic = true` folds each cell's scores in id order (same
+   * two-mode contract as [[clusterProfile]]) so the mean replays
+   * bit-exactly in SQL; the scale path is a plain map-side-combined sum.
+   * Degenerate points equal to every centroid score 0 by definition.
+   */
+  def centroidSilhouette(assigned: DataFrame,
+                         centers: Array[Array[Double]],
+                         deterministic: Boolean = false): DataFrame = {
+    require(centers.length >= 2, "silhouette needs >= 2 clusters")
+    val dists = centers.map { c =>
+      sqrt(aggregate(
+        zip_with(col("emb"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e))
+    }
+    val base = assigned
+      .select(col("id"), col("ivf_cell").cast("int").as("cell"),
+        col("emb"))
+      .withColumn("_d", array(dists.toIndexedSeq: _*))
+      .withColumn("_a", element_at(col("_d"), col("cell") + 1))
+      // every centroid except the own one: the two slices around `cell`
+      .withColumn("_b", array_min(concat(
+        slice(col("_d"), lit(1), col("cell")),
+        slice(col("_d"), col("cell") + lit(2), lit(centers.length)))))
+      .withColumn("_s",
+        when(greatest(col("_a"), col("_b")) === 0.0, lit(0.0))
+          .otherwise((col("_b") - col("_a")) /
+            greatest(col("_a"), col("_b"))))
+    val sSum =
+      if (deterministic)
+        aggregate(array_sort(collect_list(struct(col("id"),
+          col("_s").as("v")))),
+          lit(0.0), (acc, m) => acc + m.getField("v"))
+      else sum(col("_s"))
+    base.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sSum.as("_ss"))
+      .select(col("cell"), col("n"),
+        round(col("_ss") / col("n"), 6).as("mean_silhouette"))
+  }
+
+  /**
    * Cell-bounded k-nearest-neighbor GRAPH over an assigned index frame
    * (`id`, `emb`, `ivf_cell` — the [[detKmeansIvf]]/[[kmeansIvf]] output):
    * for every row, its top-`k` cosine neighbors drawn from the row's OWN

@@ -269,6 +269,20 @@ object VectorQueries {
         .orderBy(col("cell"))
     }),
 
+    // extended: centroid silhouette (Rousseeuw 1987, simplified form) —
+    // the cluster-quality report over the SAME warmed det-KMeans index:
+    // per cell, the mean of (b-a)/max(a,b) with a = own-centroid distance
+    // and b = nearest-other-centroid distance. |centers| distance folds
+    // per row, no join before the per-cell aggregate; id-ordered folds
+    // make the mean bit-exact against the training-replay oracle.
+    "q_cluster_silhouette" -> ((s, dir) => {
+      val (assigned, centers) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      graft.ops.MlAnn.centroidSilhouette(assigned, centers,
+          deterministic = true)
+        .orderBy(col("cell"))
+    }),
+
     // extended: product-quantization ADC top-k — the compressed-storage ANN
     // path (m subspace codebooks from the same deterministic Lloyd trainer;
     // the timed query scans ONLY the codes table + a driver-built distance
@@ -571,6 +585,30 @@ object VectorQueries {
          |      list(nrm ORDER BY id)), (x, y) -> x + y) / count(*), 6)
          |    AS mean_norm
          |FROM norms GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // silhouette replay: training CTEs + per-(point, centroid) distances,
+    // a/b via conditional aggregates, id-ordered per-cell mean fold.
+    "q_cluster_silhouette" ->
+      s"""WITH ${detAssignCtes(nlist = 8, iters = 2)},
+         |pd AS (
+         |  SELECT a.id, a.cell AS own, c.cell AS ccell,
+         |    sqrt(${sqSql("a.emb", "c.c")}) AS dist
+         |  FROM af a CROSS JOIN c2 c),
+         |ab AS (
+         |  SELECT id, own AS cell,
+         |    max(CASE WHEN ccell = own THEN dist END) AS a,
+         |    min(CASE WHEN ccell <> own THEN dist END) AS b
+         |  FROM pd GROUP BY id, own),
+         |sv AS (
+         |  SELECT id, cell,
+         |    CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+         |         ELSE (b - a) / greatest(a, b) END AS s
+         |  FROM ab)
+         |SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(s ORDER BY id)), (x, y) -> x + y) / count(*), 6)
+         |    AS mean_silhouette
+         |FROM sv GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q_semantic_dedup" ->
       s"""WITH ${detAssignCtes(nlist = 8, iters = 2)},

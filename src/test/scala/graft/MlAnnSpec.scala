@@ -161,6 +161,41 @@ class MlAnnSpec extends SparkSpec {
     })
   }
 
+  test("centroidSilhouette: hand-computed scores, misassignment goes " +
+    "negative, centroid-coincident point scores 0, cluster-count guard") {
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val assigned = Seq(
+      (1L, Seq(0.0, 0.0), 0),  // ON centroid 0: a=0, b=10 -> s=1
+      (2L, Seq(4.0, 0.0), 0),  // a=4, b=6 -> s=(6-4)/6
+      (3L, Seq(9.0, 0.0), 0),  // misassigned: a=9, b=1 -> s=(1-9)/9
+      (4L, Seq(10.0, 0.0), 1)  // ON centroid 1: a=0, b=10 -> s=1
+    ).toDF("id", "emb", "ivf_cell")
+    val det = MlAnn.centroidSilhouette(assigned, centers,
+        deterministic = true)
+      .select("cell", "n", "mean_silhouette")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    val cell0 = (1.0 + 2.0 / 6.0 + -8.0 / 9.0) / 3.0
+    assert(det.map(_._1) == Seq(0, 1) && det.map(_._2) == Seq(3L, 1L))
+    assert(math.abs(det(0)._3 - BigDecimal(cell0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(det(1)._3 == 1.0)
+    // a point equal to EVERY centroid: max(a,b)=0 -> defined as 0
+    val deg = MlAnn.centroidSilhouette(
+      Seq((1L, Seq(0.0, 0.0), 0)).toDF("id", "emb", "ivf_cell"),
+      Array(Array(0.0, 0.0), Array(0.0, 0.0)), deterministic = true)
+      .select("mean_silhouette").as[Double].head()
+    assert(deg == 0.0)
+    // scale path agrees within float tolerance under repartitioning
+    val plain = MlAnn.centroidSilhouette(assigned.repartition(5), centers)
+      .select("cell", "mean_silhouette")
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    assert(plain.zip(det).forall { case ((c, m), (c2, _, m2)) =>
+      c == c2 && math.abs(m - m2) < 1e-9 })
+    intercept[IllegalArgumentException] {
+      MlAnn.centroidSilhouette(assigned, Array(Array(0.0, 0.0)))
+    }
+  }
+
   test("PQ: codebook shapes, encode assigns planted clusters per subspace") {
     // dim=4, m=2 subspaces of 2 dims; subspace clusters are well separated:
     // first half clusters on i%2, second half on i%3

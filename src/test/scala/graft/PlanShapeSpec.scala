@@ -176,7 +176,10 @@ class PlanShapeSpec extends SparkSpec {
     // round 8 (cont. session): UNWIND — a literal one-column frame
     // equi-joined into the pattern chain (broadcastable seed list) —
     // and sampled betweenness: (seed, node)-keyed BFS joins + folds
-    "q_cypher_unwind", "q_betweenness")
+    "q_cypher_unwind", "q_betweenness",
+    // round 8 (cont. session): centroid silhouette — literal-centroid
+    // distance folds per row, ONE per-cell aggregate, no join at all
+    "q_cluster_silhouette")
 
   /** Bounded-by-construction BNLJ sites: scalar-aggregate thresholds
     * (prune), single-row tf-idf corpus stats, literal query vectors. */
