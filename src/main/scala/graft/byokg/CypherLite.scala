@@ -474,23 +474,33 @@ object CypherLite {
     // connectivity: every part must (transitively) share a variable with
     // part 0, else the join degenerates into a cartesian product
     val varSets = parts.map(_.nodes.map(_.v).toSet)
-    // parts touching a piped (WITH-output) variable are anchored through
-    // the pipe join, so they seed connectivity like part 0 does
-    val reached = scala.collection.mutable.Set(0) ++
-      varSets.indices.filter(i => (varSets(i) & extraKnown).nonEmpty)
+    // the piped (WITH/UNWIND-output) frame is a virtual extra node in the
+    // connectivity graph: two parts that each touch a piped variable ARE
+    // connected (the pipe frame joins them — `WITH a, b MATCH
+    // (a)-->(p), (b)-->(q)` is one component), but a part whose ONLY
+    // anchor is the pipe, in a query whose part 0 never reaches the pipe,
+    // is still a cartesian against part 0's bindings and must Left —
+    // compile()'s greedy attach mirrors exactly this reachability, so
+    // anything admitted here attaches without stalling.
+    val touchesPipe = varSets.map(vs => (vs & extraKnown).nonEmpty)
+    val reached = scala.collection.mutable.Set(0)
     var grew = true
     while (grew) {
       grew = false
       varSets.indices.foreach { i =>
         if (!reached(i) &&
-            reached.exists(j => (varSets(i) & varSets(j)).nonEmpty)) {
+            reached.exists(j => (varSets(i) & varSets(j)).nonEmpty ||
+              (touchesPipe(i) && touchesPipe(j)))) {
           reached += i; grew = true
         }
       }
     }
     if (reached.size != parts.size)
       return Left("disconnected pattern parts (cartesian product) are " +
-        "not supported — share a variable between patterns")
+        "not supported — share a variable between patterns" +
+        (if (extraKnown.nonEmpty) " (a piped variable only connects " +
+          "parts when the piped component reaches the first pattern)"
+         else ""))
 
     // optional parts anchor to the mandatory variable set; their NEW
     // variables must be unique (an optional-to-optional join would key on
@@ -532,7 +542,17 @@ object CypherLite {
             case CondRe(v, p, op, value) =>
               Cond(v, op, Seq(value), Option(p).getOrElse("id"))
             case CondNumRe(v, p, op, num) =>
-              Cond(v, s"NUM$op", Seq(num), Option(p).getOrElse("id"))
+              // the BARE numeric form (`WHERE n >= 2`, no property) is
+              // only meaningful on a piped WITH/UNWIND output (a count or
+              // aggregate); on a pattern node variable the binding is a
+              // string node id, so the double try_cast would silently
+              // null out every row — a loud Left keeps the KGQA retry
+              // loop's feedback on semantics instead of an empty result
+              if (p == null && !extraKnown.contains(v))
+                return Left(s"numeric comparison on bare variable '$v' — " +
+                  "node bindings are string ids; compare a property " +
+                  s"('$v.prop $op $num') or pipe an aggregate through WITH")
+              else Cond(v, s"NUM$op", Seq(num), Option(p).getOrElse("id"))
             case CondStartsRe(v, p, pre) =>
               Cond(v, "STARTS_WITH", Seq(pre), p)
             case CondEndsRe(v, p, sfx) => Cond(v, "ENDS_WITH", Seq(sfx), p)
@@ -837,24 +857,41 @@ object CypherLite {
       q.parts.map(p => (p, compileChain(edgeFrame, p))): _*)
     var (part0, df) = frames.remove(0)
     var bound = part0.nodes.map(_.v).toSet
+    // WITH/UNWIND-piped frame: pattern variables named like a piped
+    // column are the pipe's join keys (Cypher's "WITH binds, the next
+    // MATCH expands from the bindings"); piped columns with no pattern
+    // twin ride along as plain output columns. The pipe participates in
+    // the same greedy attach loop as the comma parts — a part whose only
+    // link to part 0 is THROUGH the pipe (`WITH a, b MATCH (a)-->(p),
+    // (b)-->(q)`) attaches via the pipe join, mirroring parse()'s
+    // virtual-node connectivity check, so the loop can never stall on a
+    // query parse() admitted. No shared name anywhere is only legal when
+    // the WITH stage was a lone aggregate (parsePipe guarantees it) — a
+    // bounded 1-row cross, the "count then use as denominator" shape.
+    var pipePending = piped
+    def tryAttachPipe(): Unit = pipePending.foreach { s1 =>
+      val shared = s1.columns.filter(bound.contains).toSeq
+      if (shared.nonEmpty) {
+        df = df.join(s1, shared)
+        bound ++= s1.columns
+        pipePending = None
+      }
+    }
+    tryAttachPipe()
     while (frames.nonEmpty) {
       val i = frames.indexWhere { case (p, _) =>
         p.nodes.exists(n => bound.contains(n.v)) }
+      if (i < 0) // parse() proved reachability — unreachable by contract
+        throw new IllegalStateException(
+          "pattern part attach stalled despite parse-time connectivity")
       val (p, f) = frames.remove(i)
       val shared = p.nodes.map(_.v).filter(bound.contains)
       df = df.join(f, shared)
       bound ++= p.nodes.map(_.v)
+      tryAttachPipe()
     }
-    // WITH-piped frame: pattern variables named like a piped column are
-    // the pipe's join keys (Cypher's "WITH binds, the next MATCH expands
-    // from the bindings"); piped columns with no pattern twin ride along
-    // as plain output columns. No shared name is only legal when the
-    // WITH stage was a lone aggregate (parsePipe guarantees it) — a
-    // bounded 1-row cross, the "count then use as denominator" shape.
-    piped.foreach { s1 =>
-      val shared = s1.columns.filter(bound.contains).toSeq
-      df = if (shared.nonEmpty) df.join(s1, shared)
-           else df.crossJoin(broadcast(s1))
+    pipePending.foreach { s1 =>
+      df = df.crossJoin(broadcast(s1))
       bound ++= s1.columns
     }
     // label + property-map filters once over the joined frame; a variable

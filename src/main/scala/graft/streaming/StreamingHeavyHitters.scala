@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
  *     token with true stream count > n/(capacity+1) keeps a positive
  *     counter no matter how the stream was batched;
  *  3. the summary (≤ capacity rows + the running token total and batch
- *     high-water mark) overwrites the tiny parquet state dir.
+ *     high-water mark) is written as a NEW versioned parquet dir
+ *     `statePath/v-<batchId>` via write-to-temp + atomic directory
+ *     rename; older versions are deleted only after the rename lands.
+ *     The version listing itself is the pointer — [[readState]] reads
+ *     the highest-numbered version — so a crash at ANY point between
+ *     batches leaves a complete previous state readable: mid-write
+ *     leaves only ignored `_tmp_` garbage, mid-cleanup leaves an extra
+ *     old version the next fold removes. (A plain mode("overwrite") of
+ *     one dir had a delete-then-write window that could lose the whole
+ *     summary plus the batch high-water mark.)
  *
  * Exactly-once under foreachBatch's at-least-once redelivery: the state
  * carries the last folded `batch_id`; a redelivered id at-or-below the
@@ -65,14 +74,36 @@ object StreamingHeavyHitters {
     m.toSeq.sortBy { case (t, c) => (-c, t) }
   }
 
-  /** (summary, total stream tokens, last folded batch id) from the state
-    * dir; empty state if the path does not exist yet. */
+  private val VersionDirRe = """v-(\d+)""".r
+
+  /** The committed version directories under `statePath`, ascending by
+    * batch id (crash-leftover `_tmp_` dirs are invisible here). */
+  private def versions(fs: org.apache.hadoop.fs.FileSystem,
+                       root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case VersionDirRe(id) => Some((id.toLong, st.getPath))
+          case _ => None
+        }
+    }.flatten.sortBy(_._1)
+
+  /** The latest committed state version's path, if any — the frame to
+    * hand [[finishExact]]. */
+  def latestStatePath(s: SparkSession, statePath: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    versions(fs, root).lastOption.map(_._2.toString)
+  }
+
+  /** (summary, total stream tokens, last folded batch id) from the
+    * highest committed state version; empty state if none exists yet. */
   def readState(s: SparkSession, statePath: String)
   : (Seq[(String, Long)], Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(statePath)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return (Nil, 0L, -1L)
-    val rows = s.read.parquet(statePath).collect()
+    val latest = latestStatePath(s, statePath)
+      .getOrElse(return (Nil, 0L, -1L))
+    val rows = s.read.parquet(latest).collect()
     if (rows.isEmpty) return (Nil, 0L, -1L)
     val meta = rows.head // every row carries the same meta columns
     (rows.toSeq.filter(!_.isNullAt(0))
@@ -105,11 +136,31 @@ object StreamingHeavyHitters {
     val frame =
       if (merged.isEmpty) Seq((Option.empty[String], 0L)).toDF("token", "cnt")
       else merged.map { case (t, c) => (Option(t), c) }.toDF("token", "cnt")
+    // atomic commit: write the new version to a temp dir, rename it into
+    // place (directory rename is atomic on HDFS and posix local FS; the
+    // target cannot exist — redelivered ids were skipped above), THEN
+    // garbage-collect older versions and temp leftovers. A crash at any
+    // point leaves the previous version intact and readable.
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_tmp_v-$batchId")
+    val committed = new org.apache.hadoop.fs.Path(root, s"v-$batchId")
     frame
       .withColumn("n_tokens", lit(prevNtok + ntokB))
       .withColumn("batch_id", lit(batchId))
       .coalesce(1)
-      .write.mode("overwrite").parquet(statePath)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, committed))
+      throw new java.io.IOException(
+        s"heavy-hitters state commit failed: rename $tmp -> $committed")
+    // best-effort cleanup (older versions + any crashed temp dirs): a
+    // failure here only costs disk, never state
+    versions(fs, root).filter(_._1 < batchId)
+      .foreach { case (_, p) => fs.delete(p, true) }
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tmp_")
+        && st.getPath.getName != tmp.getName)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Exact finisher — the batch operator's second pass over the

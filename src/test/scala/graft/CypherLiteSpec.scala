@@ -846,6 +846,53 @@ class CypherLiteSpec extends SparkSpec {
       Seq(("c:1", "o:10", "p:7"), ("c:1", "o:11", "p:7")))
   }
 
+  test("parts connected only THROUGH the pipe attach via the pipe join; " +
+    "a pipe that never reaches part 0 is a loud cartesian Left") {
+    // two tail parts sharing NO variable with each other, each anchored
+    // on a different piped column — the pipe frame is the connector
+    // (previously crashed in compile with frames.remove(-1))
+    val q = "MATCH (c:c)-[:placed]->(o:o) WITH c, o " +
+      "MATCH (c)-[:placed]->(o2:o), (o)-[:contains]->(p:p) " +
+      "WHERE c.id = 'c:2' RETURN c.id AS cust, o2.id AS ord, p.id AS part"
+    val out = CypherLite.run(edges, q).toOption.get
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(("c:2", "o:12", "p:8")))
+    // UNWIND anchoring only a SECOND part, disconnected from part 0:
+    // a cartesian between (a,b) bindings and the seeded part — loud Left,
+    // never an IndexOutOfBoundsException
+    val bad = CypherLite.run(edges,
+      "UNWIND ['p:7'] AS v MATCH (a)-[:placed]->(b), " +
+        "(v)-[:supplied_by]->(s) RETURN a.id, s.id")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("disconnected"),
+      bad.toString)
+    // ...but seeding part 0 plus a part-0-connected second part is fine
+    val ok = CypherLite.run(edges,
+      "UNWIND ['c:1'] AS v MATCH (v)-[:placed]->(o:o), " +
+        "(o)-[:contains]->(p:p) RETURN DISTINCT p.id").toOption.get
+      .as[String].collect().toSeq
+    assert(ok == Seq("p:7"))
+  }
+
+  test("bare-variable numeric WHERE is refused on pattern variables " +
+    "(string ids would silently try_cast to null) but kept on piped " +
+    "outputs") {
+    val bad = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WHERE o > 5 RETURN c.id")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("bare variable"),
+      bad.toString)
+    // explicit property form still compiles (try_cast semantics)
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) WHERE o.id > 5 RETURN c.id")
+      .toOption.get.count() == 0L)
+    // piped aggregate keeps the bare form (`WHERE n >= 2` after WITH)
+    val piped = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WITH c, count(*) AS n " +
+        "MATCH (c)-[:placed]->(o2:o) WHERE n >= 2 " +
+        "RETURN DISTINCT c.id AS cust").toOption.get
+      .as[String].collect().toSeq
+    assert(piped == Seq("c:1"))
+  }
+
   test("WITH pipeline misuse is a loud Left; STARTS WITH never routes " +
     "to the pipeline parser") {
     // STARTS WITH must stay an operator, not a clause boundary

@@ -70,12 +70,27 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     input.addData(docs2: _*)
     val q2 = start(); q2.awaitTermination()
     val corpus = (docs1 ++ docs2).toDF("text")
-    val state = spark.read.parquet(statePath)
+    def latest() = StreamingHeavyHitters
+      .latestStatePath(spark, statePath).get
+    val state = spark.read.parquet(latest())
     // explicit redelivery of an already-folded batch id is a no-op
     val before = state.collect().toSet
     StreamingHeavyHitters.mergeBatch(
       docs1.toDF("text"), "text", statePath, capacity, batchId = 0L)
-    assert(spark.read.parquet(statePath).collect().toSet == before)
+    assert(spark.read.parquet(latest()).collect().toSet == before)
+    // atomic-commit contract: exactly one committed version remains
+    // (older ones GC'd after the rename), and crash leftovers — a stale
+    // _tmp_ dir from a fold that died mid-write — are invisible to reads
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(root).count(_.getPath.getName.startsWith("v-")) == 1)
+    val junk = new org.apache.hadoop.fs.Path(root, "_tmp_v-99")
+    fs.mkdirs(junk)
+    val (sumAfter, _, batchAfter) =
+      StreamingHeavyHitters.readState(spark, statePath)
+    assert(sumAfter.toSet == before.collect {
+      case r if !r.isNullAt(0) => (r.getString(0), r.getLong(1)) })
+    assert(batchAfter >= 0 && batchAfter < 99)
     // token total carried in the state equals the corpus total
     val nStream = state.head().getAs[Long]("n_tokens")
     val nBatch = corpus.select(
