@@ -31,10 +31,32 @@ import org.apache.spark.sql.functions._
  *           | v.p CONTAINS 'lit'         -- AND binds tighter than OR
  *           | v[.p] IS [NOT] NULL   -- allowed on OPTIONAL vars: the
  *                                   -- anti-join / exists shape
+ *           | expr (>|>=|<|<=|=|<>) expr -- general comparison: scalar
+ *                                   -- functions + arithmetic on either
+ *                                   -- side (see expr below); numeric
+ *                                   -- (double try_cast) when either
+ *                                   -- side is numeric-kinded, raw
+ *                                   -- column compare otherwise
+ *   expr := v[.p] | 'lit' | number | expr (+|-|*|/|%) expr | (expr)
+ *         | coalesce(expr, expr...) | size(expr) | toLower(expr)
+ *         | toUpper(expr) | trim(expr) | split(expr, 'delim')
+ *         | toString(expr)
+ *     -- the reference's own retrieval cypher leans on exactly these:
+ *     -- coalesce(s.valid_from, $LOWER), split(coalesce(...), ";"),
+ *     -- size(a)/size(b) scoring (traversal_based_base_retriever.py:
+ *     -- 160-190). Unknown functions are a loud Left NAMING the function
+ *     -- and the supported list. size() = array size for split results,
+ *     -- string length otherwise (Cypher's size() covers both).
+ *     -- Expression WHERE terms referencing OPTIONAL variables are
+ *     -- refused UNLESS the reference sits inside a multi-arg coalesce
+ *     -- (the fallback handles the null — the reference's shape).
  *   RETURN [DISTINCT] (item [, item ...] | agg [AS a]
  *                      | item [, item ...], agg [AS a])    -- grouped
  *     item := v[.p] [AS alias] | type(r) [AS alias]
  *           | properties(v) [AS alias]
+ *           | expr AS alias   -- scalar-function/arithmetic projection;
+ *                             -- the alias is REQUIRED (and is how
+ *                             -- ORDER BY addresses the item)
  *     agg  := count(*) | count(v[.p]) | count(DISTINCT v[.p])
  *                                -- all three also as the grouped
  *                                -- last-item form, e.g.
@@ -81,7 +103,15 @@ import org.apache.spark.sql.functions._
  *
  *   pattern := node(-[[r][:type[|type...]][*a..b]]->|<-[...]-)node ...
  *   node    := (v[:label][{id: 'lit'}])
- *   -- [r] binds the relationship variable (single-hop edges only)
+ *   -- [r] binds the relationship variable (single-hop edges only).
+ *   -- `r.prop` reads a RELATIONSHIP property when the edge frame
+ *   -- carries extra columns beyond (src, dst, label) — the reference's
+ *   -- `__RELATION__{value}` edge properties
+ *   -- (entity_relation_graph_builder.py:75-129, `r.value` in
+ *   -- local_entity_rewrites_graph_builder.py:42-44); the property is
+ *   -- projected from the edge scan (pruned to the referenced columns),
+ *   -- no extra join. A property the edge frame doesn't carry is a loud
+ *   -- Left naming the available relationship columns.
  *
  * `ORDER BY count(*) DESC LIMIT k` on a grouped count is the "top-k by
  * cardinality" shape KGQA LLMs emit for superlative questions ("which
@@ -151,12 +181,228 @@ object CypherLite {
                            varName: Option[String] = None)
 
   val MaxVarHops = 3
+
+  /** A WHERE term: either one of the closed-form predicate shapes
+    * ([[Cond]]) or a general expression comparison ([[ExprCond]]). */
+  sealed trait WhereTerm
+
   /** op ∈ {=, <>, IN, STARTS_WITH, ENDS_WITH, CONTAINS}; IN carries the
     * whole literal list in `values`. `prop` is the accessed node property
     * ("id" = the binding itself; anything else resolves through the
     * nodeProps frame at compile time). */
   final case class Cond(v: String, op: String, values: Seq[String],
-                        prop: String = "id")
+                        prop: String = "id") extends WhereTerm
+
+  // ---- expression layer --------------------------------------------------
+  // The reference's own retrieval cypher is not property-flat: it wraps
+  // properties in scalar functions and arithmetic — `coalesce(s.valid_from,
+  // $LOWER)`, `split(coalesce(...), ";")`, `size(a)/size(b)` scoring
+  // (traversal_based_base_retriever.py:160-190) — and a KGLinker-loop LLM
+  // emits `toLower(...)` / property arithmetic on its first real session.
+  // This small typed AST covers exactly those shapes; anything else (an
+  // unknown function, a malformed operand) is a loud Left so the retry
+  // budget goes to semantics, not grammar.
+
+  /** Scalar expression: property refs, string/number literals, the scalar
+    * functions the reference's cypher uses, and +-*
+    * / % arithmetic over double try_casts. */
+  sealed trait Expr {
+    /** Every (variable, property) this expression reads ("id" = the
+      * binding itself). */
+    def refs: Seq[(String, String)] = this match {
+      case Expr.Ref(v, p) => Seq(v -> p.getOrElse("id"))
+      case Expr.Fn(_, args) => args.flatMap(_.refs)
+      case Expr.Bin(_, l, r) => l.refs ++ r.refs
+      case _ => Nil
+    }
+    /** Refs NOT null-guarded by a multi-arg coalesce — the ones the
+      * OPTIONAL-variable null-kill refusal must inspect (a ref inside
+      * `coalesce(x, fallback)` tolerates an unmatched OPTIONAL row; a
+      * bare ref would silently turn the outer join inner). */
+    def unguardedRefs: Seq[(String, String)] = this match {
+      case Expr.Ref(v, p) => Seq(v -> p.getOrElse("id"))
+      case Expr.Fn(n, args) if n == "coalesce" && args.size >= 2 => Nil
+      case Expr.Fn(_, args) => args.flatMap(_.unguardedRefs)
+      case Expr.Bin(_, l, r) => l.unguardedRefs ++ r.unguardedRefs
+      case _ => Nil
+    }
+  }
+  object Expr {
+    final case class Ref(v: String, prop: Option[String]) extends Expr
+    final case class Str(s: String) extends Expr
+    final case class Num(d: Double) extends Expr
+    /** `name` is normalized lowercase (Cypher spells them camelCase). */
+    final case class Fn(name: String, args: Seq[Expr]) extends Expr
+    final case class Bin(op: Char, l: Expr, r: Expr) extends Expr
+
+    /** arg-count by normalized name; the supported surface. */
+    val Functions: Map[String, (Int, Int)] = Map(
+      "coalesce" -> (2, 8), "size" -> (1, 1), "tolower" -> (1, 1),
+      "toupper" -> (1, 1), "trim" -> (1, 1), "split" -> (2, 2),
+      "tostring" -> (1, 1))
+
+    /** Inferred value kind, for comparison/size semantics:
+      * num | str | arr | any (an unresolved property). */
+    def kind(e: Expr): String = e match {
+      case Num(_) => "num"
+      case Bin(_, _, _) => "num"
+      case Str(_) => "str"
+      case Fn("size", _) => "num"
+      case Fn("tolower" | "toupper" | "trim" | "tostring", _) => "str"
+      case Fn("split", _) => "arr"
+      case Fn("coalesce", args) =>
+        args.map(kind).find(_ != "any").getOrElse("any")
+      case Ref(_, _) => "any"
+    }
+  }
+
+  /** Recursive-descent expression parser (precedence: * / % over + -,
+    * parens group). Rejects unknown functions BY NAME with the supported
+    * list, and non-literal split delimiters. */
+  private final class ExprParser(input: String) {
+    private var pos = 0
+    private def ws(): Unit = while (pos < input.length &&
+      input.charAt(pos).isWhitespace) pos += 1
+    private def peek: Char = if (pos < input.length) input.charAt(pos) else ' '
+    private def fail(msg: String): Either[String, Nothing] =
+      Left(s"$msg at '${input.substring(math.min(pos, input.length)).take(25)}'")
+
+    def parseAll(): Either[String, Expr] =
+      expr().flatMap { e =>
+        ws()
+        if (pos < input.length)
+          fail("unexpected trailing input in expression")
+        else Right(e)
+      }
+
+    private def expr(): Either[String, Expr] = binChain(term _, Set('+', '-'))
+    private def term(): Either[String, Expr] = binChain(factor _, Set('*', '/', '%'))
+
+    private def binChain(sub: () => Either[String, Expr],
+                         ops: Set[Char]): Either[String, Expr] = {
+      var acc = sub() match { case Right(e) => e; case l => return l }
+      ws()
+      while (ops.contains(peek)) {
+        val op = peek; pos += 1
+        sub() match {
+          case Right(r) => acc = Expr.Bin(op, acc, r)
+          case l => return l
+        }
+        ws()
+      }
+      Right(acc)
+    }
+
+    private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+    private def factor(): Either[String, Expr] = {
+      ws()
+      peek match {
+        case '(' =>
+          pos += 1
+          expr().flatMap { e =>
+            ws()
+            if (peek == ')') { pos += 1; Right(e) }
+            else fail("expected ')'")
+          }
+        case '\'' =>
+          val end = input.indexOf('\'', pos + 1)
+          if (end < 0) fail("unterminated string literal")
+          else { val s = input.substring(pos + 1, end); pos = end + 1
+            Right(Expr.Str(s)) }
+        case c if c.isDigit ||
+            (c == '-' && pos + 1 < input.length &&
+              input.charAt(pos + 1).isDigit) =>
+          val m = """-?\d+(?:\.\d+)?""".r
+            .findPrefixMatchOf(input.substring(pos)).get
+          pos += m.end
+          Right(Expr.Num(m.group(0).toDouble))
+        case c if c.isLetter || c == '_' =>
+          val m = IdentRe.findPrefixMatchOf(input.substring(pos)).get
+          val ident = m.group(0); pos += m.end
+          ws()
+          if (peek == '(') { // function call
+            pos += 1
+            val name = ident.toLowerCase
+            Expr.Functions.get(name) match {
+              case None => Left(s"unknown function '$ident' — supported: " +
+                "coalesce, size, toLower, toUpper, trim, split, toString")
+              case Some((lo, hi)) =>
+                val args = scala.collection.mutable.ArrayBuffer.empty[Expr]
+                ws()
+                if (peek != ')') {
+                  var more = true
+                  while (more) {
+                    expr() match {
+                      case Right(e) => args += e
+                      case l => return l
+                    }
+                    ws()
+                    if (peek == ',') { pos += 1; more = true }
+                    else more = false
+                  }
+                }
+                if (peek != ')') return fail("expected ')' in call")
+                pos += 1
+                if (args.size < lo || args.size > hi)
+                  Left(s"$ident() takes " +
+                    (if (lo == hi) s"$lo" else s"$lo-$hi") +
+                    s" arguments, got ${args.size}")
+                else if (name == "split" && !args(1).isInstanceOf[Expr.Str])
+                  Left("split() needs a literal string delimiter")
+                else Right(Expr.Fn(name, args.toSeq))
+            }
+          } else if (peek == '.') {
+            pos += 1
+            IdentRe.findPrefixMatchOf(input.substring(pos)) match {
+              case Some(pm) =>
+                val prop = pm.group(0); pos += pm.end
+                Right(Expr.Ref(ident, propOf(prop)))
+              case None => fail(s"expected property name after '$ident.'")
+            }
+          } else Right(Expr.Ref(ident, None))
+        case _ => fail("expected an expression operand")
+      }
+    }
+  }
+
+  /** Parse one standalone scalar expression. */
+  def parseExpr(s: String): Either[String, Expr] =
+    new ExprParser(s).parseAll()
+
+  private val CmpOpRe = """>=|<=|<>|>|<|=""".r
+  /** Parse `expr cmpop expr` — the WHERE fallback for terms the closed
+    * regex forms don't cover. The comparison operator is located at
+    * paren/quote depth zero. */
+  def parseExprCompare(s: String): Either[String, (Expr, String, Expr)] = {
+    var depth = 0; var inStr = false; var i = 0
+    var opAt = -1; var opLen = 0
+    while (i < s.length && opAt < 0) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '>' | '<' | '=' if depth == 0 =>
+          val m = CmpOpRe.findPrefixMatchOf(s.substring(i)).get
+          opAt = i; opLen = m.end
+        case _ =>
+      }
+      i += 1
+    }
+    if (opAt < 0) Left(s"no comparison operator in '$s'")
+    else for {
+      l <- parseExpr(s.substring(0, opAt).trim)
+      r <- parseExpr(s.substring(opAt + opLen).trim)
+    } yield (l, s.substring(opAt, opAt + opLen), r)
+  }
+
+  /** General expression comparison WHERE term. Comparison is numeric
+    * (double try_cast both sides) when either side's inferred kind is
+    * numeric, raw otherwise — so `coalesce(s.from,'1900') <= '2024'`
+    * compares strings (the reference's ISO-timestamp-string shape) while
+    * `f.count > n.count * 2` compares doubles. */
+  final case class ExprCond(l: Expr, op: String, r: Expr) extends WhereTerm
   /** One comma-separated MATCH pattern: a linear node/edge chain. */
   final case class Part(nodes: Seq[NodePat], edges: Seq[EdgePat])
   /** `conds` is the WHERE clause in disjunctive normal form: the outer
@@ -165,7 +411,7 @@ object CypherLite {
     * OR is one group. `retAliases` parallels `returns` with the output
     * column name of each item (the `AS` alias, or the variable itself);
     * `countAlias` names the count(*)/count(DISTINCT) column. */
-  final case class Query(parts: Seq[Part], conds: Seq[Seq[Cond]],
+  final case class Query(parts: Seq[Part], conds: Seq[Seq[WhereTerm]],
                          returns: Seq[String], limit: Option[Int],
                          countStar: Boolean = false,
                          distinct: Boolean = false,
@@ -193,7 +439,12 @@ object CypherLite {
                          // grouped count(DISTINCT v[.p]) — the last-item
                          // slot, like groupCountVar but distinct-counting
                          groupCountDistinctVar: Option[String] = None,
-                         groupCountDistinctProp: Option[String] = None) {
+                         groupCountDistinctProp: Option[String] = None,
+                         // parallel to `returns` when nonEmpty: Some(e)
+                         // for an expression RETURN item (its `returns`
+                         // slot holds the first referenced variable, its
+                         // `retProps` slot None; AS alias required)
+                         retExprs: Seq[Option[Expr]] = Nil) {
     /** The output column names this query produces — what a WITH stage
       * exposes to the pipeline tail. */
     def outputNames: Seq[String] =
@@ -202,22 +453,34 @@ object CypherLite {
           countDistinctVar.nonEmpty || groupCount || aggFunc.nonEmpty)
           Seq(countAlias) else Nil)
 
-    /** Every non-id property the query reads, per variable — what
-      * [[compile]] materializes from the nodeProps frame and [[run]]
-      * schema-checks. */
+    /** Relationship (edge) variables bound anywhere in the query — their
+      * property reads resolve from the edge frame's extra columns, not
+      * the nodeProps join. */
+    def edgeVars: Set[String] =
+      (parts ++ optParts).flatMap(_.edges.flatMap(_.varName)).toSet
+
+    /** Every non-id property the query reads, per variable (node AND
+      * relationship variables — [[compile]] splits by [[edgeVars]]) —
+      * what [[compile]] materializes and [[run]] schema-checks. */
     def neededProps: Map[String, Set[String]] = {
-      val fromConds = conds.flatten.filter(_.prop != "id")
-        .map(c => c.v -> c.prop)
+      val fromConds = conds.flatten.flatMap {
+        case c: Cond if c.prop != "id" => Seq(c.v -> c.prop)
+        case e: ExprCond =>
+          (e.l.refs ++ e.r.refs).filter(_._2 != "id")
+        case _ => Nil
+      }
       val fromRets = returns.zip(
           if (retProps.size == returns.size) retProps
           else returns.map(_ => None))
         .collect { case (v, Some(p)) => v -> p }
+      val fromRetExprs =
+        retExprs.flatten.flatMap(_.refs).filter(_._2 != "id")
       val fromCounts =
         countDistinctVar.zip(countDistinctProp) ++
         countVar.zip(countVarProp) ++ groupCountVar.zip(groupCountProp) ++
         groupCountDistinctVar.zip(groupCountDistinctProp) ++
         aggVar.zip(aggProp)
-      (fromConds ++ fromRets ++ fromCounts)
+      (fromConds ++ fromRets ++ fromRetExprs ++ fromCounts)
         .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
     }
   }
@@ -302,6 +565,28 @@ object CypherLite {
     * binding itself); anything else → Some(prop). */
   private def propOf(g: String): Option[String] =
     Option(g).filter(_ != "id")
+
+  /** Comma split at paren/quote depth zero — RETURN/WITH item lists may
+    * now contain function calls whose argument commas must not split
+    * (`coalesce(c.value, 'x') AS name, o.id`). */
+  private def topSplit(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          out += s.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.toSeq
+  }
 
   /** Quote-aware keyword split (the lookahead demands an even number of
     * ' to the right, so a literal containing " and " / " or " / " with "
@@ -530,12 +815,15 @@ object CypherLite {
     }
 
     // WHERE → DNF: split on OR (outer), then AND (inner) — standard
-    // precedence (quote-aware, see [[boolSplit]]).
-    val conds: Seq[Seq[Cond]] = wherePart match {
+    // precedence (quote-aware, see [[boolSplit]]). The closed regex forms
+    // are tried first (they carry the pushdown-friendly shapes and the
+    // targeted error messages); anything else falls through to the
+    // expression-comparison parser.
+    val conds: Seq[Seq[WhereTerm]] = wherePart match {
       case None => Nil
       case Some(w) =>
         boolSplit(w, "OR").map { grp =>
-          boolSplit(grp, "AND").map {
+          boolSplit(grp, "AND").map[WhereTerm] {
             // prop group is optional for = / <> / numeric: a bare name
             // compares the binding itself — required for WHERE on a
             // piped WITH output (e.g. `WHERE n >= 2` after a count)
@@ -564,7 +852,15 @@ object CypherLite {
             case CondInRe(v, p, items) =>
               Cond(v, "IN",
                 StrLitRe.findAllMatchIn(items).map(_.group(1)).toSeq, p)
-            case other => return Left(s"unsupported WHERE term '$other'")
+            case other =>
+              // expression fallback: `expr cmpop expr` with scalar
+              // functions / arithmetic on either side — the reference's
+              // coalesce/size shapes and LLM-emitted property arithmetic
+              parseExprCompare(other) match {
+                case Right((l, op, r)) => ExprCond(l, op, r)
+                case Left(e) => return Left(
+                  s"unsupported WHERE term '$other' ($e)")
+              }
           }
         }
     }
@@ -599,7 +895,7 @@ object CypherLite {
     // by the returned variables (the per-entity cardinality shape: "how
     // many orders did each customer place"). The count must be the LAST
     // item; count(v) counts only non-null bindings of v.
-    val retItems = retPart.split(",").map(_.trim).toSeq
+    val retItems = topSplit(retPart)
     val groupCountM =
       if (isScalarCount || retItems.size < 2) None
       else fullMatch(CountStarRe, retItems.last)
@@ -652,33 +948,53 @@ object CypherLite {
         else "count")
     val allEdgeVars = (mandEdgeVars ++
       optParts.flatMap(_.edges.flatMap(_.varName))).toSet
-    // (variable, property, output name): property items default their
-    // output name to the literal `v.prop` (Neo4j's convention); plain
-    // bindings keep the bare variable
-    val retTriples: Seq[(String, Option[String], String)] =
+    // (variable, property, output name, expr): property items default
+    // their output name to the literal `v.prop` (Neo4j's convention);
+    // plain bindings keep the bare variable; expression items (scalar
+    // functions / arithmetic) REQUIRE an AS alias and record their first
+    // referenced variable in the `returns` slot. `r.prop` on a bound
+    // relationship variable reads the edge frame's property column —
+    // the reference's `__RELATION__{value}` edge properties
+    // (entity_relation_graph_builder.py:75-129).
+    val ExprAliasRe = """(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val retQuads: Seq[(String, Option[String], String, Option[Expr])] =
       if (isScalarCount) Nil
       else (if (groupCount || groupAgg) retItems.init else retItems).map {
         case TypeRetRe(v, alias) =>
           if (!allEdgeVars.contains(v))
             return Left(s"type($v): '$v' is not a relationship variable")
-          (v, None, Option(alias).getOrElse(s"type($v)"))
+          (v, None, Option(alias).getOrElse(s"type($v)"), None)
         case PropsRetRe(v, alias) =>
           if (allEdgeVars.contains(v))
             return Left(s"properties($v): '$v' is a relationship " +
-              s"variable — it carries only its type; use type($v)")
-          (v, Some("*"), Option(alias).getOrElse(s"properties($v)"))
+              s"variable — read a named property ($v.prop) or type($v)")
+          (v, Some("*"), Option(alias).getOrElse(s"properties($v)"), None)
         case RetRe(v, propG, alias) =>
           val p = propOf(propG)
-          if (p.nonEmpty && allEdgeVars.contains(v))
-            return Left(s"'$v' is a relationship variable — it carries " +
-              s"only its type; use type($v)")
           (v, p, Option(alias).getOrElse(
-            p.map(pp => s"$v.$pp").getOrElse(v)))
-        case other => return Left(s"unsupported RETURN item '$other'")
+            p.map(pp => s"$v.$pp").getOrElse(v)), None)
+        case other =>
+          val (body, alias) = other match {
+            case ExprAliasRe(b, a) => (b, Some(a))
+            case _ => (other, None)
+          }
+          parseExpr(body) match {
+            case Right(e) if e.refs.nonEmpty =>
+              alias match {
+                case Some(a) => (e.refs.head._1, None, a, Some(e))
+                case None => return Left("expression RETURN items need " +
+                  s"an alias — '$other AS name'")
+              }
+            case Right(_) => return Left("expression RETURN items must " +
+              s"reference a variable: '$other'")
+            case Left(e) =>
+              return Left(s"unsupported RETURN item '$other' ($e)")
+          }
       }
-    val returns = retTriples.map(_._1)
-    val retProps = retTriples.map(_._2)
-    val aliases = retTriples.map(_._3)
+    val returns = retQuads.map(_._1)
+    val retProps = retQuads.map(_._2)
+    val aliases = retQuads.map(_._3)
+    val retExprs = retQuads.map(_._4)
     // the default countAlias 'count' only collides when a count item
     // actually exists — a plain `RETURN n.id AS count` is legal
     val hasCountItem = isScalarCount || groupCount || groupAgg
@@ -686,29 +1002,23 @@ object CypherLite {
     if (outNames.distinct.size != outNames.size)
       return Left("duplicate output column names in RETURN — " +
         "disambiguate with AS")
-    // property access on relationship variables can also arrive via
-    // count(...)/agg(...)/WHERE — same loud refusal as the RETURN form
-    (countDistinctVar.zip(countDistinctProp) ++ countVar.zip(countVarProp) ++
-      groupCountVar.zip(groupCountProp) ++
-      groupCountDistinctVar.zip(groupCountDistinctProp) ++
-      aggVar.zip(aggProp) ++
-      conds.flatten.filter(_.prop != "id").map(c => (c.v, c.prop)))
-      .collectFirst { case (v, _) if allEdgeVars.contains(v) => v } match {
-      case Some(v) => return Left(s"'$v' is a relationship variable — it " +
-        s"carries only its type; use type($v)")
-      case None =>
-    }
     val known = mandatoryVars ++ mandEdgeVars ++
       optParts.flatMap(p => p.nodes.map(_.v) ++ p.edges.flatMap(_.varName))
     val condEligible = mandatoryVars ++ mandEdgeVars
     // IS [NOT] NULL is exempt from the null-kill refusal: filtering on
     // the optional variable's null-ness IS the stated intent (the Cypher
-    // anti-join / exists shape)
-    conds.flatten.filterNot(_.op.startsWith("IS_")).map(_.v)
-      .find(!condEligible.contains(_)) match {
+    // anti-join / exists shape). In expression terms, refs inside a
+    // multi-arg coalesce are also exempt — the fallback handles the null.
+    conds.flatten.flatMap {
+      case c: Cond if !c.op.startsWith("IS_") => Seq(c.v)
+      case e: ExprCond =>
+        (e.l.unguardedRefs ++ e.r.unguardedRefs).map(_._1)
+      case _ => Nil
+    }.find(!condEligible.contains(_)) match {
       case Some(v) if known.contains(v) =>
         return Left(s"WHERE on OPTIONAL MATCH variable '$v' would " +
-          "null-kill the outer join — not supported")
+          "null-kill the outer join — not supported (wrap it in " +
+          "coalesce(...) with a fallback, or use IS [NOT] NULL)")
       case _ =>
     }
     // ORDER BY items resolve to a returned item (by variable+property or
@@ -752,8 +1062,10 @@ object CypherLite {
       } else if ((groupCount || groupAgg) && propOpt.isEmpty &&
           o == countAlias) {
         (countAlias, asc)
-      } else retTriples.collectFirst {
-        case (v, p, a) if (v == o && p == propOpt) ||
+      } else retQuads.collectFirst {
+        // expression items resolve by ALIAS only — their recorded
+        // variable is just the first ref, not an addressable item
+        case (v, p, a, ex) if (ex.isEmpty && v == o && p == propOpt) ||
           (propOpt.isEmpty && a == o) => (a, asc)
       }.getOrElse {
         if (returns.nonEmpty)
@@ -764,7 +1076,12 @@ object CypherLite {
         (o, asc)
       }
     }
-    (conds.flatten.map(_.v) ++ returns ++ countDistinctVar ++ countVar ++
+    val condVars = conds.flatten.flatMap {
+      case c: Cond => Seq(c.v)
+      case e: ExprCond => (e.l.refs ++ e.r.refs).map(_._1)
+    }
+    val retExprVars = retExprs.flatten.flatMap(_.refs.map(_._1))
+    (condVars ++ returns ++ retExprVars ++ countDistinctVar ++ countVar ++
         groupCountVar ++ groupCountDistinctVar ++ aggVar)
       .find(!known.contains(_)) match {
       case Some(v) => Left(s"unknown variable '$v'")
@@ -774,7 +1091,8 @@ object CypherLite {
           aliases, countAlias, countVar, groupCountVar,
           retProps, countDistinctProp, countVarProp, groupCountProp,
           aggFunc, aggVar, aggProp,
-          groupCountDistinctVar, groupCountDistinctProp))
+          groupCountDistinctVar, groupCountDistinctProp,
+          retExprs))
     }
   }
 
@@ -782,7 +1100,16 @@ object CypherLite {
     * names, one row per match binding (Cypher semantics — no implicit
     * distinct). Label filters are NOT applied here; [[compile]] applies
     * them once over the joined frame (Catalyst pushes them back down). */
-  private def compileChain(edgeFrame: DataFrame, part: Part): DataFrame = {
+  private def compileChain(edgeFrame: DataFrame, part: Part,
+                           edgeNeeded: Map[String, Set[String]] =
+                             Map.empty): DataFrame = {
+    // a bound relationship variable carries its type (the `v` column) and
+    // any referenced edge properties, projected from the edge scan as
+    // `__v__prop` — the same naming bindCol resolves node properties to,
+    // so downstream compilation is representation-blind. Pruned to
+    // exactly the referenced properties (column pruning at the scan).
+    def edgePropCols(v: String): Seq[String] =
+      edgeNeeded.getOrElse(v, Set.empty).toSeq.sorted
     def singleHop(e: EdgePat, from: String, to: String): DataFrame = {
       val (fromCol, toCol) =
         if (e.rightward) ("src", "dst") else ("dst", "src")
@@ -792,7 +1119,9 @@ object CypherLite {
           edgeFrame.filter(col("label") === e.types.head)
         else edgeFrame.filter(col("label").isin(e.types: _*))
       typed.select(col(fromCol).as(from) +: col(toCol).as(to) +:
-        e.varName.map(v => col("label").as(v)).toSeq: _*)
+        (e.varName.map(v => col("label").as(v)).toSeq ++
+          e.varName.toSeq.flatMap(v =>
+            edgePropCols(v).map(p => col(p).as(s"__${v}__$p")))): _*)
     }
     if (part.edges.isEmpty)
       edgeFrame.select(col("src").as(part.nodes.head.v))
@@ -832,7 +1161,10 @@ object CypherLite {
             cur = nxt
           }
           f.select((boundCols :+ from).distinct.map(col) ++
-            e.varName.map(col) :+ col(to): _*)
+            e.varName.map(col) ++
+            e.varName.toSeq.flatMap(v =>
+              edgePropCols(v).map(p => col(s"__${v}__$p"))) :+
+            col(to): _*)
         }
         val identity =
           if (e.minHops > 0) None
@@ -853,8 +1185,14 @@ object CypherLite {
   def compile(edgeFrame: DataFrame, q: Query,
               nodeProps: Option[DataFrame] = None,
               piped: Option[DataFrame] = None): DataFrame = {
+    // relationship-variable property reads resolve from the edge scan
+    // (projected inside compileChain); node-variable reads resolve via
+    // the nodeProps join below
+    val edgeVarSet = q.edgeVars
+    val edgeNeeded: Map[String, Set[String]] =
+      q.neededProps.filter { case (v, _) => edgeVarSet.contains(v) }
     val frames = scala.collection.mutable.ArrayBuffer(
-      q.parts.map(p => (p, compileChain(edgeFrame, p))): _*)
+      q.parts.map(p => (p, compileChain(edgeFrame, p, edgeNeeded))): _*)
     var (part0, df) = frames.remove(0)
     var bound = part0.nodes.map(_.v).toSet
     // WITH/UNWIND-piped frame: pattern variables named like a piped
@@ -907,7 +1245,7 @@ object CypherLite {
     // — Cypher's "pattern must match its own labels and property maps,
     // else null"), then a LEFT OUTER attach on the mandatory anchors
     q.optParts.foreach { p =>
-      var f = compileChain(edgeFrame, p)
+      var f = compileChain(edgeFrame, p, edgeNeeded)
       p.nodes.flatMap(nodeFilters).foreach(c => f = f.filter(c))
       val shared = p.nodes.map(_.v).filter(bound.contains)
       df = df.join(f, shared, "left")
@@ -924,9 +1262,11 @@ object CypherLite {
     // nodeProps column, sorted for a deterministic JSON rendering
     val allProps: Seq[String] =
       nodeProps.map(_.columns.filter(_ != "id").toSeq.sorted).getOrElse(Nil)
-    val needed = q.neededProps.map { case (v, ps) =>
-      v -> (if (ps.contains("*")) ps - "*" ++ allProps else ps)
-    }.filter(_._2.nonEmpty)
+    val needed = q.neededProps
+      .filterNot { case (v, _) => edgeVarSet.contains(v) }
+      .map { case (v, ps) =>
+        v -> (if (ps.contains("*")) ps - "*" ++ allProps else ps)
+      }.filter(_._2.nonEmpty)
     if (needed.nonEmpty) {
       val props = nodeProps.getOrElse(throw new IllegalArgumentException(
         "query references node properties but no nodeProps frame was " +
@@ -945,6 +1285,59 @@ object CypherLite {
           .otherwise(to_json(struct(
             allProps.map(p => col(s"__${v}__$p").as(p)): _*)))
       else col(s"__${v}__$prop")
+    // scalar expression → Column: functions map 1:1 onto codegen'd
+    // built-ins; arithmetic folds double try_casts (non-numeric → null,
+    // row drops — SQL semantics); size() is array-size for list-kinded
+    // args (split results) and string length otherwise (Cypher's size()
+    // covers both)
+    def exprCol(e: Expr): Column = e match {
+      case Expr.Ref(v, p) => bindCol(v, p.getOrElse("id"))
+      case Expr.Str(s) => lit(s)
+      case Expr.Num(d) => lit(d)
+      case Expr.Bin(op, l, r) =>
+        val lc = exprCol(l).try_cast("double")
+        val rc = exprCol(r).try_cast("double")
+        op match {
+          case '+' => lc + rc
+          case '-' => lc - rc
+          case '*' => lc * rc
+          case '/' => lc / rc
+          case '%' => lc % rc
+        }
+      case Expr.Fn("coalesce", args) => coalesce(args.map(exprCol): _*)
+      case Expr.Fn("size", Seq(a)) =>
+        if (Expr.kind(a) == "arr") size(exprCol(a))
+        else length(exprCol(a).cast("string"))
+      case Expr.Fn("tolower", Seq(a)) => lower(exprCol(a))
+      case Expr.Fn("toupper", Seq(a)) => upper(exprCol(a))
+      case Expr.Fn("trim", Seq(a)) => trim(exprCol(a))
+      case Expr.Fn("tostring", Seq(a)) => exprCol(a).cast("string")
+      case Expr.Fn("split", Seq(a, Expr.Str(d))) =>
+        // Cypher split takes a LITERAL delimiter; Spark's takes a regex
+        split(exprCol(a), java.util.regex.Pattern.quote(d))
+      case other => throw new IllegalStateException(
+        s"unreachable expression shape $other") // parser closed the set
+    }
+    def exprCmpCol(ec: ExprCond): Column = {
+      // numeric when either side's inferred kind is numeric (arithmetic,
+      // size(), a number literal) — both sides try_cast to double; raw
+      // column comparison otherwise (string properties compare
+      // lexicographically, the reference's ISO-timestamp-string shape)
+      val numeric =
+        Expr.kind(ec.l) == "num" || Expr.kind(ec.r) == "num"
+      val (lc, rc) =
+        if (numeric) (exprCol(ec.l).try_cast("double"),
+          exprCol(ec.r).try_cast("double"))
+        else (exprCol(ec.l), exprCol(ec.r))
+      ec.op match {
+        case "=" => lc === rc
+        case "<>" => lc =!= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+      }
+    }
     // WHERE in DNF: AND within a group (each conjunct an independently
     // pushable predicate), OR across groups (one residual filter — an OR
     // can't push into the scan, which is Cypher's semantics too)
@@ -974,17 +1367,26 @@ object CypherLite {
           }
       }
     }
+    def termCol(t: WhereTerm): Column = t match {
+      case c: Cond => condCol(c)
+      case e: ExprCond => exprCmpCol(e)
+    }
     if (q.conds.nonEmpty)
       df = df.filter(
-        q.conds.map(_.map(condCol).reduce(_ && _)).reduce(_ || _))
+        q.conds.map(_.map(termCol).reduce(_ && _)).reduce(_ || _))
     val retP =
       if (q.retProps.size == q.returns.size) q.retProps
       else q.returns.map(_ => None)
     val retA =
       if (q.retAliases.size == q.returns.size) q.retAliases else q.returns
+    val retE =
+      if (q.retExprs.size == q.returns.size) q.retExprs
+      else q.returns.map(_ => None)
     val outCols: Seq[(Column, String)] =
-      q.returns.lazyZip(retP).lazyZip(retA).map { (v, p, a) =>
-        (bindCol(v, p.getOrElse("id")), a)
+      q.returns.indices.map { i =>
+        (retE(i).map(exprCol)
+          .getOrElse(bindCol(q.returns(i), retP(i).getOrElse("id"))),
+          retA(i))
       }
     // output columns may carry a dot (`v.prop` default names) — backtick
     // when referencing them post-projection
@@ -1254,7 +1656,7 @@ object CypherLite {
             if (!q.parts.exists(_.nodes.exists(_.v == v)))
               Left(s"UNWIND variable '$v' is not used by any MATCH " +
                 "pattern — name it as a pattern node to anchor the lookup")
-            else schemaCheck(q, nodeProps).map { _ =>
+            else schemaCheck(q, nodeProps, edgeFrame).map { _ =>
               val s = edgeFrame.sparkSession
               import s.implicits._
               // no dedup: Cypher's UNWIND binds duplicates per occurrence
@@ -1267,24 +1669,39 @@ object CypherLite {
     }
     else if (withMatch(cypher).nonEmpty)
       parsePipe(cypher).flatMap { pq =>
-        schemaCheck(pq.stage1, nodeProps)
+        schemaCheck(pq.stage1, nodeProps, edgeFrame)
           .flatMap(_ => pq.stage2.fold[Either[String, Unit]](Right(()))(
-            q2 => schemaCheck(q2, nodeProps)))
+            q2 => schemaCheck(q2, nodeProps, edgeFrame)))
           .map(_ => compile(edgeFrame, pq, nodeProps))
       }
     else parse(cypher).flatMap { q =>
-      schemaCheck(q, nodeProps).map(_ => compile(edgeFrame, q,
+      schemaCheck(q, nodeProps, edgeFrame).map(_ => compile(edgeFrame, q,
         if (q.neededProps.nonEmpty) nodeProps else None))
     }
 
-  /** Every non-id property the query reads must exist on the nodeProps
-    * frame — missing ones Left with the store's real columns, so an LLM
-    * that invents a property gets schema feedback, not an analysis
-    * exception. */
+  /** Every non-id property the query reads must exist on the store —
+    * node-variable properties on the nodeProps frame, relationship-
+    * variable properties on the edge frame's extra columns. Missing ones
+    * Left with the store's real columns, so an LLM that invents a
+    * property gets schema feedback, not an analysis exception. */
   private def schemaCheck(q: Query,
-                          nodeProps: Option[DataFrame])
+                          nodeProps: Option[DataFrame],
+                          edgeFrame: DataFrame)
   : Either[String, Unit] = {
-    val needed = q.neededProps.values.flatten.toSet
+    val edgeVarSet = q.edgeVars
+    val (edgeSide, nodeSide) =
+      q.neededProps.partition { case (v, _) => edgeVarSet.contains(v) }
+    val edgeAvail = edgeFrame.columns.toSet -- Set("src", "dst", "label")
+    val edgeMissing = edgeSide.values.flatten.toSet -- edgeAvail
+    if (edgeMissing.nonEmpty)
+      return Left("unknown relationship propert" +
+        (if (edgeMissing.size > 1) "ies " else "y ") +
+        edgeMissing.toSeq.sorted.mkString("'", "', '", "'") +
+        (if (edgeAvail.isEmpty)
+          " — this store's relationships carry only their type; use type(r)"
+         else " — relationship properties available: " +
+           edgeAvail.toSeq.sorted.mkString(", ")))
+    val needed = nodeSide.values.flatten.toSet
     nodeProps match {
       case None if needed.nonEmpty =>
         Left("node properties " +

@@ -303,6 +303,43 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. openCypher expression layer: scalar functions (coalesce /
+    // toLower / size(split)) and property arithmetic in WHERE + RETURN —
+    // the reference's own retrieval cypher wraps properties in exactly
+    // these (coalesce(s.valid_from, $LOWER), split(coalesce(...), ';'),
+    // size(a)/size(b): traversal_based_base_retriever.py:160-190), and a
+    // KGLinker-loop LLM emits property arithmetic on its first session.
+    // Every function maps onto a codegen'd built-in; the arithmetic
+    // comparison folds double try_casts.
+    "q_cypher_expr" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o) " +
+        "WHERE o.price > c.price * 60.0 AND c.class = 'customer' " +
+        "RETURN c.id AS cust, o.id AS ord, toLower(c.value) AS lname, " +
+        "size(split(o.value, '-')) AS nsegs, " +
+        "coalesce(c.value, 'unknown') AS who " +
+        "ORDER BY cust, ord LIMIT 200"
+      graft.byokg.CypherLite.run(edges(s, dir),
+          Some(Tables.nodeProps(s, dir)), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
+    // ext. openCypher relationship properties: `r.qty` / `r.priority`
+    // read the edge frame's extra columns — the reference stores edge
+    // properties (`__RELATION__{value}`, entity_relation_graph_builder
+    // .py:75-129) and its cypher reads `r.value`
+    // (local_entity_rewrites_graph_builder.py:42-44). Each bound edge
+    // variable projects ONLY its referenced properties from the scan —
+    // no extra join, column pruning intact.
+    "q_cypher_relprops" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[r1:placed]->(o:o)-[r2:contains]->(p:p) " +
+        "WHERE r2.qty >= 45 " +
+        "RETURN c.id AS cust, o.id AS ord, r1.priority AS prio, " +
+        "p.id AS part, r2.qty AS qty " +
+        "ORDER BY cust, ord, part"
+      graft.byokg.CypherLite.run(Tables.edgesWithProps(s, dir), q)
+        .fold(err => sys.error(err), identity)
+    }),
+
     // ext. openCypher grouped aggregate: `RETURN c.id, sum(o.price)` —
     // the aggregative KGQA shape ("total spend of each customer"); the
     // sum folds the property's double cast, grouped by the other RETURN
@@ -1477,6 +1514,35 @@ object GraphQueries {
          |WHERE e.label = 'placed' AND e.src LIKE 'c:%' AND e.dst LIKE 'o:%'
          |  AND op.price > 450000 AND cp.class = 'customer'
          |ORDER BY total DESC, cust, ord LIMIT 25""".stripMargin,
+
+    // expression-layer replay: the scalar functions map 1:1 onto DuckDB
+    // built-ins (toLower→lower, size(split)→len(string_split),
+    // coalesce→coalesce); the arithmetic comparison is double on both
+    // engines (same parquet doubles, same IEEE multiply).
+    "q_cypher_expr" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |props AS (${Tables.nodePropsSql})
+         |SELECT e.src AS cust, e.dst AS ord, lower(cp.value) AS lname,
+         |  len(string_split(op.value, '-')) AS nsegs,
+         |  coalesce(cp.value, 'unknown') AS who
+         |FROM edges0 e
+         |JOIN props cp ON cp.id = e.src
+         |JOIN props op ON op.id = e.dst
+         |WHERE e.label = 'placed' AND e.src LIKE 'c:%' AND e.dst LIKE 'o:%'
+         |  AND op.price > cp.price * 60.0 AND cp.class = 'customer'
+         |ORDER BY cust, ord LIMIT 200""".stripMargin,
+
+    // relationship-property replay: the property-carrying edge CTE is the
+    // store; each bound edge variable is one scan of it.
+    "q_cypher_relprops" ->
+      s"""WITH ep AS (${Tables.edgesWithPropsSql})
+         |SELECT e1.src AS cust, e1.dst AS ord, e1.priority AS prio,
+         |  e2.dst AS part, e2.qty AS qty
+         |FROM ep e1 JOIN ep e2 ON e2.src = e1.dst
+         |WHERE e1.label = 'placed' AND e2.label = 'contains'
+         |  AND e1.src LIKE 'c:%' AND e1.dst LIKE 'o:%'
+         |  AND e2.dst LIKE 'p:%' AND e2.qty >= 45
+         |ORDER BY cust, ord, part""".stripMargin,
 
     // node-property replay: the props CTE is the node-property table; each
     // property-reading variable is one join against it.

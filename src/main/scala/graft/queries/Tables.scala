@@ -436,6 +436,50 @@ object Tables {
     placed.union(contains).union(suppliedBy)
   }
 
+  /** [[edges]] twin carrying RELATIONSHIP properties — the reference
+    * stores edge properties on its relations (`__RELATION__{value}`,
+    * entity_relation_graph_builder.py:75-129) and its cypher reads them
+    * as `r.value`. Here: `qty` (total line quantity, contains edges) and
+    * `priority` (order priority, placed edges); null on other labels.
+    * Memoized + cached like [[edges]]. */
+  def edgesWithProps(s: SparkSession, dir: String): DataFrame =
+    edgesWithPropsCache.getOrElseUpdate((s, dir), {
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val placed = orders.select(
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"),
+        lit("placed").as("label"),
+        lit(null).cast("long").as("qty"),
+        col("o_orderpriority").as("priority"))
+      val contains = lineitem.groupBy(
+          concat(lit("o:"), col("l_orderkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+        .select(col("src"), col("dst"), lit("contains").as("label"),
+          col("qty"), lit(null).cast("string").as("priority"))
+      val suppliedBy = lineitem.select(
+          concat(lit("p:"), col("l_partkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"),
+          lit("supplied_by").as("label")).distinct()
+        .select(col("src"), col("dst"), col("label"),
+          lit(null).cast("long").as("qty"),
+          lit(null).cast("string").as("priority"))
+      placed.union(contains).union(suppliedBy)
+        .coalesce(cachePartitions(s)).cache()
+    })
+
+  private val edgesWithPropsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The same property-carrying edge set as DuckDB SQL. */
+  val edgesWithPropsSql: String =
+    """SELECT 'c:'||o_custkey AS src, 'o:'||o_orderkey AS dst, 'placed' AS label, CAST(NULL AS BIGINT) AS qty, o_orderpriority AS priority FROM orders
+      |UNION ALL
+      |SELECT 'o:'||l_orderkey, 'p:'||l_partkey, 'contains', CAST(sum(l_quantity) AS BIGINT), NULL FROM lineitem GROUP BY 1, 2
+      |UNION ALL
+      |SELECT DISTINCT 'p:'||l_partkey, 's:'||l_suppkey, 'supplied_by', CAST(NULL AS BIGINT), NULL FROM lineitem""".stripMargin
+
   /** The same edge set as DuckDB SQL (for oracle queries). */
   val edgesSql: String =
     """SELECT 'c:'||o_custkey AS src, 'o:'||o_orderkey AS dst, 'placed' AS label FROM orders

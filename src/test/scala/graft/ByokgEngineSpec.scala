@@ -275,6 +275,43 @@ class ByokgEngineSpec extends SparkSpec {
       err.get.contains("class"), ctx2)
   }
 
+  test("ByoKGIterativeEngine executes expression cypher from the LLM " +
+    "(coalesce / toLower / property arithmetic — the reference's own " +
+    "retrieval-cypher shapes); an unknown function becomes retry feedback") {
+    import graft.byokg.CypherGraphRetriever
+    val nodeProps = Seq(
+      ("acme", "Acme Corp", "company", 50.0),
+      ("alice", "Alice Liddell", "person", 150.0),
+      ("berlin", "Berlin", "city", 10.0),
+      ("germany", "Germany", "country", 20.0))
+      .toDF("id", "value", "class", "score")
+    val turn1 =
+      """<entities>
+        |acmee
+        |</entities>
+        |<opencypher>MATCH (a)-[:founded_by]->(f) WHERE f.score > a.score * 2.0 RETURN toLower(a.value) AS org, coalesce(f.value, 'unknown') AS founder</opencypher>"""
+        .stripMargin
+    val turn2 = "<entities>\nFINISH\n</entities>" +
+      "<task-completion>FINISH</task-completion>"
+    val engine = new ByoKGIterativeEngine(edges,
+      new ScriptedLLM(Seq(turn1, turn2)),
+      cypherRetriever = Some(new CypherGraphRetriever(edges,
+        nodeProps = Some(nodeProps))))
+    val ctx = engine.query("who founded acme", iterations = 3)
+    assert(ctx.contains("org: acme corp, founder: Alice Liddell"), ctx)
+    // an unknown function surfaces BY NAME in the retry-feedback line,
+    // with the supported list — the LLM's budget goes to semantics
+    val badTurn = turn1.replace("toLower(a.value)", "initCap(a.value)")
+    val engine2 = new ByoKGIterativeEngine(edges,
+      new ScriptedLLM(Seq(badTurn, turn2)),
+      cypherRetriever = Some(new CypherGraphRetriever(edges,
+        nodeProps = Some(nodeProps))))
+    val ctx2 = engine2.query("who founded acme", iterations = 3)
+    val err = ctx2.find(_.startsWith("Error executing query:"))
+    assert(err.nonEmpty && err.get.contains("initCap") &&
+      err.get.contains("coalesce"), ctx2)
+  }
+
   test("engine schema lists sorted relation labels") {
     val engine = new ByoKGIterativeEngine(edges, new StubLLM)
     assert(engine.schema() ==

@@ -981,4 +981,118 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o) " +
         "WHERE o.id = 'o:10' RETURN n.id").isLeft)
   }
+
+  private lazy val propsNum = Seq(
+    ("c:1", "Alice", 100.0), ("c:2", "Bob", 40.0),
+    ("o:10", "order-10-O", 150.0), ("o:11", "order-11-F", 90.0),
+    ("o:12", "order-12-O", 95.0),
+    ("p:7", "red widget", 9.5), ("p:8", "blue bolt", 1.25),
+    ("s:3", "Supplier#3", 0.0)).toDF("id", "value", "price")
+
+  test("expression layer: coalesce / toLower / size(split) / arithmetic " +
+    "in RETURN (AS required) and WHERE; ORDER BY addresses the alias") {
+    // the reference's own shapes: coalesce fallback, split+size scoring
+    val q = "MATCH (c:c)-[:placed]->(o:o) " +
+      "WHERE o.price > c.price * 2.0 " +
+      "RETURN c.id AS cust, toLower(c.value) AS lname, " +
+      "size(split(o.value, '-')) AS nsegs, " +
+      "coalesce(c.value, 'unknown') AS who, " +
+      "(o.price + c.price) / 2 AS midprice " +
+      "ORDER BY midprice DESC, cust"
+    val out = CypherLite.run(edges, Some(propsNum), q).toOption.get
+      .as[(String, String, Int, String, Double)].collect().toSeq
+    // o:12 (95) > c:2 (40)*2=80 → only c:2/o:12 qualifies
+    // (c:1: 150 vs 200, 90 vs 200 — both fail)
+    assert(out == Seq(("c:2", "bob", 3, "Bob", 67.5)))
+    // string-kinded comparison stays raw (lexicographic), not numeric
+    val strCmp = CypherLite.run(edges, Some(propsNum),
+      "MATCH (c:c)-[:placed]->(o:o) WHERE toLower(c.value) = 'alice' " +
+        "RETURN o.id AS ord ORDER BY ord").toOption.get
+      .as[String].collect().toSeq
+    assert(strCmp == Seq("o:10", "o:11"))
+    // size() on a string = length (Cypher's size covers both)
+    val lens = CypherLite.run(edges, Some(propsNum),
+      "MATCH (p:p)-[:supplied_by]->(s) WHERE size(p.value) > 8 " +
+        "RETURN p.id AS part").toOption.get.as[String].collect().toSeq
+    assert(lens == Seq("p:7")) // 'red widget' = 10 chars, 'blue bolt' = 9
+    // expression RETURN item without AS is a loud Left
+    val noAlias = CypherLite.run(edges, Some(propsNum),
+      "MATCH (c:c)-[:placed]->(o) RETURN toLower(c.value)")
+    assert(noAlias.isLeft && noAlias.swap.toOption.get.contains("alias"),
+      noAlias.toString)
+    // unknown function is a loud Left NAMING it and the supported list
+    val unkFn = CypherLite.run(edges, Some(propsNum),
+      "MATCH (c:c)-[:placed]->(o) WHERE levenshtein(c.value, 'x') > 2 " +
+        "RETURN c.id")
+    assert(unkFn.isLeft && unkFn.swap.toOption.get.contains("levenshtein")
+      && unkFn.swap.toOption.get.contains("coalesce"), unkFn.toString)
+    // expression properties still schema-check (unknown prop named)
+    val unkProp = CypherLite.run(edges, Some(propsNum),
+      "MATCH (c:c)-[:placed]->(o) RETURN coalesce(c.ghost, 'x') AS g")
+    assert(unkProp.isLeft && unkProp.swap.toOption.get.contains("ghost"),
+      unkProp.toString)
+  }
+
+  test("expression WHERE on OPTIONAL variables: refused bare, allowed " +
+    "inside a multi-arg coalesce (the reference's null-guard shape)") {
+    // guarded: coalesce(o, 'none') = 'none' ≡ the anti-join
+    val guarded = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE coalesce(o, 'none') = 'none' AND n.id IN ['c:1', 'p:7'] " +
+        "RETURN DISTINCT n.id AS anchor ORDER BY anchor").toOption.get
+      .as[String].collect().toSeq
+    assert(guarded == Seq("p:7"))
+    // unguarded expression ref to the optional var: loud Left
+    val bare = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE toLower(o) = 'o:10' RETURN n.id")
+    assert(bare.isLeft && bare.swap.toOption.get.contains("null-kill"),
+      bare.toString)
+  }
+
+  private lazy val edgesP = Seq(
+    ("c:1", "o:10", "placed", Option.empty[Long], Some("1-URGENT")),
+    ("c:1", "o:11", "placed", Option.empty[Long], Some("3-MEDIUM")),
+    ("c:2", "o:12", "placed", Option.empty[Long], Some("2-HIGH")),
+    ("o:10", "p:7", "contains", Some(40L), None),
+    ("o:11", "p:7", "contains", Some(10L), None),
+    ("o:12", "p:8", "contains", Some(25L), None),
+    ("p:7", "s:3", "supplied_by", Option.empty[Long], None))
+    .toDF("src", "dst", "label", "qty", "priority")
+
+  test("relationship properties: r.prop reads the edge frame's extra " +
+    "columns (projected from the scan, no join); unknown edge props " +
+    "are loud with the available columns") {
+    val q = "MATCH (o:o)-[r:contains]->(p:p) WHERE r.qty >= 25 " +
+      "RETURN o.id AS ord, p.id AS part, r.qty AS qty, type(r) AS rel " +
+      "ORDER BY ord"
+    val out = CypherLite.run(edgesP, q).toOption.get
+      .as[(String, String, Long, String)].collect().toSeq
+    assert(out == Seq(("o:10", "p:7", 40L, "contains"),
+      ("o:12", "p:8", 25L, "contains")))
+    // edge props work in aggregates too: total qty per part
+    val agg = CypherLite.run(edgesP,
+      "MATCH (o:o)-[r:contains]->(p:p) " +
+        "RETURN p.id AS part, sum(r.qty) AS total ORDER BY part")
+      .toOption.get.as[(String, Double)].collect().toSeq
+    assert(agg == Seq(("p:7", 50.0), ("p:8", 25.0)))
+    // expression over an edge prop
+    val expr = CypherLite.run(edgesP,
+      "MATCH (c:c)-[r:placed]->(o:o) " +
+        "RETURN c.id AS cust, toLower(coalesce(r.priority, 'none')) AS pr " +
+        "ORDER BY cust, pr").toOption.get
+      .as[(String, String)].collect().toSeq
+    assert(expr == Seq(("c:1", "1-urgent"), ("c:1", "3-medium"),
+      ("c:2", "2-high")))
+    // unknown edge property: loud Left naming the available columns
+    val bad = CypherLite.run(edgesP,
+      "MATCH (a)-[r]->(b) WHERE r.weight > 2 RETURN a.id")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("weight") &&
+      bad.swap.toOption.get.contains("qty"), bad.toString)
+    // a props-less edge frame keeps the old guidance (only their type)
+    val none = CypherLite.run(edges,
+      "MATCH (a)-[r]->(b) RETURN r.qty AS q")
+    assert(none.isLeft && none.swap.toOption.get.contains("type(r)"),
+      none.toString)
+  }
 }
