@@ -624,6 +624,24 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // extended: suffix-bucket exact substring dedup (Lee et al. 2022) —
+    // MAXIMAL cross-document duplicated spans of >= 6 tokens, the
+    // suffix-array reduction bucketed by first-L-token windows (never a
+    // global suffix array). An 18-token press-release planted on every
+    // 9th doc surfaces as ONE merged span per planted doc (not 13
+    // overlapping 6-grams); organic cross-doc 6-gram repeats in the
+    // word-soup corpus surface identically.
+    "q_suffix_dedup" -> ((s, dir) => {
+      val plant = "breaking news the quick brown fox jumps over the " +
+        "lazy dog as markets rally across the eastern exchanges"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(plant), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.suffixSpanDedup(docs, "text", "doc_id", minTokens = 6)
+        .orderBy(col("id"), col("start_pos"))
+    }),
+
     // extended: winnowing fingerprints (Schleimer et al. 2003, the MOSS
     // scheme) — guaranteed-density local fingerprints: any shared
     // >= k+w-1-token substring between documents surfaces as an identical
@@ -1868,6 +1886,38 @@ object TextQueries {
         |  string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
         |  CAST(count(*) AS BIGINT) AS kept_chunks
         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // brute-force replay: actual 6-gram STRINGS (no hashes) grouped
+    // corpus-wide, cross-doc groups mark positions, lag-gap interval
+    // merge — the from-first-principles twin of the bucketed plan.
+    "q_suffix_dedup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |    THEN 'breaking news the quick brown fox jumps over the lazy dog as markets rally across the eastern exchanges '||text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM docs2),
+        |wins AS (
+        |  SELECT id, CAST(u.i AS INT) AS pos,
+        |    array_to_string(list_slice(toks, CAST(u.i AS INT)+1, CAST(u.i AS INT)+6), ' ') AS g
+        |  FROM base CROSS JOIN UNNEST(range(greatest(len(toks)-5, 0))) AS u(i)),
+        |dup AS (SELECT g FROM wins GROUP BY g HAVING count(DISTINCT id) >= 2),
+        |marked AS (SELECT id, pos FROM wins WHERE g IN (SELECT g FROM dup)),
+        |runs AS (
+        |  SELECT id, pos, CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+        |    OR pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 6 THEN 1 ELSE 0 END AS brk
+        |  FROM marked),
+        |grps AS (SELECT id, pos, sum(brk) OVER (PARTITION BY id ORDER BY pos) AS grp FROM runs),
+        |spans AS (
+        |  SELECT id, min(pos) AS start_pos, max(pos) - min(pos) + 6 AS span_tokens
+        |  FROM grps GROUP BY id, grp)
+        |SELECT s.id, s.start_pos, s.span_tokens,
+        |  array_to_string(list_slice(b.toks, s.start_pos + 1, s.start_pos + s.span_tokens), ' ') AS span_text
+        |FROM spans s JOIN base b USING (id)
+        |ORDER BY id, start_pos""".stripMargin,
 
     "q_span_dedup" ->
       """WITH docs2 AS (

@@ -266,6 +266,36 @@ object Profile {
         println(f"[profile] per-row us: 1x=${t1 * 1e6 / n1}%.2f " +
           f"${np}x=${tN * 1e6 / nN}%.2f ratio=${tN * n1 / (t1 * nN)}%.2f")
 
+      case "suffixscale" =>
+        // would-it-scale probe for the suffix-bucket substring dedup:
+        // documents replicated xN under disjoint per-rep TOKEN namespaces
+        // (every token prefixed "r<rep>_"), so each replica's cross-doc
+        // span structure replicates without creating cross-replica
+        // duplicates. Linear plan => per-row cost ~flat 1x → Nx.
+        val np = if (args.length > 2) args(2).toInt else 8
+        import graft.ops.Dedup
+        val plant = "breaking news the quick brown fox jumps over the " +
+          "lazy dog as markets rally across the eastern exchanges"
+        val docs1 = docs.select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+            concat(lit(plant), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+        val repsS = spark.range(0, np).select(col("id").as("rep"))
+        val bigS = docs1.crossJoin(repsS)
+          .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+            concat_ws(" ", transform(split(col("text"), "\\s+"),
+              t => concat(lit("r"), col("rep"), lit("_"), t))).as("text"))
+          .repartition(32).localCheckpoint(true)
+        val n1s = docs1.count(); val nNs = bigS.count()
+        println(s"[profile] suffixscale rows 1x=$n1s ${np}x=$nNs")
+        def sspan(d: DataFrame) =
+          Dedup.suffixSpanDedup(d, "text", "doc_id", minTokens = 6).count()
+        sspan(docs1) // warm codegen
+        val t1s = timeRet("suffix dedup 1x") { sspan(docs1) }
+        val tNs = timeRet(s"suffix dedup ${np}x") { sspan(bigS) }
+        println(f"[profile] per-row us: 1x=${t1s * 1e6 / n1s}%.2f " +
+          f"${np}x=${tNs * 1e6 / nNs}%.2f ratio=${tNs * n1s / (t1s * nNs)}%.2f")
+
       case "tfidfdiag" =>
         // stage decomposition of diversityFilterTfidf on this sfDir's
         // documents: vector build, prefix-filter selectivity, candidate

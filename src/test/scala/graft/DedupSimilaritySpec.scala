@@ -144,6 +144,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!kept.contains("b") && kept.contains("ba")) // ba dominates b
   }
 
+  test("suffixSpanDedup: overlapping duplicated windows merge into ONE " +
+    "maximal span; within-doc-only repeats don't mark; gaps > L split") {
+    // docs A and B share a 7-token run ("one two three four five six
+    // seven") with L=4 → window starts 0..3 in A merge to one 7-token
+    // span; doc C repeats a 4-gram INTERNALLY only → no cross-doc dup;
+    // doc D shares a second, disjoint 4-gram with A far from A's first
+    // span → two separate spans in A
+    val docs = Seq(
+      (1L, "one two three four five six seven xx yy zz qq ww ee rr " +
+        "alpha beta gamma delta"),
+      (2L, "pre one two three four five six seven post"),
+      (3L, "rep rep rep rep mid rep rep rep rep"),
+      (4L, "tail alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.suffixSpanDedup(docs, "text", "doc_id", minTokens = 4)
+      .orderBy("id", "start_pos")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 7, "one two three four five six seven"),
+      (1L, 14, 4, "alpha beta gamma delta"),
+      (2L, 1, 7, "one two three four five six seven"),
+      (4L, 1, 4, "alpha beta gamma delta")), out.toString)
+    // doc 3's internal repeat never surfaces (cross-doc contract)
+    assert(!out.exists(_._1 == 3L))
+    // coverage-contiguity edge: starts exactly L apart still merge
+    // (coverage [p, p+L-1] and [p+L, p+2L-1] touch with no gap)
+    val edge = Seq(
+      (1L, "a b c d e f g h"),   // windows at 0 and 4, L=4: starts 4 apart
+      (2L, "a b c d zz"), (3L, "e f g h zz")).toDF("doc_id", "text")
+    val merged = Dedup.suffixSpanDedup(edge, "text", "doc_id", minTokens = 4)
+      .filter(col("id") === 1L)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(merged == Seq((1L, 0, 8, "a b c d e f g h")), merged.toString)
+  }
+
   test("ngram jaccard: identical=1.0, near-dup in (0,1)") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", 3)
