@@ -114,7 +114,11 @@ object MlAnn {
       .withColumn("ivf_cell", nearestCell(col("emb"), centers))
 
   /** IVF probe: scan the `nprobe` cells nearest the query (centroid ranking
-    * happens driver-side over the tiny centroid array), cosine top-k inside. */
+    * happens driver-side over the tiny centroid array), cosine top-k inside.
+    * Recall contract: EXACT (the brute-force cosine ranking, same tie
+    * resolution) at nprobe = nlist — AnnRecallSpec pins it; measured
+    * recall@10 at partial probes is committed in ANN_RECALL.md (Profile
+    * `annrecall`), the table to size nprobe from at scale. */
   def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
               query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     CosineSimilarity.register(assigned.sparkSession)
@@ -300,6 +304,11 @@ object MlAnn {
    * TakeOrderedAndProject. No join, no shuffle, never touches the raw
    * embeddings. Subspace folds run in index order so the arithmetic replays
    * bit-exactly in an ordered-fold SQL oracle.
+   *
+   * Recall is capped by m × codes (quantization loses precision, not just
+   * candidates — no probing knob recovers it): measured recall@10 per
+   * config is committed in ANN_RECALL.md (Profile `annrecall`); size
+   * m/codes from that table against the actual corpus, not the defaults.
    */
   def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
              query: Seq[Double], k: Int): DataFrame =

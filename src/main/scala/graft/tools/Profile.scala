@@ -266,6 +266,74 @@ object Profile {
         println(f"[profile] per-row us: 1x=${t1 * 1e6 / n1}%.2f " +
           f"${np}x=${tN * 1e6 / nN}%.2f ratio=${tN * n1 / (t1 * nN)}%.2f")
 
+      case "annrecall" =>
+        // recall@k probe for the approximate ANN paths — the number a
+        // user needs to size nprobe/m/codes at scale (the trade the
+        // reference's OpenSearch knn backend publishes). Ground truth per
+        // metric family: exact cosine top-k for IVF (ivfTopK scores
+        // cosine inside probed cells), exact L2 top-k for PQ / IVF-PQ
+        // (ADC approximates squared L2). Results table: ANN_RECALL.md.
+        import graft.ops.{MlAnn, Similarity}
+        import graft.functions.{VectorFunctions => VF}
+        val k = 10
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")).cache()
+        val nVecs = emb.count()
+        val qs = emb.filter(col("vec_id") <= 20)
+          .collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toSeq))
+          .sortBy(_._1)
+        println(s"[profile] annrecall vectors=$nVecs queries=${qs.length} k=$k")
+        def ids(df: DataFrame): Seq[Long] =
+          df.select("id").collect().map(_.getLong(0)).toSeq
+        // exact ground truths (brute force over every vector)
+        val gtCos: Map[Long, Set[Long]] = qs.map { case (qid, q) =>
+          qid -> ids(Similarity.topK(emb, "embedding", "vec_id", q, k)).toSet
+        }.toMap
+        def l2Top(q: Seq[Double]): Set[Long] = ids(
+          emb.select(col("vec_id").as("id"),
+            aggregate(zip_with(VF.toDouble(col("embedding")), typedlit(q),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+              .as("d"))
+            .orderBy(col("d"), col("id")).limit(k)).toSet
+        val gtL2: Map[Long, Set[Long]] = qs.map { case (qid, q) =>
+          qid -> l2Top(q) }.toMap
+        def recall(name: String, gt: Map[Long, Set[Long]])
+                  (approx: Seq[Double] => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val r = qs.map { case (qid, q) =>
+            (ids(approx(q)).toSet & gt(qid)).size.toDouble / k }
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[profile] annrecall $name%-26s recall@$k=" +
+            f"${r.sum / r.size}%.3f  t=${sec / qs.length}%.3f s/query")
+        }
+        // IVF (the bench's nlist=8 config), nprobe sweep to full
+        val (assigned, centers) =
+          MlAnn.detKmeansIvf(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+        assigned.cache().count()
+        Seq(1, 2, 4, 8).foreach { np =>
+          recall(s"ivf nlist=8 nprobe=$np", gtCos)(q =>
+            MlAnn.ivfTopK(assigned, centers, q, k, np))
+        }
+        // PQ at the bench config (m=2, codes=4: 2 bytes/vector — coarse)
+        // and a finer config (m=8, codes=16: 8 bytes/vector)
+        Seq((2, 4), (8, 16), (16, 32)).foreach { case (m, codes) =>
+          val cbs = MlAnn.pqTrain(emb, "embedding", "vec_id",
+            dim = 64, m = m, codes = codes, iters = 1)
+          val enc = MlAnn.pqEncode(emb, "embedding", "vec_id", cbs)
+            .cache()
+          enc.count()
+          recall(s"pq m=$m codes=$codes", gtL2)(q =>
+            MlAnn.pqTopK(enc, cbs, q, k))
+          Seq(1, 2, 4, 8).foreach { np =>
+            recall(s"ivfpq m=$m codes=$codes nprobe=$np", gtL2)(q =>
+              MlAnn.ivfPqTopK(assigned, centers, enc, cbs, q, k, np))
+          }
+          enc.unpersist()
+        }
+
       case "suffixscale" =>
         // would-it-scale probe for the suffix-bucket substring dedup:
         // documents replicated xN under disjoint per-rep TOKEN namespaces
