@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query against SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric","value","unit","queries","sf"}.
@@ -53,52 +53,30 @@ object Bench {
         .agg(sum("s")).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Per-QUERY calibration: a quarter-size twin of calibrate() (~0.1 s)
+    // run immediately before every query's rep block and emitted as
+    // `calib_q` beside each median. One run-level calib_sec cannot
+    // normalize a MID-RUN host-noise burst (round 8's driver run inflated
+    // heavy queries up to 13x at a *better* start-of-run calibration than
+    // the committed snapshot) — the row-level sample makes any burst
+    // visible and row-wise normalizable after the fact, and drives the
+    // requeue pass below. Same probe shape, so calib_q/4 ≈ calib_sec
+    // scale on a quiet host.
+    def calibQ(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0, 5000000L, 1, 32)
+        .select((col("id") % 9973).as("k"), col("id"))
+        .groupBy("k").agg(sum("id").as("s"), count(lit(1)).as("c"))
+        .agg(sum("s")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // Warm the JVM/codegen paths outside any timed region, and materialize
-    // the shared derived edge graph — the reference's LocalKGStore likewise
-    // loads the whole adjacency map before any traversal is timed.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
-    graft.queries.Tables.edges(spark, sfDir).count()
-    graft.queries.Tables.undirectedEdges(spark, sfDir).count()
-    // Index build precedes retrieval: materialize the lexical graph tables
-    // the beam/context queries retrieve against (the reference likewise
-    // queries a pre-built graph store, never builds per query).
-    val g = graft.queries.Tables.lexicalGraph(spark, sfDir)
-    Seq(g.chunks, g.topics, g.topicMentionedIn, g.statements, g.facts,
-      g.factSupports, g.entities, g.entityRelations,
-      g.topicEmbeddings, g.topicEntities, g.chunkEntities,
-      g.entityDegrees).foreach(_.count())
-    // ANN index training happens at build time too — queries only probe.
-    graft.queries.Tables.detKmeansIvfIndex(spark, sfDir)._1.count()
-    // ...as does the centrality adjacency layout (deduped/partitioned edges
-    // + degrees): storage-side material; the timed query runs iterations.
-    val (prNodes, prEdges) = graft.queries.Tables.pageRankAdjacency(spark, sfDir)
-    prNodes.count(); prEdges.count()
-    val (lpaUnd, lpaNodes) = graft.queries.Tables.lpaLayout(spark, sfDir)
-    lpaUnd.count(); lpaNodes.count()
-    val (hSrc, hDst) = graft.queries.Tables.hitsLayout(spark, sfDir)
-    hSrc.count(); hDst.count()
-    graft.queries.Tables.walkLayout(spark, sfDir).count()
-    graft.queries.Tables.coPurchaseTriangleLayout(spark, sfDir).count()
-    graft.queries.Tables.coPurchaseProjection(spark, sfDir).count()
-    graft.queries.Tables.docShingleHashes(spark, sfDir).count()
-    val gc = graft.queries.Tables.lexicalGraphClassified(spark, sfDir)
-    Seq(gc.entities, gc.entityRelations, gc.facts).foreach(_.count())
-    // ...and the SECOND tenant's classified graph: q_tenant_summary reads
-    // both, and leaving t1 cold made the timed query pay a whole graph
-    // build (the round-6 "4.8x regression" was exactly this attribution)
-    val gt1 = graft.queries.Tables.lexicalGraphClassifiedT1(spark, sfDir)
-    Seq(gt1.entities, gt1.entityRelations).foreach(_.count())
-    // The remaining memoized layouts queries actually probe: warming them
-    // (a) keeps index-build cost out of some query's first rep and (b) lets
-    // the per-query cache eviction below treat EVERY still-persistent RDD
-    // that is not in the post-warmup snapshot as query-local garbage.
-    graft.queries.Tables.pqIndex(spark, sfDir)._1.count()
-    graft.queries.Tables.coPurchaseTriangleCounts(spark, sfDir).count()
-    val (wAdjE, wAdjN) = graft.queries.Tables.weightedAdjacency(spark, sfDir)
-    wAdjE.count(); wAdjN.count()
-    graft.queries.Tables.nodeProps(spark, sfDir).count()
-    graft.queries.Tables.retrievalStatements(spark, sfDir).count()
+    // every memoized store layout — the reference's LocalKGStore likewise
+    // loads the whole adjacency map before any traversal is timed. Shared
+    // with the plan census (graft.queries.Warmup).
+    graft.queries.Warmup.warmAll(spark, sfDir)
 
     // ---- full-run degradation defense (round-7 finding) -----------------
     // The round-7 snapshot inflated late-alphabet queries up to 24x vs
@@ -171,8 +149,13 @@ object Bench {
     // one deterministic shuffle: same order every round (comparable), but
     // decorrelated from query-name order
     val order = new scala.util.Random(0x9E3779B9L).shuffle(selected)
-    val timed = order.zipWithIndex.map { case ((name, fn), i) =>
+    // one query's measurement block: evict → per-query calib probe →
+    // back-to-back reps → (median, calib_q)
+    def runBlock(name: String,
+                 fn: (SparkSession, String) => DataFrame)
+    : (Double, Double) = {
       evictTransient() // outside the timed region: each query starts clean
+      val cq = calibQ()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -182,20 +165,53 @@ object Bench {
             -1.0
         }
       }
+      // any failed rep poisons the entry: an intermittent failure must stay
+      // visible as -1.0, not vanish into the median of the surviving reps
+      (if (times.exists(_ < 0)) -1.0 else median(times), cq)
+    }
+    val firstPass = order.zipWithIndex.map { case ((name, fn), i) =>
+      val r = runBlock(name, fn)
       if ((i + 1) % 50 == 0) {
         val live = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
         System.err.println(f"[bench] ${i + 1}/${order.size} queries done; " +
           f"live storage ${live / 1e6}%.1f MB")
       }
-      // any failed rep poisons the entry: an intermittent failure must stay
-      // visible as -1.0, not vanish into the median of the surviving reps
-      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
-    }
-    val results = timed.sortBy(_._1)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      name -> r
+    }.toMap
+    // Requeue pass: a calib_q sample far above the run's median means a
+    // host-noise burst overlapped that query's block — its median measures
+    // the burst, not the plan. Re-run those blocks once at the end and
+    // keep whichever block saw the quieter host (lower calib_q). Bounded:
+    // on a quiet host nothing requeues; under a run-long slowdown the
+    // ratio stays ~1 everywhere and nothing requeues either (the
+    // run-level calib_sec normalizes that case).
+    val medCalibQ = median(firstPass.values.map(_._2).toSeq)
+    val requeued = order.collect {
+      case (name, fn) if firstPass(name)._2 > 1.5 * medCalibQ =>
+        val again = runBlock(name, fn)
+        System.err.println(f"[bench] requeued $name: calib_q " +
+          f"${firstPass(name)._2}%.3f -> ${again._2}%.3f, median " +
+          f"${firstPass(name)._1}%.3f -> ${again._1}%.3f")
+        name -> again
+    }.filter { case (name, again) =>
+      // replace only when the rerun saw a quieter host AND neither block
+      // failed — a thrown rep is a real failure, never noise to requeue
+      // away (the -1 sentinel must stay visible)
+      again._2 < firstPass(name)._2 && again._1 >= 0 &&
+        firstPass(name)._1 >= 0 }
+    val merged = firstPass ++ requeued
+    // dot-decimal rounding without locale-sensitive formatting (Double
+    // toString is always '.'-formatted; %f is not under every locale)
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val results = merged.toSeq.sortBy(_._1)
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"reps":$reps,"warmed_storage_mb":${warmedStorageBytes / 1048576},"storage_budget_mb":${unifiedBudgetBytes / 1048576},"cache_pressure_ok":$cachePressureOk}"""
+    val cqs = results.map { case (k, (_, cq)) =>
+      "\"" + k + "\":" + r4(cq) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    val requeuedNames = requeued.map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"calib_q":$cqs,"calib_q_median":${r4(medCalibQ)},"requeued":$requeuedNames,"reps":$reps,"warmed_storage_mb":${warmedStorageBytes / 1048576},"storage_budget_mb":${unifiedBudgetBytes / 1048576},"warmed_rdd_count":${warmedRddIds.size},"cache_pressure_ok":$cachePressureOk}"""
     // stdout under sbt is decorated with an "[info] " prefix, so also write
     // the line to a file the harness can parse directly. Subset runs
     // (SPARK_GRAFT_BENCH_ONLY) are A/B scratch work — never let them

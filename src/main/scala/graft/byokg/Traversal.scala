@@ -247,6 +247,19 @@ object Traversal {
    * ascending by seed — ONE floating-point order under any partitioning,
    * which is what lets q_betweenness carry a bit-exact DuckDB replay.
    * Parallel edges are deduped first (a multigraph would multiply σ).
+   *
+   * CACHE CONTRACT: this operator `.cache()`s the deduped edge frame and
+   * every forward layer — `maxDistance + 1` frames of (seed, node, σ)
+   * rows, K seeds each — and deliberately does NOT unpersist them before
+   * returning: the backward pass reads every layer, and the bench's
+   * warm-median convention relies on reps 2..n reusing rep 1's
+   * plan-matched caches (CacheManager matches by canonicalized plan; an
+   * eager in-operator unpersist measured ~10x worse medians and was
+   * reverted in 9fe98c2). THE CALLER OWNS EVICTION — in the bench that
+   * is evictTransient() between queries; a long-lived session driving
+   * many seed batches must unpersist (or spark.catalog.clearCache) after
+   * consuming the result, or K × (maxDistance+1) layers stay pinned in
+   * the storage pool. At large K, budget for it: layer rows ≤ K × |V|.
    */
   def brandesBetweenness(edges: DataFrame, seeds: DataFrame,
                          maxDistance: Int,

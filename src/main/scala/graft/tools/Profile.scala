@@ -950,46 +950,6 @@ object Profile {
         println(f"[profile] ratio (xN time / x1 time) = ${tN / t1}%.2f " +
           s"over ${n}x data+seeds")
 
-      case "annrecall" =>
-        // measured operating points for the KMeans-IVF scale path:
-        // recall@10 against brute-force cosine and the corpus fraction
-        // scanned, per nprobe — the FAISS-style evidence that the ANN
-        // index trades recall for cost in a controlled, tunable way.
-        import graft.ops.{MlAnn, Similarity}
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .filter(col("vec_id") =!= 0)
-        val nVecs = emb.count()
-        val nlist = 16
-        val (assigned, centers) =
-          MlAnn.kmeansIvf(emb, "embedding", "vec_id", nlist)
-        assigned.cache(); assigned.count()
-        val cellSizes = assigned.groupBy("ivf_cell").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val qs = emb.orderBy("vec_id").limit(32)
-          .select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
-        val brute = qs.map(q =>
-          Similarity.topK(emb, "embedding", "vec_id", q, 10)
-            .select("id").collect().map(_.getLong(0)).toSet)
-        for (nprobe <- Seq(1, 2, 4, 8, nlist)) {
-          var hit = 0L; var scanned = 0L
-          qs.zip(brute).foreach { case (q, truth) =>
-            val got = MlAnn.ivfTopK(assigned, centers, q, 10, nprobe)
-              .select("id").collect().map(_.getLong(0)).toSet
-            hit += (got & truth).size
-            val probed = centers.zipWithIndex
-              .map { case (c, i) =>
-                (i, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
-              .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
-            scanned += probed.map(cellSizes.getOrElse(_, 0L)).sum
-          }
-          val recall = hit.toDouble / (qs.length * 10)
-          val frac = scanned.toDouble / (qs.length * nVecs)
-          println(f"[profile] ivf nprobe=$nprobe%2d/$nlist  " +
-            f"recall@10=$recall%6.3f  corpus-scanned=${frac * 100}%6.2f%%")
-        }
-        assigned.unpersist()
-
       case "tenantsummary" =>
         // build/query split for q_tenant_summary: the classified-graph
         // builds (t0 + the src0-subset t1) are ingest-time material; the
