@@ -126,18 +126,22 @@ object ProcessorQueries {
         df => df.localCheckpoint(true),
         df => Processors.rerankStatements(df, None),
         df => Processors.pruneStatements(df, 0.05),
-        Processors.rescoreResults,
         // Rank-truncation runs BEFORE statement truncation (reference order
         // is statements-first): the two commute row-identically here —
-        // truncateRankResults ranks sources by result_score, a per-source
-        // constant rescoreResults already materialized (statement-level
-        // truncation can't change it), and each topic_id (orderkey) belongs
-        // to exactly one source, so the per-topic top-3 sees the same
-        // candidate rows either way. Ordering it rank-first means the
+        // the rank is by result_score, a per-source constant (statement-
+        // level truncation can't change it), and each topic_id (orderkey)
+        // belongs to exactly one source, so the per-topic top-3 sees the
+        // same candidate rows either way. Ordering it rank-first means the
         // top-3-per-topic heap aggregates the ~400 surviving rows of the 10
         // ranked sources instead of all 300k+ scored statements — the
         // single most expensive step of the chain in stage profiles.
-        df => Processors.truncateRankResults(df, 10),
+        // rescore+rank are FUSED (spec-gated row-identical): the sequential
+        // pair shuffled every pruned statement on source_id to attach a
+        // result_score the rank step immediately discarded for all but 10
+        // sources — the fused form broadcasts the 10-row rank set instead
+        // (the round-9 middle-segment finding: 2.9 s → the groupBy + one
+        // broadcast scan).
+        df => Processors.rescoreAndRank(df, 10),
         df => Processors.truncateStatements(df, 3),
         // materialization boundary: rank-truncation bounds the frame to
         // ≤ max_results sources × topics × 3 statements (the reference's
@@ -184,8 +188,15 @@ object ProcessorQueries {
         df => df.withColumn("topic", concat(lit("order-"), col("topic_id"))),
         Processors.clearTopicIds
       ).foldLeft(unioned)((df, p) => p(df))
+      // restrict source formatting to the ≤ max_results SURVIVING sources
+      // before rendering: a LEFT join on source_id only ever reads the
+      // matching ids' source_str, so semi-joining sources first is
+      // row-identical and skips map-rendering every corpus source per rep
+      val survSources = cleanSources.join(
+        broadcast(processed.select("source_id").distinct()),
+        Seq("source_id"), "left_semi")
       processed
-        .join(Processors.formatSources(cleanSources)
+        .join(Processors.formatSources(survSources)
           .select("source_id", "source_str"), Seq("source_id"), "left")
         .select(col("source_rank").cast("long").as("source_rank"),
           col("source_str"), col("single_topic").cast("int").as("single_topic"),

@@ -394,6 +394,34 @@ object Processors {
     df.join(broadcast(ranked), Seq("source_id"))
   }
 
+  /** Fused [[rescoreResults]] → [[truncateRankResults]]: row-identical to
+    * `truncateRankResults(rescoreResults(df), maxResults)` (spec-gated),
+    * but the per-source score never joins back onto the full statement
+    * frame — the sequential composition shuffles EVERY statement on
+    * source_id to attach a result_score that the very next step discards
+    * for all but `maxResults` sources, then aggregates the joined frame
+    * again to rank. Here the rank set (≤ maxResults rows, carrying
+    * result_score AND source_rank) is computed from the per-source
+    * aggregate alone and broadcasts once onto the statements: one
+    * groupBy shuffle of (source, topic) pairs + one broadcast-join scan,
+    * versus groupBy + full-frame join shuffle + second aggregate + scan.
+    * At 100 TB the difference is shuffling the corpus once more or not. */
+  def rescoreAndRank(df: DataFrame, maxResults: Int): DataFrame = {
+    val perTopic = df.groupBy("source_id", "topic_id")
+      .agg(avg("score").as("topic_mean"))
+    // same bit-reproducible sorted fold as rescoreResults
+    val perSource = perTopic.groupBy("source_id")
+      .agg((aggregate(sort_array(collect_list(col("topic_mean"))),
+        lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("result_score"))
+    val ranked = perSource
+      .orderBy(desc("result_score"), col("source_id"))
+      .limit(maxResults)
+      .withColumn("source_rank",
+        row_number().over(Window.orderBy(desc("result_score"),
+          col("source_id"))))
+    df.join(broadcast(ranked), Seq("source_id"))
+  }
+
   /** The nested per-source context frame (topics with sorted statements)
     * that every output format renders from. */
   private def nestedContext(df: DataFrame): DataFrame =

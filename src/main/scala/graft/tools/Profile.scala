@@ -950,6 +950,89 @@ object Profile {
         println(f"[profile] ratio (xN time / x1 time) = ${tN / t1}%.2f " +
           s"over ${n}x data+seeds")
 
+      case "fullchaindiag" =>
+        // segment decomposition of q_full_chain: head (explode + dedup +
+        // topic window + metadata filter, to the first checkpoint), middle
+        // (rerank/prune/rescore/rank-truncate/statement-truncate, to the
+        // second checkpoint), tail (enrichment + formatting + final join).
+        // Mirrors the query's structure in queries/ProcessorQueries.scala.
+        import graft.retrieve.Processors
+        import graft.queries.Tables
+        graft.GraftExtensions.registerAll(spark)
+        val baseS = Tables.retrievalStatements(spark, sfDir)
+        baseS.count() // warm store layout
+        val sources = spark.read.parquet(s"$sfDir/customer.parquet").select(
+          col("c_custkey").as("source_id"),
+          map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"),
+            lit("__graft__versioning__valid_from__"), lit("0"),
+            lit("__graft__versioning__build_timestamp__"), lit("0"))
+            .as("metadata"),
+          col("c_mktsegment").as("segment"))
+        val cleanSources = Processors.removeVersioningMetadata(sources)
+        def head() = {
+          val unioned = baseS.select(col("source_id"), col("topic_id"),
+              col("statement_id"), explode(col("scores")).as("score"))
+            .withColumn("score", col("score").cast("double"))
+          Processors.filterByMetadata(
+            Processors.disaggregateResults(Processors.dedupResults(unioned)),
+            cleanSources,
+            graft.filter.FilterAst.Pred("segment",
+              graft.filter.FilterAst.Ne, "FURNITURE"))
+            .localCheckpoint(true)
+        }
+        head() // warm codegen
+        var h: org.apache.spark.sql.DataFrame = null
+        time("head (to checkpoint 1)") { h = head(); h.count() }
+        time("  mid:max-agg") {
+          h.agg(max("score")).collect(); 1L
+        }
+        val pruned = Processors.pruneStatements(h, 0.05)
+        time("  mid:prune+count") { pruned.count() }
+        time("  mid:perTopic groupBy") {
+          pruned.groupBy("source_id", "topic_id")
+            .agg(avg("score").as("m")).count()
+        }
+        time("  mid:rescoreAndRank") {
+          Processors.rescoreAndRank(pruned, 10).count()
+        }
+        var m: org.apache.spark.sql.DataFrame = null
+        time("middle (to checkpoint 2)") {
+          m = Processors.truncateStatements(
+            Processors.rescoreAndRank(
+              Processors.pruneStatements(
+                Processors.rerankStatements(h, None), 0.05), 10), 3)
+            .localCheckpoint(true)
+          m.count()
+        }
+        time("tail (enrich + format)") {
+          val surv = broadcast(m.select("statement_id").distinct())
+          val survBase = baseS
+            .join(surv, Seq("statement_id"), "left_semi")
+            .localCheckpoint(true)
+          val stmtText = survBase.select(col("statement_id"), col("statement"))
+            .dropDuplicates("statement_id")
+          val withText = m.join(broadcast(stmtText), Seq("statement_id"))
+            .withColumn("chunk_id", col("statement_id"))
+          val survFacts = survBase.select(col("statement_id"),
+            explode(array(col("fact_part"), col("fact_supp")))
+              .as("fact_value"))
+          val populated = Processors.populateStatementStrs(withText, survFacts)
+          val survChunks = survBase
+            .select(col("statement_id").as("chunk_id"),
+              col("chunk_text").as("text")).distinct()
+          val tailDf = Processors.clearTopicIds(
+            Processors.clearChunks(
+              Processors.simplifySingleTopicResults(
+                Processors.statementsToStrings(
+                  Processors.clearScores(
+                    Processors.updateChunkMetadata(populated, survChunks)),
+                  includeFacts = true)))
+              .withColumn("topic", concat(lit("order-"), col("topic_id"))))
+          tailDf.join(Processors.formatSources(cleanSources)
+              .select("source_id", "source_str"), Seq("source_id"), "left")
+            .count()
+        }
+
       case "tenantsummary" =>
         // build/query split for q_tenant_summary: the classified-graph
         // builds (t0 + the src0-subset t1) are ingest-time material; the

@@ -56,6 +56,28 @@ class ProcessorsSpec extends SparkSpec {
     assert(math.abs(out - 2.0) < 1e-12) // topics: mean(4,2)=3, mean(1)=1 -> 2
   }
 
+  test("rescoreAndRank is row-identical to rescoreResults -> " +
+    "truncateRankResults (same rows, columns, ranks, tie resolution)") {
+    for (maxResults <- Seq(1, 2, 3, 10)) {
+      val fused = Processors.rescoreAndRank(df, maxResults)
+      val sequential = Processors.truncateRankResults(
+        Processors.rescoreResults(df), maxResults)
+      assert(fused.columns.toSeq == sequential.columns.toSeq)
+      val f = fused.collect().map(_.toSeq).toSet
+      val s = sequential.collect().map(_.toSeq).toSet
+      assert(f == s, s"maxResults=$maxResults: $f vs $s")
+    }
+    // result-score tie between sources resolves by source_id both ways
+    val tied = Seq(
+      ("a", "t1", "x1", "c", "s", 2.0), ("b", "t2", "x2", "c", "s", 2.0),
+      ("c", "t3", "x3", "c", "s", 1.0))
+      .toDF("source_id", "topic_id", "statement_id", "chunk_id",
+        "statement", "score")
+    val f1 = Processors.rescoreAndRank(tied, 1)
+      .select("source_id", "source_rank").as[(String, Int)].collect().toSeq
+    assert(f1 == Seq(("a", 1)))
+  }
+
   test("truncateByTokens respects the running budget in score order") {
     val out = Processors.truncateByTokens(df, maxTokens = 6)
       .select("statement_id").as[String].collect().sorted
