@@ -178,27 +178,36 @@ object Bench {
       }
       name -> r
     }.toMap
-    // Requeue pass: a calib_q sample far above the run's median means a
-    // host-noise burst overlapped that query's block — its median measures
-    // the burst, not the plan. Re-run those blocks once at the end and
-    // keep whichever block saw the quieter host (lower calib_q). Bounded:
-    // on a quiet host nothing requeues; under a run-long slowdown the
-    // ratio stays ~1 everywhere and nothing requeues either (the
-    // run-level calib_sec normalizes that case).
+    // Requeue pass: re-run at the end (a) every block whose calib_q
+    // sample sat above 1.4x the run's median — a host-noise burst
+    // overlapped it — and (b) the largest medians, where a burst costs
+    // the most absolute seconds and can slip UNDER any probe threshold
+    // (observed: a 29.7 s q_weighted_pagerank block at calib_q 1.47x
+    // median — 2.7 s isolated). The kept value is the LOWER median of
+    // the two blocks: ambient noise is strictly additive (nothing makes
+    // a rep faster than its plan — caches are identical across blocks),
+    // so min-of-medians is the less-biased plan estimate. Bounded: on a
+    // quiet host only the top-median blocks re-run (~1 min); a run-long
+    // uniform slowdown requeues little and calib_sec normalizes it.
     val medCalibQ = median(firstPass.values.map(_._2).toSeq)
+    val topMedians: Set[String] =
+      if (only.isDefined) Set.empty // subset A/B runs stay single-pass
+      else firstPass.toSeq.filter(_._2._1 >= 0)
+        .sortBy(-_._2._1).take(8).map(_._1).toSet
     val requeued = order.collect {
-      case (name, fn) if firstPass(name)._2 > 1.5 * medCalibQ =>
+      case (name, fn) if firstPass(name)._2 > 1.4 * medCalibQ ||
+          topMedians.contains(name) =>
         val again = runBlock(name, fn)
         System.err.println(f"[bench] requeued $name: calib_q " +
           f"${firstPass(name)._2}%.3f -> ${again._2}%.3f, median " +
           f"${firstPass(name)._1}%.3f -> ${again._1}%.3f")
         name -> again
     }.filter { case (name, again) =>
-      // replace only when the rerun saw a quieter host AND neither block
+      // replace only with a strictly lower median AND neither block
       // failed — a thrown rep is a real failure, never noise to requeue
       // away (the -1 sentinel must stay visible)
-      again._2 < firstPass(name)._2 && again._1 >= 0 &&
-        firstPass(name)._1 >= 0 }
+      again._1 >= 0 && firstPass(name)._1 >= 0 &&
+        again._1 < firstPass(name)._1 }
     val merged = firstPass ++ requeued
     // dot-decimal rounding without locale-sensitive formatting (Double
     // toString is always '.'-formatted; %f is not under every locale)

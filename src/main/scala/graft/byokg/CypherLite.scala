@@ -51,7 +51,14 @@ import org.apache.spark.sql.functions._
  *     -- refused UNLESS the reference sits inside a multi-arg coalesce
  *     -- (the fallback handles the null — the reference's shape).
  *   RETURN [DISTINCT] (item [, item ...] | agg [AS a]
- *                      | item [, item ...], agg [AS a])    -- grouped
+ *                      | item [, item ...], agg [AS a]     -- grouped
+ *                      | [item [, ...],] agg [AS a], agg [AS a] [, ...])
+ *     -- MULTI-aggregate trailing items compile as ONE grouped
+ *     -- aggregation keyed by the plain prefix (scalar when the prefix
+ *     -- is empty): `RETURN c.id, count(*) AS n, sum(o.price) AS t`.
+ *     -- Default aliases collide for repeated count forms — AS them.
+ *     -- ORDER BY addresses a multi-aggregate by its alias (or an
+ *     -- unambiguous count(*) / func(v.p) form).
  *     item := v[.p] [AS alias] | type(r) [AS alias]
  *           | properties(v) [AS alias]
  *           | expr AS alias   -- scalar-function/arithmetic projection;
@@ -405,6 +412,17 @@ object CypherLite {
   final case class ExprCond(l: Expr, op: String, r: Expr) extends WhereTerm
   /** One comma-separated MATCH pattern: a linear node/edge chain. */
   final case class Part(nodes: Seq[NodePat], edges: Seq[EdgePat])
+
+  /** One aggregate RETURN item in the MULTI-aggregate form (`RETURN
+    * c.id, count(*) AS n, sum(o.price) AS total` — the natural KGQA
+    * projection an LLM emits for "how many and how much" questions).
+    * func ∈ count_star | count | count_distinct | sum | avg | min |
+    * max | collect; v/prop absent only for count_star. Single-aggregate
+    * queries keep the original dedicated slots (below) — this list is
+    * populated only when TWO OR MORE trailing RETURN items are
+    * aggregates. */
+  final case class AggItem(func: String, v: Option[String],
+                           prop: Option[String], alias: String)
   /** `conds` is the WHERE clause in disjunctive normal form: the outer
     * Seq ORs together groups, each group a conjunction (AND binds
     * tighter than OR — standard Cypher/SQL precedence). A query with no
@@ -444,14 +462,19 @@ object CypherLite {
                          // for an expression RETURN item (its `returns`
                          // slot holds the first referenced variable, its
                          // `retProps` slot None; AS alias required)
-                         retExprs: Seq[Option[Expr]] = Nil) {
+                         retExprs: Seq[Option[Expr]] = Nil,
+                         // the MULTI-aggregate trailing items (>= 2);
+                         // empty for single-aggregate queries, which use
+                         // the dedicated slots above
+                         aggs: Seq[AggItem] = Nil) {
     /** The output column names this query produces — what a WITH stage
       * exposes to the pipeline tail. */
     def outputNames: Seq[String] =
       (if (retAliases.size == returns.size) retAliases else returns) ++
-        (if (countStar || countVar.nonEmpty ||
-          countDistinctVar.nonEmpty || groupCount || aggFunc.nonEmpty)
-          Seq(countAlias) else Nil)
+        (if (aggs.isEmpty && (countStar || countVar.nonEmpty ||
+          countDistinctVar.nonEmpty || groupCount || aggFunc.nonEmpty))
+          Seq(countAlias) else Nil) ++
+        aggs.map(_.alias)
 
     /** Relationship (edge) variables bound anywhere in the query — their
       * property reads resolve from the edge frame's extra columns, not
@@ -480,7 +503,9 @@ object CypherLite {
         countVar.zip(countVarProp) ++ groupCountVar.zip(groupCountProp) ++
         groupCountDistinctVar.zip(groupCountDistinctProp) ++
         aggVar.zip(aggProp)
-      (fromConds ++ fromRets ++ fromRetExprs ++ fromCounts)
+      val fromAggs = aggs.flatMap(a =>
+        a.v.zip(a.prop.filter(_ != "id")))
+      (fromConds ++ fromRets ++ fromRetExprs ++ fromCounts ++ fromAggs)
         .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
     }
   }
@@ -896,21 +921,52 @@ object CypherLite {
     // many orders did each customer place"). The count must be the LAST
     // item; count(v) counts only non-null bindings of v.
     val retItems = topSplit(retPart)
+    // MULTI-aggregate suffix: when TWO OR MORE trailing items are
+    // aggregates (`RETURN c.id, count(*) AS n, sum(o.price) AS total`),
+    // they compile as one grouped aggregation keyed by the plain prefix
+    // (or one scalar agg row when the prefix is empty). Single-aggregate
+    // queries keep the dedicated slots below.
+    def parseAggItem(item: String): Option[Either[String, AggItem]] =
+      fullMatch(CountStarRe, item).map(m => Right(AggItem("count_star",
+          None, None, Option(m.group(1)).getOrElse("count"))))
+        .orElse(fullMatch(CountDistinctRe, item).map(m =>
+          Right(AggItem("count_distinct", Some(m.group(1)),
+            propOf(m.group(2)), Option(m.group(3)).getOrElse("count")))))
+        .orElse(fullMatch(CountVarRe, item).map(m =>
+          Right(AggItem("count", Some(m.group(1)), propOf(m.group(2)),
+            Option(m.group(3)).getOrElse("count")))))
+        .orElse(fullMatch(AggRe, item).map { m =>
+          val f = m.group(1).toLowerCase
+          val av = m.group(2); val ap = propOf(m.group(3))
+          if ((f == "sum" || f == "avg") && ap.isEmpty)
+            Left(s"$f() needs a numeric property — e.g. $f($av.price)")
+          else Right(AggItem(f, Some(av), ap,
+            Option(m.group(4)).getOrElse(
+              s"$f($av${ap.fold("")("." + _)})")))
+        })
+    val aggSuffix: Seq[Either[String, AggItem]] = retItems.reverse
+      .iterator.map(parseAggItem).takeWhile(_.isDefined).map(_.get)
+      .toSeq.reverse
+    val multiAgg = !isScalarCount && aggSuffix.size >= 2
+    val aggItems: Seq[AggItem] =
+      if (multiAgg) aggSuffix.map(_.fold(e => return Left(e), identity))
+      else Nil
     val groupCountM =
-      if (isScalarCount || retItems.size < 2) None
+      if (isScalarCount || multiAgg || retItems.size < 2) None
       else fullMatch(CountStarRe, retItems.last)
     // grouped count(DISTINCT v[.p]) — tried before count(v): the
     // per-entity DISTINCT-cardinality shape ("how many DIFFERENT parts
     // did each customer order")
     val groupCountDistinctM =
-      if (isScalarCount || retItems.size < 2 || groupCountM.nonEmpty) None
+      if (isScalarCount || multiAgg || retItems.size < 2 ||
+          groupCountM.nonEmpty) None
       else fullMatch(CountDistinctRe, retItems.last)
     val groupCountDistinctVar = groupCountDistinctM.map(_.group(1))
     val groupCountDistinctProp =
       groupCountDistinctM.flatMap(m => propOf(m.group(2)))
     val groupCountVarM =
-      if (isScalarCount || retItems.size < 2 || groupCountM.nonEmpty ||
-          groupCountDistinctM.nonEmpty) None
+      if (isScalarCount || multiAgg || retItems.size < 2 ||
+          groupCountM.nonEmpty || groupCountDistinctM.nonEmpty) None
       else fullMatch(CountVarRe, retItems.last)
     val groupCountVar = groupCountVarM.map(_.group(1))
     val groupCountProp = groupCountVarM.flatMap(m => propOf(m.group(2)))
@@ -918,7 +974,7 @@ object CypherLite {
       groupCountDistinctVar.nonEmpty
     // grouped sum/min/max/avg: the LAST RETURN item, like grouped count
     val groupAggM =
-      if (isScalarCount || retItems.size < 2 || groupCount) None
+      if (isScalarCount || multiAgg || retItems.size < 2 || groupCount) None
       else fullMatch(AggRe, retItems.last)
     val aggM = scalarAggM.orElse(groupAggM)
     val aggFunc = aggM.map(_.group(1).toLowerCase)
@@ -928,12 +984,17 @@ object CypherLite {
     if (aggFunc.exists(f => f == "sum" || f == "avg") && aggProp.isEmpty)
       return Left(s"${aggFunc.get}() needs a numeric property — e.g. " +
         s"${aggFunc.get}(${aggVar.get}.price)")
+    val plainItems: Seq[String] =
+      if (isScalarCount) Nil
+      else if (multiAgg) retItems.dropRight(aggItems.size)
+      else if (groupCount || groupAggM.nonEmpty) retItems.init
+      else retItems
     val AggLikeInit = """(count|sum|min|max|avg)\(""".r
-    if ((groupCount || groupAgg) && retItems.init.exists(i =>
+    if ((groupCount || groupAgg || multiAgg) && plainItems.exists(i =>
         AggLikeInit.findFirstIn(
           i.replaceAll("\\s", "").toLowerCase).nonEmpty))
-      return Left("only one aggregate, as the last RETURN item")
-    if ((groupCount || groupAgg) && distinct)
+      return Left("aggregates must be the TRAILING RETURN items")
+    if ((groupCount || groupAgg || multiAgg) && distinct)
       return Left("DISTINCT cannot combine with a grouped aggregate")
     val countAlias = countStarM.orElse(groupCountM)
       .flatMap(m => Option(m.group(1)))
@@ -958,8 +1019,7 @@ object CypherLite {
     // (entity_relation_graph_builder.py:75-129).
     val ExprAliasRe = """(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val retQuads: Seq[(String, Option[String], String, Option[Expr])] =
-      if (isScalarCount) Nil
-      else (if (groupCount || groupAgg) retItems.init else retItems).map {
+      plainItems.map {
         case TypeRetRe(v, alias) =>
           if (!allEdgeVars.contains(v))
             return Left(s"type($v): '$v' is not a relationship variable")
@@ -998,7 +1058,9 @@ object CypherLite {
     // the default countAlias 'count' only collides when a count item
     // actually exists — a plain `RETURN n.id AS count` is legal
     val hasCountItem = isScalarCount || groupCount || groupAgg
-    val outNames = aliases ++ (if (hasCountItem) Seq(countAlias) else Nil)
+    val outNames = aliases ++
+      (if (hasCountItem) Seq(countAlias) else Nil) ++
+      aggItems.map(_.alias)
     if (outNames.distinct.size != outNames.size)
       return Left("duplicate output column names in RETURN — " +
         "disambiguate with AS")
@@ -1029,7 +1091,28 @@ object CypherLite {
     // counts when OPTIONAL rows bind null.
     val ordResolved: Seq[(String, Boolean)] = orderByRaw.map {
       case (o, propOpt, asc) =>
-      if (o.startsWith("count(")) {
+      if (multiAgg && (o.startsWith("count(") || o.startsWith("agg:") ||
+          (propOpt.isEmpty && aggItems.exists(_.alias == o)))) {
+        // multi-aggregate queries resolve ORDER BY against the aggregate
+        // list: by alias, or by an UNAMBIGUOUS count(...)/func(v.p) form
+        val hit =
+          if (o.startsWith("count(")) {
+            val inner = o.stripPrefix("count(").stripSuffix(")")
+            aggItems.filter(a =>
+              (inner == "*" && a.func == "count_star") ||
+                (a.func == "count" && a.prop.isEmpty &&
+                  a.v.contains(inner)))
+          } else if (o.startsWith("agg:")) {
+            val parts = o.split(":", 4)
+            aggItems.filter(a => a.func == parts(1) &&
+              a.v.contains(parts(2)) && a.prop.getOrElse("") == parts(3))
+          } else aggItems.filter(_.alias == o)
+        if (hit.size == 1) (hit.head.alias, asc)
+        else return Left(s"ORDER BY '$o' is ambiguous or unmatched " +
+          "among the aggregates — ORDER BY the aggregate's alias (" +
+          aggItems.map(_.alias).mkString(", ") + ")")
+      }
+      else if (o.startsWith("count(")) {
         val inner = o.stripPrefix("count(").stripSuffix(")")
         if (!groupCount)
           return Left("ORDER BY count(...) needs a grouped count RETURN")
@@ -1082,7 +1165,8 @@ object CypherLite {
     }
     val retExprVars = retExprs.flatten.flatMap(_.refs.map(_._1))
     (condVars ++ returns ++ retExprVars ++ countDistinctVar ++ countVar ++
-        groupCountVar ++ groupCountDistinctVar ++ aggVar)
+        groupCountVar ++ groupCountDistinctVar ++ aggVar ++
+        aggItems.flatMap(_.v))
       .find(!known.contains(_)) match {
       case Some(v) => Left(s"unknown variable '$v'")
       case None =>
@@ -1092,7 +1176,7 @@ object CypherLite {
           retProps, countDistinctProp, countVarProp, groupCountProp,
           aggFunc, aggVar, aggProp,
           groupCountDistinctVar, groupCountDistinctProp,
-          retExprs))
+          retExprs, aggItems))
     }
   }
 
@@ -1410,8 +1494,33 @@ object CypherLite {
         case "collect" => sort_array(collect_list(base))
       }
     }
+    // one multi-aggregate item → Column (same semantics as the dedicated
+    // single-aggregate slots: counts skip nulls, sum/avg fold double
+    // try_casts, collect returns the deterministic sorted list)
+    def aggItemCol(a: AggItem): Column = {
+      def bind = bindCol(a.v.get, a.prop.getOrElse("id"))
+      a.func match {
+        case "count_star" => count(lit(1))
+        case "count" => count(bind)
+        case "count_distinct" => count_distinct(bind)
+        case "sum" => sum(bind.try_cast("double"))
+        case "avg" => avg(bind.try_cast("double"))
+        case "min" => min(bind)
+        case "max" => max(bind)
+        case "collect" => sort_array(collect_list(bind))
+      }
+    }
     var out =
-      if (q.countStar) df.agg(count(lit(1)).as(q.countAlias))
+      if (q.aggs.nonEmpty) {
+        // multi-aggregate: ONE grouped (or scalar) aggregation computes
+        // every trailing aggregate — a single shuffle keyed on the plain
+        // prefix, never one pass per aggregate
+        val aggCols = q.aggs.map(a => aggItemCol(a).as(a.alias))
+        if (q.returns.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(outCols.map { case (c, a) => c.as(a) }: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      }
+      else if (q.countStar) df.agg(count(lit(1)).as(q.countAlias))
       else if (q.countDistinctVar.nonEmpty)
         df.agg(count_distinct(bindCol(q.countDistinctVar.get,
           q.countDistinctProp.getOrElse("id"))).as(q.countAlias))

@@ -354,6 +354,23 @@ object GraphQueries {
         .withColumn("total_spend", round(col("total_spend"), 4))
     }),
 
+    // ext. openCypher MULTI-aggregate RETURN: `RETURN c.id, count(*),
+    // sum(o.price), max(o.price)` — the "how many and how much" KGQA
+    // projection. All trailing aggregates compile into ONE grouped
+    // aggregation keyed by the plain prefix (a single shuffle), never a
+    // pass per aggregate.
+    "q_cypher_multiagg" -> ((s, dir) => {
+      val q = "MATCH (c:c)-[:placed]->(o:o) " +
+        "WHERE c.id STARTS WITH 'c:1' " +
+        "RETURN c.id AS cust, count(*) AS n_orders, " +
+        "sum(o.price) AS total, max(o.price) AS top " +
+        "ORDER BY n_orders DESC, cust LIMIT 40"
+      graft.byokg.CypherLite.run(edges(s, dir),
+          Some(Tables.nodeProps(s, dir)), q)
+        .fold(err => sys.error(err), identity)
+        .withColumn("total", round(col("total"), 4))
+    }),
+
     // ext. openCypher collect(): `RETURN c.id, collect(o.id)` — the
     // entity-with-its-list shape KGQA LLMs emit for "list the orders of
     // each customer" questions. collect() returns the SORTED list (Neo4j
@@ -1514,6 +1531,20 @@ object GraphQueries {
          |WHERE e.label = 'placed' AND e.src LIKE 'c:%' AND e.dst LIKE 'o:%'
          |  AND op.price > 450000 AND cp.class = 'customer'
          |ORDER BY total DESC, cust, ord LIMIT 25""".stripMargin,
+
+    // multi-aggregate replay: one GROUP BY computes all three aggregates,
+    // the same single-shuffle shape the compiler plans.
+    "q_cypher_multiagg" ->
+      s"""WITH edges0 AS ($edgesSql),
+         |props AS (${Tables.nodePropsSql})
+         |SELECT cust, n_orders, round(total, 4) AS total, top FROM (
+         |  SELECT e.src AS cust, CAST(count(*) AS BIGINT) AS n_orders,
+         |    sum(op.price) AS total, max(op.price) AS top
+         |  FROM edges0 e JOIN props op ON op.id = e.dst
+         |  WHERE e.label = 'placed' AND e.src LIKE 'c:1%'
+         |    AND e.dst LIKE 'o:%'
+         |  GROUP BY e.src)
+         |ORDER BY n_orders DESC, cust LIMIT 40""".stripMargin,
 
     // expression-layer replay: the scalar functions map 1:1 onto DuckDB
     // built-ins (toLower→lower, size(split)→len(string_split),

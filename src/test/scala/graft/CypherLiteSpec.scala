@@ -653,12 +653,15 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.run(edges, Some(nprops),
       "MATCH (c:c)-[:placed]->(o) RETURN c.id, sum(o.price) " +
         "ORDER BY min(o.price)").isLeft)
-    // scalar aggregate cannot combine with ORDER BY; only-one-aggregate
+    // scalar aggregate cannot combine with ORDER BY
     assert(CypherLite.run(edges, Some(nprops),
       "MATCH (c:c)-[:placed]->(o) RETURN sum(o.price) ORDER BY c.id")
       .isLeft)
+    // two trailing aggregates are the MULTI-aggregate form (round 9) —
+    // one scalar aggregation row, not a refusal
     assert(CypherLite.run(edges, Some(nprops),
-      "MATCH (c:c)-[:placed]->(o) RETURN sum(o.price), count(*)").isLeft)
+      "MATCH (c:c)-[:placed]->(o) RETURN sum(o.price), count(*)")
+      .toOption.get.columns.toSeq == Seq("sum(o.price)", "count"))
     // unknown property inside the aggregate still schema-checks
     assert(CypherLite.run(edges, Some(nprops),
       "MATCH (c:c)-[:placed]->(o) RETURN sum(o.cost)").isLeft)
@@ -1048,6 +1051,63 @@ class CypherLiteSpec extends SparkSpec {
         "WHERE toLower(o) = 'o:10' RETURN n.id")
     assert(bare.isLeft && bare.swap.toOption.get.contains("null-kill"),
       bare.toString)
+  }
+
+  test("multi-aggregate RETURN: one grouped aggregation computes every " +
+    "trailing aggregate; scalar form; ORDER BY by alias or unambiguous " +
+    "form; misuse is loud") {
+    // grouped: per-customer order count + priciest order + order list
+    val q = "MATCH (c:c)-[:placed]->(o:o) " +
+      "RETURN c.id AS cust, count(*) AS n, max(o.price) AS top, " +
+      "collect(o.id) AS orders ORDER BY n DESC, cust"
+    val out = CypherLite.run(edges, Some(propsNum), q).toOption.get
+    assert(out.columns.toSeq == Seq("cust", "n", "top", "orders"))
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getSeq[String](3).toList)).toSeq
+    assert(rows == Seq(("c:1", 2L, 150.0, List("o:10", "o:11")),
+      ("c:2", 1L, 95.0, List("o:12"))), rows.toString)
+    // scalar multi-aggregate: empty plain prefix, one row
+    val sc = CypherLite.run(edges, Some(propsNum),
+      "MATCH (c:c)-[:placed]->(o:o) " +
+        "RETURN count(*) AS n, sum(o.price) AS total, " +
+        "count(DISTINCT c) AS nc").toOption.get
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(sc == Seq((3L, 335.0, 2L)))
+    // count(v) skips OPTIONAL nulls next to count(*) counting rows
+    val opt = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE n.id IN ['c:1', 'p:7'] " +
+        "RETURN n.id AS anchor, count(*) AS rows_n, count(o) AS with_o " +
+        "ORDER BY anchor").toOption.get
+      .as[(String, Long, Long)].collect().toSeq
+    assert(opt == Seq(("c:1", 2L, 2L), ("p:7", 1L, 0L)))
+    // ORDER BY an unambiguous functional form resolves; duplicate
+    // default aliases and mid-list aggregates are loud
+    val byForm = CypherLite.run(edges, Some(propsNum),
+      "MATCH (c:c)-[:placed]->(o:o) RETURN c.id AS cust, " +
+        "count(*) AS n, sum(o.price) AS t ORDER BY sum(o.price) DESC")
+      .toOption.get.as[(String, Long, Double)].collect().toSeq
+    assert(byForm.head._1 == "c:1")
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) RETURN c.id, count(*), count(o)")
+      .swap.toOption.get.contains("duplicate"))
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) RETURN count(*) AS a, c.id, " +
+        "count(o) AS b").isLeft)
+    // DISTINCT cannot combine; sum needs a property — still loud
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) RETURN DISTINCT c.id, " +
+        "count(*) AS a, count(o) AS b").isLeft)
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o) RETURN count(*) AS a, sum(o) AS s")
+      .swap.toOption.get.contains("numeric property"))
+    // multi-aggregates flow through WITH (HAVING on any aggregate)
+    val withQ = CypherLite.run(edges, Some(propsNum),
+      "MATCH (c:c)-[:placed]->(o:o) WITH c.id AS cust, " +
+        "count(*) AS n, sum(o.price) AS total WHERE n > 1 " +
+        "RETURN cust, total").toOption.get
+      .as[(String, Double)].collect().toSeq
+    assert(withQ == Seq(("c:1", 240.0)))
   }
 
   private lazy val edgesP = Seq(
