@@ -1554,7 +1554,7 @@ object GraphQueries {
       s"""WITH edges0 AS ($edgesSql),
          |props AS (${Tables.nodePropsSql})
          |SELECT e.src AS cust, e.dst AS ord, lower(cp.value) AS lname,
-         |  len(string_split(op.value, '-')) AS nsegs,
+         |  CAST(len(string_split(op.value, '-')) AS INT) AS nsegs,
          |  coalesce(cp.value, 'unknown') AS who
          |FROM edges0 e
          |JOIN props cp ON cp.id = e.src

@@ -36,7 +36,12 @@ class PlanCensusSpec extends SparkSpec {
     val drifted = PlanCensus.censusAll(spark, sfDir, warmed).flatMap {
       case (name, now) =>
         val c = committed(name)
-        val taskSlack = math.max(6L, (c.tasks * 0.15).toLong)
+        // tasks get the widest slack: AQE partition coalescing reacts to
+        // in-JVM memory state, so a fresh-JVM census vs the shared suite
+        // JVM measured up to ~18% task drift on deep beam plans while
+        // jobs/stages/shuffles stayed exact — those three carry the
+        // regression signal
+        val taskSlack = math.max(8L, (c.tasks * 0.3).toLong)
         val ok = math.abs(now.jobs - c.jobs) <= 1 &&
           math.abs(now.stages - c.stages) <= 2 &&
           math.abs(now.shuffles - c.shuffles) <= 2 &&
