@@ -60,7 +60,9 @@ import org.apache.spark.sql.functions._
  *     -- ORDER BY addresses a multi-aggregate by its alias (or an
  *     -- unambiguous count(*) / func(v.p) form).
  *     item := v[.p] [AS alias] | type(r) [AS alias]
- *           | properties(v) [AS alias]
+ *           | properties(v) [AS alias]  -- node OR relationship var:
+ *                             -- edge variables render the edge frame's
+ *                             -- extra columns (props-less stores Left)
  *           | expr AS alias   -- scalar-function/arithmetic projection;
  *                             -- the alias is REQUIRED (and is how
  *                             -- ORDER BY addresses the item)
@@ -1025,9 +1027,9 @@ object CypherLite {
             return Left(s"type($v): '$v' is not a relationship variable")
           (v, None, Option(alias).getOrElse(s"type($v)"), None)
         case PropsRetRe(v, alias) =>
-          if (allEdgeVars.contains(v))
-            return Left(s"properties($v): '$v' is a relationship " +
-              s"variable — read a named property ($v.prop) or type($v)")
+          // legal on BOTH node and relationship variables: for an edge
+          // variable the map renders the edge frame's extra columns
+          // (schema-checked in run(); a props-less store Lefts there)
           (v, Some("*"), Option(alias).getOrElse(s"properties($v)"), None)
         case RetRe(v, propG, alias) =>
           val p = propOf(propG)
@@ -1273,8 +1275,16 @@ object CypherLite {
     // (projected inside compileChain); node-variable reads resolve via
     // the nodeProps join below
     val edgeVarSet = q.edgeVars
+    // the edge frame's property columns (everything beyond the triple),
+    // sorted — the expansion set for properties(r) and the deterministic
+    // key order of its JSON rendering
+    val edgeExtraCols: Seq[String] =
+      (edgeFrame.columns.toSet -- Set("src", "dst", "label")).toSeq.sorted
     val edgeNeeded: Map[String, Set[String]] =
       q.neededProps.filter { case (v, _) => edgeVarSet.contains(v) }
+        .map { case (v, ps) =>
+          v -> (if (ps.contains("*")) ps - "*" ++ edgeExtraCols else ps)
+        }.filter(_._2.nonEmpty)
     val frames = scala.collection.mutable.ArrayBuffer(
       q.parts.map(p => (p, compileChain(edgeFrame, p, edgeNeeded))): _*)
     var (part0, df) = frames.remove(0)
@@ -1364,10 +1374,12 @@ object CypherLite {
     }
     def bindCol(v: String, prop: String): Column =
       if (prop == "id") col(v)
-      else if (prop == "*") // properties(v): sorted-key JSON, null binding
+      else if (prop == "*") { // properties(v): sorted-key JSON, null binding
+        val keys = if (edgeVarSet.contains(v)) edgeExtraCols else allProps
         when(col(v).isNull, lit(null).cast("string"))
           .otherwise(to_json(struct(
-            allProps.map(p => col(s"__${v}__$p").as(p)): _*)))
+            keys.map(p => col(s"__${v}__$p").as(p)): _*)))
+      }
       else col(s"__${v}__$prop")
     // scalar expression → Column: functions map 1:1 onto codegen'd
     // built-ins; arithmetic folds double try_casts (non-numeric → null,
@@ -1801,7 +1813,13 @@ object CypherLite {
     val (edgeSide, nodeSide) =
       q.neededProps.partition { case (v, _) => edgeVarSet.contains(v) }
     val edgeAvail = edgeFrame.columns.toSet -- Set("src", "dst", "label")
-    val edgeMissing = edgeSide.values.flatten.toSet -- edgeAvail
+    val edgeNeededProps = edgeSide.values.flatten.toSet
+    // "*" is the properties(r) sentinel — valid whenever the edge frame
+    // carries ANY property columns to render
+    if (edgeNeededProps.contains("*") && edgeAvail.isEmpty)
+      return Left("properties(...) on a relationship variable — this " +
+        "store's relationships carry only their type; use type(r)")
+    val edgeMissing = edgeNeededProps - "*" -- edgeAvail
     if (edgeMissing.nonEmpty)
       return Left("unknown relationship propert" +
         (if (edgeMissing.size > 1) "ies " else "y ") +

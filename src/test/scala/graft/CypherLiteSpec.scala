@@ -566,10 +566,17 @@ class CypherLiteSpec extends SparkSpec {
     val bare = CypherLite.run(edges, "MATCH (n) RETURN properties(n)")
     assert(bare.isLeft && bare.swap.toOption.get.contains("only '.id'"),
       bare.toString)
-    // relationship variables carry only their type
+    // a props-less edge frame: relationships carry only their type
     assert(CypherLite.run(edges, Some(props),
       "MATCH (a)-[r]->(b) RETURN properties(r)").swap.toOption.get
       .contains("type(r)"))
+    // ...but on a property-carrying edge frame, properties(r) renders
+    // the edge's extra columns as sorted-key JSON (nulls omitted)
+    val rp = CypherLite.run(edgesP,
+      "MATCH (o:o)-[r:contains]->(p:p) WHERE o.id = 'o:10' " +
+        "RETURN p.id AS part, properties(r) AS rp").toOption.get
+      .as[(String, String)].collect().toSeq
+    assert(rp == Seq(("p:7", """{"qty":40}""")), rp.toString)
   }
 
   test("numeric comparisons cast the property to double: >, >=, <, <=, " +
