@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
  *   MATCH pattern [, pattern ...]
  *   [OPTIONAL MATCH pattern [, pattern ...]] ...
  *   [WHERE term [AND term ...] [OR term [AND term ...] ...]]
- *     term := v[.p] = 'lit' | v[.p] <> 'lit' | v.p IN ['lit', ...]
+ *     term := [NOT] atom   -- NOT negates ONE atom (optionally
+ *                          -- parenthesized: NOT (x = 'a')); NOT over an
+ *                          -- AND/OR group is a loud Left. Three-valued:
+ *                          -- a null operand drops the row, like Cypher.
+ *     atom := v[.p] = 'lit' | v[.p] <> 'lit' | v.p IN ['lit', ...]
  *           | v[.p] (>|>=|<|<=|=|<>) number  -- bare v compares the
  *                                   -- binding itself (a piped WITH
  *                                   -- output, e.g. `WHERE n >= 2`)
@@ -406,6 +410,13 @@ object CypherLite {
     } yield (l, s.substring(opAt, opAt + opLen), r)
   }
 
+  /** Negation of ONE WHERE term (`NOT v.p = 'x'`, `NOT (v.p IN [...])`)
+    * — atom-level only: NOT over an AND/OR group is refused by
+    * construction (the quote-aware splitters cut the group first and the
+    * fragments fail to parse loudly). SQL three-valued semantics: a null
+    * operand stays null and the row drops, matching Cypher. */
+  final case class NotTerm(t: WhereTerm) extends WhereTerm
+
   /** General expression comparison WHERE term. Comparison is numeric
     * (double try_cast both sides) when either side's inferred kind is
     * numeric, raw otherwise — so `coalesce(s.from,'1900') <= '2024'`
@@ -488,12 +499,13 @@ object CypherLite {
       * relationship variables — [[compile]] splits by [[edgeVars]]) —
       * what [[compile]] materializes and [[run]] schema-checks. */
     def neededProps: Map[String, Set[String]] = {
-      val fromConds = conds.flatten.flatMap {
+      def termProps(t: WhereTerm): Seq[(String, String)] = t match {
         case c: Cond if c.prop != "id" => Seq(c.v -> c.prop)
-        case e: ExprCond =>
-          (e.l.refs ++ e.r.refs).filter(_._2 != "id")
+        case e: ExprCond => (e.l.refs ++ e.r.refs).filter(_._2 != "id")
+        case NotTerm(inner) => termProps(inner)
         case _ => Nil
       }
+      val fromConds = conds.flatten.flatMap(termProps)
       val fromRets = returns.zip(
           if (retProps.size == returns.size) retProps
           else returns.map(_ => None))
@@ -850,7 +862,31 @@ object CypherLite {
       case None => Nil
       case Some(w) =>
         boolSplit(w, "OR").map { grp =>
-          boolSplit(grp, "AND").map[WhereTerm] {
+          boolSplit(grp, "AND").map[WhereTerm] { raw0 =>
+          // a leading NOT negates the single following term; one layer
+          // of parens around that term is accepted (`NOT (x = 'a')`)
+          val NotPrefix = "(?is)^NOT\\s+(.*)$".r
+          val (negated, rawT) = raw0 match {
+            case NotPrefix(inner0) =>
+              val inner = inner0.trim
+              val stripped =
+                if (inner.startsWith("(") && inner.endsWith(")")) {
+                  var depth = 0; var one = true
+                  inner.zipWithIndex.foreach { case (c, i) =>
+                    if (c == '(') depth += 1
+                    else if (c == ')') {
+                      depth -= 1
+                      if (depth == 0 && i != inner.length - 1) one = false
+                    }
+                  }
+                  if (one && depth == 0)
+                    inner.substring(1, inner.length - 1).trim
+                  else inner
+                } else inner
+              (true, stripped)
+            case _ => (false, raw0)
+          }
+          val term: WhereTerm = rawT match {
             // prop group is optional for = / <> / numeric: a bare name
             // compares the binding itself — required for WHERE on a
             // piped WITH output (e.g. `WHERE n >= 2` after a count)
@@ -888,6 +924,8 @@ object CypherLite {
                 case Left(e) => return Left(
                   s"unsupported WHERE term '$other' ($e)")
               }
+          }
+          if (negated) NotTerm(term) else term
           }
         }
     }
@@ -1073,12 +1111,15 @@ object CypherLite {
     // the optional variable's null-ness IS the stated intent (the Cypher
     // anti-join / exists shape). In expression terms, refs inside a
     // multi-arg coalesce are also exempt — the fallback handles the null.
-    conds.flatten.flatMap {
+    def nullKillVars(t: WhereTerm): Seq[String] = t match {
       case c: Cond if !c.op.startsWith("IS_") => Seq(c.v)
       case e: ExprCond =>
         (e.l.unguardedRefs ++ e.r.unguardedRefs).map(_._1)
+      case NotTerm(inner) => nullKillVars(inner) // NOT(IS NULL) stays exempt
       case _ => Nil
-    }.find(!condEligible.contains(_)) match {
+    }
+    conds.flatten.flatMap(nullKillVars)
+      .find(!condEligible.contains(_)) match {
       case Some(v) if known.contains(v) =>
         return Left(s"WHERE on OPTIONAL MATCH variable '$v' would " +
           "null-kill the outer join — not supported (wrap it in " +
@@ -1161,10 +1202,12 @@ object CypherLite {
         (o, asc)
       }
     }
-    val condVars = conds.flatten.flatMap {
+    def termVars(t: WhereTerm): Seq[String] = t match {
       case c: Cond => Seq(c.v)
       case e: ExprCond => (e.l.refs ++ e.r.refs).map(_._1)
+      case NotTerm(inner) => termVars(inner)
     }
+    val condVars = conds.flatten.flatMap(termVars)
     val retExprVars = retExprs.flatten.flatMap(_.refs.map(_._1))
     (condVars ++ returns ++ retExprVars ++ countDistinctVar ++ countVar ++
         groupCountVar ++ groupCountDistinctVar ++ aggVar ++
@@ -1466,6 +1509,7 @@ object CypherLite {
     def termCol(t: WhereTerm): Column = t match {
       case c: Cond => condCol(c)
       case e: ExprCond => exprCmpCol(e)
+      case NotTerm(inner) => !termCol(inner)
     }
     if (q.conds.nonEmpty)
       df = df.filter(

@@ -1060,6 +1060,51 @@ class CypherLiteSpec extends SparkSpec {
       bare.toString)
   }
 
+  test("NOT negates one WHERE atom (bare or parenthesized); NOT over a " +
+    "group is loud; NOT(IS NULL) keeps the optional-variable exemption") {
+    // NOT on equality: everything but c:1's orders
+    val ne = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WHERE NOT c.id = 'c:1' " +
+        "RETURN o.id AS ord ORDER BY ord").toOption.get
+      .as[String].collect().toSeq
+    assert(ne == Seq("o:12"))
+    // parenthesized atom + IN
+    val notIn = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WHERE NOT (o.id IN ['o:10', 'o:12']) " +
+        "RETURN o.id AS ord").toOption.get.as[String].collect().toSeq
+    assert(notIn == Seq("o:11"))
+    // NOT composes under AND/OR precedence
+    val mixed = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WHERE NOT c.id = 'c:1' OR " +
+        "o.id = 'o:10' RETURN o.id AS ord ORDER BY ord").toOption.get
+      .as[String].collect().toSeq
+    assert(mixed == Seq("o:10", "o:12"))
+    // NOT (o IS NULL) == IS NOT NULL: allowed on OPTIONAL variables
+    val exists = CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE NOT (o IS NULL) RETURN DISTINCT n.id AS who ORDER BY who")
+      .toOption.get.as[String].collect().toSeq
+    assert(exists == Seq("c:1", "c:2"))
+    // NOT on a value predicate still null-kills: refused on optional vars
+    assert(CypherLite.run(edges,
+      "MATCH (n) OPTIONAL MATCH (n)-[:placed]->(o:o) " +
+        "WHERE NOT o.id = 'o:10' RETURN n.id").isLeft)
+    // NOT over an AND group: the splitter cuts first, fragments are loud
+    assert(CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) " +
+        "WHERE NOT (c.id = 'c:1' AND o.id = 'o:10') RETURN o.id").isLeft)
+    // a variable merely NAMED like the keyword is untouched
+    assert(CypherLite.run(edges,
+      "MATCH (note)-[:placed]->(o) WHERE note.id = 'c:1' " +
+        "RETURN o.id").toOption.get.count() == 2L)
+    // NOT on an expression comparison
+    val notExpr = CypherLite.run(edges,
+      "MATCH (c:c)-[:placed]->(o:o) WHERE NOT toLower(o.id) = 'o:10' " +
+        "RETURN o.id AS ord ORDER BY ord").toOption.get
+      .as[String].collect().toSeq
+    assert(notExpr == Seq("o:11", "o:12"))
+  }
+
   test("multi-aggregate RETURN: one grouped aggregation computes every " +
     "trailing aggregate; scalar form; ORDER BY by alias or unambiguous " +
     "form; misuse is loud") {
