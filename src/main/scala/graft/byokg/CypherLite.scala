@@ -84,6 +84,15 @@ import org.apache.spark.sql.functions._
  *     -- double try_cast (the "total spend of each customer" KGQA shape)
  *   [ORDER BY (v[.p] | alias | count(*|v) | agg) [DESC] [, ...]] [LIMIT n]
  *
+ * MULTI-stage WITH pipelines, `{key: value}` map projections (nested,
+ * with properties(v) / NULL / [...] values), `collect(distinct x)` and
+ * ORDER BY on a returned map's field route to the staged compiler
+ * ([[CypherStages]]) — enough grammar to run the reference's own
+ * statements_cypher verbatim (traversal_based_base_retriever.py:153-190).
+ * `$name` parameters bind through [[substituteParams]]; `// comments`
+ * strip. The single-WITH forms below keep their original closed-form
+ * compilation paths:
+ *
  * One WITH stage is also supported — aggregate, filter on the aggregate
  * (Cypher's HAVING), then either project or MATCH again:
  *
@@ -635,14 +644,14 @@ object CypherLite {
       .map(_.trim).toSeq
 
   /** First occurrence of the standalone keyword OUTSIDE single quotes. */
-  private def kwMatch(s: String, kw: String)
+  private[byokg] def kwMatch(s: String, kw: String)
   : Option[scala.util.matching.Regex.Match] =
     ("(?i)\\s" + kw + "\\s(?=(?:[^']*'[^']*')*[^']*$)").r
       .findFirstMatchIn(s)
 
   /** The WITH clause keyword — NOT the `STARTS WITH` / `ENDS WITH`
     * operators (fixed-width lookbehinds exclude both). */
-  private def withMatch(s: String)
+  private[byokg] def withMatch(s: String)
   : Option[scala.util.matching.Regex.Match] =
     "(?i)(?<!starts)(?<!ends)\\sWITH\\s(?=(?:[^']*'[^']*')*[^']*$)".r
       .findFirstMatchIn(s)
@@ -1209,6 +1218,21 @@ object CypherLite {
     }
     val condVars = conds.flatten.flatMap(termVars)
     val retExprVars = retExprs.flatten.flatMap(_.refs.map(_._1))
+    // a BARE relationship variable inside an expression would resolve to
+    // the edge's label while the documented contract binds node ids /
+    // piped outputs — refuse loudly instead of letting the label
+    // masquerade as an id (use type(r), or r.prop for edge properties)
+    def exprTermRefs(t: WhereTerm): Seq[(String, String)] = t match {
+      case e: ExprCond => e.l.refs ++ e.r.refs
+      case NotTerm(inner) => exprTermRefs(inner)
+      case _ => Nil
+    }
+    (conds.flatten.flatMap(exprTermRefs) ++
+        retExprs.flatten.flatMap(_.refs))
+      .collectFirst { case (v, "id") if allEdgeVars.contains(v) => v }
+      .foreach(v => return Left(s"bare relationship variable '$v' in an " +
+        s"expression — a relationship binding is its type, not an id; " +
+        s"use type($v) to read the type or $v.<prop> for a property"))
     (condVars ++ returns ++ retExprVars ++ countDistinctVar ++ countVar ++
         groupCountVar ++ groupCountDistinctVar ++ aggVar ++
         aggItems.flatMap(_.v))
@@ -1808,10 +1832,110 @@ object CypherLite {
   private val UnwindRe =
     """(?is)^\s*UNWIND\s*\[\s*('[^']*'(?:\s*,\s*'[^']*')*)?\s*\]\s*AS\s+([A-Za-z_][A-Za-z0-9_]*)\s+(MATCH\b.*)$""".r
 
+  /** `// line comments` (outside string literals) stripped — the
+    * reference's own query text leads with one
+    * (traversal_based_base_retriever.py:154). */
+  def stripComments(q: String): String =
+    q.linesIterator.map { line =>
+      var i = 0; var quote = ' '; var cut = -1
+      while (i < line.length && cut < 0) {
+        val c = line.charAt(i)
+        if (quote != ' ') { if (c == quote) quote = ' ' }
+        else if (c == '\'' || c == '"') quote = c
+        else if (c == '/' && i + 1 < line.length &&
+          line.charAt(i + 1) == '/') cut = i
+        i += 1
+      }
+      if (cut >= 0) line.substring(0, cut) else line
+    }.mkString("\n")
+
+  /** Substitute `$name` parameters (outside string literals) with literal
+    * renderings — the driver-side parameter binding the reference performs
+    * before handing cypher to its store (`$statementIds` / `$limit`,
+    * traversal_based_base_retriever.py:145-191). Strings quote (embedded
+    * quotes refused — the grammar has no escapes), numbers inline, string
+    * sequences render as `['a', 'b', ...]`. */
+  def substituteParams(q: String,
+                       params: Map[String, Any]): Either[String, String] = {
+    def render(name: String, v: Any): Either[String, String] = v match {
+      case s: String =>
+        if (s.contains('\'')) Left(s"parameter $$$name contains a quote " +
+          "— string literals have no escapes")
+        else Right(s"'$s'")
+      case n @ (_: Int | _: Long | _: Short) => Right(n.toString)
+      case d: Double => Right(d.toString)
+      case xs: Seq[_] =>
+        val parts = xs.map {
+          case s: String =>
+            if (s.contains('\'')) return Left(
+              s"parameter $$$name contains a quoted element")
+            else s"'$s'"
+          case n @ (_: Int | _: Long) => n.toString
+          case other => return Left(
+            s"parameter $$$name has an unsupported element: $other")
+        }
+        Right(parts.mkString("[", ", ", "]"))
+      case other =>
+        Left(s"unsupported parameter type for $$$name: " +
+          other.getClass.getSimpleName)
+    }
+    val out = new StringBuilder
+    var i = 0; var quote = ' '
+    val IdRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (quote != ' ') { if (c == quote) quote = ' '; out += c; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; out += c; i += 1 }
+      else if (c == '$') {
+        IdRe.findPrefixMatchOf(q.substring(i + 1)) match {
+          case Some(m) =>
+            val name = m.group(0)
+            params.get(name) match {
+              case Some(v) => render(name, v) match {
+                case Right(r) => out ++= r; i += 1 + m.end
+                case Left(e) => return Left(e)
+              }
+              case None => return Left(s"unbound parameter $$$name — " +
+                "supplied: " + params.keys.toSeq.sorted.mkString(", "))
+            }
+          case None => out += c; i += 1
+        }
+      } else { out += c; i += 1 }
+    }
+    Right(out.toString)
+  }
+
+  /** Newlines/tabs → spaces OUTSIDE string literals: the clause scanners
+    * index on single-space-delimited keywords, and real query text (the
+    * reference's own multi-line statements_cypher) arrives wrapped. */
+  private[byokg] def normalizeWs(q: String): String = {
+    val out = new StringBuilder(q.length)
+    var quote = ' '
+    q.foreach { c =>
+      if (quote != ' ') { if (c == quote) quote = ' '; out += c }
+      else if (c == '\'' || c == '"') { quote = c; out += c }
+      else if (c == '\n' || c == '\r' || c == '\t') out += ' '
+      else out += c
+    }
+    out.toString
+  }
+
+  /** Parse + compile with driver-side parameter binding. */
   def run(edgeFrame: DataFrame, nodeProps: Option[DataFrame],
-          cypher: String): Either[String, DataFrame] =
+          cypher: String,
+          params: Map[String, Any]): Either[String, DataFrame] =
+    substituteParams(stripComments(cypher), params)
+      .flatMap(run(edgeFrame, nodeProps, _))
+
+  def run(edgeFrame: DataFrame, nodeProps: Option[DataFrame],
+          cypher0: String): Either[String, DataFrame] = {
+    val cypher = normalizeWs(stripComments(cypher0))
     if (!GraphQuerySafety.isQuerySafe(cypher))
       Left("modification keywords are blocked (read-only executor)")
+    // staged pipelines: chained WITH stages / map literals /
+    // collect(DISTINCT ...) — the reference's statements_cypher shape
+    else if (CypherStages.applies(cypher))
+      CypherStages.run(edgeFrame, nodeProps, cypher)
     else if (cypher.trim.toUpperCase.startsWith("UNWIND")) {
       cypher.trim.stripSuffix(";") match {
         case UnwindRe(items, v, rest) =>
@@ -1843,13 +1967,14 @@ object CypherLite {
       schemaCheck(q, nodeProps, edgeFrame).map(_ => compile(edgeFrame, q,
         if (q.neededProps.nonEmpty) nodeProps else None))
     }
+  }
 
   /** Every non-id property the query reads must exist on the store —
     * node-variable properties on the nodeProps frame, relationship-
     * variable properties on the edge frame's extra columns. Missing ones
     * Left with the store's real columns, so an LLM that invents a
     * property gets schema feedback, not an analysis exception. */
-  private def schemaCheck(q: Query,
+  private[byokg] def schemaCheck(q: Query,
                           nodeProps: Option[DataFrame],
                           edgeFrame: DataFrame)
   : Either[String, Unit] = {

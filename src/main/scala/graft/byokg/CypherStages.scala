@@ -1,0 +1,852 @@
+package graft.byokg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multi-stage WITH pipeline + map-literal extension of [[CypherLite]] —
+ * the grammar the reference's OWN flagship retrieval query needs
+ * (`statements_cypher`, traversal_based_base_retriever.py:153-190):
+ * FOUR chained `WITH` stages, `{key: value}` map projections (nested,
+ * with `properties(v)` / `split(coalesce(...))` / `NULL` / `[]` values),
+ * `collect(distinct x)`, aggregates over map-field arithmetic
+ * (`sum(size(topic.statements)/size(topic.chunks))`), and `ORDER BY` on
+ * a returned map's field (`ORDER BY result.score DESC`).
+ *
+ * Spark-first compilation — no interpreter, no per-row walker:
+ *
+ *  - The MATCH block compiles through [[CypherLite.parse]]/
+ *    [[CypherLite.compile]] with a SYNTHESIZED projection holding every
+ *    binding and `v.prop` column any later stage reads — so the whole
+ *    pattern stays one chain of equi-joins Catalyst can reorder, and
+ *    property materialization stays one pruned LEFT join per variable.
+ *  - A map literal is a `named_struct` (NOT a MapType: struct fields are
+ *    orderable, so map-valued columns can be GROUP BY keys and
+ *    `collect_set` elements — exactly what the reference query does when
+ *    it groups by the `source` map; Spark refuses MapType in both spots).
+ *  - `properties(v)` is the sorted struct of v's property columns
+ *    (the staged twin of CypherLite's sorted-key JSON rendering).
+ *  - Each WITH stage is ONE `select` (projection stage) or ONE
+ *    `groupBy(...).agg(...)` (aggregation stage): n stages with m
+ *    aggregations cost exactly m shuffles, the same plan a hand-written
+ *    DataFrame pipeline produces. `collect(x)` / `collect(distinct x)`
+ *    compile to `array_sort(collect_list/collect_set)` — deterministic
+ *    under any partitioning (Cypher leaves collect order unspecified).
+ *  - Pattern variables ride through stages as their binding columns;
+ *    a LATER stage's `t.value` works because the needed property column
+ *    is carried as a hidden pass-through (grouping by it is safe: a
+ *    property is functionally dependent on its node binding).
+ *
+ * Cypher value semantics kept: integer `/` on two integer-kinded
+ * operands truncates (Neo4j's behavior — `size(a)/size(b)` is integer
+ * division there), `size()` is array length on lists and string length
+ * otherwise, `NULL` / `[...]` literals are first-class.
+ *
+ * Refused loudly (the KGLinker retry-feedback contract): `{}` empty
+ * maps, aggregates nested inside expressions or maps, a MATCH after any
+ * WITH stage in a multi-stage pipeline, `WHERE` between chained stages,
+ * expression items without `AS`, `properties()` of a non-pattern value,
+ * multi-level property paths on pattern variables, and ORDER BY fields
+ * that don't resolve against the returned schema.
+ *
+ * Scale: the one corpus-wide exchange per aggregation stage is keyed on
+ * that stage's grouping tuple; everything else is in-row struct
+ * construction (codegen'd `named_struct`/`array_sort`). The reference
+ * executes this query per retrieval round-trip against its graph store;
+ * here the same text compiles into one Spark job.
+ */
+object CypherStages {
+
+  // ---- value expressions (superset of CypherLite.Expr) ------------------
+
+  /** Staged-pipeline expression: adds map/list/null literals, multi-level
+    * field paths and `properties(v)` to the scalar layer. */
+  sealed trait MExpr {
+    /** Every (base, path) reference this expression reads. */
+    def refs: Seq[(String, Seq[String])] = this match {
+      case MExpr.Ref(b, p) => Seq(b -> p)
+      case MExpr.Fn(_, args) => args.flatMap(_.refs)
+      case MExpr.Bin(_, l, r) => l.refs ++ r.refs
+      case MExpr.MapLit(es) => es.flatMap(_._2.refs)
+      case MExpr.ListLit(is) => is.flatMap(_.refs)
+      case _ => Nil
+    }
+  }
+  object MExpr {
+    final case class Ref(base: String, path: Seq[String]) extends MExpr
+    final case class Str(s: String) extends MExpr
+    final case class IntLit(v: Long) extends MExpr
+    final case class DblLit(v: Double) extends MExpr
+    case object NullLit extends MExpr
+    final case class MapLit(entries: Seq[(String, MExpr)]) extends MExpr
+    final case class ListLit(items: Seq[MExpr]) extends MExpr
+    /** name normalized lowercase; "properties" included. */
+    final case class Fn(name: String, args: Seq[MExpr]) extends MExpr
+    final case class Bin(op: Char, l: MExpr, r: MExpr) extends MExpr
+
+    val Functions: Map[String, (Int, Int)] = Map(
+      "coalesce" -> (2, 8), "size" -> (1, 1), "tolower" -> (1, 1),
+      "toupper" -> (1, 1), "trim" -> (1, 1), "split" -> (2, 2),
+      "tostring" -> (1, 1), "properties" -> (1, 1))
+
+    /** Aggregate heads — loud Left when found INSIDE an expression (they
+      * are only legal as the whole body of a stage item). */
+    val AggNames: Set[String] =
+      Set("count", "sum", "min", "max", "avg", "collect")
+  }
+
+  /** Recursive-descent parser for [[MExpr]] — precedence `* / %` over
+    * `+ -`, parens group; single- OR double-quoted string literals (the
+    * reference's own query text uses `""`). */
+  private final class MParser(input: String) {
+    private var pos = 0
+    private def ws(): Unit = while (pos < input.length &&
+      input.charAt(pos).isWhitespace) pos += 1
+    private def peek: Char =
+      if (pos < input.length) input.charAt(pos) else ' '
+    private def fail(msg: String): Either[String, Nothing] =
+      Left(s"$msg at '${input.substring(math.min(pos, input.length)).take(30)}'")
+
+    def parseAll(): Either[String, MExpr] =
+      expr().flatMap { e =>
+        ws()
+        if (pos < input.length) fail("unexpected trailing input")
+        else Right(e)
+      }
+
+    private def expr(): Either[String, MExpr] =
+      binChain(() => term(), Set('+', '-'))
+    private def term(): Either[String, MExpr] =
+      binChain(() => factor(), Set('*', '/', '%'))
+
+    private def binChain(sub: () => Either[String, MExpr],
+                         ops: Set[Char]): Either[String, MExpr] = {
+      var acc = sub() match { case Right(e) => e; case l => return l }
+      ws()
+      while (ops.contains(peek)) {
+        val op = peek; pos += 1
+        sub() match {
+          case Right(r) => acc = MExpr.Bin(op, acc, r)
+          case l => return l
+        }
+        ws()
+      }
+      Right(acc)
+    }
+
+    private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+
+    private def strLit(q: Char): Either[String, MExpr] = {
+      val end = input.indexOf(q, pos + 1)
+      if (end < 0) fail("unterminated string literal")
+      else { val s = input.substring(pos + 1, end); pos = end + 1
+        Right(MExpr.Str(s)) }
+    }
+
+    private def factor(): Either[String, MExpr] = {
+      ws()
+      peek match {
+        case '(' =>
+          pos += 1
+          expr().flatMap { e =>
+            ws()
+            if (peek == ')') { pos += 1; Right(e) }
+            else fail("expected ')'")
+          }
+        case '{' =>
+          pos += 1
+          val entries =
+            scala.collection.mutable.ArrayBuffer.empty[(String, MExpr)]
+          ws()
+          if (peek == '}')
+            return Left("empty map literals {} are not supported — " +
+              "give the map at least one key (structs need a field)")
+          var more = true
+          while (more) {
+            ws()
+            val km = IdentRe.findPrefixMatchOf(input.substring(pos))
+              .getOrElse(return fail("expected a map key identifier"))
+            val key = km.group(0); pos += km.end
+            ws()
+            if (peek != ':') return fail(s"expected ':' after map key '$key'")
+            pos += 1
+            expr() match {
+              case Right(e) => entries += key -> e
+              case l => return l
+            }
+            ws()
+            if (peek == ',') { pos += 1; more = true } else more = false
+          }
+          ws()
+          if (peek != '}') fail("expected '}' to close the map literal")
+          else {
+            pos += 1
+            if (entries.map(_._1).distinct.size != entries.size)
+              Left("duplicate keys in map literal")
+            else Right(MExpr.MapLit(entries.toSeq))
+          }
+        case '[' =>
+          pos += 1
+          val items = scala.collection.mutable.ArrayBuffer.empty[MExpr]
+          ws()
+          if (peek == ']') { pos += 1; return Right(MExpr.ListLit(Nil)) }
+          var more = true
+          while (more) {
+            expr() match {
+              case Right(e) => items += e
+              case l => return l
+            }
+            ws()
+            if (peek == ',') { pos += 1; more = true } else more = false
+          }
+          if (peek != ']') fail("expected ']' to close the list literal")
+          else { pos += 1; Right(MExpr.ListLit(items.toSeq)) }
+        case '\'' => strLit('\'')
+        case '"' => strLit('"')
+        case c if c.isDigit ||
+            (c == '-' && pos + 1 < input.length &&
+              input.charAt(pos + 1).isDigit) =>
+          val m = """-?\d+(?:\.\d+)?""".r
+            .findPrefixMatchOf(input.substring(pos)).get
+          pos += m.end
+          val tok = m.group(0)
+          if (tok.contains('.')) Right(MExpr.DblLit(tok.toDouble))
+          else Right(MExpr.IntLit(tok.toLong))
+        case c if c.isLetter || c == '_' =>
+          val m = IdentRe.findPrefixMatchOf(input.substring(pos)).get
+          val ident = m.group(0); pos += m.end
+          if (ident.equalsIgnoreCase("null")) return Right(MExpr.NullLit)
+          ws()
+          if (peek == '(') {
+            pos += 1
+            val name = ident.toLowerCase
+            if (MExpr.AggNames.contains(name))
+              return Left(s"aggregate $ident(...) cannot appear inside an " +
+                "expression or map literal — aggregate at the top level " +
+                "of a WITH/RETURN item and reference its alias")
+            MExpr.Functions.get(name) match {
+              case None => Left(s"unknown function '$ident' — supported: " +
+                "coalesce, size, toLower, toUpper, trim, split, " +
+                "toString, properties")
+              case Some((lo, hi)) =>
+                val args = scala.collection.mutable.ArrayBuffer.empty[MExpr]
+                ws()
+                if (peek != ')') {
+                  var more = true
+                  while (more) {
+                    expr() match {
+                      case Right(e) => args += e
+                      case l => return l
+                    }
+                    ws()
+                    if (peek == ',') { pos += 1; more = true }
+                    else more = false
+                  }
+                }
+                if (peek != ')') return fail("expected ')' in call")
+                pos += 1
+                if (args.size < lo || args.size > hi)
+                  Left(s"$ident() takes " +
+                    (if (lo == hi) s"$lo" else s"$lo-$hi") +
+                    s" arguments, got ${args.size}")
+                else if (name == "split" && !args(1).isInstanceOf[MExpr.Str])
+                  Left("split() needs a literal string delimiter")
+                else if (name == "properties" && !(args.head match {
+                  case MExpr.Ref(_, p) => p.isEmpty
+                  case _ => false
+                }))
+                  Left("properties() takes a bare pattern variable")
+                else Right(MExpr.Fn(name, args.toSeq))
+            }
+          } else {
+            val path = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (peek == '.') {
+              pos += 1
+              IdentRe.findPrefixMatchOf(input.substring(pos)) match {
+                case Some(pm) => path += pm.group(0); pos += pm.end
+                case None => return fail(s"expected a field after '.'")
+              }
+              ws()
+            }
+            Right(MExpr.Ref(ident, path.toSeq))
+          }
+        case _ => fail("expected an expression operand")
+      }
+    }
+  }
+
+  def parseMExpr(s: String): Either[String, MExpr] = new MParser(s).parseAll()
+
+  // ---- stage items -------------------------------------------------------
+
+  sealed trait StageItem { def alias: String }
+  /** A projection item: `expr AS alias`, or a bare pass-through name
+    * (`t` — alias == the name, expr == Ref(name, Nil)). */
+  final case class PlainItem(expr: MExpr, alias: String,
+                             bare: Boolean) extends StageItem
+  /** An aggregate item. func ∈ count_star | count | count_distinct |
+    * collect | collect_distinct | sum | min | max | avg. */
+  final case class AggStageItem(func: String, arg: Option[MExpr],
+                                alias: String) extends StageItem
+
+  final case class Stage(items: Seq[StageItem]) {
+    def aggs: Seq[AggStageItem] = items.collect { case a: AggStageItem => a }
+    def plains: Seq[PlainItem] = items.collect { case p: PlainItem => p }
+  }
+
+  /** head = the MATCH [WHERE] block; stages = chained WITH item lists;
+    * ret = the RETURN item list; orderBy paths resolve against the
+    * returned schema (alias, optionally .field...). */
+  final case class StagedQuery(head: String, stages: Seq[Stage], ret: Stage,
+                               orderBy: Seq[(Seq[String], Boolean)],
+                               limit: Option[Int])
+
+  // ---- text scanning -----------------------------------------------------
+
+  /** Positions of every top-level WITH keyword (quote-aware; excludes
+    * STARTS WITH / ENDS WITH like [[CypherLite.withMatch]]). */
+  private def withPositions(s: String): Seq[(Int, Int)] =
+    "(?i)(?<!starts)(?<!ends)\\sWITH\\s(?=(?:[^']*'[^']*')*[^']*$)".r
+      .findAllMatchIn(s).map(m => (m.start, m.end)).toSeq
+
+  /** Comma split at paren/brace/bracket/quote depth zero — map and list
+    * literals carry commas [[CypherLite.topSplit]] must not split on. */
+  private def topSplitDeep(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var q = ' '; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '(' | '{' | '[' => depth += 1
+        case ')' | '}' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.toSeq
+  }
+
+  /** Rightmost top-level ` AS alias` suffix of an item. */
+  private val AsSuffixRe =
+    """(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+
+  /** `AS` at depth zero? (an `AS` inside a map/list/call is part of a
+    * nested... actually AS never nests — but keep the split safe by
+    * checking the suffix form only, which cannot cut a literal). */
+  private def splitAs(item: String): (String, Option[String]) = item match {
+    case AsSuffixRe(body, alias)
+      if balanced(body) => (body.trim, Some(alias))
+    case _ => (item.trim, None)
+  }
+
+  private def balanced(s: String): Boolean = {
+    var depth = 0; var q = ' '
+    s.foreach { c =>
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '(' | '{' | '[' => depth += 1
+        case ')' | '}' | ']' => depth -= 1
+        case _ =>
+      }
+    }
+    depth == 0 && q == ' '
+  }
+
+  private val BareIdentRe = """^[A-Za-z_][A-Za-z0-9_]*$""".r
+  private val AggHeadRe =
+    """(?is)^(count|sum|min|max|avg|collect)\s*\((.*)\)$""".r
+  private val DistinctPrefixRe = """(?is)^DISTINCT\s+(.*)$""".r
+
+  private def parseItem(raw: String): Either[String, StageItem] = {
+    val (body, aliasOpt) = splitAs(raw)
+    if (BareIdentRe.findFirstIn(body).nonEmpty &&
+        !body.equalsIgnoreCase("null"))
+      return Right(PlainItem(MExpr.Ref(body, Nil),
+        aliasOpt.getOrElse(body), bare = aliasOpt.isEmpty))
+    body match {
+      case AggHeadRe(f0, inner0) if balanced(inner0) =>
+        val f = f0.toLowerCase
+        val inner = inner0.trim
+        val alias = aliasOpt.getOrElse(
+          return Left(s"aggregate item '$raw' needs an alias — AS name"))
+        if (f == "count" && inner == "*")
+          return Right(AggStageItem("count_star", None, alias))
+        val (distinct, argText) = inner match {
+          case DistinctPrefixRe(rest) => (true, rest.trim)
+          case _ => (false, inner)
+        }
+        if (distinct && f != "collect" && f != "count")
+          return Left(s"DISTINCT is supported on collect() and count() " +
+            s"only, not $f()")
+        parseMExpr(argText).map { e =>
+          val func = (f, distinct) match {
+            case ("collect", true) => "collect_distinct"
+            case ("count", true) => "count_distinct"
+            case (other, _) => other
+          }
+          AggStageItem(func, Some(e), alias)
+        }
+      case _ =>
+        aliasOpt match {
+          case None => Left(s"expression item '$raw' needs an alias — " +
+            "AS name (Cypher requires aliases for non-variable WITH items)")
+          case Some(a) =>
+            parseMExpr(body).map(e => PlainItem(e, a, bare = false))
+        }
+    }
+  }
+
+  private def parseStage(text: String): Either[String, Stage] = {
+    if (CypherLite.kwMatch(" " + text + " ", "MATCH").nonEmpty)
+      return Left("MATCH after a WITH stage is not supported in " +
+        "multi-stage pipelines — use the single-WITH ... MATCH form, or " +
+        "move the pattern into the leading MATCH block")
+    if (CypherLite.kwMatch(" " + text + " ", "WHERE").nonEmpty)
+      return Left("WHERE between chained WITH stages is not supported — " +
+        "filter in the MATCH block's WHERE (or use the single-WITH " +
+        "HAVING form)")
+    val items = topSplitDeep(text)
+    if (items.exists(_.isEmpty)) return Left("empty WITH/RETURN item")
+    val parsed = items.map(parseItem)
+    parsed.collectFirst { case Left(e) => e }
+      .toLeft(Stage(parsed.map(_.toOption.get)))
+      .flatMap { st =>
+        val names = st.items.map(_.alias)
+        if (names.distinct.size != names.size)
+          Left("duplicate output names in a WITH/RETURN stage — " +
+            "disambiguate with AS")
+        else Right(st)
+      }
+  }
+
+  // ---- query splitting ---------------------------------------------------
+
+  /** Should this query route to the staged compiler? True when it chains
+    * two or more WITH stages, or any WITH/RETURN item list carries a map
+    * literal / list literal / collect(DISTINCT ...) — the surfaces the
+    * legacy closed-form paths do not speak. */
+  def applies(q: String): Boolean = {
+    val s = q.trim.stripSuffix(";")
+    val ws = withPositions(s)
+    if (ws.size >= 2) return true
+    val rm = CypherLite.kwMatch(s, "RETURN")
+    val regionStart = ws.headOption.map(_._2).orElse(rm.map(_.end))
+      .getOrElse(return false)
+    val tail = s.substring(regionStart)
+    val mapLit = {
+      // a '{' at quote depth zero in the items region (pattern property
+      // maps live BEFORE the first WITH/RETURN, so they never land here;
+      // the single-WITH ... MATCH tail can carry one — excluded below)
+      var q0 = ' '; var found = false
+      tail.foreach { c =>
+        if (q0 != ' ') { if (c == q0) q0 = ' ' }
+        else c match {
+          case '\'' | '"' => q0 = c
+          case '{' => found = true
+          case _ =>
+        }
+      }
+      found
+    }
+    val collectDistinct =
+      "(?is)collect\\s*\\(\\s*DISTINCT\\s".r.findFirstIn(tail).nonEmpty
+    val tailMatch = ws.nonEmpty &&
+      CypherLite.kwMatch(" " + tail + " ", "MATCH").nonEmpty
+    (mapLit || collectDistinct) && !tailMatch
+  }
+
+  def parseStaged(q0: String): Either[String, StagedQuery] = {
+    val s = q0.trim.stripSuffix(";").trim
+    if (!s.toUpperCase.startsWith("MATCH "))
+      return Left("staged pipelines start with a MATCH block")
+    val ws = withPositions(s)
+    val rm = CypherLite.kwMatch(s, "RETURN").getOrElse(
+      return Left("missing RETURN clause"))
+    if (ws.exists(_._1 > rm.start))
+      return Left("WITH after RETURN is not supported")
+    val head = s.substring(0, ws.headOption.map(_._1).getOrElse(rm.start))
+      .trim
+    val stageTexts: Seq[String] = ws.zipWithIndex.map { case ((_, e), i) =>
+      val end = if (i + 1 < ws.size) ws(i + 1)._1 else rm.start
+      s.substring(e, end).trim
+    }
+    var retText = s.substring(rm.end).trim
+
+    val limIdx = {
+      // top-level LIMIT (quote-aware scan from the right)
+      val m = "(?i)\\sLIMIT\\s(?=(?:[^']*'[^']*')*[^']*$)".r
+        .findAllMatchIn(" " + retText).toSeq.lastOption
+      m.map(_.start) // position in " "+retText — offset by 1 below
+    }
+    val limit: Option[Int] = limIdx match {
+      case Some(at) =>
+        val lit = (" " + retText).substring(at).trim
+          .drop("LIMIT".length).trim
+        val n = lit.toIntOption.getOrElse(
+          return Left(s"bad LIMIT literal '$lit'"))
+        retText = (" " + retText).substring(0, at).trim
+        Some(n)
+      case None => None
+    }
+    val ordM = CypherLite.kwMatch(" " + retText + " ", "ORDER")
+    val orderBy: Seq[(Seq[String], Boolean)] = ordM match {
+      case Some(m) =>
+        val after = (" " + retText + " ").substring(m.end).trim
+        if (!after.toUpperCase.startsWith("BY "))
+          return Left("expected BY after ORDER")
+        val items = topSplitDeep(after.substring(3).trim)
+        retText = (" " + retText).substring(0, m.start + 1).trim
+        items.map { it =>
+          val OrdItemRe =
+            """(?is)^([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)(?:\s+(ASC|DESC))?$""".r
+          it match {
+            case OrdItemRe(path, dir) =>
+              (path.split("\\.").toSeq,
+                dir == null || dir.equalsIgnoreCase("ASC"))
+            case other =>
+              return Left(s"unsupported ORDER BY item '$other'")
+          }
+        }
+      case None => Nil
+    }
+    val stages = stageTexts.map(t =>
+      parseStage(t).fold(e => return Left(e), identity))
+    val ret = parseStage(retText).fold(e => return Left(e), identity)
+    Right(StagedQuery(head, stages, ret, orderBy, limit))
+  }
+
+  // ---- compilation -------------------------------------------------------
+
+  private def kindOf(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "int"
+    case FloatType | DoubleType | _: DecimalType => "num"
+    case StringType => "str"
+    case _: ArrayType => "arr"
+    case _: StructType => "struct"
+    case _ => "any"
+  }
+
+  /** Resolve a dotted path against a frame's schema: start from the
+    * dotted pattern-prop column (`v.p`), the bare column, or Left; walk
+    * remaining fields through struct types. Returns the column and its
+    * resolved kind. */
+  private def resolveRef(df: DataFrame, base: String, path: Seq[String])
+  : Either[String, (Column, String)] = {
+    val cols = df.columns.toSet
+    def fieldWalk(start: Column, dt: DataType, fields: Seq[String],
+                  at: String): Either[String, (Column, String)] =
+      fields match {
+        case Nil => Right((start, kindOf(dt)))
+        case f +: rest => dt match {
+          case st: StructType => st.find(_.name == f) match {
+            case Some(sf) =>
+              fieldWalk(start.getField(f), sf.dataType, rest, s"$at.$f")
+            case None => Left(s"no field '$f' on '$at' — fields: " +
+              st.fieldNames.sorted.mkString(", "))
+          }
+          case other => Left(s"'$at' is ${other.simpleString}, not a map " +
+            s"— cannot access '.$f'")
+        }
+      }
+    if (path.nonEmpty && cols.contains(s"$base.${path.head}")) {
+      val name = s"$base.${path.head}"
+      fieldWalk(col(s"`$name`"), df.schema(name).dataType, path.tail, name)
+    } else if (cols.contains(base)) {
+      val dt = df.schema(base).dataType
+      (path, dt) match {
+        case (Seq("id"), t) if !t.isInstanceOf[StructType] =>
+          Right((col(s"`$base`"), kindOf(dt))) // v.id = the binding itself
+        case (Nil, _) => Right((col(s"`$base`"), kindOf(dt)))
+        case (p, st: StructType) => fieldWalk(col(s"`$base`"), st, p, base)
+        case (p, _) => Left(s"'$base.${p.mkString(".")}' — '$base' " +
+          "carries no such property in this stage's scope (project it " +
+          "through the preceding WITH items)")
+      }
+    } else Left(s"unknown name '$base' — stage scope has: " +
+      df.columns.sorted.mkString(", "))
+  }
+
+  /** Property columns available for `properties(v)` in the current frame:
+    * every `v.p` column, sorted by property name. */
+  private def propCols(df: DataFrame, v: String): Seq[String] =
+    df.columns.filter(_.startsWith(v + ".")).map(_.drop(v.length + 1))
+      .toSeq.sorted
+
+  /** Compile one expression against the stage frame. Returns the column
+    * and its inferred kind (int | num | str | arr | struct | any). */
+  private def compileMExpr(df: DataFrame, e: MExpr)
+  : Either[String, (Column, String)] = e match {
+    case MExpr.Ref(b, p) => resolveRef(df, b, p)
+    case MExpr.Str(s) => Right((lit(s), "str"))
+    case MExpr.IntLit(v) => Right((lit(v), "int"))
+    case MExpr.DblLit(v) => Right((lit(v), "num"))
+    case MExpr.NullLit => Right((lit(null).cast("string"), "any"))
+    case MExpr.MapLit(entries) =>
+      val cs = entries.map { case (k, ex) =>
+        compileMExpr(df, ex).fold(err => return Left(err),
+          { case (c, _) => c.as(k) })
+      }
+      Right((struct(cs: _*), "struct"))
+    case MExpr.ListLit(Nil) =>
+      Right((array().cast("array<string>"), "arr"))
+    case MExpr.ListLit(items) =>
+      val cs = items.map(compileMExpr(df, _)
+        .fold(err => return Left(err), _._1))
+      Right((array(cs: _*), "arr"))
+    case MExpr.Fn("properties", Seq(MExpr.Ref(v, Seq()))) =>
+      val ps = propCols(df, v)
+      if (ps.isEmpty)
+        Left(s"properties($v): '$v' carries no property columns in this " +
+          "stage's scope — properties() applies to pattern variables " +
+          "in the first stage after MATCH")
+      else if (!df.columns.contains(v))
+        Left(s"properties($v): '$v' is not bound in this stage's scope")
+      else
+        Right((when(col(s"`$v`").isNull, lit(null))
+          .otherwise(struct(ps.map(p =>
+            col(s"`$v.$p`").as(p)): _*)), "struct"))
+    case MExpr.Fn("coalesce", args) =>
+      val compiled = args.map(compileMExpr(df, _)
+        .fold(err => return Left(err), identity))
+      Right((coalesce(compiled.map(_._1): _*),
+        compiled.map(_._2).find(_ != "any").getOrElse("any")))
+    case MExpr.Fn("size", Seq(a)) =>
+      compileMExpr(df, a).map { case (c, k) =>
+        if (k == "arr") (size(c), "int")
+        else if (k == "struct") return Left(
+          "size() of a map is not supported — size() takes a list or string")
+        else (length(c.cast("string")), "int")
+      }
+    case MExpr.Fn("tolower", Seq(a)) =>
+      compileMExpr(df, a).map { case (c, _) => (lower(c), "str") }
+    case MExpr.Fn("toupper", Seq(a)) =>
+      compileMExpr(df, a).map { case (c, _) => (upper(c), "str") }
+    case MExpr.Fn("trim", Seq(a)) =>
+      compileMExpr(df, a).map { case (c, _) => (trim(c), "str") }
+    case MExpr.Fn("tostring", Seq(a)) =>
+      compileMExpr(df, a).map { case (c, _) => (c.cast("string"), "str") }
+    case MExpr.Fn("split", Seq(a, MExpr.Str(d))) =>
+      compileMExpr(df, a).map { case (c, _) =>
+        (split(c, java.util.regex.Pattern.quote(d)), "arr") }
+    case MExpr.Bin(op, l, r) =>
+      val (lc, lk) = compileMExpr(df, l).fold(err => return Left(err),
+        identity)
+      val (rc, rk) = compileMExpr(df, r).fold(err => return Left(err),
+        identity)
+      if (lk == "int" && rk == "int") {
+        // Cypher integer arithmetic: int op int stays integral, and `/`
+        // TRUNCATES (Neo4j: size(a)/size(b) is integer division)
+        val (ll, rl) = (lc.cast("long"), rc.cast("long"))
+        val out = op match {
+          case '+' => ll + rl
+          case '-' => ll - rl
+          case '*' => ll * rl
+          case '/' => (ll.cast("double") / rl.cast("double")).cast("long")
+          case '%' => ll % rl
+        }
+        Right((out, "int"))
+      } else {
+        val (ld, rd) = (lc.try_cast("double"), rc.try_cast("double"))
+        val out = op match {
+          case '+' => ld + rd
+          case '-' => ld - rd
+          case '*' => ld * rd
+          case '/' => ld / rd
+          case '%' => ld % rd
+        }
+        Right((out, "num"))
+      }
+    case other => Left(s"unsupported expression shape: $other")
+  }
+
+  private def compileAgg(df: DataFrame, a: AggStageItem)
+  : Either[String, Column] = {
+    def arg: Either[String, (Column, String)] =
+      compileMExpr(df, a.arg.getOrElse(
+        return Left(s"${a.func} needs an argument")))
+    a.func match {
+      case "count_star" => Right(count(lit(1)).as(a.alias))
+      case "count" => arg.map { case (c, _) => count(c).as(a.alias) }
+      case "count_distinct" =>
+        arg.map { case (c, _) => count_distinct(c).as(a.alias) }
+      // collect(): deterministic SORTED list (Cypher leaves the order
+      // unspecified; array_sort makes it stable under any partitioning
+      // and SQL-replayable — same discipline as CypherLite's collect)
+      case "collect" =>
+        arg.map { case (c, _) => array_sort(collect_list(c)).as(a.alias) }
+      case "collect_distinct" =>
+        arg.map { case (c, _) => array_sort(collect_set(c)).as(a.alias) }
+      case "sum" => arg.map { case (c, k) =>
+        (if (k == "int") sum(c) else sum(c.try_cast("double"))).as(a.alias) }
+      case "avg" =>
+        arg.map { case (c, _) => avg(c.try_cast("double")).as(a.alias) }
+      case "min" => arg.map { case (c, _) => min(c).as(a.alias) }
+      case "max" => arg.map { case (c, _) => max(c).as(a.alias) }
+      case other => Left(s"unknown aggregate '$other'")
+    }
+  }
+
+  /** One WITH/RETURN stage over the running frame: a single `select`
+    * (pure projection) or a single `groupBy(...).agg(...)` keyed on the
+    * plain items (Cypher's implicit grouping). `hidden` names dotted
+    * pattern-property columns later stages still read — carried along
+    * (and, in an aggregation, added to the keys: a property is
+    * functionally dependent on its node binding, so groups are
+    * unchanged). */
+  private def compileStageFrame(df: DataFrame, st: Stage,
+                                hidden: Seq[String])
+  : Either[String, DataFrame] = {
+    val plainCols: Seq[Column] = st.plains.map { p =>
+      compileMExpr(df, p.expr).fold(err => return Left(err),
+        { case (c, _) => c.as(p.alias) })
+    }
+    val hiddenCols = hidden.filter(df.columns.contains)
+      .map(h => col(s"`$h`").as(h))
+    if (st.aggs.isEmpty) {
+      Right(df.select(plainCols ++ hiddenCols: _*))
+    } else {
+      val aggCols = st.aggs.map(a =>
+        compileAgg(df, a).fold(err => return Left(err), identity))
+      val out =
+        if (plainCols.isEmpty && hiddenCols.isEmpty)
+          df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(plainCols ++ hiddenCols: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      // restore the declared item order (groupBy put keys first)
+      val declared = st.items.map(i => col(s"`${i.alias}`")) ++
+        hidden.filter(df.columns.contains).map(h => col(s"`$h`"))
+      Right(out.select(declared: _*))
+    }
+  }
+
+  // ---- the staged runner ---------------------------------------------------
+
+  private val NodeVarRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  def run(edgeFrame: DataFrame, nodeProps: Option[DataFrame],
+          cypher: String): Either[String, DataFrame] = {
+    val sq = parseStaged(cypher).fold(e => return Left(e), identity)
+    // probe parse: learn the pattern's node/edge variables (the head is
+    // re-parsed below with the full synthesized projection)
+    val probeVar = NodeVarRe.findFirstMatchIn(sq.head)
+      .map(_.group(1)).getOrElse(return Left("no pattern variable found"))
+    val probe = CypherLite.parse(sq.head + " RETURN " + probeVar)
+      .fold(e => return Left(e), identity)
+    val nodeVars = (probe.parts ++ probe.optParts)
+      .flatMap(_.nodes.map(_.v)).toSet
+    val edgeVars = probe.edgeVars
+    val patternVars = nodeVars ++ edgeVars
+    val allStages = sq.stages :+ sq.ret
+
+    // ---- reference analysis: which pattern properties do stages read,
+    // and how far do they travel? live = vars still passing through bare.
+    var live: Set[String] = patternVars
+    val needsProp = scala.collection.mutable.Map.empty[(String, String), Int]
+    val bareNeeded = scala.collection.mutable.Set.empty[String]
+    allStages.zipWithIndex.foreach { case (st, idx) =>
+      val k = idx + 1
+      val exprs = st.items.flatMap {
+        case PlainItem(e, _, _) => Seq(e)
+        case AggStageItem(_, arg, _) => arg.toSeq
+      }
+      def walk(e: MExpr): Unit = e match {
+        case MExpr.Ref(b, p) if live.contains(b) =>
+          if (k == 1) bareNeeded += b
+          p match {
+            case Seq() | Seq("id") => if (k > 1) () // binding rides as col
+            case Seq(prop) =>
+              needsProp((b, prop)) =
+                math.max(needsProp.getOrElse((b, prop), 0), k)
+            case more =>
+              throw StagedRefused(s"'$b.${more.mkString(".")}': pattern " +
+                "variables carry flat properties — multi-level paths " +
+                "apply to map outputs of earlier WITH stages")
+          }
+        case MExpr.Fn("properties", Seq(MExpr.Ref(b, Seq())))
+          if live.contains(b) =>
+          if (k == 1) bareNeeded += b
+          needsProp((b, "*")) = math.max(needsProp.getOrElse((b, "*"), 0), k)
+        case MExpr.Fn(_, args) => args.foreach(walk)
+        case MExpr.Bin(_, l, r) => walk(l); walk(r)
+        case MExpr.MapLit(es) => es.foreach(x => walk(x._2))
+        case MExpr.ListLit(is) => is.foreach(walk)
+        case _ =>
+      }
+      try exprs.foreach(walk)
+      catch { case StagedRefused(msg) => return Left(msg) }
+      live = st.items.collect {
+        case PlainItem(MExpr.Ref(v, Seq()), a, _)
+          if a == v && live.contains(v) => v
+      }.toSet
+    }
+
+    // ---- synthesize the stage-0 projection and compile the MATCH block
+    val allNodeProps: Seq[String] =
+      nodeProps.map(_.columns.filter(_ != "id").toSeq.sorted).getOrElse(Nil)
+    val edgeExtraCols: Seq[String] =
+      (edgeFrame.columns.toSet -- Set("src", "dst", "label")).toSeq.sorted
+    def starExpansion(v: String): Seq[String] =
+      if (edgeVars.contains(v)) edgeExtraCols else allNodeProps
+    val propPairs: Seq[(String, String)] = needsProp.keys.toSeq
+      .flatMap { case (v, p) =>
+        if (p == "*") starExpansion(v).map(v -> _) else Seq(v -> p)
+      }.distinct.sorted
+    if (needsProp.keys.exists { case (v, p) =>
+        p == "*" && starExpansion(v).isEmpty })
+      return Left("properties(...) needs a store with property columns " +
+        "— supply a nodeProps frame (or, for a relationship variable, " +
+        "an edge frame with extra columns)")
+    val bareVars =
+      (bareNeeded.toSeq ++ propPairs.map(_._1) ++
+        needsProp.keys.map(_._1)).distinct.sorted
+    val synthesized =
+      (bareVars ++ propPairs.map { case (v, p) => s"$v.$p" }).distinct
+    if (synthesized.isEmpty)
+      return Left("the first WITH stage references no pattern variable")
+    val q0 = CypherLite.parse(sq.head + " RETURN " + synthesized.mkString(", "))
+      .fold(e => return Left(e), identity)
+    CypherLite.schemaCheck(q0, nodeProps, edgeFrame)
+      .fold(e => return Left(e), identity)
+    var df = CypherLite.compile(edgeFrame, q0,
+      if (q0.neededProps.nonEmpty) nodeProps else None)
+
+    // ---- fold the stages
+    var liveNow: Set[String] = patternVars
+    allStages.zipWithIndex.foreach { case (st, idx) =>
+      val k = idx + 1
+      val passThrough = st.items.collect {
+        case PlainItem(MExpr.Ref(v, Seq()), a, _)
+          if a == v && liveNow.contains(v) => v
+      }.toSet
+      val hidden: Seq[String] = propPairs.collect {
+        case (v, p) if passThrough.contains(v) &&
+          (needsProp.getOrElse((v, p), 0) > k ||
+            needsProp.getOrElse((v, "*"), 0) > k) => s"$v.$p"
+      }
+      df = compileStageFrame(df, st, hidden)
+        .fold(e => return Left(s"stage $k: $e"), identity)
+      liveNow = passThrough
+    }
+
+    // ---- ORDER BY / LIMIT over the returned frame
+    if (sq.orderBy.nonEmpty) {
+      val ordCols = sq.orderBy.map { case (path, asc) =>
+        val c = resolveRef(df, path.head, path.tail)
+          .fold(e => return Left(s"ORDER BY: $e"), _._1)
+        if (asc) c.asc else c.desc
+      }
+      df = df.orderBy(ordCols: _*)
+    }
+    Right(sq.limit.fold(df)(df.limit))
+  }
+
+  private final case class StagedRefused(msg: String)
+    extends RuntimeException(msg)
+}

@@ -340,6 +340,124 @@ object GraphQueries {
         .fold(err => sys.error(err), identity)
     }),
 
+    // ext. the reference's FLAGSHIP materialization cypher run VERBATIM
+    // (modulo store naming: backtick labels → prefix labels, node_id(...)
+    // → .id, store property names) through the staged compiler
+    // (traversal_based_base_retriever.py:153-190): four chained WITH
+    // stages, nested map projections, properties(v), collect(distinct),
+    // integer-division scoring, ORDER BY on the returned map's field,
+    // $statementIds/$limit parameter binding. Compiles to 3 equi-join
+    // hops + two grouped aggregations + in-row named_structs — the same
+    // plan a hand-written q_central_materialization-style pipeline
+    // produces. The wrapper flattens the nested result (explode topics →
+    // explode statements) so the DuckDB replay is flat SQL; LIMIT is a
+    // bound-only no-op here (scores tie heavily; the reference's own
+    // ORDER BY has no tiebreak, so a cutting LIMIT would be
+    // nondeterministic — grammar still compiles and executes it).
+    "q_cypher_statements" -> ((s, dir) => {
+      val (ef, np) = Tables.stmtGraph(s, dir)
+      val text =
+        """// get statements grouped by topic and source
+          |MATCH (t)<-[:belongs_to]-(l:L)
+          |      -[:mentioned_in]->(c)
+          |      -[:extracted_from]->(s)
+          |WHERE l.id in $statementIds
+          |WITH {
+          |        sourceId: s.id,
+          |        metadata: properties(s),
+          |        versioning: {
+          |            valid_from: coalesce(s.valid_from, -1),
+          |            valid_to: coalesce(s.valid_to, 10000000000000),
+          |            extract_timestamp: coalesce(s.extract_timestamp, -1),
+          |            build_timestamp: coalesce(s.build_timestamp, -1),
+          |            id_fields: split(coalesce(s.id_fields, ""), ";")
+          |        }
+          |    } AS source,
+          |    t, l, c,
+          |    { chunkId: c.id, value: NULL, metadata: properties(c) } AS cc,
+          |    { statementId: l.id, statement: l.value, facts: [], details: l.details, chunkId: c.id, score: 0 } as ll
+          |WITH source,
+          |    t,
+          |    collect(distinct cc) as chunks,
+          |    collect(ll) as statements
+          |WITH source,
+          |    {
+          |        topic: t.value,
+          |        topicId: t.id,
+          |        chunks: chunks,
+          |        statements: statements
+          |    } as topic
+          |WITH sum(size(topic.statements)/size(topic.chunks)) AS score, source, collect(topic) AS topics
+          |RETURN {
+          |    score: score,
+          |    source: source,
+          |    topics: topics
+          |} as result ORDER BY result.score DESC LIMIT $limit""".stripMargin
+      val res = graft.byokg.CypherLite.run(ef, Some(np), text,
+          Map("statementIds" -> Tables.stmtStatementIds(s, dir),
+            "limit" -> 1000000))
+        .fold(err => sys.error(err), identity)
+      val r = col("result")
+      res.select(
+          r.getField("source").getField("sourceId").as("source_id"),
+          r.getField("score").as("score"),
+          r.getField("source").getField("metadata").getField("value")
+            .as("src_name"),
+          r.getField("source").getField("versioning").getField("valid_from")
+            .as("valid_from"),
+          r.getField("source").getField("versioning").getField("valid_to")
+            .as("valid_to"),
+          r.getField("source").getField("versioning")
+            .getField("extract_timestamp").as("extract_ts"),
+          r.getField("source").getField("versioning")
+            .getField("build_timestamp").as("build_ts"),
+          concat_ws(";", r.getField("source").getField("versioning")
+            .getField("id_fields")).as("id_fields"),
+          size(r.getField("topics")).as("n_topics"),
+          explode(r.getField("topics")).as("topic"))
+        .select(col("source_id"), col("score"), col("src_name"),
+          col("valid_from"), col("valid_to"), col("extract_ts"),
+          col("build_ts"), col("id_fields"), col("n_topics"),
+          col("topic").getField("topicId").as("topic_id"),
+          col("topic").getField("topic").as("topic_value"),
+          size(col("topic").getField("chunks")).as("n_chunks"),
+          concat_ws(",", transform(col("topic").getField("chunks"),
+            x => x.getField("chunkId"))).as("chunk_ids"),
+          explode(col("topic").getField("statements")).as("stmt"))
+        .select(col("source_id"), col("score"), col("src_name"),
+          col("valid_from"), col("valid_to"), col("extract_ts"),
+          col("build_ts"), col("id_fields"), col("n_topics"),
+          col("topic_id"), col("topic_value"), col("n_chunks"),
+          col("chunk_ids"),
+          col("stmt").getField("statementId").as("statement_id"),
+          col("stmt").getField("statement").as("statement"),
+          col("stmt").getField("details").as("details"),
+          col("stmt").getField("chunkId").as("chunk_id"),
+          size(col("stmt").getField("facts")).as("n_facts"),
+          col("stmt").getField("score").as("stmt_score"))
+        .orderBy(col("source_id"), col("topic_id"), col("statement_id"))
+    }),
+
+    // ext. the reference's statement-facts cypher (the second half of
+    // get_statements_by_topic_and_source,
+    // traversal_based_base_retriever.py:193-196): collect(distinct
+    // f.value) per statement — single-stage collect(DISTINCT ...) routes
+    // to the staged compiler too.
+    "q_cypher_factslist" -> ((s, dir) => {
+      val (ef, np) = Tables.stmtGraph(s, dir)
+      val text =
+        """// get facts for statements
+          |MATCH (f)-[:supports]->(l:L)
+          |WHERE l.id in $statementIds
+          |RETURN l.id AS statementId, collect(distinct f.value) AS facts""".stripMargin
+      graft.byokg.CypherLite.run(ef, Some(np), text,
+          Map("statementIds" -> Tables.stmtStatementIds(s, dir)))
+        .fold(err => sys.error(err), identity)
+        .select(col("statementId"),
+          concat_ws(",", col("facts")).as("facts"))
+        .orderBy(col("statementId"))
+    }),
+
     // ext. openCypher grouped aggregate: `RETURN c.id, sum(o.price)` —
     // the aggregative KGQA shape ("total spend of each customer"); the
     // sum folds the property's double cast, grouped by the other RETURN
@@ -1574,6 +1692,76 @@ object GraphQueries {
          |  AND e1.src LIKE 'c:%' AND e1.dst LIKE 'o:%'
          |  AND e2.dst LIKE 'p:%' AND e2.qty >= 45
          |ORDER BY cust, ord, part""".stripMargin,
+
+    // statements_cypher replay: flat SQL over the SAME base-table
+    // derivation the statement graph uses — per-topic n_statements /
+    // n_chunks with Cypher INTEGER division, summed per source; the
+    // flattened per-statement projection pins every nested field the map
+    // pipeline built (source metadata/versioning, topic chunk lists,
+    // statement payloads).
+    "q_cypher_statements" ->
+      """WITH sel AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk,
+        |         l_suppkey AS sk,
+        |         l_returnflag AS rf, l_linestatus AS ls,
+        |         CAST(l_shipdate AS VARCHAR) AS sd
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |st AS (
+        |  SELECT 'L:'||ok||'-'||ln||'-'||pk||'-'||sk AS statement_id,
+        |         'T:'||ok AS topic_id,
+        |         'K:'||ok||'-'||pk AS chunk_id,
+        |         'stmt '||rf||' '||ls||' '||sd AS statement,
+        |         'line-'||ln AS details, ok
+        |  FROM sel),
+        |tpc AS (
+        |  SELECT topic_id, CAST(count(*) AS INT) AS n_chunks,
+        |         string_agg(chunk_id, ',' ORDER BY chunk_id) AS chunk_ids
+        |  FROM (SELECT DISTINCT topic_id, chunk_id FROM st) GROUP BY 1),
+        |tp AS (
+        |  SELECT topic_id, any_value(ok) AS ok, count(*) AS n_statements
+        |  FROM st GROUP BY 1),
+        |soc AS (SELECT o_orderkey AS ok, 'S:'||o_custkey AS source_id
+        |        FROM orders),
+        |sc AS (
+        |  SELECT source_id,
+        |         CAST(sum(CAST(floor(n_statements * 1.0 / n_chunks) AS BIGINT)) AS BIGINT) AS score,
+        |         CAST(count(*) AS INT) AS n_topics
+        |  FROM tp JOIN tpc USING (topic_id) JOIN soc USING (ok) GROUP BY 1),
+        |cust AS (
+        |  SELECT 'S:'||c_custkey AS source_id, c_name AS src_name,
+        |         CAST(CASE WHEN c_custkey % 2 = 0 THEN 1577836800000 ELSE -1 END AS BIGINT) AS valid_from,
+        |         CAST(CASE WHEN c_custkey % 5 = 0 THEN 1893456000000 ELSE 10000000000000 END AS BIGINT) AS valid_to,
+        |         CAST(CASE WHEN c_custkey % 3 = 0 THEN 1600000000000 ELSE -1 END AS BIGINT) AS extract_ts,
+        |         CAST(-1 AS BIGINT) AS build_ts,
+        |         CASE WHEN c_custkey % 3 = 0 THEN 'doc_id;source' ELSE '' END AS id_fields
+        |  FROM customer)
+        |SELECT sc.source_id, sc.score, cust.src_name, cust.valid_from,
+        |  cust.valid_to, cust.extract_ts, cust.build_ts, cust.id_fields,
+        |  sc.n_topics, st.topic_id, 'topic-'||st.ok AS topic_value,
+        |  tpc.n_chunks, tpc.chunk_ids, st.statement_id, st.statement,
+        |  st.details, st.chunk_id,
+        |  CAST(0 AS INT) AS n_facts, CAST(0 AS BIGINT) AS stmt_score
+        |FROM st
+        |JOIN soc ON soc.ok = st.ok
+        |JOIN tpc ON tpc.topic_id = st.topic_id
+        |JOIN sc ON sc.source_id = soc.source_id
+        |JOIN cust ON cust.source_id = soc.source_id
+        |ORDER BY sc.source_id, st.topic_id, st.statement_id""".stripMargin,
+
+    // statement-facts replay: two facts per statement (part + supplier),
+    // distinct values sorted — collect(distinct f.value)'s contract.
+    "q_cypher_factslist" ->
+      """SELECT 'L:'||l_orderkey||'-'||l_linenumber||'-'||l_partkey||'-'||l_suppkey AS statementId,
+        |  string_agg(f, ',' ORDER BY f) AS facts
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    'part:'||l_partkey AS f
+        |  FROM lineitem WHERE l_orderkey % 97 = 0
+        |  UNION
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    'supp:'||l_suppkey
+        |  FROM lineitem WHERE l_orderkey % 97 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // node-property replay: the props CTE is the node-property table; each
     // property-reading variable is one join against it.

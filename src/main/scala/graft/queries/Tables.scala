@@ -480,6 +480,112 @@ object Tables {
       |UNION ALL
       |SELECT DISTINCT 'p:'||l_partkey, 's:'||l_suppkey, 'supplied_by', CAST(NULL AS BIGINT), NULL FROM lineitem""".stripMargin
 
+  /** Statement graph — the reference's lexical retrieval shape (statement
+    * -[belongs_to]-> topic, statement -[mentioned_in]-> chunk, chunk
+    * -[extracted_from]-> source, fact -[supports]-> statement;
+    * graph_utils.py / traversal_based_base_retriever.py:153-217) derived
+    * from lineitem/orders/customer: statements = lineitems, topics =
+    * orders, chunks = (order, part) pairs, sources = customers, facts =
+    * the part/supplier of each line. The node-property table carries the
+    * columns statements_cypher reads: value/class/details + the
+    * versioning longs (sparse — coalesce fallbacks must fire) and the
+    * `;`-joined id_fields string. Memoized + cached like [[edges]];
+    * graph-store material, not query work. */
+  def stmtGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    stmtGraphCache.getOrElseUpdate((s, dir), {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_shipdate").cast("string").as("sd"))
+      // (ok, ln) is NOT unique in the synthetic lineitem — the full
+      // (ok, ln, pk, sk) quad is; statement identity needs all four
+      val lid = concat(lit("L:"), col("ok"), lit("-"), col("ln"),
+        lit("-"), col("pk"), lit("-"), col("sk"))
+      val kid = concat(lit("K:"), col("ok"), lit("-"), col("pk"))
+      val tid = concat(lit("T:"), col("ok"))
+      val fpid = concat(lit("F:p:"), col("ok"), lit("-"), col("ln"),
+        lit("-"), col("pk"), lit("-"), col("sk"))
+      val fsid = concat(lit("F:s:"), col("ok"), lit("-"), col("ln"),
+        lit("-"), col("pk"), lit("-"), col("sk"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey").as("ok"),
+        concat(lit("S:"), col("o_custkey")).as("sid"))
+      val edgesDf = li.select(lid.as("src"), tid.as("dst"),
+          lit("belongs_to").as("label"))
+        .union(li.select(lid.as("src"), kid.as("dst"),
+          lit("mentioned_in").as("label")))
+        .union(li.select(kid.as("src"), col("ok")).distinct()
+          .join(ord, "ok")
+          .select(col("src"), col("sid").as("dst"),
+            lit("extracted_from").as("label")))
+        .union(li.select(fpid.as("src"), lid.as("dst"),
+          lit("supports").as("label")))
+        .union(li.select(fsid.as("src"), lid.as("dst"),
+          lit("supports").as("label")))
+      val nullL = lit(null).cast("long")
+      val nullS = lit(null).cast("string")
+      def bare(id: org.apache.spark.sql.Column,
+               value: org.apache.spark.sql.Column,
+               cls: String): Seq[org.apache.spark.sql.Column] =
+        Seq(id.as("id"), value.as("value"), lit(cls).as("class"),
+          nullS.as("details"), nullL.as("valid_from"), nullL.as("valid_to"),
+          nullL.as("extract_timestamp"), nullL.as("build_timestamp"),
+          nullS.as("id_fields"))
+      val stmtP = li.select(lid.as("id"),
+        concat(lit("stmt "), col("rf"), lit(" "), col("ls"), lit(" "),
+          col("sd")).as("value"),
+        lit("statement").as("class"),
+        concat(lit("line-"), col("ln")).as("details"),
+        nullL.as("valid_from"), nullL.as("valid_to"),
+        nullL.as("extract_timestamp"), nullL.as("build_timestamp"),
+        nullS.as("id_fields"))
+      val topicP = li.select(col("ok")).distinct().select(bare(
+        concat(lit("T:"), col("ok")),
+        concat(lit("topic-"), col("ok")), "topic"): _*)
+      val chunkP = li.select(col("ok"), col("pk")).distinct().select(bare(
+        concat(lit("K:"), col("ok"), lit("-"), col("pk")),
+        concat(lit("chunk-"), col("ok"), lit("-"), col("pk")), "chunk"): _*)
+      val factPp = li.select(bare(fpid,
+        concat(lit("part:"), col("pk")), "fact"): _*)
+      val factSp = li.select(bare(fsid,
+        concat(lit("supp:"), col("sk")), "fact"): _*)
+      val srcP = t(s, dir, "customer").select(
+        concat(lit("S:"), col("c_custkey")).as("id"),
+        col("c_name").as("value"), lit("source").as("class"),
+        nullS.as("details"),
+        when(col("c_custkey") % 2 === 0, lit(1577836800000L))
+          .cast("long").as("valid_from"),
+        when(col("c_custkey") % 5 === 0, lit(1893456000000L))
+          .cast("long").as("valid_to"),
+        when(col("c_custkey") % 3 === 0, lit(1600000000000L))
+          .cast("long").as("extract_timestamp"),
+        nullL.as("build_timestamp"),
+        when(col("c_custkey") % 3 === 0, lit("doc_id;source"))
+          .cast("string").as("id_fields"))
+      val propsDf = stmtP.union(topicP).union(chunkP).union(srcP)
+        .union(factPp).union(factSp)
+      (edgesDf.coalesce(cachePartitions(s)).cache(),
+        propsDf.coalesce(cachePartitions(s)).cache())
+    })
+
+  private val stmtGraphCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** The `$statementIds` parameter of the statements_cypher gates: every
+    * statement of every 97th order — a bounded driver-side literal list,
+    * exactly how the reference binds the parameter (the ids arrive from
+    * the preceding VSS round trip). Memoized per (session, dir). */
+  def stmtStatementIds(s: SparkSession, dir: String): Seq[String] =
+    stmtIdsCache.getOrElseUpdate((s, dir),
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+        .select(concat(lit("L:"), col("l_orderkey"), lit("-"),
+          col("l_linenumber"), lit("-"), col("l_partkey"), lit("-"),
+          col("l_suppkey")).as("id"))
+        .collect().map(_.getString(0)).toSeq.sorted)
+
+  private val stmtIdsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[String]]
+
   /** The same edge set as DuckDB SQL (for oracle queries). */
   val edgesSql: String =
     """SELECT 'c:'||o_custkey AS src, 'o:'||o_orderkey AS dst, 'placed' AS label FROM orders

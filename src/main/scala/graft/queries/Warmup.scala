@@ -55,5 +55,10 @@ object Warmup {
     wAdjE.count(); wAdjN.count()
     Tables.nodeProps(spark, sfDir).count()
     Tables.retrievalStatements(spark, sfDir).count()
+    // the statement graph (edges + node props) the statements_cypher
+    // gates compile against, and the bounded $statementIds literal list
+    val (stmtE, stmtP) = Tables.stmtGraph(spark, sfDir)
+    stmtE.count(); stmtP.count()
+    Tables.stmtStatementIds(spark, sfDir)
   }
 }

@@ -923,9 +923,13 @@ class CypherLiteSpec extends SparkSpec {
         "WHERE q > 1 RETURN cust").isLeft)
     assert(CypherLite.run(edges,
       "MATCH (c:c)-[:placed]->(o) WITH c.id AS cust").isLeft)
-    assert(CypherLite.run(edges,
+    // two WITH stages now route to the STAGED compiler (CypherStages):
+    // aggregate, project the key, return — one grouped aggregation
+    val staged = CypherLite.run(edges,
       "MATCH (c:c)-[:placed]->(o) WITH c.id AS cust, count(*) AS n " +
-        "WITH cust RETURN cust").isLeft)
+        "WITH cust RETURN cust ORDER BY cust")
+    assert(staged.toOption.get.as[String].collect().toSeq ==
+      Seq("c:1", "c:2"))
     // ORDER BY must reference a RETURNED output
     assert(CypherLite.run(edges,
       "MATCH (c:c)-[:placed]->(o) WITH c.id AS cust, count(*) AS n " +
