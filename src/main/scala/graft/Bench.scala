@@ -178,37 +178,76 @@ object Bench {
       }
       name -> r
     }.toMap
-    // Requeue pass: re-run at the end (a) every block whose calib_q
+    // Requeue passes. Phase 1 re-runs (a) every block whose calib_q
     // sample sat above 1.4x the run's median — a host-noise burst
     // overlapped it — and (b) the largest medians, where a burst costs
     // the most absolute seconds and can slip UNDER any probe threshold
     // (observed: a 29.7 s q_weighted_pagerank block at calib_q 1.47x
-    // median — 2.7 s isolated). The kept value is the LOWER median of
-    // the two blocks: ambient noise is strictly additive (nothing makes
-    // a rep faster than its plan — caches are identical across blocks),
-    // so min-of-medians is the less-biased plan estimate. Bounded: on a
-    // quiet host only the top-median blocks re-run (~1 min); a run-long
-    // uniform slowdown requeues little and calib_sec normalizes it.
+    // median — 2.7 s isolated). Phase 2 (round-9 judge finding: a
+    // stalled block could survive BOTH passes and land in the snapshot
+    // indistinguishable from a clean row) KEEPS RETRYING any query whose
+    // kept calib_q still exceeds 2x the run median, bounded at 3 blocks
+    // total per query; a row that never produced a clean probe is
+    // emitted with its name in "stalled" so consumers can discount it.
+    //
+    // The kept pair is (min median, min calib_q) across a query's
+    // blocks: ambient noise is strictly additive (nothing makes a rep
+    // faster than its plan — caches are identical across blocks), so
+    // the component-wise min is the least-biased plan estimate AND the
+    // best host condition actually witnessed for this query. A thrown
+    // rep is a real failure: -1 rows never requeue and never heal.
     val medCalibQ = median(firstPass.values.map(_._2).toSeq)
+    val kept = scala.collection.mutable.Map[String, (Double, Double)](
+      firstPass.toSeq: _*)
+    val blocksRun = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(1)
+    val replacedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    val attemptedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    val fnByName = order.toMap
+    def requeueOnce(name: String): Unit = {
+      val cur = kept(name)
+      val again = runBlock(name, fnByName(name))
+      blocksRun(name) += 1
+      attemptedNames += name
+      System.err.println(f"[bench] requeued $name: calib_q " +
+        f"${cur._2}%.3f -> ${again._2}%.3f, median " +
+        f"${cur._1}%.3f -> ${again._1}%.3f")
+      if (again._1 >= 0 && cur._1 >= 0) {
+        if (again._1 < cur._1) replacedNames += name
+        kept(name) = (math.min(cur._1, again._1),
+          math.min(cur._2, again._2))
+      }
+    }
     val topMedians: Set[String] =
       if (only.isDefined) Set.empty // subset A/B runs stay single-pass
       else firstPass.toSeq.filter(_._2._1 >= 0)
         .sortBy(-_._2._1).take(8).map(_._1).toSet
-    val requeued = order.collect {
-      case (name, fn) if firstPass(name)._2 > 1.4 * medCalibQ ||
-          topMedians.contains(name) =>
-        val again = runBlock(name, fn)
-        System.err.println(f"[bench] requeued $name: calib_q " +
-          f"${firstPass(name)._2}%.3f -> ${again._2}%.3f, median " +
-          f"${firstPass(name)._1}%.3f -> ${again._1}%.3f")
-        name -> again
-    }.filter { case (name, again) =>
-      // replace only with a strictly lower median AND neither block
-      // failed — a thrown rep is a real failure, never noise to requeue
-      // away (the -1 sentinel must stay visible)
-      again._1 >= 0 && firstPass(name)._1 >= 0 &&
-        again._1 < firstPass(name)._1 }
-    val merged = firstPass ++ requeued
+    order.foreach { case (name, _) =>
+      if (firstPass(name)._1 >= 0 &&
+          (firstPass(name)._2 > 1.4 * medCalibQ ||
+            topMedians.contains(name)))
+        requeueOnce(name)
+    }
+    // phase 2: bounded retry while the KEPT probe stays stalled
+    val MaxBlocksPerQuery = 3
+    var retrying = true
+    while (retrying) {
+      val cands = order.collect {
+        case (name, _) if kept(name)._1 >= 0 &&
+          kept(name)._2 > 2.0 * medCalibQ &&
+          blocksRun(name) < MaxBlocksPerQuery => name
+      }
+      if (cands.isEmpty) retrying = false
+      else cands.foreach(requeueOnce)
+    }
+    val stalledNames = order.collect {
+      case (name, _) if kept(name)._1 >= 0 &&
+        kept(name)._2 > 2.0 * medCalibQ => name
+    }
+    if (stalledNames.nonEmpty)
+      System.err.println("[bench] STALLED rows (no clean calib_q in " +
+        s"$MaxBlocksPerQuery blocks): " + stalledNames.mkString(", "))
+    val merged = kept.toMap
     // dot-decimal rounding without locale-sensitive formatting (Double
     // toString is always '.'-formatted; %f is not under every locale)
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
@@ -218,9 +257,12 @@ object Bench {
     val cqs = results.map { case (k, (_, cq)) =>
       "\"" + k + "\":" + r4(cq) }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
-    val requeuedNames = requeued.map("\"" + _._1 + "\"")
-      .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"calib_q":$cqs,"calib_q_median":${r4(medCalibQ)},"requeued":$requeuedNames,"reps":$reps,"warmed_storage_mb":${warmedStorageBytes / 1048576},"storage_budget_mb":${unifiedBudgetBytes / 1048576},"warmed_rdd_count":${warmedRddIds.size},"cache_pressure_ok":$cachePressureOk}"""
+    def nameArray(ns: Iterable[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "requeued" keeps its original meaning (replacements); attempts and
+    // still-stalled rows are separate fields so a requeued-but-still-
+    // noisy row leaves a machine-readable trace (round-9 ADVICE)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"calib_q":$cqs,"calib_q_median":${r4(medCalibQ)},"requeued":${nameArray(replacedNames)},"requeue_attempted":${nameArray(attemptedNames)},"stalled":${nameArray(stalledNames)},"reps":$reps,"warmed_storage_mb":${warmedStorageBytes / 1048576},"storage_budget_mb":${unifiedBudgetBytes / 1048576},"warmed_rdd_count":${warmedRddIds.size},"cache_pressure_ok":$cachePressureOk}"""
     // stdout under sbt is decorated with an "[info] " prefix, so also write
     // the line to a file the harness can parse directly. Subset runs
     // (SPARK_GRAFT_BENCH_ONLY) are A/B scratch work — never let them

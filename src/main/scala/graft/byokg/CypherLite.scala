@@ -569,8 +569,41 @@ object CypherLite {
     * user's stated intent here, not an accident to refuse. */
   private val CondNullRe =
     """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s+IS\s+(NOT\s+)?NULL""".r
-  private val CondInRe = """(?i)([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+[\[(]\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*[\])]""".r
   private val StrLitRe = """'([^']*)'""".r
+
+  /** `v.p IN ['lit', ...]` (or parens) by LINEAR parse — the regex form
+    * (`('[^']*'(?:\s*,\s*'[^']*')*)`) backtracks recursively per element
+    * and stack-overflowed on the reference-shaped 6k-id `$statementIds`
+    * list at sf0.1. None = not an IN term (fall through to the next
+    * WHERE form); malformed lists inside an IN head also return None and
+    * surface through the expression fallback's loud error. */
+  private val InHeadRe =
+    """(?is)^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([\[(])""".r
+  private[byokg] def parseInTerm(t0: String)
+  : Option[(String, String, Seq[String])] = {
+    val t = t0.trim
+    val head = InHeadRe.findPrefixMatchOf(t).getOrElse(return None)
+    val close = if (head.group(3) == "[") ']' else ')'
+    if (t.isEmpty || t.last != close) return None
+    val body = t.substring(head.end, t.length - 1)
+    // linear literal-list validation: 'lit' (, 'lit')* with ws
+    val vals = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0; var expectComma = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c == ',' && expectComma) { expectComma = false; i += 1 }
+      else if (c == '\'' && !expectComma) {
+        val end = body.indexOf('\'', i + 1)
+        if (end < 0) return None
+        vals += body.substring(i + 1, end)
+        i = end + 1; expectComma = true
+      } else return None
+    }
+    if (!expectComma && vals.nonEmpty) None // trailing comma
+    else if (vals.isEmpty) None // >= 1 literal required, like the old form
+    else Some((head.group(1), head.group(2), vals.toSeq))
+  }
   private val RetRe =
     """(?i)([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
   /** `type(r)` — the relationship-type accessor; r must be a bound
@@ -636,25 +669,62 @@ object CypherLite {
     out.toSeq
   }
 
-  /** Quote-aware keyword split (the lookahead demands an even number of
-    * ' to the right, so a literal containing " and " / " or " / " with "
-    * never splits mid-string). */
-  private def boolSplit(text: String, kw: String): Seq[String] =
-    text.split(s"(?i)\\s$kw\\s(?=(?:[^']*'[^']*')*[^']*$$)")
-      .map(_.trim).toSeq
+  /** A standalone-keyword occurrence: [start, end) spans `\sKW\s`
+    * (both delimiting whitespace chars included, like the regex form
+    * these scanners replaced). */
+  private[byokg] final case class Kw(start: Int, end: Int)
 
-  /** First occurrence of the standalone keyword OUTSIDE single quotes. */
-  private[byokg] def kwMatch(s: String, kw: String)
-  : Option[scala.util.matching.Regex.Match] =
-    ("(?i)\\s" + kw + "\\s(?=(?:[^']*'[^']*')*[^']*$)").r
-      .findFirstMatchIn(s)
+  /** Every `\sKW\s` occurrence OUTSIDE string literals (single- or
+    * double-quoted), case-insensitive, by LINEAR scan. The original
+    * regex form used a quote-parity lookahead `(?=(?:[^']*'[^']*')*...)`
+    * whose repetition group Java's backtracking engine evaluates
+    * recursively — a multi-hundred-KB `IN ['id', ...]` literal list (6k
+    * ids at sf0.1) blew the stack. `excludeStartsEnds` skips the WITH of
+    * the `STARTS WITH` / `ENDS WITH` operators. */
+  private[byokg] def kwScan(s: String, kw: String,
+                            excludeStartsEnds: Boolean = false): Seq[Kw] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Kw]
+    val k = kw.length
+    var i = 0; var quote = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != ' ') { if (c == quote) quote = ' '; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; i += 1 }
+      else if (Character.isWhitespace(c) && i + 1 + k < s.length &&
+          s.regionMatches(true, i + 1, kw, 0, k) &&
+          Character.isWhitespace(s.charAt(i + 1 + k)) &&
+          !(excludeStartsEnds &&
+            ((i >= 6 && s.regionMatches(true, i - 6, "starts", 0, 6)) ||
+              (i >= 4 && s.regionMatches(true, i - 4, "ends", 0, 4))))) {
+        out += Kw(i, i + k + 2)
+        i += 1 + k // trailing ws may lead the NEXT keyword
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Quote-aware keyword split (a literal containing " and " / " or " /
+    * " with " never splits mid-string). */
+  private[byokg] def boolSplit(text: String, kw: String): Seq[String] = {
+    val ms = kwScan(text, kw)
+    if (ms.isEmpty) Seq(text.trim)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var at = 0
+      ms.foreach { m => out += text.substring(at, m.start).trim; at = m.end }
+      out += text.substring(at).trim
+      out.toSeq
+    }
+  }
+
+  /** First occurrence of the standalone keyword OUTSIDE string literals. */
+  private[byokg] def kwMatch(s: String, kw: String): Option[Kw] =
+    kwScan(s, kw).headOption
 
   /** The WITH clause keyword — NOT the `STARTS WITH` / `ENDS WITH`
-    * operators (fixed-width lookbehinds exclude both). */
-  private[byokg] def withMatch(s: String)
-  : Option[scala.util.matching.Regex.Match] =
-    "(?i)(?<!starts)(?<!ends)\\sWITH\\s(?=(?:[^']*'[^']*')*[^']*$)".r
-      .findFirstMatchIn(s)
+    * operators. */
+  private[byokg] def withMatch(s: String): Option[Kw] =
+    kwScan(s, "WITH", excludeStartsEnds = true).headOption
 
   /** One linear chain: node (edge node)*. Variables may not repeat
     * WITHIN a chain (no cycle patterns); repeats ACROSS parts are the
@@ -921,9 +991,9 @@ object CypherLite {
             case CondNullRe(v, p, not) =>
               Cond(v, if (not == null) "IS_NULL" else "IS_NOT_NULL", Nil,
                 Option(p).getOrElse("id"))
-            case CondInRe(v, p, items) =>
-              Cond(v, "IN",
-                StrLitRe.findAllMatchIn(items).map(_.group(1)).toSeq, p)
+            case inTerm if parseInTerm(inTerm).isDefined =>
+              val (v, p, vals) = parseInTerm(inTerm).get
+              Cond(v, "IN", vals, p)
             case other =>
               // expression fallback: `expr cmpop expr` with scalar
               // functions / arithmetic on either side — the reference's
@@ -1829,8 +1899,52 @@ object CypherLite {
     * an UNWIND nothing references is a cartesian smell), WHERE/RETURN
     * read it like any binding, and ids absent from the graph drop (MATCH
     * semantics). Only string literals, only as the leading clause. */
-  private val UnwindRe =
-    """(?is)^\s*UNWIND\s*\[\s*('[^']*'(?:\s*,\s*'[^']*')*)?\s*\]\s*AS\s+([A-Za-z_][A-Za-z0-9_]*)\s+(MATCH\b.*)$""".r
+  private val IdentHeadRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+
+  /** Linear parse of `UNWIND ['a', ...] AS v MATCH ...` → (literals,
+    * v, "MATCH ..."); None on any other shape. Linear for the same
+    * reason as [[parseInTerm]]: the regex list form backtracks
+    * recursively per element and a linker can legitimately UNWIND
+    * thousands of resolved ids. Empty lists are legal (bind nothing). */
+  private[byokg] def parseUnwindHead(s: String)
+  : Option[(Seq[String], String, String)] = {
+    val t = s.trim
+    if (!t.regionMatches(true, 0, "UNWIND", 0, 6)) return None
+    var i = 6
+    def ws(): Unit = while (i < t.length &&
+      Character.isWhitespace(t.charAt(i))) i += 1
+    ws()
+    if (i >= t.length || t.charAt(i) != '[') return None
+    i += 1
+    val vals = scala.collection.mutable.ArrayBuffer.empty[String]
+    var expectComma = false
+    var closed = false
+    while (i < t.length && !closed) {
+      val c = t.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c == ']') { closed = true; i += 1 }
+      else if (c == ',' && expectComma) { expectComma = false; i += 1 }
+      else if (c == '\'' && !expectComma) {
+        val end = t.indexOf('\'', i + 1)
+        if (end < 0) return None
+        vals += t.substring(i + 1, end); i = end + 1; expectComma = true
+      } else return None
+    }
+    if (!closed) return None
+    if (!expectComma && vals.nonEmpty) return None // trailing comma
+    ws()
+    if (!t.regionMatches(true, i, "AS", 0, 2)) return None
+    i += 2
+    if (i >= t.length || !Character.isWhitespace(t.charAt(i))) return None
+    ws()
+    val vm = IdentHeadRe.findPrefixMatchOf(t.substring(i))
+      .getOrElse(return None)
+    val v = vm.group(0); i += vm.end
+    ws()
+    val rest = t.substring(i)
+    if (!rest.regionMatches(true, 0, "MATCH", 0, 5)) return None
+    Some((vals.toSeq, v, rest))
+  }
 
   /** `// line comments` (outside string literals) stripped — the
     * reference's own query text leads with one
@@ -1937,10 +2051,10 @@ object CypherLite {
     else if (CypherStages.applies(cypher))
       CypherStages.run(edgeFrame, nodeProps, cypher)
     else if (cypher.trim.toUpperCase.startsWith("UNWIND")) {
-      cypher.trim.stripSuffix(";") match {
-        case UnwindRe(items, v, rest) =>
-          val vals = Option(items).toSeq
-            .flatMap(StrLitRe.findAllMatchIn(_).map(_.group(1)))
+      // linear head parse (the regex list form would backtrack-recurse
+      // on huge literal lists, like the IN form — see parseInTerm)
+      parseUnwindHead(cypher.trim.stripSuffix(";")) match {
+        case Some((vals, v, rest)) =>
           parse(rest, extraKnown = Set(v)).flatMap { q =>
             if (!q.parts.exists(_.nodes.exists(_.v == v)))
               Left(s"UNWIND variable '$v' is not used by any MATCH " +
@@ -1952,7 +2066,7 @@ object CypherLite {
               compile(edgeFrame, q, nodeProps, piped = Some(vals.toDF(v)))
             }
           }
-        case _ => Left("unsupported UNWIND form — expected " +
+        case None => Left("unsupported UNWIND form — expected " +
           "UNWIND ['id', ...] AS v MATCH ...")
       }
     }

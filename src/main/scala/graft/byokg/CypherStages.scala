@@ -304,11 +304,11 @@ object CypherStages {
 
   // ---- text scanning -----------------------------------------------------
 
-  /** Positions of every top-level WITH keyword (quote-aware; excludes
-    * STARTS WITH / ENDS WITH like [[CypherLite.withMatch]]). */
+  /** Positions of every top-level WITH keyword (quote-aware linear scan;
+    * excludes STARTS WITH / ENDS WITH like [[CypherLite.withMatch]]). */
   private def withPositions(s: String): Seq[(Int, Int)] =
-    "(?i)(?<!starts)(?<!ends)\\sWITH\\s(?=(?:[^']*'[^']*')*[^']*$)".r
-      .findAllMatchIn(s).map(m => (m.start, m.end)).toSeq
+    CypherLite.kwScan(s, "WITH", excludeStartsEnds = true)
+      .map(k => (k.start, k.end))
 
   /** Comma split at paren/brace/bracket/quote depth zero — map and list
     * literals carry commas [[CypherLite.topSplit]] must not split on. */
@@ -480,10 +480,9 @@ object CypherStages {
     var retText = s.substring(rm.end).trim
 
     val limIdx = {
-      // top-level LIMIT (quote-aware scan from the right)
-      val m = "(?i)\\sLIMIT\\s(?=(?:[^']*'[^']*')*[^']*$)".r
-        .findAllMatchIn(" " + retText).toSeq.lastOption
-      m.map(_.start) // position in " "+retText — offset by 1 below
+      // top-level LIMIT (quote-aware linear scan, last occurrence)
+      CypherLite.kwScan(" " + retText + " ", "LIMIT").lastOption
+        .map(_.start) // position in " "+retText
     }
     val limit: Option[Int] = limIdx match {
       case Some(at) =>

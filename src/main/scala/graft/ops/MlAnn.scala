@@ -319,9 +319,15 @@ object MlAnn {
     * into the driver-built query↔centroid distance table, summed in
     * subspace order (sequential left folds, same order as the oracle). */
   private def adcDistance(codebooks: Array[Array[Array[Double]]],
-                          query: Seq[Double]): Column = {
+                          query: Seq[Double]): Column =
+    adcLookup(adcTable(codebooks, query))
+
+  /** m×codes table of subspace squared distances from `query` to every
+    * codebook centroid — the tiny driver-side half of ADC. */
+  private def adcTable(codebooks: Array[Array[Array[Double]]],
+                       query: Seq[Double]): Array[Array[Double]] = {
     val subDim = codebooks.head.head.length
-    val table: Array[Array[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+    codebooks.zipWithIndex.map { case (cb, s) =>
       cb.map { cent =>
         var acc = 0.0
         var i = 0
@@ -333,9 +339,80 @@ object MlAnn {
         acc
       }
     }
+  }
+
+  private def adcLookup(table: Array[Array[Double]]): Column =
     table.zipWithIndex.map { case (t, s) =>
       element_at(typedlit(t.toSeq), col("codes").getItem(s) + 1)
     }.reduceLeft(_ + _)
+
+  /** Residual view of a coarse IVF assignment: `(id, ivf_cell, resid)`
+    * with resid = vector − coarse centroid of its cell — the input
+    * RESIDUAL product quantization trains and encodes on. */
+  def ivfResiduals(assigned: DataFrame,
+                   centers: Array[Array[Double]]): DataFrame = {
+    val cLit = typedlit(centers.map(_.toSeq).toSeq)
+    assigned.select(col("id"), col("ivf_cell"),
+      zip_with(col("emb"), element_at(cLit, col("ivf_cell") + 1),
+        (a, b) => a - b).as("resid"))
+  }
+
+  /** Train PQ codebooks over the coarse-assignment RESIDUALS — the FAISS
+    * IndexIVFPQ discipline, and the difference that matters on clustered
+    * corpora: raw-vector PQ spends its m×codes budget separating cluster
+    * CENTERS (on tight clusters the whole cluster collapses into a few
+    * codes and within-cluster ranking dies — measured recall@10 0.29 on
+    * the planted-cluster probe vs 0.47 isotropic at m=16×32); residuals
+    * subtract the coarse structure first, so the same budget quantizes
+    * the small within-cell displacements (same probe: 0.9+). See
+    * ANN_RECALL.md's clustered table. */
+  def pqTrainResidual(assigned: DataFrame, centers: Array[Array[Double]],
+                      dim: Int, m: Int, codes: Int,
+                      iters: Int = 1): Array[Array[Array[Double]]] =
+    pqTrain(ivfResiduals(assigned, centers), "resid", "id", dim, m, codes,
+      iters)
+
+  /** Encode residuals as `m` code ids, keeping the coarse cell beside the
+    * codes (ADC needs it: the query's distance table is per-cell). */
+  def pqEncodeResidual(assigned: DataFrame, centers: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val subDim = codebooks.head.head.length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      nearestCell(slice(col("resid"), s * subDim + 1, subDim), cb)
+    }
+    ivfResiduals(assigned, centers).select(col("id"), col("ivf_cell"),
+      array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /**
+   * Residual IVF-PQ top-k: probe `nprobe` coarse cells, score ONLY their
+   * codes with a PER-CELL ADC table built from the query's residual
+   * against that cell's centroid (q − c_cell) — nprobe tiny tables on
+   * the driver, one `when`-chained lookup column on the scan. Same scan
+   * shape and pruning as [[ivfPqTopK]] (cell-partitioned codes table,
+   * never the raw vectors); the encoding is the part that changed.
+   */
+  def ivfPqResidualTopK(encoded: DataFrame, centers: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]],
+                        query: Seq[Double], k: Int,
+                        nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"need k>=1, nprobe>=1; got $k/$nprobe")
+    val q = Vectors.dense(query.toArray)
+    val probeCells = centers.zipWithIndex
+      .map { case (c, i) => (i, Vectors.sqdist(Vectors.dense(c), q)) }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nprobe).map(_._1)
+    val perCell = probeCells.map { cell =>
+      val qr = query.indices.map(i => query(i) - centers(cell)(i))
+      cell -> adcLookup(adcTable(codebooks, qr))
+    }
+    val scoreCol = perCell.tail.foldLeft(
+      when(col("ivf_cell") === perCell.head._1, perCell.head._2)) {
+      case (acc, (cell, e)) => acc.when(col("ivf_cell") === cell, e)
+    }
+    encoded.filter(col("ivf_cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col("id"), scoreCol.as("adist"))
+      .orderBy(col("adist"), col("id")).limit(k)
   }
 
   /**
@@ -392,6 +469,33 @@ object MlAnn {
 
   /** L2-normalize the embedding column into an MLlib vector — pure Column
     * math, no UDF. */
+  /** Deterministic planted-cluster embedding corpus — the recall probe's
+    * REALISTIC twin of the hash-derived testdata vectors (which are
+    * near-isotropic, PQ's worst case; ANN_RECALL.md round 9 flagged
+    * exactly this): `clusters` gaussian centers, each vector = its
+    * center + `noise`·gaussian. Real sentence-embedding corpora are
+    * cluster-structured, so PQ codebooks capture far more variance at
+    * the same m × codes — the probe's second table quantifies that gap.
+    * Driver-side generation (n × dim doubles, bounded probe sizes),
+    * seeded per id: same corpus on every host, no RNG in any operator.
+    * Returns (id LONG, embedding ARRAY<FLOAT>, cluster INT). */
+  def plantedClusterCorpus(spark: org.apache.spark.sql.SparkSession,
+                           n: Int, dim: Int, clusters: Int,
+                           noise: Double = 0.15,
+                           seed: Long = 0x5eedL): DataFrame = {
+    import spark.implicits._
+    val centers = Array.tabulate(clusters) { c =>
+      val r = new scala.util.Random(seed * 7919 + c)
+      Array.fill(dim)(r.nextGaussian())
+    }
+    (1 to n).map { i =>
+      val c = i % clusters
+      val r = new scala.util.Random(seed + i)
+      val v = centers(c).map(x => (x + noise * r.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq, c)
+    }.toDF("vec_id", "embedding", "cluster")
+  }
+
   private def udfFreeNormalize(index: DataFrame, embCol: String,
                                idCol: String): DataFrame = {
     val emb = V.toDouble(col(embCol))

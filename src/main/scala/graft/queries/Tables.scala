@@ -169,6 +169,27 @@ object Tables {
     .empty[(SparkSession, String, Int, Int, Int),
            (DataFrame, Array[Array[Array[Double]]])]
 
+  /** RESIDUAL product-quantization index over the det-KMeans coarse
+    * assignment (codes trained/encoded on vector − coarse centroid — the
+    * FAISS IndexIVFPQ discipline; see MlAnn.pqTrainResidual). Trained +
+    * encoded ONCE per (session, dir) like [[pqIndex]]; the codes frame
+    * keeps the coarse cell beside the codes (per-cell ADC tables, and at
+    * warehouse scale the cell IS the partition key). */
+  def pqResidualIndex(s: SparkSession, dir: String, m: Int = 2,
+                      codes: Int = 4, iters: Int = 1)
+  : (DataFrame, Array[Array[Array[Double]]]) =
+    pqResidualCache.getOrElseUpdate((s, dir, m, codes, iters), {
+      val (assigned, centers) = detKmeansIvfIndex(s, dir)
+      val cbs = graft.ops.MlAnn.pqTrainResidual(assigned, centers,
+        dim = 64, m = m, codes = codes, iters = iters)
+      (graft.ops.MlAnn.pqEncodeResidual(assigned, centers, cbs)
+        .coalesce(cachePartitions(s)).cache(), cbs)
+    })
+
+  private val pqResidualCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int, Int),
+           (DataFrame, Array[Array[Array[Double]]])]
+
   /** Memoized PageRank adjacency layout (deduped src-partitioned edges +
     * degree, node-partitioned vertex set) over [[edges]] — graph-storage
     * material like [[edges]]/[[undirectedEdges]] and the entity-degree

@@ -258,6 +258,26 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("adist"), 6).as("adist"))
     }),
 
+    // extended: RESIDUAL IVF-PQ top-k — the FAISS IndexIVFPQ encoding
+    // discipline: codebooks train on (vector − coarse centroid) so the
+    // m×codes budget quantizes within-cell displacements instead of
+    // re-separating cluster centers (raw-vector PQ collapses tight
+    // clusters into a few codes — measured on the planted-cluster recall
+    // probe, ANN_RECALL.md). The query scores only the probed cells'
+    // codes, each against ITS cell's driver-built ADC table (one
+    // when-chained lookup column, same pruned scan as q_ivf_pq_topk).
+    // The oracle replays coarse training + residual subtraction + both
+    // residual-subspace trainings + the per-cell gated ADC sum.
+    "q_ivf_pq_residual" -> ((s, dir) => {
+      val (_, centers) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      val (encodedR, cbsR) = Tables.pqResidualIndex(s, dir, m = 2,
+        codes = 4, iters = 1)
+      graft.ops.MlAnn.ivfPqResidualTopK(encodedR, centers, cbsR,
+        queryVec(s, dir), k = 10, nprobe = 4)
+        .select(col("id").as("vec_id"), round(col("adist"), 6).as("adist"))
+    }),
+
     // extended: per-cluster balance profile over the SAME deterministic
     // KMeans index (sizes, min id, mean vector norm) — the post-clustering
     // diagnostic a curation run reads before trusting the index. The
@@ -479,6 +499,89 @@ object VectorQueries {
     subspace(s0)
   }
 
+  /** RESIDUAL PQ subspace replay: identical training arithmetic to
+    * [[pqSubspaceCtes]], but the points come from `rfull` (the coarse
+    * residuals — requires [[detAssignCtes]] + an `rfull(id, ccell, emb)`
+    * CTE upstream) and the query side is PER COARSE CELL: each row's ADC
+    * term scores its code's centroid against (query − that row's coarse
+    * centroid) sliced to the subspace. */
+  private def pqResidualSubspaceCtes(s: Int, codes: Int, iters: Int,
+                                     ivfIters: Int): String = {
+    val subDim = Dim / 2
+    val r = s"range(1,${subDim + 1})"
+    val zero = s"list_transform($r, i -> 0.0)"
+    def sq(a: String, b: String): String =
+      s"list_reduce(list_transform($r, i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x, y) -> x + y)"
+    val lo = s * subDim + 1
+    def assign(aName: String, cName: String): String =
+      s"""$aName AS (
+         |  SELECT id, emb, cell FROM (
+         |    SELECT p.id, p.emb, c.cell,
+         |      row_number() OVER (PARTITION BY p.id
+         |        ORDER BY ${sq("p.emb", "c.c")}, c.cell) AS rn
+         |    FROM rpts$s p CROSS JOIN $cName c) WHERE rn = 1)""".stripMargin
+    def update(aName: String, prevC: String, cName: String): String =
+      s"""${cName}_s AS (
+         |  SELECT cell, count(*) AS n,
+         |    list_reduce(list_prepend($zero, list(emb ORDER BY id)),
+         |      (x, y) -> list_transform($r, i -> x[i] + y[i])) AS s
+         |  FROM $aName GROUP BY cell),
+         |$cName AS (
+         |  SELECT p.cell,
+         |    CASE WHEN s.n IS NULL THEN p.c
+         |         ELSE list_transform($r, i -> s.s[i] / s.n) END AS c
+         |  FROM $prevC p LEFT JOIN ${cName}_s s USING (cell))""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      assign(s"rasg${s}_$it", s"rcs${s}_${it - 1}") + ",\n" +
+        update(s"rasg${s}_$it", s"rcs${s}_${it - 1}", s"rcs${s}_$it")
+    }.mkString(",\n")
+    s"""rpts$s AS (
+       |  SELECT id, list_transform(range($lo,${lo + subDim}),
+       |    i -> emb[i]) AS emb
+       |  FROM rfull),
+       |rcs${s}_0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, emb AS c
+       |  FROM rpts$s ORDER BY id LIMIT $codes),
+       |$iterCtes,
+       |${assign(s"raf$s", s"rcs${s}_$iters")},
+       |rqr$s AS (
+       |  SELECT cc.cell AS ccell,
+       |    list_transform(range($lo,${lo + subDim}),
+       |      i -> qf.qe[i] - cc.c[i]) AS qe
+       |  FROM c$ivfIters cc CROSS JOIN qf),
+       |rd$s AS (
+       |  SELECT a.id, ${sq("c.c", "q.qe")} AS d
+       |  FROM raf$s a
+       |  JOIN rcs${s}_$iters c ON c.cell = a.cell
+       |  JOIN rfull rf ON rf.id = a.id
+       |  JOIN rqr$s q ON q.ccell = rf.ccell)""".stripMargin
+  }
+
+  /** Residual IVF-PQ replay: coarse training + probe + residual
+    * subtraction + both residual-subspace trainings + the per-cell gated
+    * ADC sum. */
+  private def ivfPqResidualOracle(nlist: Int, ivfIters: Int, codes: Int,
+                                  pqIters: Int, nprobe: Int,
+                                  k: Int): String =
+    s"""WITH ${detAssignCtes(nlist, ivfIters)},
+       |qf AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |  FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cell FROM c$ivfIters c CROSS JOIN qf
+       |  ORDER BY ${sqSql("c.c", "qf.qe")}, cell LIMIT $nprobe),
+       |rfull AS (
+       |  SELECT af.id, af.cell AS ccell,
+       |    list_transform(range(1,${Dim + 1}),
+       |      i -> af.emb[i] - cc.c[i]) AS emb
+       |  FROM af JOIN c$ivfIters cc ON cc.cell = af.cell),
+       |${pqResidualSubspaceCtes(0, codes, pqIters, ivfIters)},
+       |${pqResidualSubspaceCtes(1, codes, pqIters, ivfIters)}
+       |SELECT rd0.id AS vec_id, round(rd0.d + rd1.d, 6) AS adist
+       |FROM rd0 JOIN rd1 USING (id) JOIN rfull USING (id)
+       |WHERE rfull.ccell IN (SELECT cell FROM probe)
+       |ORDER BY rd0.d + rd1.d, rd0.id LIMIT $k""".stripMargin
+
   private def pqOracle(codes: Int, iters: Int, k: Int): String =
     s"""WITH ${pqSubspaceCtes(0, codes, iters)},
        |${pqSubspaceCtes(1, codes, iters)}
@@ -569,6 +672,9 @@ object VectorQueries {
 
     "q_ivf_pq_topk" -> ivfPqOracle(nlist = 8, ivfIters = 2, codes = 4,
       pqIters = 1, nprobe = 4, k = 10),
+
+    "q_ivf_pq_residual" -> ivfPqResidualOracle(nlist = 8, ivfIters = 2,
+      codes = 4, pqIters = 1, nprobe = 4, k = 10),
 
     "q_mmr_topk" -> mmrOracle(k = 5, prefetch = 50, lambda = 0.5),
 

@@ -50,6 +50,7 @@ object Warmup {
     // the per-query cache eviction treat EVERY still-persistent RDD that is
     // not in the post-warmup snapshot as query-local garbage.
     Tables.pqIndex(spark, sfDir)._1.count()
+    Tables.pqResidualIndex(spark, sfDir)._1.count()
     Tables.coPurchaseTriangleCounts(spark, sfDir).count()
     val (wAdjE, wAdjN) = Tables.weightedAdjacency(spark, sfDir)
     wAdjE.count(); wAdjN.count()

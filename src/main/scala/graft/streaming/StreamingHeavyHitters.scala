@@ -77,17 +77,33 @@ object StreamingHeavyHitters {
   private val VersionDirRe = """v-(\d+)""".r
 
   /** The committed version directories under `statePath`, ascending by
-    * batch id (crash-leftover `_tmp_` dirs are invisible here). */
+    * batch id (crash-leftover `_tmp_` dirs are invisible here). A state
+    * dir written by the PRE-versioned flat `mode("overwrite")` layout
+    * (parquet files directly under statePath) is refused LOUDLY: reading
+    * it as empty state would silently drop every accumulated count and
+    * the redelivery-dedup watermark on upgrade (round-9 ADVICE). */
   private def versions(fs: org.apache.hadoop.fs.FileSystem,
                        root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
     if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq.collect {
-      case st if st.isDirectory =>
-        st.getPath.getName match {
-          case VersionDirRe(id) => Some((id.toLong, st.getPath))
-          case _ => None
-        }
-    }.flatten.sortBy(_._1)
+    else {
+      val entries = fs.listStatus(root).toSeq
+      val vs = entries.collect {
+        case st if st.isDirectory =>
+          st.getPath.getName match {
+            case VersionDirRe(id) => Some((id.toLong, st.getPath))
+            case _ => None
+          }
+      }.flatten.sortBy(_._1)
+      if (vs.isEmpty && entries.exists(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet")))
+        throw new IllegalStateException(
+          s"heavy-hitters state at $root uses the legacy FLAT layout " +
+            "(parquet files at the root, no v-<batchId> version dirs) — " +
+            "reading it as empty would silently reset all accumulated " +
+            "counts; migrate by moving the files into a v-<lastBatchId> " +
+            "subdirectory (they are the state as of that batch)")
+      vs
+    }
 
   /** The latest committed state version's path, if any — the frame to
     * hand [[finishExact]]. */

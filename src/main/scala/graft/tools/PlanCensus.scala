@@ -42,10 +42,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
 object PlanCensus {
 
   final case class Census(jobs: Int, stages: Int, tasks: Long,
-                          shuffles: Int) {
+                          shuffles: Int, shuffleReadB: Long = 0L,
+                          shuffleWriteB: Long = 0L) {
     def render: String =
       s"""{"jobs":$jobs,"stages":$stages,"tasks":$tasks,""" +
-        s""""shuffles":$shuffles}"""
+        s""""shuffles":$shuffles,"shuffle_read_b":$shuffleReadB,""" +
+        s""""shuffle_write_b":$shuffleWriteB}"""
   }
 
   /** Census one query's WARM second execution; the caller owns eviction
@@ -56,10 +58,17 @@ object PlanCensus {
               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
   : Census = {
     fn(spark, sfDir).count() // warm run: operator caches persist
+    // drain the async bus BEFORE registering: a late-added listener
+    // receives still-queued warm-run events, which would leak warm
+    // stages/tasks into the censused second execution (round-9 ADVICE)
+    org.apache.spark.GraftSparkBridge
+      .drainListenerBus(spark.sparkContext)
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0L
     @volatile var shuffles = 0
+    @volatile var shufReadB = 0L
+    @volatile var shufWriteB = 0L
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -67,6 +76,16 @@ object PlanCensus {
         tasks += s.stageInfo.numTasks
         if (org.apache.spark.GraftSparkBridge
             .isShuffleMapStage(s.stageInfo)) shuffles += 1
+        // payload-width census: task/job counts cannot see a column that
+        // doubled the exchange payload (the round-9 suffix-dedup
+        // hex-vs-binary class); shuffle BYTES are timing-independent at
+        // fixed sf (same data, same codec) up to per-partition
+        // compression-framing jitter, which the spec's slack covers
+        val tm = s.stageInfo.taskMetrics
+        if (tm != null) {
+          shufReadB += tm.shuffleReadMetrics.totalBytesRead
+          shufWriteB += tm.shuffleWriteMetrics.bytesWritten
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -74,7 +93,7 @@ object PlanCensus {
       fn(spark, sfDir).count()
       org.apache.spark.GraftSparkBridge
         .drainListenerBus(spark.sparkContext)
-      Census(jobs, stages, tasks, shuffles)
+      Census(jobs, stages, tasks, shuffles, shufReadB, shufWriteB)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -82,17 +101,20 @@ object PlanCensus {
     * persistent RDD outside `warmedRddIds` is evicted, exactly like the
     * bench loop. */
   def censusAll(spark: SparkSession, sfDir: String,
-                warmedRddIds: Set[Int]): Seq[(String, Census)] = {
+                warmedRddIds: Set[Int],
+                only: Option[Set[String]] = None): Seq[(String, Census)] = {
     def evictTransient(): Unit = {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!warmedRddIds.contains(id)) rdd.unpersist(blocking = false)
       }
       System.gc()
     }
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      evictTransient()
-      name -> measure(spark, sfDir, fn)
-    }
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        evictTransient()
+        name -> measure(spark, sfDir, fn)
+      }
   }
 
   def renderJson(sfDir: String, partitions: String,
@@ -106,10 +128,13 @@ object PlanCensus {
     * BenchSnapshotSpec. */
   def parseJson(txt: String): Map[String, Census] =
     ("\"([^\"]+)\"\\s*:\\s*\\{\"jobs\":(\\d+),\"stages\":(\\d+)," +
-      "\"tasks\":(\\d+),\"shuffles\":(\\d+)\\}").r
+      "\"tasks\":(\\d+),\"shuffles\":(\\d+)" +
+      "(?:,\"shuffle_read_b\":(\\d+),\"shuffle_write_b\":(\\d+))?\\}").r
       .findAllMatchIn(txt)
       .map(m => m.group(1) -> Census(m.group(2).toInt, m.group(3).toInt,
-        m.group(4).toLong, m.group(5).toInt))
+        m.group(4).toLong, m.group(5).toInt,
+        Option(m.group(6)).map(_.toLong).getOrElse(0L),
+        Option(m.group(7)).map(_.toLong).getOrElse(0L)))
       .toMap
 
   def main(args: Array[String]): Unit = {
@@ -128,7 +153,13 @@ object PlanCensus {
     graft.GraftExtensions.registerAll(spark)
     graft.queries.Warmup.warmAll(spark, sfDir)
     val warmed = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    val rows = censusAll(spark, sfDir, warmed)
+    // optional arg 3: comma-separated subset for A/B iteration — pass an
+    // EXPLICIT out path too; a subset snapshot would fail the spec's
+    // coverage check if it replaced the committed full census
+    val only = if (args.length > 2) Some(args(2).split(",").toSet) else None
+    if (only.isDefined && args.length <= 1)
+      sys.error("subset census requires an explicit output path")
+    val rows = censusAll(spark, sfDir, warmed, only)
     val json = renderJson(sfDir, "4", rows)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

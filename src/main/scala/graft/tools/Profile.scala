@@ -276,63 +276,94 @@ object Profile {
         import graft.ops.{MlAnn, Similarity}
         import graft.functions.{VectorFunctions => VF}
         val k = 10
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), col("embedding")).cache()
-        val nVecs = emb.count()
-        val qs = emb.filter(col("vec_id") <= 20)
-          .collect()
-          .map(r => (r.getLong(0),
-            r.getSeq[Float](1).map(_.toDouble).toSeq))
-          .sortBy(_._1)
-        println(s"[profile] annrecall vectors=$nVecs queries=${qs.length} k=$k")
         def ids(df: DataFrame): Seq[Long] =
           df.select("id").collect().map(_.getLong(0)).toSeq
-        // exact ground truths (brute force over every vector)
-        val gtCos: Map[Long, Set[Long]] = qs.map { case (qid, q) =>
-          qid -> ids(Similarity.topK(emb, "embedding", "vec_id", q, k)).toSet
-        }.toMap
-        def l2Top(q: Seq[Double]): Set[Long] = ids(
-          emb.select(col("vec_id").as("id"),
-            aggregate(zip_with(VF.toDouble(col("embedding")), typedlit(q),
-              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
-              .as("d"))
-            .orderBy(col("d"), col("id")).limit(k)).toSet
-        val gtL2: Map[Long, Set[Long]] = qs.map { case (qid, q) =>
-          qid -> l2Top(q) }.toMap
-        def recall(name: String, gt: Map[Long, Set[Long]])
-                  (approx: Seq[Double] => DataFrame): Unit = {
-          val t0 = System.nanoTime()
-          val r = qs.map { case (qid, q) =>
-            (ids(approx(q)).toSet & gt(qid)).size.toDouble / k }
-          val sec = (System.nanoTime() - t0) / 1e9
-          println(f"[profile] annrecall $name%-26s recall@$k=" +
-            f"${r.sum / r.size}%.3f  t=${sec / qs.length}%.3f s/query")
-        }
-        // IVF (the bench's nlist=8 config), nprobe sweep to full
-        val (assigned, centers) =
-          MlAnn.detKmeansIvf(emb, "embedding", "vec_id", nlist = 8, iters = 2)
-        assigned.cache().count()
-        Seq(1, 2, 4, 8).foreach { np =>
-          recall(s"ivf nlist=8 nprobe=$np", gtCos)(q =>
-            MlAnn.ivfTopK(assigned, centers, q, k, np))
-        }
-        // PQ at the bench config (m=2, codes=4: 2 bytes/vector — coarse)
-        // and a finer config (m=8, codes=16: 8 bytes/vector)
-        Seq((2, 4), (8, 16), (16, 32)).foreach { case (m, codes) =>
-          val cbs = MlAnn.pqTrain(emb, "embedding", "vec_id",
-            dim = 64, m = m, codes = codes, iters = 1)
-          val enc = MlAnn.pqEncode(emb, "embedding", "vec_id", cbs)
-            .cache()
-          enc.count()
-          recall(s"pq m=$m codes=$codes", gtL2)(q =>
-            MlAnn.pqTopK(enc, cbs, q, k))
-          Seq(1, 2, 4, 8).foreach { np =>
-            recall(s"ivfpq m=$m codes=$codes nprobe=$np", gtL2)(q =>
-              MlAnn.ivfPqTopK(assigned, centers, enc, cbs, q, k, np))
+        // one full sweep (IVF nprobe ladder + PQ/IVF-PQ m×codes ladder)
+        // over a given corpus; run TWICE — the hash-derived testdata
+        // vectors (near-isotropic: PQ's worst case) and a planted-cluster
+        // corpus of the same size (the structure real sentence embeddings
+        // have, where PQ codebooks capture far more variance per byte)
+        def sweep(tag: String, emb0: DataFrame, nlist: Int): Unit = {
+          val emb = emb0.select(col("vec_id"), col("embedding")).cache()
+          val nVecs = emb.count()
+          val qs = emb.filter(col("vec_id") <= 20)
+            .collect()
+            .map(r => (r.getLong(0),
+              r.getSeq[Float](1).map(_.toDouble).toSeq))
+            .sortBy(_._1)
+          println(s"[profile] annrecall[$tag] vectors=$nVecs " +
+            s"queries=${qs.length} k=$k")
+          // exact ground truths (brute force over every vector)
+          val gtCos: Map[Long, Set[Long]] = qs.map { case (qid, q) =>
+            qid -> ids(Similarity.topK(emb, "embedding", "vec_id", q, k))
+              .toSet
+          }.toMap
+          def l2Top(q: Seq[Double]): Set[Long] = ids(
+            emb.select(col("vec_id").as("id"),
+              aggregate(zip_with(VF.toDouble(col("embedding")), typedlit(q),
+                (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+                .as("d"))
+              .orderBy(col("d"), col("id")).limit(k)).toSet
+          val gtL2: Map[Long, Set[Long]] = qs.map { case (qid, q) =>
+            qid -> l2Top(q) }.toMap
+          def recall(name: String, gt: Map[Long, Set[Long]])
+                    (approx: Seq[Double] => DataFrame): Unit = {
+            val t0 = System.nanoTime()
+            val r = qs.map { case (qid, q) =>
+              (ids(approx(q)).toSet & gt(qid)).size.toDouble / k }
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[profile] annrecall[$tag] $name%-26s recall@$k=" +
+              f"${r.sum / r.size}%.3f  t=${sec / qs.length}%.3f s/query")
           }
-          enc.unpersist()
+          // IVF nprobe ladder (nlist = 8 on the testdata corpus — the
+          // bench gate config; 32 on the planted-cluster corpus, sized to
+          // its cluster count: residual encoding only pays off when the
+          // coarse cells capture the cluster structure)
+          val (assigned, centers) = MlAnn.detKmeansIvf(
+            emb, "embedding", "vec_id", nlist = nlist, iters = 2)
+          assigned.cache().count()
+          Seq(1, 2, 4, nlist).distinct.filter(_ <= nlist).foreach { np =>
+            recall(s"ivf nlist=$nlist nprobe=$np", gtCos)(q =>
+              MlAnn.ivfTopK(assigned, centers, q, k, np))
+          }
+          // PQ at the bench config (m=2, codes=4: 2 bytes/vector —
+          // coarse) and finer configs
+          Seq((2, 4), (8, 16), (16, 32)).foreach { case (m, codes) =>
+            val cbs = MlAnn.pqTrain(emb, "embedding", "vec_id",
+              dim = 64, m = m, codes = codes, iters = 1)
+            val enc = MlAnn.pqEncode(emb, "embedding", "vec_id", cbs)
+              .cache()
+            enc.count()
+            recall(s"pq m=$m codes=$codes", gtL2)(q =>
+              MlAnn.pqTopK(enc, cbs, q, k))
+            Seq(1, nlist).distinct.foreach { np =>
+              recall(s"ivfpq m=$m codes=$codes nprobe=$np", gtL2)(q =>
+                MlAnn.ivfPqTopK(assigned, centers, enc, cbs, q, k, np))
+            }
+            enc.unpersist()
+            // RESIDUAL IVF-PQ at the same budget — the FAISS discipline:
+            // codebooks train on (vector − coarse centroid), so the
+            // m×codes budget quantizes within-cell displacements instead
+            // of re-separating cluster centers
+            val cbsR = MlAnn.pqTrainResidual(assigned, centers,
+              dim = 64, m = m, codes = codes, iters = 1)
+            val encR = MlAnn.pqEncodeResidual(assigned, centers, cbsR)
+              .cache()
+            encR.count()
+            Seq(1, nlist).distinct.foreach { np =>
+              recall(s"ivfpq-res m=$m codes=$codes nprobe=$np", gtL2)(q =>
+                MlAnn.ivfPqResidualTopK(encR, centers, cbsR, q, k, np))
+            }
+            encR.unpersist()
+          }
+          assigned.unpersist(); emb.unpersist()
         }
+        val iso = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") =!= 0)
+        sweep("isotropic", iso, nlist = 8)
+        sweep("clustered", MlAnn.plantedClusterCorpus(
+          spark, n = iso.count().toInt, dim = 64, clusters = 32),
+          nlist = 32)
 
       case "suffixscale" =>
         // would-it-scale probe for the suffix-bucket substring dedup:

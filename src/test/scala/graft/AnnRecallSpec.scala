@@ -53,4 +53,53 @@ class AnnRecallSpec extends SparkSpec {
       "the approximation")
     assert(r1 <= rFull)
   }
+
+  test("residual IVF-PQ recovers the recall raw-vector PQ loses on a " +
+    "clustered corpus at equal m x codes (the ANN_RECALL.md clustered-" +
+    "table contract: raw PQ collapses tight clusters into a few codes " +
+    "— measured 0.29 vs 0.65 residual at m=16x32 on the probe corpus)") {
+    val n = 240; val dim = 32; val k = 10; val m = 8; val codes = 16
+    val clu = MlAnn.plantedClusterCorpus(spark, n, dim, clusters = 8,
+      noise = 0.15)
+    val rows = clu.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val queries = rows.sortBy(_._1).take(8)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def exactTop(q: Array[Double]): Set[Long] =
+      rows.map { case (id, v) => (l2(q, v), id) }
+        .sortBy(identity).take(k).map(_._2).toSet
+    def recallOf(approx: Array[Double] => Set[Long]): Double = {
+      val per = queries.map { case (_, q) =>
+        (approx(q) & exactTop(q)).size.toDouble / k }
+      per.sum / per.length
+    }
+    // raw-vector PQ at the budget
+    val cbsRaw = MlAnn.pqTrain(clu, "embedding", "vec_id",
+      dim = dim, m = m, codes = codes, iters = 1)
+    val encRaw = MlAnn.pqEncode(clu, "embedding", "vec_id", cbsRaw)
+    encRaw.cache().count()
+    val rRaw = recallOf(q => ids(MlAnn.pqTopK(encRaw, cbsRaw, q.toSeq, k))
+      .toSet)
+    encRaw.unpersist()
+    // residual IVF-PQ at the SAME budget, coarse cells sized to the
+    // cluster structure (nlist = clusters; residuals are then the small
+    // within-cluster displacements the codebooks can actually resolve)
+    val (assigned, centers) =
+      MlAnn.detKmeansIvf(clu, "embedding", "vec_id", nlist = 8, iters = 2)
+    assigned.cache().count()
+    val cbsRes = MlAnn.pqTrainResidual(assigned, centers,
+      dim = dim, m = m, codes = codes, iters = 1)
+    val encRes = MlAnn.pqEncodeResidual(assigned, centers, cbsRes)
+    encRes.cache().count()
+    val rRes = recallOf(q => ids(MlAnn.ivfPqResidualTopK(encRes, centers,
+      cbsRes, q.toSeq, k, nprobe = 8)).toSet)
+    encRes.unpersist(); assigned.unpersist()
+    assert(rRes > rRaw,
+      f"residual IVF-PQ recall $rRes%.3f should beat raw-vector PQ " +
+        f"$rRaw%.3f on a clustered corpus at equal m x codes")
+  }
 }

@@ -31,6 +31,29 @@ class BenchSnapshotSpec extends AnyFunSuite {
         failed.mkString(", "))
   }
 
+  test("committed BENCH.json flags every noise-suspect row: kept " +
+    "calib_q beyond 2x the run median must appear in \"stalled\"") {
+    assume(snapshot.exists(), "no committed snapshot")
+    val txt = scala.io.Source.fromFile(snapshot, "UTF-8").mkString
+    assume(txt.contains("\"stalled\""),
+      "snapshot predates the stalled-row contract")
+    val cqObj = txt.split("\"calib_q\"\\s*:\\s*\\{", 2)(1).split("\\}", 2)(0)
+    val cq = """"([^"]+)"\s*:\s*(-?[0-9.Ee+-]+)""".r
+      .findAllMatchIn(cqObj).map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+    val med = """"calib_q_median"\s*:\s*(-?[0-9.Ee+-]+)""".r
+      .findFirstMatchIn(txt).get.group(1).toDouble
+    val stalled = txt.split("\"stalled\"\\s*:\\s*\\[", 2)(1)
+      .split("\\]", 2)(0)
+    val flagged = """"([^"]+)"""".r.findAllMatchIn(stalled)
+      .map(_.group(1)).toSet
+    val unflagged = cq.filter { case (n, v) =>
+      v > 2.0 * med && !flagged.contains(n) }.keys.toSeq.sorted
+    assert(unflagged.isEmpty,
+      "rows kept a stalled calib_q (> 2x run median) without a " +
+        "\"stalled\" flag: " + unflagged.mkString(", "))
+  }
+
   test("committed BENCH.json covers exactly SparkEntry.queries") {
     assume(snapshot.exists(), "no committed snapshot")
     val expected = SparkEntry.queries.keySet

@@ -226,6 +226,26 @@ class CypherStagesSpec extends SparkSpec {
       "WHERE a.id = 'http://x'")
   }
 
+  test("huge literal lists parse linearly — a 6k-id IN list (and UNWIND " +
+    "twin) must not blow the regex stack (the sf0.1 statements failure)") {
+    val ids = (1 to 6000).map(i => s"'L:$i-1'").mkString("[", ", ", "]")
+    // of the 6k ids only L:1-1 / L:2-1 / L:3-1 exist in the fixture
+    val q = s"MATCH (l:L)-[:mentioned_in]->(c) WHERE l.id IN $ids " +
+      "RETURN l.id AS sid, c.id AS cid"
+    val out = CypherLite.run(edges, q)
+    assert(out.isRight, out.left.getOrElse(""))
+    assert(out.toOption.get.count() == 3L)
+    val uq = s"UNWIND $ids AS l MATCH (l)-[:mentioned_in]->(c) " +
+      "RETURN c.id AS cid"
+    val uo = CypherLite.run(edges, uq)
+    assert(uo.isRight, uo.left.getOrElse(""))
+    // malformed lists still refuse: trailing comma, unquoted element
+    assert(CypherLite.run(edges,
+      "MATCH (l:L)-[:x]->(c) WHERE l.id IN ['a',] RETURN l.id AS s").isLeft)
+    assert(CypherLite.run(edges,
+      "UNWIND ['a', b] AS l MATCH (l)-[:x]->(c) RETURN c.id AS s").isLeft)
+  }
+
   test("existing single-stage grammar does NOT route staged") {
     assert(!CypherStages.applies(
       "MATCH (c:c)-[:placed]->(o:o) RETURN c.id AS cust, count(*) AS n " +

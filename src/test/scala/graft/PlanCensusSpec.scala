@@ -42,10 +42,21 @@ class PlanCensusSpec extends SparkSpec {
         // jobs/stages/shuffles stayed exact — those three carry the
         // regression signal
         val taskSlack = math.max(8L, (c.tasks * 0.3).toLong)
+        // shuffle BYTES catch payload-width regressions task counts are
+        // blind to (round-9: a hex-string key doubling an exchange).
+        // Slack: totals are data-deterministic at fixed sf, but AQE
+        // coalescing changes per-partition compression framing and a
+        // ContextCleaner race can skip one warm stage's read — measured
+        // cross-JVM drift stays inside max(64 KB, 20%); a payload-width
+        // regression on a real exchange is 2x of MBs
+        def bOk(now0: Long, c0: Long): Boolean =
+          math.abs(now0 - c0) <= math.max(64L << 10, (c0 * 0.2).toLong)
         val ok = math.abs(now.jobs - c.jobs) <= 1 &&
           math.abs(now.stages - c.stages) <= 2 &&
           math.abs(now.shuffles - c.shuffles) <= 2 &&
-          math.abs(now.tasks - c.tasks) <= taskSlack
+          math.abs(now.tasks - c.tasks) <= taskSlack &&
+          bOk(now.shuffleReadB, c.shuffleReadB) &&
+          bOk(now.shuffleWriteB, c.shuffleWriteB)
         if (ok) None
         else Some(s"$name: committed ${c.render} vs now ${now.render}")
     }

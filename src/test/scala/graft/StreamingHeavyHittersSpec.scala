@@ -107,4 +107,23 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
     assert(streamed.nonEmpty) // 'spark' is a true 1/6-hitter here
   }
+
+  test("legacy flat state layout (parquet at the root, no version dirs) " +
+    "is refused loudly, never silently read as empty") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shh-flat").toString
+    val statePath = s"$dir/state"
+    // simulate the pre-versioned mode("overwrite") layout
+    Seq(("spark", 3L, 10L, 2L)).toDF("token", "cnt", "n_tokens", "batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(statePath)
+    val e = intercept[IllegalStateException] {
+      StreamingHeavyHitters.readState(spark, statePath)
+    }
+    assert(e.getMessage.contains("legacy FLAT layout"))
+    val e2 = intercept[IllegalStateException] {
+      StreamingHeavyHitters.mergeBatch(Seq("a b").toDF("text"), "text",
+        statePath, capacity = 4, batchId = 3L)
+    }
+    assert(e2.getMessage.contains("v-"))
+  }
 }
