@@ -85,8 +85,9 @@ import org.apache.spark.sql.functions._
  *   [ORDER BY (v[.p] | alias | count(*|v) | agg) [DESC] [, ...]] [LIMIT n]
  *
  * MULTI-stage WITH pipelines, `{key: value}` map projections (nested,
- * with properties(v) / NULL / [...] values), `collect(distinct x)` and
- * ORDER BY on a returned map's field route to the staged compiler
+ * with properties(v) / NULL / [...] values), `collect(distinct x)`,
+ * per-stage `[ORDER BY] [LIMIT] [WHERE]` clause tails, and ORDER BY on
+ * a returned map's field route to the staged compiler
  * ([[CypherStages]]) — enough grammar to run the reference's own
  * statements_cypher verbatim (traversal_based_base_retriever.py:153-190).
  * `$name` parameters bind through [[substituteParams]]; `// comments`

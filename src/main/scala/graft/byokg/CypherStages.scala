@@ -43,12 +43,21 @@ import org.apache.spark.sql.types._
  * division there), `size()` is array length on lists and string length
  * otherwise, `NULL` / `[...]` literals are first-class.
  *
+ * Every stage takes Cypher's full clause tail — `[ORDER BY ...]
+ * [LIMIT n] [WHERE ...]` in that (Cypher-grammar) order: the stage's
+ * WHERE filters its OUTPUT (HAVING over the implicit aggregation);
+ * ORDER BY + LIMIT mid-pipeline is the top-k staging shape
+ * (`WITH c, count(*) AS n ORDER BY n DESC LIMIT 5`); a mid-pipeline
+ * ORDER BY without LIMIT compiles but cannot promise downstream order
+ * (collect() is the deterministic sorted list regardless).
+ *
  * Refused loudly (the KGLinker retry-feedback contract): `{}` empty
  * maps, aggregates nested inside expressions or maps, a MATCH after any
- * WITH stage in a multi-stage pipeline, `WHERE` between chained stages,
- * expression items without `AS`, `properties()` of a non-pattern value,
- * multi-level property paths on pattern variables, and ORDER BY fields
- * that don't resolve against the returned schema.
+ * WITH stage in a multi-stage pipeline, stage clauses out of Cypher's
+ * order, WHERE after RETURN, expression items without `AS`,
+ * `properties()` of a non-pattern value, multi-level property paths on
+ * pattern variables, and ORDER BY fields that don't resolve against
+ * the returned schema.
  *
  * Scale: the one corpus-wide exchange per aggregation stage is keyed on
  * that stage's grouping tuple; everything else is in-row struct
@@ -290,17 +299,27 @@ object CypherStages {
   final case class AggStageItem(func: String, arg: Option[MExpr],
                                 alias: String) extends StageItem
 
-  final case class Stage(items: Seq[StageItem]) {
+  /** One WITH/RETURN stage: items, then the optional Cypher clause tail
+    * in grammar order — `[ORDER BY ...] [LIMIT n] [WHERE ...]` (Cypher
+    * puts the stage's WHERE after its pagination; it filters the
+    * already-limited rows). `where` is DNF like CypherLite: outer OR of
+    * AND groups of (left, op, right) expression comparisons resolved
+    * against the STAGE'S OUTPUTS. Mid-pipeline ORDER BY without LIMIT
+    * compiles but is a semantic no-op (downstream aggregation re-sorts;
+    * collect() is the deterministic sorted list regardless). */
+  final case class Stage(items: Seq[StageItem],
+                         where: Seq[Seq[(MExpr, String, MExpr)]] = Nil,
+                         orderBy: Seq[(Seq[String], Boolean)] = Nil,
+                         limit: Option[Int] = None) {
     def aggs: Seq[AggStageItem] = items.collect { case a: AggStageItem => a }
     def plains: Seq[PlainItem] = items.collect { case p: PlainItem => p }
   }
 
-  /** head = the MATCH [WHERE] block; stages = chained WITH item lists;
-    * ret = the RETURN item list; orderBy paths resolve against the
-    * returned schema (alias, optionally .field...). */
-  final case class StagedQuery(head: String, stages: Seq[Stage], ret: Stage,
-                               orderBy: Seq[(Seq[String], Boolean)],
-                               limit: Option[Int])
+  /** head = the MATCH [WHERE] block; stages = chained WITH stages; ret =
+    * the RETURN stage (its orderBy paths resolve against the returned
+    * schema — alias, optionally .field...; a WHERE on RETURN is
+    * refused). */
+  final case class StagedQuery(head: String, stages: Seq[Stage], ret: Stage)
 
   // ---- text scanning -----------------------------------------------------
 
@@ -403,20 +422,103 @@ object CypherStages {
     }
   }
 
-  private def parseStage(text: String): Either[String, Stage] = {
-    if (CypherLite.kwMatch(" " + text + " ", "MATCH").nonEmpty)
+  /** The depth-zero comparison operator of a WHERE term (outside quotes
+    * and map/list/call nesting). */
+  private def splitCompare(t: String): Either[String, (MExpr, String, MExpr)] = {
+    var depth = 0; var q = ' '; var i = 0
+    var opAt = -1; var opLen = 0
+    while (i < t.length && opAt < 0) {
+      val c = t.charAt(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '(' | '{' | '[' => depth += 1
+        case ')' | '}' | ']' => depth -= 1
+        case '>' | '<' | '=' if depth == 0 =>
+          opAt = i
+          opLen =
+            if (i + 1 < t.length && (t.substring(i, i + 2) == ">=" ||
+              t.substring(i, i + 2) == "<=" || t.substring(i, i + 2) == "<>"))
+              2
+            else 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (opAt < 0) return Left(s"no comparison operator in WHERE term '$t'")
+    for {
+      l <- parseMExpr(t.substring(0, opAt).trim)
+      r <- parseMExpr(t.substring(opAt + opLen).trim)
+    } yield (l, t.substring(opAt, opAt + opLen), r)
+  }
+
+  private def parseStage(text0: String): Either[String, Stage] = {
+    if (CypherLite.kwMatch(" " + text0 + " ", "MATCH").nonEmpty)
       return Left("MATCH after a WITH stage is not supported in " +
         "multi-stage pipelines — use the single-WITH ... MATCH form, or " +
         "move the pattern into the leading MATCH block")
-    if (CypherLite.kwMatch(" " + text + " ", "WHERE").nonEmpty)
-      return Left("WHERE between chained WITH stages is not supported — " +
-        "filter in the MATCH block's WHERE (or use the single-WITH " +
-        "HAVING form)")
-    val items = topSplitDeep(text)
+    // clause tail in Cypher grammar order: [ORDER BY] [LIMIT] [WHERE]
+    val pad = " " + text0 + " "
+    val ordAt = CypherLite.kwMatch(pad, "ORDER").map(_.start)
+    val limAt = CypherLite.kwMatch(pad, "LIMIT").map(_.start)
+    val whereAt = CypherLite.kwMatch(pad, "WHERE").map(_.start)
+    val marks = Seq(ordAt.map(_ -> "ORDER"), limAt.map(_ -> "LIMIT"),
+      whereAt.map(_ -> "WHERE")).flatten.sortBy(_._1)
+    val wantOrder = Seq("ORDER", "LIMIT", "WHERE")
+    if (marks.map(_._2) != wantOrder.filter(marks.map(_._2).contains))
+      return Left("stage clauses must follow Cypher's order: items " +
+        "[ORDER BY ...] [LIMIT n] [WHERE ...]")
+    def region(from: Int): String = {
+      val end = marks.map(_._1).find(_ > from).getOrElse(pad.length)
+      pad.substring(from, end)
+    }
+    val itemsText = pad.substring(0,
+      marks.headOption.map(_._1).getOrElse(pad.length)).trim
+    val ordClause = ordAt.map(a => region(a).trim)
+    val limClause = limAt.map(a => region(a).trim)
+    val whereClause = whereAt.map(a => region(a).trim)
+
+    val orderBy: Seq[(Seq[String], Boolean)] = ordClause match {
+      case None => Nil
+      case Some(c0) =>
+        val c = c0.replaceFirst("(?i)^ORDER\\s+", "")
+        if (!c.toUpperCase.startsWith("BY "))
+          return Left("expected BY after ORDER")
+        topSplitDeep(c.substring(3).trim).map { it =>
+          val OrdItemRe =
+            """(?is)^([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)(?:\s+(ASC|DESC))?$""".r
+          it match {
+            case OrdItemRe(path, dir) =>
+              (path.split("\\.").toSeq,
+                dir == null || dir.equalsIgnoreCase("ASC"))
+            case other =>
+              return Left(s"unsupported ORDER BY item '$other'")
+          }
+        }
+    }
+    val limit: Option[Int] = limClause match {
+      case None => None
+      case Some(c) =>
+        val lit = c.replaceFirst("(?i)^LIMIT\\s+", "").trim
+        Some(lit.toIntOption.getOrElse(
+          return Left(s"bad LIMIT literal '$lit'")))
+    }
+    val where: Seq[Seq[(MExpr, String, MExpr)]] = whereClause match {
+      case None => Nil
+      case Some(c0) =>
+        val c = c0.replaceFirst("(?i)^WHERE\\s+", "")
+        CypherLite.boolSplit(c, "OR").map { grp =>
+          CypherLite.boolSplit(grp, "AND").map { term =>
+            splitCompare(term).fold(e => return Left(e), identity)
+          }
+        }
+    }
+    if (itemsText.isEmpty) return Left("empty WITH/RETURN item list")
+    val items = topSplitDeep(itemsText)
     if (items.exists(_.isEmpty)) return Left("empty WITH/RETURN item")
     val parsed = items.map(parseItem)
     parsed.collectFirst { case Left(e) => e }
-      .toLeft(Stage(parsed.map(_.toOption.get)))
+      .toLeft(Stage(parsed.map(_.toOption.get), where, orderBy, limit))
       .flatMap { st =>
         val names = st.items.map(_.alias)
         if (names.distinct.size != names.size)
@@ -477,48 +579,13 @@ object CypherStages {
       val end = if (i + 1 < ws.size) ws(i + 1)._1 else rm.start
       s.substring(e, end).trim
     }
-    var retText = s.substring(rm.end).trim
-
-    val limIdx = {
-      // top-level LIMIT (quote-aware linear scan, last occurrence)
-      CypherLite.kwScan(" " + retText + " ", "LIMIT").lastOption
-        .map(_.start) // position in " "+retText
-    }
-    val limit: Option[Int] = limIdx match {
-      case Some(at) =>
-        val lit = (" " + retText).substring(at).trim
-          .drop("LIMIT".length).trim
-        val n = lit.toIntOption.getOrElse(
-          return Left(s"bad LIMIT literal '$lit'"))
-        retText = (" " + retText).substring(0, at).trim
-        Some(n)
-      case None => None
-    }
-    val ordM = CypherLite.kwMatch(" " + retText + " ", "ORDER")
-    val orderBy: Seq[(Seq[String], Boolean)] = ordM match {
-      case Some(m) =>
-        val after = (" " + retText + " ").substring(m.end).trim
-        if (!after.toUpperCase.startsWith("BY "))
-          return Left("expected BY after ORDER")
-        val items = topSplitDeep(after.substring(3).trim)
-        retText = (" " + retText).substring(0, m.start + 1).trim
-        items.map { it =>
-          val OrdItemRe =
-            """(?is)^([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)(?:\s+(ASC|DESC))?$""".r
-          it match {
-            case OrdItemRe(path, dir) =>
-              (path.split("\\.").toSeq,
-                dir == null || dir.equalsIgnoreCase("ASC"))
-            case other =>
-              return Left(s"unsupported ORDER BY item '$other'")
-          }
-        }
-      case None => Nil
-    }
+    val retText = s.substring(rm.end).trim
     val stages = stageTexts.map(t =>
       parseStage(t).fold(e => return Left(e), identity))
     val ret = parseStage(retText).fold(e => return Left(e), identity)
-    Right(StagedQuery(head, stages, ret, orderBy, limit))
+    if (ret.where.nonEmpty)
+      return Left("WHERE cannot follow RETURN — filter in a WITH stage")
+    Right(StagedQuery(head, stages, ret))
   }
 
   // ---- compilation -------------------------------------------------------
@@ -780,10 +847,31 @@ object CypherStages {
       }
       try exprs.foreach(walk)
       catch { case StagedRefused(msg) => return Left(msg) }
-      live = st.items.collect {
+      val newLive = st.items.collect {
         case PlainItem(MExpr.Ref(v, Seq()), a, _)
           if a == v && live.contains(v) => v
       }.toSet
+      // the stage's WHERE / ORDER BY read its OUTPUT frame — a pattern
+      // property referenced there must survive INTO this stage's output,
+      // i.e. behaves like a stage-(k+1) input reference over the new
+      // live set
+      val tailRefs: Seq[MExpr] =
+        st.where.flatten.flatMap { case (l, _, r) => Seq(l, r) } ++
+          st.orderBy.map { case (path, _) =>
+            MExpr.Ref(path.head, path.tail) }
+      def walkTail(e: MExpr): Unit = e match {
+        case MExpr.Ref(b, Seq(prop)) if newLive.contains(b) &&
+          prop != "id" =>
+          needsProp((b, prop)) =
+            math.max(needsProp.getOrElse((b, prop), 0), k + 1)
+        case MExpr.Fn(_, args) => args.foreach(walkTail)
+        case MExpr.Bin(_, l, r) => walkTail(l); walkTail(r)
+        case MExpr.MapLit(es) => es.foreach(x => walkTail(x._2))
+        case MExpr.ListLit(is) => is.foreach(walkTail)
+        case _ =>
+      }
+      tailRefs.foreach(walkTail)
+      live = newLive
     }
 
     // ---- synthesize the stage-0 projection and compile the MATCH block
@@ -816,7 +904,8 @@ object CypherStages {
     var df = CypherLite.compile(edgeFrame, q0,
       if (q0.neededProps.nonEmpty) nodeProps else None)
 
-    // ---- fold the stages
+    // ---- fold the stages (each = one select / one groupBy-agg, then
+    // its Cypher clause tail: ORDER BY + LIMIT, then WHERE)
     var liveNow: Set[String] = patternVars
     allStages.zipWithIndex.foreach { case (st, idx) =>
       val k = idx + 1
@@ -831,19 +920,41 @@ object CypherStages {
       }
       df = compileStageFrame(df, st, hidden)
         .fold(e => return Left(s"stage $k: $e"), identity)
+      if (st.orderBy.nonEmpty) {
+        val ordCols = st.orderBy.map { case (path, asc) =>
+          val c = resolveRef(df, path.head, path.tail)
+            .fold(e => return Left(s"stage $k ORDER BY: $e"), _._1)
+          if (asc) c.asc else c.desc
+        }
+        df = df.orderBy(ordCols: _*)
+      }
+      st.limit.foreach(n => df = df.limit(n))
+      if (st.where.nonEmpty) {
+        def cmp(t: (MExpr, String, MExpr)): Column = {
+          val (lc, lk) = compileMExpr(df, t._1)
+            .fold(e => throw StagedRefused(s"stage $k WHERE: $e"), identity)
+          val (rc, rk) = compileMExpr(df, t._3)
+            .fold(e => throw StagedRefused(s"stage $k WHERE: $e"), identity)
+          val numeric = Set(lk, rk).exists(Set("int", "num").contains)
+          val (a, b) =
+            if (numeric) (lc.try_cast("double"), rc.try_cast("double"))
+            else (lc, rc)
+          t._2 match {
+            case "=" => a === b
+            case "<>" => a =!= b
+            case ">" => a > b
+            case ">=" => a >= b
+            case "<" => a < b
+            case "<=" => a <= b
+          }
+        }
+        try df = df.filter(
+          st.where.map(_.map(cmp).reduce(_ && _)).reduce(_ || _))
+        catch { case StagedRefused(msg) => return Left(msg) }
+      }
       liveNow = passThrough
     }
-
-    // ---- ORDER BY / LIMIT over the returned frame
-    if (sq.orderBy.nonEmpty) {
-      val ordCols = sq.orderBy.map { case (path, asc) =>
-        val c = resolveRef(df, path.head, path.tail)
-          .fold(e => return Left(s"ORDER BY: $e"), _._1)
-        if (asc) c.asc else c.desc
-      }
-      df = df.orderBy(ordCols: _*)
-    }
-    Right(sq.limit.fold(df)(df.limit))
+    Right(df)
   }
 
   private final case class StagedRefused(msg: String)

@@ -182,9 +182,13 @@ class CypherStagesSpec extends SparkSpec {
     assert(err("MATCH (a)-[:belongs_to]->(t) WITH {x: a.id} AS m, t " +
       "WITH m, collect(t) AS ts MATCH (t)-[:x]->(z) RETURN z")
       .contains("MATCH after a WITH stage"))
-    assert(err("MATCH (a)-[:belongs_to]->(t) WITH {x: a.id} AS m, t " +
-      "WITH m, collect(t) AS ts WHERE size(ts) > 1 RETURN m")
-      .contains("WHERE between chained WITH stages"))
+    // stage clauses out of Cypher's order (WHERE before ORDER BY)
+    assert(err("MATCH (a)-[:belongs_to]->(t) WITH a, t " +
+      "WITH t, count(a) AS n WHERE n > 0 ORDER BY n RETURN t, n")
+      .contains("Cypher's order"))
+    assert(err("MATCH (a)-[:belongs_to]->(t) " +
+      "RETURN {x: a.id} AS m WHERE m = 'z'")
+      .contains("WHERE cannot follow RETURN"))
     assert(err("MATCH (a)-[:belongs_to]->(t) RETURN {x: a.id}")
       .contains("needs an alias"))
     assert(err("MATCH (a)-[:belongs_to]->(t) " +
@@ -224,6 +228,34 @@ class CypherStagesSpec extends SparkSpec {
       == "\nMATCH (a) \nRETURN a")
     assert(CypherLite.stripComments("WHERE a.id = 'http://x'") ==
       "WHERE a.id = 'http://x'")
+  }
+
+  test("stage-level WHERE / ORDER BY / LIMIT — the Cypher WITH clause " +
+    "tail (HAVING across chained stages, mid-pipeline top-k)") {
+    // sources with >= 2 distinct chunks, scored by chunk count
+    val q = "MATCH (l:L)-[:mentioned_in]->(c)-[:extracted_from]->(s) " +
+      "WITH s, collect(distinct c.id) AS cs WHERE size(cs) >= 2 " +
+      "WITH s, cs " +
+      "RETURN { src: s.id, n: size(cs) } AS m ORDER BY m.src"
+    val rows = CypherLite.run(edges, Some(props), q)
+      .fold(e => fail(e), identity).collect()
+    assert(rows.length == 2)
+    val m0 = rows(0).getStruct(0); val m1 = rows(1).getStruct(0)
+    assert(m0.getAs[String]("src") == "S:1" && m0.getAs[Int]("n") == 3)
+    assert(m1.getAs[String]("src") == "S:2" && m1.getAs[Int]("n") == 2)
+    // the >= filter actually filters: raise the threshold
+    val q3 = q.replace(">= 2", ">= 3")
+    assert(CypherLite.run(edges, Some(props), q3)
+      .fold(e => fail(e), identity).count() == 1L)
+    // mid-pipeline ORDER BY + LIMIT: top-1 source by distinct chunks
+    val q2 = "MATCH (c)-[:extracted_from]->(s) " +
+      "WITH s.id AS src, count(distinct c.id) AS n " +
+      "ORDER BY n DESC, src LIMIT 1 " +
+      "WITH src, n RETURN src, n"
+    val top = CypherLite.run(edges, q2).fold(e => fail(e), identity)
+      .collect()
+    assert(top.length == 1)
+    assert(top(0).getString(0) == "S:1" && top(0).getLong(1) == 3L)
   }
 
   test("huge literal lists parse linearly — a 6k-id IN list (and UNWIND " +
