@@ -205,6 +205,11 @@ object CypherLite {
 
   val MaxVarHops = 3
 
+  /** `v.p IN [...]` lists at or above this size compile as a broadcast
+    * LEFT SEMI join against a deduped literal frame instead of an
+    * expression-literal InSet — see the hoisting note in [[compile]]. */
+  val LargeInThreshold = 128
+
   /** A WHERE term: either one of the closed-form predicate shapes
     * ([[Cond]]) or a general expression comparison ([[ExprCond]]). */
   sealed trait WhereTerm
@@ -1606,9 +1611,38 @@ object CypherLite {
       case e: ExprCond => exprCmpCol(e)
       case NotTerm(inner) => !termCol(inner)
     }
-    if (q.conds.nonEmpty)
+    // LARGE IN lists compile as a broadcast LEFT SEMI join, not an
+    // expression literal: the reference's own $statementIds binding
+    // arrives as thousands of ids (6.2k at sf0.1, unbounded at scale),
+    // and a thousands-literal InSet bloats the plan tree, codegen, and
+    // every task's serialized plan — a broadcast hash semi-join on a
+    // deduped literal frame is the 100 TB shape (and how a store-side
+    // parameter would bind). Only a conjunct common to EVERY OR-group
+    // can hoist: OR_i(IN ∧ rest_i) = IN ∧ OR_i(rest_i). Null keys drop
+    // on both forms (isin(null) is null; a semi-join key never matches
+    // null), so semantics are unchanged.
+    val hoistedIns: Seq[Cond] = q.conds.headOption.toSeq.flatMap(
+      _.collect {
+        case c @ Cond(_, "IN", vs, _) if vs.size >= LargeInThreshold &&
+          q.conds.forall(_.contains(c)) => c
+      })
+    hoistedIns.foreach { c =>
+      val s = edgeFrame.sparkSession
+      import s.implicits._
+      val lookup = broadcast(
+        c.values.distinct.toDF(s"__in_${c.v}_${c.prop}__"))
+      df = df.join(lookup,
+        bindCol(c.v, c.prop) === col(s"__in_${c.v}_${c.prop}__"),
+        "left_semi")
+    }
+    val residual: Seq[Seq[WhereTerm]] =
+      q.conds.map(_.filterNot(t => hoistedIns.exists(_ == t)))
+    if (residual.exists(_.isEmpty)) {
+      // a group emptied by hoisting is TRUE — the whole OR is satisfied
+      // by the semi-join alone, no residual filter
+    } else if (residual.nonEmpty && residual.exists(_.nonEmpty))
       df = df.filter(
-        q.conds.map(_.map(termCol).reduce(_ && _)).reduce(_ || _))
+        residual.map(_.map(termCol).reduce(_ && _)).reduce(_ || _))
     val retP =
       if (q.retProps.size == q.returns.size) q.retProps
       else q.returns.map(_ => None)
@@ -2142,6 +2176,12 @@ object CypherLite {
   * "Error executing query..." retry signal. */
 final class CypherGraphRetriever(edgeFrame: DataFrame, maxRows: Int = 100,
                                  nodeProps: Option[DataFrame] = None) {
+
+  /** Parameterized retrieval — the driver-side `$param` binding the
+    * reference performs before store execution. */
+  def retrieve(cypher: String, params: Map[String, Any]): Seq[String] =
+    CypherLite.substituteParams(CypherLite.stripComments(cypher), params)
+      .fold(err => Seq(s"Error executing query: $err"), retrieve)
 
   def retrieve(cypher: String): Seq[String] =
     CypherLite.run(edgeFrame, nodeProps, cypher) match {

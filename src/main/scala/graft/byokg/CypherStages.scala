@@ -561,7 +561,16 @@ object CypherStages {
       "(?is)collect\\s*\\(\\s*DISTINCT\\s".r.findFirstIn(tail).nonEmpty
     val tailMatch = ws.nonEmpty &&
       CypherLite.kwMatch(" " + tail + " ", "MATCH").nonEmpty
-    (mapLit || collectDistinct) && !tailMatch
+    // a single WITH stage carrying its own ORDER BY / LIMIT (the
+    // mid-pipeline top-k clause tail) is staged grammar too — the
+    // legacy pipeline only speaks the items [WHERE] form
+    val stageTail = ws.size == 1 && rm.exists(_.start > ws.head._2) && {
+      val between = s.substring(ws.head._2, rm.get.start)
+      val pad = " " + between + " "
+      !tailMatch && (CypherLite.kwMatch(pad, "ORDER").nonEmpty ||
+        CypherLite.kwMatch(pad, "LIMIT").nonEmpty)
+    }
+    ((mapLit || collectDistinct) && !tailMatch) || stageTail
   }
 
   def parseStaged(q0: String): Either[String, StagedQuery] = {

@@ -278,6 +278,39 @@ class CypherStagesSpec extends SparkSpec {
       "UNWIND ['a', b] AS l MATCH (l)-[:x]->(c) RETURN c.id AS s").isLeft)
   }
 
+  test("a single WITH stage with its own ORDER BY / LIMIT routes staged " +
+    "(legacy speaks only the items [WHERE] form)") {
+    val q = "MATCH (l:L)-[:belongs_to]->(t) " +
+      "WITH t.id AS topic, count(*) AS n ORDER BY n DESC, topic LIMIT 2 " +
+      "RETURN topic, n ORDER BY topic"
+    assert(CypherStages.applies(q))
+    val rows = CypherLite.run(edges, q).fold(e => fail(e), identity)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("T:1", 4L), ("T:2", 3L)))
+  }
+
+  test("large IN lists hoist to a broadcast LEFT SEMI join (an InSet " +
+    "literal with thousands of ids bloats plan/codegen/task " +
+    "serialization at scale); small lists stay pushed-down isin") {
+    val big = (1 to 200).map(i => s"'L:$i-1'").mkString("[", ", ", "]")
+    val q = s"MATCH (l:L)-[:mentioned_in]->(c) WHERE l.id IN $big " +
+      "RETURN l.id AS sid, c.id AS cid ORDER BY sid, cid"
+    val out = CypherLite.run(edges, q).fold(e => fail(e), identity)
+    assert(out.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("L:1-1", "L:2-1", "L:3-1"))
+    // residual conjuncts still filter after the hoist
+    val q2 = s"MATCH (l:L)-[:mentioned_in]->(c) WHERE l.id IN $big " +
+      "AND c.id STARTS WITH 'K:1' RETURN l.id AS sid ORDER BY sid"
+    assert(CypherLite.run(edges, q2).fold(e => fail(e), identity)
+      .collect().map(_.getString(0)).toSeq == Seq("L:1-1"))
+    val small = "MATCH (l:L)-[:mentioned_in]->(c) " +
+      "WHERE l.id IN ['L:1-1', 'L:2-1'] RETURN l.id AS sid ORDER BY sid"
+    val outS = CypherLite.run(edges, small).fold(e => fail(e), identity)
+    assert(!outS.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(outS.count() == 2L)
+  }
+
   test("existing single-stage grammar does NOT route staged") {
     assert(!CypherStages.applies(
       "MATCH (c:c)-[:placed]->(o:o) RETURN c.id AS cust, count(*) AS n " +
