@@ -86,7 +86,8 @@ import org.apache.spark.sql.functions._
  *
  * MULTI-stage WITH pipelines, `{key: value}` map projections (nested,
  * with properties(v) / NULL / [...] values), `collect(distinct x)`,
- * per-stage `[ORDER BY] [LIMIT] [WHERE]` clause tails, and ORDER BY on
+ * per-stage `[DISTINCT] [ORDER BY] [SKIP] [LIMIT] [WHERE]` clause
+ * tails, and ORDER BY on
  * a returned map's field route to the staged compiler
  * ([[CypherStages]]) — enough grammar to run the reference's own
  * statements_cypher verbatim (traversal_based_base_retriever.py:153-190).

@@ -43,13 +43,16 @@ import org.apache.spark.sql.types._
  * division there), `size()` is array length on lists and string length
  * otherwise, `NULL` / `[...]` literals are first-class.
  *
- * Every stage takes Cypher's full clause tail — `[ORDER BY ...]
- * [LIMIT n] [WHERE ...]` in that (Cypher-grammar) order: the stage's
- * WHERE filters its OUTPUT (HAVING over the implicit aggregation);
- * ORDER BY + LIMIT mid-pipeline is the top-k staging shape
- * (`WITH c, count(*) AS n ORDER BY n DESC LIMIT 5`); a mid-pipeline
- * ORDER BY without LIMIT compiles but cannot promise downstream order
- * (collect() is the deterministic sorted list regardless).
+ * Every stage takes Cypher's full clause tail — `[DISTINCT items]
+ * [ORDER BY ...] [SKIP n] [LIMIT n] [WHERE ...]` in that
+ * (Cypher-grammar) order: the stage's WHERE filters its OUTPUT (HAVING
+ * over the implicit aggregation); ORDER BY + SKIP/LIMIT mid-pipeline
+ * is the top-k / pagination staging shape (`WITH c, count(*) AS n
+ * ORDER BY n DESC LIMIT 5`); a mid-pipeline ORDER BY without
+ * SKIP/LIMIT compiles but cannot promise downstream order (collect()
+ * is the deterministic sorted list regardless). DISTINCT dedups the
+ * stage's projection (refused beside aggregates — the implicit
+ * grouping already dedups its keys).
  *
  * Refused loudly (the KGLinker retry-feedback contract): `{}` empty
  * maps, aggregates nested inside expressions or maps, a MATCH after any
@@ -310,7 +313,9 @@ object CypherStages {
   final case class Stage(items: Seq[StageItem],
                          where: Seq[Seq[(MExpr, String, MExpr)]] = Nil,
                          orderBy: Seq[(Seq[String], Boolean)] = Nil,
-                         limit: Option[Int] = None) {
+                         limit: Option[Int] = None,
+                         skip: Option[Int] = None,
+                         distinct: Boolean = false) {
     def aggs: Seq[AggStageItem] = items.collect { case a: AggStageItem => a }
     def plains: Seq[PlainItem] = items.collect { case p: PlainItem => p }
   }
@@ -457,24 +462,31 @@ object CypherStages {
       return Left("MATCH after a WITH stage is not supported in " +
         "multi-stage pipelines — use the single-WITH ... MATCH form, or " +
         "move the pattern into the leading MATCH block")
-    // clause tail in Cypher grammar order: [ORDER BY] [LIMIT] [WHERE]
+    // clause tail in Cypher grammar order:
+    // [ORDER BY] [SKIP] [LIMIT] [WHERE]
     val pad = " " + text0 + " "
     val ordAt = CypherLite.kwMatch(pad, "ORDER").map(_.start)
+    val skipAt = CypherLite.kwMatch(pad, "SKIP").map(_.start)
     val limAt = CypherLite.kwMatch(pad, "LIMIT").map(_.start)
     val whereAt = CypherLite.kwMatch(pad, "WHERE").map(_.start)
-    val marks = Seq(ordAt.map(_ -> "ORDER"), limAt.map(_ -> "LIMIT"),
-      whereAt.map(_ -> "WHERE")).flatten.sortBy(_._1)
-    val wantOrder = Seq("ORDER", "LIMIT", "WHERE")
+    val marks = Seq(ordAt.map(_ -> "ORDER"), skipAt.map(_ -> "SKIP"),
+      limAt.map(_ -> "LIMIT"), whereAt.map(_ -> "WHERE"))
+      .flatten.sortBy(_._1)
+    val wantOrder = Seq("ORDER", "SKIP", "LIMIT", "WHERE")
     if (marks.map(_._2) != wantOrder.filter(marks.map(_._2).contains))
       return Left("stage clauses must follow Cypher's order: items " +
-        "[ORDER BY ...] [LIMIT n] [WHERE ...]")
+        "[ORDER BY ...] [SKIP n] [LIMIT n] [WHERE ...]")
     def region(from: Int): String = {
       val end = marks.map(_._1).find(_ > from).getOrElse(pad.length)
       pad.substring(from, end)
     }
-    val itemsText = pad.substring(0,
+    val itemsText0 = pad.substring(0,
       marks.headOption.map(_._1).getOrElse(pad.length)).trim
+    val distinct = itemsText0.toUpperCase.startsWith("DISTINCT ")
+    val itemsText =
+      if (distinct) itemsText0.substring(9).trim else itemsText0
     val ordClause = ordAt.map(a => region(a).trim)
+    val skipClause = skipAt.map(a => region(a).trim)
     val limClause = limAt.map(a => region(a).trim)
     val whereClause = whereAt.map(a => region(a).trim)
 
@@ -503,6 +515,13 @@ object CypherStages {
         Some(lit.toIntOption.getOrElse(
           return Left(s"bad LIMIT literal '$lit'")))
     }
+    val skip: Option[Int] = skipClause match {
+      case None => None
+      case Some(c) =>
+        val lit = c.replaceFirst("(?i)^SKIP\\s+", "").trim
+        Some(lit.toIntOption.getOrElse(
+          return Left(s"bad SKIP literal '$lit'")))
+    }
     val where: Seq[Seq[(MExpr, String, MExpr)]] = whereClause match {
       case None => Nil
       case Some(c0) =>
@@ -518,12 +537,16 @@ object CypherStages {
     if (items.exists(_.isEmpty)) return Left("empty WITH/RETURN item")
     val parsed = items.map(parseItem)
     parsed.collectFirst { case Left(e) => e }
-      .toLeft(Stage(parsed.map(_.toOption.get), where, orderBy, limit))
+      .toLeft(Stage(parsed.map(_.toOption.get), where, orderBy, limit,
+        skip, distinct))
       .flatMap { st =>
         val names = st.items.map(_.alias)
         if (names.distinct.size != names.size)
           Left("duplicate output names in a WITH/RETURN stage — " +
             "disambiguate with AS")
+        else if (st.distinct && st.aggs.nonEmpty)
+          Left("DISTINCT cannot combine with aggregates in one stage — " +
+            "the implicit grouping already dedups the keys")
         else Right(st)
       }
   }
@@ -568,7 +591,9 @@ object CypherStages {
       val between = s.substring(ws.head._2, rm.get.start)
       val pad = " " + between + " "
       !tailMatch && (CypherLite.kwMatch(pad, "ORDER").nonEmpty ||
-        CypherLite.kwMatch(pad, "LIMIT").nonEmpty)
+        CypherLite.kwMatch(pad, "LIMIT").nonEmpty ||
+        CypherLite.kwMatch(pad, "SKIP").nonEmpty ||
+        between.trim.toUpperCase.startsWith("DISTINCT "))
     }
     ((mapLit || collectDistinct) && !tailMatch) || stageTail
   }
@@ -929,6 +954,7 @@ object CypherStages {
       }
       df = compileStageFrame(df, st, hidden)
         .fold(e => return Left(s"stage $k: $e"), identity)
+      if (st.distinct) df = df.distinct()
       if (st.orderBy.nonEmpty) {
         val ordCols = st.orderBy.map { case (path, asc) =>
           val c = resolveRef(df, path.head, path.tail)
@@ -937,6 +963,7 @@ object CypherStages {
         }
         df = df.orderBy(ordCols: _*)
       }
+      st.skip.foreach(n => df = df.offset(n))
       st.limit.foreach(n => df = df.limit(n))
       if (st.where.nonEmpty) {
         def cmp(t: (MExpr, String, MExpr)): Column = {

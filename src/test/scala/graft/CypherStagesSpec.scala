@@ -278,6 +278,24 @@ class CypherStagesSpec extends SparkSpec {
       "UNWIND ['a', b] AS l MATCH (l)-[:x]->(c) RETURN c.id AS s").isLeft)
   }
 
+  test("stage DISTINCT and SKIP: pagination + projection dedup in the " +
+    "clause tail") {
+    // distinct chunk ids per statement link, paginated
+    val q = "MATCH (l:L)-[:mentioned_in]->(c) " +
+      "WITH DISTINCT c.id AS chunk " +
+      "WITH chunk ORDER BY chunk SKIP 1 LIMIT 2 " +
+      "RETURN chunk ORDER BY chunk"
+    val rows = CypherLite.run(edges, q).fold(e => fail(e), identity)
+      .collect().map(_.getString(0)).toSeq
+    // all chunks sorted: K:1-7, K:1-8, K:2-10, K:2-9, K:3-1 → skip 1 take 2
+    assert(rows == Seq("K:1-8", "K:2-10"))
+    // DISTINCT beside an aggregate refuses
+    assert(CypherLite.run(edges,
+      "MATCH (l:L)-[:mentioned_in]->(c) " +
+        "WITH DISTINCT c.id AS chunk, count(*) AS n WITH chunk " +
+        "RETURN chunk").swap.exists(_.contains("DISTINCT cannot combine")))
+  }
+
   test("a single WITH stage with its own ORDER BY / LIMIT routes staged " +
     "(legacy speaks only the items [WHERE] form)") {
     val q = "MATCH (l:L)-[:belongs_to]->(t) " +
