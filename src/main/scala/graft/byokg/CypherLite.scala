@@ -2013,7 +2013,12 @@ object CypherLite {
           "— string literals have no escapes")
         else Right(s"'$s'")
       case n @ (_: Int | _: Long | _: Short) => Right(n.toString)
-      case d: Double => Right(d.toString)
+      case d: Double =>
+        // toString emits scientific notation past ~1e7 / under ~1e-3,
+        // which the numeric grammar rejects — render plain decimal
+        if (d.isNaN || d.isInfinite)
+          Left(s"parameter $$$name is not a finite number: $d")
+        else Right(BigDecimal(d).bigDecimal.toPlainString)
       case xs: Seq[_] =>
         val parts = xs.map {
           case s: String =>

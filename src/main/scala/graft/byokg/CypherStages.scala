@@ -990,6 +990,13 @@ object CypherStages {
       }
       liveNow = passThrough
     }
+    // Hidden pass-through property columns may survive the RETURN stage
+    // when its ORDER BY referenced a pattern property outside the
+    // projection (walkTail records needsProp at N+1) — Cypher returns
+    // only the declared items, so re-select them
+    val declaredOut = sq.ret.items.map(_.alias)
+    if (df.columns.toSeq != declaredOut)
+      df = df.select(declaredOut.map(a => col(s"`$a`")): _*)
     Right(df)
   }
 

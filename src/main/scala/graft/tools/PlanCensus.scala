@@ -157,8 +157,9 @@ object PlanCensus {
     // EXPLICIT out path too; a subset snapshot would fail the spec's
     // coverage check if it replaced the committed full census
     val only = if (args.length > 2) Some(args(2).split(",").toSet) else None
-    if (only.isDefined && args.length <= 1)
-      sys.error("subset census requires an explicit output path")
+    if (only.isDefined && out == "PLAN_CENSUS.json")
+      sys.error("subset census would overwrite the committed full census " +
+        "— pass an explicit output path (arg 2)")
     val rows = censusAll(spark, sfDir, warmed, only)
     val json = renderJson(sfDir, "4", rows)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

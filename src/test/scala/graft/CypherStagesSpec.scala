@@ -223,6 +223,30 @@ class CypherStagesSpec extends SparkSpec {
       Right("WHERE a.id = '$ids'"))
   }
 
+  test("double parameters render plain decimal (no scientific notation) " +
+    "and non-finite doubles are refused") {
+    assert(CypherLite.substituteParams("WHERE a.score > $t",
+      Map("t" -> 1.0e7)) == Right("WHERE a.score > 10000000"))
+    assert(CypherLite.substituteParams("WHERE a.score > $t",
+      Map("t" -> 2.5e-4)) == Right("WHERE a.score > 0.00025"))
+    assert(CypherLite.substituteParams("WHERE a.score > $t",
+      Map("t" -> 0.5)) == Right("WHERE a.score > 0.5"))
+    assert(CypherLite.substituteParams("RETURN $t",
+      Map("t" -> Double.NaN)).swap.exists(_.contains("finite")))
+  }
+
+  test("RETURN-stage ORDER BY on a pattern property outside the " +
+    "projection does not leak the hidden pass-through column") {
+    val q = "MATCH (t)<-[:belongs_to]-(l:L) " +
+      "WITH t, collect(distinct l.id) AS ls " +
+      "RETURN t, ls ORDER BY t.value DESC"
+    val out = CypherLite.run(edges, Some(props), q)
+      .fold(e => fail(e), identity)
+    assert(out.columns.toSeq == Seq("t", "ls"))
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("T:2", "T:3", "T:1"))
+  }
+
   test("comment lines strip outside string literals") {
     assert(CypherLite.stripComments("// lead\nMATCH (a) // tail\nRETURN a")
       == "\nMATCH (a) \nRETURN a")
