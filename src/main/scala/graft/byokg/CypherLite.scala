@@ -202,7 +202,8 @@ object CypherLite {
     * unbounded join chain. */
   final case class EdgePat(types: Seq[String], rightward: Boolean,
                            minHops: Int = 1, maxHops: Int = 1,
-                           varName: Option[String] = None)
+                           varName: Option[String] = None,
+                           undirected: Boolean = false)
 
   val MaxVarHops = 3
 
@@ -540,13 +541,22 @@ object CypherLite {
     }
   }
 
-  private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\{\s*([^}]*?)\s*\}\s*)?\)""".r
+  // the variable is optional: `()` / `(:Label)` are Cypher's anonymous
+  // nodes (the reference's statement chain uses one,
+  // entity_based_search.py:155 `-[:SUPPORTS]->()-[:PREVIOUS*0..1]-`);
+  // parseChain binds each to a fresh `__a<n>` name
+  private val NodeRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:\{\s*([^}]*?)\s*\}\s*)?\)""".r
   /** The one property-map form the store can answer: {id: 'literal'}. */
   private val PropMapRe = """(?s)id\s*:\s*'([^']*)'""".r
   private val PropKeyRe = """([A-Za-z_][A-Za-z0-9_]*)\s*:""".r
   private val TypeAltPat = """[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*"""
   private val RightRe = s"""-\\s*\\[\\s*([A-Za-z_][A-Za-z0-9_]*)?\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*->""".r
   private val LeftRe = s"""<-\\s*\\[\\s*([A-Za-z_][A-Za-z0-9_]*)?\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*-""".r
+  // undirected `-[...]-` (tried after Right/Left, so the trailing `>` of
+  // a right arrow can never be stranded; lookahead as defense in depth).
+  // The reference's entity search traverses RELATION undirected
+  // (entity_based_search.py:151).
+  private val UndirRe = s"""-\\s*\\[\\s*([A-Za-z_][A-Za-z0-9_]*)?\\s*(?::\\s*($TypeAltPat)\\s*)?(?:\\*\\s*(\\d+)\\s*\\.\\.\\s*(\\d+)\\s*)?\\]\\s*-(?!>)""".r
   // `v.<prop>` is accepted wherever a value is referenced (WHERE / RETURN
   // / ORDER BY / count(...)): `.id` (or bare `v`) reads the binding
   // itself; any other property resolves through the caller-supplied
@@ -657,7 +667,7 @@ object CypherLite {
   /** Comma split at paren/quote depth zero — RETURN/WITH item lists may
     * now contain function calls whose argument commas must not split
     * (`coalesce(c.value, 'x') AS name, o.id`). */
-  private def topSplit(s: String): Seq[String] = {
+  private[byokg] def topSplit(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; var start = 0
     var i = 0
@@ -736,7 +746,10 @@ object CypherLite {
   /** One linear chain: node (edge node)*. Variables may not repeat
     * WITHIN a chain (no cycle patterns); repeats ACROSS parts are the
     * join keys. */
-  private def parseChain(chain: String): Either[String, Part] = {
+  private[byokg] def parseChain(chain: String,
+                         anon: java.util.concurrent.atomic.AtomicInteger =
+                           new java.util.concurrent.atomic.AtomicInteger)
+  : Either[String, Part] = {
     var rest = chain
     def eat(re: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] =
       re.findPrefixMatchOf(rest.trim) match {
@@ -763,16 +776,24 @@ object CypherLite {
               })
           }
       }
-    def node(m: scala.util.matching.Regex.Match): Either[String, NodePat] =
-      props(m.group(1), m.group(3))
-        .map(idEq => NodePat(m.group(1), Option(m.group(2)), idEq))
+    def node(m: scala.util.matching.Regex.Match): Either[String, NodePat] = {
+      // anonymous node: bind a fresh name; `__` is the compiler's
+      // internal namespace, so user variables there are refused
+      if (Option(m.group(1)).exists(_.startsWith("__")))
+        return Left(s"variable '${m.group(1)}' uses the reserved '__' " +
+          "prefix")
+      val v = Option(m.group(1))
+        .getOrElse(s"__a${anon.incrementAndGet()}")
+      props(v, m.group(3)).map(idEq => NodePat(v, Option(m.group(2)), idEq))
+    }
     val first = eat(NodeRe).getOrElse(
       return Left(s"expected (var[:label]) at '${rest.take(30)}'"))
     val nodes = scala.collection.mutable.ArrayBuffer(
       node(first).fold(err => return Left(err), identity))
     val edges = scala.collection.mutable.ArrayBuffer.empty[EdgePat]
     while (rest.trim.nonEmpty) {
-      def mk(m: scala.util.matching.Regex.Match, right: Boolean): Either[String, EdgePat] = {
+      def mk(m: scala.util.matching.Regex.Match, right: Boolean,
+             undir: Boolean = false): Either[String, EdgePat] = {
         val rvar = Option(m.group(1))
         val (lo, hi) =
           if (m.group(3) == null) (1, 1)
@@ -784,10 +805,12 @@ object CypherLite {
           Left("relationship variables are not supported on var-length " +
             "edges (no single relationship to bind)")
         else Right(EdgePat(Option(m.group(2)).toSeq
-          .flatMap(_.split("\\|")).map(_.trim), right, lo, hi, rvar))
+          .flatMap(_.split("\\|")).map(_.trim), right, lo, hi, rvar,
+          undirected = undir))
       }
       val e = eat(RightRe).map(mk(_, right = true))
         .orElse(eat(LeftRe).map(mk(_, right = false)))
+        .orElse(eat(UndirRe).map(mk(_, right = true, undir = true)))
         .getOrElse(return Left(s"expected -[:type]-> at '${rest.take(30)}'"))
         .fold(err => return Left(err), identity)
       val n = eat(NodeRe).getOrElse(
@@ -872,8 +895,10 @@ object CypherLite {
                                     case _ => false })
       return Left("MATCH after OPTIONAL MATCH is not supported")
     // comma-split is safe: no grammar token contains a comma
+    val anonCtr = new java.util.concurrent.atomic.AtomicInteger
     def chainsOf(text: String): Either[String, Seq[Part]] = {
-      val rs = text.split(",").map(_.trim).toSeq.map(parseChain)
+      val rs = text.split(",").map(_.trim).toSeq
+        .map(parseChain(_, anonCtr))
       rs.collectFirst { case Left(e) => e }
         .toLeft(rs.map(_.toOption.get))
     }
@@ -1341,17 +1366,22 @@ object CypherLite {
     def edgePropCols(v: String): Seq[String] =
       edgeNeeded.getOrElse(v, Set.empty).toSeq.sorted
     def singleHop(e: EdgePat, from: String, to: String): DataFrame = {
-      val (fromCol, toCol) =
-        if (e.rightward) ("src", "dst") else ("dst", "src")
       val typed =
         if (e.types.isEmpty) edgeFrame
         else if (e.types.size == 1)
           edgeFrame.filter(col("label") === e.types.head)
         else edgeFrame.filter(col("label").isin(e.types: _*))
-      typed.select(col(fromCol).as(from) +: col(toCol).as(to) +:
-        (e.varName.map(v => col("label").as(v)).toSeq ++
-          e.varName.toSeq.flatMap(v =>
-            edgePropCols(v).map(p => col(p).as(s"__${v}__$p")))): _*)
+      def orient(fromCol: String, toCol: String): DataFrame =
+        typed.select(col(fromCol).as(from) +: col(toCol).as(to) +:
+          (e.varName.map(v => col("label").as(v)).toSeq ++
+            e.varName.toSeq.flatMap(v =>
+              edgePropCols(v).map(p => col(p).as(s"__${v}__$p")))): _*)
+      // undirected `-[..]-`: the union of both orientations — one extra
+      // narrow scan per hop, no shuffle (both legs read the same typed
+      // filter, so the scan is shared by ReuseExchange/whole-stage union)
+      if (e.undirected) orient("src", "dst").union(orient("dst", "src"))
+      else if (e.rightward) orient("src", "dst")
+      else orient("dst", "src")
     }
     if (part.edges.isEmpty)
       edgeFrame.select(col("src").as(part.nodes.head.v))
@@ -1414,7 +1444,9 @@ object CypherLite {
     * variable). */
   def compile(edgeFrame: DataFrame, q: Query,
               nodeProps: Option[DataFrame] = None,
-              piped: Option[DataFrame] = None): DataFrame = {
+              piped: Option[DataFrame] = None,
+              memberOf: Seq[(String, Boolean, DataFrame)] = Nil)
+  : DataFrame = {
     // relationship-variable property reads resolve from the edge scan
     // (projected inside compileChain); node-variable reads resolve via
     // the nodeProps join below
@@ -1479,6 +1511,21 @@ object CypherLite {
         n.idEq.map(v => col(n.v) === v)
     q.parts.flatMap(_.nodes).flatMap(nodeFilters)
       .foreach(f => df = df.filter(f))
+    // collected-list membership (`WHERE s in entities` against a
+    // path-collected node set, entity_based_search.py:156): a BROADCAST
+    // LEFT SEMI (or ANTI, for NOT) against the one-column member frame —
+    // the distributed twin of the reference's driver-side list, and the
+    // same discipline as the large-IN hoist. Two memberships against the
+    // same frame broadcast ONE exchange (ReuseExchange dedupes identical
+    // subtrees). Applied before OPTIONAL attach: membership variables
+    // are mandatory-pattern bindings by construction (CypherPaths
+    // validates), so the filter shrinks the frame every later join sees.
+    memberOf.foreach { case (v, negated, fr) =>
+      val mcol = s"__member_$v"
+      val mf = broadcast(fr.select(col(fr.columns.head).as(mcol)))
+      df = df.join(mf, df(v) === mf(mcol),
+        if (negated) "left_anti" else "left_semi")
+    }
     // OPTIONAL parts: label/anchor filters INSIDE the part frame (pre-join
     // — Cypher's "pattern must match its own labels and property maps,
     // else null"), then a LEFT OUTER attach on the mandatory anchors
@@ -2087,6 +2134,10 @@ object CypherLite {
     val cypher = normalizeWs(stripComments(cypher0))
     if (!GraphQuerySafety.isQuerySafe(cypher))
       Left("modification keywords are blocked (read-only executor)")
+    // path-collect pipelines: `MATCH p=...` — the reference's
+    // multiple-entity graph search shape (entity_based_search.py:150-159)
+    else if (CypherPaths.applies(cypher))
+      CypherPaths.run(edgeFrame, nodeProps, cypher)
     // staged pipelines: chained WITH stages / map literals /
     // collect(DISTINCT ...) — the reference's statements_cypher shape
     else if (CypherStages.applies(cypher))

@@ -55,6 +55,37 @@ class CypherLiteSpec extends SparkSpec {
     assert(out == Seq(("o:10", "o:10"), ("o:10", "p:7")))
   }
 
+  test("undirected edges match both orientations (the reference's " +
+    "RELATION traversal, entity_based_search.py:151)") {
+    val q = "MATCH (a)-[:contains]-(x) WHERE a.id = 'p:7' RETURN x.id"
+    val out = CypherLite.run(edges, q).fold(e => fail(e), identity)
+      .as[String].collect().toSet
+    assert(out == Set("o:10", "o:11"))
+    // undirected var-length: unions both orientations per hop; edge
+    // re-traversal is not excluded (matches the directed var-length
+    // semantics this dialect already ships)
+    val q2 = "MATCH (a)-[*1..2]-(x) WHERE a.id = 's:3' RETURN x.id"
+    val out2 = CypherLite.run(edges, q2).fold(e => fail(e), identity)
+      .as[String].collect().toSet
+    assert(out2 == Set("p:7", "o:10", "o:11", "s:3"))
+  }
+
+  test("anonymous nodes () bind fresh hidden variables and never " +
+    "surface in the output") {
+    val q = "MATCH (c:c)-[:placed]->()-[:contains]->(p) RETURN c.id, p.id"
+    val out = CypherLite.run(edges, q).fold(e => fail(e), identity)
+    assert(out.columns.toSeq == Seq("c", "p"))
+    assert(out.as[(String, String)].collect().toSet ==
+      Set(("c:1", "p:7"), ("c:2", "p:8")))
+    // labelled anonymous node
+    val q2 = "MATCH (o:o)-[:contains]->(:p) RETURN o.id"
+    assert(CypherLite.run(edges, q2).fold(e => fail(e), identity)
+      .as[String].collect().toSet == Set("o:10", "o:11", "o:12"))
+    // reserved namespace is refused
+    assert(CypherLite.run(edges, "MATCH (__a1) RETURN __a1.id")
+      .swap.exists(_.contains("reserved")))
+  }
+
   test("var-length over MaxVarHops and inverted bounds are loud Lefts") {
     assert(CypherLite.run(edges,
       "MATCH (a)-[*1..9]->(b) RETURN a.id").isLeft)
