@@ -458,6 +458,38 @@ object GraphQueries {
         .orderBy(col("statementId"))
     }),
 
+    // ext. the reference's multiple-entity graph search
+    // (entity_based_search.py:150-159), adapted only in store naming
+    // (node_id(...) -> .id; the `__Entity__` label on e2 drops — both
+    // entity classes P/U are endpoints here): `p=` path binding over an
+    // undirected var-length hop, UNWIND nodes(p), WITH DISTINCT
+    // COLLECT(n), a second MATCH (with an anonymous node and an
+    // undirected PREVIOUS*0..1 leg) filtered by collected-list
+    // membership. Compiles via CypherPaths: per-length chain variants +
+    // one distinct union for the entity set + two broadcast LEFT SEMI
+    // membership joins (one shared broadcast). LIMIT is a bound-only
+    // no-op (the reference's own RETURN has no ORDER BY, so a cutting
+    // LIMIT would be nondeterministic); the wrapper orders for replay.
+    "q_cypher_pathsearch" -> ((s, dir) => {
+      val ef = Tables.entGraph(s, dir)
+      val text =
+        """// multiple entity-based graph search
+          |MATCH p=(e1:P {id: $startId})-[:RELATION*1..2]-(e2)
+          |WHERE e2.id in $endIds
+          |UNWIND nodes(p) AS n
+          |WITH DISTINCT COLLECT(n) AS entities
+          |MATCH (s)-[:SUBJECT]->(f)<-[:OBJECT]-(o),
+          |      (f)-[:SUPPORTS]->()-[:PREVIOUS*0..1]-(l)
+          |WHERE s in entities and o in entities
+          |RETURN DISTINCT l.id AS l LIMIT $statementLimit""".stripMargin
+      graft.byokg.CypherLite.run(ef, None, text,
+          Map("startId" -> "P:1",
+            "endIds" -> Seq("U:1", "U:3", "U:5", "P:7", "P:11"),
+            "statementLimit" -> 10000000))
+        .fold(err => sys.error(err), identity)
+        .orderBy(col("l"))
+    }),
+
     // ext. openCypher grouped aggregate: `RETURN c.id, sum(o.price)` —
     // the aggregative KGQA shape ("total spend of each customer"); the
     // sum folds the property's double cast, grouped by the other RETURN
@@ -1750,6 +1782,42 @@ object GraphQueries {
 
     // statement-facts replay: two facts per statement (part + supplier),
     // distinct values sorted — collect(distinct f.value)'s contract.
+    // flat re-derivation of the path search from lineitem: 1-hop and
+    // 2-hop undirected RELATION walks from P:1 into the endId set,
+    // entity union, then facts with both endpoints inside it and the
+    // *0..1 PREVIOUS closure (ln-1 and ln+1 statements of the order)
+    "q_cypher_pathsearch" ->
+      """WITH rel AS (SELECT DISTINCT 'P:'||l_partkey AS p, 'U:'||l_suppkey AS u FROM lineitem),
+        |ends(id) AS (VALUES ('U:1'),('U:3'),('U:5'),('P:7'),('P:11')),
+        |hop1 AS (SELECT u FROM rel WHERE p = 'P:1'),
+        |e1 AS (SELECT u AS n FROM hop1 WHERE u IN (SELECT id FROM ends)),
+        |hop2 AS (SELECT h.u AS mid, r2.p AS z FROM hop1 h
+        |         JOIN rel r2 ON r2.u = h.u
+        |         WHERE r2.p IN (SELECT id FROM ends)),
+        |entities AS (
+        |  SELECT 'P:1' AS n WHERE EXISTS (SELECT 1 FROM e1)
+        |                       OR EXISTS (SELECT 1 FROM hop2)
+        |  UNION SELECT n FROM e1
+        |  UNION SELECT mid FROM hop2
+        |  UNION SELECT z FROM hop2),
+        |facts AS (SELECT 'P:'||l_partkey AS s, 'U:'||l_suppkey AS o,
+        |  l_orderkey AS ok, l_linenumber AS ln,
+        |  'L:'||l_orderkey||'-'||l_linenumber||'-'||l_partkey||'-'||l_suppkey AS l0
+        |  FROM lineitem),
+        |valid AS (SELECT * FROM facts
+        |  WHERE s IN (SELECT n FROM entities)
+        |    AND o IN (SELECT n FROM entities)),
+        |lst AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |  'L:'||l_orderkey||'-'||l_linenumber||'-'||l_partkey||'-'||l_suppkey AS lid
+        |  FROM lineitem),
+        |outp AS (
+        |  SELECT l0 AS l FROM valid
+        |  UNION SELECT s2.lid FROM valid v
+        |    JOIN lst s2 ON s2.ok = v.ok AND s2.ln = v.ln - 1
+        |  UNION SELECT s2.lid FROM valid v
+        |    JOIN lst s2 ON s2.ok = v.ok AND s2.ln = v.ln + 1)
+        |SELECT DISTINCT l FROM outp ORDER BY l""".stripMargin,
+
     "q_cypher_factslist" ->
       """SELECT 'L:'||l_orderkey||'-'||l_linenumber||'-'||l_partkey||'-'||l_suppkey AS statementId,
         |  string_agg(f, ',' ORDER BY f) AS facts

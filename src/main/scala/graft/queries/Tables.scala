@@ -607,6 +607,45 @@ object Tables {
   private val stmtIdsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[String]]
 
+  /** Entity graph — the reference's entity-based search shape
+    * (entity_based_search.py:150-159: entities joined by RELATION,
+    * entity-[:SUBJECT/:OBJECT]->fact, fact-[:SUPPORTS]->statement,
+    * statement-[:PREVIOUS]-statement) derived from lineitem: part
+    * entities `P:<pk>`, supplier entities `U:<sk>`, RELATION = the
+    * distinct part-supplier pairs (traversed undirected), one fact +
+    * statement per lineitem quad, PREVIOUS linking each statement to
+    * the previous line number's statements within its order. Memoized +
+    * cached like [[stmtGraph]]; graph-store material, not query work. */
+  def entGraph(s: SparkSession, dir: String): DataFrame =
+    entGraphCache.getOrElseUpdate((s, dir), {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val pid = concat(lit("P:"), col("pk"))
+      val uid = concat(lit("U:"), col("sk"))
+      def quad(prefix: String) = concat(lit(prefix), col("ok"), lit("-"),
+        col("ln"), lit("-"), col("pk"), lit("-"), col("sk"))
+      val rel = li.select(pid.as("src"), uid.as("dst")).distinct()
+        .select(col("src"), col("dst"), lit("RELATION").as("label"))
+      val subj = li.select(pid.as("src"), quad("F:").as("dst"),
+        lit("SUBJECT").as("label"))
+      val obj = li.select(uid.as("src"), quad("F:").as("dst"),
+        lit("OBJECT").as("label"))
+      val sup = li.select(quad("F:").as("src"), quad("L:").as("dst"),
+        lit("SUPPORTS").as("label"))
+      val cur = li.select(col("ok"), col("ln"), quad("L:").as("lid"))
+      val prv = li.select(col("ok"), (col("ln") + 1).as("ln"),
+        quad("L:").as("plid"))
+      val prev = cur.join(prv, Seq("ok", "ln"))
+        .select(col("lid").as("src"), col("plid").as("dst"),
+          lit("PREVIOUS").as("label"))
+      rel.union(subj).union(obj).union(sup).union(prev)
+        .coalesce(cachePartitions(s)).cache()
+    })
+
+  private val entGraphCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** The same edge set as DuckDB SQL (for oracle queries). */
   val edgesSql: String =
     """SELECT 'c:'||o_custkey AS src, 'o:'||o_orderkey AS dst, 'placed' AS label FROM orders

@@ -61,5 +61,7 @@ object Warmup {
     val (stmtE, stmtP) = Tables.stmtGraph(spark, sfDir)
     stmtE.count(); stmtP.count()
     Tables.stmtStatementIds(spark, sfDir)
+    // the entity graph the path-search cypher gate compiles against
+    Tables.entGraph(spark, sfDir).count()
   }
 }
