@@ -269,7 +269,7 @@ object CypherLite {
     val Functions: Map[String, (Int, Int)] = Map(
       "coalesce" -> (2, 8), "size" -> (1, 1), "tolower" -> (1, 1),
       "toupper" -> (1, 1), "trim" -> (1, 1), "split" -> (2, 2),
-      "tostring" -> (1, 1))
+      "tostring" -> (1, 1), "id" -> (1, 1), "labels" -> (1, 1))
 
     /** Inferred value kind, for comparison/size semantics:
       * num | str | arr | any (an unresolved property). */
@@ -280,6 +280,8 @@ object CypherLite {
       case Fn("size", _) => "num"
       case Fn("tolower" | "toupper" | "trim" | "tostring", _) => "str"
       case Fn("split", _) => "arr"
+      case Fn("id", _) => "str"
+      case Fn("labels", _) => "arr"
       case Fn("coalesce", args) =>
         args.map(kind).find(_ != "any").getOrElse("any")
       case Ref(_, _) => "any"
@@ -379,6 +381,12 @@ object CypherLite {
                     s" arguments, got ${args.size}")
                 else if (name == "split" && !args(1).isInstanceOf[Expr.Str])
                   Left("split() needs a literal string delimiter")
+                else if ((name == "id" || name == "labels") &&
+                  !(args.head match {
+                    case Expr.Ref(_, None) => true
+                    case _ => false
+                  }))
+                  Left(s"$name() takes a bare pattern variable")
                 else Right(Expr.Fn(name, args.toSeq))
             }
           } else if (peek == '.') {
@@ -596,6 +604,9 @@ object CypherLite {
     * surface through the expression fallback's loud error. */
   private val InHeadRe =
     """(?is)^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([\[(])""".r
+  private val IdFnHeadRe =
+    """(?is)id\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(.*)""".r
+
   private[byokg] def parseInTerm(t0: String)
   : Option[(String, String, Seq[String])] = {
     val t = t0.trim
@@ -997,7 +1008,16 @@ object CypherLite {
               (true, stripped)
             case _ => (false, raw0)
           }
-          val term: WhereTerm = rawT match {
+          // Neptune's `ID(v)` spells this store's node identity — the
+          // binding itself. Rewrite a leading id(v) to v.id so the
+          // closed-form Cond shapes (=, IN, ...) apply unchanged
+          // (byokg neptune.py:137-198 WHERE ID(n) IN $node_ids).
+          val rawT1 = IdFnHeadRe.findPrefixMatchOf(rawT) match {
+            case Some(m) if m.end == rawT.length =>
+              s"${m.group(1)}.id ${m.group(2)}"
+            case _ => rawT
+          }
+          val term: WhereTerm = rawT1 match {
             // prop group is optional for = / <> / numeric: a bare name
             // compares the binding itself — required for WHERE on a
             // piped WITH output (e.g. `WHERE n >= 2` after a count)
@@ -1602,6 +1622,13 @@ object CypherLite {
       case Expr.Fn("split", Seq(a, Expr.Str(d))) =>
         // Cypher split takes a LITERAL delimiter; Spark's takes a regex
         split(exprCol(a), java.util.regex.Pattern.quote(d))
+      // id(v)/ID(v): the node's identity — in this store, the binding
+      // itself (the reference's Neptune store spells node ids this way)
+      case Expr.Fn("id", Seq(a)) => exprCol(a)
+      // labels(v): this store labels nodes by id prefix — a one-element
+      // list, Cypher's return type
+      case Expr.Fn("labels", Seq(a)) =>
+        array(substring_index(exprCol(a), ":", 1))
       case other => throw new IllegalStateException(
         s"unreachable expression shape $other") // parser closed the set
     }

@@ -82,6 +82,7 @@ object CypherStages {
       case MExpr.Bin(_, l, r) => l.refs ++ r.refs
       case MExpr.MapLit(es) => es.flatMap(_._2.refs)
       case MExpr.ListLit(is) => is.flatMap(_.refs)
+      case MExpr.MapProj(b, fields) => fields.map(f => b -> Seq(f))
       case _ => Nil
     }
   }
@@ -93,6 +94,13 @@ object CypherStages {
     case object NullLit extends MExpr
     final case class MapLit(entries: Seq[(String, MExpr)]) extends MExpr
     final case class ListLit(items: Seq[MExpr]) extends MExpr
+    /** Cypher map projection `v{.a, .b, .*}` — sugar for a map literal
+      * of the variable's properties (".*" expands to every property not
+      * already listed; ".id" is the binding). The reference's
+      * node_result() helper emits exactly this shape
+      * (graph_utils.py:121-157). */
+    final case class MapProj(base: String, fields: Seq[String])
+      extends MExpr
     /** name normalized lowercase; "properties" included. */
     final case class Fn(name: String, args: Seq[MExpr]) extends MExpr
     final case class Bin(op: Char, l: MExpr, r: MExpr) extends MExpr
@@ -100,7 +108,8 @@ object CypherStages {
     val Functions: Map[String, (Int, Int)] = Map(
       "coalesce" -> (2, 8), "size" -> (1, 1), "tolower" -> (1, 1),
       "toupper" -> (1, 1), "trim" -> (1, 1), "split" -> (2, 2),
-      "tostring" -> (1, 1), "properties" -> (1, 1))
+      "tostring" -> (1, 1), "properties" -> (1, 1), "id" -> (1, 1),
+      "labels" -> (1, 1), "type" -> (1, 1))
 
     /** Aggregate heads — loud Left when found INSIDE an expression (they
       * are only legal as the whole body of a stage item). */
@@ -264,13 +273,36 @@ object CypherStages {
                     s" arguments, got ${args.size}")
                 else if (name == "split" && !args(1).isInstanceOf[MExpr.Str])
                   Left("split() needs a literal string delimiter")
-                else if (name == "properties" && !(args.head match {
-                  case MExpr.Ref(_, p) => p.isEmpty
-                  case _ => false
-                }))
-                  Left("properties() takes a bare pattern variable")
+                else if (Set("properties", "id", "labels", "type")
+                    .contains(name) &&
+                  !(args.head match {
+                    case MExpr.Ref(_, p) => p.isEmpty
+                    case _ => false
+                  }))
+                  Left(s"$name() takes a bare pattern variable")
                 else Right(MExpr.Fn(name, args.toSeq))
             }
+          } else if (peek == '{') {
+            // map projection v{.a, .b, .*} (node_result's shape)
+            pos += 1
+            val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+            var more = true
+            while (more) {
+              ws()
+              if (peek != '.')
+                return fail("map projection " + ident + "{...} items " +
+                  "start with '.'")
+              pos += 1
+              if (peek == '*') { fields += "*"; pos += 1 }
+              else IdentRe.findPrefixMatchOf(input.substring(pos)) match {
+                case Some(pm) => fields += pm.group(0); pos += pm.end
+                case None => return fail("expected a property after '.'")
+              }
+              ws()
+              if (peek == ',') { pos += 1; more = true } else more = false
+            }
+            if (peek != '}') fail("expected '}' to close the map projection")
+            else { pos += 1; Right(MExpr.MapProj(ident, fields.toSeq)) }
           } else {
             val path = scala.collection.mutable.ArrayBuffer.empty[String]
             while (peek == '.') {
@@ -300,7 +332,9 @@ object CypherStages {
   /** An aggregate item. func ∈ count_star | count | count_distinct |
     * collect | collect_distinct | sum | min | max | avg. */
   final case class AggStageItem(func: String, arg: Option[MExpr],
-                                alias: String) extends StageItem
+                                alias: String,
+                                slice: Option[(Int, Int)] = None)
+    extends StageItem
 
   /** One WITH/RETURN stage: items, then the optional Cypher clause tail
     * in grammar order — `[ORDER BY ...] [LIMIT n] [WHERE ...]` (Cypher
@@ -388,8 +422,24 @@ object CypherStages {
     """(?is)^(count|sum|min|max|avg|collect)\s*\((.*)\)$""".r
   private val DistinctPrefixRe = """(?is)^DISTINCT\s+(.*)$""".r
 
+  private val SliceSufRe =
+    """(?s)^(.*)\[\s*(\d*)\s*\.\.\s*(\d+)\s*\]$""".r
+
   private def parseItem(raw: String): Either[String, StageItem] = {
-    val (body, aliasOpt) = splitAs(raw)
+    val (body0, aliasOpt) = splitAs(raw)
+    // Cypher list slice on a collect: `collect(DISTINCT x)[0..n]` /
+    // `[..n]` — the reference's neighbour-cap idiom
+    // (entity_context_provider.py:58, topic_beam_search.py:199)
+    val (body, sliceOpt) = body0 match {
+      case SliceSufRe(core, a, b)
+        if AggHeadRe.findFirstIn(core.trim).nonEmpty =>
+        (core.trim, Some(((if (a.isEmpty) 0 else a.toInt), b.toInt)))
+      case _ => (body0, None)
+    }
+    sliceOpt.foreach { case (a, b) =>
+      if (a < 0 || b < a)
+        return Left(s"bad slice bounds [$a..$b]")
+    }
     if (BareIdentRe.findFirstIn(body).nonEmpty &&
         !body.equalsIgnoreCase("null"))
       return Right(PlainItem(MExpr.Ref(body, Nil),
@@ -398,8 +448,10 @@ object CypherStages {
       case AggHeadRe(f0, inner0) if balanced(inner0) =>
         val f = f0.toLowerCase
         val inner = inner0.trim
+        // Cypher names an unaliased aggregate column by its text —
+        // single-space normalized so ORDER BY can match it
         val alias = aliasOpt.getOrElse(
-          return Left(s"aggregate item '$raw' needs an alias — AS name"))
+          body.trim.replaceAll("\\s+", " "))
         if (f == "count" && inner == "*")
           return Right(AggStageItem("count_star", None, alias))
         val (distinct, argText) = inner match {
@@ -409,13 +461,15 @@ object CypherStages {
         if (distinct && f != "collect" && f != "count")
           return Left(s"DISTINCT is supported on collect() and count() " +
             s"only, not $f()")
+        if (sliceOpt.nonEmpty && f != "collect")
+          return Left(s"[..] slicing applies to collect() lists, not $f()")
         parseMExpr(argText).map { e =>
           val func = (f, distinct) match {
             case ("collect", true) => "collect_distinct"
             case ("count", true) => "count_distinct"
             case (other, _) => other
           }
-          AggStageItem(func, Some(e), alias)
+          AggStageItem(func, Some(e), alias, sliceOpt)
         }
       case _ =>
         aliasOpt match {
@@ -499,9 +553,16 @@ object CypherStages {
         topSplitDeep(c.substring(3).trim).map { it =>
           val OrdItemRe =
             """(?is)^([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)(?:\s+(ASC|DESC))?$""".r
+          val OrdAggRe =
+            """(?is)^((?:count|sum|min|max|avg|collect)\s*\(.*\))(?:\s+(ASC|DESC))?$""".r
           it match {
             case OrdItemRe(path, dir) =>
               (path.split("\\.").toSeq,
+                dir == null || dir.equalsIgnoreCase("ASC"))
+            case OrdAggRe(txt, dir) =>
+              // matches an unaliased aggregate item by its normalized
+              // text (`ORDER BY count(entity) DESC`)
+              (Seq(txt.trim.replaceAll("\\s+", " ")),
                 dir == null || dir.equalsIgnoreCase("ASC"))
             case other =>
               return Left(s"unsupported ORDER BY item '$other'")
@@ -595,7 +656,14 @@ object CypherStages {
         CypherLite.kwMatch(pad, "SKIP").nonEmpty ||
         between.trim.toUpperCase.startsWith("DISTINCT "))
     }
-    ((mapLit || collectDistinct) && !tailMatch) || stageTail
+    // a RETURN-side aggregate after a WITH stage is a SECOND
+    // aggregation stage (the lexical_graph_index stats shape, :673) —
+    // only the staged compiler speaks it
+    val retAgg = ws.size == 1 && !tailMatch && rm.exists { r =>
+      "(?is)\\b(count|sum|min|max|avg|collect)\\s*\\(".r
+        .findFirstIn(s.substring(r.end)).nonEmpty
+    }
+    ((mapLit || collectDistinct) && !tailMatch) || stageTail || retAgg
   }
 
   def parseStaged(q0: String): Either[String, StagedQuery] = {
@@ -735,12 +803,44 @@ object CypherStages {
     case MExpr.Fn("split", Seq(a, MExpr.Str(d))) =>
       compileMExpr(df, a).map { case (c, _) =>
         (split(c, java.util.regex.Pattern.quote(d)), "arr") }
+    // id(v)/ID(v): the node's identity — in this store, the binding;
+    // type(r): a relationship binding IS its type
+    case MExpr.Fn("id" | "type", Seq(a)) => compileMExpr(df, a)
+    // labels(v): id-prefix labels, as a one-element list
+    case MExpr.Fn("labels", Seq(a)) =>
+      compileMExpr(df, a).map { case (c, _) =>
+        (array(substring_index(c, ":", 1)), "arr") }
+    case MExpr.MapProj(v, fields) =>
+      if (!df.columns.contains(v))
+        return Left(s"$v{...}: '$v' is not bound in this stage's scope")
+      val explicit = fields.filter(_ != "*")
+      if (explicit.distinct.size != explicit.size)
+        return Left(s"duplicate fields in map projection $v{...}")
+      val starFields =
+        if (fields.contains("*")) propCols(df, v).filterNot(explicit.contains)
+        else Nil
+      val all = explicit ++ starFields
+      if (all.isEmpty)
+        return Left(s"$v{.*}: '$v' carries no property columns in this " +
+          "stage's scope")
+      val entries = all.map { f =>
+        (if (f == "id") col(s"`$v`")
+         else if (df.columns.contains(s"$v.$f")) col(s"`$v.$f`")
+         else return Left(s"$v{.$f}: no property '$f' in scope — have: " +
+           ("id" +: propCols(df, v)).mkString(", "))).as(f)
+      }
+      Right((when(col(s"`$v`").isNull, lit(null))
+        .otherwise(struct(entries: _*)), "struct"))
     case MExpr.Bin(op, l, r) =>
       val (lc, lk) = compileMExpr(df, l).fold(err => return Left(err),
         identity)
       val (rc, rk) = compileMExpr(df, r).fold(err => return Left(err),
         identity)
-      if (lk == "int" && rk == "int") {
+      if (op == '+' && (lk == "str" || rk == "str")) {
+        // Cypher string concatenation: `+` with a string operand
+        // concatenates (null propagates, like Cypher's null + x)
+        Right((concat(lc.cast("string"), rc.cast("string")), "str"))
+      } else if (lk == "int" && rk == "int") {
         // Cypher integer arithmetic: int op int stays integral, and `/`
         // TRUNCATES (Neo4j: size(a)/size(b) is integer division)
         val (ll, rl) = (lc.cast("long"), rc.cast("long"))
@@ -766,6 +866,12 @@ object CypherStages {
     case other => Left(s"unsupported expression shape: $other")
   }
 
+  /** Apply the item's `[a..b]` slice (Cypher half-open, 0-based) to the
+    * collected list — slice() is 1-based with a length. */
+  private def withSlice(c: Column, a: AggStageItem): Column =
+    a.slice.fold(c) { case (from, until) =>
+      slice(c, from + 1, math.max(until - from, 0)) }
+
   private def compileAgg(df: DataFrame, a: AggStageItem)
   : Either[String, Column] = {
     def arg: Either[String, (Column, String)] =
@@ -780,9 +886,11 @@ object CypherStages {
       // unspecified; array_sort makes it stable under any partitioning
       // and SQL-replayable — same discipline as CypherLite's collect)
       case "collect" =>
-        arg.map { case (c, _) => array_sort(collect_list(c)).as(a.alias) }
+        arg.map { case (c, _) =>
+          withSlice(array_sort(collect_list(c)), a).as(a.alias) }
       case "collect_distinct" =>
-        arg.map { case (c, _) => array_sort(collect_set(c)).as(a.alias) }
+        arg.map { case (c, _) =>
+          withSlice(array_sort(collect_set(c)), a).as(a.alias) }
       case "sum" => arg.map { case (c, k) =>
         (if (k == "int") sum(c) else sum(c.try_cast("double"))).as(a.alias) }
       case "avg" =>
@@ -854,7 +962,7 @@ object CypherStages {
       val k = idx + 1
       val exprs = st.items.flatMap {
         case PlainItem(e, _, _) => Seq(e)
-        case AggStageItem(_, arg, _) => arg.toSeq
+        case AggStageItem(_, arg, _, _) => arg.toSeq
       }
       def walk(e: MExpr): Unit = e match {
         case MExpr.Ref(b, p) if live.contains(b) =>
@@ -873,6 +981,13 @@ object CypherStages {
           if live.contains(b) =>
           if (k == 1) bareNeeded += b
           needsProp((b, "*")) = math.max(needsProp.getOrElse((b, "*"), 0), k)
+        case MExpr.MapProj(b, fields) => fields.foreach { f =>
+          walk(if (f == "*") MExpr.Fn("properties", Seq(MExpr.Ref(b, Nil)))
+               else MExpr.Ref(b, Seq(f)))
+        }
+        case MExpr.Fn("id" | "labels" | "type",
+            Seq(MExpr.Ref(b, Seq()))) =>
+          walk(MExpr.Ref(b, Nil))
         case MExpr.Fn(_, args) => args.foreach(walk)
         case MExpr.Bin(_, l, r) => walk(l); walk(r)
         case MExpr.MapLit(es) => es.foreach(x => walk(x._2))
@@ -898,6 +1013,11 @@ object CypherStages {
           prop != "id" =>
           needsProp((b, prop)) =
             math.max(needsProp.getOrElse((b, prop), 0), k + 1)
+        case MExpr.MapProj(b, fields) => fields.foreach { f =>
+          walkTail(if (f == "*")
+            MExpr.Fn("properties", Seq(MExpr.Ref(b, Nil)))
+          else MExpr.Ref(b, Seq(f)))
+        }
         case MExpr.Fn(_, args) => args.foreach(walkTail)
         case MExpr.Bin(_, l, r) => walkTail(l); walkTail(r)
         case MExpr.MapLit(es) => es.foreach(x => walkTail(x._2))
