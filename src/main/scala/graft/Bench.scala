@@ -199,6 +199,16 @@ object Bench {
     val medCalibQ = median(firstPass.values.map(_._2).toSeq)
     val kept = scala.collection.mutable.Map[String, (Double, Double)](
       firstPass.toSeq: _*)
+    // best PAIRED (median / calib_q) ratio per query across its blocks —
+    // the host-speed-invariant plan estimate phase 3 compares against
+    // the snapshot. Pairing matters: kept's component-wise minima can
+    // come from DIFFERENT blocks (a lucky-fast probe beside a stalled
+    // rep), and min-median / min-calib_q then OVERSTATES the normalized
+    // value — the first phase-3 dry run flagged five plan-identical
+    // rows exactly that way.
+    val bestNorm = scala.collection.mutable.Map[String, Double](
+      firstPass.toSeq.map { case (n, (m, cq)) =>
+        n -> (if (m >= 0 && cq > 0) m / cq else Double.MaxValue) }: _*)
     val blocksRun = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(1)
     val replacedNames = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -216,6 +226,8 @@ object Bench {
         if (again._1 < cur._1) replacedNames += name
         kept(name) = (math.min(cur._1, again._1),
           math.min(cur._2, again._2))
+        if (again._2 > 0)
+          bestNorm(name) = math.min(bestNorm(name), again._1 / again._2)
       }
     }
     val topMedians: Set[String] =
@@ -240,6 +252,70 @@ object Bench {
       if (cands.isEmpty) retrying = false
       else cands.foreach(requeueOnce)
     }
+    // Phase 3 (round-10 judge finding: the calib_q probe measures host
+    // speed at the PROBE instant, not the query's own reps — a 20x
+    // mid-rep stall on q_weighted_pagerank shipped twice with
+    // stalled:[] because the ~0.1s probe beside it came back clean).
+    // Reference each kept row's calib-NORMALIZED value (median/calib_q
+    // — host-speed invariant) against the committed snapshot's
+    // normalized value; keep retrying rows above 3x (bounded), and
+    // flag survivors in "snapshot_stalled" so a driver-run BENCH can
+    // never carry a silently-stalled row the committed baseline
+    // contradicts. New queries (absent from the snapshot) and sub-0.3s
+    // rows (ratio noise) are exempt; subset A/B runs skip the phase.
+    val snapshotRef: Map[String, (Double, Double)] =
+      if (only.isDefined) Map.empty
+      else {
+        val p = java.nio.file.Paths.get("BENCH.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val txt = java.nio.file.Files.readString(p)
+          def obj(key: String): Map[String, Double] = {
+            val parts = txt.split("\"" + key + "\"\\s*:\\s*\\{", 2)
+            if (parts.length < 2) Map.empty
+            else """"([^"]+)"\s*:\s*(-?[0-9.Ee+-]+)""".r
+              .findAllMatchIn(parts(1).split("\\}", 2)(0))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+          val qs = obj("queries"); val cqs = obj("calib_q")
+          // (normalized, raw) reference per query. Both must be beaten
+          // 3x to flag: normalization alone misfires when the committed
+          // row was recorded on a slow host for a query whose wall time
+          // is host-speed-INSENSITIVE (q_winnow_pairs: ~2.2 s at
+          // calib_q 0.22 AND at 1.0 — its cost doesn't ride the probe),
+          // and raw alone misfires when the whole run is on a slower
+          // host. A genuine stall or regression exceeds both.
+          qs.flatMap { case (n, v) =>
+            cqs.get(n).filter(_ > 0).map(cq => n -> (v / cq, v))
+          }.filter(_._2._1 > 0)
+        }
+      }
+    def snapshotSuspects(): Seq[String] = order.collect {
+      case (name, _) if kept(name)._1 >= 0.3 &&
+        snapshotRef.get(name)
+          .exists { case (refNorm, refRaw) =>
+            bestNorm(name) != Double.MaxValue &&
+              bestNorm(name) > 3.0 * refNorm &&
+              kept(name)._1 > 3.0 * refRaw } =>
+        name
+    }
+    val MaxBlocksPhase3 = 4
+    var p3 = snapshotSuspects().filter(blocksRun(_) < MaxBlocksPhase3)
+    while (p3.nonEmpty) {
+      p3.foreach { n =>
+        System.err.println(f"[bench] snapshot-relative suspect $n: " +
+          f"normalized ${bestNorm(n)}%.3f/raw ${kept(n)._1}%.3f vs " +
+          f"committed ${snapshotRef(n)._1}%.3f/${snapshotRef(n)._2}%.3f " +
+          "— retrying")
+        requeueOnce(n)
+      }
+      p3 = snapshotSuspects().filter(blocksRun(_) < MaxBlocksPhase3)
+    }
+    val snapshotStalled = snapshotSuspects()
+    if (snapshotStalled.nonEmpty)
+      System.err.println("[bench] SNAPSHOT-STALLED rows (still >3x the " +
+        "committed normalized value after retries): " +
+        snapshotStalled.mkString(", "))
     val stalledNames = order.collect {
       case (name, _) if kept(name)._1 >= 0 &&
         kept(name)._2 > 2.0 * medCalibQ => name
@@ -262,7 +338,7 @@ object Bench {
     // "requeued" keeps its original meaning (replacements); attempts and
     // still-stalled rows are separate fields so a requeued-but-still-
     // noisy row leaves a machine-readable trace (round-9 ADVICE)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"calib_q":$cqs,"calib_q_median":${r4(medCalibQ)},"requeued":${nameArray(replacedNames)},"requeue_attempted":${nameArray(attemptedNames)},"stalled":${nameArray(stalledNames)},"reps":$reps,"warmed_storage_mb":${warmedStorageBytes / 1048576},"storage_budget_mb":${unifiedBudgetBytes / 1048576},"warmed_rdd_count":${warmedRddIds.size},"cache_pressure_ok":$cachePressureOk}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"calib_q":$cqs,"calib_q_median":${r4(medCalibQ)},"requeued":${nameArray(replacedNames)},"requeue_attempted":${nameArray(attemptedNames)},"stalled":${nameArray(stalledNames)},"snapshot_stalled":${nameArray(snapshotStalled)},"reps":$reps,"warmed_storage_mb":${warmedStorageBytes / 1048576},"storage_budget_mb":${unifiedBudgetBytes / 1048576},"warmed_rdd_count":${warmedRddIds.size},"cache_pressure_ok":$cachePressureOk}"""
     // stdout under sbt is decorated with an "[info] " prefix, so also write
     // the line to a file the harness can parse directly. Subset runs
     // (SPARK_GRAFT_BENCH_ONLY) are A/B scratch work — never let them

@@ -203,9 +203,9 @@ object CypherCoverage {
         |entity: entity{.id, .value, .class},
         |score: score
         |} AS result""".stripMargin,
-      Map("statementIds" -> ids("L:1")), expectCompiles = false,
-      "OPTIONAL MATCH mid-pipeline; covered natively by the entity " +
-        "provider queries (retrieve/QueryContext.scala)"),
+      Map("statementIds" -> ids("L:1")), expectCompiles = true,
+      "OPTIONAL MATCH mid-pipeline (left join back on the shared " +
+        "variable; count(r) over unmatched rows is 0)"),
     Entry("ep_exact_class", "retrieval/query_context/entity_provider.py:30",
       """// get entities for keywords
         |MATCH (entity:E)-[r:subject|object]->()
@@ -264,9 +264,8 @@ object CypherCoverage {
         |score: score
         |} AS result""".stripMargin,
       Map("nodeIds" -> ids("T:1"), "limit" -> 10),
-      expectCompiles = false,
-      "MATCH between WITH stages; covered natively by the VSS-seeded " +
-        "entity providers (retrieve/QueryContext.scala)"),
+      expectCompiles = true,
+      "MATCH between WITH stages (piped pattern expansion)"),
     Entry("evp_chunks", "retrieval/query_context/entity_vss_provider.py:61",
       """// get entities for chunk ids
         |MATCH (c:K)<-[:mentioned_in]-(:L)
@@ -281,7 +280,7 @@ object CypherCoverage {
         |score: score
         |} AS result""".stripMargin,
       Map("nodeIds" -> ids("K:1"), "limit" -> 10),
-      expectCompiles = false,
+      expectCompiles = true,
       "MATCH between WITH stages; as evp_topics"),
     Entry("kvp_chunk", "retrieval/query_context/keyword_vss_provider.py:77",
       """// get chunk content

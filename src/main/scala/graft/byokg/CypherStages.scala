@@ -349,7 +349,13 @@ object CypherStages {
                          orderBy: Seq[(Seq[String], Boolean)] = Nil,
                          limit: Option[Int] = None,
                          skip: Option[Int] = None,
-                         distinct: Boolean = false) {
+                         distinct: Boolean = false,
+                         // `[OPTIONAL] MATCH <pattern> [WHERE ...]`
+                         // closing the stage: the pattern expands the
+                         // running frame before the NEXT stage's items
+                         // (optional?, pattern text without the MATCH
+                         // keyword)
+                         matchBlock: Option[(Boolean, String)] = None) {
     def aggs: Seq[AggStageItem] = items.collect { case a: AggStageItem => a }
     def plains: Seq[PlainItem] = items.collect { case p: PlainItem => p }
   }
@@ -512,13 +518,29 @@ object CypherStages {
   }
 
   private def parseStage(text0: String): Either[String, Stage] = {
-    if (CypherLite.kwMatch(" " + text0 + " ", "MATCH").nonEmpty)
-      return Left("MATCH after a WITH stage is not supported in " +
-        "multi-stage pipelines — use the single-WITH ... MATCH form, or " +
-        "move the pattern into the leading MATCH block")
+    // a `[OPTIONAL] MATCH` closing the stage text opens a mid-pipeline
+    // pattern expansion (the reference's entity_vss_provider /
+    // entity_from_top_statement shapes): carve it off, parse the stage
+    // core as before
+    val (coreText, matchBlock) =
+      CypherLite.kwMatch(" " + text0 + " ", "MATCH") match {
+        case None => (text0, None)
+        case Some(k) =>
+          val mStart = k.start // index of the ws before MATCH in padded
+          val before0 = text0.substring(0, math.max(0, mStart - 1))
+          val beforeU = before0.trim.toUpperCase
+          val optional = beforeU.endsWith("OPTIONAL")
+          val before =
+            if (optional)
+              before0.trim.dropRight("OPTIONAL".length).trim
+            else before0.trim
+          // k.end is past "MATCH" + one ws in padded coords → -1 in text0
+          (before, Some((optional, text0.substring(k.end - 1).trim)))
+      }
+    val text1 = coreText
     // clause tail in Cypher grammar order:
     // [ORDER BY] [SKIP] [LIMIT] [WHERE]
-    val pad = " " + text0 + " "
+    val pad = " " + text1 + " "
     val ordAt = CypherLite.kwMatch(pad, "ORDER").map(_.start)
     val skipAt = CypherLite.kwMatch(pad, "SKIP").map(_.start)
     val limAt = CypherLite.kwMatch(pad, "LIMIT").map(_.start)
@@ -599,7 +621,7 @@ object CypherStages {
     val parsed = items.map(parseItem)
     parsed.collectFirst { case Left(e) => e }
       .toLeft(Stage(parsed.map(_.toOption.get), where, orderBy, limit,
-        skip, distinct))
+        skip, distinct, matchBlock))
       .flatMap { st =>
         val names = st.items.map(_.alias)
         if (names.distinct.size != names.size)
@@ -687,6 +709,8 @@ object CypherStages {
     val ret = parseStage(retText).fold(e => return Left(e), identity)
     if (ret.where.nonEmpty)
       return Left("WHERE cannot follow RETURN — filter in a WITH stage")
+    if (ret.matchBlock.nonEmpty)
+      return Left("MATCH cannot follow RETURN")
     Right(StagedQuery(head, stages, ret))
   }
 
@@ -953,6 +977,29 @@ object CypherStages {
     val patternVars = nodeVars ++ edgeVars
     val allStages = sq.stages :+ sq.ret
 
+    // ---- mid-pipeline MATCH blocks: probe each block's pattern vars
+    // (they become live for LATER stages; varIntro records where each
+    // variable enters the pipeline — 0 = the head MATCH)
+    val varIntro = scala.collection.mutable.Map.empty[String, Int]
+    patternVars.foreach(v => varIntro(v) = 0)
+    val blockInfo: Map[Int, (Boolean, String, Set[String], Set[String])] =
+      allStages.zipWithIndex.flatMap { case (st, idx) =>
+        st.matchBlock.map { case (opt, text) =>
+          val stageAliases = st.items.map(_.alias).toSet
+          val bv = NodeVarRe.findFirstMatchIn(text).map(_.group(1))
+            .orElse(stageAliases.headOption)
+            .getOrElse(return Left("no pattern variable in the MATCH " +
+              s"block of stage ${idx + 1}"))
+          val bp = CypherLite.parse("MATCH " + text + " RETURN " + bv,
+              extraKnown = stageAliases)
+            .fold(e => return Left(s"stage ${idx + 1} MATCH: $e"),
+              identity)
+          (idx + 1) -> ((opt, text,
+            (bp.parts ++ bp.optParts).flatMap(_.nodes.map(_.v)).toSet,
+            bp.edgeVars))
+        }
+      }.toMap
+
     // ---- reference analysis: which pattern properties do stages read,
     // and how far do they travel? live = vars still passing through bare.
     var live: Set[String] = patternVars
@@ -1026,6 +1073,11 @@ object CypherStages {
       }
       tailRefs.foreach(walkTail)
       live = newLive
+      blockInfo.get(k).foreach { case (_, _, nvs, evs) =>
+        live = live ++ nvs ++ evs
+        (nvs ++ evs).foreach(v =>
+          if (!varIntro.contains(v)) varIntro(v) = k)
+      }
     }
 
     // ---- synthesize the stage-0 projection and compile the MATCH block
@@ -1044,11 +1096,16 @@ object CypherStages {
       return Left("properties(...) needs a store with property columns " +
         "— supply a nodeProps frame (or, for a relationship variable, " +
         "an edge frame with extra columns)")
+    // only head-introduced variables can appear in the stage-0
+    // projection; mid-MATCH variables enter through their own block's
+    // synthesized RETURN (compileMidMatch)
+    def introOf(v: String): Int = varIntro.getOrElse(v, 0)
+    val propPairs0 = propPairs.filter(p => introOf(p._1) == 0)
     val bareVars =
-      (bareNeeded.toSeq ++ propPairs.map(_._1) ++
-        needsProp.keys.map(_._1)).distinct.sorted
+      (bareNeeded.toSeq ++ propPairs0.map(_._1) ++
+        needsProp.keys.map(_._1).filter(introOf(_) == 0)).distinct.sorted
     val synthesized =
-      (bareVars ++ propPairs.map { case (v, p) => s"$v.$p" }).distinct
+      (bareVars ++ propPairs0.map { case (v, p) => s"$v.$p" }).distinct
     if (synthesized.isEmpty)
       return Left("the first WITH stage references no pattern variable")
     val q0 = CypherLite.parse(sq.head + " RETURN " + synthesized.mkString(", "))
@@ -1109,6 +1166,13 @@ object CypherStages {
         catch { case StagedRefused(msg) => return Left(msg) }
       }
       liveNow = passThrough
+      blockInfo.get(k).foreach { case (optional, text, nvs, evs) =>
+        val blockProps = propPairs.filter { case (v, _) => introOf(v) == k }
+        df = compileMidMatch(edgeFrame, nodeProps, df, text, optional,
+            nvs, evs, blockProps)
+          .fold(e => return Left(s"stage $k MATCH: $e"), identity)
+        liveNow = liveNow ++ nvs ++ evs
+      }
     }
     // Hidden pass-through property columns may survive the RETURN stage
     // when its ORDER BY referenced a pattern property outside the
@@ -1118,6 +1182,65 @@ object CypherStages {
     if (df.columns.toSeq != declaredOut)
       df = df.select(declaredOut.map(a => col(s"`$a`")): _*)
     Right(df)
+  }
+
+  /** Expand the running stage frame through a mid-pipeline
+    * `[OPTIONAL] MATCH` block (the reference's entity_vss_provider /
+    * entity_from_top_statement shapes). Mandatory blocks compile as a
+    * full query PIPED on the current frame (shared variable names are
+    * the join keys — CypherLite.compile's WITH-pipe machinery);
+    * OPTIONAL blocks compile standalone (labels, anchors and the
+    * block's own WHERE apply INSIDE the pattern, Cypher's semantics)
+    * and LEFT-join back on the shared variables, so unmatched rows
+    * survive with nulls and `count(r)` over them is 0. The synthesized
+    * RETURN carries every current column plus the block's new variables
+    * and any of their properties later stages read. */
+  private def compileMidMatch(edgeFrame: DataFrame,
+                              nodeProps: Option[DataFrame],
+                              df: DataFrame, text: String,
+                              optional: Boolean,
+                              blockNodeVars: Set[String],
+                              blockEdgeVars: Set[String],
+                              props: Seq[(String, String)])
+  : Either[String, DataFrame] = {
+    val pipedCols = df.columns.toSeq
+    val IdentCol = """[A-Za-z_][A-Za-z0-9_]*""".r
+    val DottedCol = """[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*""".r
+    pipedCols.find(c => !IdentCol.matches(c) && !DottedCol.matches(c))
+      .foreach(c => return Left(s"column '$c' cannot cross a MATCH " +
+        "stage — alias it with AS in the preceding WITH"))
+    val shared = blockNodeVars & pipedCols.toSet
+    if (shared.isEmpty)
+      return Left("the MATCH after a WITH stage shares no variable " +
+        s"with the stage outputs (have: ${pipedCols.mkString(", ")}) — " +
+        "that would be a cartesian expansion; anchor a pattern variable " +
+        "on a stage output")
+    val retNew =
+      (blockNodeVars ++ blockEdgeVars).toSeq.sorted
+        .filterNot(pipedCols.contains)
+        .filterNot(_.startsWith("__a")) ++ // anonymous nodes stay hidden
+        props.map { case (v, p) => s"$v.$p" }.distinct
+          .filterNot(pipedCols.contains)
+    if (optional) {
+      val q = CypherLite.parse("MATCH " + text + " RETURN " +
+          (shared.toSeq.sorted ++ retNew).distinct.mkString(", "))
+        .fold(e => return Left(e), identity)
+      CypherLite.schemaCheck(q, nodeProps, edgeFrame)
+        .fold(e => return Left(e), identity)
+      val f = CypherLite.compile(edgeFrame, q,
+        if (q.neededProps.nonEmpty) nodeProps else None)
+      Right(df.join(f, shared.toSeq.sorted, "left"))
+    } else {
+      val q = CypherLite.parse("MATCH " + text + " RETURN " +
+          (pipedCols ++ retNew).distinct.mkString(", "),
+          extraKnown = pipedCols.toSet)
+        .fold(e => return Left(e), identity)
+      CypherLite.schemaCheck(q, nodeProps, edgeFrame)
+        .fold(e => return Left(e), identity)
+      Right(CypherLite.compile(edgeFrame, q,
+        if (q.neededProps.nonEmpty) nodeProps else None,
+        piped = Some(df)))
+    }
   }
 
   private final case class StagedRefused(msg: String)

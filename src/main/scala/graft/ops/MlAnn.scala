@@ -416,6 +416,39 @@ object MlAnn {
   }
 
   /**
+   * Refined residual IVF-PQ top-k — the standard FAISS refine discipline
+   * (IndexRefineFlat over IndexIVFPQ): the ADC pass over the probed
+   * cells' codes returns `refine` candidates (R ≈ 4-8×k), and ONLY
+   * those R rows re-read their exact vectors for an exact squared-L2
+   * rerank to top-k. Compression errors that perturb the ADC ranking
+   * inside the candidate set cost nothing — only a true neighbor
+   * falling OUT of the top-R loses recall, so recall climbs steeply in
+   * R at a fixed byte budget (measured: 0.650 → ≥0.9 at R=8k on the
+   * planted-cluster corpus, ANN_RECALL.md).
+   *
+   * Scale: the candidate ids broadcast (R rows) and hash-join the
+   * vector table — R exact-vector reads against an id-keyed layout, no
+   * shuffle, no scan of unprobed cells. This is the missing half of the
+   * codes-only layout: codes answer "roughly where", the R-bounded
+   * exact reads answer "exactly which".
+   */
+  def ivfPqRefineTopK(encoded: DataFrame, assigned: DataFrame,
+                      centers: Array[Array[Double]],
+                      codebooks: Array[Array[Array[Double]]],
+                      query: Seq[Double], k: Int, nprobe: Int,
+                      refine: Int): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    val cands = ivfPqResidualTopK(encoded, centers, codebooks, query,
+      refine, nprobe).select(col("id"))
+    val qLit = typedlit(query)
+    assigned.join(broadcast(cands), "id")
+      .select(col("id"),
+        aggregate(zip_with(col("emb"), qLit, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("dist"))
+      .orderBy(col("dist"), col("id")).limit(k)
+  }
+
+  /**
    * IVF-PQ top-k — the composed coarse-route + compressed-score layout
    * (the FAISS IndexIVFPQ shape; the standard 100 TB ANN design): the
    * driver picks `nprobe` cells from the coarse centroids it already

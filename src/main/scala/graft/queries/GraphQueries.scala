@@ -16,6 +16,47 @@ object GraphQueries {
     t(s, dir, "customer").filter(col("c_nationkey") === 0)
       .select(concat(lit("c:"), col("c_custkey")).as("node"))
 
+  /** The reference's flagship statements_cypher text (store naming
+    * adapted; traversal_based_base_retriever.py:153-190) — shared by
+    * the q_cypher_statements gate and the Profile cypherscale probe. */
+  val statementsCypherText: String =
+    """// get statements grouped by topic and source
+          |MATCH (t)<-[:belongs_to]-(l:L)
+          |      -[:mentioned_in]->(c)
+          |      -[:extracted_from]->(s)
+          |WHERE l.id in $statementIds
+          |WITH {
+          |        sourceId: s.id,
+          |        metadata: properties(s),
+          |        versioning: {
+          |            valid_from: coalesce(s.valid_from, -1),
+          |            valid_to: coalesce(s.valid_to, 10000000000000),
+          |            extract_timestamp: coalesce(s.extract_timestamp, -1),
+          |            build_timestamp: coalesce(s.build_timestamp, -1),
+          |            id_fields: split(coalesce(s.id_fields, ""), ";")
+          |        }
+          |    } AS source,
+          |    t, l, c,
+          |    { chunkId: c.id, value: NULL, metadata: properties(c) } AS cc,
+          |    { statementId: l.id, statement: l.value, facts: [], details: l.details, chunkId: c.id, score: 0 } as ll
+          |WITH source,
+          |    t,
+          |    collect(distinct cc) as chunks,
+          |    collect(ll) as statements
+          |WITH source,
+          |    {
+          |        topic: t.value,
+          |        topicId: t.id,
+          |        chunks: chunks,
+          |        statements: statements
+          |    } as topic
+          |WITH sum(size(topic.statements)/size(topic.chunks)) AS score, source, collect(topic) AS topics
+          |RETURN {
+          |    score: score,
+          |    source: source,
+          |    topics: topics
+          |} as result ORDER BY result.score DESC LIMIT $limit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.13 byokg k-hop triplet expansion (k=2, directed).
     "q_khop_triplets" -> ((s, dir) => {
@@ -356,43 +397,7 @@ object GraphQueries {
     // nondeterministic — grammar still compiles and executes it).
     "q_cypher_statements" -> ((s, dir) => {
       val (ef, np) = Tables.stmtGraph(s, dir)
-      val text =
-        """// get statements grouped by topic and source
-          |MATCH (t)<-[:belongs_to]-(l:L)
-          |      -[:mentioned_in]->(c)
-          |      -[:extracted_from]->(s)
-          |WHERE l.id in $statementIds
-          |WITH {
-          |        sourceId: s.id,
-          |        metadata: properties(s),
-          |        versioning: {
-          |            valid_from: coalesce(s.valid_from, -1),
-          |            valid_to: coalesce(s.valid_to, 10000000000000),
-          |            extract_timestamp: coalesce(s.extract_timestamp, -1),
-          |            build_timestamp: coalesce(s.build_timestamp, -1),
-          |            id_fields: split(coalesce(s.id_fields, ""), ";")
-          |        }
-          |    } AS source,
-          |    t, l, c,
-          |    { chunkId: c.id, value: NULL, metadata: properties(c) } AS cc,
-          |    { statementId: l.id, statement: l.value, facts: [], details: l.details, chunkId: c.id, score: 0 } as ll
-          |WITH source,
-          |    t,
-          |    collect(distinct cc) as chunks,
-          |    collect(ll) as statements
-          |WITH source,
-          |    {
-          |        topic: t.value,
-          |        topicId: t.id,
-          |        chunks: chunks,
-          |        statements: statements
-          |    } as topic
-          |WITH sum(size(topic.statements)/size(topic.chunks)) AS score, source, collect(topic) AS topics
-          |RETURN {
-          |    score: score,
-          |    source: source,
-          |    topics: topics
-          |} as result ORDER BY result.score DESC LIMIT $limit""".stripMargin
+      val text = statementsCypherText
       val res = graft.byokg.CypherLite.run(ef, Some(np), text,
           Map("statementIds" -> Tables.stmtStatementIds(s, dir),
             "limit" -> 1000000))

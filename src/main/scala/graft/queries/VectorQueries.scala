@@ -278,6 +278,24 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("adist"), 6).as("adist"))
     }),
 
+    // extended: REFINED residual IVF-PQ — the FAISS IndexRefineFlat
+    // discipline: the ADC pass returns refine=50 candidates, and only
+    // those 50 rows re-read their exact vectors for an exact squared-L2
+    // rerank to k=10 (a broadcast id join against the assignment layout
+    // — R exact reads, no scan). ADC ranking errors INSIDE the top-R
+    // cost nothing, so recall climbs steeply in R at a fixed byte
+    // budget (ANN_RECALL.md refine rows). Oracle: the residual-ADC
+    // replay truncated at R, then the exact rerank as flat SQL.
+    "q_ivf_pq_refine" -> ((s, dir) => {
+      val (assigned, centers) = Tables.detKmeansIvfIndex(s, dir, nlist = 8,
+        iters = 2)
+      val (encodedR, cbsR) = Tables.pqResidualIndex(s, dir, m = 2,
+        codes = 4, iters = 1)
+      graft.ops.MlAnn.ivfPqRefineTopK(encodedR, assigned, centers, cbsR,
+        queryVec(s, dir), k = 10, nprobe = 4, refine = 50)
+        .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
     // extended: per-cluster balance profile over the SAME deterministic
     // KMeans index (sizes, min id, mean vector norm) — the post-clustering
     // diagnostic a curation run reads before trusting the index. The
@@ -582,6 +600,36 @@ object VectorQueries {
        |WHERE rfull.ccell IN (SELECT cell FROM probe)
        |ORDER BY rd0.d + rd1.d, rd0.id LIMIT $k""".stripMargin
 
+  /** Refine replay: the residual-ADC ranking truncated at `refine`,
+    * then an exact squared-L2 rerank of just those ids. */
+  private def ivfPqRefineOracle(nlist: Int, ivfIters: Int, codes: Int,
+                                pqIters: Int, nprobe: Int, k: Int,
+                                refine: Int): String =
+    s"""WITH ${detAssignCtes(nlist, ivfIters)},
+       |qf AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |  FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cell FROM c$ivfIters c CROSS JOIN qf
+       |  ORDER BY ${sqSql("c.c", "qf.qe")}, cell LIMIT $nprobe),
+       |rfull AS (
+       |  SELECT af.id, af.cell AS ccell,
+       |    list_transform(range(1,${Dim + 1}),
+       |      i -> af.emb[i] - cc.c[i]) AS emb
+       |  FROM af JOIN c$ivfIters cc ON cc.cell = af.cell),
+       |${pqResidualSubspaceCtes(0, codes, pqIters, ivfIters)},
+       |${pqResidualSubspaceCtes(1, codes, pqIters, ivfIters)},
+       |cand AS (
+       |  SELECT rd0.id
+       |  FROM rd0 JOIN rd1 USING (id) JOIN rfull USING (id)
+       |  WHERE rfull.ccell IN (SELECT cell FROM probe)
+       |  ORDER BY rd0.d + rd1.d, rd0.id LIMIT $refine)
+       |SELECT af.id AS vec_id,
+       |  round(${sqSql("af.emb", "qf.qe")}, 6) AS dist
+       |FROM af CROSS JOIN qf
+       |WHERE af.id IN (SELECT id FROM cand)
+       |ORDER BY ${sqSql("af.emb", "qf.qe")}, af.id LIMIT $k""".stripMargin
+
   private def pqOracle(codes: Int, iters: Int, k: Int): String =
     s"""WITH ${pqSubspaceCtes(0, codes, iters)},
        |${pqSubspaceCtes(1, codes, iters)}
@@ -672,6 +720,9 @@ object VectorQueries {
 
     "q_ivf_pq_topk" -> ivfPqOracle(nlist = 8, ivfIters = 2, codes = 4,
       pqIters = 1, nprobe = 4, k = 10),
+
+    "q_ivf_pq_refine" -> ivfPqRefineOracle(nlist = 8, ivfIters = 2,
+      codes = 4, pqIters = 1, nprobe = 4, k = 10, refine = 50),
 
     "q_ivf_pq_residual" -> ivfPqResidualOracle(nlist = 8, ivfIters = 2,
       codes = 4, pqIters = 1, nprobe = 4, k = 10),

@@ -354,6 +354,13 @@ object Profile {
               recall(s"ivfpq-res m=$m codes=$codes nprobe=$np", gtL2)(q =>
                 MlAnn.ivfPqResidualTopK(encR, centers, cbsR, q, k, np))
             }
+            // refine ladder: ADC top-R -> exact rerank (full probe, so
+            // the R knob is the only variable)
+            Seq(4 * k, 8 * k).foreach { r =>
+              recall(s"ivfpq-res-refine m=$m codes=$codes R=$r", gtL2)(q =>
+                MlAnn.ivfPqRefineTopK(encR, assigned, centers, cbsR, q,
+                  k, nlist, r))
+            }
             encR.unpersist()
           }
           assigned.unpersist(); emb.unpersist()
@@ -364,6 +371,59 @@ object Profile {
         sweep("clustered", MlAnn.plantedClusterCorpus(
           spark, n = iso.count().toInt, dim = 64, clusters = 32),
           nlist = 32)
+
+      case "cypherscale" =>
+        // would-it-scale probe for the staged cypher compiler: the
+        // statement graph (edges + props + the $statementIds literal)
+        // replicated xN under disjoint per-replica id namespaces
+        // ("_r<k>" suffix on every node id — a suffix keeps the
+        // label-prefix convention intact), the flagship
+        // statements_cypher run VERBATIM on each size. The compiled
+        // plan is 3 equi-join hops + 2 grouped aggregations (the
+        // m-aggregation-stages = m-shuffles contract, PLAN_CENSUS
+        // q_cypher_statements: 2 shuffles), so per-replica cost should
+        // stay ~flat 1x -> Nx: every operator is a hash join / hash
+        // aggregate keyed on namespaced ids, nothing quadratic,
+        // nothing driver-side.
+        val reps = if (args.length > 2) args(2).toInt else 8
+        val (ef0, np0) = graft.queries.Tables.stmtGraph(spark, sfDir)
+        val ids0 = graft.queries.Tables.stmtStatementIds(spark, sfDir)
+        def replicate(n: Int): (DataFrame, DataFrame, Seq[String]) = {
+          val efs = (0 until n).map { kk =>
+            ef0.select(concat(col("src"), lit(s"_r$kk")).as("src"),
+              concat(col("dst"), lit(s"_r$kk")).as("dst"), col("label"))
+          }.reduce(_ union _)
+          val nps = (0 until n).map { kk =>
+            np0.withColumn("id", concat(col("id"), lit(s"_r$kk")))
+          }.reduce(_ union _)
+          val idsN = (0 until n).flatMap(kk => ids0.map(_ + s"_r$kk"))
+          (efs.cache(), nps.cache(), idsN)
+        }
+        def runOnce(ef: DataFrame, np: DataFrame,
+                    sids: Seq[String]): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val rows = graft.byokg.CypherLite.run(ef, Some(np),
+              graft.queries.GraphQueries.statementsCypherText,
+              Map("statementIds" -> sids, "limit" -> 1000000))
+            .fold(err => sys.error(err), identity).count()
+          (rows, (System.nanoTime() - t0) / 1e9)
+        }
+        var rowsAt1 = -1L
+        Seq(1, reps).distinct.foreach { n =>
+          val (ef, np, sids) = replicate(n)
+          ef.count(); np.count() // materialize outside the timed region
+          val (r1, t1) = runOnce(ef, np, sids) // warm
+          val (r2, t2) = runOnce(ef, np, sids)
+          if (n == 1) rowsAt1 = r2
+          // disjoint namespaces: the result must replicate exactly —
+          // anything else means replicas leaked into each other's groups
+          else assert(r2 == rowsAt1 * n,
+            s"expected ${rowsAt1 * n} rows at x$n, got $r2")
+          println(f"[profile] cypherscale x$n rows=$r2 ids=${sids.size} " +
+            f"warm=$t1%.2f s best=${math.min(t1, t2)}%.2f s " +
+            f"per_replica=${math.min(t1, t2) / n}%.3f s")
+          ef.unpersist(); np.unpersist()
+        }
 
       case "suffixscale" =>
         // would-it-scale probe for the suffix-bucket substring dedup:

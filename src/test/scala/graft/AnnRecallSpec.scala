@@ -97,9 +97,20 @@ class AnnRecallSpec extends SparkSpec {
     encRes.cache().count()
     val rRes = recallOf(q => ids(MlAnn.ivfPqResidualTopK(encRes, centers,
       cbsRes, q.toSeq, k, nprobe = 8)).toSet)
+    // refine stage: ADC top-R candidates, exact rerank to k (the FAISS
+    // IndexRefineFlat discipline) — R-bounded exact reads buy back the
+    // compression error inside the candidate set
+    val rRef = recallOf(q => ids(MlAnn.ivfPqRefineTopK(encRes, assigned,
+      centers, cbsRes, q.toSeq, k, nprobe = 8, refine = 8 * k)).toSet)
     encRes.unpersist(); assigned.unpersist()
     assert(rRes > rRaw,
       f"residual IVF-PQ recall $rRes%.3f should beat raw-vector PQ " +
         f"$rRaw%.3f on a clustered corpus at equal m x codes")
+    assert(rRef >= rRes,
+      f"refine $rRef%.3f must not lose to its own candidate ranking " +
+        f"$rRes%.3f")
+    assert(rRef >= 0.9,
+      f"refine at R=8k should reach >=0.9 recall on the clustered " +
+        f"corpus; got $rRef%.3f")
   }
 }

@@ -54,6 +54,19 @@ class BenchSnapshotSpec extends AnyFunSuite {
         "\"stalled\" flag: " + unflagged.mkString(", "))
   }
 
+  test("committed BENCH.json carries the snapshot-relative stall " +
+    "field (phase 3) and it is clean") {
+    assume(snapshot.exists(), "no committed snapshot")
+    val txt = scala.io.Source.fromFile(snapshot, "UTF-8").mkString
+    assume(txt.contains("\"snapshot_stalled\""),
+      "snapshot predates the snapshot-relative stall contract")
+    val arr = txt.split("\"snapshot_stalled\"\\s*:\\s*\\[", 2)(1)
+      .split("\\]", 2)(0).trim
+    assert(arr.isEmpty,
+      s"committed snapshot carries snapshot-stalled rows: $arr — " +
+        "regenerate on a quiet window or investigate the plan")
+  }
+
   test("committed BENCH.json covers exactly SparkEntry.queries") {
     assume(snapshot.exists(), "no committed snapshot")
     val expected = SparkEntry.queries.keySet

@@ -353,6 +353,38 @@ class CypherStagesSpec extends SparkSpec {
     assert(outS.count() == 2L)
   }
 
+  test("mid-pipeline MATCH expands the running frame (piped join on " +
+    "the shared variable) and OPTIONAL MATCH left-joins — unmatched " +
+    "rows count 0") {
+    // chunks per source, through a WITH DISTINCT + MATCH pipeline
+    val q = "MATCH (l:L)-[:mentioned_in]->(c) " +
+      "WITH DISTINCT c " +
+      "MATCH (c)-[:extracted_from]->(s) " +
+      "WITH s, count(c) AS n " +
+      "RETURN s.id AS src, n ORDER BY src"
+    val rows = CypherLite.run(edges, Some(props), q)
+      .fold(e => fail(e), identity).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("S:1", 3L), ("S:2", 2L)))
+    // OPTIONAL: statements-mentioning-K:1-7 per topic; topics without
+    // any survive the left join with count 0 (Cypher semantics)
+    val q2 = "MATCH (t)<-[:belongs_to]-(l0:L) " +
+      "WITH DISTINCT t " +
+      "OPTIONAL MATCH (t)<-[:belongs_to]-(l:L)" +
+      "-[:mentioned_in]->(c {id: 'K:1-7'}) " +
+      "WITH t, count(l) AS n " +
+      "RETURN t.id AS topic, n ORDER BY topic"
+    val rows2 = CypherLite.run(edges, Some(props), q2)
+      .fold(e => fail(e), identity).collect()
+    assert(rows2.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("T:1", 2L), ("T:2", 0L), ("T:3", 0L)))
+    // an unanchored mid-MATCH is still a loud cartesian refusal
+    assert(CypherLite.run(edges, Some(props),
+      "MATCH (l:L)-[:mentioned_in]->(c) WITH DISTINCT c " +
+        "MATCH (a)-[:extracted_from]->(b) WITH b, count(a) AS n " +
+        "RETURN b, n").swap.exists(_.contains("cartesian")))
+  }
+
   test("existing single-stage grammar does NOT route staged") {
     assert(!CypherStages.applies(
       "MATCH (c:c)-[:placed]->(o:o) RETURN c.id AS cust, count(*) AS n " +
