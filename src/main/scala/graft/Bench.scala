@@ -16,6 +16,26 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Deep chain/beam plans carry >100 whole-stage-codegen segments, so
+      // the default 100-entry generated-class cache THRASHES: q_full_chain
+      // re-compiled ~86 janino classes on EVERY rep (~0.85 s/rep measured
+      // via CodegenMetrics) — steady-state cost, not warmup. Any
+      // long-lived multi-query engine (the deployment shape of this
+      // library) wants the cache sized to its working set; metaspace cost
+      // at 2000 entries is tens of MB. Static conf: set before the
+      // session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // ObjectHashAggregate (CollectTopK heaps, SortedSumAgg folds,
+      // Misra-Gries sketches) falls back to SORT-based aggregation after
+      // 128 distinct in-memory keys by default — every per-key heap/fold
+      // operator in this engine runs 6k-150k groups per partition, so the
+      // default re-introduced exactly the map- and reduce-side sorts those
+      // operators exist to avoid. 1M keys × ~100 B buffer ≈ 100 MB/task
+      // worst case, inside the per-task budget at every deployment size
+      // (partitions are sized 100 MB-1 GB at scale, bounding live groups).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK",
+          (1 << 14).toString))
       // Partition sizing for THIS scale factor (the 100 TB rule "size
       // maxPartitionBytes so partitions fit memory and cores stay busy",
       // applied downward): the sf0.1 tables are 0.5-11 MB files, so the

@@ -212,6 +212,13 @@ object CypherLite {
     * expression-literal InSet — see the hoisting note in [[compile]]. */
   val LargeInThreshold = 128
 
+  /** Match-frame row cap under which the property lookups of an id-probed
+    * query are semi-pruned to the frame's own key set before joining (see
+    * the prefilter note in [[compile]]): ~200k string keys is a ~20 MB
+    * broadcast, comfortably inside executor memory; past it the plain
+    * store-wide property joins stand. */
+  val PropPrefilterMaxRows = 200000L
+
   /** A WHERE term: either one of the closed-form predicate shapes
     * ([[Cond]]) or a general expression comparison ([[ExprCond]]). */
   sealed trait WhereTerm
@@ -1556,6 +1563,32 @@ object CypherLite {
       df = df.join(f, shared, "left")
       bound ++= p.nodes.map(_.v)
     }
+    // LARGE-IN id-probes hoist EARLY (before property attach): the
+    // broadcast semi-join is the query's selectivity cliff (the reference
+    // binds thousands of statement ids against a store of millions of
+    // nodes), and applying it here lets every property join below see the
+    // PROBED frame instead of the full match product. Only probes on the
+    // node identity of an already-bound column qualify — a probe on a
+    // property column needs that property attached first, so it keeps the
+    // late WHERE position below (plan unchanged for those). Filtering
+    // before the property LEFT joins is equivalent: the probe reads only
+    // left-side columns, and LeftOuter never drops or duplicates left
+    // rows. (guide §3.2 — reduce the big side before moving it.)
+    val hoistedIns: Seq[Cond] = q.conds.headOption.toSeq.flatMap(
+      _.collect {
+        case c @ Cond(_, "IN", vs, _) if vs.size >= LargeInThreshold &&
+          q.conds.forall(_.contains(c)) => c
+      })
+    val (earlyIns, lateIns) = hoistedIns.partition(c =>
+      c.prop == "id" && df.columns.contains(c.v))
+    earlyIns.foreach { c =>
+      val sess = edgeFrame.sparkSession
+      import sess.implicits._
+      val lookup = broadcast(
+        c.values.distinct.toDF(s"__in_${c.v}_${c.prop}__"))
+      df = df.join(lookup,
+        col(c.v) === col(s"__in_${c.v}_${c.prop}__"), "left_semi")
+    }
     // Node-property materialization: one LEFT equi-join per variable that
     // reads non-id properties, against the caller's nodeProps frame
     // (id, prop...). LEFT so a dangling id (or an OPTIONAL null binding)
@@ -1576,8 +1609,47 @@ object CypherLite {
       val props = nodeProps.getOrElse(throw new IllegalArgumentException(
         "query references node properties but no nodeProps frame was " +
           "supplied — use run(edgeFrame, Some(props), cypher)"))
-      needed.toSeq.sortBy(_._1).foreach { case (v, ps) =>
-        val pf = props.select(col("id").as(s"__${v}__id") +:
+      // Property-lookup prefilter (guide §3.2): after an early id-probe
+      // the match frame is probe-selective by construction, but each
+      // property join below would still build/shuffle the STORE-WIDE
+      // props table (measured: the flagship's four property joins each
+      // materialized the full node table as a broadcast hash relation —
+      // the dominant cost of the query). Checkpoint-count the probed
+      // frame ONCE (flat lineage — every per-variable key broadcast below
+      // reads the persisted rows instead of re-executing the match), and
+      // when it is small, semi-prune each property lookup to the ids the
+      // frame actually binds. Semi-pruning the RIGHT side of a LeftOuter
+      // join on its join key is result-identical: pruned rows could only
+      // have produced no-match nulls. Count-gated: past the cap the key
+      // broadcasts would be the new problem, so the plain joins stand.
+      val sortedNeeded = needed.toSeq.sortBy(_._1)
+      // ≥2 prop variables: with a single lookup the plain LEFT join costs
+      // one props pass too, and the checkpoint-count round-trip is pure
+      // overhead (measured +0.18 s on the single-var facts query).
+      val keyBase: Option[DataFrame] =
+        if (earlyIns.nonEmpty && sortedNeeded.size >= 2) {
+          val (dfC, n) = graft.ops.Joins.checkpointCount(df)
+          df = dfC
+          if (n <= PropPrefilterMaxRows) Some(dfC) else None
+        } else None
+      // ONE store scan for every variable's lookup: the union of all
+      // bound ids semi-prunes the props table once (lazy checkpoint — the
+      // first join materializes it, the rest read the persisted rows), so
+      // four property joins cost one props pass instead of four. Rows for
+      // other variables' ids are harmless surplus: a LEFT equi-join only
+      // picks up rows matching its own keys.
+      val prefiltered: Option[DataFrame] = keyBase.map { kb =>
+        val allCols = sortedNeeded.flatMap(_._2).distinct.sorted
+        val allKeys = sortedNeeded.map { case (v, _) =>
+          kb.select(col(v).cast("string").as("__k")) }
+          .reduce(_ union _).distinct()
+        props.select((col("id") +: allCols.map(col)): _*)
+          .join(broadcast(allKeys), col("id") === col("__k"), "left_semi")
+          .localCheckpoint(false)
+      }
+      sortedNeeded.foreach { case (v, ps) =>
+        val src = prefiltered.getOrElse(props)
+        val pf = src.select(col("id").as(s"__${v}__id") +:
           ps.toSeq.sorted.map(p => col(p).as(s"__${v}__$p")): _*)
         df = df.join(pf, df(v) === pf(s"__${v}__id"), "left")
           .drop(s"__${v}__id")
@@ -1695,13 +1767,10 @@ object CypherLite {
     // parameter would bind). Only a conjunct common to EVERY OR-group
     // can hoist: OR_i(IN ∧ rest_i) = IN ∧ OR_i(rest_i). Null keys drop
     // on both forms (isin(null) is null; a semi-join key never matches
-    // null), so semantics are unchanged.
-    val hoistedIns: Seq[Cond] = q.conds.headOption.toSeq.flatMap(
-      _.collect {
-        case c @ Cond(_, "IN", vs, _) if vs.size >= LargeInThreshold &&
-          q.conds.forall(_.contains(c)) => c
-      })
-    hoistedIns.foreach { c =>
+    // null), so semantics are unchanged. Id-probes on bound columns
+    // (`earlyIns`) already applied BEFORE the property joins above; only
+    // property-valued probes remain here.
+    lateIns.foreach { c =>
       val s = edgeFrame.sparkSession
       import s.implicits._
       val lookup = broadcast(

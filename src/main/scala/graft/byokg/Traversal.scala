@@ -456,8 +456,9 @@ object Traversal {
       .localCheckpoint(false)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     // laid out by src so the per-iteration contribution join starts from
-    // the layout a scale run would bucket the edge table by
-    val eDeg = e.join(outDeg, "src").repartition(col("src"))
+    // the layout a scale run would bucket the edge table by; partition
+    // count sized like every cached store layout (see [[storeParts]])
+    val eDeg = e.join(outDeg, "src").repartition(storeParts(e), col("src"))
       .localCheckpoint(false)
     (nodes, eDeg)
   }
@@ -652,7 +653,8 @@ object Traversal {
       .join(nodes.select(col("node"), col("node_id").as("dst_id")),
         und("dst") === col("node")).drop("node")
       .select(col("src_id"), col("dst_id"))
-      .repartition(col("dst_id")).sortWithinPartitions(col("dst_id"))
+      .repartition(storeParts(und), col("dst_id"))
+      .sortWithinPartitions(col("dst_id"))
       .cache()
     (undInt, nodes)
   }
@@ -732,10 +734,22 @@ object Traversal {
     * edge table — without these, every half-round re-shuffled all edges
     * (measured ~2.5x slower). Storage material: memoize per graph (the
     * Tables layer does) and reuse across runs. */
+  /** Partition count for cached store layouts: parallelism/4 keeps the
+    * few-MB test-scale frames in few substantial partitions instead of
+    * scattering slivers across every core — at 32 shuffle partitions each
+    * HITS/PageRank ROUND paid ~32 near-empty edge-side tasks plus a
+    * matching reduce fan-out (ENSURE_REQUIREMENTS matches the cached
+    * side's count), pure scheduling overhead on an iterative path. Same
+    * sizing rule as the bucket count a 100 TB run derives from
+    * size / target-partition-bytes. */
+  private def storeParts(df: DataFrame): Int =
+    math.max(4, df.sparkSession.sparkContext.defaultParallelism / 4)
+
   def hitsLayout(eDeg: DataFrame): (DataFrame, DataFrame) = {
     val e0 = eDeg.select(col("src"), col("dst"))
-    (e0.repartition(col("src")).sortWithinPartitions(col("src")).cache(),
-      e0.repartition(col("dst")).sortWithinPartitions(col("dst")).cache())
+    val p = storeParts(e0)
+    (e0.repartition(p, col("src")).sortWithinPartitions(col("src")).cache(),
+      e0.repartition(p, col("dst")).sortWithinPartitions(col("dst")).cache())
   }
 
   /** One-shot form: builds the layouts, runs, and unpersists them (the
@@ -776,17 +790,21 @@ object Traversal {
     }
     hubs = hubs.localCheckpoint(true)
     // the normalizers are ONE double each — collect and embed as literals
-    // (the bm25-stats pattern): no crossJoin, no BNLJ in the plan, and the
-    // division arithmetic is bit-identical to the frame form
-    val maRow = auths.agg(max("a")).head()
-    val mhRow = hubs.agg(max("h")).head()
-    require(!maRow.isNullAt(0) && !mhRow.isNullAt(0),
+    // (the bm25-stats pattern): no crossJoin, no BNLJ in the MAIN plan,
+    // and the division arithmetic is bit-identical to the frame form.
+    // Both maxes come back in ONE driver action (a 1-row × 1-row cross of
+    // the two scalar aggregates over the checkpointed frames) — two
+    // separate head() calls paid two scheduling round-trips for the same
+    // two cached scans.
+    val mRow = auths.agg(max("a").as("ma"))
+      .crossJoin(hubs.agg(max("h").as("mh"))).head()
+    require(!mRow.isNullAt(0) && !mRow.isNullAt(1),
       "hitsIterate: no edges matched the score frame (empty graph?)")
     nodes.join(auths, Seq("node"), "left")
       .join(hubs, Seq("node"), "left")
       .select(col("node"),
-        (coalesce(col("a"), lit(0.0)) / lit(maRow.getDouble(0))).as("auth"),
-        (coalesce(col("h"), lit(0.0)) / lit(mhRow.getDouble(0))).as("hub"))
+        (coalesce(col("a"), lit(0.0)) / lit(mRow.getDouble(0))).as("auth"),
+        (coalesce(col("h"), lit(0.0)) / lit(mRow.getDouble(1))).as("hub"))
   }
 
   /**
@@ -828,7 +846,7 @@ object Traversal {
     withDeg.select(
       when(srcFirst, col("src")).otherwise(col("dst")).as("lo"),
       when(srcFirst, col("dst")).otherwise(col("src")).as("hi"))
-      .repartition(col("lo")).cache()
+      .repartition(storeParts(withDeg), col("lo")).cache()
   }
 
   /** Triangle enumeration + per-node attribution over a prepared
@@ -1002,6 +1020,15 @@ object Traversal {
     var frontier = seeds.select(col("node").as("start"),
       explode(sequence(lit(0), lit(walksPerNode - 1))).as("wid"),
       col("node").as("cur"))
+    // The frontier NEVER grows: exactly one row per (start, wid) at every
+    // step, so |frontier| = |seeds| × walksPerNode for the whole walk.
+    // Count the seed side once and broadcast the frontier through every
+    // step's two lookups when it is frontier-sized (guide §3.1): the
+    // cached adjacency is then probed in place — no per-step exchange or
+    // sort of the walk-scale frame. Past the cap the plain joins stand.
+    val walkRows = seeds.count() * walksPerNode
+    def gate(f: DataFrame): DataFrame =
+      graft.ops.Joins.gatedBroadcast(f, walkRows)
     val perStep = (1 to steps).map { step =>
       val idx = (pmod(graft.functions.HashFunctions.h60(
         concat_ws("#", lit(seed), col("start"), col("wid"), lit(step))),
@@ -1010,8 +1037,10 @@ object Traversal {
       // step and one branch of the output union — left lazy, branch k of
       // the union re-executed steps 1..k-1 (measured ~2.2x slower); the
       // materialized frame is walk-scale (≤ seeds × walksPerNode rows)
-      val next = frontier.join(degrees, frontier("cur") === degrees("src"))
+      val picked = gate(frontier)
+        .join(degrees, frontier("cur") === degrees("src"))
         .select(col("start"), col("wid"), col("cur"), idx.as("idx"))
+      val next = gate(picked)
         .join(ranked.select(col("src"), col("rk"), col("dst")),
           col("cur") === col("src") && col("idx") === col("rk"))
         .select(col("start"), col("wid"), col("dst").as("cur"))

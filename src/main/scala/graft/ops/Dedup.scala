@@ -35,7 +35,8 @@ object Dedup {
     * Where the winner can be expressed with scalar buffers only, prefer
     * the pure hash-aggregate shape [[windowedChunkDedup]] uses. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val withKey = df.withColumn("dup_key", md5(T.searchStr(col(textCol))))
+    val withKey = Spread.perRowHeavy(df)
+      .withColumn("dup_key", md5(T.searchStr(col(textCol))))
     val payload = struct(withKey.columns.toIndexedSeq.map(col): _*)
     withKey.groupBy(col("dup_key"))
       .agg(min_by(payload, col(idCol)).as("_row"),
@@ -92,7 +93,7 @@ object Dedup {
     // side resolves to a ReusedExchange and the signature computes once —
     // a per-call cache here leaked storage until the session died.
     graft.functions.MinhashSignature.register(df.sparkSession)
-    val sig = df
+    val sig = Spread.perRowHeavy(df)
       .select(col(idCol).as("id"),
         graft.functions.MinhashSignature
           .signature(col(textCol), numHashes, shingleSize).as("sig"))
@@ -130,7 +131,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     graft.functions.MinhashSignature.register(corpus.sparkSession)
-    def banded(df: DataFrame, textCol: String, idCol: String) = df
+    def banded(df: DataFrame, textCol: String, idCol: String) =
+      Spread.perRowHeavy(df)
       .select(col(idCol).as("id"),
         graft.functions.MinhashSignature
           .signature(col(textCol), numHashes, shingleSize).as("sig"))
@@ -924,7 +926,7 @@ object Dedup {
     val nChunks = ceil(size(toks) / lit(windowTokens.toDouble)).cast("int")
     // split() never returns an empty array (empty text -> [""]), so every
     // document has >= 1 chunk and sequence(0, n-1) is always ascending.
-    df.select(col(idCol).as("doc_id"),
+    Spread.perRowHeavy(df).select(col(idCol).as("doc_id"),
       posexplode(transform(sequence(lit(0), nChunks - 1), i =>
         array_join(slice(toks, i * windowTokens + 1, lit(windowTokens)), " ")))
         .as(Seq("chunk_idx", "chunk")))
@@ -998,7 +1000,7 @@ object Dedup {
                         tau: Double, shingleSize: Int = 3): DataFrame = {
     graft.functions.WordShingles.register(df.sparkSession)
     setSimilarityJoinFrom(
-      df.select(col(idCol).as("id"),
+      Spread.perRowHeavy(df).select(col(idCol).as("id"),
           graft.functions.WordShingles.shingles(col(textCol), shingleSize)
             .as("toks"))
         .filter(size(col("toks")) >= 1)
@@ -1068,7 +1070,8 @@ object Dedup {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     graft.functions.WindowRollingHashes.register(df.sparkSession)
     val toksCol = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
+    val base = Spread.perRowHeavy(df)
+      .select(col(idCol).as("id"), toksCol.as("toks"))
     // (id, pos, h): pos is 0-based; docs shorter than the span emit none.
     // Window identities via the O(n) rolling-hash pass, 16-byte binary —
     // same constants cut as [[suffixSpanDedup]] (the md5-hex form hashed
@@ -1159,7 +1162,8 @@ object Dedup {
     val L = minTokens
     graft.functions.WindowRollingHashes.register(df.sparkSession)
     val toksCol = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
+    val base = Spread.perRowHeavy(df)
+      .select(col(idCol).as("id"), toksCol.as("toks"))
     // window identities in ONE O(n) rolling pass, 16-byte binary keys —
     // the composed md5(concat_ws(slice)) form re-hashed O(n·L) bytes per
     // doc and shuffled 32-char hex where 16 binary bytes carry the same
@@ -1231,7 +1235,8 @@ object Dedup {
                             k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    val base = df.select(col(idCol).as("id"), toks.as("toks"))
+    val base = Spread.perRowHeavy(df)
+      .select(col(idCol).as("id"), toks.as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("id"), transform(
         sequence(lit(0), size(col("toks")) - k),

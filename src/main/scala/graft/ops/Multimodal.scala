@@ -164,7 +164,8 @@ object Multimodal {
     * — the same derivation a SQL oracle replays from `md5(seed)` hex. */
   def synthPngMedia(df: DataFrame, idCol: String, seedCol: String): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col(idCol).cast("string"), col(seedCol).cast("string"))
+    val rdd = Spread.perRowHeavy(
+        df.select(col(idCol).cast("string"), col(seedCol).cast("string")))
       .rdd.mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // no temp-file per encode
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -292,7 +293,8 @@ object Multimodal {
                             variantEvery: Int = 0,
                             wideParams: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col(idCol).cast("string"), col(seedCol).cast("string"))
+    val rdd = Spread.perRowHeavy(
+        df.select(col(idCol).cast("string"), col(seedCol).cast("string")))
       .rdd.mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -587,6 +589,11 @@ object Multimodal {
     * `md5(seed)` hex with integer cycle math. */
   def synthWavMedia(df: DataFrame, idCol: String, seedCol: String): DataFrame = {
     val spark = df.sparkSession
+    // NO Spread here (unlike the PNG twins): AudioSystem.write goes through
+    // the JVM-global javax.sound provider registry whose lookups serialize
+    // on a shared lock — measured 0.9 s (1 task) → 1.9-2.5 s (32 tasks) at
+    // sf0.1, pure contention. The PNG paths (ImageIO with setUseCache
+    // false) parallelize cleanly and keep their Spread.
     val rdd = df.select(col(idCol).cast("string"), col(seedCol).cast("string"))
       .rdd.mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")

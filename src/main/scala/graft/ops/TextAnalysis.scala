@@ -394,7 +394,7 @@ object TextAnalysis {
     val s = docs.sparkSession
     graft.functions.WordGrams.register(s)
     import org.apache.spark.sql.GraftSqlBridge
-    val base = docs.select(
+    val base = Spread.perRowHeavy(docs).select(
       graft.functions.WordGrams.grams(col(textCol), n).as("toks"))
     val row = base.agg(
       coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("ntok"),
@@ -436,7 +436,7 @@ object TextAnalysis {
     // the driver-side candidate frame round-trips any key type; NULL keys
     // are excluded explicitly — an equi-join could never match them, and
     // dropping them silently would misread as "no heavy hitters there"
-    val base = docs.filter(col(keyCol).isNotNull)
+    val base = Spread.perRowHeavy(docs.filter(col(keyCol).isNotNull))
       .select(col(keyCol).cast("string").as("k"),
         graft.functions.WordGrams.grams(col(textCol), n).as("toks"))
     val perKey = base.groupBy(col("k")).agg(
@@ -803,8 +803,9 @@ object TextAnalysis {
     val spark = docs.sparkSession
     graft.functions.WordGrams.register(spark)
     import graft.functions.{HashFunctions => H}
-    val base = docs.select(col(idCol).as("id"), targetPred.as("is_t"),
-      col(textCol).as("_t"))
+    val base = Spread.perRowHeavy(docs)
+      .select(col(idCol).as("id"), targetPred.as("is_t"),
+        col(textCol).as("_t"))
     val feats = base.select(col("id"), col("is_t"),
       explode(flatten(array(
         graft.functions.WordGrams.grams(col("_t"), 1),

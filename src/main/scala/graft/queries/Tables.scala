@@ -303,7 +303,7 @@ object Tables {
           col("weight").as("w")))
       val sw = und.groupBy(col("src")).agg(sum(col("w")).as("sw"))
       val eW = und.join(sw, "src")
-        .repartition(col("src")).cache()
+        .repartition(cachePartitions(s), col("src")).cache()
       val nodes = und.select(col("src").as("node")).distinct()
         .coalesce(cachePartitions(s)).cache()
       (eW, nodes)
@@ -585,8 +585,19 @@ object Tables {
           .cast("string").as("id_fields"))
       val propsDf = stmtP.union(topicP).union(chunkP).union(srcP)
         .union(factPp).union(factSp)
-      (edgesDf.coalesce(cachePartitions(s)).cache(),
-        propsDf.coalesce(cachePartitions(s)).cache())
+      // CLUSTERED store cache: every cypher hop scans these frames with
+      // `label = X` / `StartsWith(id, 'L:')` predicates, and the in-memory
+      // columnar cache keeps per-batch min/max stats — sorting by the
+      // filtered column clusters each label/prefix into few batches, so
+      // batch-stat pruning skips the rest of the store per scan (the
+      // in-memory analogue of partitioning the store by label; guide §6
+      // "sort order on write determines how well readers can skip data").
+      // Build-time cost only (warmed); row order is invisible to the
+      // oracle-gated consumers (joins, exact aggregates, sorted collects).
+      (edgesDf.coalesce(cachePartitions(s))
+        .sortWithinPartitions("label", "src").cache(),
+        propsDf.coalesce(cachePartitions(s))
+          .sortWithinPartitions("id").cache())
     })
 
   private val stmtGraphCache = scala.collection.concurrent.TrieMap
@@ -640,7 +651,9 @@ object Tables {
         .select(col("lid").as("src"), col("plid").as("dst"),
           lit("PREVIOUS").as("label"))
       rel.union(subj).union(obj).union(sup).union(prev)
-        .coalesce(cachePartitions(s)).cache()
+        .coalesce(cachePartitions(s))
+        // clustered by the hop predicates, like [[stmtGraph]]
+        .sortWithinPartitions("label", "src").cache()
     })
 
   private val entGraphCache = scala.collection.concurrent.TrieMap

@@ -71,8 +71,9 @@ object VectorQueries {
         .select(V.quantizeInt8(col("embedding")).getField("q").as("qq"))
       // compiled cosine over the tinyint arrays: bit-identical to the
       // composed fold (same sequential double accumulation), single fused
-      // loop inside whole-stage codegen
-      emb.filter(col("vec_id") =!= 0)
+      // loop inside whole-stage codegen. Spread: the quantize+cosine scan
+      // is the whole query and the single-file scan is one task (§2.5).
+      graft.ops.Spread.perRowHeavy(emb.filter(col("vec_id") =!= 0))
         .select(col("vec_id"),
           V.quantizeInt8(col("embedding")).getField("q").as("q"))
         .crossJoin(broadcast(qv))

@@ -327,12 +327,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cross product:\n$plan")
   }
 
-  test("winnowingFingerprints is in-row: no exchange, no join — the " +
-    "whole selection runs as array expressions on the document's row") {
+  test("winnowingFingerprints is in-row: no join, no keyed exchange — the " +
+    "whole selection runs as array expressions on the document's row " +
+    "(only the conditional Spread round-robin may repartition an " +
+    "under-parallel scan)") {
     val plan = graft.ops.Dedup.winnowingFingerprints(
         spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"shuffle in in-row op:\n$plan")
+    // Spread.perRowHeavy may add ONE round-robin repartition when the scan
+    // has fewer partitions than cores (r11 optimization: the single-file
+    // test corpus scans as one task); any KEYED exchange — the join/window
+    // machinery this test pins against — still fails.
+    val keyedExchanges = plan.linesIterator
+      .filter(_.contains("Exchange"))
+      .filterNot(_.contains("RoundRobinPartitioning")).toSeq
+    assert(keyedExchanges.isEmpty,
+      s"keyed shuffle in in-row op: ${keyedExchanges.mkString("; ")}\n$plan")
     assert(!plan.contains("Join"), s"join in in-row op:\n$plan")
   }
 
