@@ -91,7 +91,7 @@ object TextAnalysis {
     // tight loop per row instead of the interpreted transform/slice chain
     graft.functions.WordGrams.register(docs.sparkSession)
     val grams = graft.functions.WordGrams.grams(col(textCol), n)
-    docs.select(explode(grams).as("gram"))
+    Spread.perRowHeavy(docs).select(explode(grams).as("gram"))
       .filter(length(col("gram")) > 0)
       .groupBy("gram").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), col("gram"))
@@ -207,7 +207,7 @@ object TextAnalysis {
   def unigramSurprisal(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
     graft.functions.WordGrams.register(docs.sparkSession)
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = Spread.perRowHeavy(docs).select(col(idCol).as("id"),
       explode(graft.functions.WordGrams.grams(col(textCol), 1)).as("tok"))
       .filter(length(col("tok")) > 0)
     val dt = toks.groupBy("id", "tok").agg(count(lit(1)).as("m"))
@@ -255,10 +255,11 @@ object TextAnalysis {
     require(lambda > 0.0 && lambda < 1.0,
       s"lambda must be in (0, 1) — 1 would zero unseen pairs, got $lambda")
     graft.functions.WordGrams.register(docs.sparkSession)
-    val uni = docs.select(col(idCol).as("id"),
+    val spreadDocs = Spread.perRowHeavy(docs)
+    val uni = spreadDocs.select(col(idCol).as("id"),
       explode(graft.functions.WordGrams.grams(col(textCol), 1)).as("tok"))
       .filter(length(col("tok")) > 0)
-    val bi = docs.select(col(idCol).as("id"),
+    val bi = spreadDocs.select(col(idCol).as("id"),
       explode(graft.functions.WordGrams.grams(col(textCol), 2)).as("bg"))
     val dbg = bi.groupBy("id", "bg").agg(count(lit(1)).as("m"))
     val cab = bi.groupBy("bg").agg(count(lit(1)).as("c_ab"))
@@ -342,7 +343,9 @@ object TextAnalysis {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     graft.functions.WordGrams.register(docs.sparkSession)
-    val base = docs.select(col(idCol).as("id"),
+    // Spread: both the stats pass and the scoring pass re-tokenize the
+    // corpus; all aggregates are exact long sums, the score is per-row
+    val base = Spread.perRowHeavy(docs).select(col(idCol).as("id"),
       graft.functions.WordGrams.grams(col(textCol), 1).as("toks"))
       .withColumn("dl", size(col("toks")))
     val aggCols: Seq[org.apache.spark.sql.Column] =
@@ -506,7 +509,7 @@ object TextAnalysis {
   def cooccurrenceStats(docs: DataFrame, textCol: String, idCol: String,
                         vocabSize: Int = 20): DataFrame = {
     require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
-    val dt = docs.select(col(idCol).as("id"),
+    val dt = Spread.perRowHeavy(docs).select(col(idCol).as("id"),
         explode(array_distinct(filter(split(lower(col(textCol)), "[^a-z]+"),
           t => length(t) > 0))).as("tok"))
     val vocab = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -579,7 +582,7 @@ object TextAnalysis {
         "(micro-unit cross-terms overflow past ~200; use " +
         "deterministic = false for wider fits)")
     graft.functions.WordGrams.register(docs.sparkSession)
-    val counts = docs.select(col(groupCol).as("grp"),
+    val counts = Spread.perRowHeavy(docs).select(col(groupCol).as("grp"),
         explode(graft.functions.WordGrams.grams(col(textCol), 1)).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
@@ -640,7 +643,7 @@ object TextAnalysis {
   def vocabStats(docs: DataFrame, textCol: String, groupCol: String,
                  approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     graft.functions.WordGrams.register(docs.sparkSession)
-    val toks = docs.select(col(groupCol).as("grp"),
+    val toks = Spread.perRowHeavy(docs).select(col(groupCol).as("grp"),
       explode(graft.functions.WordGrams.grams(col(textCol), 1)).as("tok"))
       .filter(length(col("tok")) > 0)
     val distinctAgg =
