@@ -10,53 +10,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Deep chain/beam plans carry >100 whole-stage-codegen segments, so
-      // the default 100-entry generated-class cache THRASHES: q_full_chain
-      // re-compiled ~86 janino classes on EVERY rep (~0.85 s/rep measured
-      // via CodegenMetrics) — steady-state cost, not warmup. Any
-      // long-lived multi-query engine (the deployment shape of this
-      // library) wants the cache sized to its working set; metaspace cost
-      // at 2000 entries is tens of MB. Static conf: set before the
-      // session exists.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      // ObjectHashAggregate (CollectTopK heaps, SortedSumAgg folds,
-      // Misra-Gries sketches) falls back to SORT-based aggregation after
-      // 128 distinct in-memory keys by default — every per-key heap/fold
-      // operator in this engine runs 6k-150k groups per partition, so the
-      // default re-introduced exactly the map- and reduce-side sorts those
-      // operators exist to avoid. 1M keys × ~100 B buffer ≈ 100 MB/task
-      // worst case, inside the per-task budget at every deployment size
-      // (partitions are sized 100 MB-1 GB at scale, bounding live groups).
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK",
-          (1 << 14).toString))
-      // Partition sizing for THIS scale factor (the 100 TB rule "size
-      // maxPartitionBytes so partitions fit memory and cores stay busy",
-      // applied downward): the sf0.1 tables are 0.5-11 MB files, so the
-      // 128 MB default plans 1-3 scan tasks and the md5/tokenize-heavy
-      // base projections run on 3 of $cpus cores. 1 MB splits the biggest
-      // table across the box; the small ones still fit one task.
-      .config("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
-      .config("spark.sql.files.openCostInBytes", (1 << 18).toString)
-      // Shuffle/spill files on tmpfs when one with headroom exists: the
-      // build VMs intermittently stall threads in disk writeback (load
-      // high, CPUs idle) and sf0.1 shuffle data is MBs — RAM-backed local
-      // dirs take the whole pathology out of the timed path. Real clusters
-      // point this at executor-local NVMe instead.
-      .config("spark.local.dir", {
-        val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.getUsableSpace > (20L << 30))
-          "/dev/shm/graft-spark-local"
-        else System.getProperty("java.io.tmpdir", "/tmp")
-      })
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the ONE shared session config (GraftSession): what Verify checks is
+    // exactly what this bench times
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.registerAll(spark)
 
@@ -359,6 +315,17 @@ object Bench {
     // still-stalled rows are separate fields so a requeued-but-still-
     // noisy row leaves a machine-readable trace (round-9 ADVICE)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"calib_q":$cqs,"calib_q_median":${r4(medCalibQ)},"requeued":${nameArray(replacedNames)},"requeue_attempted":${nameArray(attemptedNames)},"stalled":${nameArray(stalledNames)},"snapshot_stalled":${nameArray(snapshotStalled)},"reps":$reps,"warmed_storage_mb":${warmedStorageBytes / 1048576},"storage_budget_mb":${unifiedBudgetBytes / 1048576},"warmed_rdd_count":${warmedRddIds.size},"cache_pressure_ok":$cachePressureOk}"""
+    // Driver contract line (round-11 verdict #1: the full diagnostic line
+    // grew to multi-KB — 202-entry calib_q map + requeue arrays — and the
+    // driver's stdout capture truncated it mid-JSON two rounds running, so
+    // PERF adjudication came back empty). The full line goes FIRST (and to
+    // the BENCH.json file, where the snapshot machinery reads it); the
+    // LAST stdout line is the compact contract object only — metric, value,
+    // unit, queries (4dp — the calib_q map and name arrays stay in the
+    // file), sf, reps, calib_q_median.
+    val qsCompact = results.map { case (k, (v, _)) => "\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","reps":$reps,"calib_q_median":${r4(medCalibQ)}}"""
     // stdout under sbt is decorated with an "[info] " prefix, so also write
     // the line to a file the harness can parse directly. Subset runs
     // (SPARK_GRAFT_BENCH_ONLY) are A/B scratch work — never let them
@@ -389,5 +356,8 @@ object Bench {
     java.nio.file.Files.write(finalTarget,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // the compact contract line is the LAST thing on stdout (after
+    // spark.stop() so no shutdown logging can land below it)
+    println(compact)
   }
 }

@@ -1643,8 +1643,13 @@ object CypherLite {
         val allKeys = sortedNeeded.map { case (v, _) =>
           kb.select(col(v).cast("string").as("__k")) }
           .reduce(_ union _).distinct()
+        // cast BOTH sides to string: the binding keys are string-cast, and
+        // a mixed-type equi-join against a non-string props id would
+        // coerce both to double — mis-pruning ids beyond 2^53 or with
+        // non-canonical numeric renderings (round-11 ADVICE)
         props.select((col("id") +: allCols.map(col)): _*)
-          .join(broadcast(allKeys), col("id") === col("__k"), "left_semi")
+          .join(broadcast(allKeys),
+            col("id").cast("string") === col("__k"), "left_semi")
           .localCheckpoint(false)
       }
       sortedNeeded.foreach { case (v, ps) =>

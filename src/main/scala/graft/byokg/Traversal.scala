@@ -734,16 +734,26 @@ object Traversal {
     * edge table — without these, every half-round re-shuffled all edges
     * (measured ~2.5x slower). Storage material: memoize per graph (the
     * Tables layer does) and reuse across runs. */
-  /** Partition count for cached store layouts: parallelism/4 keeps the
+  /** Partition count for cached store layouts: max(cores-derived floor,
+    * size-derived count). The floor (parallelism/4, min 4) keeps the
     * few-MB test-scale frames in few substantial partitions instead of
     * scattering slivers across every core — at 32 shuffle partitions each
     * HITS/PageRank ROUND paid ~32 near-empty edge-side tasks plus a
     * matching reduce fan-out (ENSURE_REQUIREMENTS matches the cached
-    * side's count), pure scheduling overhead on an iterative path. Same
-    * sizing rule as the bucket count a 100 TB run derives from
-    * size / target-partition-bytes. */
-  private def storeParts(df: DataFrame): Int =
-    math.max(4, df.sparkSession.sparkContext.defaultParallelism / 4)
+    * side's count), pure scheduling overhead on an iterative path. The
+    * size-derived term (optimizer size estimate / 128 MB target) takes
+    * over at real scale so large edge layouts can never collapse into
+    * cores/4 multi-GB cached partitions (round-11 ADVICE): it is the same
+    * size/target-partition-bytes rule a 100 TB run derives bucket counts
+    * from, now actually computed instead of asserted. */
+  private def storeParts(df: DataFrame): Int = {
+    val floor = math.max(4, df.sparkSession.sparkContext.defaultParallelism / 4)
+    val targetBytes = BigInt(128L << 20)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bySize = ((est + targetBytes - 1) / targetBytes)
+      .min(BigInt(1 << 20)).toInt
+    math.max(floor, bySize)
+  }
 
   def hitsLayout(eDeg: DataFrame): (DataFrame, DataFrame) = {
     val e0 = eDeg.select(col("src"), col("dst"))
@@ -772,14 +782,34 @@ object Traversal {
       if (deterministic)
         org.apache.spark.sql.GraftSqlBridge.sortedSum(c) // bit-identical
       else sum(c)
-    // raw half-round: in-frontier sum only — nodes with no contributions
-    // simply have no row (joining a zero-filled frame instead would feed
-    // 0.0 entries into the value-ordered folds for no semantic gain)
+    // Count-gated shuffle-free half-rounds (guide §2.4/§3.1): every score
+    // frame is ≤ |V| rows of (node, double) by construction, so when |V|
+    // fits the broadcast cap each half joins a BROADCAST of the score
+    // frame against the orientation layout partitioned by the half's
+    // GROUP key — the broadcast hash join needs no exchange of either
+    // side, and the aggregate inherits the layout's partitioning, so a
+    // half-round plans ZERO shuffle exchanges (before: one exchange of
+    // the score frame to match the layout + one aggregate exchange per
+    // half — 12 exchanges across 2·iters halves). Result-identical in
+    // deterministic mode by the value-ordered fold (partitioning cannot
+    // move a sorted-fold result); the multiset of joined contribution
+    // rows is the same either way. Past the cap the original
+    // exchange-per-half shape stands — frontier-scale broadcasts are the
+    // gated exception, not the rule (Joins.gatedBroadcast discipline).
+    val smallV = nodes.count() <= graft.ops.Joins.BroadcastRowCap
     def half(scores: DataFrame, scoreCol: String, joinOn: String,
              groupOn: String, outCol: String): DataFrame = {
-      val e = if (joinOn == "src") eBySrc else eByDst
-      e.join(scores, e(joinOn) === scores("node"))
-        .groupBy(e(groupOn).as("node")).agg(foldSum(col(scoreCol)).as(outCol))
+      if (smallV) {
+        val e = if (groupOn == "src") eBySrc else eByDst
+        e.join(broadcast(scores), e(joinOn) === scores("node"))
+          .groupBy(e(groupOn).as("node"))
+          .agg(foldSum(col(scoreCol)).as(outCol))
+      } else {
+        val e = if (joinOn == "src") eBySrc else eByDst
+        e.join(scores, e(joinOn) === scores("node"))
+          .groupBy(e(groupOn).as("node"))
+          .agg(foldSum(col(scoreCol)).as(outCol))
+      }
     }
     var hubs = nodes.withColumn("h", lit(1.0))
     var auths: DataFrame = null

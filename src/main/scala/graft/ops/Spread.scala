@@ -25,6 +25,12 @@ import org.apache.spark.sql.DataFrame
 object Spread {
   def perRowHeavy(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // queryExecution.toRdd: the partition count off THIS df's own (cached)
+    // QueryExecution — df.rdd built a second full QueryExecution (analysis
+    // + physical planning) plus a deserializer lineage per probe, pure
+    // driver overhead at ~20 hot operator entries (round-11 ADVICE)
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 }

@@ -18,24 +18,7 @@ object PhaseProbe {
     val names = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", (1 << 14).toString))
-      .config("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
-      .config("spark.sql.files.openCostInBytes", (1 << 18).toString)
-      .config("spark.local.dir", {
-        val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.getUsableSpace > (20L << 30))
-          "/dev/shm/graft-spark-local"
-        else System.getProperty("java.io.tmpdir", "/tmp")
-      })
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftExtensions.registerAll(spark)
     graft.queries.Warmup.warmAll(spark, sfDir)
@@ -64,10 +47,13 @@ object PhaseProbe {
         }
         override def onJobEnd(
             j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = jobStart.remove(j.jobId)
-          val d = (System.nanoTime() - t0) / 1e9
-          if (d >= 0.05)
-            println(f"    job ${j.jobId}%5d ${d}%6.3f s tasks=${jobTasks.remove(j.jobId)} ${jobDesc.remove(j.jobId)}")
+          // a job not seen by onJobStart (listener attached mid-job) would
+          // null-unbox to epoch 0 and print a garbage multi-decade duration
+          Option(jobStart.remove(j.jobId)).foreach { t0 =>
+            val d = (System.nanoTime() - t0) / 1e9
+            if (d >= 0.05)
+              println(f"    job ${j.jobId}%5d ${d}%6.3f s tasks=${jobTasks.remove(j.jobId)} ${jobDesc.remove(j.jobId)}")
+          }
         }
       })
     names.foreach { name =>

@@ -24,18 +24,7 @@ object PlanDump {
     val only: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", (1 << 14).toString))
-      .config("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
-      .config("spark.sql.files.openCostInBytes", (1 << 18).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.registerAll(spark)
     graft.queries.Warmup.warmAll(spark, sfDir)

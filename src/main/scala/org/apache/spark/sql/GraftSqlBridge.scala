@@ -11,11 +11,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
  */
 object GraftSqlBridge {
 
-  /** `collect_top_k` aggregate Column over any orderable sort-key
+  /** Bounded top-k aggregate Column over any orderable sort-key
     * expression: k extreme elements, sorted. reverse=true keeps the k
     * smallest (ascending output), reverse=false the k largest (descending)
-    * — spark-catalyst collect.scala CollectTopK semantics. */
+    * — spark-catalyst collect.scala CollectTopK semantics, served by
+    * graft.functions.BoundedTopKAgg (k-slot sorted array, no per-loser
+    * copies; see its doc for the CollectTopK comparison). */
   def collectTopK(sortKey: Column, k: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      graft.functions.BoundedTopKAgg(
+        ExpressionUtils.expression(sortKey), k, reverse)
+        .toAggregateExpression())
+
+  /** The stock Catalyst CollectTopK, kept reachable for A/B measurement. */
+  def collectTopKCatalyst(sortKey: Column, k: Int, reverse: Boolean): Column =
     ExpressionUtils.column(
       new CollectTopK(ExpressionUtils.expression(sortKey), k, reverse, 0, 0)
         .toAggregateExpression())

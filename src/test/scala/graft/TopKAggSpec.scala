@@ -45,8 +45,8 @@ class TopKAggSpec extends SparkSpec {
     val plan = TopKAgg.topKPerKey(fixture, Seq("topic_id"),
       Seq(negate(col("score")), col("statement_id")), 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("collect_top_k"), plan)
-    assert(plan.toLowerCase.contains("partial_collect_top_k") ||
+    assert(plan.contains("bounded_top_k"), plan)
+    assert(plan.toLowerCase.contains("partial_bounded_top_k") ||
       plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
@@ -66,6 +66,30 @@ class TopKAggSpec extends SparkSpec {
         .filter(col("rn") <= k).drop("rn")
         .orderBy("key", "id").collect().toSeq
       assert(viaAgg == viaWindow, s"k=$k")
+    }
+  }
+
+  /** The round-12 BoundedTopKAgg (k-slot sorted array, losers never copied)
+    * must be element-for-element identical to the stock Catalyst CollectTopK
+    * it replaced — both directions, several k, across a multi-partition frame
+    * so partial/merge/serialize paths all exercise. */
+  test("bounded_top_k == Catalyst collect_top_k, both directions") {
+    val r = new scala.util.Random(11)
+    val rows = (1 to 1000).map { i =>
+      (s"g${r.nextInt(40)}", r.nextInt(200).toDouble, f"id$i%04d")
+    }
+    val df = rows.toDF("key", "score", "id").repartition(7)
+    val sortKey = struct(col("score").as("_k0"), col("id").as("_k1"))
+    for (k <- Seq(1, 2, 5); rev <- Seq(true, false)) {
+      val ours = df.groupBy("key")
+        .agg(org.apache.spark.sql.GraftSqlBridge
+          .collectTopK(sortKey, k, rev).as("top"))
+        .orderBy("key").collect().toSeq.map(_.toString)
+      val stock = df.groupBy("key")
+        .agg(org.apache.spark.sql.GraftSqlBridge
+          .collectTopKCatalyst(sortKey, k, rev).as("top"))
+        .orderBy("key").collect().toSeq.map(_.toString)
+      assert(ours == stock, s"k=$k reverse=$rev")
     }
   }
 }
