@@ -463,6 +463,17 @@ object Traversal {
     (nodes, eDeg)
   }
 
+  /** The dst-partitioned orientation of a [[pageRankAdjacency]] eDeg frame —
+    * the layout the count-gated BROADCAST iteration path joins (the
+    * [[hitsLayout]] two-orientation discipline): with the |V|-row rank
+    * frame broadcast, the contribution join needs no exchange of either
+    * side and the per-dst aggregate inherits this partitioning, so an
+    * iteration plans ZERO shuffle exchanges. Storage material — memoize
+    * (Tables does) and reuse; the src layout stays the scale path's
+    * bucketing. */
+  def pageRankAdjacencyByDst(eDeg: DataFrame): DataFrame =
+    eDeg.repartition(storeParts(eDeg), col("dst")).cache()
+
   /** The rank iterations over a prepared [[pageRankAdjacency]] layout.
     * Iterations chain into ONE fused plan — each layer executes exactly once
     * in the final action, and skipping per-iteration materialization jobs
@@ -471,11 +482,27 @@ object Traversal {
     * codegen cost) for deep runs without touching shallow ones. */
   def pageRankIterate(nodes: DataFrame, eDeg: DataFrame, iters: Int,
                       damping: Double = 0.85, reset: Double = 0.15,
-                      deterministic: Boolean = false): DataFrame = {
+                      deterministic: Boolean = false,
+                      eByDst: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // Count-gated broadcast iterations (the hitsIterateFrom shape): the
+    // rank frame is exactly |V| rows of (node, double), so when it fits
+    // the broadcast cap AND the caller supplied the dst orientation, each
+    // iteration joins a broadcast of the ranks against the dst-partitioned
+    // layout — no exchange on either join side, the per-dst aggregate
+    // inherits the layout partitioning, and the node reattach broadcasts
+    // the |V|-row sums: ZERO shuffle exchanges per iteration (the shuffle
+    // path pays one rank exchange + one |E|-value aggregate exchange).
+    // Result-identical: same joined contribution multiset, and the
+    // deterministic mode's value-ordered fold is partition-independent
+    // (the default plain-sum mode never promised a fold order).
+    val smallV = eByDst.isDefined &&
+      nodes.count() <= graft.ops.Joins.BroadcastRowCap
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      val e = if (smallV) eByDst.get else eDeg
+      val ranksSide = if (smallV) broadcast(ranks) else ranks
+      val contribs = e.join(ranksSide, e("src") === ranks("node"))
         .select(col("dst"), col("src"),
           (col("rank") / col("out_deg")).as("contrib"))
       val sums =
@@ -490,7 +517,8 @@ object Traversal {
               .sortedSum(col("contrib")).as("s"))
         else
           contribs.groupBy("dst").agg(sum("contrib").as("s"))
-      ranks = nodes.join(sums, nodes("node") === sums("dst"), "left")
+      val sumsSide = if (smallV) broadcast(sums) else sums
+      ranks = nodes.join(sumsSide, nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(reset) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
       if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
@@ -511,11 +539,17 @@ object Traversal {
    */
   def weightedPageRankIterate(nodes: DataFrame, eW: DataFrame, iters: Int,
                               damping: Double = 0.85, reset: Double = 0.15,
-                              deterministic: Boolean = false): DataFrame = {
+                              deterministic: Boolean = false,
+                              eByDst: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // count-gated broadcast iterations — see [[pageRankIterate]]
+    val smallV = eByDst.isDefined &&
+      nodes.count() <= graft.ops.Joins.BroadcastRowCap
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
-      val contribs = eW.join(ranks, eW("src") === ranks("node"))
+      val e = if (smallV) eByDst.get else eW
+      val ranksSide = if (smallV) broadcast(ranks) else ranks
+      val contribs = e.join(ranksSide, e("src") === ranks("node"))
         .select(col("dst"),
           (col("rank") * col("w") / col("sw")).as("contrib"))
       val sums =
@@ -525,7 +559,8 @@ object Traversal {
               .sortedSum(col("contrib")).as("s"))
         else
           contribs.groupBy("dst").agg(sum("contrib").as("s"))
-      ranks = nodes.join(sums, nodes("node") === sums("dst"), "left")
+      val sumsSide = if (smallV) broadcast(sums) else sums
+      ranks = nodes.join(sumsSide, nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(reset) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
       if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
@@ -548,8 +583,12 @@ object Traversal {
                                   seeds: DataFrame, iters: Int,
                                   damping: Double = 0.85,
                                   reset: Double = 0.15,
-                                  deterministic: Boolean = false): DataFrame = {
+                                  deterministic: Boolean = false,
+                                  eByDst: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // count-gated broadcast iterations — see [[pageRankIterate]]
+    val smallV = eByDst.isDefined &&
+      nodes.count() <= graft.ops.Joins.BroadcastRowCap
     val flagged = nodes.join(
         broadcast(seeds.select(col("node")).distinct()
           .withColumn("_seed", lit(true))),
@@ -561,7 +600,9 @@ object Traversal {
     var ranks = flagged.withColumn("rank",
       when(col("is_seed"), lit(1.0)).otherwise(lit(0.0)))
     for (i <- 1 to iters) {
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      val e = if (smallV) eByDst.get else eDeg
+      val ranksSide = if (smallV) broadcast(ranks) else ranks
+      val contribs = e.join(ranksSide, e("src") === ranks("node"))
         .select(col("dst"), col("src"),
           (col("rank") / col("out_deg")).as("contrib"))
       val sums =
@@ -576,7 +617,8 @@ object Traversal {
               .sortedSum(col("contrib")).as("s"))
         else
           contribs.groupBy("dst").agg(sum("contrib").as("s"))
-      ranks = flagged.join(sums, flagged("node") === sums("dst"), "left")
+      val sumsSide = if (smallV) broadcast(sums) else sums
+      ranks = flagged.join(sumsSide, flagged("node") === sums("dst"), "left")
         .select(col("node"), col("is_seed"),
           (resetCol + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
       if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
@@ -681,12 +723,31 @@ object Traversal {
                               iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val mask = lit(0xFFFFFFFFL)
+    // Count-gated broadcast rounds with SWAPPED join/group roles: the
+    // layout is SYMMETRIC (und = e ∪ reverse(e)), so "labels of X's
+    // neighbors" can be read off either orientation — joining the label
+    // frame on SRC_id and grouping by DST_id is row-identical to the
+    // dst-join/src-group form. With labels broadcast (≤ |V| rows of two
+    // longs, count-gated) the swapped form needs ZERO exchanges per
+    // round: the broadcast join keeps the layout's hash(dst_id)
+    // partitioning, which satisfies both the (dst_id, label_id) vote
+    // count and the per-dst_id winner — where the merge-join form
+    // exchanged+sorted the label frame and exchanged the vote set every
+    // round. Past the cap the original shape stands.
+    val smallV = nodes.count() <= graft.ops.Joins.BroadcastRowCap
     var labels = nodes.select(col("node_id"), col("node_id").as("label_id"))
     for (i <- 1 to iters) {
-      val votes = undInt
-        .join(labels, undInt("dst_id") === labels("node_id"))
-        .groupBy(undInt("src_id").as("node_id"), col("label_id"))
-        .agg(count(lit(1)).as("cnt"))
+      val votes =
+        if (smallV)
+          undInt
+            .join(broadcast(labels), undInt("src_id") === labels("node_id"))
+            .groupBy(undInt("dst_id").as("node_id"), col("label_id"))
+            .agg(count(lit(1)).as("cnt"))
+        else
+          undInt
+            .join(labels, undInt("dst_id") === labels("node_id"))
+            .groupBy(undInt("src_id").as("node_id"), col("label_id"))
+            .agg(count(lit(1)).as("cnt"))
       labels = votes.groupBy("node_id")
         .agg(max(shiftleft(col("cnt"), 32)
           .bitwiseOR(mask - col("label_id"))).as("packed"))
@@ -750,9 +811,22 @@ object Traversal {
     val floor = math.max(4, df.sparkSession.sparkContext.defaultParallelism / 4)
     val targetBytes = BigInt(128L << 20)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val bySize = ((est + targetBytes - 1) / targetBytes)
-      .min(BigInt(1 << 20)).toInt
-    math.max(floor, bySize)
+    // stats are ESTIMATES and default to the Long.MaxValue sentinel on
+    // RDD-backed plans (localCheckpoint/cache lineage) — trusting that
+    // verbatim planned 2^20-partition layouts whose million 1.7 MB task
+    // closures took the warmup from seconds to stuck (measured this
+    // round). Only a plausible estimate (< 1 TB here: layouts above that
+    // should come from a real catalog with real stats) contributes; the
+    // sentinel/garbage case falls back to the cores floor.
+    val bySize =
+      if (est <= 0 || est > BigInt(1L << 40)) 0
+      else ((est + targetBytes - 1) / targetBytes).min(BigInt(1 << 15)).toInt
+    // input-partition term: when stats are the sentinel (every RDD-backed
+    // lineage) the upstream partition count still tracks data size — a
+    // 100k-split edge scan keeps ≥ 25k layout partitions instead of
+    // collapsing to cores/4 multi-GB cached partitions
+    val byInput = df.queryExecution.toRdd.getNumPartitions / 4
+    math.max(floor, math.max(bySize, byInput))
   }
 
   def hitsLayout(eDeg: DataFrame): (DataFrame, DataFrame) = {

@@ -335,28 +335,47 @@ object Dedup {
                            bnlDocCap: Long = 100L * 1000,
                            denseVocabCap: Long = 1024L)
   : DataFrame = {
-    val terms = df.select(col(idCol),
+    // Spread the tokenize/regex scan (guide §2.5): safe here because every
+    // partition-order-sensitive fold downstream is order-stabilized — the
+    // per-doc norm is a value-ordered sortedSum and the sparse pair-dot
+    // folds tidx-sorted map entries (below); everything else is exact
+    // counts or fixed-order dense folds.
+    val terms = Spread.perRowHeavy(df).select(col(idCol),
         explode(expr(s"regexp_extract_all(lower($textCol), " +
           """'\\d+\\.\\d+|[a-z0-9]+', 0)""")).as("tk"))
       .select(col(idCol),
         when(col("tk").rlike("^\\d+\\.\\d+$"), concat(lit("FLOAT_"), col("tk")))
           .when(col("tk").rlike("^\\d+$"), concat(lit("NUM_"), col("tk")))
           .otherwise(col("tk")).as("term"))
+    // LAZY checkpoint of the term-frequency table (round-12): this operator
+    // runs several driver actions per invocation (the docCount/vocabSize
+    // regime gates, the dense-matrix checkpoint, the final action), and
+    // WITHOUT a cut each one re-executed the whole tokenize+tf lineage —
+    // the dominant per-action cost in PhaseProbe. The first action
+    // materializes it; everything after reads the persisted rows.
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    // N = documents FIT (all input rows, incl. token-less ones) — a 1-row
-    // broadcast, not a driver action
-    val n = df.agg(count(lit(1)).cast("double").as("n_docs"))
+      .localCheckpoint(false)
+    // N = documents FIT (all input rows, incl. token-less ones). The
+    // verification-strategy gate below needs this exact count on the
+    // driver anyway, so fold it in as a LITERAL — the previous 1-row
+    // aggregate-crossJoin subtree re-ran a count per action.
+    val docCount = df.count()
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("dfreq"))
     // dfreq/maxw are VOCABULARY-sized — no broadcast hint (AQE may still
-    // pick one when the vocab is small); only the 1-row N frame is forced
+    // pick one when the vocab is small)
     val weighted = tf.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(n))
+      .withColumn("n_docs", lit(docCount.toDouble))
       .withColumn("w",
         col("tf") * (log((col("n_docs") + 1) / (col("dfreq") + 1)) + 1))
+    // value-ordered fold (SortedSumAgg): the per-doc norm is bit-identical
+    // under ANY partitioning — the float-order blocker that kept this
+    // operator un-spread through round 11 (a 1-ulp drift at the 0.975
+    // threshold could flip the dominated set)
     val norms = weighted.groupBy(col(idCol))
-      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+      .agg(sqrt(org.apache.spark.sql.GraftSqlBridge
+        .sortedSum(col("w") * col("w"))).as("norm"))
     val vec = weighted.join(norms, Seq(idCol))
       .select(col(idCol).as("id"), col("term"),
         (col("w") / col("norm")).as("w"))
@@ -370,8 +389,7 @@ object Dedup {
       .filter(col("cum") >= threshold * threshold)
       .select(col("term"), col("id"))
     val postings = vec.select(col("term"), col("id").as("pid"))
-    val docCount = df.count() // gate for the verification strategy
-    val dominated =
+    val dominated = // docCount (computed above) gates the verify strategy
       if (docCount <= mapVerifyDocCap) {
         // map-broadcast verify: canonicalized-deduped candidate pairs
         // stream through two broadcast joins and the dot-product fold;
@@ -462,9 +480,13 @@ object Dedup {
             // 8x-replicated small-vocab probe)
             (dense, graft.functions.DotProduct.dot(col("ma"), col("mb")))
           } else {
+            // tidx-SORTED entries: the pair-dot below folds map_entries(ma)
+            // in entry order, so an unsorted collect_list would make the
+            // cosine partition-order-dependent (tidx is unique per id, so
+            // the sort is total and the map is unchanged as a lookup table)
             val sparse = indexedVec.groupBy(col("id"))
-              .agg(map_from_entries(collect_list(
-                struct(col("tidx"), col("w")))).as("m"))
+              .agg(map_from_entries(sort_array(collect_list(
+                struct(col("tidx"), col("w"))))).as("m"))
             (sparse, expr(
               "aggregate(map_entries(ma), 0D, (acc, e) -> " +
                 "acc + e.value * coalesce(try_element_at(mb, e.key), 0D))"))
@@ -1326,9 +1348,27 @@ object Dedup {
       // shrinks the join input to only genuinely-shared shingles (most of
       // a near-dup-free corpus' shingles are unique, so this is the bulk)
       .filter(col("df") >= 2)
-      .select(col("id"), col("tok"))
+      .select(col("id"), col("n"), col("rk"), col("tok"))
+    // Standard AllPairs refinements on the candidate join itself (round-12,
+    // guide §3 "cut candidate pairs before they exist"), both EXACT:
+    //  - length filter: J ≥ τ forces τ·max(|X|,|Y|) ≤ min(|X|,|Y|) —
+    //    size-mismatched pairs never enter the distinct;
+    //  - positional filter (PPJoin / Vernica et al. SIGMOD'10): a shared
+    //    token at ranks (i, j) can contribute an overlap of at most
+    //    1 + min(|X|−i, |Y|−j) (both prefixes are ranked in the SAME
+    //    global order), and J ≥ τ needs overlap ≥ τ/(1+τ)·(|X|+|Y|).
+    //    Complete because a qualifying pair's FIRST shared token in the
+    //    global order bounds the whole overlap from its own ranks, so at
+    //    least that generating row always survives the filter.
+    val o = least(col("p.n"), col("q.n"))
+    val u = greatest(col("p.n"), col("q.n"))
+    val posUb = lit(1) + least(col("p.n") - col("p.rk"),
+      col("q.n") - col("q.rk"))
     ranked.as("p").join(ranked.as("q"),
-        col("p.tok") === col("q.tok") && col("p.id") < col("q.id"))
+        col("p.tok") === col("q.tok") && col("p.id") < col("q.id") &&
+          o.cast("double") >= lit(tau) * u.cast("double") &&
+          posUb.cast("double") >=
+            lit(tau / (1.0 + tau)) * (col("p.n") + col("q.n")).cast("double"))
       .select(col("p.id").as("id_a"), col("q.id").as("id_b"))
       .distinct()
   }

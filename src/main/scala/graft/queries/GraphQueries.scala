@@ -632,7 +632,8 @@ object GraphQueries {
     // a spec pins it to the plain-sum scale path within 1e-9.
     "q_pagerank" -> ((s, dir) => {
       val (nodes, eDeg) = Tables.pageRankAdjacency(s, dir)
-      Traversal.pageRankIterate(nodes, eDeg, iters = 3, deterministic = true)
+      Traversal.pageRankIterate(nodes, eDeg, iters = 3, deterministic = true,
+          eByDst = Some(Tables.pageRankAdjacencyByDst(s, dir)))
         .select(col("node"), round(col("rank"), 6).as("pr"))
         .orderBy(desc("pr"), col("node"))
         .limit(100)
@@ -707,7 +708,8 @@ object GraphQueries {
     "q_ppr" -> ((s, dir) => {
       val (nodes, eDeg) = Tables.pageRankAdjacency(s, dir)
       Traversal.personalizedPageRankIterate(nodes, eDeg, seeds(s, dir),
-        iters = 3, deterministic = true)
+        iters = 3, deterministic = true,
+        eByDst = Some(Tables.pageRankAdjacencyByDst(s, dir)))
         .select(col("node"), round(col("rank"), 6).as("pr"))
         .orderBy(desc("pr"), col("node"))
         .limit(100)
@@ -799,7 +801,8 @@ object GraphQueries {
     "q_weighted_pagerank" -> ((s, dir) => {
       val (eW, nodes) = Tables.weightedAdjacency(s, dir)
       Traversal.weightedPageRankIterate(nodes, eW, iters = 3,
-          deterministic = true)
+          deterministic = true,
+          eByDst = Some(Tables.weightedAdjacencyByDst(s, dir)))
         .select(col("node"), round(col("rank"), 6).as("pr"))
         .orderBy(desc("pr"), col("node"))
         .limit(100)

@@ -56,13 +56,17 @@ object ProcessorQueries {
       // lineage (the dedup aggregate + the lineitem join), and
       // rescoreResults' per-source broadcast subtree re-executes
       // prune+truncate+disaggregate — each cut is a narrow ids+scores frame
-      // (MBs) that turns those re-executions into in-memory scans
+      // (MBs) that turns those re-executions into in-memory scans.
+      // LAZY checkpoints (round-12): the first consumer of each cut — the
+      // prune/rescore broadcast subtree — materializes it as a side effect
+      // of its own job, so the cut costs no separate whole-lineage
+      // materialization job (the checkpointCount fusion, without the count)
       val chained = Processors.rescoreResults(
         Processors.disaggregateResults(
           Processors.truncateStatements(
             Processors.pruneStatements(
-              Processors.dedupResults(unioned).localCheckpoint(true),
-              0.05), 3)).localCheckpoint(true))
+              Processors.dedupResults(unioned).localCheckpoint(false),
+              0.05), 3)).localCheckpoint(false))
       Processors.sortResults(
         chained.select(col("source_id"), col("topic_id"), col("statement_id"),
           col("score"), col("topic_score"),
@@ -123,7 +127,10 @@ object ProcessorQueries {
         // (the round-7 "re-derivation" finding). The frame here is narrow
         // ids+scores (statement text reattaches after the truncation
         // boundary below), so the checkpoint is MBs, not the corpus.
-        df => df.localCheckpoint(true),
+        // LAZY (round-12): pruneStatements' scalar-max broadcast job is the
+        // first consumer and materializes the cut as a side effect — same
+        // persisted frame, one fewer whole-lineage job per invocation.
+        df => df.localCheckpoint(false),
         df => Processors.rerankStatements(df, None),
         df => Processors.pruneStatements(df, 0.05),
         // Rank-truncation runs BEFORE statement truncation (reference order
@@ -148,8 +155,9 @@ object ProcessorQueries {
         // SearchResultCollection is likewise a materialized list after
         // retrieval, before formatting). Checkpointing here caps the plan
         // the formatting tail compiles — without it the whole 16-step
-        // lineage re-enters codegen for every tail step.
-        df => df.localCheckpoint(true),
+        // lineage re-enters codegen for every tail step. LAZY: the
+        // survivor-id broadcast right below materializes it in its own job.
+        df => df.localCheckpoint(false),
         // the three deferred enrichments — statement-text reattach,
         // PopulateStatementStrs facts, UpdateChunkMetadata — all key on the
         // SAME surviving statement_id set (chunk_id is a statement_id
@@ -166,7 +174,7 @@ object ProcessorQueries {
           val surv = broadcast(df.select("statement_id").distinct())
           val survBase = base
             .join(surv, Seq("statement_id"), "left_semi")
-            .localCheckpoint(true)
+            .localCheckpoint(false) // lazy: stmtText's broadcast build materializes it
           // statement_id determines the statement string (it hashes the
           // full source tuple), so the dropDuplicates lookup is exact
           val stmtText = survBase.select(col("statement_id"), col("statement"))

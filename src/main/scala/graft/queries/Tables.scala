@@ -203,6 +203,26 @@ object Tables {
   private val prAdjCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
+  /** Memoized dst-partitioned orientation of [[pageRankAdjacency]]'s eDeg —
+    * the layout the count-gated broadcast iteration path joins (the
+    * hitsLayout two-orientation discipline). Storage material: built once,
+    * warmed with the other layouts. */
+  def pageRankAdjacencyByDst(s: SparkSession, dir: String): DataFrame =
+    prByDstCache.getOrElseUpdate((s, dir),
+      graft.byokg.Traversal.pageRankAdjacencyByDst(pageRankAdjacency(s, dir)._2))
+
+  private val prByDstCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized dst-partitioned orientation of [[weightedAdjacency]]'s eW —
+    * same role as [[pageRankAdjacencyByDst]] for the weighted variant. */
+  def weightedAdjacencyByDst(s: SparkSession, dir: String): DataFrame =
+    wByDstCache.getOrElseUpdate((s, dir),
+      graft.byokg.Traversal.pageRankAdjacencyByDst(weightedAdjacency(s, dir)._1))
+
+  private val wByDstCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** Memoized LPA layout (dst-partitioned+sorted undirected edges + vertex
     * set) over [[edges]] — graph-storage material like [[pageRankAdjacency]]:
     * built once per (session, dir), probed by every community query. */

@@ -34,6 +34,10 @@ object Warmup {
     lpaUnd.count(); lpaNodes.count()
     val (hSrc, hDst) = Tables.hitsLayout(spark, sfDir)
     hSrc.count(); hDst.count()
+    // dst orientations the broadcast iteration paths join (the hitsLayout
+    // two-orientation discipline, extended to PageRank/PPR/weighted)
+    Tables.pageRankAdjacencyByDst(spark, sfDir).count()
+    Tables.weightedAdjacencyByDst(spark, sfDir).count()
     Tables.walkLayout(spark, sfDir).count()
     Tables.coPurchaseTriangleLayout(spark, sfDir).count()
     Tables.coPurchaseProjection(spark, sfDir).count()

@@ -125,6 +125,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bnl == Set(1L, 2L, 4L, 5L)) // exact dups 3/6 drop
   }
 
+  test("diversityFilterTfidf is partition-order stable (the round-12 " +
+    "Spread precondition: value-ordered norm fold + tidx-sorted maps)") {
+    // enough docs with shared vocabulary that partial-agg merge order
+    // actually varies across partitionings; near-dup pairs sit at the
+    // threshold boundary's neighborhood
+    val r = new scala.util.Random(3)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rows = (1L to 120L).map { i =>
+      val base = r.shuffle(words).take(6)
+      (i, (base :+ (if (i % 3 == 0) "common" else s"tail${i % 7}"))
+        .mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "text")
+    def run(parts: Int, mapCap: Long = 200000, bnlCap: Long = 20000,
+            vocabCap: Long = 1024): Set[Long] =
+      graft.ops.Dedup.diversityFilterTfidf(d.repartition(parts),
+          "text", "doc_id", mapVerifyDocCap = mapCap, bnlDocCap = bnlCap,
+          denseVocabCap = vocabCap)
+        .as[Long].collect().toSet
+    val one = run(1)
+    assert(one == run(7), "BNLJ regime drifted with partitioning")
+    assert(one == run(32), "BNLJ regime drifted with partitioning")
+    // the sparse-map regime folds map entries per pair — the tidx sort
+    // must make it partitioning-independent too
+    val sparse1 = run(1, bnlCap = 0, vocabCap = 0)
+    assert(sparse1 == run(13, bnlCap = 0, vocabCap = 0),
+      "sparse-map regime drifted with partitioning")
+  }
+
   test("dropProperPrefixes matches brute force, incl. chains and boundaries") {
     // chain a < ab < abc (a, ab dominated), equal-after-distinct values,
     // a value that is a prefix of nothing ("b"), a null, and enough rows
